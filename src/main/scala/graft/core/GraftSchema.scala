@@ -1,0 +1,68 @@
+package graft.core
+
+import org.apache.spark.sql.types._
+
+/** A field in a graft table schema. Mirrors the reference's Field
+  * (name + type + nullable, reference: java/core/.../schema/Field.java:25-50)
+  * using Spark DataTypes directly as the type system.
+  */
+final case class GraftField(name: String, dataType: DataType, nullable: Boolean = false)
+
+/** Table schema as three ordered field lists — row keys, sort keys, value
+  * fields (reference: java/core/.../schema/Schema.java:39-43). Rules
+  * enforced exactly as documented (docs/usage/schema.md):
+  *  - row/sort keys: Int/Long/String/Binary only, never nullable;
+  *  - values: additionally Array(primitive) and Map(primitive, primitive),
+  *    one nesting level, nullable opt-in.
+  *
+  * The StructType mapping follows the reference's own Spark conversion
+  * (bulk-import StructTypeFactory.java:54-73).
+  */
+final case class GraftSchema(
+    rowKeys: Seq[GraftField],
+    sortKeys: Seq[GraftField],
+    values: Seq[GraftField]) {
+
+  import GraftSchema._
+
+  require(rowKeys.nonEmpty, "at least one row key field is required")
+  locally {
+    val all = rowKeys ++ sortKeys ++ values
+    val dup = all.groupBy(_.name).collect { case (n, fs) if fs.size > 1 => n }
+    require(dup.isEmpty, s"duplicate field names: ${dup.mkString(",")}")
+  }
+  (rowKeys ++ sortKeys).foreach { f =>
+    require(isKeyType(f.dataType), s"key field ${f.name}: ${f.dataType.sql} is not a valid key type")
+    require(!f.nullable, s"key field ${f.name} cannot be nullable")
+  }
+  values.foreach { f =>
+    require(isValueType(f.dataType), s"value field ${f.name}: ${f.dataType.sql} is not a valid value type")
+  }
+
+  def keyFields: Seq[GraftField] = rowKeys ++ sortKeys
+  def allFields: Seq[GraftField] = rowKeys ++ sortKeys ++ values
+  def rowKeyNames: Seq[String] = rowKeys.map(_.name)
+  def sortKeyNames: Seq[String] = sortKeys.map(_.name)
+  def keyNames: Seq[String] = keyFields.map(_.name)
+  def valueNames: Seq[String] = values.map(_.name)
+
+  def toStructType: StructType =
+    StructType(allFields.map(f => StructField(f.name, f.dataType, f.nullable)))
+
+  def field(name: String): GraftField =
+    allFields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no such field: $name"))
+}
+
+object GraftSchema {
+  private val keyTypes: Set[DataType] = Set(IntegerType, LongType, StringType, BinaryType)
+
+  def isKeyType(t: DataType): Boolean = keyTypes.contains(t)
+
+  def isValueType(t: DataType): Boolean = t match {
+    case t if keyTypes.contains(t) => true
+    case ArrayType(e, _) => keyTypes.contains(e)
+    case MapType(k, v, _) => keyTypes.contains(k) && keyTypes.contains(v)
+    case _ => false
+  }
+}

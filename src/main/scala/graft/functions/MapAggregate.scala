@@ -1,0 +1,141 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import scala.collection.mutable
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, MapData}
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** The per-type merge operations of the reference's aggregation DSL
+  * (reference: java/core/.../iterator/AggregationOp.java:24-161):
+  * numeric sum/min/max; string min/max lexicographic and sum = concat;
+  * byte-array min/max unsigned-lexicographic and sum = concat.
+  */
+object MergeOp extends Enumeration {
+  val Sum, Min, Max = Value
+
+  def apply(op: MergeOp.Value, dt: DataType, a: Any, b: Any): Any = (op, dt) match {
+    case (Sum, IntegerType) => a.asInstanceOf[Int] + b.asInstanceOf[Int]
+    case (Sum, LongType) => a.asInstanceOf[Long] + b.asInstanceOf[Long]
+    case (Sum, StringType) => a.asInstanceOf[String] + b.asInstanceOf[String]
+    case (Sum, BinaryType) => a.asInstanceOf[Array[Byte]] ++ b.asInstanceOf[Array[Byte]]
+    case (Min, _) => if (graft.core.KeyOrdering.compare(a, b) <= 0) a else b
+    case (Max, _) => if (graft.core.KeyOrdering.compare(a, b) >= 0) a else b
+    case (o, t) => throw new IllegalArgumentException(s"unsupported $o on ${t.sql}")
+  }
+}
+
+/** map_sum / map_min / map_max: merge map values key-wise, applying the
+  * merge op on key collisions (reference: AggregationOp.handleMap
+  * :163-215; the Rust engine's custom UDAF map_aggregate.rs). Implemented
+  * as a TypedImperativeAggregate — the Catalyst analog of the Rust
+  * GroupsAccumulator — so partial aggregation works map-side and no rows
+  * are collected.
+  *
+  * Buffer keys/values are held as external JVM types (String/Long/...) so
+  * the buffer is Java-serializable for shuffle.
+  */
+case class MapMergeAgg(
+    child: Expression,
+    op: MergeOp.Value,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.LinkedHashMap[Any, Any]] with UnaryLike[Expression] {
+
+  private def mapType: MapType = child.dataType.asInstanceOf[MapType]
+
+  override def createAggregationBuffer(): mutable.LinkedHashMap[Any, Any] =
+    mutable.LinkedHashMap.empty
+
+  private def toExternal(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case o => o
+  }
+  private def toInternal(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case o => o
+  }
+
+  private def mergeValue(buf: mutable.LinkedHashMap[Any, Any], k: Any, v: Any): Unit =
+    buf.get(k) match {
+      case Some(existing) => buf.update(k, MergeOp(op, mapType.valueType, existing, v))
+      case None => buf.update(k, v)
+    }
+
+  override def update(buf: mutable.LinkedHashMap[Any, Any], input: InternalRow)
+      : mutable.LinkedHashMap[Any, Any] = {
+    child.eval(input) match {
+      case null => buf
+      case m: MapData =>
+        val keys = m.keyArray(); val vals = m.valueArray()
+        var i = 0
+        while (i < m.numElements()) {
+          val k = toExternal(keys.get(i, mapType.keyType))
+          val v = toExternal(vals.get(i, mapType.valueType))
+          if (v != null) mergeValue(buf, k, v)
+          i += 1
+        }
+        buf
+    }
+  }
+
+  override def merge(buf: mutable.LinkedHashMap[Any, Any], other: mutable.LinkedHashMap[Any, Any])
+      : mutable.LinkedHashMap[Any, Any] = {
+    other.foreach { case (k, v) => mergeValue(buf, k, v) }
+    buf
+  }
+
+  override def eval(buf: mutable.LinkedHashMap[Any, Any]): Any = {
+    // Deterministic output: sort entries by key so results don't depend
+    // on encounter order (stronger than the reference, which inherits
+    // map iteration order).
+    val sorted = buf.toSeq.sortWith((a, b) => graft.core.KeyOrdering.compare(a._1, b._1) < 0)
+    ArrayBasedMapData(
+      sorted.map(e => toInternal(e._1)).toArray,
+      sorted.map(e => toInternal(e._2)).toArray)
+  }
+
+  override def serialize(buf: mutable.LinkedHashMap[Any, Any]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new ObjectOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (k, v) => out.writeObject(k); out.writeObject(v) }
+    out.close()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, Any] = {
+    val in = new ObjectInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = mutable.LinkedHashMap.empty[Any, Any]
+    var i = 0
+    while (i < n) { buf.update(in.readObject(), in.readObject()); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = mapType
+  override def nullable: Boolean = false
+  override def prettyName: String = s"map_${op.toString.toLowerCase}"
+
+  override def withNewMutableAggBufferOffset(offset: Int): MapMergeAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): MapMergeAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): MapMergeAgg =
+    copy(child = newChild)
+}
+
+object MapMergeAgg {
+  def map_sum(c: Column): Column =
+    bridge.column(MapMergeAgg(bridge.expression(c), MergeOp.Sum).toAggregateExpression())
+  def map_min(c: Column): Column =
+    bridge.column(MapMergeAgg(bridge.expression(c), MergeOp.Min).toAggregateExpression())
+  def map_max(c: Column): Column =
+    bridge.column(MapMergeAgg(bridge.expression(c), MergeOp.Max).toAggregateExpression())
+}

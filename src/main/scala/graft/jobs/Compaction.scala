@@ -1,0 +1,222 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.dsl.ConfigDsl
+import graft.functions.QuantileSketchAgg.sketch_agg
+import graft.meta.{FileReference, SketchSidecar}
+import graft.table.GraftTable
+
+/** One compaction work item: merge these files of this partition into one
+  * sorted file (reference: compaction job model, docs/design.md:274-329).
+  */
+final case class CompactionJob(partitionId: String, files: Seq[FileReference])
+
+/** Picks which files to compact (reference: compaction-core strategy/impl).
+  */
+trait CompactionStrategy {
+  def plan(partitionFiles: Map[String, Seq[FileReference]]): Seq[CompactionJob]
+}
+
+/** Batches of at most N files per partition, oldest first
+  * (reference: BasicCompactionStrategy.java, batch size default 11).
+  */
+final case class BasicCompactionStrategy(batchSize: Int = 11) extends CompactionStrategy {
+  def plan(partitionFiles: Map[String, Seq[FileReference]]): Seq[CompactionJob] =
+    partitionFiles.toSeq.sortBy(_._1).flatMap { case (pid, refs) =>
+      refs.filter(_.jobId.isEmpty).sortBy(_.filename)
+        .grouped(batchSize)
+        .filter(_.size > 1)
+        .map(g => CompactionJob(pid, g))
+    }
+}
+
+/** Accumulo-style size-ratio strategy: compact a set of files if the sum
+  * of the smaller files is at least `ratio` x the largest of the set
+  * (reference: SizeRatioCompactionStrategy.java, SizeRatioLeafStrategy.java).
+  */
+final case class SizeRatioCompactionStrategy(ratio: Int = 3, maxBatch: Int = 11)
+    extends CompactionStrategy {
+  def plan(partitionFiles: Map[String, Seq[FileReference]]): Seq[CompactionJob] =
+    partitionFiles.toSeq.sortBy(_._1).flatMap { case (pid, refs) =>
+      val sorted = refs.filter(_.jobId.isEmpty).sortBy(_.rowCount)
+      // walk from smallest: find the longest prefix satisfying the ratio rule
+      var best: Option[Seq[FileReference]] = None
+      for (end <- 2 to math.min(sorted.size, maxBatch)) {
+        val set = sorted.take(end)
+        if (set.init.map(_.rowCount).sum >= ratio.toLong * set.last.rowCount)
+          best = Some(set)
+      }
+      best.map(CompactionJob(pid, _)).toSeq
+    }
+}
+
+/** Compaction runner. Two paths:
+  *  - `runStrategy`: per-partition jobs as the reference schedules them
+  *    (merge N sorted files -> 1, applying the table's persistent
+  *    filter/aggregation — continual materialized aggregation, T3);
+  *  - `compactAll`: the Spark-first whole-table path — ONE distributed
+  *    job that re-partitions every live row to its leaf and rewrites one
+  *    sorted file per leaf (same shuffle shape as bulk import). On a
+  *    cluster this replaces thousands of queued single-node jobs.
+  */
+final class Compaction(table: GraftTable) {
+
+  private def spark = table.spark
+  private def schema = table.schema
+
+  private def aggSpecs = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
+  private def filterSpec = ConfigDsl.parseFilter(table.config.filterConfig, schema)
+
+  /** The merge dataflow shared by both paths: [filter] -> [group-by-full-
+    * key aggregate] (reference pipeline, rust datafusion.rs:131-139).
+    */
+  private def applyTransforms(df: DataFrame, extraKeys: Seq[String]): DataFrame = {
+    val now = System.currentTimeMillis()
+    val filtered = filterSpec.map(f => df.filter(f.toColumn(now))).getOrElse(df)
+    val specs = aggSpecs
+    if (specs.isEmpty) filtered
+    else {
+      val cols = ConfigDsl.aggColumns(specs, schema)
+      filtered
+        .groupBy((extraKeys ++ schema.keyNames).map(col): _*)
+        .agg(cols.head, cols.tail: _*)
+        .select((extraKeys ++ schema.allFields.map(_.name)).map(col): _*)
+    }
+  }
+
+  def runStrategy(strategy: CompactionStrategy): Int = {
+    val live = table.store.fileReferences
+    val jobs = strategy.plan(live.groupBy(_.partitionId))
+    jobs.foreach(run)
+    jobs.size
+  }
+
+  /** Merge one partition's files into a single sorted file and commit. */
+  def run(job: CompactionJob): FileReference = {
+    val jobId = UUID.randomUUID().toString.take(8)
+    table.store.assignJob(jobId, job.partitionId, job.files.map(_.filename))
+    val partition = table.store.partitionTree(job.partitionId)
+    val paths = job.files.map(table.pathOf)
+
+    val df = spark.read.parquet(paths: _*)
+      .filter(partition.region.toColumn)
+    val merged = applyTransforms(df, Nil)
+      .coalesce(1)
+      .sortWithinPartitions(schema.keyNames.map(col): _*)
+
+    val (filename, rowCount) = writeSingleFile(merged, job.partitionId, s"compact-$jobId")
+    val output = FileReference(filename, job.partitionId, rowCount)
+    table.store.replaceFiles(job.partitionId, job.files.map(_.filename), output)
+    output
+  }
+
+  /** Whole-table compaction as one distributed job. */
+  def compactAll(): Unit = {
+    val live = table.store.fileReferences
+    if (live.isEmpty) return
+    val tree = table.store.partitionTree
+    val byLeaf = live.groupBy(_.partitionId)
+    // Skip leaves already fully compacted (single leaf-local file, no
+    // pending work) unless a filter/aggregation must apply persistently.
+    // A file referenced by more than one partition (post-split) always
+    // needs rewriting to localize it.
+    val sharedFiles = live.groupBy(_.filename).collect {
+      case (f, rs) if rs.size > 1 => f
+    }.toSet
+    val needsWork = byLeaf.filter { case (_, refs) =>
+      refs.size > 1 || refs.exists(r => sharedFiles(r.filename)) ||
+        aggSpecs.nonEmpty || filterSpec.nonEmpty
+    }
+    if (needsWork.isEmpty) return
+
+    val inputFiles = needsWork.values.flatten.map(table.pathOf).toSeq.distinct
+    val jobId = UUID.randomUUID().toString.take(8)
+
+    val tagged = spark.read.parquet(inputFiles: _*)
+      .withColumn("__gpart", tree.leafIdColumn)
+      .filter(col("__gpart").isin(needsWork.keys.toSeq: _*))
+    val numLeaves = tree.leaves.size
+    val merged = applyTransforms(
+      tagged.repartition(numLeaves, col("__gpart")), Seq("__gpart"))
+      .sortWithinPartitions((Seq("__gpart") ++ schema.keyNames).map(col): _*)
+
+    val tmpDir = s"${table.dir}/.compact-$jobId"
+    merged.write.partitionBy("__gpart").parquet(tmpDir)
+
+    val written = moveFromPartitionedDir(tmpDir, s"compact-$jobId")
+    writeSketches(written.map(_._2))
+    written.foreach { case (pid, path) =>
+      val filename = Paths.get(path).getFileName.toString
+      val rowCount = footerRowCount(path)
+      table.store.replaceFiles(pid, needsWork(pid).map(_.filename),
+        FileReference(filename, pid, rowCount))
+    }
+  }
+
+  // -- shared IO helpers --
+
+  private def writeSingleFile(df: DataFrame, partitionId: String, prefix: String)
+      : (String, Long) = {
+    val tmpDir = s"${table.dir}/.$prefix-tmp"
+    df.write.mode("overwrite").parquet(tmpDir)
+    val part = Files.list(Paths.get(tmpDir)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no parquet written in $tmpDir"))
+    val destDir = Paths.get(s"${table.dataDir}/$partitionId")
+    Files.createDirectories(destDir)
+    val filename = s"$prefix-${UUID.randomUUID().toString.take(8)}.parquet"
+    val dest = destDir.resolve(filename)
+    Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(Paths.get(tmpDir))
+    writeSketches(Seq(dest.toString))
+    (filename, footerRowCount(dest.toString))
+  }
+
+  private def moveFromPartitionedDir(tmpDir: String, prefix: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val tmp = Paths.get(tmpDir)
+    Files.list(tmp).iterator().asScala.filter(Files.isDirectory(_)).foreach { partDir =>
+      val pid = partDir.getFileName.toString.stripPrefix("__gpart=")
+      val destDir = Paths.get(s"${table.dataDir}/$pid")
+      Files.createDirectories(destDir)
+      Files.list(partDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+          val name = s"$prefix-${UUID.randomUUID().toString.take(8)}.parquet"
+          Files.move(f, destDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          out += pid -> s"$destDir/$name"
+        }
+    }
+    deleteRecursively(tmp)
+    out.toSeq
+  }
+
+  private def writeSketches(paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
+    val keyNames = schema.rowKeyNames
+    val rows = spark.read.parquet(paths: _*)
+      .select((col("*") +: Seq(input_file_name().as("__file"))): _*)
+      .groupBy("__file")
+      .agg(sketch_agg(col(keyNames.head)).as(keyNames.head),
+        keyNames.tail.map(k => sketch_agg(col(k)).as(k)): _*)
+      .collect()
+    rows.foreach { r =>
+      val file = r.getString(r.fieldIndex("__file")).stripPrefix("file://").stripPrefix("file:")
+      SketchSidecar.write(file, keyNames.map(k => k -> r.getAs[Array[Byte]](k)))
+    }
+  }
+
+  private def footerRowCount(path: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(path), spark.sparkContext.hadoopConfiguration)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+}

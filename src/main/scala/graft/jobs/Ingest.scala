@@ -1,0 +1,115 @@
+package graft.jobs
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.UUID
+import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.QuantileSketchAgg.sketch_agg
+import graft.meta.{FileReference, SketchSidecar}
+import graft.table.GraftTable
+
+/** Bulk ingest: the reference's Spark bulk-import dataflow re-expressed
+  * (reference: BulkImportDataframeLocalSortDriver.java:50-66 — tag rows
+  * with their leaf partition, repartition by partition, sort within
+  * partitions by (partition, row keys, sort keys), write one sorted file
+  * per partition, record sketches, commit to the state store).
+  *
+  * Scale notes: partition tagging is a nested CASE WHEN expression
+  * (codegen, no UDF); the only shuffle is the repartition on partition id;
+  * the sort is within-partition (no global range exchange); sketches are
+  * computed in ONE extra job over just the key columns of the new files
+  * (columnar pruned scan), grouped by input_file_name.
+  */
+final class Ingest(table: GraftTable) {
+
+  private def spark = table.spark
+
+  def run(input: DataFrame): Seq[FileReference] = {
+    val schema = table.schema
+    val tree = table.store.partitionTree
+
+    // Validate + project to schema order (names must exist; types must match).
+    schema.allFields.foreach { f =>
+      val in = input.schema.fields.find(_.name == f.name).getOrElse(
+        throw new IllegalArgumentException(s"input missing field ${f.name}"))
+      // structural equality, ignoring container nullability flags
+      require(org.apache.spark.sql.types.DataType.equalsIgnoreNullability(in.dataType, f.dataType),
+        s"field ${f.name}: input ${in.dataType.sql} != schema ${f.dataType.sql}")
+    }
+    val projected = input.select(schema.allFields.map(f => col(f.name)): _*)
+
+    val keyCols = schema.keyNames.map(col)
+    val tagged = projected.withColumn("__gpart", tree.leafIdColumn)
+    val numLeaves = tree.leaves.size
+    val sorted = tagged
+      .repartition(numLeaves, col("__gpart"))
+      .sortWithinPartitions(col("__gpart") +: keyCols: _*)
+
+    // Write to a job-scoped temp dir, then move files into their
+    // partition directories (idempotent-retry friendly, like the
+    // reference's OVERWRITE mode).
+    val jobId = UUID.randomUUID().toString.take(8)
+    val tmpDir = s"${table.dir}/.ingest-$jobId"
+    sorted.write.partitionBy("__gpart").parquet(tmpDir)
+
+    val moved = scala.collection.mutable.ArrayBuffer.empty[(String, String)] // (partitionId, path)
+    val tmp = Paths.get(tmpDir)
+    Files.list(tmp).iterator().asScala.filter(Files.isDirectory(_)).foreach { partDir =>
+      val pid = partDir.getFileName.toString.stripPrefix("__gpart=")
+      val destDir = Paths.get(s"${table.dataDir}/$pid")
+      Files.createDirectories(destDir)
+      Files.list(partDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+          val name = s"ingest-$jobId-${UUID.randomUUID().toString.take(8)}.parquet"
+          Files.move(f, destDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          moved += pid -> s"$destDir/$name"
+        }
+    }
+    deleteRecursively(tmp)
+
+    if (moved.isEmpty) return Nil
+
+    // Row counts from parquet footers — no data pass.
+    val refs = moved.map { case (pid, path) =>
+      FileReference(Paths.get(path).getFileName.toString, pid, footerRowCount(path))
+    }.toSeq
+
+    writeSketches(moved.map(_._2).toSeq)
+    table.store.addFiles(refs)
+    refs
+  }
+
+  /** One pruned-columnar job building every new file's key sketches. */
+  private def writeSketches(paths: Seq[String]): Unit = {
+    val schema = table.schema
+    val keyNames = schema.rowKeyNames
+    val rows = spark.read.parquet(paths: _*)
+      .select((col("*") +: Seq(input_file_name().as("__file"))): _*)
+      .groupBy("__file")
+      .agg(sketch_agg(col(keyNames.head)).as(keyNames.head),
+        keyNames.tail.map(k => sketch_agg(col(k)).as(k)): _*)
+      .collect()
+    rows.foreach { r =>
+      val file = r.getString(r.fieldIndex("__file")).stripPrefix("file://").stripPrefix("file:")
+      val sketches = keyNames.map(k => k -> r.getAs[Array[Byte]](k))
+      SketchSidecar.write(file, sketches)
+    }
+  }
+
+  private def footerRowCount(path: String): Long = {
+    val in = HadoopInputFile.fromPath(new Path(path),
+      spark.sparkContext.hadoopConfiguration)
+    val reader = ParquetFileReader.open(in)
+    try reader.getRecordCount finally reader.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+  }
+}

@@ -1,0 +1,196 @@
+package graft.meta
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Base64
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.apache.spark.sql.types.DataType
+import graft.core._
+
+/** File-backed state store: the whole state serializes as one JSON
+  * snapshot per version, committed by atomic create-new of
+  * `state-v{N}.json` (create-exclusive = compare-and-set on N). This is
+  * the reference's transaction-log store distilled to a local/HDFS-style
+  * filesystem; a DynamoDB-like CAS store can replace the version chain
+  * without touching callers (SURVEY.md §7.3).
+  */
+class JsonStateStore private (
+    dir: Path, schema0: GraftSchema, initialTree: PartitionTree, private var version: Long)
+    extends InMemoryStateStore(schema0, initialTree) {
+
+  import JsonStateStore._
+
+  override protected def persist(): Unit = {
+    val next = version + 1
+    val tmp = dir.resolve(s".state-v$next.json.tmp")
+    val target = dir.resolve(s"state-v$next.json")
+    Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(toJson(this))))
+    try {
+      // ATOMIC_MOVE onto a fresh name: fails if a concurrent writer won v{next}.
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new ConcurrentStateException(s"lost CAS on version $next", e)
+    }
+    version = next
+  }
+
+  private[meta] def setState(t: PartitionTree, r: Vector[FileReference],
+      g: Vector[(String, Long)]): Unit = { tree = t; refs = r; gcQueue = g }
+
+  def currentVersion: Long = version
+}
+
+class ConcurrentStateException(msg: String, cause: Throwable) extends RuntimeException(msg, cause)
+
+object JsonStateStore {
+
+  def create(dirStr: String, schema: GraftSchema, tree: PartitionTree): JsonStateStore = {
+    val dir = Paths.get(dirStr)
+    Files.createDirectories(dir)
+    val store = new JsonStateStore(dir, schema, tree, 0L)
+    store.persist() // writes state-v1.json
+    store
+  }
+
+  def load(dirStr: String): JsonStateStore = {
+    val dir = Paths.get(dirStr)
+    val latest = latestVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no state snapshot in $dir"))
+    val json = JsonMethods.parse(Files.readString(dir.resolve(s"state-v$latest.json")))
+    val (schema, tree, refs, gc) = fromJson(json)
+    val store = new JsonStateStore(dir, schema, tree, latest)
+    store.setState(tree, refs, gc)
+    store
+  }
+
+  private def latestVersion(dir: Path): Option[Long] = {
+    val re = "state-v(\\d+)\\.json".r
+    val it = Files.list(dir).iterator()
+    var best: Option[Long] = None
+    while (it.hasNext) {
+      it.next().getFileName.toString match {
+        case re(n) => if (best.forall(_ < n.toLong)) best = Some(n.toLong)
+        case _ =>
+      }
+    }
+    best
+  }
+
+  // ---- JSON codec (key values are tagged so Int/Long/String/bytes round-trip) ----
+
+  private def keyToJson(v: Any): JValue = v match {
+    case i: Int => JObject("t" -> JString("int"), "v" -> JInt(i))
+    case l: Long => JObject("t" -> JString("long"), "v" -> JInt(l))
+    case s: String => JObject("t" -> JString("string"), "v" -> JString(s))
+    case b: Array[Byte] =>
+      JObject("t" -> JString("bytes"), "v" -> JString(Base64.getEncoder.encodeToString(b)))
+    case null => JNull
+    case other => throw new IllegalArgumentException(s"unsupported key value ${other.getClass}")
+  }
+
+  private def keyFromJson(j: JValue): Any = j match {
+    case JNull => null
+    case JObject(fields) =>
+      val m = fields.toMap
+      val JString(t) = m("t"): @unchecked
+      (t, m("v")) match {
+        case ("int", JInt(i)) => i.toInt
+        case ("long", JInt(i)) => i.toLong
+        case ("string", JString(s)) => s
+        case ("bytes", JString(s)) => Base64.getDecoder.decode(s)
+        case other => throw new IllegalArgumentException(s"bad key json: $other")
+      }
+    case other => throw new IllegalArgumentException(s"bad key json: $other")
+  }
+
+  private def optKeyToJson(v: Option[Any]): JValue = v.map(keyToJson).getOrElse(JNothing)
+
+  private def rangeToJson(r: KeyRange): JValue = JObject(
+    "field" -> JString(r.field),
+    "min" -> optKeyToJson(r.min), "minInclusive" -> JBool(r.minInclusive),
+    "max" -> optKeyToJson(r.max), "maxInclusive" -> JBool(r.maxInclusive))
+
+  private def rangeFromJson(j: JValue): KeyRange = {
+    val m = j.asInstanceOf[JObject].obj.toMap
+    def opt(k: String): Option[Any] = m.get(k).filter(_ != JNothing).filter(_ != JNull).map(keyFromJson)
+    val JString(f) = m("field"): @unchecked
+    val JBool(mi) = m("minInclusive"): @unchecked
+    val JBool(ma) = m("maxInclusive"): @unchecked
+    KeyRange(f, opt("min"), mi, opt("max"), ma)
+  }
+
+  private def partitionToJson(p: Partition): JValue = JObject(
+    "id" -> JString(p.id),
+    "region" -> JArray(p.region.ranges.map(rangeToJson).toList),
+    "parent" -> p.parentId.map(JString(_)).getOrElse(JNothing),
+    "children" -> JArray(p.childIds.map(JString(_)).toList),
+    "splitDimension" -> p.splitDimension.map(d => JInt(d)).getOrElse(JNothing),
+    "splitPoint" -> optKeyToJson(p.splitPoint))
+
+  private def partitionFromJson(j: JValue): Partition = {
+    val m = j.asInstanceOf[JObject].obj.toMap
+    val JString(id) = m("id"): @unchecked
+    val JArray(rs) = m("region"): @unchecked
+    val parent = m.get("parent").collect { case JString(s) => s }
+    val JArray(cs) = m("children"): @unchecked
+    val dim = m.get("splitDimension").collect { case JInt(i) => i.toInt }
+    val sp = m.get("splitPoint").filter(v => v != JNothing && v != JNull).map(keyFromJson)
+    Partition(id, Region(rs.map(rangeFromJson)), parent,
+      cs.map { case JString(s) => s; case o => sys.error(s"bad child $o") }, dim, sp)
+  }
+
+  private def fieldToJson(f: GraftField): JValue = JObject(
+    "name" -> JString(f.name), "type" -> JString(f.dataType.json), "nullable" -> JBool(f.nullable))
+
+  private def fieldFromJson(j: JValue): GraftField = {
+    val m = j.asInstanceOf[JObject].obj.toMap
+    val JString(n) = m("name"): @unchecked
+    val JString(t) = m("type"): @unchecked
+    val JBool(nl) = m("nullable"): @unchecked
+    GraftField(n, DataType.fromJson(t), nl)
+  }
+
+  private def refToJson(r: FileReference): JValue = JObject(
+    "filename" -> JString(r.filename), "partitionId" -> JString(r.partitionId),
+    "rowCount" -> JInt(r.rowCount), "jobId" -> r.jobId.map(JString(_)).getOrElse(JNothing))
+
+  private def refFromJson(j: JValue): FileReference = {
+    val m = j.asInstanceOf[JObject].obj.toMap
+    val JString(f) = m("filename"): @unchecked
+    val JString(p) = m("partitionId"): @unchecked
+    val JInt(c) = m("rowCount"): @unchecked
+    FileReference(f, p, c.toLong, m.get("jobId").collect { case JString(s) => s })
+  }
+
+  private def toJson(s: JsonStateStore): JValue = JObject(
+    "schema" -> JObject(
+      "rowKeys" -> JArray(s.schema.rowKeys.map(fieldToJson).toList),
+      "sortKeys" -> JArray(s.schema.sortKeys.map(fieldToJson).toList),
+      "values" -> JArray(s.schema.values.map(fieldToJson).toList)),
+    "partitions" -> JArray(s.partitionTree.partitions.map(partitionToJson).toList),
+    "files" -> JArray(s.fileReferences.map(refToJson).toList),
+    "gc" -> JArray(s.unreferencedFiles.map { case (f, t) =>
+      JObject("filename" -> JString(f), "sinceMs" -> JInt(t)) }.toList))
+
+  private def fromJson(j: JValue)
+      : (GraftSchema, PartitionTree, Vector[FileReference], Vector[(String, Long)]) = {
+    val m = j.asInstanceOf[JObject].obj.toMap
+    val sm = m("schema").asInstanceOf[JObject].obj.toMap
+    def fields(k: String): Seq[GraftField] =
+      sm(k).asInstanceOf[JArray].arr.map(fieldFromJson)
+    val schema = GraftSchema(fields("rowKeys"), fields("sortKeys"), fields("values"))
+    val JArray(ps) = m("partitions"): @unchecked
+    val tree = PartitionTree(schema, ps.map(partitionFromJson))
+    val JArray(fs) = m("files"): @unchecked
+    val JArray(gs) = m("gc"): @unchecked
+    val gc = gs.map { g =>
+      val gm = g.asInstanceOf[JObject].obj.toMap
+      val JString(f) = gm("filename"): @unchecked
+      val JInt(t) = gm("sinceMs"): @unchecked
+      (f, t.toLong)
+    }
+    (schema, tree, fs.map(refFromJson).toVector, gc.toVector)
+  }
+}

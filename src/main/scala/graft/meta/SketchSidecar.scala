@@ -1,0 +1,51 @@
+package graft.meta
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.nio.file.{Files, Path, Paths}
+import graft.core.GraftSchema
+import graft.functions.KeySketch
+
+/** Sidecar file of per-row-key-field quantile sketches, written next to
+  * each data file as `<file>.sketches` — the reference's sketch sidecar
+  * store (reference: java/common/sketches/.../Sketches.java,
+  * S3SketchesStore.java). Format: count, then (fieldName, bytes) pairs.
+  */
+object SketchSidecar {
+
+  def pathFor(dataFile: String): Path = Paths.get(dataFile + ".sketches")
+
+  def write(dataFile: String, sketches: Seq[(String, Array[Byte])]): Unit = {
+    val out = new DataOutputStream(Files.newOutputStream(pathFor(dataFile)))
+    try {
+      out.writeInt(sketches.size)
+      sketches.foreach { case (name, bytes) =>
+        out.writeUTF(name)
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+    } finally out.close()
+  }
+
+  def read(dataFile: String): Map[String, Array[Byte]] = {
+    val in = new DataInputStream(Files.newInputStream(pathFor(dataFile)))
+    try {
+      val n = in.readInt()
+      (0 until n).map { _ =>
+        val name = in.readUTF()
+        val bytes = new Array[Byte](in.readInt())
+        in.readFully(bytes)
+        name -> bytes
+      }.toMap
+    } finally in.close()
+  }
+
+  def exists(dataFile: String): Boolean = Files.exists(pathFor(dataFile))
+
+  /** Merged sketch for one row-key field across data files (A5). */
+  def mergedSketch(schema: GraftSchema, field: String, dataFiles: Seq[String])
+      : Option[org.apache.datasketches.quantiles.ItemsSketch[AnyRef]] = {
+    val kind = KeySketch.kindOf(schema.field(field).dataType)
+    val parts = dataFiles.filter(exists).flatMap(f => read(f).get(field))
+    if (parts.isEmpty) None else Some(KeySketch.union(kind, parts))
+  }
+}

@@ -1,0 +1,145 @@
+package graft.meta
+
+import graft.core.{GraftSchema, PartitionTree, Partition, Region, KeyRange}
+
+/** A file reference: the subset of a data file's rows that belongs to one
+  * partition. One physical file may be referenced by several partitions
+  * after a partition split (reference:
+  * java/core/.../statestore/FileReference.java, docs/design.md:137-151).
+  */
+final case class FileReference(
+    filename: String,
+    partitionId: String,
+    rowCount: Long,
+    jobId: Option[String] = None)
+
+/** The table's metadata log: partition tree + file references + GC queue.
+  * This is the reference's transaction-log state store distilled to the
+  * operations the dataflow needs (reference:
+  * java/core/.../statestore/transactionlog/transaction impl *Transaction.java,
+  * docs/design/transaction-log-state-store.md). Implementations must make
+  * each mutation atomic; the provided JsonStateStore uses an
+  * optimistic-concurrency version chain (create-exclusive of the next
+  * version file = CAS), so an external CAS store can slot in later.
+  */
+trait StateStore {
+  def schema: GraftSchema
+  def partitionTree: PartitionTree
+  def fileReferences: Seq[FileReference]
+
+  /** Files no longer referenced anywhere, with the epoch-ms they became
+    * unreferenced (GC eligibility, reference: GarbageCollector.java).
+    */
+  def unreferencedFiles: Seq[(String, Long)]
+
+  /** AddFilesTransaction — new files from ingest/bulk import. */
+  def addFiles(refs: Seq[FileReference]): Unit
+
+  /** ReplaceFileReferencesTransaction — compaction commit: atomically
+    * remove the input refs in a partition and add the single output ref.
+    * Inputs that end up with zero references anywhere move to the GC queue.
+    */
+  def replaceFiles(partitionId: String, inputs: Seq[String], output: FileReference,
+      nowMs: Long = System.currentTimeMillis()): Unit
+
+  /** SplitPartitionTransaction — split a leaf at a point (metadata only;
+    * data files untouched).
+    */
+  def splitPartition(parentId: String, dimension: Int, splitPoint: Any,
+      leftId: String, rightId: String): Unit
+
+  /** SplitFileReferences (M4) — push refs sitting on non-leaf partitions
+    * down one level per call: each parent ref becomes two child refs with
+    * halved row-count estimates (reference: SplitFileReferences.java,
+    * docs/design.md:295-299). Returns number of refs split.
+    */
+  def splitFileReferences(): Int
+
+  /** Assign a compaction job id to refs (reference: compaction job
+    * assignment; guards double-compaction).
+    */
+  def assignJob(jobId: String, partitionId: String, filenames: Seq[String]): Unit
+
+  /** Remove GC'd files from the queue after physical deletion. */
+  def removeGCFiles(filenames: Seq[String]): Unit
+}
+
+/** In-memory single-writer implementation; also the base for the
+  * JSON-persisted store. Thread-safe via coarse synchronization (the
+  * reference serializes through its transaction log the same way).
+  */
+class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
+    extends StateStore {
+
+  protected var tree: PartitionTree = initialTree
+  protected var refs: Vector[FileReference] = Vector.empty
+  protected var gcQueue: Vector[(String, Long)] = Vector.empty
+
+  override def partitionTree: PartitionTree = synchronized(tree)
+  override def fileReferences: Seq[FileReference] = synchronized(refs)
+  override def unreferencedFiles: Seq[(String, Long)] = synchronized(gcQueue)
+
+  protected def persist(): Unit = ()
+
+  override def addFiles(newRefs: Seq[FileReference]): Unit = synchronized {
+    newRefs.foreach { r =>
+      require(tree.partitions.exists(_.id == r.partitionId), s"unknown partition ${r.partitionId}")
+      require(!refs.exists(e => e.filename == r.filename && e.partitionId == r.partitionId),
+        s"${r.filename} already referenced in ${r.partitionId}")
+    }
+    refs = refs ++ newRefs
+    persist()
+  }
+
+  override def replaceFiles(partitionId: String, inputs: Seq[String], output: FileReference,
+      nowMs: Long): Unit = synchronized {
+    require(output.partitionId == partitionId, "output must belong to the compacted partition")
+    inputs.foreach { f =>
+      require(refs.exists(r => r.filename == f && r.partitionId == partitionId),
+        s"input $f not referenced in $partitionId")
+    }
+    refs = refs.filterNot(r => r.partitionId == partitionId && inputs.contains(r.filename))
+    val orphaned = inputs.filterNot(f => refs.exists(_.filename == f))
+    gcQueue = gcQueue ++ orphaned.map(_ -> nowMs)
+    refs = refs :+ output
+    persist()
+  }
+
+  override def splitPartition(parentId: String, dimension: Int, splitPoint: Any,
+      leftId: String, rightId: String): Unit = synchronized {
+    tree = tree.addSplit(parentId, dimension, splitPoint, leftId, rightId)
+    persist()
+  }
+
+  override def splitFileReferences(): Int = synchronized {
+    val nonLeaf = refs.filter(r => !tree(r.partitionId).isLeaf)
+    nonLeaf.foreach { r =>
+      val children = tree(r.partitionId).childIds.map(tree(_))
+      val half = math.max(r.rowCount / 2, 1)
+      refs = refs.filterNot(_ == r) ++
+        children.map(c => FileReference(r.filename, c.id, half, r.jobId))
+    }
+    if (nonLeaf.nonEmpty) persist()
+    nonLeaf.size
+  }
+
+  override def assignJob(jobId: String, partitionId: String, filenames: Seq[String]): Unit =
+    synchronized {
+      filenames.foreach { f =>
+        val r = refs.find(r => r.filename == f && r.partitionId == partitionId)
+          .getOrElse(throw new IllegalArgumentException(s"$f not referenced in $partitionId"))
+        require(r.jobId.isEmpty, s"$f already assigned to job ${r.jobId.get}")
+      }
+      refs = refs.map { r =>
+        if (filenames.contains(r.filename) && r.partitionId == partitionId)
+          r.copy(jobId = Some(jobId))
+        else r
+      }
+      persist()
+    }
+
+  override def removeGCFiles(filenames: Seq[String]): Unit = synchronized {
+    gcQueue = gcQueue.filterNot { case (f, _) => filenames.contains(f) }
+    persist()
+  }
+}

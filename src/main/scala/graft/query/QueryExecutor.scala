@@ -1,0 +1,109 @@
+package graft.query
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.Region
+import graft.dsl.ConfigDsl
+import graft.table.GraftTable
+
+/** A query against a graft table: a list of key regions (ORed), an
+  * optional value-field projection, an optional query-time transform, and
+  * an optional SELECT-only SQL post-stage over the results
+  * (reference: Query.java:30-34, QueryProcessingConfig.java:29-37,
+  * rust/query_sql).
+  */
+final case class GraftQuery(
+    regions: Seq[Region] = Nil,
+    requestedValueFields: Option[Seq[String]] = None,
+    queryTimeTransform: Option[DataFrame => DataFrame] = None,
+    postSql: Option[String] = None)
+
+object GraftQuery {
+  val all: GraftQuery = GraftQuery()
+  def forRegions(regions: Region*): GraftQuery = GraftQuery(regions = regions)
+}
+
+/** Query execution, mirroring the reference's planner+executor
+  * (QueryPlanner.java / LeafPartitionQueryExecutor.java, SURVEY.md §3.1):
+  *
+  *  1. prune: leaf partitions whose region overlaps a query region;
+  *  2. file selection: the leaf's files plus every ancestor's files,
+  *     each scan clipped by the leaf's region AND the query regions —
+  *     the clip makes rows from shared ancestor files land in exactly
+  *     one leaf (no duplicates; QueryPlanner.java:178-183);
+  *  3. transforms: table-level (persistent filter + aggregation), then
+  *     query-level, then projection (keys are always kept).
+  *
+  * Fast path: when every file reference sits on a leaf (steady state
+  * after compaction), one parquet scan of the selected files with the
+  * OR-of-regions predicate replaces the per-leaf unions — fewer plan
+  * nodes, same pruning, and Catalyst pushes the region predicate into
+  * the parquet row-group/page filters.
+  */
+final class QueryExecutor(table: GraftTable) {
+
+  private def spark = table.spark
+  private def schema = table.schema
+
+  def execute(q: GraftQuery): DataFrame = {
+    val tree = table.store.partitionTree
+    val regions =
+      if (q.regions.nonEmpty) q.regions.map(_.canonical)
+      else Seq(Region(schema.rowKeys.map(f => graft.core.KeyRange.unbounded(f.name))))
+
+    val leaves = tree.leavesOverlapping(regions)
+    val refsByPartition = table.store.fileReferences.groupBy(_.partitionId)
+
+    val scans: Seq[DataFrame] = {
+      val allOnLeaves = refsByPartition.keySet.forall(tree(_).isLeaf)
+      if (allOnLeaves) {
+        val files = leaves.flatMap(l => refsByPartition.getOrElse(l.id, Nil))
+          .map(table.pathOf).distinct
+        if (files.isEmpty) Nil
+        else Seq(spark.read.parquet(files: _*).filter(Region.anyOf(regions)))
+      } else {
+        leaves.flatMap { leaf =>
+          val files = (refsByPartition.getOrElse(leaf.id, Nil) ++
+            tree.ancestors(leaf.id).flatMap(a => refsByPartition.getOrElse(a.id, Nil)))
+            .map(table.pathOf).distinct
+          if (files.isEmpty) None
+          else Some(spark.read.parquet(files: _*)
+            .filter(leaf.region.toColumn && Region.anyOf(regions)))
+        }
+      }
+    }
+
+    val base = scans.reduceOption(_ unionByName _)
+      .getOrElse(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), schema.toStructType))
+
+    // Compaction-time (persistent) transforms apply at query time too —
+    // data not yet rewritten by compaction must read the same
+    // (reference: LeafPartitionQueryExecutor.getRows:92-99).
+    val now = System.currentTimeMillis()
+    val filtered = ConfigDsl.parseFilter(table.config.filterConfig, schema)
+      .map(f => base.filter(f.toColumn(now))).getOrElse(base)
+    val aggSpecs = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
+    val aggregated =
+      if (aggSpecs.isEmpty) filtered
+      else {
+        val cols = ConfigDsl.aggColumns(aggSpecs, schema)
+        filtered.groupBy(schema.keyNames.map(col): _*)
+          .agg(cols.head, cols.tail: _*)
+          .select(schema.allFields.map(f => col(f.name)): _*)
+      }
+
+    val transformed = q.queryTimeTransform.map(_(aggregated)).getOrElse(aggregated)
+
+    // Projection: requested value fields, keys always kept (P1).
+    val projected = q.requestedValueFields match {
+      case Some(req) =>
+        val keep = schema.keyNames ++ schema.valueNames.filter(req.contains)
+        transformed.select(keep.map(col): _*)
+      case None => transformed
+    }
+
+    val sorted = projected.sortWithinPartitions(schema.keyNames.map(col): _*)
+    q.postSql.map(sql => SqlStage.overResults(spark, sorted, sql)).getOrElse(sorted)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.table
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core._
+import graft.meta._
+
+/** Per-table behavior configuration — the distilled table properties the
+  * dataflow actually consumes (reference: docs/usage/properties/table).
+  */
+final case class TableConfig(
+    /** continual aggregation, e.g. "sum(count),map_max(m)" (X3) */
+    aggregationConfig: String = "",
+    /** persistent filter, e.g. "ageOff(ts,1209600000)" (P3) */
+    filterConfig: String = "",
+    /** leaf row-count threshold that triggers a partition split
+      * (reference default 1e9; docs/usage/properties/table/partition_splitting.md) */
+    splitThreshold: Long = 1000000000L,
+    /** files per compaction job (DEFAULT_COMPACTION_FILES_BATCH_SIZE=11) */
+    compactionBatchSize: Int = 11,
+    /** SizeRatio strategy ratio (Accumulo-style, default 3) */
+    sizeRatio: Int = 3,
+    /** minutes a file must be unreferenced before GC deletes it */
+    gcDelayMinutes: Int = 10)
+
+/** A graft table: sorted parquet files + a state store, rooted at
+  *   <dir>/meta  — JSON state-store version chain
+  *   <dir>/data/<partitionId>/<uuid>.parquet (+ .sketches sidecars)
+  *
+  * The facade over ingest / query / compaction / split / GC — the
+  * library-level equivalent of the reference's table abstraction
+  * (docs/design.md:55-72).
+  */
+final class GraftTable(
+    val spark: SparkSession,
+    val dir: String,
+    val store: StateStore,
+    val config: TableConfig) {
+
+  def schema: GraftSchema = store.schema
+
+  def dataDir: String = s"$dir/data"
+
+  def filePath(partitionId: String, filename: String): String =
+    s"$dataDir/$partitionId/$filename"
+
+  def pathOf(ref: FileReference): String = {
+    // A file's physical home is the partition it was written for; after a
+    // partition split, refs in child partitions still point at the file
+    // under its original directory — so resolve by scanning known homes.
+    val direct = Paths.get(filePath(ref.partitionId, ref.filename))
+    if (Files.exists(direct)) direct.toString
+    else {
+      val root = Paths.get(dataDir)
+      val it = Files.list(root).iterator()
+      while (it.hasNext) {
+        val cand = it.next().resolve(ref.filename)
+        if (Files.exists(cand)) return cand.toString
+      }
+      throw new IllegalStateException(s"data file not found: ${ref.filename}")
+    }
+  }
+
+  def ingest(input: DataFrame): Seq[FileReference] = new graft.jobs.Ingest(this).run(input)
+
+  def query(q: graft.query.GraftQuery): DataFrame =
+    new graft.query.QueryExecutor(this).execute(q)
+
+  /** Whole table as a DataFrame (sorted within partitions). */
+  def toDF: DataFrame = query(graft.query.GraftQuery.all)
+
+  def compactAll(): Unit = new graft.jobs.Compaction(this).compactAll()
+
+  def compact(strategy: graft.jobs.CompactionStrategy): Int =
+    new graft.jobs.Compaction(this).runStrategy(strategy)
+
+  def splitPartitions(): Seq[String] = new graft.jobs.PartitionSplitter(this).run()
+
+  def collectGarbage(nowMs: Long = System.currentTimeMillis()): Seq[String] =
+    new graft.jobs.GarbageCollector(this).run(nowMs)
+
+  /** Bulk export: whole table to parquet at `outDir` (M8). */
+  def export(outDir: String): Unit = toDF.write.mode("overwrite").parquet(outDir)
+
+  /** Table metrics from the state store alone (A6; reference
+    * TableMetrics.java:39-134).
+    */
+  def metrics: TableMetrics = {
+    val refs = store.fileReferences
+    val tree = store.partitionTree
+    val byPartition = refs.groupBy(_.partitionId)
+    TableMetrics(
+      fileCount = refs.map(_.filename).distinct.size,
+      rowCount = refs.map(_.rowCount).sum,
+      partitionCount = tree.partitions.size,
+      leafPartitionCount = tree.leaves.size,
+      averageFileReferencesPerPartition =
+        if (byPartition.isEmpty) 0.0
+        else byPartition.values.map(_.size).sum.toDouble / byPartition.size)
+  }
+}
+
+final case class TableMetrics(
+    fileCount: Int,
+    rowCount: Long,
+    partitionCount: Int,
+    leafPartitionCount: Int,
+    averageFileReferencesPerPartition: Double)
+
+object GraftTable {
+
+  def create(spark: SparkSession, dir: String, schema: GraftSchema,
+      splitPoints: Seq[Any] = Nil, config: TableConfig = TableConfig()): GraftTable = {
+    val tree = PartitionTree.fromSplitPoints(schema, splitPoints)
+    val store = JsonStateStore.create(s"$dir/meta", schema, tree)
+    Files.createDirectories(Paths.get(s"$dir/data"))
+    new GraftTable(spark, dir, store, config)
+  }
+
+  def load(spark: SparkSession, dir: String, config: TableConfig = TableConfig()): GraftTable =
+    new GraftTable(spark, dir, JsonStateStore.load(s"$dir/meta"), config)
+}

@@ -1,0 +1,95 @@
+package graft.meta
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+class StateStoreSpec extends AnyFunSuite {
+
+  private val schema = GraftSchema(
+    rowKeys = Seq(GraftField("key", StringType)),
+    sortKeys = Nil,
+    values = Seq(GraftField("value", LongType)))
+
+  private def newStore() =
+    new InMemoryStateStore(schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+
+  private def leafIds(s: StateStore) = s.partitionTree.leaves.map(_.id).sorted
+
+  test("addFiles + duplicate rejection") {
+    val s = newStore()
+    val Seq(l, r) = leafIds(s)
+    s.addFiles(Seq(FileReference("f1", l, 100), FileReference("f2", r, 50)))
+    assert(s.fileReferences.size == 2)
+    intercept[IllegalArgumentException](s.addFiles(Seq(FileReference("f1", l, 100))))
+    intercept[IllegalArgumentException](s.addFiles(Seq(FileReference("f3", "nope", 1))))
+  }
+
+  test("replaceFiles commits compaction atomically and queues orphans for GC") {
+    val s = newStore()
+    val Seq(l, _) = leafIds(s)
+    s.addFiles(Seq(FileReference("f1", l, 100), FileReference("f2", l, 50)))
+    s.replaceFiles(l, Seq("f1", "f2"), FileReference("out", l, 140), nowMs = 1000L)
+    assert(s.fileReferences.map(_.filename) == Seq("out"))
+    assert(s.unreferencedFiles.toSet == Set("f1" -> 1000L, "f2" -> 1000L))
+    intercept[IllegalArgumentException](
+      s.replaceFiles(l, Seq("missing"), FileReference("x", l, 1)))
+  }
+
+  test("file referenced by two partitions is GC'd only when both release it") {
+    val s = newStore()
+    val Seq(l, r) = leafIds(s)
+    s.addFiles(Seq(FileReference("shared", l, 100), FileReference("shared", r, 100),
+      FileReference("lonely", l, 10)))
+    s.replaceFiles(l, Seq("shared", "lonely"), FileReference("outL", l, 90), nowMs = 5L)
+    assert(s.unreferencedFiles.map(_._1) == Seq("lonely")) // still referenced in r
+    s.replaceFiles(r, Seq("shared"), FileReference("outR", r, 80), nowMs = 6L)
+    assert(s.unreferencedFiles.map(_._1).toSet == Set("lonely", "shared"))
+  }
+
+  test("splitPartition + splitFileReferences push refs to children") {
+    val s = newStore()
+    val Seq(l, _) = leafIds(s)
+    s.addFiles(Seq(FileReference("f1", l, 100)))
+    s.splitPartition(l, 0, "g", s"$l-a", s"$l-b")
+    assert(!s.partitionTree(l).isLeaf)
+    val n = s.splitFileReferences()
+    assert(n == 1)
+    val refs = s.fileReferences
+    assert(refs.size == 2 && refs.forall(_.filename == "f1"))
+    assert(refs.map(_.partitionId).toSet == Set(s"$l-a", s"$l-b"))
+    assert(refs.forall(_.rowCount == 50))
+  }
+
+  test("assignJob guards double assignment") {
+    val s = newStore()
+    val Seq(l, _) = leafIds(s)
+    s.addFiles(Seq(FileReference("f1", l, 100)))
+    s.assignJob("j1", l, Seq("f1"))
+    intercept[IllegalArgumentException](s.assignJob("j2", l, Seq("f1")))
+  }
+
+  test("JsonStateStore round-trips through the version chain") {
+    val dir = Files.createTempDirectory("graft-store").toString
+    val schema2 = GraftSchema(
+      rowKeys = Seq(GraftField("k1", LongType), GraftField("k2", BinaryType)),
+      sortKeys = Seq(GraftField("s", IntegerType)),
+      values = Seq(GraftField("m", MapType(StringType, LongType), nullable = true)))
+    val s = JsonStateStore.create(dir, schema2, PartitionTree.single(schema2))
+    s.addFiles(Seq(FileReference("f1", "root", 10)))
+    s.splitPartition("root", 0, 42L, "a", "b")
+    s.splitFileReferences()
+    s.replaceFiles("a", Seq("f1"), FileReference("f2", "a", 5), nowMs = 99L)
+
+    val loaded = JsonStateStore.load(dir)
+    assert(loaded.schema == schema2)
+    assert(loaded.partitionTree.partitions.toSet == s.partitionTree.partitions.toSet)
+    assert(loaded.fileReferences.toSet == s.fileReferences.toSet)
+    assert(loaded.unreferencedFiles == s.unreferencedFiles)
+    assert(loaded.currentVersion == s.currentVersion)
+    // a store loaded at version N persists N+1 next
+    loaded.addFiles(Seq(FileReference("f3", "b", 7)))
+    assert(loaded.currentVersion == s.currentVersion + 1)
+  }
+}
