@@ -8,7 +8,7 @@ object SparkEntry {
 
   /** All operator queries, each with an optional DuckDB oracle. */
   def allDefs: Map[String, QueryDef] =
-    Relational.defs ++ Superset.defs
+    Relational.defs ++ Superset.defs ++ EngineQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.Tables
+import graft.core.{GraftField, GraftSchema}
+import graft.dsl.ConfigDsl
+import graft.functions.{KeySketch, MapMergeAgg, QuantileSketchAgg}
+
+/** Queries that exercise the engine's custom Catalyst pieces (map
+  * aggregation UDAF, config DSL, quantile sketches) through the DuckDB
+  * correctness gate. The map aggregate is verified by exploding the
+  * aggregated map back to rows, which an equivalent GROUP BY expresses
+  * in plain SQL.
+  */
+object EngineQueries {
+
+  import QueryDef._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // A3 — map_sum: build a single-entry map per row, merge key-wise per
+    // group, explode back. Equivalent SQL: group by (key, map-key).
+    // (reference: AggregationOp.handleMap:163-215, rust map_aggregate.rs)
+    "a3_agg_map_sum" -> withOracle(
+      """SELECT l_orderkey, l_returnflag AS flag,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY l_orderkey, flag
+        |ORDER BY l_orderkey, flag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          map(col("l_returnflag"), col("l_quantity").cast("long")).as("m"))
+        .groupBy("l_orderkey")
+        .agg(MapMergeAgg.map_sum(col("m")).as("m"))
+        .select(col("l_orderkey"), explode(col("m")).as(Seq("flag", "qty")))
+        .orderBy("l_orderkey", "flag")
+    },
+
+    // A3 — map_max over string-keyed map of longs.
+    "a3_agg_map_max" -> withOracle(
+      """SELECT user_id, event_type AS etype,
+        |       CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_us
+        |FROM events
+        |GROUP BY user_id, etype
+        |ORDER BY user_id, etype""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), map(col("event_type"), expr("ts DIV 1000")).as("m"))
+        .groupBy("user_id")
+        .agg(MapMergeAgg.map_max(col("m")).as("m"))
+        .select(col("user_id"), explode(col("m")).as(Seq("etype", "last_us")))
+        .orderBy("user_id", "etype")
+    },
+
+    // X3 — the aggregation-config DSL driving a real aggregation plan:
+    // parse "sum(qty_l),min(price_l),max(price_l2)" against a schema and
+    // let the generated columns run (reference: Aggregation.parseConfig +
+    // IteratorFactory wiring).
+    "x3_agg_dsl" -> withOracle(
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_l,
+        |       CAST(MIN(CAST(l_partkey AS BIGINT)) AS BIGINT) AS part_min,
+        |       CAST(MAX(CAST(l_suppkey AS BIGINT)) AS BIGINT) AS supp_max
+        |FROM lineitem
+        |GROUP BY l_orderkey, l_linenumber
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val schema = GraftSchema(
+        rowKeys = Seq(GraftField("l_orderkey", LongType)),
+        sortKeys = Seq(GraftField("l_linenumber", IntegerType)),
+        values = Seq(GraftField("qty_l", LongType), GraftField("part_min", LongType),
+          GraftField("supp_max", LongType)))
+      val specs = ConfigDsl.parseAggregation("sum(qty_l),min(part_min),max(supp_max)", schema)
+      val cols = ConfigDsl.aggColumns(specs, schema)
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("long").as("qty_l"),
+          col("l_partkey").as("part_min"), col("l_suppkey").as("supp_max"))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(cols.head, cols.tail: _*)
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A4/A5 — quantile sketch build + median extraction (approximate at
+    // sketch K=1024, so rows-only for the driver; exactness bounds are
+    // asserted in AggregatesSpec). (reference: Sketches.java,
+    // FindPartitionSplitPoint.)
+    "a4_sketch_median" -> rowsOnly { (s, dir) =>
+      val medianUdf = udf { bytes: Array[Byte] =>
+        val kind = KeySketch.LongKind
+        val sk = KeySketch.deserialize(kind, bytes)
+        sk.getQuantile(0.5,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+          .asInstanceOf[java.lang.Long].longValue()
+      }
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
+        .groupBy("l_returnflag")
+        .agg(QuantileSketchAgg.sketch_agg(col("q")).as("sk"))
+        .select(col("l_returnflag"), medianUdf(col("sk")).cast("double").as("median"))
+        .orderBy("l_returnflag")
+    }
+  )
+}
