@@ -8,7 +8,8 @@ object SparkEntry {
 
   /** All operator queries, each with an optional DuckDB oracle. */
   def allDefs: Map[String, QueryDef] =
-    Relational.defs ++ Superset.defs ++ EngineQueries.defs
+    Relational.defs ++ Superset.defs ++ EngineQueries.defs ++
+      TextQueries.defs ++ VectorQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

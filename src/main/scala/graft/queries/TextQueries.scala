@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.RollingHash.rolling_hash
+import graft.text.TextFunctions
+
+/** Training-data text pipeline: deduplication (exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash), language-ID, quality scoring, token counting,
+  * fingerprinting — each over the `documents` table with a DuckDB oracle
+  * where SQL can express the same computation.
+  */
+object TextQueries {
+
+  import QueryDef._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  // Shared DuckDB fragment: distinct word-bigram shingles per doc.
+  private val duckShingles =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingle
+      |  FROM toks WHERE len(ws) >= 2
+      |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_a, id_b
+      |FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+      |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // D1 — exact dedup: smallest doc_id per distinct text (hash-grouped).
+    "d1_dedup_exact" -> withOracle(
+      """SELECT MIN(doc_id) AS doc_id, text
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // D2 — exact n-gram (word bigram) Jaccard near-dup pairs.
+    "d2_ngram_jaccard" -> withOracle(duckShingles) { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // D3 — MinHash+LSH near-dup pairs, verified by exact Jaccard: with
+    // 128 hashes in 64 bands recall at j>=0.5 is 1-1e-8, so the exact
+    // pair set is the oracle.
+    "d3_minhash_lsh" -> withOracle(duckShingles) { (s, dir) =>
+      Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // D4 — SimHash fingerprint near-dup candidates (hash family differs
+    // from anything DuckDB has: rows-only; semantics covered by spec).
+    "d4_simhash" -> rowsOnly { (s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+
+    // T1 — token counting: whitespace tokens + BPE-ish regex tokens.
+    "t1_token_stats" -> withOracle(
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_ \t\n]')) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(LENGTH(text) AS BIGINT) AS n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("n_ws_tokens"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("n_bpe_tokens"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // T2 — language-ID heuristic (stopword-hit argmax, fixed tie order).
+    "t2_lang_id" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(list_filter(string_split(text, ' '), x -> x <> '')) AS ws
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id,
+        |    len(list_intersect(ws, ['the','a','of','and','to','in','is','it','that','for'])) AS en,
+        |    len(list_intersect(ws, ['der','die','das','und','ist','ein','eine','zu','mit','von'])) AS de,
+        |    len(list_intersect(ws, ['el','la','de','que','y','en','un','una','es','por'])) AS es,
+        |    len(list_intersect(ws, ['le','la','de','et','un','une','est','que','pour','dans'])) AS fr
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |       CASE WHEN en = 0 AND de = 0 AND es = 0 AND fr = 0 THEN 'und'
+        |            WHEN en >= de AND en >= es AND en >= fr THEN 'en'
+        |            WHEN de >= es AND de >= fr THEN 'de'
+        |            WHEN es >= fr THEN 'es'
+        |            ELSE 'fr' END AS lang_pred
+        |FROM s
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    // T3 — quality metrics (deterministic integer-derived doubles).
+    "t3_quality" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, text, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(ws) AS BIGINT) AS n_tokens,
+        |       len(list_distinct(ws)) * 1.0 / len(ws) AS type_token_ratio,
+        |       list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws) AS mean_token_len,
+        |       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio
+        |FROM d
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val m = TextFunctions.qualityMetrics(col("text")).toMap
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          m("n_tokens").as("n_tokens"),
+          m("type_token_ratio").as("type_token_ratio"),
+          m("mean_token_len").as("mean_token_len"),
+          m("alpha_ratio").as("alpha_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // T4 — document fingerprint: native codegen rolling-hash Expression,
+    // byte-for-byte reproduced by a DuckDB fold over character codes
+    // (ASCII corpus; both sides mod 1e9+7).
+    "t4_fingerprint" -> withOracle(
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.vectors.VectorFunctions
+
+/** Similarity search over the embeddings table and multimodal binary
+  * plumbing over documents.
+  */
+object VectorQueries {
+
+  import QueryDef._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // V1 — exact brute-force cosine top-k for the vec_id=0 query vector.
+    "v1_knn_brute" -> withOracle(
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 0
+        |), scored AS (
+        |  SELECT vec_id,
+        |         list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 0
+        |)
+        |SELECT vec_id, ROUND(sim, 6) AS sim_r
+        |FROM scored
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      VectorFunctions.knnBrute(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding", k = 10)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
+    },
+
+    // V2 — LSH-bucketed approximate top-k (scale path; recall vs brute
+    // is asserted in VectorsSpec, so rows-only here).
+    "v2_knn_lsh" -> rowsOnly { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      VectorFunctions.knnLsh(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding", k = 10)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
+    },
+
+    // V3 — embedding near-dup pairs above a cosine threshold.
+    "v3_embed_neardup" -> withOracle(
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.ev, b.ev) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      VectorFunctions.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+        .select(col("id_a"), col("id_b"))
+        .orderBy("id_a", "id_b")
+    },
+
+    // MM1 — multimodal metadata decode: binary payload column ->
+    // partition-batched decode (stubbed codec, see Multimodal scaladoc)
+    // -> typed metadata; the stub's arithmetic is reproduced in SQL.
+    "mm1_multimodal_meta" -> withOracle(
+      """SELECT doc_id AS id,
+        |       CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
+        |       CAST(1 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height,
+        |       CAST(3 AS INT) AS channels,
+        |       CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames
+        |FROM documents
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      Multimodal.decodeMeta(docs, "doc_id", "content").orderBy("id")
+    },
+
+    // MM2 — multimodal feature extraction (stubbed model, batched
+    // mapPartitions; rows-only — no SQL analog of the fake features).
+    "mm2_multimodal_features" -> rowsOnly { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+      Multimodal.extractFeatures(docs, "doc_id", "content", dim = 8)
+        .select(col("id"), col("features"))
+        .orderBy("id")
+    }
+  )
+}
