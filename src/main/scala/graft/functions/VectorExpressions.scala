@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Runtime kernels for vector similarity — static-callable from
+  * generated Java, one tight loop per row (see HashOps scaladoc for why
+  * higher-order functions were abandoned: they are CodegenFallback).
+  * Element access is type-dispatched once per call via the `aFloat`
+  * flags the expressions resolve from their child types.
+  */
+object VectorOps {
+
+
+  @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+
+  /** Cosine similarity in a single fused pass (dot, |a|, |b| together). */
+  def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = get(a, i, aFloat); val y = get(b, i, bFloat)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) { d += get(a, i, aFloat) * get(b, i, bFloat); i += 1 }
+    d
+  }
+
+  /** Deterministic hyperplane weight in [-1000, 1000]: an LCG over the
+    * mixed index (salt, plane, dim). No driver-side plane matrix to
+    * broadcast — any executor recomputes the same planes — and the
+    * formula is plain 64-bit integer arithmetic, so an independent SQL
+    * engine (the DuckDB oracle) can reproduce the exact same planes.
+    * All intermediates stay far below 2^63 (salt ≤ ~1e3, p,d ≤ ~1e4).
+    */
+  @inline private def weight(salt: Long, p: Int, d: Int): Double = {
+    val x = salt * 1000003L + p * 7919L + d
+    (java.lang.Math.floorMod(x * 2654435761L + 1013904223L, 2001L) - 1000L).toDouble
+  }
+
+  /** Random-hyperplane LSH signature: `bits` sign bits packed into a
+    * long (Charikar '02 SimHash for angular distance). O(bits × dims)
+    * fused multiply-adds per row, compiled.
+    */
+  def hyperplaneSig(v: ArrayData, bits: Int, salt: Long, isFloat: Boolean): Long = {
+    val dims = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var proj = 0.0
+      var d = 0
+      while (d < dims) {
+        proj += get(v, d, isFloat) * weight(salt, p, d)
+        d += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+}
+
+private[functions] trait VecElemType { self: Expression =>
+  protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+}
+
+/** `cosine_sim(a, b)`: cosine similarity of two numeric arrays
+  * (float or double elements), fused single pass, native codegen.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with VecElemType {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  private lazy val aF = elemIsFloat(left)
+  private lazy val bF = elemIsFloat(right)
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.cosine($a, $b, $aF, $bF);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(left = l, right = r)
+}
+
+/** `dot_product(a, b)`: dot product of two numeric arrays, native codegen. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with VecElemType {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_product"
+  private lazy val aF = elemIsFloat(left)
+  private lazy val bF = elemIsFloat(right)
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], aF, bF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.dot($a, $b, $aF, $bF);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
+/** `hyperplane_lsh(vec, bits, salt)`: random-hyperplane LSH signature
+  * packed into a long; planes derived deterministically from the salt so
+  * multiple independent hash tables are just different salts.
+  */
+case class HyperplaneLsh(child: Expression, bits: Int, salt: Long)
+    extends UnaryExpression with VecElemType {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_lsh"
+  private lazy val vF = elemIsFloat(child)
+
+  protected override def nullSafeEval(v: Any): Any =
+    VectorOps.hyperplaneSig(v.asInstanceOf[ArrayData], bits, salt, vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorOps.hyperplaneSig($v, $bits, ${salt}L, $vF);")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneLsh =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  def cosine_sim(a: Column, b: Column): Column =
+    bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
+  def hyperplane_lsh(v: Column, bits: Int, salt: Long): Column =
+    bridge.column(HyperplaneLsh(bridge.expression(v), bits, salt))
+}

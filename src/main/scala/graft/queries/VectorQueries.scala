@@ -48,17 +48,40 @@ object VectorQueries {
         .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
     },
 
-    // V3 — embedding near-dup pairs above a cosine threshold.
+    // V3 — embedding near-dup pairs via hyperplane-LSH bucketing with
+    // exact-cosine rescore — the scale path (no cartesian anywhere; the
+    // brute-force all-pairs variant survives only as the recall oracle
+    // in VectorsSpec). The hyperplanes are derived from a plain-integer
+    // LCG, so the DuckDB oracle reproduces the IDENTICAL buckets,
+    // candidates, and rescored pairs — the oracle checks the whole LSH
+    // pipeline, not just the final filter.
     "v3_embed_neardup" -> withOracle(
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
         |  FROM embeddings
+        |),
+        |pl AS (SELECT t.range AS t, p.range AS p FROM range(12) t, range(8) p),
+        |proj AS (
+        |  SELECT v.vec_id, pl.t, pl.p,
+        |         sum(v.ev[d.range + 1] *
+        |             (((pl.t*1000003 + pl.p*7919 + d.range)*2654435761 + 1013904223) % 2001 - 1000)) AS proj
+        |  FROM v, pl, range(64) d
+        |  GROUP BY 1, 2, 3
+        |),
+        |sig AS (
+        |  SELECT vec_id, t*256 + sum(CASE WHEN proj > 0 THEN 1<<p ELSE 0 END) AS s
+        |  FROM proj GROUP BY vec_id, t
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
         |)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM v a JOIN v b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.ev, b.ev) >= 0.3
+        |SELECT c.id_a, c.id_b
+        |FROM cand c JOIN v va ON c.id_a = va.vec_id JOIN v vb ON c.id_b = vb.vec_id
+        |WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
-      VectorFunctions.nearDupPairs(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+      VectorFunctions.nearDupPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3, bits = 8, tables = 12)
         .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     },

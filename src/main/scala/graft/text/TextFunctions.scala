@@ -2,11 +2,19 @@ package graft.text
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.functions.HashExpressions
 
-/** Text-analysis primitives for large-scale corpus pipelines, built
-  * entirely from codegen'd Catalyst functions (no UDFs in the hot path):
+/** Text-analysis primitives for large-scale corpus pipelines:
   * tokenization, word n-gram shingles, MinHash signatures, language-ID
   * and quality heuristics.
+  *
+  * The hash-family primitives (minhash, simhash, band hashes, shingle
+  * sets) are native Catalyst expressions with whole-stage codegen
+  * (`graft.functions.HashExpressions`). The remaining combinators use
+  * Spark built-ins; note that higher-order functions
+  * (`transform`/`aggregate`/`filter`) are `CodegenFallback`
+  * (interpreted) in Spark — fine for the single-pass uses here, fatal
+  * for per-row k-pass hash loops (round-1 lesson, VERDICT.md).
   */
 object TextFunctions {
 
@@ -21,60 +29,41 @@ object TextFunctions {
   def tokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("""[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"""), lit(0)))
 
-  /** Word n-gram shingles as space-joined strings; empty array when the
-    * document has fewer than n tokens.
+  /** Distinct word n-gram shingles (the set used for Jaccard); empty
+    * array when the document has fewer than n tokens. Native codegen
+    * expression — one pass per row.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val ws = tokens(text)
-    when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", slice(ws, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingleSet(text: Column, n: Int): Column = HashExpressions.word_shingle_set(text, n)
 
-  /** Distinct shingles (the set used for Jaccard). */
-  def shingleSet(text: Column, n: Int): Column = array_distinct(shingles(text, n))
-
-  /** MinHash signature of a shingle set: k independent min-hashes,
-    * h_i = min over shingles of xxhash64(shingle, i). Pure higher-order
-    * expressions — computed in whole-stage codegen.
+  /** MinHash signature of a shingle set: k min-hashes from the
+    * Kirsch–Mitzenmacher construction, one compiled pass over the set
+    * (native Catalyst expression with codegen).
     */
   def minhashSignature(shingleSet: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => aggregate(shingleSet, lit(Long.MaxValue),
-        (acc, s) => least(acc, xxhash64(s, seed))))
+    HashExpressions.minhash_signature(shingleSet, k)
 
   /** LSH band hashes: signature split into `bands` bands of `rows`
     * values, each hashed; docs sharing any band hash become candidates.
+    * Native codegen expression.
     */
   def bandHashes(signature: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws("_", b, concat_ws(",", slice(signature, b * rows + 1, lit(rows))))))
+    HashExpressions.band_hashes(signature, bands, rows)
 
-  /** Exact Jaccard similarity of two string-array sets. */
+  /** Exact Jaccard similarity of two string-array sets. The shared
+    * intersect subexpression appears once so codegen subexpression
+    * elimination computes it once per row.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    inter / (size(a) + size(b) - inter)
   }
 
   /** SimHash (64-bit): per bit, sum +1/-1 weighted by each distinct
-    * token's hash bit; bit set iff the sum is positive. Expressed as a
-    * fold over tokens accumulating 64 counters packed in an array.
+    * token's hash bit; bit set iff the sum is positive. Native codegen
+    * expression over the distinct-token array.
     */
-  def simhash(text: Column): Column = {
-    val toks = array_distinct(tokens(text))
-    val counts = aggregate(
-      toks,
-      array_repeat(lit(0L), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        transform(acc, (c, i) =>
-          c + when(call_function("shiftright", h, i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-      })
-    aggregate(
-      transform(counts, (c, i) => when(c > 0, call_function("shiftleft", lit(1L), i)).otherwise(0L)),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(text: Column): Column =
+    HashExpressions.simhash64(array_distinct(tokens(text)))
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1,42 +1,52 @@
-import duckdb, json, glob, os, sys
-import pandas as pd
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB oracle compare: for each query
+in <outDir>/oracle_sql.json, run the SQL over the sf tables and compare
+with the Spark parquet output (columns sorted by name, values hashed).
 
-vout = sys.argv[1] if len(sys.argv) > 1 else '/tmp/vout'
-sfdir = sys.argv[2] if len(sys.argv) > 2 else '/root/testdata/sf0.001'
+Usage: check_oracle.py <sfDir> <outDir>
+"""
+import sys, os, json, duckdb
+
+sf, out = sys.argv[1], sys.argv[2]
+oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 
 con = duckdb.connect()
-for p in glob.glob(f'{sfdir}/*.parquet'):
-    name = os.path.basename(p).replace('.parquet', '')
-    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+for t in ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split():
+    p = os.path.join(sf, f"{t}.parquet")
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-oracle = json.load(open(f'{vout}/oracle_sql.json'))
+def canon(rel):
+    cols = sorted(rel.columns)
+    df = rel.df()[cols]
+    rows = []
+    for r in df.itertuples(index=False):
+        rows.append(tuple(round(v, 9) if isinstance(v, float) else
+                          (tuple(v) if hasattr(v, "__iter__") and not isinstance(v, str) else v)
+                          for v in r))
+    return cols, sorted(map(repr, rows))
+
 fails = []
-for name, sql in sorted(oracle.items()):
-    d = f'{vout}/{name}'
-    if not os.path.isdir(d):
-        fails.append((name, 'NO SPARK OUTPUT')); continue
-    spark_df = pd.read_parquet(d)
+for name in sorted(oracle):
+    qdir = os.path.join(out, name)
+    if not os.path.isdir(qdir):
+        print(f"{name:28s} MISSING spark output"); fails.append(name); continue
     try:
-        duck_df = con.execute(sql).df()
+        oc, orows = canon(con.sql(oracle[name]))
+        sc_, srows = canon(con.sql(f"SELECT * FROM read_parquet('{qdir}/*.parquet')"))
+        if oc != sc_:
+            print(f"{name:28s} SCHEMA mismatch: oracle={oc} spark={sc_}"); fails.append(name)
+        elif orows != srows:
+            diff = [x for x in orows if x not in set(srows)][:3]
+            diff2 = [x for x in srows if x not in set(orows)][:3]
+            print(f"{name:28s} ROWS mismatch: {len(orows)} vs {len(srows)}; oracle-only={diff} spark-only={diff2}")
+            fails.append(name)
+        else:
+            print(f"{name:28s} pass ({len(orows)} rows)")
     except Exception as e:
-        fails.append((name, f'DUCKDB ERROR: {e}')); continue
-    s = spark_df[sorted(spark_df.columns)]
-    k = duck_df[sorted(duck_df.columns)]
-    if list(s.columns) != list(k.columns):
-        fails.append((name, f'COLS spark={list(s.columns)} duck={list(k.columns)}')); continue
-    if len(s) != len(k):
-        fails.append((name, f'ROWS spark={len(s)} duck={len(k)}')); continue
-    # exact cell compare (row order preserved)
-    for c in s.columns:
-        a, b = s[c].tolist(), k[c].tolist()
-        bad = [(i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y and not (pd.isna(x) and pd.isna(y))]
-        if bad:
-            fails.append((name, f'CELL col={c} first={bad[0]} nbad={len(bad)}'))
-            break
-    else:
-        dtypes_s = [str(t) for t in s.dtypes]; dtypes_k = [str(t) for t in k.dtypes]
-        note = '' if dtypes_s == dtypes_k else f'  [dtypes differ: {dtypes_s} vs {dtypes_k}]'
-        print(f'OK   {name}  rows={len(s)}{note}')
-for name, why in fails:
-    print(f'FAIL {name}: {why}')
-print(f'\n{len(oracle)-len(fails)}/{len(oracle)} queries match')
+        print(f"{name:28s} ORACLE ERROR: {e}"); fails.append(name)
+
+nq = len(oracle)
+print(f"\n{nq - len(fails)}/{nq} oracle queries pass; rows-only queries not checked here")
+sys.exit(1 if fails else 0)
