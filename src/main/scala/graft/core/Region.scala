@@ -95,11 +95,30 @@ object KeyOrdering {
     case (a: Long, b: Long) => java.lang.Long.compare(a, b)
     case (a: Int, b: Long) => java.lang.Long.compare(a.toLong, b)
     case (a: Long, b: Int) => java.lang.Long.compare(a, b.toLong)
-    case (a: String, b: String) => a.compareTo(b)
+    case (a: String, b: String) => compareUtf8(a, b)
     case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.compareUnsigned(a, b)
     case (a: Double, b: Double) => java.lang.Double.compare(a, b)
     case _ => throw new IllegalArgumentException(
       s"incomparable key types: ${x.getClass} vs ${y.getClass}")
+  }
+
+  /** UTF-8 binary order, which is code-point order — NOT UTF-16 code-unit
+    * order (`String.compareTo`): supplementary-plane characters (surrogate
+    * pairs, 0xD800-0xDFFF units) sort above all BMP characters in UTF-8 but
+    * below U+E000..U+FFFF in UTF-16. Executors compare in Spark's
+    * UTF8String binary order, so the driver must match or split-point
+    * routing and leaf lookup disagree with executor row routing.
+    * Allocation-free: compares code points at the first differing unit.
+    */
+  def compareUtf8(a: String, b: String): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val ca = a.charAt(i); val cb = b.charAt(i)
+      if (ca != cb) return Integer.compare(a.codePointAt(i), b.codePointAt(i))
+      i += 1
+    }
+    Integer.compare(a.length, b.length)
   }
 }
 

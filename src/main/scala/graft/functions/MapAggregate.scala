@@ -53,18 +53,36 @@ case class MapMergeAgg(
   override def createAggregationBuffer(): mutable.LinkedHashMap[Any, Any] =
     mutable.LinkedHashMap.empty
 
+  // Buffer keys must have value equality: Array[Byte] hashes by reference,
+  // so equal binary keys would never merge and the output map would carry
+  // duplicate keys. Wrap bytes in ArraySeq (structural ==/hashCode); also
+  // defensively copy, since InternalRow getters may expose shared buffers.
   private def toExternal(v: Any): Any = v match {
     case u: UTF8String => u.toString
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b.clone())
     case o => o
   }
   private def toInternal(v: Any): Any = v match {
     case s: String => UTF8String.fromString(s)
+    case a: scala.collection.immutable.ArraySeq.ofByte => a.unsafeArray
+    case o => o
+  }
+
+  // MergeOp and KeyOrdering operate on raw external types; unwrap the
+  // ArraySeq byte wrapper around them and rewrap results for the buffer.
+  private def unwrapBytes(v: Any): Any = v match {
+    case a: scala.collection.immutable.ArraySeq.ofByte => a.unsafeArray
     case o => o
   }
 
   private def mergeValue(buf: mutable.LinkedHashMap[Any, Any], k: Any, v: Any): Unit =
     buf.get(k) match {
-      case Some(existing) => buf.update(k, MergeOp(op, mapType.valueType, existing, v))
+      case Some(existing) =>
+        val merged = MergeOp(op, mapType.valueType, unwrapBytes(existing), unwrapBytes(v))
+        buf.update(k, merged match {
+          case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+          case o => o
+        })
       case None => buf.update(k, v)
     }
 
@@ -95,7 +113,8 @@ case class MapMergeAgg(
     // Deterministic output: sort entries by key so results don't depend
     // on encounter order (stronger than the reference, which inherits
     // map iteration order).
-    val sorted = buf.toSeq.sortWith((a, b) => graft.core.KeyOrdering.compare(a._1, b._1) < 0)
+    val sorted = buf.toSeq.sortWith((a, b) =>
+      graft.core.KeyOrdering.compare(unwrapBytes(a._1), unwrapBytes(b._1)) < 0)
     ArrayBasedMapData(
       sorted.map(e => toInternal(e._1)).toArray,
       sorted.map(e => toInternal(e._2)).toArray)

@@ -1,6 +1,6 @@
 package graft.meta
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.util.Base64
 import org.json4s._
 import org.json4s.jackson.JsonMethods
@@ -20,26 +20,56 @@ class JsonStateStore private (
 
   import JsonStateStore._
 
-  override protected def persist(): Unit = {
+  override protected def commit(t: PartitionTree, r: Vector[FileReference],
+      g: Vector[(String, Long)]): Unit = {
     val next = version + 1
     val tmp = dir.resolve(s".state-v$next.json.tmp")
     val target = dir.resolve(s"state-v$next.json")
-    Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(toJson(this))))
+    Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(toJson(schema, t, r, g))))
     try {
-      // ATOMIC_MOVE onto a fresh name: fails if a concurrent writer won v{next}.
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+      // Hard-link the fully-written tmp onto the version name. link(2) fails
+      // with EEXIST when the version is taken — a true O_EXCL CAS — unlike
+      // rename(2), which silently replaces an existing target and would lose
+      // the concurrent writer's committed transaction.
+      try Files.createLink(target, tmp)
+      catch {
+        case _: UnsupportedOperationException =>
+          // Filesystems without hard links: reserve the version O_EXCL, then
+          // fill it. Readers can momentarily see a partial latest version —
+          // acceptable on such filesystems; the link path has no window.
+          Files.createFile(target)
+          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+      }
+      Files.deleteIfExists(tmp)
     } catch {
-      case e: java.nio.file.FileAlreadyExistsException =>
+      case e: FileAlreadyExistsException =>
         Files.deleteIfExists(tmp)
+        // Lost the race: another writer committed v{next}. In-memory fields
+        // were never touched (commit receives candidates as arguments), but
+        // they are now stale — reload disk truth so the caller can retry.
+        reloadLatest()
         throw new ConcurrentStateException(s"lost CAS on version $next", e)
     }
     version = next
+    super.commit(t, r, g)
+  }
+
+  /** Re-read the newest snapshot on disk into memory. */
+  def reloadLatest(): Unit = synchronized {
+    val latest = latestVersion(dir).getOrElse(
+      throw new IllegalStateException(s"no state snapshot in $dir"))
+    val (_, t, r, g) = fromJson(JsonMethods.parse(
+      Files.readString(dir.resolve(s"state-v$latest.json"))))
+    setState(t, r, g)
+    version = latest
   }
 
   private[meta] def setState(t: PartitionTree, r: Vector[FileReference],
       g: Vector[(String, Long)]): Unit = { tree = t; refs = r; gcQueue = g }
 
   def currentVersion: Long = version
+
+  private[meta] def commitInitial(): Unit = synchronized { commit(tree, refs, gcQueue) }
 }
 
 class ConcurrentStateException(msg: String, cause: Throwable) extends RuntimeException(msg, cause)
@@ -50,7 +80,7 @@ object JsonStateStore {
     val dir = Paths.get(dirStr)
     Files.createDirectories(dir)
     val store = new JsonStateStore(dir, schema, tree, 0L)
-    store.persist() // writes state-v1.json
+    store.commitInitial() // writes state-v1.json
     store
   }
 
@@ -164,14 +194,15 @@ object JsonStateStore {
     FileReference(f, p, c.toLong, m.get("jobId").collect { case JString(s) => s })
   }
 
-  private def toJson(s: JsonStateStore): JValue = JObject(
+  private def toJson(schema: GraftSchema, tree: PartitionTree,
+      refs: Vector[FileReference], gc: Vector[(String, Long)]): JValue = JObject(
     "schema" -> JObject(
-      "rowKeys" -> JArray(s.schema.rowKeys.map(fieldToJson).toList),
-      "sortKeys" -> JArray(s.schema.sortKeys.map(fieldToJson).toList),
-      "values" -> JArray(s.schema.values.map(fieldToJson).toList)),
-    "partitions" -> JArray(s.partitionTree.partitions.map(partitionToJson).toList),
-    "files" -> JArray(s.fileReferences.map(refToJson).toList),
-    "gc" -> JArray(s.unreferencedFiles.map { case (f, t) =>
+      "rowKeys" -> JArray(schema.rowKeys.map(fieldToJson).toList),
+      "sortKeys" -> JArray(schema.sortKeys.map(fieldToJson).toList),
+      "values" -> JArray(schema.values.map(fieldToJson).toList)),
+    "partitions" -> JArray(tree.partitions.map(partitionToJson).toList),
+    "files" -> JArray(refs.map(refToJson).toList),
+    "gc" -> JArray(gc.map { case (f, t) =>
       JObject("filename" -> JString(f), "sinceMs" -> JInt(t)) }.toList))
 
   private def fromJson(j: JValue)

@@ -79,7 +79,13 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
   override def fileReferences: Seq[FileReference] = synchronized(refs)
   override def unreferencedFiles: Seq[(String, Long)] = synchronized(gcQueue)
 
-  protected def persist(): Unit = ()
+  /** Atomically install a candidate state. Mutators build the whole next
+    * state as locals and pass it here, so a failed persist (lost CAS in a
+    * durable subclass) leaves the in-memory fields untouched and the store
+    * usable for a retry — memory never diverges from disk.
+    */
+  protected def commit(t: PartitionTree, r: Vector[FileReference],
+      g: Vector[(String, Long)]): Unit = { tree = t; refs = r; gcQueue = g }
 
   override def addFiles(newRefs: Seq[FileReference]): Unit = synchronized {
     newRefs.foreach { r =>
@@ -87,8 +93,7 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
       require(!refs.exists(e => e.filename == r.filename && e.partitionId == r.partitionId),
         s"${r.filename} already referenced in ${r.partitionId}")
     }
-    refs = refs ++ newRefs
-    persist()
+    commit(tree, refs ++ newRefs, gcQueue)
   }
 
   override def replaceFiles(partitionId: String, inputs: Seq[String], output: FileReference,
@@ -98,28 +103,26 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
       require(refs.exists(r => r.filename == f && r.partitionId == partitionId),
         s"input $f not referenced in $partitionId")
     }
-    refs = refs.filterNot(r => r.partitionId == partitionId && inputs.contains(r.filename))
-    val orphaned = inputs.filterNot(f => refs.exists(_.filename == f))
-    gcQueue = gcQueue ++ orphaned.map(_ -> nowMs)
-    refs = refs :+ output
-    persist()
+    val remaining = refs.filterNot(r => r.partitionId == partitionId && inputs.contains(r.filename))
+    val orphaned = inputs.filterNot(f => remaining.exists(_.filename == f))
+    commit(tree, remaining :+ output, gcQueue ++ orphaned.map(_ -> nowMs))
   }
 
   override def splitPartition(parentId: String, dimension: Int, splitPoint: Any,
       leftId: String, rightId: String): Unit = synchronized {
-    tree = tree.addSplit(parentId, dimension, splitPoint, leftId, rightId)
-    persist()
+    commit(tree.addSplit(parentId, dimension, splitPoint, leftId, rightId), refs, gcQueue)
   }
 
   override def splitFileReferences(): Int = synchronized {
     val nonLeaf = refs.filter(r => !tree(r.partitionId).isLeaf)
+    var next = refs
     nonLeaf.foreach { r =>
       val children = tree(r.partitionId).childIds.map(tree(_))
       val half = math.max(r.rowCount / 2, 1)
-      refs = refs.filterNot(_ == r) ++
+      next = next.filterNot(_ == r) ++
         children.map(c => FileReference(r.filename, c.id, half, r.jobId))
     }
-    if (nonLeaf.nonEmpty) persist()
+    if (nonLeaf.nonEmpty) commit(tree, next, gcQueue)
     nonLeaf.size
   }
 
@@ -130,16 +133,14 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
           .getOrElse(throw new IllegalArgumentException(s"$f not referenced in $partitionId"))
         require(r.jobId.isEmpty, s"$f already assigned to job ${r.jobId.get}")
       }
-      refs = refs.map { r =>
+      commit(tree, refs.map { r =>
         if (filenames.contains(r.filename) && r.partitionId == partitionId)
           r.copy(jobId = Some(jobId))
         else r
-      }
-      persist()
+      }, gcQueue)
     }
 
   override def removeGCFiles(filenames: Seq[String]): Unit = synchronized {
-    gcQueue = gcQueue.filterNot { case (f, _) => filenames.contains(f) }
-    persist()
+    commit(tree, refs, gcQueue.filterNot { case (f, _) => filenames.contains(f) })
   }
 }

@@ -78,6 +78,31 @@ class AggregatesSpec extends AnyFunSuite {
     assert(got("k").sameElements(Array[Byte](0, 0x7f, -1)))
   }
 
+  test("map_sum merges equal binary keys (value equality, not reference)") {
+    // Regression: Array[Byte] keys hashed by reference, so equal binary keys
+    // produced duplicate map entries instead of merging.
+    val df = Seq(
+      ("k", Map(Array[Byte](1, 2) -> 10L)),
+      ("k", Map(Array[Byte](1, 2) -> 5L, Array[Byte](3) -> 7L))).toDF("key", "m")
+    val rows = df.groupBy("key").agg(map_sum($"m").as("m"))
+      .selectExpr("map_keys(m) as ks", "map_values(m) as vs")
+      .as[(Seq[Array[Byte]], Seq[Long])].collect()
+    val (ks, vs) = rows.head
+    assert(ks.size == 2, s"expected 2 distinct keys, got ${ks.size}")
+    val byKey = ks.map(_.toSeq).zip(vs).toMap
+    assert(byKey(Seq[Byte](1, 2)) == 15L)
+    assert(byKey(Seq[Byte](3)) == 7L)
+  }
+
+  test("map agg with binary values: sum concatenates under wrapped buffer types") {
+    val df = Seq(
+      ("k", Map("a" -> Array[Byte](1))),
+      ("k", Map("a" -> Array[Byte](2)))).toDF("key", "m")
+    val m = df.groupBy("key").agg(map_sum($"m").as("m"))
+      .selectExpr("m['a'] as v").as[Array[Byte]].head()
+    assert(m.sorted.toSeq == Seq[Byte](1, 2))
+  }
+
   test("sketch_agg builds a mergeable quantile sketch whose median is sane") {
     val df = (1L to 10000L).map(i => ("g", i)).toDF("g", "k").repartition(8)
     val bytes = df.groupBy("g").agg(sketch_agg($"k").as("s"))

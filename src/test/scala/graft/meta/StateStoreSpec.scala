@@ -92,4 +92,42 @@ class StateStoreSpec extends AnyFunSuite {
     loaded.addFiles(Seq(FileReference("f3", "b", 7)))
     assert(loaded.currentVersion == s.currentVersion + 1)
   }
+
+  test("racing writers: loser throws ConcurrentStateException, reloads disk truth, can retry") {
+    val dir = Files.createTempDirectory("graft-race").toString
+    val a = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+    val b = JsonStateStore.load(dir)
+    val Seq(l, r) = a.partitionTree.leaves.map(_.id).sorted
+
+    a.addFiles(Seq(FileReference("from-a", l, 10))) // a wins v2
+    val e = intercept[ConcurrentStateException](
+      b.addFiles(Seq(FileReference("from-b", r, 20)))) // b loses the CAS on v2
+    assert(e.getMessage.contains("lost CAS"))
+
+    // a's committed transaction must not be lost, and b must now see it.
+    assert(b.fileReferences.map(_.filename) == Seq("from-a"))
+    assert(b.currentVersion == a.currentVersion)
+
+    // retry on refreshed state succeeds and lands on v3.
+    b.addFiles(Seq(FileReference("from-b", r, 20)))
+    assert(b.fileReferences.map(_.filename).toSet == Set("from-a", "from-b"))
+    val reread = JsonStateStore.load(dir)
+    assert(reread.fileReferences.map(_.filename).toSet == Set("from-a", "from-b"))
+  }
+
+  test("lost CAS leaves in-memory state consistent (no permanent divergence)") {
+    val dir = Files.createTempDirectory("graft-race2").toString
+    val a = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+    val b = JsonStateStore.load(dir)
+    val Seq(l, _) = a.partitionTree.leaves.map(_.id).sorted
+    a.addFiles(Seq(FileReference("f1", l, 100), FileReference("f2", l, 50)))
+    intercept[ConcurrentStateException](
+      b.addFiles(Seq(FileReference("f1", l, 100), FileReference("f2", l, 50)))) // loses, reloads
+    // after reload b sees a's identical commit; a duplicate retry is rejected…
+    intercept[IllegalArgumentException](b.addFiles(Seq(FileReference("f1", l, 100))))
+    // …and a compaction commit through b works first try.
+    b.replaceFiles(l, Seq("f1", "f2"), FileReference("out", l, 140), nowMs = 1L)
+    assert(b.fileReferences.map(_.filename) == Seq("out"))
+    assert(JsonStateStore.load(dir).fileReferences.map(_.filename) == Seq("out"))
+  }
 }
