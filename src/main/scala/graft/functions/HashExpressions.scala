@@ -25,7 +25,6 @@ object HashOps {
 
   private val Seed1 = 0x9747b28c0a1b2c3dL
   private val Seed2 = 0x8eb34b2a7f6e5d4cL
-  private val SimSeed = 42L
 
   /** MinHash signature via the Kirsch–Mitzenmacher construction:
     * g_i(x) = h1(x) + i * h2(x); sig[i] = min over set elements of g_i.
@@ -60,6 +59,8 @@ object HashOps {
     * values, each chain-hashed to one long.
     */
   def bandHashes(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    require(bands * rows == sig.numElements(),
+      s"band layout $bands x $rows does not cover a ${sig.numElements()}-hash signature")
     val out = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -78,6 +79,13 @@ object HashOps {
   /** 64-bit SimHash over a token array (caller dedups if desired):
     * per bit, +1/-1 votes weighted by each token's hash bit; bit set
     * iff the vote sum is positive (Charikar '02).
+    *
+    * The per-token hash family is deliberately NOT xxhash: it is a
+    * polynomial rolling hash (mod 1e9+7) of the token's bytes expanded
+    * to 64 bits by an affine map mod the Mersenne prime 2^31-1 — plain
+    * positive 64-bit integer arithmetic, so an independent SQL engine
+    * (the DuckDB correctness oracle) replays the exact fingerprints
+    * (same trick as VectorOps.weight / RollingHash).
     */
   def simhash(arr: ArrayData, counts: Array[Int]): Long = {
     java.util.Arrays.fill(counts, 0)
@@ -85,10 +93,19 @@ object HashOps {
     var j = 0
     while (j < n) {
       if (!arr.isNullAt(j)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(j), SimSeed)
+        val bytes = arr.getUTF8String(j).getBytes
+        var h = 0L
+        var b = 0
+        while (b < bytes.length) {
+          h = (h * 31 + (bytes(b) & 0xff)) % 1000000007L
+          b += 1
+        }
         var i = 0
         while (i < 64) {
-          if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+          // bit i of the token's 64-bit fingerprint: affine map of the
+          // base hash mod 2^31-1, 12th bit. All intermediates < 2^61.
+          val x = (h * (1013904223L + 2L * i) + i * 2654435761L) % 2147483647L
+          if (((x >> 12) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
           i += 1
         }
       }

@@ -37,17 +37,22 @@ object Multimodal {
 
   /** ==== STUB ==== deterministic fake feature extractor: real
     * implementation would run a vision/audio model over decoded frames.
-    * Produces a fixed-dim float vector from a rolling byte hash.
+    * Produces a fixed-dim float vector from per-byte hashes. The
+    * accumulation is integer and position-based (order-independent), so
+    * the SQL correctness oracle can replay it exactly; the final floats
+    * are exact (sums stay far below 2^24).
     */
   private def fakeFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L
+    val acc = new Array[Long](dim)
     var i = 0
     while (i < bytes.length) {
-      h = h * 31 + (bytes(i) & 0xff)
-      out(i % dim) += (h % 1000L).toFloat / 1000.0f
+      val b = bytes(i) & 0xff
+      acc(i % dim) += (b.toLong * 2654435761L + i.toLong * 1013904223L) % 1000L
       i += 1
     }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) { out(j) = acc(j).toFloat / 1000.0f; j += 1 }
     out
   }
 

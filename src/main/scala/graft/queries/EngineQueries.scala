@@ -83,11 +83,18 @@ object EngineQueries {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    // A4/A5 — quantile sketch build + median extraction (approximate at
-    // sketch K=1024, so rows-only for the driver; exactness bounds are
-    // asserted in AggregatesSpec). (reference: Sketches.java,
+    // A4/A5 — quantile sketch build + median extraction. Groups here
+    // (documents per lang) stay below the sketch's exact-mode capacity,
+    // so the sketch median IS the exact discrete median and the oracle
+    // checks the full sketch pipeline (build, serialize, merge across
+    // partitions, query). Error bounds of the approximate regime are
+    // asserted in AggregatesSpec. (reference: Sketches.java,
     // FindPartitionSplitPoint.)
-    "a4_sketch_median" -> rowsOnly { (s, dir) =>
+    "a4_sketch_median" -> withOracle(
+      """SELECT lang, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS median_chars
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin) { (s, dir) =>
       val medianUdf = udf { bytes: Array[Byte] =>
         val kind = KeySketch.LongKind
         val sk = KeySketch.deserialize(kind, bytes)
@@ -95,12 +102,12 @@ object EngineQueries {
           org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
           .asInstanceOf[java.lang.Long].longValue()
       }
-      t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"))
-        .groupBy("l_returnflag")
+      t(s, dir, "documents")
+        .select(col("lang"), col("n_chars").cast("long").as("q"))
+        .groupBy("lang")
         .agg(QuantileSketchAgg.sketch_agg(col("q")).as("sk"))
-        .select(col("l_returnflag"), medianUdf(col("sk")).cast("double").as("median"))
-        .orderBy("l_returnflag")
+        .select(col("lang"), medianUdf(col("sk")).as("median_chars"))
+        .orderBy("lang")
     }
   )
 }

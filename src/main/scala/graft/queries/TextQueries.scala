@@ -65,9 +65,47 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
-    // D4 — SimHash fingerprint near-dup candidates (hash family differs
-    // from anything DuckDB has: rows-only; semantics covered by spec).
-    "d4_simhash" -> rowsOnly { (s, dir) =>
+    // D4 — SimHash near-dup pairs. The token hash family is a rolling
+    // hash (mod 1e9+7) expanded to 64 bits by an affine map mod 2^31-1 —
+    // plain integer arithmetic (HashOps.simhash scaladoc), so the oracle
+    // replays the exact fingerprints: per-bit votes over distinct
+    // tokens, 16-bit pigeonhole segments for candidates, hamming <= 3.
+    "d4_simhash" -> withOracle(
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))) AS w
+        |  FROM documents
+        |), base AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split_regex(w, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |  FROM toks
+        |), bits AS (
+        |  SELECT doc_id, i.range AS i,
+        |         CASE WHEN SUM(CASE WHEN ((h * (1013904223 + 2*i.range) + i.range * 2654435761)
+        |                                  % 2147483647 // 4096) % 2 = 1
+        |                       THEN 1 ELSE -1 END) > 0
+        |              THEN 1 ELSE 0 END AS bit
+        |  FROM base, range(64) i
+        |  GROUP BY doc_id, i.range
+        |), seg AS (
+        |  SELECT doc_id, i // 16 AS seg, SUM(bit << CAST(i % 16 AS INT)) AS v
+        |  FROM bits GROUP BY 1, 2
+        |), cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM seg a JOIN seg b ON a.seg = b.seg AND a.v = b.v AND a.doc_id < b.doc_id
+        |), ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |         SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS hd
+        |  FROM cand c
+        |  JOIN bits ba ON ba.doc_id = c.id_a
+        |  JOIN bits bb ON bb.doc_id = c.id_b AND ba.i = bb.i
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, CAST(hd AS INT) AS hamming
+        |FROM ham WHERE hd <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .orderBy("id_a", "id_b")
     },

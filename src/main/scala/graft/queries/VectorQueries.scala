@@ -38,9 +38,40 @@ object VectorQueries {
         .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
     },
 
-    // V2 — LSH-bucketed approximate top-k (scale path; recall vs brute
-    // is asserted in VectorsSpec, so rows-only here).
-    "v2_knn_lsh" -> rowsOnly { (s, dir) =>
+    // V2 — LSH-bucketed approximate top-k (scale path). The hyperplanes
+    // are LCG-derived plain-integer arithmetic (VectorOps.weight), so the
+    // DuckDB oracle reproduces the exact buckets and candidate set —
+    // the same playbook as v3 below, here with bits=12, tables=4.
+    "v2_knn_lsh" -> withOracle(
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |),
+        |pl AS (SELECT t.range AS t, p.range AS p FROM range(4) t, range(12) p),
+        |proj AS (
+        |  SELECT v.vec_id, pl.t, pl.p,
+        |         sum(v.ev[d.range + 1] *
+        |             (((pl.t*1000003 + pl.p*7919 + d.range)*2654435761 + 1013904223) % 2001 - 1000)) AS proj
+        |  FROM v, pl, range(64) d
+        |  GROUP BY 1, 2, 3
+        |),
+        |sig AS (
+        |  SELECT vec_id, t*4096 + sum(CASE WHEN proj > 0 THEN 1<<p ELSE 0 END) AS s
+        |  FROM proj GROUP BY vec_id, t
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM sig a JOIN sig q ON a.s = q.s AND q.vec_id = 0
+        |  WHERE a.vec_id <> 0
+        |),
+        |scored AS (
+        |  SELECT c.vec_id, list_cosine_similarity(va.ev, qv.ev) AS sim
+        |  FROM cand c JOIN v va ON c.vec_id = va.vec_id JOIN v qv ON qv.vec_id = 0
+        |)
+        |SELECT vec_id, ROUND(sim, 6) AS sim_r
+        |FROM scored
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
       val e = t(s, dir, "embeddings")
       VectorFunctions.knnLsh(
           e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
@@ -103,12 +134,31 @@ object VectorQueries {
     },
 
     // MM2 — multimodal feature extraction (stubbed model, batched
-    // mapPartitions; rows-only — no SQL analog of the fake features).
-    "mm2_multimodal_features" -> rowsOnly { (s, dir) =>
+    // mapPartitions). The stub accumulates per-byte integer hashes
+    // position-wise (order-independent), so the oracle replays it in
+    // SQL; the query integerises the float features (exact: sums <<
+    // 2^24) into one BIGINT column per dimension.
+    "mm2_multimodal_features" -> withOracle {
+      val fcols = (0 until 8).map(j =>
+        s"       CAST(COALESCE(SUM(CASE WHEN i % 8 = $j THEN v END), 0) AS BIGINT) AS f$j")
+        .mkString(",\n")
+      s"""WITH pos AS (
+         |  SELECT doc_id, unnest(range(length(text))) AS i FROM documents
+         |), terms AS (
+         |  SELECT doc_id, i,
+         |         (CAST(unicode(substr(text, CAST(i AS INT) + 1, 1)) AS BIGINT) * 2654435761
+         |          + i * 1013904223) % 1000 AS v
+         |  FROM pos JOIN documents USING (doc_id)
+         |)
+         |SELECT doc_id AS id,
+         |$fcols
+         |FROM terms GROUP BY doc_id ORDER BY id""".stripMargin
+    } { (s, dir) =>
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("content"))
       Multimodal.extractFeatures(docs, "doc_id", "content", dim = 8)
-        .select(col("id"), col("features"))
+        .select(col("id") +: (0 until 8).map(j =>
+          expr(s"CAST(round(features[$j] * 1000) AS BIGINT)").as(s"f$j")): _*)
         .orderBy("id")
     }
   )

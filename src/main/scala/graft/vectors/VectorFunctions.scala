@@ -60,14 +60,15 @@ object VectorFunctions {
   def knnLsh(vectors: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, queryVecCol: String, k: Int,
       bits: Int = 12, tables: Int = 4): DataFrame = {
-    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
-      bucketKeys(col(vecCol), bits, tables).as("sig"))
-      .select(col("id"), col("v"), explode(col("sig")).as("s"))
-    val q = query.select(col(queryVecCol).as("q"),
-      bucketKeys(col(queryVecCol), bits, tables).as("sig"))
-      .select(col("q"), explode(col("sig")).as("s"))
-    v.join(broadcast(q), Seq("s"))
-      .select(col("id"), col("v"), col("q")).distinct()
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val keyed = vectors.select(col(idCol).as("id"),
+      explode(bucketKeys(col(vecCol), bits, tables)).as("s"))
+    val qb = query.select(explode(bucketKeys(col(queryVecCol), bits, tables)).as("s"))
+    // Dedup candidates on id alone — the distinct shuffle carries (id)
+    // longs, never embeddings; vectors rejoin only for the candidate set.
+    val candidates = keyed.join(broadcast(qb), Seq("s")).select("id").distinct()
+    candidates.join(v, Seq("id"))
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("q"))))
       .select(col("id"), cosine_sim(col("v"), col("q")).as("sim"))
       .orderBy(col("sim").desc, col("id"))
       .limit(k)

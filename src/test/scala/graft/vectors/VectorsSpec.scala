@@ -1,0 +1,127 @@
+package graft.vectors
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.functions.VectorExpressions._
+import graft.functions.HashExpressions._
+import graft.vectors.VectorFunctions
+
+/** Semantics of the vector/hash kernels: cosine against hand-computed
+  * values, LSH recall against the brute-force oracle, and
+  * simhash/minhash invariants.
+  */
+class VectorsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def randomVectors(n: Int, dim: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    val rnd = new Random(seed)
+    (0L until n).map { id =>
+      id -> Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    }
+  }
+
+  test("cosine_sim matches hand-computed values (incl. float/double mix)") {
+    val df = Seq(
+      (Array(1f, 0f), Array(0f, 1f), 0.0),
+      (Array(1f, 0f), Array(1f, 0f), 1.0),
+      (Array(1f, 2f), Array(2f, 4f), 1.0),
+      (Array(1f, 0f), Array(-1f, 0f), -1.0),
+      (Array(3f, 4f), Array(4f, 3f), 24.0 / 25.0)
+    ).toDF("a", "b", "expected")
+    val rows = df.select(cosine_sim($"a", $"b").as("got"), $"expected")
+      .as[(Double, Double)].collect()
+    rows.foreach { case (got, exp) => assert(math.abs(got - exp) < 1e-6, s"$got vs $exp") }
+    // double arrays too
+    val d = Seq((Array(1.0, 1.0), Array(1.0, 0.0))).toDF("a", "b")
+      .select(cosine_sim($"a", $"b")).as[Double].head()
+    assert(math.abs(d - 1.0 / math.sqrt(2)) < 1e-12)
+  }
+
+  test("dot_product matches hand-computed values") {
+    val got = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .select(dot_product($"a", $"b")).as[Double].head()
+    assert(got == 32.0)
+  }
+
+  test("knnLsh recall vs knnBrute is high on clustered vectors") {
+    // query vector + 30 near neighbours (small perturbations) + 200 noise
+    val rnd = new Random(7)
+    val dim = 64
+    val q = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val near = (1L to 30L).map { id =>
+      id -> q.map(x => x + (rnd.nextDouble() * 0.2 - 0.1).toFloat)
+    }
+    val noise = randomVectors(200, dim, seed = 11).map { case (id, v) => (id + 100L) -> v }
+    val all = (near ++ noise).toDF("vec_id", "embedding")
+    val queryDf = Seq(0L -> q).toDF("vec_id", "embedding")
+
+    val brute = VectorFunctions.knnBrute(all, "vec_id", "embedding",
+      queryDf, "embedding", k = 10).select("id").as[Long].collect().toSet
+    val lsh = VectorFunctions.knnLsh(all, "vec_id", "embedding",
+      queryDf, "embedding", k = 10).select("id").as[Long].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall $recall too low; brute=$brute lsh=$lsh")
+  }
+
+  test("nearDupPairsLsh finds the pairs nearDupPairsBrute finds (high threshold)") {
+    val rnd = new Random(3)
+    val dim = 64
+    val bases = randomVectors(20, dim, seed = 5)
+    // create 20 near-duplicate partners (ids 1000+i)
+    val dups = bases.map { case (id, v) =>
+      (id + 1000L) -> v.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+    }
+    val df = (bases ++ dups).toDF("vec_id", "embedding")
+    val brute = VectorFunctions.nearDupPairsBrute(df, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = VectorFunctions.nearDupPairsLsh(df, "vec_id", "embedding", 0.95)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall; missed ${brute diff lsh}")
+    assert(lsh.subsetOf(brute), s"LSH pairs are exact-rescored; extras: ${lsh diff brute}")
+  }
+
+  test("simhash: identical token sets get identical fingerprints; near sets are near") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "today again and again dog lazy the over jumps fox brown quick the"), // same set
+      (3L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // 1 word off
+      (4L, "completely different words about spark catalyst expressions and codegen here")
+    ).toDF("id", "text")
+    val fp = docs.select($"id",
+        simhash64(array_distinct(filter(split($"text", " "), t => t =!= ""))).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L), "order-insensitive over the distinct token set")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(fp(1L), fp(3L)) < ham(fp(1L), fp(4L)),
+      s"near doc should be nearer: ${ham(fp(1L), fp(3L))} vs ${ham(fp(1L), fp(4L))}")
+  }
+
+  test("minhash signature: equal sets equal sigs; sig similarity tracks jaccard") {
+    val docs = Seq(
+      (1L, (1 to 50).map(i => s"tok$i").mkString(" ")),
+      (2L, (1 to 50).map(i => s"tok$i").mkString(" ")),
+      (3L, (26 to 75).map(i => s"tok$i").mkString(" ")), // jaccard 1/3
+      (4L, (1000 to 1050).map(i => s"tok$i").mkString(" "))) // jaccard 0
+      .toDF("id", "text")
+    val sig = docs.select($"id",
+        minhash_signature(array_distinct(filter(split($"text", " "), t => t =!= "")), 128).as("s"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == sig(2L))
+    def est(a: Seq[Long], b: Seq[Long]) =
+      a.zip(b).count { case (x, y) => x == y }.toDouble / a.size
+    assert(math.abs(est(sig(1L), sig(3L)) - 1.0 / 3.0) < 0.15)
+    assert(est(sig(1L), sig(4L)) < 0.1)
+  }
+
+  test("band_hashes rejects a signature the band layout does not cover") {
+    val df = Seq((1L, "a b c d e f g h")).toDF("id", "text")
+      .select(minhash_signature(array_distinct(filter(split($"text", " "), t => t =!= "")), 10).as("s"))
+    val e = intercept[Exception](df.select(band_hashes($"s", 3, 3)).collect())
+    assert(e.getMessage != null)
+  }
+}
