@@ -9,7 +9,7 @@ object SparkEntry {
   /** All operator queries, each with an optional DuckDB oracle. */
   def allDefs: Map[String, QueryDef] =
     Relational.defs ++ Superset.defs ++ EngineQueries.defs ++
-      TextQueries.defs ++ VectorQueries.defs
+      TextQueries.defs ++ VectorQueries.defs ++ LifecycleQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,481 @@
+package graft.exec
+
+import java.util.PriorityQueue
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.schema.MessageType
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, GenericArrayData, MapData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import graft.core.{GraftField, GraftSchema, KeyRange, Region}
+import graft.dsl.ConfigDsl
+import graft.functions.MergeOp
+
+/** One sorted-run merge task: N sorted parquet files of one partition →
+  * a single sorted, filtered, (optionally) aggregated row stream. This is
+  * the reference's compaction/leaf-query dataflow — streaming N-way merge
+  * with O(#files) memory, sort-order-preserving key-equal aggregation —
+  * (reference: MergingIterator.java:37-114, AggregationIterator.java:36-64,
+  * rust compact.rs:61-139) expressed as an executor-side iterator that
+  * both the DSv2 scan and the compaction job run inside a Spark task.
+  *
+  * Everything in the spec is plain serializable data so the task can ship
+  * to any executor.
+  */
+final case class RunSpec(
+    paths: Seq[String],
+    schema: GraftSchema,
+    /** names of the emitted columns, in emission order (keys need not be included) */
+    output: Seq[String],
+    /** region clip applied per row (leaf region ∩ query regions) */
+    clip: Option[Region],
+    /** table aggregation config ("" = none) — see ConfigDsl */
+    aggregationConfig: String,
+    /** table filter config ("" = none) */
+    filterConfig: String,
+    nowMs: Long)
+
+object SortedRun {
+
+  private def compareInternal(dt: DataType, a: Any, b: Any): Int =
+    SortedRunAccess.compareInternal(dt, a, b)
+
+  private def toInternalBound(dt: DataType, v: Any): Any = (dt, v) match {
+    case (StringType, s: String) => UTF8String.fromString(s)
+    case (IntegerType, i: Int) => i
+    case (IntegerType, l: Long) => l.toInt
+    case (LongType, l: Long) => l
+    case (LongType, i: Int) => i.toLong
+    case (BinaryType, b: Array[Byte]) => b
+    case _ => v
+  }
+
+  /** The merged, clipped, filtered, aggregated row stream for a spec. */
+  def iterator(spec: RunSpec): Iterator[InternalRow] = {
+    val schema = spec.schema
+    val keyFields = schema.keyFields
+    val filterSpec = ConfigDsl.parseFilter(spec.filterConfig, schema)
+    val aggSpecs = ConfigDsl.parseAggregation(spec.aggregationConfig, schema)
+
+    // Read schema: keys always (merge + clip need them), then the value
+    // fields the output or the filter require — in table order.
+    val neededValues = schema.values.filter(f =>
+      spec.output.contains(f.name) || filterSpec.exists {
+        case ConfigDsl.AgeOff(field, _) => field == f.name
+      })
+    val readFields: Seq[GraftField] = keyFields ++ neededValues
+    val readIndex: Map[String, Int] = readFields.map(_.name).zipWithIndex.toMap
+
+    val readers = spec.paths.map(p => new GroupRowIterator(p, readFields)).filter { r =>
+      if (r.hasNext) true else { r.close(); false }
+    }
+    val merged = mergeSorted(readers, keyFields)
+
+    val clipped = spec.clip match {
+      case Some(region) =>
+        val tests = region.ranges.toArray.flatMap(boundTest(_, readFields, readIndex))
+        if (tests.isEmpty) merged else merged.filter(row => tests.forall(_(row)))
+      case None => merged
+    }
+
+    val filtered = filterSpec match {
+      case Some(ConfigDsl.AgeOff(field, maxAgeMs)) =>
+        val i = readIndex(field)
+        val cutoff = spec.nowMs - maxAgeMs
+        clipped.filter(row => !row.isNullAt(i) && row.getLong(i) > cutoff)
+      case None => clipped
+    }
+
+    val aggregated =
+      if (aggSpecs.isEmpty) filtered
+      else new StreamingKeyAggIterator(filtered, readFields, keyFields.size, aggSpecs, schema)
+
+    // Projection to the requested output columns.
+    val outIdx = spec.output.map(readIndex).toArray
+    if (outIdx.toSeq == readFields.indices.toSeq) aggregated
+    else aggregated.map { row =>
+      val out = new Array[Any](outIdx.length)
+      var i = 0
+      while (i < outIdx.length) {
+        out(i) = if (row.isNullAt(outIdx(i))) null
+          else row.get(outIdx(i), readFields(outIdx(i)).dataType)
+        i += 1
+      }
+      new GenericInternalRow(out)
+    }
+  }
+
+  /** Per-range row predicate over internal values (canonical bounds). */
+  private def boundTest(range: KeyRange, fields: Seq[GraftField],
+      index: Map[String, Int]): Seq[InternalRow => Boolean] = {
+    val canonical = range.canonical
+    val i = index(range.field)
+    val dt = fields(i).dataType
+    val lower = canonical.min.map { v =>
+      val b = toInternalBound(dt, v)
+      (row: InternalRow) => compareInternal(dt, row.get(i, dt), b) >= 0
+    }
+    val upper = canonical.max.map { v =>
+      val b = toInternalBound(dt, v)
+      (row: InternalRow) => compareInternal(dt, row.get(i, dt), b) < 0
+    }
+    lower.toSeq ++ upper.toSeq
+  }
+
+  /** PriorityQueue N-way merge of per-file sorted iterators
+    * (reference: MergingIterator.java — same (head, iterator) heap).
+    */
+  private def mergeSorted(readers: Seq[GroupRowIterator],
+      keyFields: Seq[GraftField]): Iterator[InternalRow] = {
+    if (readers.isEmpty) return Iterator.empty
+    if (readers.size == 1) return readers.head
+
+    val keyTypes = keyFields.map(_.dataType).toArray
+    val cmp = new java.util.Comparator[(InternalRow, GroupRowIterator)] {
+      override def compare(a: (InternalRow, GroupRowIterator),
+          b: (InternalRow, GroupRowIterator)): Int = {
+        var i = 0
+        while (i < keyTypes.length) {
+          val c = compareInternal(keyTypes(i), a._1.get(i, keyTypes(i)), b._1.get(i, keyTypes(i)))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+    }
+    val pq = new PriorityQueue[(InternalRow, GroupRowIterator)](readers.size, cmp)
+    readers.foreach(r => if (r.hasNext) pq.add((r.next(), r)))
+
+    new Iterator[InternalRow] {
+      override def hasNext: Boolean = !pq.isEmpty
+      override def next(): InternalRow = {
+        val (row, it) = pq.poll()
+        if (it.hasNext) pq.add((it.next(), it)) else it.close()
+        row
+      }
+    }
+  }
+}
+
+/** Streaming sort-order-preserving key-equal aggregation: merge
+  * consecutive rows equal on ALL key fields, applying the configured op
+  * per value field — O(1) memory, the reference's AggregationIterator
+  * peek/merge loop (AggregatorIteratorImpl.java:31-93).
+  */
+private[exec] final class StreamingKeyAggIterator(
+    input: Iterator[InternalRow],
+    readFields: Seq[GraftField],
+    numKeys: Int,
+    specs: Seq[ConfigDsl.AggSpec],
+    schema: GraftSchema)
+  extends Iterator[InternalRow] {
+
+  private val keyTypes = readFields.take(numKeys).map(_.dataType).toArray
+  // per read-position ≥ numKeys: the agg op (fields absent from specs keep last value)
+  private val ops: Array[(String, DataType)] = readFields.drop(numKeys).map { f =>
+    val op = specs.find(_.field == f.name).map(_.op).getOrElse("last")
+    (op, f.dataType)
+  }.toArray
+
+  private var pending: InternalRow = if (input.hasNext) input.next() else null
+
+  override def hasNext: Boolean = pending != null
+
+  override def next(): InternalRow = {
+    val keys = new Array[Any](numKeys)
+    var i = 0
+    while (i < numKeys) {
+      keys(i) = if (pending.isNullAt(i)) null else pending.get(i, keyTypes(i))
+      i += 1
+    }
+    // accumulate values as external JVM values
+    val acc = new Array[Any](ops.length)
+    var j = 0
+    while (j < ops.length) {
+      acc(j) = extValue(pending, numKeys + j)
+      j += 1
+    }
+    pending = null
+    var done = false
+    while (!done && input.hasNext) {
+      val row = input.next()
+      if (sameKeys(row, keys)) {
+        var k = 0
+        while (k < ops.length) {
+          acc(k) = mergeExternal(ops(k)._1, ops(k)._2, acc(k), extValue(row, numKeys + k))
+          k += 1
+        }
+      } else { pending = row; done = true }
+    }
+    val out = new Array[Any](numKeys + ops.length)
+    System.arraycopy(keys, 0, out, 0, numKeys)
+    var m = 0
+    while (m < ops.length) { out(numKeys + m) = intValue(ops(m)._2, acc(m)); m += 1 }
+    new GenericInternalRow(out)
+  }
+
+  private def sameKeys(row: InternalRow, keys: Array[Any]): Boolean = {
+    var i = 0
+    while (i < numKeys) {
+      val v = if (row.isNullAt(i)) null else row.get(i, keyTypes(i))
+      if (SortedRunAccess.compareInternal(keyTypes(i), v, keys(i)) != 0) return false
+      i += 1
+    }
+    true
+  }
+
+  private def extValue(row: InternalRow, i: Int): Any = {
+    val dt = readFields(i).dataType
+    if (row.isNullAt(i)) null
+    else dt match {
+      case IntegerType => row.getInt(i)
+      case LongType => row.getLong(i)
+      case StringType => row.getUTF8String(i).toString
+      case BinaryType => row.getBinary(i)
+      case ArrayType(et, _) =>
+        val a = row.getArray(i)
+        (0 until a.numElements()).map(k => if (a.isNullAt(k)) null else a.get(k, et)).toVector
+      case MapType(kt, vt, _) =>
+        val m = row.getMap(i)
+        val keys = m.keyArray(); val vals = m.valueArray()
+        val out = scala.collection.mutable.LinkedHashMap.empty[Any, Any]
+        var k = 0
+        while (k < m.numElements()) {
+          out.update(extMapKey(keys.get(k, kt)), extScalar(vt, vals.get(k, vt)))
+          k += 1
+        }
+        out
+      case other => row.get(i, other)
+    }
+  }
+
+  private def extScalar(dt: DataType, v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case o => o
+  }
+
+  private def extMapKey(v: Any): Any = v match {
+    case u: UTF8String => u.toString
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b.clone())
+    case o => o
+  }
+
+  private def unwrapBytes(v: Any): Any = v match {
+    case a: scala.collection.immutable.ArraySeq.ofByte => a.unsafeArray
+    case o => o
+  }
+
+  private def mergeExternal(op: String, dt: DataType, a: Any, b: Any): Any = {
+    if (a == null) return b
+    if (b == null) return a
+    (op, dt) match {
+      case ("last", _) => b
+      case ("sum", IntegerType) => a.asInstanceOf[Int] + b.asInstanceOf[Int]
+      case ("sum", LongType) => a.asInstanceOf[Long] + b.asInstanceOf[Long]
+      case ("sum", StringType) => a.asInstanceOf[String] + b.asInstanceOf[String]
+      case ("sum", BinaryType) => a.asInstanceOf[Array[Byte]] ++ b.asInstanceOf[Array[Byte]]
+      case ("min", t) => MergeOp(MergeOp.Min, t, a, b)
+      case ("max", t) => MergeOp(MergeOp.Max, t, a, b)
+      case (mop, MapType(_, vt, _)) if mop.startsWith("map_") =>
+        val out = a.asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]]
+        val right = b.asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]]
+        val valOp = mop match {
+          case "map_sum" => MergeOp.Sum
+          case "map_min" => MergeOp.Min
+          case "map_max" => MergeOp.Max
+        }
+        right.foreach { case (k, v) =>
+          out.get(k) match {
+            case Some(existing) =>
+              val merged = MergeOp(valOp, vt, unwrapBytes(existing), unwrapBytes(v))
+              out.update(k, merged match {
+                case bb: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(bb)
+                case o => o
+              })
+            case None => out.update(k, v)
+          }
+        }
+        out
+      case (o, t) => throw new IllegalArgumentException(s"unsupported $o on ${t.sql}")
+    }
+  }
+
+  private def intValue(dt: DataType, v: Any): Any =
+    if (v == null) null
+    else dt match {
+      case StringType => UTF8String.fromString(v.asInstanceOf[String])
+      case ArrayType(et, _) =>
+        new GenericArrayData(v.asInstanceOf[Vector[Any]].map {
+          case s: String => UTF8String.fromString(s)
+          case o => o
+        }.toArray)
+      case MapType(_, _, _) =>
+        val m = v.asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]]
+        // deterministic: sort by key like MapMergeAgg.eval
+        val sorted = m.toSeq.sortWith((x, y) =>
+          graft.core.KeyOrdering.compare(unwrapBytes(x._1), unwrapBytes(y._1)) < 0)
+        ArrayBasedMapData(
+          sorted.map(e => intScalar(e._1)).toArray,
+          sorted.map(e => intScalar(e._2)).toArray)
+      case _ => v
+    }
+
+  private def intScalar(v: Any): Any = v match {
+    case s: String => UTF8String.fromString(s)
+    case a: scala.collection.immutable.ArraySeq.ofByte => a.unsafeArray
+    case o => o
+  }
+}
+
+/** Internal-value comparison in the engine's key order: ints/longs
+  * numeric, strings UTF-8 binary (UTF8String.compareTo), byte arrays
+  * unsigned lexicographic — identical to graft.core.KeyOrdering on
+  * external values.
+  */
+private[graft] object SortedRunAccess {
+  def compareInternal(dt: DataType, a: Any, b: Any): Int = {
+    if (a == null && b == null) return 0
+    if (a == null) return -1
+    if (b == null) return 1
+    dt match {
+      case IntegerType => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+      case LongType => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+      case StringType => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+      case BinaryType =>
+        java.util.Arrays.compareUnsigned(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+      case other => throw new IllegalArgumentException(s"not a key type: ${other.sql}")
+    }
+  }
+}
+
+/** Row-by-row parquet reader for one sorted file, projected to the given
+  * fields, converting parquet example Groups to Catalyst InternalRows for
+  * the graft type system (4 primitives + one-level list/map — the
+  * reference's exact type surface, StructTypeFactory.java:54-73).
+  */
+private[graft] final class GroupRowIterator(path: String, fields: Seq[GraftField])
+  extends Iterator[InternalRow] with AutoCloseable {
+
+  private val conf = new Configuration()
+  private val hPath = new Path(path)
+
+  // Projection: the file's own MessageType filtered to the needed fields,
+  // so repetition/encoding details always match the file exactly.
+  private val projection: MessageType = {
+    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    val full = try footer.getFooter.getFileMetaData.getSchema finally footer.close()
+    val wanted = fields.map(_.name).toSet
+    val kept = full.getFields.stream().filter(f => wanted.contains(f.getName))
+      .toArray(n => new Array[org.apache.parquet.schema.Type](n))
+    require(kept.length == fields.size,
+      s"file $path missing fields: ${wanted -- kept.map(_.getName)}")
+    new MessageType(full.getName, kept: _*)
+  }
+
+  conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
+
+  private val reader: ParquetReader[Group] =
+    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
+
+  private var nextGroup: Group = reader.read()
+
+  override def hasNext: Boolean = nextGroup != null
+
+  override def next(): InternalRow = {
+    val g = nextGroup
+    nextGroup = reader.read()
+    if (nextGroup == null) close()
+    groupToRow(g)
+  }
+
+  override def close(): Unit = reader.close()
+
+  private def groupToRow(g: Group): InternalRow = {
+    val out = new Array[Any](fields.size)
+    var i = 0
+    while (i < fields.size) {
+      out(i) = readField(g, fields(i))
+      i += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  private def readField(g: Group, f: GraftField): Any = {
+    val idx = g.getType.getFieldIndex(f.name)
+    if (g.getFieldRepetitionCount(idx) == 0) return null
+    f.dataType match {
+      case IntegerType => g.getInteger(idx, 0)
+      case LongType => g.getLong(idx, 0)
+      case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+      case BinaryType => g.getBinary(idx, 0).getBytes
+      case ArrayType(et, _) => readList(g.getGroup(idx, 0), et)
+      case MapType(kt, vt, _) => readMap(g.getGroup(idx, 0), kt, vt)
+      case other => throw new IllegalArgumentException(s"unsupported type ${other.sql}")
+    }
+  }
+
+  // Spark writes LIST as: group (LIST) { repeated group list { <elem> element } }
+  private def readList(outer: Group, et: DataType): ArrayData = {
+    val n = outer.getFieldRepetitionCount(0)
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val e = outer.getGroup(0, i)
+      out(i) = if (e.getFieldRepetitionCount(0) == 0) null else readPrim(e, 0, et)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // Spark writes MAP as: group (MAP) { repeated group key_value { key; value } }
+  private def readMap(outer: Group, kt: DataType, vt: DataType): MapData = {
+    val n = outer.getFieldRepetitionCount(0)
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val kv = outer.getGroup(0, i)
+      keys(i) = readPrim(kv, 0, kt)
+      vals(i) = if (kv.getFieldRepetitionCount(1) == 0) null else readPrim(kv, 1, vt)
+      i += 1
+    }
+    ArrayBasedMapData(keys, vals)
+  }
+
+  private def readPrim(g: Group, idx: Int, dt: DataType): Any = dt match {
+    case IntegerType => g.getInteger(idx, 0)
+    case LongType => g.getLong(idx, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case BinaryType => g.getBinary(idx, 0).getBytes
+    case other => throw new IllegalArgumentException(s"unsupported element type ${other.sql}")
+  }
+}
+
+/** One Spark task per sorted-run merge: partition i streams specs(i).
+  * The spec rides inside the Partition object, so each task ships only
+  * its own file list. No shuffle anywhere — compaction parallelism is
+  * "one task per job", the reference's execution model
+  * (docs/design.md:274-329), scaled by the cluster's task slots.
+  */
+final class MergeRDD(
+    @transient private val sc: org.apache.spark.SparkContext,
+    specs: Seq[RunSpec])
+  extends org.apache.spark.rdd.RDD[InternalRow](sc, Nil) {
+
+  override protected def getPartitions: Array[org.apache.spark.Partition] =
+    specs.zipWithIndex.map { case (s, i) => MergeTaskPartition(i, s): org.apache.spark.Partition }.toArray
+
+  override def compute(split: org.apache.spark.Partition,
+      context: org.apache.spark.TaskContext): Iterator[InternalRow] =
+    SortedRun.iterator(split.asInstanceOf[MergeTaskPartition].spec)
+}
+
+final case class MergeTaskPartition(index: Int, spec: RunSpec)
+  extends org.apache.spark.Partition

@@ -71,23 +71,6 @@ final class Compaction(table: GraftTable) {
   private def aggSpecs = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
   private def filterSpec = ConfigDsl.parseFilter(table.config.filterConfig, schema)
 
-  /** The merge dataflow shared by both paths: [filter] -> [group-by-full-
-    * key aggregate] (reference pipeline, rust datafusion.rs:131-139).
-    */
-  private def applyTransforms(df: DataFrame, extraKeys: Seq[String]): DataFrame = {
-    val now = System.currentTimeMillis()
-    val filtered = filterSpec.map(f => df.filter(f.toColumn(now))).getOrElse(df)
-    val specs = aggSpecs
-    if (specs.isEmpty) filtered
-    else {
-      val cols = ConfigDsl.aggColumns(specs, schema)
-      filtered
-        .groupBy((extraKeys ++ schema.keyNames).map(col): _*)
-        .agg(cols.head, cols.tail: _*)
-        .select((extraKeys ++ schema.allFields.map(_.name)).map(col): _*)
-    }
-  }
-
   def runStrategy(strategy: CompactionStrategy): Int = {
     val live = table.store.fileReferences
     val jobs = strategy.plan(live.groupBy(_.partitionId))
@@ -95,18 +78,38 @@ final class Compaction(table: GraftTable) {
     jobs.size
   }
 
-  /** Merge one partition's files into a single sorted file and commit. */
+  /** The spec for one partition's sorted-run merge: N sorted files →
+    * one sorted, filtered, aggregated stream (graft.exec.SortedRun).
+    */
+  private def specFor(partitionId: String, refs: Seq[FileReference],
+      nowMs: Long): graft.exec.RunSpec = {
+    val partition = table.store.partitionTree(partitionId)
+    graft.exec.RunSpec(
+      refs.map(table.pathOf).distinct,
+      schema,
+      schema.allFields.map(_.name),
+      Some(partition.region),
+      table.config.aggregationConfig,
+      table.config.filterConfig,
+      nowMs)
+  }
+
+  /** Merge one partition's files into a single sorted file and commit.
+    * The task is a streaming N-way merge with in-order key-equal
+    * aggregation — O(#files) memory, no shuffle, and NO sort stage: the
+    * input files are already sorted and the merge preserves it (the
+    * reference's sort-free guard, rust compact.rs:171-173). Round-2
+    * shape was read → coalesce(1) → sortWithinPartitions — a
+    * spill-prone full sort of data that was already sorted.
+    */
   def run(job: CompactionJob): FileReference = {
     val jobId = UUID.randomUUID().toString.take(8)
     table.store.assignJob(jobId, job.partitionId, job.files.map(_.filename))
-    val partition = table.store.partitionTree(job.partitionId)
-    val paths = job.files.map(table.pathOf)
 
-    val df = spark.read.parquet(paths: _*)
-      .filter(partition.region.toColumn)
-    val merged = applyTransforms(df, Nil)
-      .coalesce(1)
-      .sortWithinPartitions(schema.keyNames.map(col): _*)
+    val rdd = new graft.exec.MergeRDD(spark.sparkContext,
+      Seq(specFor(job.partitionId, job.files, System.currentTimeMillis())))
+    val merged = org.apache.spark.sql.graft.bridge
+      .internalCreateDataFrame(spark, rdd, schema.toStructType)
 
     val (filename, rowCount) = writeSingleFile(merged, job.partitionId, s"compact-$jobId")
     val output = FileReference(filename, job.partitionId, rowCount)
@@ -114,11 +117,16 @@ final class Compaction(table: GraftTable) {
     output
   }
 
-  /** Whole-table compaction as one distributed job. */
+  /** Whole-table compaction as ONE distributed job: one merge task per
+    * leaf needing work (no shuffle at all — the data is already
+    * partitioned on disk by leaf; round 2 shuffled every row through a
+    * repartition). Each task streams its leaf's files (clipped to the
+    * leaf region, so post-split shared files localize) straight to the
+    * parquet writer.
+    */
   def compactAll(): Unit = {
     val live = table.store.fileReferences
     if (live.isEmpty) return
-    val tree = table.store.partitionTree
     val byLeaf = live.groupBy(_.partitionId)
     // Skip leaves already fully compacted (single leaf-local file, no
     // pending work) unless a filter/aggregation must apply persistently.
@@ -133,21 +141,21 @@ final class Compaction(table: GraftTable) {
     }
     if (needsWork.isEmpty) return
 
-    val inputFiles = needsWork.values.flatten.map(table.pathOf).toSeq.distinct
     val jobId = UUID.randomUUID().toString.take(8)
+    val nowMs = System.currentTimeMillis()
+    val leafIds = needsWork.keys.toSeq.sorted
+    val specs = leafIds.map(pid => specFor(pid, needsWork(pid), nowMs))
 
-    val tagged = spark.read.parquet(inputFiles: _*)
-      .withColumn("__gpart", tree.leafIdColumn)
-      .filter(col("__gpart").isin(needsWork.keys.toSeq: _*))
-    val numLeaves = tree.leaves.size
-    val merged = applyTransforms(
-      tagged.repartition(numLeaves, col("__gpart")), Seq("__gpart"))
-      .sortWithinPartitions((Seq("__gpart") ++ schema.keyNames).map(col): _*)
+    val rdd = new graft.exec.MergeRDD(spark.sparkContext, specs)
+    val merged = org.apache.spark.sql.graft.bridge
+      .internalCreateDataFrame(spark, rdd, schema.toStructType)
 
+    // One file per task; part file numbering (part-NNNNN-...) identifies
+    // the task = the leaf at that index.
     val tmpDir = s"${table.dir}/.compact-$jobId"
-    merged.write.partitionBy("__gpart").parquet(tmpDir)
+    merged.write.parquet(tmpDir)
 
-    val written = moveFromPartitionedDir(tmpDir, s"compact-$jobId")
+    val written = moveFromFlatDir(tmpDir, leafIds, s"compact-$jobId")
     writeSketches(written.map(_._2))
     written.foreach { case (pid, path) =>
       val filename = Paths.get(path).getFileName.toString
@@ -176,20 +184,28 @@ final class Compaction(table: GraftTable) {
     (filename, footerRowCount(dest.toString))
   }
 
-  private def moveFromPartitionedDir(tmpDir: String, prefix: String): Seq[(String, String)] = {
+  /** Map `part-NNNNN-*` outputs of a flat write back to the leaf whose
+    * merge task produced them (task index == partition index), and move
+    * each into its leaf directory. Empty tasks write no file — their
+    * leaves simply get no output this round.
+    */
+  private def moveFromFlatDir(tmpDir: String, leafIds: Seq[String],
+      prefix: String): Seq[(String, String)] = {
+    val partNum = "part-(\\d+).*\\.parquet".r
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val tmp = Paths.get(tmpDir)
-    Files.list(tmp).iterator().asScala.filter(Files.isDirectory(_)).foreach { partDir =>
-      val pid = partDir.getFileName.toString.stripPrefix("__gpart=")
-      val destDir = Paths.get(s"${table.dataDir}/$pid")
-      Files.createDirectories(destDir)
-      Files.list(partDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-          val name = s"$prefix-${UUID.randomUUID().toString.take(8)}.parquet"
-          Files.move(f, destDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-          out += pid -> s"$destDir/$name"
+    Files.list(tmp).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+        val pid = f.getFileName.toString match {
+          case partNum(n) => leafIds(n.toInt)
+          case other => throw new IllegalStateException(s"unexpected output file $other")
         }
-    }
+        val destDir = Paths.get(s"${table.dataDir}/$pid")
+        Files.createDirectories(destDir)
+        val name = s"$prefix-${UUID.randomUUID().toString.take(8)}.parquet"
+        Files.move(f, destDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+        out += pid -> s"$destDir/$name"
+      }
     deleteRecursively(tmp)
     out.toSeq
   }

@@ -15,7 +15,14 @@ import graft.core._
   * without touching callers (SURVEY.md §7.3).
   */
 class JsonStateStore private (
-    dir: Path, schema0: GraftSchema, initialTree: PartitionTree, private var version: Long)
+    dir: Path, schema0: GraftSchema, initialTree: PartitionTree, private var version: Long,
+    /** table-level continual aggregation / persistent filter config —
+      * table metadata in the reference; persisted so any consumer (e.g.
+      * the DSv2 provider) applies the same read semantics from the path
+      * alone.
+      */
+    val aggregationConfig: String = "",
+    val filterConfig: String = "")
     extends InMemoryStateStore(schema0, initialTree) {
 
   import JsonStateStore._
@@ -25,7 +32,8 @@ class JsonStateStore private (
     val next = version + 1
     val tmp = dir.resolve(s".state-v$next.json.tmp")
     val target = dir.resolve(s"state-v$next.json")
-    Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(toJson(schema, t, r, g))))
+    Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(
+      toJson(schema, t, r, g, aggregationConfig, filterConfig))))
     try {
       // Hard-link the fully-written tmp onto the version name. link(2) fails
       // with EEXIST when the version is taken — a true O_EXCL CAS — unlike
@@ -76,10 +84,11 @@ class ConcurrentStateException(msg: String, cause: Throwable) extends RuntimeExc
 
 object JsonStateStore {
 
-  def create(dirStr: String, schema: GraftSchema, tree: PartitionTree): JsonStateStore = {
+  def create(dirStr: String, schema: GraftSchema, tree: PartitionTree,
+      aggregationConfig: String = "", filterConfig: String = ""): JsonStateStore = {
     val dir = Paths.get(dirStr)
     Files.createDirectories(dir)
-    val store = new JsonStateStore(dir, schema, tree, 0L)
+    val store = new JsonStateStore(dir, schema, tree, 0L, aggregationConfig, filterConfig)
     store.commitInitial() // writes state-v1.json
     store
   }
@@ -90,7 +99,8 @@ object JsonStateStore {
       throw new IllegalStateException(s"no state snapshot in $dir"))
     val json = JsonMethods.parse(Files.readString(dir.resolve(s"state-v$latest.json")))
     val (schema, tree, refs, gc) = fromJson(json)
-    val store = new JsonStateStore(dir, schema, tree, latest)
+    val (agg, filt) = configFromJson(json)
+    val store = new JsonStateStore(dir, schema, tree, latest, agg, filt)
     store.setState(tree, refs, gc)
     store
   }
@@ -184,18 +194,34 @@ object JsonStateStore {
 
   private def refToJson(r: FileReference): JValue = JObject(
     "filename" -> JString(r.filename), "partitionId" -> JString(r.partitionId),
-    "rowCount" -> JInt(r.rowCount), "jobId" -> r.jobId.map(JString(_)).getOrElse(JNothing))
+    "rowCount" -> JInt(r.rowCount), "jobId" -> r.jobId.map(JString(_)).getOrElse(JNothing),
+    "homeId" -> r.homeId.map(JString(_)).getOrElse(JNothing))
 
   private def refFromJson(j: JValue): FileReference = {
     val m = j.asInstanceOf[JObject].obj.toMap
     val JString(f) = m("filename"): @unchecked
     val JString(p) = m("partitionId"): @unchecked
     val JInt(c) = m("rowCount"): @unchecked
-    FileReference(f, p, c.toLong, m.get("jobId").collect { case JString(s) => s })
+    FileReference(f, p, c.toLong, m.get("jobId").collect { case JString(s) => s },
+      m.get("homeId").collect { case JString(s) => s })
+  }
+
+  private def configFromJson(j: JValue): (String, String) = {
+    val m = j.asInstanceOf[JObject].obj.toMap
+    m.get("tableConfig") match {
+      case Some(JObject(fields)) =>
+        val cm = fields.toMap
+        (cm.get("aggregation").collect { case JString(s) => s }.getOrElse(""),
+          cm.get("filter").collect { case JString(s) => s }.getOrElse(""))
+      case _ => ("", "")
+    }
   }
 
   private def toJson(schema: GraftSchema, tree: PartitionTree,
-      refs: Vector[FileReference], gc: Vector[(String, Long)]): JValue = JObject(
+      refs: Vector[FileReference], gc: Vector[(String, Long)],
+      aggregationConfig: String, filterConfig: String): JValue = JObject(
+    "tableConfig" -> JObject(
+      "aggregation" -> JString(aggregationConfig), "filter" -> JString(filterConfig)),
     "schema" -> JObject(
       "rowKeys" -> JArray(schema.rowKeys.map(fieldToJson).toList),
       "sortKeys" -> JArray(schema.sortKeys.map(fieldToJson).toList),

@@ -6,12 +6,20 @@ import graft.core.{GraftSchema, PartitionTree, Partition, Region, KeyRange}
   * partition. One physical file may be referenced by several partitions
   * after a partition split (reference:
   * java/core/.../statestore/FileReference.java, docs/design.md:137-151).
+  *
+  * `homeId` is the partition directory the file was physically written
+  * under; references re-scoped to child partitions by a split keep the
+  * original home, so path resolution is O(1) — no directory scanning.
   */
 final case class FileReference(
     filename: String,
     partitionId: String,
     rowCount: Long,
-    jobId: Option[String] = None)
+    jobId: Option[String] = None,
+    homeId: Option[String] = None) {
+  /** Physical partition directory holding the file. */
+  def physicalPartitionId: String = homeId.getOrElse(partitionId)
+}
 
 /** The table's metadata log: partition tree + file references + GC queue.
   * This is the reference's transaction-log state store distilled to the
@@ -119,8 +127,8 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
     nonLeaf.foreach { r =>
       val children = tree(r.partitionId).childIds.map(tree(_))
       val half = math.max(r.rowCount / 2, 1)
-      next = next.filterNot(_ == r) ++
-        children.map(c => FileReference(r.filename, c.id, half, r.jobId))
+      next = next.filterNot(_ == r) ++ children.map(c =>
+        FileReference(r.filename, c.id, half, r.jobId, Some(r.physicalPartitionId)))
     }
     if (nonLeaf.nonEmpty) commit(tree, next, gcQueue)
     nonLeaf.size

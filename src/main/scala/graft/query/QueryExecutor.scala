@@ -62,14 +62,20 @@ final class QueryExecutor(table: GraftTable) {
         if (files.isEmpty) Nil
         else Seq(spark.read.parquet(files: _*).filter(Region.anyOf(regions)))
       } else {
-        leaves.flatMap { leaf =>
-          val files = (refsByPartition.getOrElse(leaf.id, Nil) ++
+        // Refs still sit on ancestors (pre-split): ONE scan of every
+        // selected file, clipped to rows whose leaf (computed by the
+        // codegen'd split-tree CASE WHEN) is among the selected leaves.
+        // Leaf regions are disjoint, so rows from shared ancestor files
+        // are kept exactly once — same dedup as the reference's per-leaf
+        // region AND (QueryPlanner.java:178-183) — with a plan whose node
+        // count is independent of the leaf count.
+        val files = leaves.flatMap { leaf =>
+          (refsByPartition.getOrElse(leaf.id, Nil) ++
             tree.ancestors(leaf.id).flatMap(a => refsByPartition.getOrElse(a.id, Nil)))
-            .map(table.pathOf).distinct
-          if (files.isEmpty) None
-          else Some(spark.read.parquet(files: _*)
-            .filter(leaf.region.toColumn && Region.anyOf(regions)))
-        }
+        }.map(table.pathOf).distinct
+        if (files.isEmpty) Nil
+        else Seq(spark.read.parquet(files: _*)
+          .filter(tree.leafIdColumn.isin(leaves.map(_.id): _*) && Region.anyOf(regions)))
       }
     }
 

@@ -1,0 +1,261 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+import scala.collection.mutable
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder, Transform}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.core.{GraftSchema, KeyOrdering, KeyRange, PartitionTree, Region}
+import graft.exec.{RunSpec, SortedRun}
+import graft.meta.JsonStateStore
+
+/** DataSource V2 provider exposing a graft table to `spark.sql`:
+  *
+  *   spark.read.format("graft").load(tableDir).createOrReplaceTempView("t")
+  *   spark.sql("SELECT ... FROM t WHERE key BETWEEN 5 AND 9")
+  *
+  * Pushes WHERE-clause filters on row-key columns down to regions that
+  * prune leaf partitions (and their files) before anything is read — the
+  * reference's own Spark connector direction
+  * (java/analytics-integration/spark/.../SleeperScanBuilder.java:39-74,
+  * CreateRegionsFromPushedFilters.java, RangeIntersector.java) — prunes
+  * columns, and declares the scan's per-partition sort order
+  * (SupportsReportOrdering) so downstream sorts on the table's keys are
+  * eliminated: the reference's headline `file_sort_order` optimization
+  * (rust/sleeper_core/src/datafusion.rs:183-228). Each input partition
+  * streams an N-way sorted merge of the leaf's files with the table's
+  * persistent filter/aggregation applied (graft.exec.SortedRun).
+  */
+final class GraftTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft source requires a path (the table directory)")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    JsonStateStore.load(s"${path(options)}/meta").schema.toStructType
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new GraftBatchTable(properties.get("path"))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+final class GraftBatchTable(dir: String) extends Table with SupportsRead {
+
+  // Snapshot the state store once per table resolution.
+  private[sources] val store = JsonStateStore.load(s"$dir/meta")
+
+  override def name(): String = s"graft.`$dir`"
+  override def schema(): StructType = store.schema.toStructType
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(dir, store)
+}
+
+final class GraftScanBuilder(dir: String, store: JsonStateStore)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val schema = store.schema
+  private var pushed: Array[Filter] = Array.empty
+  private var regions: Seq[Region] = Seq(allKeySpace)
+  private var required: StructType = schema.toStructType
+
+  private def allKeySpace: Region =
+    Region(schema.rowKeys.map(f => KeyRange.unbounded(f.name)))
+
+  /** Translate row-key conjuncts into regions used for partition/file
+    * pruning. Every filter is ALSO returned as residual: Spark re-applies
+    * the exact predicates post-scan, so pruning can stay partition-grain
+    * (the reference keeps the same split,
+    * SleeperScanBuilder.pushFilters:39-74).
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (usable, _) = filters.partition(RegionFromFilters.supported(schema, _))
+    pushed = usable
+    regions = RegionFromFilters.regions(schema, usable)
+    filters // all residual
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftScan(dir, store, regions, required)
+}
+
+final class GraftScan(dir: String, store: JsonStateStore,
+    regions: Seq[Region], required: StructType)
+  extends Scan with Batch with SupportsReportOrdering {
+
+  private val schema = store.schema
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val leafCount = planSpecs.length
+    s"GraftScan ${dir} leaves=$leafCount regions=${regions.size}"
+  }
+
+  /** One input partition per relevant leaf: the leaf's files plus every
+    * ancestor's files, clipped to the leaf's region (ancestor-file rows
+    * land in exactly one leaf — no duplicates; reference
+    * QueryPlanner.java:178-183).
+    */
+  private lazy val planSpecs: Array[RunSpec] = {
+    val tree = store.partitionTree
+    val refsByPartition = store.fileReferences.groupBy(_.partitionId)
+    val outputNames = required.fields.map(_.name).toSeq
+    tree.leavesOverlapping(regions).flatMap { leaf =>
+      val refs = refsByPartition.getOrElse(leaf.id, Nil) ++
+        tree.ancestors(leaf.id).flatMap(a => refsByPartition.getOrElse(a.id, Nil))
+      val paths = refs.map(r => s"$dir/data/${r.physicalPartitionId}/${r.filename}").distinct
+      if (paths.isEmpty) None
+      else Some(RunSpec(paths, schema, outputNames, Some(leaf.region),
+        store.aggregationConfig, store.filterConfig, System.currentTimeMillis()))
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    planSpecs.map(s => GraftInputPartition(s): InputPartition)
+
+  /** Rows come out of each partition merged in (row keys, sort keys)
+    * order; declaring it lets EnsureRequirements / RemoveRedundantSorts
+    * drop downstream sorts on the table's key order (S2).
+    */
+  override def outputOrdering(): Array[SortOrder] = {
+    val outNames = required.fields.map(_.name)
+    val keyNames = schema.keyNames
+    if (keyNames.forall(outNames.contains))
+      keyNames.map(k => Expressions.sort(Expressions.column(k),
+        SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
+    else Array.empty
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+}
+
+final case class GraftInputPartition(spec: RunSpec) extends InputPartition
+
+final class GraftReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val it = SortedRun.iterator(partition.asInstanceOf[GraftInputPartition].spec)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = ()
+    }
+  }
+}
+
+/** Pushed-filter → region translation: intersect per-row-key-column
+  * bounds from the supported conjuncts (=, <, <=, >, >=, AND, IN) into
+  * regions, the reference's CreateRegionsFromPushedFilters /
+  * RangeIntersector logic.
+  */
+object RegionFromFilters {
+
+  def supported(schema: GraftSchema, f: Filter): Boolean = {
+    val keys = schema.rowKeyNames.toSet
+    f match {
+      case sources.EqualTo(a, _) => keys(a)
+      case sources.GreaterThan(a, _) => keys(a)
+      case sources.GreaterThanOrEqual(a, _) => keys(a)
+      case sources.LessThan(a, _) => keys(a)
+      case sources.LessThanOrEqual(a, _) => keys(a)
+      case sources.In(a, vs) => keys(a) && vs.length <= 64
+      case sources.And(l, r) => supported(schema, l) && supported(schema, r)
+      case _ => false
+    }
+  }
+
+  /** Bounds intersection per column, then regions (IN multiplies regions,
+    * capped by `supported`).
+    */
+  def regions(schema: GraftSchema, filters: Array[Filter]): Seq[Region] = {
+    final case class Bounds(var min: Option[Any], var minInc: Boolean,
+        var max: Option[Any], var maxInc: Boolean)
+
+    def newBounds() = Bounds(None, true, None, false)
+
+    // each map = one conjunction of per-column bounds; IN splits into many
+    var alternatives: Seq[mutable.Map[String, Bounds]] =
+      Seq(mutable.Map.empty[String, Bounds])
+
+    def tightenMin(b: Bounds, v: Any, inc: Boolean): Unit = {
+      val stronger = b.min match {
+        case None => true
+        case Some(cur) =>
+          val c = KeyOrdering.compare(v, cur)
+          c > 0 || (c == 0 && !inc && b.minInc)
+      }
+      if (stronger) { b.min = Some(v); b.minInc = inc }
+    }
+    def tightenMax(b: Bounds, v: Any, inc: Boolean): Unit = {
+      val stronger = b.max match {
+        case None => true
+        case Some(cur) =>
+          val c = KeyOrdering.compare(v, cur)
+          c < 0 || (c == 0 && !inc && b.maxInc)
+      }
+      if (stronger) { b.max = Some(v); b.maxInc = inc }
+    }
+
+    def apply(f: Filter): Unit = f match {
+      case sources.And(l, r) => apply(l); apply(r)
+      case sources.EqualTo(a, v) =>
+        alternatives.foreach { m =>
+          val b = m.getOrElseUpdate(a, newBounds())
+          tightenMin(b, v, inc = true); tightenMax(b, v, inc = true)
+        }
+      case sources.GreaterThan(a, v) =>
+        alternatives.foreach(m => tightenMin(m.getOrElseUpdate(a, newBounds()), v, inc = false))
+      case sources.GreaterThanOrEqual(a, v) =>
+        alternatives.foreach(m => tightenMin(m.getOrElseUpdate(a, newBounds()), v, inc = true))
+      case sources.LessThan(a, v) =>
+        alternatives.foreach(m => tightenMax(m.getOrElseUpdate(a, newBounds()), v, inc = false))
+      case sources.LessThanOrEqual(a, v) =>
+        alternatives.foreach(m => tightenMax(m.getOrElseUpdate(a, newBounds()), v, inc = true))
+      case sources.In(a, vs) =>
+        alternatives = alternatives.flatMap { m =>
+          vs.toSeq.map { v =>
+            val copy = mutable.Map.empty[String, Bounds] ++
+              m.map { case (k, b) => k -> Bounds(b.min, b.minInc, b.max, b.maxInc) }
+            val b = copy.getOrElseUpdate(a, newBounds())
+            tightenMin(b, v, inc = true); tightenMax(b, v, inc = true)
+            copy
+          }
+        }
+      case _ => // unreachable: callers pre-filter by `supported`
+    }
+
+    filters.foreach(apply)
+
+    alternatives.map { m =>
+      Region(schema.rowKeys.map { f =>
+        m.get(f.name) match {
+          case Some(b) => KeyRange(f.name, b.min, b.minInc, b.max, b.maxInc)
+          case None => KeyRange.unbounded(f.name)
+        }
+      })
+    }
+  }
+}

@@ -44,22 +44,8 @@ final class GraftTable(
   def filePath(partitionId: String, filename: String): String =
     s"$dataDir/$partitionId/$filename"
 
-  def pathOf(ref: FileReference): String = {
-    // A file's physical home is the partition it was written for; after a
-    // partition split, refs in child partitions still point at the file
-    // under its original directory — so resolve by scanning known homes.
-    val direct = Paths.get(filePath(ref.partitionId, ref.filename))
-    if (Files.exists(direct)) direct.toString
-    else {
-      val root = Paths.get(dataDir)
-      val it = Files.list(root).iterator()
-      while (it.hasNext) {
-        val cand = it.next().resolve(ref.filename)
-        if (Files.exists(cand)) return cand.toString
-      }
-      throw new IllegalStateException(s"data file not found: ${ref.filename}")
-    }
-  }
+  def pathOf(ref: FileReference): String =
+    filePath(ref.physicalPartitionId, ref.filename)
 
   def ingest(input: DataFrame): Seq[FileReference] = new graft.jobs.Ingest(this).run(input)
 
@@ -112,11 +98,19 @@ object GraftTable {
   def create(spark: SparkSession, dir: String, schema: GraftSchema,
       splitPoints: Seq[Any] = Nil, config: TableConfig = TableConfig()): GraftTable = {
     val tree = PartitionTree.fromSplitPoints(schema, splitPoints)
-    val store = JsonStateStore.create(s"$dir/meta", schema, tree)
+    val store = JsonStateStore.create(s"$dir/meta", schema, tree,
+      config.aggregationConfig, config.filterConfig)
     Files.createDirectories(Paths.get(s"$dir/data"))
     new GraftTable(spark, dir, store, config)
   }
 
-  def load(spark: SparkSession, dir: String, config: TableConfig = TableConfig()): GraftTable =
-    new GraftTable(spark, dir, JsonStateStore.load(s"$dir/meta"), config)
+  /** Load from disk; the persisted aggregation/filter config is applied
+    * unless the caller overrides it.
+    */
+  def load(spark: SparkSession, dir: String, config: Option[TableConfig] = None): GraftTable = {
+    val store = JsonStateStore.load(s"$dir/meta")
+    val cfg = config.getOrElse(TableConfig(
+      aggregationConfig = store.aggregationConfig, filterConfig = store.filterConfig))
+    new GraftTable(spark, dir, store, cfg)
+  }
 }

@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.SortExec
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.table.{GraftTable, TableConfig}
+
+/** The DSv2 `format("graft")` read path: schema inference, row fidelity,
+  * filter→region partition pruning, column pruning, persistent
+  * aggregation semantics, and the declared sort order eliminating
+  * downstream sorts.
+  */
+class GraftSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val schema = GraftSchema(
+    rowKeys = Seq(GraftField("key", StringType)),
+    sortKeys = Seq(GraftField("ts", LongType)),
+    values = Seq(GraftField("count", LongType), GraftField("m", MapType(StringType, LongType))))
+
+  private def tmp() = Files.createTempDirectory("graft-dsv2").toString
+
+  private def batch(rows: (String, Long, Long, Map[String, Long])*) =
+    rows.toDF("key", "ts", "count", "m")
+
+  private def scanPartitions(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputRDD.getNumPartitions
+    }.sum
+
+  test("reads back exactly what the table holds (incl. maps), sorted within partitions") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
+    table.ingest(batch(
+      ("apple", 2L, 1L, Map("x" -> 1L)), ("zebra", 1L, 5L, Map("y" -> 2L)),
+      ("apple", 1L, 2L, Map.empty[String, Long]), ("mango", 3L, 3L, Map("z" -> 9L))))
+
+    val df = spark.read.format("graft").load(dir)
+    assert(df.schema == schema.toStructType)
+    val got = df.as[(String, Long, Long, Map[String, Long])].collect().toSet
+    assert(got == Set(
+      ("apple", 2L, 1L, Map("x" -> 1L)), ("zebra", 1L, 5L, Map("y" -> 2L)),
+      ("apple", 1L, 2L, Map.empty[String, Long]), ("mango", 3L, 3L, Map("z" -> 9L))))
+
+    // each partition stream is sorted by (key, ts)
+    import org.apache.spark.sql.functions._
+    val perPart = df.select(col("key"), col("ts"),
+      spark_partition_id().as("p")).as[(String, Long, Int)].collect().toSeq
+    perPart.groupBy(_._3).values.foreach { rows =>
+      val keys = rows.map(r => (r._1, r._2))
+      assert(keys == keys.sortBy(identity), s"partition not sorted: $keys")
+    }
+  }
+
+  test("WHERE on a row key prunes leaf partitions before reading") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("h", "p"))
+    table.ingest(batch(
+      ("aaa", 1L, 1L, Map.empty[String, Long]), ("kkk", 1L, 2L, Map.empty[String, Long]),
+      ("zzz", 1L, 3L, Map.empty[String, Long])))
+
+    val df = spark.read.format("graft").load(dir)
+    assert(scanPartitions(df) == 3) // no filter: all three leaves
+
+    val one = df.filter($"key" === "kkk")
+    assert(scanPartitions(one) == 1, "point lookup must scan exactly one leaf")
+    assert(one.select("count").as[Long].collect().toSeq == Seq(2L))
+
+    val range = df.filter($"key" >= "p")
+    assert(scanPartitions(range) == 1)
+    assert(range.select("key").as[String].collect().toSeq == Seq("zzz"))
+
+    val in = df.filter($"key".isin("aaa", "zzz"))
+    assert(scanPartitions(in) == 2)
+    assert(in.select("key").as[String].collect().toSet == Set("aaa", "zzz"))
+  }
+
+  test("spark.sql over a graft view with pushdown") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
+    table.ingest(batch(
+      ("ant", 1L, 10L, Map.empty[String, Long]), ("yak", 1L, 20L, Map.empty[String, Long])))
+    spark.read.format("graft").load(dir).createOrReplaceTempView("gsrc_t")
+    val got = spark.sql("SELECT key, count FROM gsrc_t WHERE key < 'm'")
+    assert(scanPartitions(got) == 1)
+    assert(got.as[(String, Long)].collect().toSeq == Seq(("ant", 10L)))
+  }
+
+  test("persistent aggregation config applies on the DSv2 read") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema,
+      config = TableConfig(aggregationConfig = "sum(count),map_sum(m)"))
+    table.ingest(batch(("a", 1L, 2L, Map("x" -> 1L))))
+    table.ingest(batch(("a", 1L, 3L, Map("x" -> 4L, "z" -> 1L))))
+    val got = spark.read.format("graft").load(dir)
+      .as[(String, Long, Long, Map[String, Long])].collect()
+    assert(got.toSeq == Seq(("a", 1L, 5L, Map("x" -> 5L, "z" -> 1L))))
+  }
+
+  test("after a split, ancestor files are clipped per leaf (no duplicate rows)") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema,
+      config = TableConfig(splitThreshold = 2))
+    table.ingest(batch(
+      ("a", 1L, 1L, Map.empty[String, Long]), ("b", 1L, 2L, Map.empty[String, Long]),
+      ("x", 1L, 3L, Map.empty[String, Long]), ("y", 1L, 4L, Map.empty[String, Long])))
+    assert(table.splitPartitions().nonEmpty) // root file now referenced by 2 leaves
+
+    val df = spark.read.format("graft").load(dir)
+    assert(scanPartitions(df) == 2)
+    val got = df.select("key").as[String].collect().toSeq
+    assert(got.sorted == Seq("a", "b", "x", "y"), s"got $got")
+  }
+
+  test("declared output ordering eliminates a redundant sort on the keys") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
+    table.ingest(batch(
+      ("ant", 1L, 1L, Map.empty[String, Long]), ("yak", 1L, 2L, Map.empty[String, Long])))
+    val df = spark.read.format("graft").load(dir)
+
+    val sorted = df.sortWithinPartitions("key", "ts")
+    val sortNodes = sorted.queryExecution.executedPlan.collect { case s: SortExec => s }
+    assert(sortNodes.isEmpty,
+      s"sortWithinPartitions on the declared key order should be eliminated:\n${sorted.queryExecution.executedPlan}")
+    // and it still returns the data
+    assert(sorted.count() == 2)
+  }
+
+  test("column pruning reaches the reader (narrow read schema)") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Nil)
+    table.ingest(batch(("a", 1L, 7L, Map("k" -> 1L))))
+    val df = spark.read.format("graft").load(dir).select("count")
+    assert(df.as[Long].collect().toSeq == Seq(7L))
+    val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
+    assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("count"))
+  }
+}
