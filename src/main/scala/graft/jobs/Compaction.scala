@@ -71,6 +71,16 @@ final class Compaction(table: GraftTable) {
   private def aggSpecs = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
   private def filterSpec = ConfigDsl.parseFilter(table.config.filterConfig, schema)
 
+  /** Table-level custom transform (X1) runs at compaction exactly as at
+    * query time — the transform contract requires it to preserve
+    * (row key, sort key) order, so the merged stream's sortedness
+    * survives and the write stays sort-free (reference: table iterator
+    * applied in JavaCompactionRunner.getMergingIterator:150-165).
+    */
+  private def withTableTransform(df: DataFrame): DataFrame =
+    graft.transforms.TransformFactory.parse(table.config.transformConfig, schema)
+      .map(_(df)).getOrElse(df)
+
   def runStrategy(strategy: CompactionStrategy): Int = {
     val live = table.store.fileReferences
     val jobs = strategy.plan(live.groupBy(_.partitionId))
@@ -108,8 +118,8 @@ final class Compaction(table: GraftTable) {
 
     val rdd = new graft.exec.MergeRDD(spark.sparkContext,
       Seq(specFor(job.partitionId, job.files, System.currentTimeMillis())))
-    val merged = org.apache.spark.sql.graft.bridge
-      .internalCreateDataFrame(spark, rdd, schema.toStructType)
+    val merged = withTableTransform(org.apache.spark.sql.graft.bridge
+      .internalCreateDataFrame(spark, rdd, schema.toStructType))
 
     val (filename, rowCount) = writeSingleFile(merged, job.partitionId, s"compact-$jobId")
     val output = FileReference(filename, job.partitionId, rowCount)
@@ -147,8 +157,8 @@ final class Compaction(table: GraftTable) {
     val specs = leafIds.map(pid => specFor(pid, needsWork(pid), nowMs))
 
     val rdd = new graft.exec.MergeRDD(spark.sparkContext, specs)
-    val merged = org.apache.spark.sql.graft.bridge
-      .internalCreateDataFrame(spark, rdd, schema.toStructType)
+    val merged = withTableTransform(org.apache.spark.sql.graft.bridge
+      .internalCreateDataFrame(spark, rdd, schema.toStructType))
 
     // One file per task; part file numbering (part-NNNNN-...) identifies
     // the task = the leaf at that index.

@@ -22,7 +22,8 @@ class JsonStateStore private (
       * alone.
       */
     val aggregationConfig: String = "",
-    val filterConfig: String = "")
+    val filterConfig: String = "",
+    val transformConfig: String = "")
     extends InMemoryStateStore(schema0, initialTree) {
 
   import JsonStateStore._
@@ -33,7 +34,7 @@ class JsonStateStore private (
     val tmp = dir.resolve(s".state-v$next.json.tmp")
     val target = dir.resolve(s"state-v$next.json")
     Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(
-      toJson(schema, t, r, g, aggregationConfig, filterConfig))))
+      toJson(schema, t, r, g, aggregationConfig, filterConfig, transformConfig))))
     try {
       // Hard-link the fully-written tmp onto the version name. link(2) fails
       // with EEXIST when the version is taken — a true O_EXCL CAS — unlike
@@ -85,10 +86,12 @@ class ConcurrentStateException(msg: String, cause: Throwable) extends RuntimeExc
 object JsonStateStore {
 
   def create(dirStr: String, schema: GraftSchema, tree: PartitionTree,
-      aggregationConfig: String = "", filterConfig: String = ""): JsonStateStore = {
+      aggregationConfig: String = "", filterConfig: String = "",
+      transformConfig: String = ""): JsonStateStore = {
     val dir = Paths.get(dirStr)
     Files.createDirectories(dir)
-    val store = new JsonStateStore(dir, schema, tree, 0L, aggregationConfig, filterConfig)
+    val store = new JsonStateStore(dir, schema, tree, 0L,
+      aggregationConfig, filterConfig, transformConfig)
     store.commitInitial() // writes state-v1.json
     store
   }
@@ -99,8 +102,8 @@ object JsonStateStore {
       throw new IllegalStateException(s"no state snapshot in $dir"))
     val json = JsonMethods.parse(Files.readString(dir.resolve(s"state-v$latest.json")))
     val (schema, tree, refs, gc) = fromJson(json)
-    val (agg, filt) = configFromJson(json)
-    val store = new JsonStateStore(dir, schema, tree, latest, agg, filt)
+    val (agg, filt, tf) = configFromJson(json)
+    val store = new JsonStateStore(dir, schema, tree, latest, agg, filt, tf)
     store.setState(tree, refs, gc)
     store
   }
@@ -206,22 +209,23 @@ object JsonStateStore {
       m.get("homeId").collect { case JString(s) => s })
   }
 
-  private def configFromJson(j: JValue): (String, String) = {
+  private def configFromJson(j: JValue): (String, String, String) = {
     val m = j.asInstanceOf[JObject].obj.toMap
     m.get("tableConfig") match {
       case Some(JObject(fields)) =>
         val cm = fields.toMap
-        (cm.get("aggregation").collect { case JString(s) => s }.getOrElse(""),
-          cm.get("filter").collect { case JString(s) => s }.getOrElse(""))
-      case _ => ("", "")
+        def str(k: String) = cm.get(k).collect { case JString(s) => s }.getOrElse("")
+        (str("aggregation"), str("filter"), str("transform"))
+      case _ => ("", "", "")
     }
   }
 
   private def toJson(schema: GraftSchema, tree: PartitionTree,
       refs: Vector[FileReference], gc: Vector[(String, Long)],
-      aggregationConfig: String, filterConfig: String): JValue = JObject(
+      aggregationConfig: String, filterConfig: String, transformConfig: String): JValue = JObject(
     "tableConfig" -> JObject(
-      "aggregation" -> JString(aggregationConfig), "filter" -> JString(filterConfig)),
+      "aggregation" -> JString(aggregationConfig), "filter" -> JString(filterConfig),
+      "transform" -> JString(transformConfig)),
     "schema" -> JObject(
       "rowKeys" -> JArray(schema.rowKeys.map(fieldToJson).toList),
       "sortKeys" -> JArray(schema.sortKeys.map(fieldToJson).toList),

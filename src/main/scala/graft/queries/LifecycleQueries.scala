@@ -71,6 +71,23 @@ object LifecycleQueries {
         .orderBy("l_orderkey")
     },
 
+    // X1 — config-string transform at query time over the lifecycle
+    // table: a CapValue{qty,77} transform caps the aggregated quantity,
+    // reproduced in the oracle as LEAST over the same grouping.
+    "x1_transform" -> withOracle(
+      """SELECT l_orderkey,
+        |       CAST(LEAST(SUM(CAST(l_quantity AS BIGINT)), 77) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey >= 20000 AND l_orderkey < 30000
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val table = lifecycleTable(s, dir)
+      table.query(graft.query.GraftQuery(
+          regions = Seq(Region(KeyRange.minMax("l_orderkey", 20000L, 30000L))),
+          queryTransformConfig = Some("graft.transforms.CapValue{qty,77}")))
+        .orderBy("l_orderkey")
+    },
+
     // S2/DSv2 — spark.sql over the graft source; the BETWEEN pushes down
     // to regions that prune leaves before any file is opened, and the
     // scan's declared ordering spares the engine a sort.

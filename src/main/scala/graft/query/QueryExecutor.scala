@@ -16,11 +16,28 @@ final case class GraftQuery(
     regions: Seq[Region] = Nil,
     requestedValueFields: Option[Seq[String]] = None,
     queryTimeTransform: Option[DataFrame => DataFrame] = None,
+    /** config-string transform (X1), e.g.
+      * "graft.transforms.SecurityFilter{vis,public}" — the reference's
+      * queryTimeIteratorClassName/Config JSON fields */
+    queryTransformConfig: Option[String] = None,
     postSql: Option[String] = None)
 
 object GraftQuery {
   val all: GraftQuery = GraftQuery()
   def forRegions(regions: Region*): GraftQuery = GraftQuery(regions = regions)
+
+  /** Point-lookup sugar: one exact-key region per key, each key giving
+    * row-key values in schema order (reference: the "keys" query JSON
+    * form, example/query/sampleExactQueryInt.json, Query.java:30-34).
+    */
+  def forKeys(schema: graft.core.GraftSchema, keys: Seq[Any]*): GraftQuery = {
+    require(keys.nonEmpty, "at least one key")
+    GraftQuery(regions = keys.map { k =>
+      require(k.size == schema.rowKeys.size,
+        s"key $k must give a value per row-key dimension (${schema.rowKeyNames.mkString(",")})")
+      Region(schema.rowKeys.zip(k).map { case (f, v) => graft.core.KeyRange.exact(f.name, v) })
+    })
+  }
 }
 
 /** Query execution, mirroring the reference's planner+executor
@@ -83,25 +100,51 @@ final class QueryExecutor(table: GraftTable) {
       .getOrElse(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema.toStructType))
 
+    val tableTransform = graft.transforms.TransformFactory.parse(
+      table.config.transformConfig, schema)
+    val queryTransform = q.queryTransformConfig.flatMap(
+      graft.transforms.TransformFactory.parse(_, schema))
+    val filterSpec = ConfigDsl.parseFilter(table.config.filterConfig, schema)
+    val aggSpecs = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
+
+    // Read-schema pruning (P1/X1): keys always, then requested value
+    // fields ∪ the fields the transforms/filter/aggregation declare —
+    // narrowing BEFORE the transforms so even an opaque (mapPartitions)
+    // transform body gets a pruned parquet scan (reference:
+    // LeafPartitionQueryExecutor.createSchemaForDataRead:105-131).
+    val narrowed = q.requestedValueFields match {
+      case Some(req) =>
+        val need = req.toSet ++
+          tableTransform.toSeq.flatMap(_.requiredValueFields) ++
+          queryTransform.toSeq.flatMap(_.requiredValueFields) ++
+          filterSpec.toSeq.map { case ConfigDsl.AgeOff(f, _) => f } ++
+          (if (aggSpecs.nonEmpty) schema.valueNames else Nil)
+        base.select((schema.keyNames ++ schema.valueNames.filter(need.contains)).map(col): _*)
+      case None => base
+    }
+
     // Compaction-time (persistent) transforms apply at query time too —
     // data not yet rewritten by compaction must read the same
     // (reference: LeafPartitionQueryExecutor.getRows:92-99).
     val now = System.currentTimeMillis()
-    val filtered = ConfigDsl.parseFilter(table.config.filterConfig, schema)
-      .map(f => base.filter(f.toColumn(now))).getOrElse(base)
-    val aggSpecs = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
+    val filtered = filterSpec.map(f => narrowed.filter(f.toColumn(now))).getOrElse(narrowed)
     val aggregated =
       if (aggSpecs.isEmpty) filtered
       else {
         val cols = ConfigDsl.aggColumns(aggSpecs, schema)
         filtered.groupBy(schema.keyNames.map(col): _*)
           .agg(cols.head, cols.tail: _*)
-          .select(schema.allFields.map(f => col(f.name)): _*)
+          .select((schema.keyNames ++
+            schema.valueNames.filter(n => filtered.columns.contains(n))).map(col): _*)
       }
 
-    val transformed = q.queryTimeTransform.map(_(aggregated)).getOrElse(aggregated)
+    // Table-level transform (runs at compaction too), then the
+    // query-level config transform, then the programmatic hook.
+    val withTableT = tableTransform.map(_(aggregated)).getOrElse(aggregated)
+    val withQueryT = queryTransform.map(_(withTableT)).getOrElse(withTableT)
+    val transformed = q.queryTimeTransform.map(_(withQueryT)).getOrElse(withQueryT)
 
-    // Projection: requested value fields, keys always kept (P1).
+    // Final projection: requested value fields only, keys always kept.
     val projected = q.requestedValueFields match {
       case Some(req) =>
         val keep = schema.keyNames ++ schema.valueNames.filter(req.contains)

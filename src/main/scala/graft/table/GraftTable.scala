@@ -13,6 +13,11 @@ final case class TableConfig(
     aggregationConfig: String = "",
     /** persistent filter, e.g. "ageOff(ts,1209600000)" (P3) */
     filterConfig: String = "",
+    /** table-level custom transform, e.g.
+      * "graft.transforms.SecurityFilter{vis,public|secret}" (X1) —
+      * applied at query AND compaction like the reference's table
+      * iterator (sleeper.table.iterator.class.name) */
+    transformConfig: String = "",
     /** leaf row-count threshold that triggers a partition split
       * (reference default 1e9; docs/usage/properties/table/partition_splitting.md) */
     splitThreshold: Long = 1000000000L,
@@ -51,6 +56,13 @@ final class GraftTable(
 
   def query(q: graft.query.GraftQuery): DataFrame =
     new graft.query.QueryExecutor(this).execute(q)
+
+  /** Point lookup: rows whose row key equals the given values (schema
+    * order) — the reference's headline ~0.5s use case (README.md:16-17);
+    * plans to exactly the leaves holding the keys.
+    */
+  def lookup(keyValues: Any*): DataFrame =
+    query(graft.query.GraftQuery.forKeys(schema, keyValues))
 
   /** Whole table as a DataFrame (sorted within partitions). */
   def toDF: DataFrame = query(graft.query.GraftQuery.all)
@@ -99,7 +111,7 @@ object GraftTable {
       splitPoints: Seq[Any] = Nil, config: TableConfig = TableConfig()): GraftTable = {
     val tree = PartitionTree.fromSplitPoints(schema, splitPoints)
     val store = JsonStateStore.create(s"$dir/meta", schema, tree,
-      config.aggregationConfig, config.filterConfig)
+      config.aggregationConfig, config.filterConfig, config.transformConfig)
     Files.createDirectories(Paths.get(s"$dir/data"))
     new GraftTable(spark, dir, store, config)
   }
@@ -110,7 +122,8 @@ object GraftTable {
   def load(spark: SparkSession, dir: String, config: Option[TableConfig] = None): GraftTable = {
     val store = JsonStateStore.load(s"$dir/meta")
     val cfg = config.getOrElse(TableConfig(
-      aggregationConfig = store.aggregationConfig, filterConfig = store.filterConfig))
+      aggregationConfig = store.aggregationConfig, filterConfig = store.filterConfig,
+      transformConfig = store.transformConfig))
     new GraftTable(spark, dir, store, cfg)
   }
 }

@@ -1,0 +1,100 @@
+package graft.transforms
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.GraftSchema
+
+/** The engine's user extension point (X1) — the reference's
+  * `ConfigStringIterator` re-expressed at plan level
+  * (reference: java/core/.../iterator/ConfigStringIterator.java:32,
+  * SortedRowIterator.java:35-55, factory IteratorFactory.java:62-99).
+  *
+  * Contract (as documented in the reference's data-processing guide):
+  *  - the transform must preserve sort order on (row keys, sort keys);
+  *  - a table-level transform runs at BOTH compaction and query time, so
+  *    it must be commutative/associative over partial compactions;
+  *  - `requiredValueFields` declares the value columns the transform
+  *    reads, so the engine can prune the read schema to
+  *    (keys ∪ requested ∪ required) even when the transform body is
+  *    opaque (reference: SortedRowIterator.getRequiredValueFields:46-54,
+  *    LeafPartitionQueryExecutor.createSchemaForDataRead:105-131).
+  *
+  * Expressing the hook as DataFrame => DataFrame (instead of a row
+  * iterator) lets Catalyst see through well-behaved transforms — filters
+  * still push to parquet, columns still prune — while `mapPartitions`
+  * inside a transform remains the escape hatch for row-level logic.
+  */
+trait SortedRowTransform extends Serializable {
+  /** Called once with the config-string payload and the table schema. */
+  def init(config: String, schema: GraftSchema): Unit = {}
+  def apply(df: DataFrame): DataFrame
+  /** Value fields this transform reads; keys are always available. */
+  def requiredValueFields: Seq[String] = Nil
+}
+
+/** Builds transforms from config strings of the form
+  * `fully.qualified.ClassName` or `fully.qualified.ClassName{config}` —
+  * the reference's class-name + config-string convention
+  * (`sleeper.table.iterator.class.name` / `queryTimeIteratorClassName`,
+  * IteratorFactory.java:62-99).
+  */
+object TransformFactory {
+
+  private val spec = """([\w.$]+)(?:\{(.*)\})?""".r
+
+  def create(specStr: String, schema: GraftSchema): SortedRowTransform = specStr.trim match {
+    case spec(className, config) =>
+      val t = Class.forName(className).getDeclaredConstructor()
+        .newInstance().asInstanceOf[SortedRowTransform]
+      t.init(Option(config).getOrElse(""), schema)
+      t
+    case other => throw new IllegalArgumentException(s"bad transform spec: '$other'")
+  }
+
+  def parse(specStr: String, schema: GraftSchema): Option[SortedRowTransform] =
+    if (specStr == null || specStr.trim.isEmpty) None else Some(create(specStr, schema))
+}
+
+/** Example transform mirroring the reference's example iterator: keep a
+  * row iff its visibility field is empty/null or within the caller's
+  * authorizations (reference: SecurityFilteringIterator.java:36-75).
+  * Config: `field,auth1|auth2|...`.
+  */
+final class SecurityFilter extends SortedRowTransform {
+  private var field: String = _
+  private var auths: Seq[String] = Nil
+
+  override def init(config: String, schema: GraftSchema): Unit = {
+    val parts = config.split(",", 2)
+    require(parts.length == 2, s"SecurityFilter config must be 'field,auth|auth': $config")
+    field = parts(0).trim
+    schema.field(field) // validates existence
+    auths = parts(1).split("\\|").map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  override def apply(df: DataFrame): DataFrame =
+    df.filter(col(field).isNull || col(field) === "" || col(field).isin(auths: _*))
+
+  override def requiredValueFields: Seq[String] = Seq(field)
+}
+
+/** Example value-capping transform (config: `field,maxValue`) — the kind
+  * of per-row rewrite users plug in; preserves sort order by touching
+  * only a value column.
+  */
+final class CapValue extends SortedRowTransform {
+  private var field: String = _
+  private var max: Long = _
+
+  override def init(config: String, schema: GraftSchema): Unit = {
+    val parts = config.split(",", 2)
+    require(parts.length == 2, s"CapValue config must be 'field,max': $config")
+    field = parts(0).trim
+    max = parts(1).trim.toLong
+  }
+
+  override def apply(df: DataFrame): DataFrame =
+    df.withColumn(field, least(col(field), lit(max)))
+
+  override def requiredValueFields: Seq[String] = Seq(field)
+}
