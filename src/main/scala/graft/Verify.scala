@@ -25,10 +25,13 @@ object Verify {
   } + "\""
 
   /** Run `body` bounded by `timeoutSec`; cancel the named job group and
-    * return false on timeout or failure.
+    * return false on timeout or failure. On timeout the query's partial
+    * output dir is deleted (a half-written parquet dir must not score),
+    * and a worker stuck in non-interruptible code is reported — it may
+    * keep using the shared session, which can distort later timings.
     */
-  private[graft] def runBounded(spark: SparkSession, name: String, timeoutSec: Long)(
-      body: => Unit): Boolean = {
+  private[graft] def runBounded(spark: SparkSession, name: String, timeoutSec: Long,
+      partialDir: Option[String] = None)(body: => Unit): Boolean = {
     val sc = spark.sparkContext
     val pool = Executors.newSingleThreadExecutor()
     val fut = pool.submit(new Runnable {
@@ -43,6 +46,17 @@ object Verify {
         System.err.println(s"[verify] $name TIMEOUT after ${timeoutSec}s — cancelling")
         sc.cancelJobGroup(name)
         fut.cancel(true)
+        pool.shutdownNow()
+        if (!pool.awaitTermination(10, TimeUnit.SECONDS))
+          System.err.println(s"[verify] $name worker did not die (non-interruptible code); " +
+            "zombie thread may still hold the session")
+        partialDir.foreach { d =>
+          val p = Paths.get(d)
+          if (Files.exists(p)) {
+            import scala.jdk.CollectionConverters._
+            Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+          }
+        }
         false
       case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getCause match {
@@ -71,7 +85,7 @@ object Verify {
 
     SparkEntry.queries.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
-      val ok = runBounded(spark, name, timeoutSec) {
+      val ok = runBounded(spark, name, timeoutSec, Some(s"$outDir/$name")) {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       }
       val secs = (System.nanoTime() - t0) / 1e9

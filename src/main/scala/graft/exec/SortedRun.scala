@@ -34,13 +34,16 @@ final case class RunSpec(
     schema: GraftSchema,
     /** names of the emitted columns, in emission order (keys need not be included) */
     output: Seq[String],
-    /** region clip applied per row (leaf region ∩ query regions) */
+    /** region clip applied per row (the leaf's own region) */
     clip: Option[Region],
     /** table aggregation config ("" = none) — see ConfigDsl */
     aggregationConfig: String,
     /** table filter config ("" = none) */
     filterConfig: String,
-    nowMs: Long)
+    nowMs: Long,
+    /** query regions (ORed) — pushed into the parquet row-group filter
+      * and applied per row; empty = unconstrained */
+    queryRegions: Seq[Region] = Nil)
 
 object SortedRun {
 
@@ -73,17 +76,27 @@ object SortedRun {
     val readFields: Seq[GraftField] = keyFields ++ neededValues
     val readIndex: Map[String, Int] = readFields.map(_.name).zipWithIndex.toMap
 
-    val readers = spec.paths.map(p => new GroupRowIterator(p, readFields)).filter { r =>
+    val leafPred = spec.clip.flatMap(parquetFilter(_, readFields))
+    val queryPred = spec.queryRegions.flatMap(parquetFilter(_, readFields))
+      .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.or)
+    val pushed = (leafPred, queryPred) match {
+      case (Some(a), Some(b)) => Some(org.apache.parquet.filter2.predicate.FilterApi.and(a, b))
+      case (a, b) => a.orElse(b)
+    }
+    val readers = spec.paths.map(p => new GroupRowIterator(p, readFields, pushed)).filter { r =>
       if (r.hasNext) true else { r.close(); false }
     }
     val merged = mergeSorted(readers, keyFields)
 
-    val clipped = spec.clip match {
-      case Some(region) =>
-        val tests = region.ranges.toArray.flatMap(boundTest(_, readFields, readIndex))
-        if (tests.isEmpty) merged else merged.filter(row => tests.forall(_(row)))
-      case None => merged
-    }
+    val leafTests = spec.clip.toSeq.flatMap(_.ranges.flatMap(boundTest(_, readFields, readIndex)))
+    val regionTests = spec.queryRegions.map(r =>
+      r.ranges.toArray.flatMap(boundTest(_, readFields, readIndex)))
+    val clipped =
+      if (leafTests.isEmpty && regionTests.isEmpty) merged
+      else merged.filter { row =>
+        leafTests.forall(_(row)) &&
+          (regionTests.isEmpty || regionTests.exists(_.forall(_(row))))
+      }
 
     val filtered = filterSpec match {
       case Some(ConfigDsl.AgeOff(field, maxAgeMs)) =>
@@ -110,6 +123,48 @@ object SortedRun {
       }
       new GenericInternalRow(out)
     }
+  }
+
+  /** The clip region as a parquet FilterPredicate, so the reader skips
+    * whole row groups (and pages) whose column stats fall outside the
+    * region — the reference's point-lookup mechanics
+    * (RangeQueryUtils.getFilterPredicateMultidimensionalKey:48-150;
+    * ~one page per column touched for a point query,
+    * docs/design.md:73-82). The row-level clip below still applies —
+    * this is purely an IO eliminator.
+    */
+  private def parquetFilter(region: Region,
+      fields: Seq[GraftField]): Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.FilterApi
+    import org.apache.parquet.io.api.Binary
+    val preds = region.ranges.flatMap { r =>
+      val c = r.canonical
+      val dt = fields.find(_.name == r.field).map(_.dataType)
+      dt.toSeq.flatMap {
+        case IntegerType =>
+          val col = FilterApi.intColumn(r.field)
+          def asInt(v: Any) = v match { case i: Int => i; case l: Long => l.toInt }
+          c.min.map(v => FilterApi.gtEq(col, Int.box(asInt(v)))) ++
+            c.max.map(v => FilterApi.lt(col, Int.box(asInt(v))))
+        case LongType =>
+          val col = FilterApi.longColumn(r.field)
+          def asLong(v: Any) = v match { case l: Long => l; case i: Int => i.toLong }
+          c.min.map(v => FilterApi.gtEq(col, Long.box(asLong(v)))) ++
+            c.max.map(v => FilterApi.lt(col, Long.box(asLong(v))))
+        case StringType =>
+          val col = FilterApi.binaryColumn(r.field)
+          c.min.map(v => FilterApi.gtEq(col, Binary.fromString(v.asInstanceOf[String]))) ++
+            c.max.map(v => FilterApi.lt(col, Binary.fromString(v.asInstanceOf[String])))
+        case BinaryType =>
+          val col = FilterApi.binaryColumn(r.field)
+          c.min.map(v =>
+            FilterApi.gtEq(col, Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))) ++
+            c.max.map(v =>
+              FilterApi.lt(col, Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]])))
+        case _ => Nil
+      }
+    }
+    preds.reduceOption(FilterApi.and)
   }
 
   /** Per-range row predicate over internal values (canonical bounds). */
@@ -360,7 +415,8 @@ private[graft] object SortedRunAccess {
   * the graft type system (4 primitives + one-level list/map — the
   * reference's exact type surface, StructTypeFactory.java:54-73).
   */
-private[graft] final class GroupRowIterator(path: String, fields: Seq[GraftField])
+private[graft] final class GroupRowIterator(path: String, fields: Seq[GraftField],
+    filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
   extends Iterator[InternalRow] with AutoCloseable {
 
   private val conf = new Configuration()
@@ -381,8 +437,12 @@ private[graft] final class GroupRowIterator(path: String, fields: Seq[GraftField
 
   conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
 
-  private val reader: ParquetReader[Group] =
-    ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf).build()
+  private val reader: ParquetReader[Group] = {
+    val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
+    filter.foreach(f =>
+      b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(f)))
+    b.build()
+  }
 
   private var nextGroup: Group = reader.read()
 

@@ -20,7 +20,12 @@ object VectorOps {
   @inline private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
-  /** Cosine similarity in a single fused pass (dot, |a|, |b| together). */
+  /** Cosine similarity in a single fused pass (dot, |a|, |b| together).
+    * Mismatched lengths compare the common min(len) prefix — documented
+    * truncation (padding with zeros would give the same dot product but a
+    * different norm; callers wanting strictness should validate lengths
+    * upstream).
+    */
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -80,6 +85,20 @@ private[functions] trait VecElemType { self: Expression =>
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  /** Only float/double element arrays are valid — anything else would
+    * read garbage through the typed getters at runtime, so fail analysis.
+    */
+  protected def checkVecTypes(es: Seq[Expression]): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    es.zipWithIndex.collectFirst {
+      case (e, i) if !e.dataType.isInstanceOf[ArrayType] ||
+          !Seq(FloatType, DoubleType).contains(e.dataType.asInstanceOf[ArrayType].elementType) =>
+        TypeCheckFailure(
+          s"argument ${i + 1} of ${self.prettyName} must be array<float> or array<double>, " +
+            s"got ${e.dataType.sql}")
+    }.getOrElse(TypeCheckSuccess)
+  }
 }
 
 /** `cosine_sim(a, b)`: cosine similarity of two numeric arrays
@@ -90,6 +109,8 @@ case class CosineSim(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_sim"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    checkVecTypes(Seq(left, right))
   private lazy val aF = elemIsFloat(left)
   private lazy val bF = elemIsFloat(right)
 
@@ -110,6 +131,8 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "dot_product"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    checkVecTypes(Seq(left, right))
   private lazy val aF = elemIsFloat(left)
   private lazy val bF = elemIsFloat(right)
 
@@ -133,6 +156,8 @@ case class HyperplaneLsh(child: Expression, bits: Int, salt: Long)
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "hyperplane_lsh"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    checkVecTypes(Seq(child))
   private lazy val vF = elemIsFloat(child)
 
   protected override def nullSafeEval(v: Any): Any =

@@ -71,6 +71,20 @@ object LifecycleQueries {
         .orderBy("l_orderkey")
     },
 
+    // M8 — bulk export: the whole table to parquet (each leaf in
+    // parallel through the same merge path queries use), read back and
+    // compared against the plain GROUP BY the table materializes.
+    "m8_export" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val table = lifecycleTable(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft-export").toString
+      table.export(out)
+      s.read.parquet(out).orderBy("l_orderkey")
+    },
+
     // X1 — config-string transform at query time over the lifecycle
     // table: a CapValue{qty,77} transform caps the aggregated quantity,
     // reproduced in the oracle as LEAST over the same grouping.

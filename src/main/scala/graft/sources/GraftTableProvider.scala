@@ -128,7 +128,11 @@ final class GraftScan(dir: String, store: JsonStateStore,
       val paths = refs.map(r => s"$dir/data/${r.physicalPartitionId}/${r.filename}").distinct
       if (paths.isEmpty) None
       else Some(RunSpec(paths, schema, outputNames, Some(leaf.region),
-        store.aggregationConfig, store.filterConfig, System.currentTimeMillis()))
+        store.aggregationConfig, store.filterConfig, System.currentTimeMillis(),
+        // pushed-filter regions reach the parquet row-group filter, so a
+        // point lookup touches ~one page per column even inside the leaf
+        queryRegions = if (regions.exists(_.ranges.forall(r => r.min.isEmpty && r.max.isEmpty)))
+          Nil else regions))
     }.toArray
   }
 
