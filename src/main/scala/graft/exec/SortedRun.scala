@@ -411,111 +411,35 @@ private[graft] object SortedRunAccess {
 }
 
 /** Row-by-row parquet reader for one sorted file, projected to the given
-  * fields, converting parquet example Groups to Catalyst InternalRows for
-  * the graft type system (4 primitives + one-level list/map — the
-  * reference's exact type surface, StructTypeFactory.java:54-73).
+  * fields, materializing Catalyst InternalRows directly (RowReadSupport —
+  * no intermediate Group tree) for the graft type system (4 primitives +
+  * one-level list/map — the reference's exact type surface,
+  * StructTypeFactory.java:54-73).
   */
 private[graft] final class GroupRowIterator(path: String, fields: Seq[GraftField],
     filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
   extends Iterator[InternalRow] with AutoCloseable {
 
-  private val conf = new Configuration()
-  private val hPath = new Path(path)
-
-  // Projection: the file's own MessageType filtered to the needed fields,
-  // so repetition/encoding details always match the file exactly.
-  private val projection: MessageType = {
-    val footer = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
-    val full = try footer.getFooter.getFileMetaData.getSchema finally footer.close()
-    val wanted = fields.map(_.name).toSet
-    val kept = full.getFields.stream().filter(f => wanted.contains(f.getName))
-      .toArray(n => new Array[org.apache.parquet.schema.Type](n))
-    require(kept.length == fields.size,
-      s"file $path missing fields: ${wanted -- kept.map(_.getName)}")
-    new MessageType(full.getName, kept: _*)
-  }
-
-  conf.set(ReadSupport.PARQUET_READ_SCHEMA, projection.toString)
-
-  private val reader: ParquetReader[Group] = {
-    val b = ParquetReader.builder(new GroupReadSupport(), hPath).withConf(conf)
+  private val reader: ParquetReader[InternalRow] = {
+    val b = ParquetReader.builder(new RowReadSupport(fields), new Path(path))
+      .withConf(new Configuration())
     filter.foreach(f =>
       b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(f)))
     b.build()
   }
 
-  private var nextGroup: Group = reader.read()
+  private var nextRow: InternalRow = reader.read()
 
-  override def hasNext: Boolean = nextGroup != null
+  override def hasNext: Boolean = nextRow != null
 
   override def next(): InternalRow = {
-    val g = nextGroup
-    nextGroup = reader.read()
-    if (nextGroup == null) close()
-    groupToRow(g)
+    val r = nextRow
+    nextRow = reader.read()
+    if (nextRow == null) close()
+    r
   }
 
   override def close(): Unit = reader.close()
-
-  private def groupToRow(g: Group): InternalRow = {
-    val out = new Array[Any](fields.size)
-    var i = 0
-    while (i < fields.size) {
-      out(i) = readField(g, fields(i))
-      i += 1
-    }
-    new GenericInternalRow(out)
-  }
-
-  private def readField(g: Group, f: GraftField): Any = {
-    val idx = g.getType.getFieldIndex(f.name)
-    if (g.getFieldRepetitionCount(idx) == 0) return null
-    f.dataType match {
-      case IntegerType => g.getInteger(idx, 0)
-      case LongType => g.getLong(idx, 0)
-      case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-      case BinaryType => g.getBinary(idx, 0).getBytes
-      case ArrayType(et, _) => readList(g.getGroup(idx, 0), et)
-      case MapType(kt, vt, _) => readMap(g.getGroup(idx, 0), kt, vt)
-      case other => throw new IllegalArgumentException(s"unsupported type ${other.sql}")
-    }
-  }
-
-  // Spark writes LIST as: group (LIST) { repeated group list { <elem> element } }
-  private def readList(outer: Group, et: DataType): ArrayData = {
-    val n = outer.getFieldRepetitionCount(0)
-    val out = new Array[Any](n)
-    var i = 0
-    while (i < n) {
-      val e = outer.getGroup(0, i)
-      out(i) = if (e.getFieldRepetitionCount(0) == 0) null else readPrim(e, 0, et)
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
-
-  // Spark writes MAP as: group (MAP) { repeated group key_value { key; value } }
-  private def readMap(outer: Group, kt: DataType, vt: DataType): MapData = {
-    val n = outer.getFieldRepetitionCount(0)
-    val keys = new Array[Any](n)
-    val vals = new Array[Any](n)
-    var i = 0
-    while (i < n) {
-      val kv = outer.getGroup(0, i)
-      keys(i) = readPrim(kv, 0, kt)
-      vals(i) = if (kv.getFieldRepetitionCount(1) == 0) null else readPrim(kv, 1, vt)
-      i += 1
-    }
-    ArrayBasedMapData(keys, vals)
-  }
-
-  private def readPrim(g: Group, idx: Int, dt: DataType): Any = dt match {
-    case IntegerType => g.getInteger(idx, 0)
-    case LongType => g.getLong(idx, 0)
-    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
-    case BinaryType => g.getBinary(idx, 0).getBytes
-    case other => throw new IllegalArgumentException(s"unsupported element type ${other.sql}")
-  }
 }
 
 /** One Spark task per sorted-run merge: partition i streams specs(i).
@@ -539,3 +463,65 @@ final class MergeRDD(
 
 final case class MergeTaskPartition(index: Int, spec: RunSpec)
   extends org.apache.spark.Partition
+
+/** MergeRDD variant that additionally builds the per-file row-key
+  * quantile sketches IN the merge pass — the reference's one-pass model
+  * (sketch updated while the compaction writer streams rows,
+  * JavaCompactionRunner.java:93-103) — instead of a second read of the
+  * written file. Each task writes its serialized sketches to
+  * `<sketchDir>/<partitionIndex>-<keyFieldIndex>.sketch` as its stream
+  * drains; the driver attaches them as the output file's sidecar.
+  */
+final class SketchingMergeRDD(
+    @transient private val sc: org.apache.spark.SparkContext,
+    specs: Seq[RunSpec],
+    sketchDir: String)
+  extends org.apache.spark.rdd.RDD[InternalRow](sc, Nil) {
+
+  override protected def getPartitions: Array[org.apache.spark.Partition] =
+    specs.zipWithIndex.map { case (s, i) => MergeTaskPartition(i, s): org.apache.spark.Partition }.toArray
+
+  override def compute(split: org.apache.spark.Partition,
+      context: org.apache.spark.TaskContext): Iterator[InternalRow] = {
+    val part = split.asInstanceOf[MergeTaskPartition]
+    val spec = part.spec
+    val schema = spec.schema
+    val keyIdx = schema.rowKeyNames.map(spec.output.indexOf).toArray
+    require(keyIdx.forall(_ >= 0), "sketching merge requires row keys in the output")
+    val kinds = schema.rowKeys.map(f => graft.functions.KeySketch.kindOf(f.dataType)).toArray
+    val types = schema.rowKeys.map(_.dataType).toArray
+    val sketches = kinds.map(k => graft.functions.KeySketch.empty(k))
+    val inner = SortedRun.iterator(spec)
+    var written = false
+
+    def flush(): Unit = if (!written) {
+      written = true
+      val dir = java.nio.file.Paths.get(sketchDir)
+      java.nio.file.Files.createDirectories(dir)
+      var f = 0
+      while (f < kinds.length) {
+        val bytes = graft.functions.KeySketch.serialize(kinds(f), sketches(f))
+        java.nio.file.Files.write(dir.resolve(s"${part.index}-$f.sketch"), bytes)
+        f += 1
+      }
+    }
+
+    new Iterator[InternalRow] {
+      override def hasNext: Boolean = {
+        val h = inner.hasNext
+        if (!h) flush()
+        h
+      }
+      override def next(): InternalRow = {
+        val row = inner.next()
+        var f = 0
+        while (f < keyIdx.length) {
+          val v = row.get(keyIdx(f), types(f))
+          if (v != null) sketches(f).update(kinds(f).toItem(v).asInstanceOf[AnyRef])
+          f += 1
+        }
+        row
+      }
+    }
+  }
+}

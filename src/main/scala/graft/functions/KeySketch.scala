@@ -57,7 +57,13 @@ object KeySketch {
   case object StringKind extends Kind {
     type T = String
     val clazz: Class[String] = classOf[String]
-    val comparator: Comparator[String] = Comparator.naturalOrder[String]()
+    // UTF-8 code-point order, NOT naturalOrder (UTF-16): the sketch's
+    // quantile ranking must agree with executor routing or a median
+    // split point could misroute supplementary-plane keys (same bug
+    // class as KeyOrdering.compareUtf8's scaladoc).
+    val comparator: Comparator[String] = new Comparator[String] with Serializable {
+      def compare(a: String, b: String): Int = graft.core.KeyOrdering.compareUtf8(a, b)
+    }
     val serde = new ArrayOfStringsSerDe
     def toItem(v: Any): String = v match {
       case s: String => s

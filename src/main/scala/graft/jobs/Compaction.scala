@@ -116,12 +116,22 @@ final class Compaction(table: GraftTable) {
     val jobId = UUID.randomUUID().toString.take(8)
     table.store.assignJob(jobId, job.partitionId, job.files.map(_.filename))
 
-    val rdd = new graft.exec.MergeRDD(spark.sparkContext,
-      Seq(specFor(job.partitionId, job.files, System.currentTimeMillis())))
+    val sketchDir = s"${table.dir}/.sketch-$jobId"
+    val specs = Seq(specFor(job.partitionId, job.files, System.currentTimeMillis()))
+    // With a custom transform, rows can change between merge and write,
+    // so the one-pass merge sketch would describe the wrong row set —
+    // fall back to sketching the written file.
+    val onePassSketches = table.config.transformConfig.trim.isEmpty
+    val rdd =
+      if (onePassSketches) new graft.exec.SketchingMergeRDD(spark.sparkContext, specs, sketchDir)
+      else new graft.exec.MergeRDD(spark.sparkContext, specs)
     val merged = withTableTransform(org.apache.spark.sql.graft.bridge
       .internalCreateDataFrame(spark, rdd, schema.toStructType))
 
     val (filename, rowCount) = writeSingleFile(merged, job.partitionId, s"compact-$jobId")
+    val outPath = table.filePath(job.partitionId, filename)
+    if (onePassSketches) attachSketches(sketchDir, Seq(0 -> outPath))
+    else writeSketches(Seq(outPath))
     val output = FileReference(filename, job.partitionId, rowCount)
     table.store.replaceFiles(job.partitionId, job.files.map(_.filename), output)
     output
@@ -156,7 +166,11 @@ final class Compaction(table: GraftTable) {
     val leafIds = needsWork.keys.toSeq.sorted
     val specs = leafIds.map(pid => specFor(pid, needsWork(pid), nowMs))
 
-    val rdd = new graft.exec.MergeRDD(spark.sparkContext, specs)
+    val sketchDir = s"${table.dir}/.sketch-$jobId"
+    val onePassSketches = table.config.transformConfig.trim.isEmpty
+    val rdd =
+      if (onePassSketches) new graft.exec.SketchingMergeRDD(spark.sparkContext, specs, sketchDir)
+      else new graft.exec.MergeRDD(spark.sparkContext, specs)
     val merged = withTableTransform(org.apache.spark.sql.graft.bridge
       .internalCreateDataFrame(spark, rdd, schema.toStructType))
 
@@ -166,13 +180,29 @@ final class Compaction(table: GraftTable) {
     merged.write.parquet(tmpDir)
 
     val written = moveFromFlatDir(tmpDir, leafIds, s"compact-$jobId")
-    writeSketches(written.map(_._2))
-    written.foreach { case (pid, path) =>
+    if (onePassSketches) attachSketches(sketchDir, written.map { case (idx, _, path) => idx -> path })
+    else writeSketches(written.map(_._3))
+    written.foreach { case (_, pid, path) =>
       val filename = Paths.get(path).getFileName.toString
       val rowCount = footerRowCount(path)
       table.store.replaceFiles(pid, needsWork(pid).map(_.filename),
         FileReference(filename, pid, rowCount))
     }
+  }
+
+  /** Attach the sketches the merge tasks built (one pass, reference
+    * JavaCompactionRunner:93-103) as each output file's sidecar, then
+    * drop the side-channel dir.
+    */
+  private def attachSketches(sketchDir: String, files: Seq[(Int, String)]): Unit = {
+    val keyNames = schema.rowKeyNames
+    files.foreach { case (idx, path) =>
+      val sketches = keyNames.zipWithIndex.map { case (k, f) =>
+        k -> Files.readAllBytes(Paths.get(sketchDir, s"$idx-$f.sketch"))
+      }
+      SketchSidecar.write(path, sketches)
+    }
+    deleteRecursively(Paths.get(sketchDir))
   }
 
   // -- shared IO helpers --
@@ -190,7 +220,6 @@ final class Compaction(table: GraftTable) {
     val dest = destDir.resolve(filename)
     Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
     deleteRecursively(Paths.get(tmpDir))
-    writeSketches(Seq(dest.toString))
     (filename, footerRowCount(dest.toString))
   }
 
@@ -200,21 +229,22 @@ final class Compaction(table: GraftTable) {
     * leaves simply get no output this round.
     */
   private def moveFromFlatDir(tmpDir: String, leafIds: Seq[String],
-      prefix: String): Seq[(String, String)] = {
+      prefix: String): Seq[(Int, String, String)] = {
     val partNum = "part-(\\d+).*\\.parquet".r
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
     val tmp = Paths.get(tmpDir)
     Files.list(tmp).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-        val pid = f.getFileName.toString match {
-          case partNum(n) => leafIds(n.toInt)
+        val idx = f.getFileName.toString match {
+          case partNum(n) => n.toInt
           case other => throw new IllegalStateException(s"unexpected output file $other")
         }
+        val pid = leafIds(idx)
         val destDir = Paths.get(s"${table.dataDir}/$pid")
         Files.createDirectories(destDir)
         val name = s"$prefix-${UUID.randomUUID().toString.take(8)}.parquet"
         Files.move(f, destDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        out += pid -> s"$destDir/$name"
+        out += ((idx, pid, s"$destDir/$name"))
       }
     deleteRecursively(tmp)
     out.toSeq
