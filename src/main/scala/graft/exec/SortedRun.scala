@@ -60,8 +60,22 @@ object SortedRun {
     case _ => v
   }
 
-  /** The merged, clipped, filtered, aggregated row stream for a spec. */
-  def iterator(spec: RunSpec): Iterator[InternalRow] = {
+  /** The merged, clipped, filtered, aggregated row stream for a spec,
+    * paired with a close() that releases every still-open file reader —
+    * needed when a consumer stops early (LIMIT / cancelled task).
+    */
+  def open(spec: RunSpec): (Iterator[InternalRow], () => Unit) = {
+    val (it, readers) = build(spec)
+    (it, () => readers.foreach(r => try r.close() catch { case _: Exception => () }))
+  }
+
+  /** The merged, clipped, filtered, aggregated row stream for a spec.
+    * Readers self-close when drained; use [[open]] when the consumer may
+    * stop early.
+    */
+  def iterator(spec: RunSpec): Iterator[InternalRow] = build(spec)._1
+
+  private def build(spec: RunSpec): (Iterator[InternalRow], Seq[GroupRowIterator]) = {
     val schema = spec.schema
     val keyFields = schema.keyFields
     val filterSpec = ConfigDsl.parseFilter(spec.filterConfig, schema)
@@ -112,17 +126,19 @@ object SortedRun {
 
     // Projection to the requested output columns.
     val outIdx = spec.output.map(readIndex).toArray
-    if (outIdx.toSeq == readFields.indices.toSeq) aggregated
-    else aggregated.map { row =>
-      val out = new Array[Any](outIdx.length)
-      var i = 0
-      while (i < outIdx.length) {
-        out(i) = if (row.isNullAt(outIdx(i))) null
-          else row.get(outIdx(i), readFields(outIdx(i)).dataType)
-        i += 1
+    val projected =
+      if (outIdx.toSeq == readFields.indices.toSeq) aggregated
+      else aggregated.map { row =>
+        val out = new Array[Any](outIdx.length)
+        var i = 0
+        while (i < outIdx.length) {
+          out(i) = if (row.isNullAt(outIdx(i))) null
+            else row.get(outIdx(i), readFields(outIdx(i)).dataType)
+          i += 1
+        }
+        new GenericInternalRow(out)
       }
-      new GenericInternalRow(out)
-    }
+    (projected, readers)
   }
 
   /** The clip region as a parquet FilterPredicate, so the reader skips
@@ -457,8 +473,11 @@ final class MergeRDD(
     specs.zipWithIndex.map { case (s, i) => MergeTaskPartition(i, s): org.apache.spark.Partition }.toArray
 
   override def compute(split: org.apache.spark.Partition,
-      context: org.apache.spark.TaskContext): Iterator[InternalRow] =
-    SortedRun.iterator(split.asInstanceOf[MergeTaskPartition].spec)
+      context: org.apache.spark.TaskContext): Iterator[InternalRow] = {
+    val (it, close) = SortedRun.open(split.asInstanceOf[MergeTaskPartition].spec)
+    context.addTaskCompletionListener[Unit](_ => close())
+    it
+  }
 }
 
 final case class MergeTaskPartition(index: Int, spec: RunSpec)
@@ -491,7 +510,8 @@ final class SketchingMergeRDD(
     val kinds = schema.rowKeys.map(f => graft.functions.KeySketch.kindOf(f.dataType)).toArray
     val types = schema.rowKeys.map(_.dataType).toArray
     val sketches = kinds.map(k => graft.functions.KeySketch.empty(k))
-    val inner = SortedRun.iterator(spec)
+    val (inner, close) = SortedRun.open(spec)
+    context.addTaskCompletionListener[Unit](_ => close())
     var written = false
 
     def flush(): Unit = if (!written) {

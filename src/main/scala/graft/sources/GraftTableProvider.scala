@@ -159,13 +159,14 @@ final case class GraftInputPartition(spec: RunSpec) extends InputPartition
 
 final class GraftReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val it = SortedRun.iterator(partition.asInstanceOf[GraftInputPartition].spec)
+    val (it, closeAll) = SortedRun.open(partition.asInstanceOf[GraftInputPartition].spec)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
         if (it.hasNext) { current = it.next(); true } else false
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      // releases file readers left open by an early stop (LIMIT etc.)
+      override def close(): Unit = closeAll()
     }
   }
 }
