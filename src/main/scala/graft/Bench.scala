@@ -18,6 +18,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (codegen paths, parquet footer/readers, shuffle
+    // machinery) so the first measured query isn't charged for it.
+    Verify.runBounded(spark, "warmup", timeoutSec) {
+      spark.range(1000000).selectExpr("sum(id)").count()
+      graft.Tables(spark, sfDir, "lineitem").limit(1000).count()
+      graft.Tables(spark, sfDir, "documents").limit(100).count()
+      ()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok = Verify.runBounded(spark, name, timeoutSec) { fn(spark, sfDir).count(): Unit }

@@ -42,6 +42,11 @@ object VectorQueries {
     // are LCG-derived plain-integer arithmetic (VectorOps.weight), so the
     // DuckDB oracle reproduces the exact buckets and candidate set —
     // the same playbook as v3 below, here with bits=12, tables=4.
+    // KNOWN ASSUMPTION (here and v3): both engines must agree on the sign
+    // of every hyperplane projection; the summation orders differ, so a
+    // projection within an ulp of zero could in principle bucket
+    // differently. Weights are ±1000-scale integers against ~unit floats,
+    // making a near-zero 64-term sum vanishingly unlikely; accepted.
     "v2_knn_lsh" -> withOracle(
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev

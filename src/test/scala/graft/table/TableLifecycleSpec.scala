@@ -203,4 +203,30 @@ class TableLifecycleSpec extends AnyFunSuite {
     table.export(out)
     assert(spark.read.parquet(out).count() == 1)
   }
+
+  test("two-dimensional row keys: region clip, splitting, and DSv2 pushdown") {
+    val schema2 = GraftSchema(
+      rowKeys = Seq(GraftField("x", LongType), GraftField("y", StringType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("v", LongType)))
+    val table = GraftTable.create(spark, tmp(), schema2,
+      config = TableConfig(splitThreshold = 10))
+    val rows = for (x <- 0L until 10L; y <- Seq("a", "b", "c")) yield (x, y, x * 10)
+    table.ingest(rows.toDF("x", "y", "v"))
+
+    val q = GraftQuery.forRegions(
+      Region(KeyRange.minMax("x", 2L, 5L), KeyRange.exact("y", "b")))
+    val got = table.query(q).select("x", "y").as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "b"), (3L, "b"), (4L, "b")))
+
+    // 30 rows > threshold → sketch-median splits; data stays complete
+    assert(table.splitPartitions().nonEmpty)
+    assert(table.toDF.count() == 30)
+    assert(table.query(q).select("x", "y").as[(Long, String)].collect().toSet == got)
+
+    // DSv2 with conjunct pushdown on both dimensions
+    spark.read.format("graft").load(table.dir).createOrReplaceTempView("md_t")
+    val sql = spark.sql("SELECT v FROM md_t WHERE x = 7 AND y = 'c'")
+    assert(sql.as[Long].collect().toSeq == Seq(70L))
+  }
 }
