@@ -82,10 +82,7 @@ object Dedup {
     // inverted index degenerates to Σ df² join rows; a bitset mask per
     // doc beats it by orders of magnitude there. Large vocabularies take
     // the classic inverted-index path below.
-    val stats = sh.agg(approx_count_distinct(col("shingle")).as("v"),
-      approx_count_distinct(col("id")).as("d")).head()
-    if (stats.getLong(0) <= BitsetVocabLimit * 9L / 10 && stats.getLong(1) <= BitsetDocLimit)
-      return bitsetJaccardPairs(sh, threshold)
+    if (isDense(sh)) return bitsetJaccardPairs(sh, threshold)
 
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val index =
@@ -140,12 +137,60 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    candidates
-      .join(withSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(withSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(candidates, withSets, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs, adaptive like
+    * [[ngramJaccardPairs]]: dense vocabularies verify via dictionary
+    * bitset masks (AND+popcount per pair — a dense corpus also produces
+    * the most candidates, where per-pair `array_intersect` hashing is
+    * ruinous); sparse ones join the shingle arrays directly.
+    */
+  private def verifyJaccard(candidates: DataFrame, withSets: DataFrame,
+      threshold: Double): DataFrame = {
+    val sh = withSets.select(col("id"), explode(col("sh")).as("shingle"))
+    if (isDense(sh)) {
+      import graft.functions.BitsetExpressions._
+      val masks = bitsetMasks(sh)
+      candidates
+        .join(masks.select(col("id").as("id_a"), col("sz").as("sz_a"), col("mask").as("m_a")), "id_a")
+        .join(masks.select(col("id").as("id_b"), col("sz").as("sz_b"), col("mask").as("m_b")), "id_b")
+        .withColumn("inter", bitset_intersect_count(col("m_a"), col("m_b")))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    } else {
+      candidates
+        .join(withSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(withSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+        .filter(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+    }
+  }
+
+  private def isDense(sh: DataFrame): Boolean = {
+    val stats = sh.agg(approx_count_distinct(col("shingle")).as("v"),
+      approx_count_distinct(col("id")).as("d")).head()
+    stats.getLong(0) <= BitsetVocabLimit * 9L / 10 && stats.getLong(1) <= BitsetDocLimit
+  }
+
+  /** Per-doc (id, set size, bitset mask) over dictionary-encoded
+    * shingles; shared by the dense-corpus strategies.
+    */
+  private def bitsetMasks(sh: DataFrame): DataFrame = {
+    import graft.functions.BitsetExpressions._
+    val dict = sh.select("shingle").distinct()
+      .withColumn("sid",
+        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("shingle")) - 1)
+          .cast("int"))
+    val vocab = dict.count().toInt
+    val numWords = math.max((vocab + 63) / 64, 1)
+    sh.join(broadcast(dict), "shingle")
+      .groupBy("id").agg(collect_list(col("sid")).as("sids"))
+      .select(col("id"), size(col("sids")).as("sz"),
+        bitset_from_indices(col("sids"), numWords).as("mask"))
   }
 
   /** Dense-corpus exact Jaccard: dictionary-encode shingles to int ids,
@@ -156,16 +201,7 @@ object Dedup {
     */
   private def bitsetJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
     import graft.functions.BitsetExpressions._
-    val dict = sh.select("shingle").distinct()
-      .withColumn("sid",
-        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("shingle")) - 1)
-          .cast("int"))
-    val vocab = dict.count().toInt
-    val numWords = math.max((vocab + 63) / 64, 1)
-    val masks = sh.join(broadcast(dict), "shingle")
-      .groupBy("id").agg(collect_list(col("sid")).as("sids"))
-      .select(col("id"), size(col("sids")).as("sz"),
-        bitset_from_indices(col("sids"), numWords).as("mask"))
+    val masks = bitsetMasks(sh)
     masks.as("a").join(broadcast(masks.as("b")), col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bitset_intersect_count(col("a.mask"), col("b.mask")).as("inter"),
