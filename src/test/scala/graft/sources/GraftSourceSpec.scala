@@ -132,6 +132,18 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(sorted.count() == 2)
   }
 
+  test("persistent ageOff filter applies on the DSv2 read") {
+    val dir = tmp()
+    val now = System.currentTimeMillis()
+    val table = GraftTable.create(spark, dir, schema,
+      config = TableConfig(filterConfig = "ageOff(ts,3600000)")) // keep < 1h old
+    table.ingest(batch(
+      ("fresh", now - 1000L, 1L, Map.empty[String, Long]),
+      ("stale", now - 7200000L, 2L, Map.empty[String, Long])))
+    val got = spark.read.format("graft").load(dir).select("key").as[String].collect().toSeq
+    assert(got == Seq("fresh"))
+  }
+
   test("column pruning reaches the reader (narrow read schema)") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema, splitPoints = Nil)
