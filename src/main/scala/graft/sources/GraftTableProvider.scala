@@ -2,12 +2,13 @@ package graft.sources
 
 import java.util.{Map => JMap}
 import scala.collection.mutable
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.core.{GraftSchema, KeyOrdering, KeyRange, PartitionTree, Region}
@@ -51,7 +52,7 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 }
 
-final class GraftBatchTable(dir: String) extends Table with SupportsRead {
+final class GraftBatchTable(dir: String) extends Table with SupportsRead with SupportsWrite {
 
   // Snapshot the state store once per table resolution.
   private[sources] val store = JsonStateStore.load(s"$dir/meta")
@@ -59,10 +60,31 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead {
   override def name(): String = s"graft.`$dir`"
   override def schema(): StructType = store.schema.toStructType
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(dir, store)
+
+  /** Appends run the normal bulk-ingest dataflow (partition-tag →
+    * shuffle-by-leaf → sorted files + sketches → state-store commit) via
+    * the V1 write bridge, so `df.write.format("graft").mode("append")`
+    * and SQL `INSERT INTO` land data exactly like `GraftTable.ingest`.
+    * The table is an LSM log — overwrite is not a meaningful operation
+    * and is rejected.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): V1Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
+            require(!overwrite,
+              "graft tables are append-only (LSM); use compaction/GC to rewrite data")
+            graft.table.GraftTable.load(data.sparkSession, dir).ingest(data)
+            ()
+          }
+      }
+    }
 }
 
 final class GraftScanBuilder(dir: String, store: JsonStateStore)

@@ -132,6 +132,26 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(sorted.count() == 2)
   }
 
+  test("DSv2 append write runs the ingest dataflow; overwrite is rejected") {
+    val dir = tmp()
+    GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
+    batch(("ant", 1L, 1L, Map("a" -> 1L)), ("yak", 1L, 2L, Map.empty[String, Long]))
+      .write.format("graft").mode("append").save(dir)
+    val table = GraftTable.load(spark, dir)
+    assert(table.store.fileReferences.map(_.partitionId).distinct.size == 2)
+    assert(table.toDF.select("key").as[String].collect().toSet == Set("ant", "yak"))
+
+    // SQL INSERT INTO through a view lands the same way
+    spark.read.format("graft").load(dir).createOrReplaceTempView("w_t")
+    spark.sql("INSERT INTO w_t VALUES ('mid', 2, 7, map('k', CAST(9 AS BIGINT)))")
+    assert(GraftTable.load(spark, dir).toDF.count() == 3)
+
+    intercept[Exception] {
+      batch(("x", 1L, 1L, Map.empty[String, Long]))
+        .write.format("graft").mode("overwrite").save(dir)
+    }
+  }
+
   test("persistent ageOff filter applies on the DSv2 read") {
     val dir = tmp()
     val now = System.currentTimeMillis()
