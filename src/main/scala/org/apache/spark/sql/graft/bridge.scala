@@ -15,6 +15,19 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Register expression builders into a live session's function
+    * registry (the same triples SparkSessionExtensions.injectFunction
+    * takes) — sessionState is private[sql], hence the bridge.
+    */
+  def registerFunctions(spark: SparkSession,
+      fns: Seq[(org.apache.spark.sql.catalyst.FunctionIdentifier,
+        org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+        Seq[Expression] => Expression)]): Unit = {
+    val registry = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    fns.foreach { case (id, info, builder) => registry.registerFunction(id, info, builder) }
+  }
+
   /** A DataFrame over an RDD of InternalRow without a row-conversion pass
     * (the private internalCreateDataFrame); used to hand the sorted-merge
     * compaction stream straight to the parquet writer.
