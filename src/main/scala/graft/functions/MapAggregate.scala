@@ -1,6 +1,6 @@
 package graft.functions
 
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream, ObjectInputStream, ObjectOutputStream}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -120,21 +120,57 @@ case class MapMergeAgg(
       sorted.map(e => toInternal(e._2)).toArray)
   }
 
+  // Typed buffer codec: key/value types are known from the map type, so
+  // entries encode as raw primitives/length-prefixed bytes — ~10x less
+  // per-entry cost than ObjectOutputStream and no reflective readObject.
+  private def writeVal(out: java.io.DataOutputStream, dt: DataType, v: Any): Unit = dt match {
+    case IntegerType => out.writeInt(v.asInstanceOf[Int])
+    case LongType => out.writeLong(v.asInstanceOf[Long])
+    case StringType =>
+      val b = v.asInstanceOf[String].getBytes("UTF-8")
+      out.writeInt(b.length); out.write(b)
+    case BinaryType =>
+      val b = v match {
+        case a: scala.collection.immutable.ArraySeq.ofByte => a.unsafeArray
+        case a: Array[Byte] => a
+      }
+      out.writeInt(b.length); out.write(b)
+    case other => throw new IllegalArgumentException(s"unsupported map entry type ${other.sql}")
+  }
+
+  private def readVal(in: java.io.DataInputStream, dt: DataType, asKey: Boolean): Any = dt match {
+    case IntegerType => in.readInt()
+    case LongType => in.readLong()
+    case StringType =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b); new String(b, "UTF-8")
+    case BinaryType =>
+      val b = new Array[Byte](in.readInt()); in.readFully(b)
+      if (asKey) scala.collection.immutable.ArraySeq.unsafeWrapArray(b) else b
+    case other => throw new IllegalArgumentException(s"unsupported map entry type ${other.sql}")
+  }
+
   override def serialize(buf: mutable.LinkedHashMap[Any, Any]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new ObjectOutputStream(bos)
+    val bos = new ByteArrayOutputStream(64)
+    val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (k, v) => out.writeObject(k); out.writeObject(v) }
-    out.close()
+    buf.foreach { case (k, v) =>
+      writeVal(out, mapType.keyType, k)
+      writeVal(out, mapType.valueType, v)
+    }
+    out.flush()
     bos.toByteArray
   }
 
   override def deserialize(bytes: Array[Byte]): mutable.LinkedHashMap[Any, Any] = {
-    val in = new ObjectInputStream(new ByteArrayInputStream(bytes))
+    val in = new java.io.DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val buf = mutable.LinkedHashMap.empty[Any, Any]
+    val buf = new mutable.LinkedHashMap[Any, Any]
     var i = 0
-    while (i < n) { buf.update(in.readObject(), in.readObject()); i += 1 }
+    while (i < n) {
+      val k = readVal(in, mapType.keyType, asKey = true)
+      buf.update(k, readVal(in, mapType.valueType, asKey = false))
+      i += 1
+    }
     buf
   }
 

@@ -204,6 +204,24 @@ class TableLifecycleSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 1)
   }
 
+  test("compaction of a fully aged-off partition commits an empty output (no loop)") {
+    val s2 = GraftSchema(
+      rowKeys = Seq(GraftField("k", StringType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("ts", LongType)))
+    val table = GraftTable.create(spark, tmp(), s2,
+      config = TableConfig(filterConfig = "ageOff(ts,1000)"))
+    table.ingest(Seq(("a", 5L), ("b", 6L)).toDF("k", "ts")) // ancient → all filtered
+    table.ingest(Seq(("c", 7L)).toDF("k", "ts"))
+    table.compactAll()
+    val refs = table.store.fileReferences
+    assert(refs.size == 1 && refs.head.rowCount == 0, s"refs=$refs")
+    assert(table.toDF.count() == 0)
+    // and it doesn't look like pending work next cycle
+    table.compactAll()
+    assert(table.store.fileReferences.size == 1)
+  }
+
   test("two-dimensional row keys: region clip, splitting, and DSv2 pushdown") {
     val schema2 = GraftSchema(
       rowKeys = Seq(GraftField("x", LongType), GraftField("y", StringType)),
