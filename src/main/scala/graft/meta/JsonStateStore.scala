@@ -31,7 +31,11 @@ class JsonStateStore private (
   override protected def commit(t: PartitionTree, r: Vector[FileReference],
       g: Vector[(String, Long)]): Unit = {
     val next = version + 1
-    val tmp = dir.resolve(s".state-v$next.json.tmp")
+    // tmp name must be writer-unique: with a shared name, a concurrent
+    // writer could overwrite this writer's staged content before the
+    // link lands (silent wrong-content commit) or delete it from under
+    // the link (NoSuchFileException) — caught by the stress test.
+    val tmp = dir.resolve(s".state-v$next.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val target = dir.resolve(s"state-v$next.json")
     Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(
       toJson(schema, t, r, g, aggregationConfig, filterConfig, transformConfig))))

@@ -95,17 +95,38 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
   protected def commit(t: PartitionTree, r: Vector[FileReference],
       g: Vector[(String, Long)]): Unit = { tree = t; refs = r; gcQueue = g }
 
-  override def addFiles(newRefs: Seq[FileReference]): Unit = synchronized {
+  /** Lost-CAS auto-retry, the reference's transaction-log model: a losing
+    * writer's store reloads disk truth (JsonStateStore.commit), then the
+    * whole mutation — preconditions included — re-runs against the fresh
+    * state. Conflicting-by-content transactions (e.g. both compacted the
+    * same files) surface as the precondition's IllegalArgumentException,
+    * not as a transient conflict.
+    */
+  protected def withRetry[T](body: => T): T = {
+    val attempts = 20
+    var i = 1
+    while (i < attempts) {
+      try return body
+      catch {
+        case _: ConcurrentStateException =>
+          Thread.sleep(i.toLong) // linear backoff under contention
+          i += 1
+      }
+    }
+    body
+  }
+
+  override def addFiles(newRefs: Seq[FileReference]): Unit = withRetry { synchronized {
     newRefs.foreach { r =>
       require(tree.partitions.exists(_.id == r.partitionId), s"unknown partition ${r.partitionId}")
       require(!refs.exists(e => e.filename == r.filename && e.partitionId == r.partitionId),
         s"${r.filename} already referenced in ${r.partitionId}")
     }
     commit(tree, refs ++ newRefs, gcQueue)
-  }
+  }}
 
   override def replaceFiles(partitionId: String, inputs: Seq[String], output: FileReference,
-      nowMs: Long): Unit = synchronized {
+      nowMs: Long): Unit = withRetry { synchronized {
     require(output.partitionId == partitionId, "output must belong to the compacted partition")
     inputs.foreach { f =>
       require(refs.exists(r => r.filename == f && r.partitionId == partitionId),
@@ -114,14 +135,14 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
     val remaining = refs.filterNot(r => r.partitionId == partitionId && inputs.contains(r.filename))
     val orphaned = inputs.filterNot(f => remaining.exists(_.filename == f))
     commit(tree, remaining :+ output, gcQueue ++ orphaned.map(_ -> nowMs))
-  }
+  }}
 
   override def splitPartition(parentId: String, dimension: Int, splitPoint: Any,
-      leftId: String, rightId: String): Unit = synchronized {
+      leftId: String, rightId: String): Unit = withRetry { synchronized {
     commit(tree.addSplit(parentId, dimension, splitPoint, leftId, rightId), refs, gcQueue)
-  }
+  }}
 
-  override def splitFileReferences(): Int = synchronized {
+  override def splitFileReferences(): Int = withRetry { synchronized {
     val nonLeaf = refs.filter(r => !tree(r.partitionId).isLeaf)
     var next = refs
     nonLeaf.foreach { r =>
@@ -132,10 +153,10 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
     }
     if (nonLeaf.nonEmpty) commit(tree, next, gcQueue)
     nonLeaf.size
-  }
+  }}
 
   override def assignJob(jobId: String, partitionId: String, filenames: Seq[String]): Unit =
-    synchronized {
+    withRetry { synchronized {
       filenames.foreach { f =>
         val r = refs.find(r => r.filename == f && r.partitionId == partitionId)
           .getOrElse(throw new IllegalArgumentException(s"$f not referenced in $partitionId"))
@@ -146,9 +167,9 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
           r.copy(jobId = Some(jobId))
         else r
       }, gcQueue)
-    }
+    }}
 
-  override def removeGCFiles(filenames: Seq[String]): Unit = synchronized {
+  override def removeGCFiles(filenames: Seq[String]): Unit = withRetry { synchronized {
     commit(tree, refs, gcQueue.filterNot { case (f, _) => filenames.contains(f) })
-  }
+  }}
 }

@@ -93,41 +93,57 @@ class StateStoreSpec extends AnyFunSuite {
     assert(loaded.currentVersion == s.currentVersion + 1)
   }
 
-  test("racing writers: loser throws ConcurrentStateException, reloads disk truth, can retry") {
+  test("racing writers: the loser auto-retries on refreshed state; no transaction is lost") {
     val dir = Files.createTempDirectory("graft-race").toString
     val a = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
     val b = JsonStateStore.load(dir)
     val Seq(l, r) = a.partitionTree.leaves.map(_.id).sorted
 
     a.addFiles(Seq(FileReference("from-a", l, 10))) // a wins v2
-    val e = intercept[ConcurrentStateException](
-      b.addFiles(Seq(FileReference("from-b", r, 20)))) // b loses the CAS on v2
-    assert(e.getMessage.contains("lost CAS"))
+    b.addFiles(Seq(FileReference("from-b", r, 20))) // b loses the CAS on v2, retries onto v3
 
-    // a's committed transaction must not be lost, and b must now see it.
-    assert(b.fileReferences.map(_.filename) == Seq("from-a"))
-    assert(b.currentVersion == a.currentVersion)
-
-    // retry on refreshed state succeeds and lands on v3.
-    b.addFiles(Seq(FileReference("from-b", r, 20)))
     assert(b.fileReferences.map(_.filename).toSet == Set("from-a", "from-b"))
+    assert(b.currentVersion == 3)
     val reread = JsonStateStore.load(dir)
     assert(reread.fileReferences.map(_.filename).toSet == Set("from-a", "from-b"))
   }
 
-  test("lost CAS leaves in-memory state consistent (no permanent divergence)") {
+  test("content-conflicting transactions surface as precondition failures, not silent loss") {
     val dir = Files.createTempDirectory("graft-race2").toString
     val a = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
     val b = JsonStateStore.load(dir)
     val Seq(l, _) = a.partitionTree.leaves.map(_.id).sorted
     a.addFiles(Seq(FileReference("f1", l, 100), FileReference("f2", l, 50)))
-    intercept[ConcurrentStateException](
-      b.addFiles(Seq(FileReference("f1", l, 100), FileReference("f2", l, 50)))) // loses, reloads
-    // after reload b sees a's identical commit; a duplicate retry is rejected…
-    intercept[IllegalArgumentException](b.addFiles(Seq(FileReference("f1", l, 100))))
-    // …and a compaction commit through b works first try.
+    // b tries to commit the SAME filenames: the lost CAS reloads disk
+    // truth and the retried precondition rejects the duplicates.
+    intercept[IllegalArgumentException](
+      b.addFiles(Seq(FileReference("f1", l, 100), FileReference("f2", l, 50))))
+    // b's store is consistent and usable right away.
     b.replaceFiles(l, Seq("f1", "f2"), FileReference("out", l, 140), nowMs = 1L)
     assert(b.fileReferences.map(_.filename) == Seq("out"))
     assert(JsonStateStore.load(dir).fileReferences.map(_.filename) == Seq("out"))
+  }
+
+  test("many concurrent writers all land their transactions (stress)") {
+    val dir = Files.createTempDirectory("graft-stress").toString
+    JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+    val threads = 4; val perThread = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futures = (0 until threads).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          val store = JsonStateStore.load(dir)
+          val leaf = store.partitionTree.leaves.map(_.id).min
+          (0 until perThread).foreach { i =>
+            store.addFiles(Seq(FileReference(s"w$t-f$i", leaf, 1)))
+          }
+        }
+      })
+    }
+    futures.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdownNow()
+    val finalStore = JsonStateStore.load(dir)
+    assert(finalStore.fileReferences.size == threads * perThread)
+    assert(finalStore.currentVersion == 1 + threads * perThread)
   }
 }
