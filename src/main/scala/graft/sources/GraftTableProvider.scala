@@ -31,6 +31,13 @@ import graft.meta.JsonStateStore
   * (rust/sleeper_core/src/datafusion.rs:183-228). Each input partition
   * streams an N-way sorted merge of the leaf's files with the table's
   * persistent filter/aggregation applied (graft.exec.SortedRun).
+  *
+  * Trade-off: the merge reader is row-based, measured ~2x the
+  * vectorized parquet scan on full-table aggregation — the price of the
+  * merged (deduplicated, continually-aggregated, ordered) table view.
+  * Point/range queries don't pay it (row-group pruning dominates), and
+  * whole-table analytics that tolerate raw-file semantics can use the
+  * Catalyst path (`GraftTable.toDF` / `query`).
   */
 final class GraftTableProvider extends TableProvider with DataSourceRegister {
 

@@ -222,6 +222,58 @@ class TableLifecycleSpec extends AnyFunSuite {
     assert(table.store.fileReferences.size == 1)
   }
 
+  test("binary row keys: ingest, unsigned split routing, query, compaction") {
+    val s2 = GraftSchema(
+      rowKeys = Seq(GraftField("k", BinaryType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("n", LongType)))
+    // split at 0x80: unsigned order puts 0xff on the right, 0x01 left
+    val table = GraftTable.create(spark, tmp(), s2, splitPoints = Seq(Array[Byte](-128)))
+    val rows = Seq(
+      (Array[Byte](0x01), 1L), (Array[Byte](0x7f), 2L),
+      (Array[Byte](-128), 3L), (Array[Byte](-1), 4L)) // 0x80, 0xff
+    table.ingest(rows.toDF("k", "n"))
+    val byLeaf = table.store.fileReferences.groupBy(_.partitionId)
+    assert(byLeaf.size == 2, s"both leaves hit: $byLeaf")
+
+    // range query over the unsigned upper half
+    val q = GraftQuery.forRegions(Region(KeyRange.atLeast("k", Array[Byte](-128))))
+    assert(table.query(q).select("n").as[Long].collect().toSet == Set(3L, 4L))
+
+    // exact lookup on a high byte
+    assert(table.lookup(Array[Byte](-1)).select("n").as[Long].collect().toSeq == Seq(4L))
+
+    table.ingest(Seq((Array[Byte](0x7f), 10L)).toDF("k", "n"))
+    table.compactAll()
+    assert(table.toDF.count() == 5)
+  }
+
+  test("supplementary-plane string keys route consistently (UTF-8 vs UTF-16 order)") {
+    val emoji = "😀" // U+1F600: sorts above U+FFFF in UTF-8, below in UTF-16
+    val bmpHigh = "�" // U+FFFD replacement char, valid BMP
+    val table = GraftTable.create(spark, tmp(), schema, splitPoints = Seq(emoji))
+    table.ingest(batch(
+      ("a", 1L, 1L, Map.empty[String, Long]),
+      (bmpHigh, 1L, 2L, Map.empty[String, Long]),
+      (emoji, 1L, 3L, Map.empty[String, Long]),
+      (emoji + "x", 1L, 4L, Map.empty[String, Long])))
+
+    // executor routing: a and U+FFFD left of the emoji split; emoji* right
+    val tree = table.store.partitionTree
+    val refs = table.store.fileReferences.groupBy(_.partitionId)
+    val leftLeaf = tree.leaves.find(_.region.ranges.head.max.contains(emoji)).get
+    assert(refs(leftLeaf.id).map(_.rowCount).sum == 2)
+
+    // driver-side pruning agrees: an exact query for U+FFFD plans only
+    // the left leaf and finds the row
+    val q = GraftQuery.forKeys(schema, Seq(bmpHigh))
+    assert(tree.leavesOverlapping(q.regions.map(_.canonical)).map(_.id) == Seq(leftLeaf.id))
+    assert(table.query(q).select("count").as[Long].collect().toSeq == Seq(2L))
+    // and the emoji rows are found on the right
+    assert(table.query(GraftQuery.forKeys(schema, Seq(emoji)))
+      .select("count").as[Long].collect().toSeq == Seq(3L))
+  }
+
   test("two-dimensional row keys: region clip, splitting, and DSv2 pushdown") {
     val schema2 = GraftSchema(
       rowKeys = Seq(GraftField("x", LongType), GraftField("y", StringType)),
