@@ -84,6 +84,49 @@ object VectorQueries {
         .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
     },
 
+    // V4 — IVF coarse-quantizer kNN: deterministic centroids (vectors of
+    // the 16 smallest ids), argmax cell assignment, probe the 4 cells
+    // nearest the query, exact rescore within them. The oracle replays
+    // the identical assignment and probing, so it checks the whole IVF
+    // pipeline. Query vector = vec_id 0, excluded from results.
+    "v4_knn_ivf" -> withOracle(
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |),
+        |corpus AS (SELECT * FROM v WHERE vec_id <> 0),
+        |cents AS (SELECT vec_id AS c, ev AS cv FROM corpus ORDER BY vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, c AS cell FROM (
+        |    SELECT corpus.vec_id, cents.c,
+        |           row_number() OVER (PARTITION BY corpus.vec_id
+        |             ORDER BY list_cosine_similarity(corpus.ev, cents.cv) DESC, cents.c ASC) AS rn
+        |    FROM corpus, cents
+        |  ) WHERE rn = 1
+        |),
+        |probes AS (
+        |  SELECT c AS cell FROM cents JOIN v q ON q.vec_id = 0
+        |  ORDER BY list_cosine_similarity(q.ev, cents.cv) DESC, c ASC
+        |  LIMIT 4
+        |),
+        |cand AS (
+        |  SELECT a.vec_id FROM assign a JOIN probes p ON a.cell = p.cell
+        |),
+        |scored AS (
+        |  SELECT c.vec_id, list_cosine_similarity(va.ev, q.ev) AS sim
+        |  FROM cand c JOIN v va ON c.vec_id = va.vec_id JOIN v q ON q.vec_id = 0
+        |)
+        |SELECT vec_id, ROUND(sim, 6) AS sim_r
+        |FROM scored
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      VectorFunctions.knnIvf(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding", k = 10)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
+    },
+
     // V3 — embedding near-dup pairs via hyperplane-LSH bucketing with
     // exact-cosine rescore — the scale path (no cartesian anywhere; the
     // brute-force all-pairs variant survives only as the recall oracle

@@ -74,6 +74,48 @@ object VectorFunctions {
       .limit(k)
   }
 
+  /** IVF (inverted-file) approximate kNN — the classic coarse-quantizer
+    * ANN shape: assign every vector to its nearest of `nCentroids`
+    * coarse centroids (one shuffle of (id, cell) smalls; embeddings stay
+    * put), probe the `nprobe` cells nearest the query, exact-rescore
+    * only those cells' members. At 100 TB the cell assignment is a
+    * one-off build artifact and each query touches nprobe/nCentroids of
+    * the corpus.
+    *
+    * Centroids here are the vectors of the `nCentroids` smallest ids —
+    * deterministic, so an independent SQL engine replays the exact cell
+    * assignment (a production build would k-means them; the dataflow is
+    * identical). Ties in the argmax break toward the lowest cell id on
+    * both sides.
+    */
+  def knnIvf(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val centroids = v.orderBy("id").limit(nCentroids)
+      .select(col("id").as("c"), col("v").as("cv"))
+    // cell assignment: argmax_c cosine(v, centroid_c), ties -> lowest c
+    val scored = v.crossJoin(broadcast(centroids))
+      .select(col("id"), col("v"),
+        struct(cosine_sim(col("v"), col("cv")).as("sim"), (-col("c")).as("negc")).as("s"),
+        col("c"))
+    val assigned = scored.groupBy("id")
+      .agg(max(col("s")).as("best"))
+      .select(col("id"), (-col("best.negc")).as("cell"))
+    val qCells = query.select(col(queryVecCol).as("q"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q"), col("c"), cosine_sim(col("q"), col("cv")).as("sim"))
+      .orderBy(col("sim").desc, col("c"))
+      .limit(nprobe)
+      .select(col("c").as("cell"))
+    val candidates = assigned.join(broadcast(qCells), "cell").select("id")
+    candidates.join(v, "id")
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("q"))))
+      .select(col("id"), cosine_sim(col("v"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Exact all-pairs with cosine >= threshold — brute self-join.
     * O(n²): test-oracle / small-input use ONLY; the verified scale path
     * is [[nearDupPairsLsh]].

@@ -66,6 +66,26 @@ class VectorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low; brute=$brute lsh=$lsh")
   }
 
+  test("knnIvf recall vs knnBrute is high on clustered vectors") {
+    val rnd = new Random(13)
+    val dim = 64
+    val q = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val near = (1L to 30L).map { id =>
+      id -> q.map(x => x + (rnd.nextDouble() * 0.2 - 0.1).toFloat)
+    }
+    val noise = randomVectors(300, dim, seed = 17).map { case (id, v) => (id + 100L) -> v }
+    val all = (near ++ noise).toDF("vec_id", "embedding")
+    val queryDf = Seq(0L -> q).toDF("vec_id", "embedding")
+
+    val brute = VectorFunctions.knnBrute(all, "vec_id", "embedding",
+      queryDf, "embedding", k = 10).select("id").as[Long].collect().toSet
+    val ivf = VectorFunctions.knnIvf(all, "vec_id", "embedding",
+      queryDf, "embedding", k = 10, nCentroids = 16, nprobe = 6)
+      .select("id").as[Long].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.7, s"recall $recall too low; brute=$brute ivf=$ivf")
+  }
+
   test("nearDupPairsLsh finds the pairs nearDupPairsBrute finds (high threshold)") {
     val rnd = new Random(3)
     val dim = 64
