@@ -178,6 +178,45 @@ object TextQueries {
     // T4 — document fingerprint: native codegen rolling-hash Expression,
     // byte-for-byte reproduced by a DuckDB fold over character codes
     // (ASCII corpus; both sides mod 1e9+7).
+    // T5 — the composed training-data curation pipeline the individual
+    // operators exist for: language gate -> cheap quality gate -> exact
+    // dedup -> corpus stats per language. One dataflow, each stage a
+    // library operator; the oracle recomputes the same pipeline in SQL.
+    "t5_curation_pipeline" -> withOracle(
+      """WITH scored AS (
+        |  SELECT doc_id, text,
+        |         CASE WHEN len(list_intersect(
+        |                list_distinct(list_filter(string_split(text,' '), x -> x <> '')),
+        |                ['the','a','of','and','to','in','is','it','that','for'])) > 0
+        |                OR len(list_intersect(
+        |                list_distinct(list_filter(string_split(text,' '), x -> x <> '')),
+        |                ['der','die','das','und','ist','ein','eine','zu','mit','von'])) > 0
+        |           THEN 1 ELSE 0 END AS keep_lang,
+        |         len(list_filter(string_split(text,' '), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |), gated AS (
+        |  SELECT doc_id, text FROM scored WHERE keep_lang = 1 AND n_tokens >= 10
+        |), deduped AS (
+        |  SELECT MIN(doc_id) AS doc_id, text FROM gated GROUP BY text
+        |)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS docs,
+        |       CAST(SUM(LENGTH(dd.text)) AS BIGINT) AS chars
+        |FROM deduped dd JOIN documents d USING (doc_id)
+        |GROUP BY d.lang
+        |ORDER BY d.lang""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val gated = docs
+        .filter(TextFunctions.stopwordHits(col("text"), "en") > 0 ||
+          TextFunctions.stopwordHits(col("text"), "de") > 0)
+        .filter(size(TextFunctions.tokens(col("text"))) >= 10)
+      val deduped = Dedup.exact(gated, "doc_id", "text")
+      deduped
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("docs"), sum(length(col("text"))).as("chars"))
+        .orderBy("lang")
+    },
+
     "t4_fingerprint" -> withOracle(
       """SELECT doc_id,
         |       list_reduce(
