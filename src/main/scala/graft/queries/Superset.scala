@@ -126,6 +126,56 @@ object Superset {
         .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
     },
 
+    // A7 — full cube.
+    "g2_cube" -> withOracle(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // A7 — explicit grouping sets (SQL form; Dataset API has no direct hook).
+    "g3_grouping_sets" -> withOracle(
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus,
+          |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+          |FROM gs_lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+    },
+
+    // W1 — range-frame window (sliding sum over a value-ordered frame).
+    "w3_window_frame" -> withOracle(
+      """SELECT l_orderkey, l_linenumber,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT))
+        |            OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+        |                  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS BIGINT) AS qty_win
+        |FROM lineitem
+        |WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+        .rowsBetween(-1, 1)
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast("long")).over(w).as("qty_win"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
     // F — scalar string functions.
     "f1_scalar_string" -> withOracle(
       """SELECT p_partkey,
