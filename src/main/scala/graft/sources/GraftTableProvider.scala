@@ -70,8 +70,11 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
+  // Re-load the snapshot per scan build (a small JSON read), so a view
+  // created once still sees later ingests/compactions — read-your-writes
+  // per query rather than per table resolution.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, store)
+    new GraftScanBuilder(dir, JsonStateStore.load(s"$dir/meta"))
 
   /** Appends run the normal bulk-ingest dataflow (partition-tag →
     * shuffle-by-leaf → sorted files + sketches → state-store commit) via

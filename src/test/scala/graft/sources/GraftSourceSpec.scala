@@ -141,10 +141,12 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(table.store.fileReferences.map(_.partitionId).distinct.size == 2)
     assert(table.toDF.select("key").as[String].collect().toSet == Set("ant", "yak"))
 
-    // SQL INSERT INTO through a view lands the same way
+    // SQL INSERT INTO through a view lands the same way, and a SELECT on
+    // the SAME view sees it (snapshot refreshes per scan build)
     spark.read.format("graft").load(dir).createOrReplaceTempView("w_t")
     spark.sql("INSERT INTO w_t VALUES ('mid', 2, 7, map('k', CAST(9 AS BIGINT)))")
     assert(GraftTable.load(spark, dir).toDF.count() == 3)
+    assert(spark.sql("SELECT count(*) FROM w_t").head().getLong(0) == 3)
 
     intercept[Exception] {
       batch(("x", 1L, 1L, Map.empty[String, Long]))
