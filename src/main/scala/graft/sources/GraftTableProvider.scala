@@ -131,10 +131,33 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
 }
 
 final class GraftScan(dir: String, store: JsonStateStore,
-    regions: Seq[Region], required: StructType)
-  extends Scan with Batch with SupportsReportOrdering {
+    initialRegions: Seq[Region], required: StructType)
+  extends Scan with Batch with SupportsReportOrdering with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
 
   private val schema = store.schema
+  private var regions: Seq[Region] = initialRegions
+
+  /** Size/row estimates from the state store's file metadata — feeds the
+    * planner's broadcast decisions and the runtime-filtering benefit
+    * heuristic. Rows come from committed footer counts; bytes from the
+    * files on disk, scaled by the selected-leaf fraction.
+    */
+  override def estimateStatistics(): Statistics = {
+    val selected = planSpecs
+    val rows = store.fileReferences.groupBy(_.partitionId)
+    val tree = store.partitionTree
+    val selectedLeafIds = tree.leavesOverlapping(regions).map(_.id).toSet
+    val rowCount = store.fileReferences
+      .filter(r => selectedLeafIds.contains(r.partitionId)).map(_.rowCount).sum
+    val bytes = selected.flatMap(_.paths).distinct.map { p =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(p)) catch { case _: Exception => 0L }
+    }.sum
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rowCount)
+    }
+  }
 
   override def readSchema(): StructType = required
 
@@ -145,12 +168,46 @@ final class GraftScan(dir: String, store: JsonStateStore,
     s"GraftScan ${dir} leaves=$leafCount regions=${regions.size}"
   }
 
+  /** Runtime filtering (dynamic partition pruning): when this table is
+    * the probe side of a join, Spark hands us the build side's key
+    * values (an IN filter) at execution time; intersecting them into the
+    * regions prunes leaves that no join key can reach — the DSv2 analog
+    * of Catalyst's DPP on hive-partitioned tables.
+    */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    schema.rowKeyNames.map(Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val usable = filters.filter(RegionFromFilters.supported(schema, _))
+    if (usable.nonEmpty) {
+      val runtime = RegionFromFilters.regions(schema, usable)
+      // AND of the two OR-of-region sets = pairwise intersections that overlap
+      regions = for {
+        a <- regions
+        b <- runtime
+        if a.overlaps(b)
+      } yield Region(schema.rowKeys.map { f =>
+        val ra = a.ranges.find(_.field == f.name).getOrElse(KeyRange.unbounded(f.name)).canonical
+        val rb = b.ranges.find(_.field == f.name).getOrElse(KeyRange.unbounded(f.name)).canonical
+        val min = (ra.min, rb.min) match {
+          case (Some(x), Some(y)) => Some(if (KeyOrdering.compare(x, y) >= 0) x else y)
+          case (x, y) => x.orElse(y)
+        }
+        val max = (ra.max, rb.max) match {
+          case (Some(x), Some(y)) => Some(if (KeyOrdering.compare(x, y) <= 0) x else y)
+          case (x, y) => x.orElse(y)
+        }
+        KeyRange(f.name, min, minInclusive = true, max, maxInclusive = false)
+      })
+    }
+  }
+
   /** One input partition per relevant leaf: the leaf's files plus every
     * ancestor's files, clipped to the leaf's region (ancestor-file rows
     * land in exactly one leaf — no duplicates; reference
     * QueryPlanner.java:178-183).
     */
-  private lazy val planSpecs: Array[RunSpec] = {
+  private def planSpecs: Array[RunSpec] = {
     val tree = store.partitionTree
     val refsByPartition = store.fileReferences.groupBy(_.partitionId)
     val outputNames = required.fields.map(_.name).toSeq

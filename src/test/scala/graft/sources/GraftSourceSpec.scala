@@ -154,6 +154,27 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime filtering prunes leaves when joined to a filtered dim (DPP analog)") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema,
+      splitPoints = (1 to 9).map(i => f"k$i%02d0"))
+    table.ingest((0 until 1000).map(i =>
+      (f"k$i%03d", 1L, i.toLong, Map.empty[String, Long])).toDF("key", "ts", "count", "m"))
+    val fact = spark.read.format("graft").load(dir)
+
+    // DPP needs a selective predicate on the build side
+    val dimDir = tmp()
+    (0 until 100).map(i => (f"k$i%03d", if (i == 50 || i == 55) "hot" else "cold"))
+      .toDF("key", "label").write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir).filter($"label" === "hot")
+
+    val joined = fact.join(dim, "key").select("key", "count")
+    assert(joined.as[(String, Long)].collect().toSet == Set(("k050", 50L), ("k055", 55L)))
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("dynamicpruningexpression"),
+      s"expected a runtime group filter on the scan:\n${planStr.take(800)}")
+  }
+
   test("persistent ageOff filter applies on the DSv2 read") {
     val dir = tmp()
     val now = System.currentTimeMillis()
