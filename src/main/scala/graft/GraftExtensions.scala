@@ -35,7 +35,8 @@ object GraftExtensions {
 
   private def fn(name: String, usage: String)(builder: Seq[Expression] => Expression)
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
-    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", name, usage), builder)
+    // 3-arg ExpressionInfo is (className, db, name) — db stays null here
+    (FunctionIdentifier(name), new ExpressionInfo("graft.functions", null, name), builder)
 
   /** (identifier, info, builder) for every graft SQL function. */
   val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

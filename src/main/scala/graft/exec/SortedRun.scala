@@ -91,8 +91,14 @@ object SortedRun {
     val readIndex: Map[String, Int] = readFields.map(_.name).zipWithIndex.toMap
 
     val leafPred = spec.clip.flatMap(parquetFilter(_, readFields))
-    val queryPred = spec.queryRegions.flatMap(parquetFilter(_, readFields))
-      .reduceOption(org.apache.parquet.filter2.predicate.FilterApi.or)
+    // OR semantics: a region with no translatable bounds matches
+    // everything, so if ANY region yields no predicate the disjunction
+    // must be match-all (None) — otherwise the pushed record filter
+    // would be narrower than the query.
+    val regionPreds = spec.queryRegions.map(parquetFilter(_, readFields))
+    val queryPred =
+      if (regionPreds.isEmpty || regionPreds.exists(_.isEmpty)) None
+      else regionPreds.flatten.reduceOption(org.apache.parquet.filter2.predicate.FilterApi.or)
     val pushed = (leafPred, queryPred) match {
       case (Some(a), Some(b)) => Some(org.apache.parquet.filter2.predicate.FilterApi.and(a, b))
       case (a, b) => a.orElse(b)
@@ -266,11 +272,19 @@ private[exec] final class StreamingKeyAggIterator(
       keys(i) = if (pending.isNullAt(i)) null else pending.get(i, keyTypes(i))
       i += 1
     }
-    // accumulate values as external JVM values
+    // accumulate values as external JVM values (concat-sum fields
+    // accumulate ELEMENTS so the emit can sort them — ConcatSortedAgg
+    // semantics; stream order across merged files is arbitrary)
+    def accValue(row: InternalRow, k: Int): Any = {
+      val v = extValue(row, numKeys + k)
+      if (v != null && isConcatSum(ops(k)._1, ops(k)._2))
+        scala.collection.mutable.ArrayBuffer[Any](v)
+      else v
+    }
     val acc = new Array[Any](ops.length)
     var j = 0
     while (j < ops.length) {
-      acc(j) = extValue(pending, numKeys + j)
+      acc(j) = accValue(pending, j)
       j += 1
     }
     pending = null
@@ -280,7 +294,7 @@ private[exec] final class StreamingKeyAggIterator(
       if (sameKeys(row, keys)) {
         var k = 0
         while (k < ops.length) {
-          acc(k) = mergeExternal(ops(k)._1, ops(k)._2, acc(k), extValue(row, numKeys + k))
+          acc(k) = mergeExternal(ops(k)._1, ops(k)._2, acc(k), accValue(row, k))
           k += 1
         }
       } else { pending = row; done = true }
@@ -288,7 +302,10 @@ private[exec] final class StreamingKeyAggIterator(
     val out = new Array[Any](numKeys + ops.length)
     System.arraycopy(keys, 0, out, 0, numKeys)
     var m = 0
-    while (m < ops.length) { out(numKeys + m) = intValue(ops(m)._2, acc(m)); m += 1 }
+    while (m < ops.length) {
+      out(numKeys + m) = intValue(ops(m)._1, ops(m)._2, acc(m))
+      m += 1
+    }
     new GenericInternalRow(out)
   }
 
@@ -334,75 +351,62 @@ private[exec] final class StreamingKeyAggIterator(
 
   private def extMapKey(v: Any): Any = v match {
     case u: UTF8String => u.toString
-    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b.clone())
+    case b: Array[Byte] => MergeOp.wrapBytes(b.clone())
     case o => o
   }
 
-  private def unwrapBytes(v: Any): Any = v match {
-    case a: scala.collection.immutable.ArraySeq.ofByte => a.unsafeArray
-    case o => o
-  }
+  private def isConcatSum(op: String, dt: DataType): Boolean =
+    op == "sum" && (dt == StringType || dt == BinaryType)
 
   private def mergeExternal(op: String, dt: DataType, a: Any, b: Any): Any = {
     if (a == null) return b
     if (b == null) return a
     (op, dt) match {
       case ("last", _) => b
+      // string/binary "sum" = concatenation IN SORTED ORDER
+      // (ConcatSortedAgg semantics): accumulate elements, sort at emit —
+      // stream-encounter order across merged files is arbitrary.
+      case ("sum", StringType | BinaryType) =>
+        val buf = a.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+        buf ++= b.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+        buf
       case ("sum", IntegerType) => a.asInstanceOf[Int] + b.asInstanceOf[Int]
       case ("sum", LongType) => a.asInstanceOf[Long] + b.asInstanceOf[Long]
-      case ("sum", StringType) => a.asInstanceOf[String] + b.asInstanceOf[String]
-      case ("sum", BinaryType) => a.asInstanceOf[Array[Byte]] ++ b.asInstanceOf[Array[Byte]]
       case ("min", t) => MergeOp(MergeOp.Min, t, a, b)
       case ("max", t) => MergeOp(MergeOp.Max, t, a, b)
       case (mop, MapType(_, vt, _)) if mop.startsWith("map_") =>
         val out = a.asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]]
-        val right = b.asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]]
         val valOp = mop match {
           case "map_sum" => MergeOp.Sum
           case "map_min" => MergeOp.Min
           case "map_max" => MergeOp.Max
         }
-        right.foreach { case (k, v) =>
-          out.get(k) match {
-            case Some(existing) =>
-              val merged = MergeOp(valOp, vt, unwrapBytes(existing), unwrapBytes(v))
-              out.update(k, merged match {
-                case bb: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(bb)
-                case o => o
-              })
-            case None => out.update(k, v)
-          }
+        b.asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]].foreach {
+          case (k, v) => MergeOp.mergeMapEntry(valOp, vt, out, k, v)
         }
         out
       case (o, t) => throw new IllegalArgumentException(s"unsupported $o on ${t.sql}")
     }
   }
 
-  private def intValue(dt: DataType, v: Any): Any =
+  private def intValue(op: String, dt: DataType, v: Any): Any =
     if (v == null) null
-    else dt match {
-      case StringType => UTF8String.fromString(v.asInstanceOf[String])
-      case ArrayType(et, _) =>
-        new GenericArrayData(v.asInstanceOf[Vector[Any]].map {
-          case s: String => UTF8String.fromString(s)
-          case o => o
-        }.toArray)
-      case MapType(_, _, _) =>
-        val m = v.asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]]
-        // deterministic: sort by key like MapMergeAgg.eval
-        val sorted = m.toSeq.sortWith((x, y) =>
-          graft.core.KeyOrdering.compare(unwrapBytes(x._1), unwrapBytes(y._1)) < 0)
-        ArrayBasedMapData(
-          sorted.map(e => intScalar(e._1)).toArray,
-          sorted.map(e => intScalar(e._2)).toArray)
+    else (op, dt) match {
+      case ("sum", StringType) =>
+        val sorted = v.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+          .sortWith((a, b) => graft.core.KeyOrdering.compare(a, b) < 0)
+        UTF8String.fromString(sorted.mkString(""))
+      case ("sum", BinaryType) =>
+        val sorted = v.asInstanceOf[scala.collection.mutable.ArrayBuffer[Any]]
+          .sortWith((a, b) => graft.core.KeyOrdering.compare(a, b) < 0)
+        sorted.map(_.asInstanceOf[Array[Byte]]).foldLeft(Array.emptyByteArray)(_ ++ _)
+      case (_, StringType) => UTF8String.fromString(v.asInstanceOf[String])
+      case (_, ArrayType(_, _)) =>
+        new GenericArrayData(v.asInstanceOf[Vector[Any]].toArray)
+      case (_, MapType(_, _, _)) =>
+        MergeOp.toSortedMapData(v.asInstanceOf[scala.collection.mutable.LinkedHashMap[Any, Any]])
       case _ => v
     }
-
-  private def intScalar(v: Any): Any = v match {
-    case s: String => UTF8String.fromString(s)
-    case a: scala.collection.immutable.ArraySeq.ofByte => a.unsafeArray
-    case o => o
-  }
 }
 
 /** Internal-value comparison in the engine's key order: ints/longs

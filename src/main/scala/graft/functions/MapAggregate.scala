@@ -29,6 +29,50 @@ object MergeOp extends Enumeration {
     case (Max, _) => if (graft.core.KeyOrdering.compare(a, b) >= 0) a else b
     case (o, t) => throw new IllegalArgumentException(s"unsupported $o on ${t.sql}")
   }
+
+  // ---- shared map-merge helpers (used by MapMergeAgg AND the streaming
+  // merge aggregation in graft.exec — one implementation, one semantics) ----
+
+  /** Byte-array map keys need value equality in external buffers. */
+  def wrapBytes(v: Any): Any = v match {
+    case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    case o => o
+  }
+
+  def unwrapBytes(v: Any): Any = v match {
+    case a: scala.collection.immutable.ArraySeq.ofByte => a.unsafeArray
+    case o => o
+  }
+
+  /** Merge one (k, v) into an external map buffer, applying `op` on key
+    * collision — byte keys/values wrapped for equality, unwrapped for
+    * the op (reference: AggregationOp.handleMap:163-215).
+    */
+  def mergeMapEntry(op: MergeOp.Value, valueType: DataType,
+      buf: scala.collection.mutable.LinkedHashMap[Any, Any], k: Any, v: Any): Unit =
+    buf.get(k) match {
+      case Some(existing) =>
+        buf.update(k, wrapBytes(apply(op, valueType, unwrapBytes(existing), unwrapBytes(v))))
+      case None => buf.update(k, v)
+    }
+
+  def toInternalScalar(v: Any): Any = v match {
+    case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    case a: scala.collection.immutable.ArraySeq.ofByte => a.unsafeArray
+    case o => o
+  }
+
+  /** Deterministic MapData: entries sorted by key (stronger than the
+    * reference, which inherits encounter order).
+    */
+  def toSortedMapData(buf: scala.collection.Map[Any, Any])
+      : org.apache.spark.sql.catalyst.util.ArrayBasedMapData = {
+    val sorted = buf.toSeq.sortWith((a, b) =>
+      graft.core.KeyOrdering.compare(unwrapBytes(a._1), unwrapBytes(b._1)) < 0)
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+      sorted.map(e => toInternalScalar(e._1)).toArray,
+      sorted.map(e => toInternalScalar(e._2)).toArray)
+  }
 }
 
 /** map_sum / map_min / map_max: merge map values key-wise, applying the
@@ -68,23 +112,8 @@ case class MapMergeAgg(
     case o => o
   }
 
-  // MergeOp and KeyOrdering operate on raw external types; unwrap the
-  // ArraySeq byte wrapper around them and rewrap results for the buffer.
-  private def unwrapBytes(v: Any): Any = v match {
-    case a: scala.collection.immutable.ArraySeq.ofByte => a.unsafeArray
-    case o => o
-  }
-
   private def mergeValue(buf: mutable.LinkedHashMap[Any, Any], k: Any, v: Any): Unit =
-    buf.get(k) match {
-      case Some(existing) =>
-        val merged = MergeOp(op, mapType.valueType, unwrapBytes(existing), unwrapBytes(v))
-        buf.update(k, merged match {
-          case b: Array[Byte] => scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
-          case o => o
-        })
-      case None => buf.update(k, v)
-    }
+    MergeOp.mergeMapEntry(op, mapType.valueType, buf, k, v)
 
   override def update(buf: mutable.LinkedHashMap[Any, Any], input: InternalRow)
       : mutable.LinkedHashMap[Any, Any] = {
@@ -109,16 +138,8 @@ case class MapMergeAgg(
     buf
   }
 
-  override def eval(buf: mutable.LinkedHashMap[Any, Any]): Any = {
-    // Deterministic output: sort entries by key so results don't depend
-    // on encounter order (stronger than the reference, which inherits
-    // map iteration order).
-    val sorted = buf.toSeq.sortWith((a, b) =>
-      graft.core.KeyOrdering.compare(unwrapBytes(a._1), unwrapBytes(b._1)) < 0)
-    ArrayBasedMapData(
-      sorted.map(e => toInternal(e._1)).toArray,
-      sorted.map(e => toInternal(e._2)).toArray)
-  }
+  override def eval(buf: mutable.LinkedHashMap[Any, Any]): Any =
+    MergeOp.toSortedMapData(buf)
 
   // Typed buffer codec: key/value types are known from the map type, so
   // entries encode as raw primitives/length-prefixed bytes — ~10x less

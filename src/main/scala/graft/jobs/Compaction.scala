@@ -128,7 +128,13 @@ final class Compaction(table: GraftTable) {
     val merged = withTableTransform(org.apache.spark.sql.graft.bridge
       .internalCreateDataFrame(spark, rdd, schema.toStructType))
 
-    val (filename, rowCount) = writeSingleFile(merged, job.partitionId, s"compact-$jobId")
+    // A custom transform may repartition/reorder (its contract only
+    // promises key-order preservation WITHIN the result): force the
+    // single-sorted-file invariant explicitly on that path.
+    val writable =
+      if (onePassSketches) merged
+      else merged.coalesce(1).sortWithinPartitions(schema.keyNames.map(col): _*)
+    val (filename, rowCount) = writeSingleFile(writable, job.partitionId, s"compact-$jobId")
     val outPath = table.filePath(job.partitionId, filename)
     if (onePassSketches) attachSketches(sketchDir, Seq(0 -> outPath))
     else writeSketches(Seq(outPath))
@@ -174,20 +180,57 @@ final class Compaction(table: GraftTable) {
     val merged = withTableTransform(org.apache.spark.sql.graft.bridge
       .internalCreateDataFrame(spark, rdd, schema.toStructType))
 
-    // One file per task; part file numbering (part-NNNNN-...) identifies
-    // the task = the leaf at that index.
     val tmpDir = s"${table.dir}/.compact-$jobId"
-    merged.write.parquet(tmpDir)
-
-    val written = moveFromFlatDir(tmpDir, leafIds, s"compact-$jobId")
+    val written: Seq[(Int, String, String)] =
+      if (onePassSketches) {
+        // One file per task; part numbering (part-NNNNN) = task index =
+        // the leaf at that index (valid: no transform ran, partition
+        // layout untouched).
+        merged.write.parquet(tmpDir)
+        moveFromFlatDir(tmpDir, leafIds, s"compact-$jobId")
+      } else {
+        // A transform may move rows between tasks; re-derive each row's
+        // leaf from its keys and write partitionBy. Order inside a task
+        // is no longer guaranteed after partitionBy's internal sort, so
+        // sort explicitly.
+        val tree = table.store.partitionTree
+        merged.withColumn("__gpart", tree.leafIdColumn)
+          .repartition(leafIds.size, col("__gpart"))
+          .sortWithinPartitions((Seq("__gpart") ++ schema.keyNames).map(col): _*)
+          .write.partitionBy("__gpart").parquet(tmpDir)
+        moveFromPartitionedDir(tmpDir, s"compact-$jobId").map { case (pid, path) =>
+          (-1, pid, path)
+        }
+      }
     if (onePassSketches) attachSketches(sketchDir, written.map { case (idx, _, path) => idx -> path })
     else writeSketches(written.map(_._3))
     written.foreach { case (_, pid, path) =>
+      require(needsWork.contains(pid),
+        s"transform produced rows in untouched leaf $pid — transforms must not rewrite key columns")
       val filename = Paths.get(path).getFileName.toString
       val rowCount = footerRowCount(path)
       table.store.replaceFiles(pid, needsWork(pid).map(_.filename),
         FileReference(filename, pid, rowCount))
     }
+  }
+
+  /** Move `__gpart=<pid>` subdirectory outputs into their leaf dirs. */
+  private def moveFromPartitionedDir(tmpDir: String, prefix: String): Seq[(String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val tmp = Paths.get(tmpDir)
+    Files.list(tmp).iterator().asScala.filter(Files.isDirectory(_)).foreach { partDir =>
+      val pid = partDir.getFileName.toString.stripPrefix("__gpart=")
+      val destDir = Paths.get(s"${table.dataDir}/$pid")
+      Files.createDirectories(destDir)
+      Files.list(partDir).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+          val name = s"$prefix-${UUID.randomUUID().toString.take(8)}.parquet"
+          Files.move(f, destDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
+          out += pid -> s"$destDir/$name"
+        }
+    }
+    deleteRecursively(tmp)
+    out.toSeq
   }
 
   /** Attach the sketches the merge tasks built (one pass, reference

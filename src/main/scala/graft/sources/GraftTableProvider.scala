@@ -73,8 +73,17 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
   // Re-load the snapshot per scan build (a small JSON read), so a view
   // created once still sees later ingests/compactions — read-your-writes
   // per query rather than per table resolution.
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(dir, JsonStateStore.load(s"$dir/meta"))
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val fresh = JsonStateStore.load(s"$dir/meta")
+    // A table-level transform is a DataFrame-level hook the row reader
+    // cannot run; silently skipping it would change read semantics (for
+    // a SecurityFilter, leak rows). Refuse rather than diverge.
+    require(fresh.transformConfig.trim.isEmpty,
+      s"table at $dir has a custom transform (${fresh.transformConfig}); " +
+        "read it through GraftTable.query/toDF — the DSv2 reader cannot apply " +
+        "DataFrame-level transforms")
+    new GraftScanBuilder(dir, fresh)
+  }
 
   /** Appends run the normal bulk-ingest dataflow (partition-tag →
     * shuffle-by-leaf → sorted files + sketches → state-store commit) via
@@ -145,7 +154,6 @@ final class GraftScan(dir: String, store: JsonStateStore,
     */
   override def estimateStatistics(): Statistics = {
     val selected = planSpecs
-    val rows = store.fileReferences.groupBy(_.partitionId)
     val tree = store.partitionTree
     val selectedLeafIds = tree.leavesOverlapping(regions).map(_.id).toSet
     val rowCount = store.fileReferences
@@ -202,12 +210,23 @@ final class GraftScan(dir: String, store: JsonStateStore,
     }
   }
 
+  // memoized against the regions value (runtime filtering mutates it)
+  private var cachedSpecs: (Seq[Region], Array[RunSpec]) = null
+
   /** One input partition per relevant leaf: the leaf's files plus every
     * ancestor's files, clipped to the leaf's region (ancestor-file rows
     * land in exactly one leaf — no duplicates; reference
     * QueryPlanner.java:178-183).
     */
   private def planSpecs: Array[RunSpec] = {
+    val cached = cachedSpecs
+    if (cached != null && (cached._1 eq regions)) return cached._2
+    val specs = computeSpecs()
+    cachedSpecs = (regions, specs)
+    specs
+  }
+
+  private def computeSpecs(): Array[RunSpec] = {
     val tree = store.partitionTree
     val refsByPartition = store.fileReferences.groupBy(_.partitionId)
     val outputNames = required.fields.map(_.name).toSeq
@@ -275,7 +294,7 @@ object RegionFromFilters {
       case sources.GreaterThanOrEqual(a, _) => keys(a)
       case sources.LessThan(a, _) => keys(a)
       case sources.LessThanOrEqual(a, _) => keys(a)
-      case sources.In(a, vs) => keys(a) && vs.length <= 64
+      case sources.In(a, vs) => keys(a) && vs.count(_ != null) <= 64
       case sources.And(l, r) => supported(schema, l) && supported(schema, r)
       case _ => false
     }
@@ -329,8 +348,10 @@ object RegionFromFilters {
       case sources.LessThanOrEqual(a, v) =>
         alternatives.foreach(m => tightenMax(m.getOrElseUpdate(a, newBounds()), v, inc = true))
       case sources.In(a, vs) =>
+        // null IN-values never match a (non-nullable) key — drop them;
+        // an all-null IN list leaves zero alternatives = nothing to scan
         alternatives = alternatives.flatMap { m =>
-          vs.toSeq.map { v =>
+          vs.toSeq.filter(_ != null).map { v =>
             val copy = mutable.Map.empty[String, Bounds] ++
               m.map { case (k, b) => k -> Bounds(b.min, b.minInc, b.max, b.maxInc) }
             val b = copy.getOrElseUpdate(a, newBounds())

@@ -50,13 +50,15 @@ final class StreamingIngest(
 
   /** Batcher decision + one micro-batch cycle. Returns the number of
     * pending files the cycle was dispatched for (0 = below the batch
-    * threshold, nothing ran).
+    * threshold, nothing ran). `maxBatchAgeMs <= 0` disables age forcing
+    * (files wait for the min batch size indefinitely).
     */
   def runOnce(nowMs: Long = System.currentTimeMillis()): Int = {
     val pending = pendingFiles()
     if (pending.isEmpty) return 0
     val oldestAge = nowMs - pending.map(p => Files.getLastModifiedTime(p).toMillis).min
-    if (pending.size < minBatchFiles && oldestAge < maxBatchAgeMs) return 0
+    val ageForces = maxBatchAgeMs > 0 && oldestAge >= maxBatchAgeMs
+    if (pending.size < minBatchFiles && !ageForces) return 0
 
     val spark = table.spark
     val schema = table.schema

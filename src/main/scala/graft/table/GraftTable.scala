@@ -49,8 +49,20 @@ final class GraftTable(
   def filePath(partitionId: String, filename: String): String =
     s"$dataDir/$partitionId/$filename"
 
-  def pathOf(ref: FileReference): String =
-    filePath(ref.physicalPartitionId, ref.filename)
+  def pathOf(ref: FileReference): String = {
+    val direct = filePath(ref.physicalPartitionId, ref.filename)
+    if (Files.exists(Paths.get(direct))) direct
+    else {
+      // refs persisted before homeId existed resolve by scanning the
+      // partition dirs once (migration path only — new refs are O(1))
+      val it = Files.list(Paths.get(dataDir)).iterator()
+      while (it.hasNext) {
+        val cand = it.next().resolve(ref.filename)
+        if (Files.exists(cand)) return cand.toString
+      }
+      throw new IllegalStateException(s"data file not found: ${ref.filename}")
+    }
+  }
 
   def ingest(input: DataFrame): Seq[FileReference] = new graft.jobs.Ingest(this).run(input)
 

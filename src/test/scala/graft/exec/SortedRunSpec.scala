@@ -103,6 +103,22 @@ class SortedRunSpec extends AnyFunSuite {
     assert(got == Seq(("a", 1L, 3L, Map("x" -> 3L, "y" -> 7L)), ("b", 1L, 5L, Map())))
   }
 
+  test("string concat-sum emits sorted order regardless of file arrival order") {
+    val s2 = GraftSchema(
+      rowKeys = Seq(GraftField("k", StringType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("v", StringType)))
+    // same key in two files; merge encounter order across files is arbitrary
+    val f1 = writeSorted(Seq(Row("key", "zz")), s2.toStructType)
+    val f2 = writeSorted(Seq(Row("key", "aa"), Row("key", "mm")), s2.toStructType)
+    def run(paths: Seq[String]) =
+      SortedRun.iterator(RunSpec(paths, s2, Seq("k", "v"), None, "sum(v)", "", 0L))
+        .map(_.getUTF8String(1).toString).toSeq
+    // ConcatSortedAgg semantics: sorted concatenation, order-insensitive
+    assert(run(Seq(f1, f2)) == Seq("aammzz"))
+    assert(run(Seq(f2, f1)) == Seq("aammzz"))
+  }
+
   test("clip region and query regions filter rows (and row groups) correctly") {
     val f = writeSorted((0 until 100).map(i =>
       Row(f"k$i%03d", 1L, i.toLong, null, null)), structType)

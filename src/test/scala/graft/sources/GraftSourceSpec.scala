@@ -187,6 +187,15 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(got == Seq("fresh"))
   }
 
+  test("DSv2 read refuses tables with a custom transform (cannot apply it)") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema,
+      config = TableConfig(transformConfig = "graft.transforms.SecurityFilter{vis,public}"))
+    table.ingest(batch(("a", 1L, 1L, Map.empty[String, Long])))
+    val e = intercept[Exception](spark.read.format("graft").load(dir).collect())
+    assert(e.getMessage.contains("transform"), e.getMessage)
+  }
+
   test("column pruning reaches the reader (narrow read schema)") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema, splitPoints = Nil)
