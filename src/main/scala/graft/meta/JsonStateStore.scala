@@ -65,6 +65,27 @@ class JsonStateStore private (
     }
     version = next
     super.commit(t, r, g)
+    pruneOldVersions(next)
+  }
+
+  /** Retention: each commit is a full snapshot, so only recent versions
+    * are needed (crash recovery + concurrent readers of the near-past).
+    * Best-effort delete of versions older than the retention window
+    * keeps the chain O(retention) instead of O(transaction count).
+    * (The reference's transaction log compacts the same way via
+    * periodic snapshots, docs/design/transaction-log-state-store.md.)
+    */
+  private def pruneOldVersions(latest: Long): Unit = {
+    val keep = JsonStateStore.RetainedVersions
+    if (latest > keep) {
+      var v = latest - keep
+      // walk down until a version is already gone (previous prunes)
+      var missing = 0
+      while (v > 0 && missing < 3) {
+        if (!Files.deleteIfExists(dir.resolve(s"state-v$v.json"))) missing += 1
+        v -= 1
+      }
+    }
   }
 
   /** Re-read the newest snapshot on disk into memory. */
@@ -88,6 +109,9 @@ class JsonStateStore private (
 class ConcurrentStateException(msg: String, cause: Throwable) extends RuntimeException(msg, cause)
 
 object JsonStateStore {
+
+  /** Snapshot versions kept on disk (see pruneOldVersions). */
+  val RetainedVersions = 50L
 
   def create(dirStr: String, schema: GraftSchema, tree: PartitionTree,
       aggregationConfig: String = "", filterConfig: String = "",

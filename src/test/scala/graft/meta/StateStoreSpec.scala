@@ -124,6 +124,20 @@ class StateStoreSpec extends AnyFunSuite {
     assert(JsonStateStore.load(dir).fileReferences.map(_.filename) == Seq("out"))
   }
 
+  test("version chain is pruned to the retention window") {
+    val dir = Files.createTempDirectory("graft-prune").toString
+    val s = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+    val Seq(l, _) = s.partitionTree.leaves.map(_.id).sorted
+    val n = JsonStateStore.RetainedVersions.toInt + 20
+    (0 until n).foreach(i => s.addFiles(Seq(FileReference(s"f$i", l, 1))))
+    val files = Files.list(java.nio.file.Paths.get(dir)).iterator()
+    var count = 0
+    while (files.hasNext) { if (files.next().getFileName.toString.startsWith("state-v")) count += 1 }
+    assert(count <= JsonStateStore.RetainedVersions + 3, s"chain not pruned: $count snapshots")
+    // latest state still loads with everything in it
+    assert(JsonStateStore.load(dir).fileReferences.size == n)
+  }
+
   test("many concurrent writers all land their transactions (stress)") {
     val dir = Files.createTempDirectory("graft-stress").toString
     JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
