@@ -55,6 +55,22 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(totalRows == 2, s"persistent delete at compaction expected, refs=${table.store.fileReferences}")
   }
 
+  test("single-job compaction applies the table transform and stays sorted") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema,
+      config = TableConfig(transformConfig = "graft.transforms.SecurityFilter{vis,public}"))
+    table.ingest(batch(("b", 1L, "public", 1L), ("d", 1L, "secret!", 2L)))
+    table.ingest(batch(("a", 1L, "public", 3L), ("c", 1L, "public", 4L)))
+    val n = table.compact(graft.jobs.BasicCompactionStrategy())
+    assert(n == 1)
+    val refs = table.store.fileReferences
+    assert(refs.size == 1 && refs.head.rowCount == 3, s"refs=$refs")
+    // the rewritten file is sorted by key
+    val keys = spark.read.parquet(table.pathOf(refs.head))
+      .select("key").as[String].collect().toSeq
+    assert(keys == Seq("a", "b", "c"))
+  }
+
   test("query-level config transform + required fields keep the read schema pruned") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema)
