@@ -30,7 +30,15 @@ object Dedup {
     * winner set when small).
     */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = docs.select(col(idCol), col(textCol), xxhash64(col(textCol)).as("__h"))
+    // xxhash64(null) is null and the collision-verify equi-join on __h can
+    // never match null keys, so null-text docs are routed around the hash
+    // machinery: they form one group whose min-id representative survives.
+    // (groupBy over an empty input yields zero groups, so this is a no-op
+    // when every doc has text.)
+    val nullWinner = docs.filter(col(textCol).isNull)
+      .groupBy(col(textCol)).agg(min(col(idCol)).as(idCol)).select(col(idCol))
+    val hashed = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), col(textCol), xxhash64(col(textCol)).as("__h"))
     val groups = hashed.select(col("__h"), col(idCol))
       .groupBy("__h")
       .agg(min(col(idCol)).as("__minid"), count(lit(1)).as("__n"))
@@ -42,8 +50,8 @@ object Dedup {
       .groupBy(col("__h"), col(textCol))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    hashed.select(col(idCol), col(textCol))
-      .join(singles.unionByName(collided), Seq(idCol), "left_semi")
+    docs.select(col(idCol), col(textCol))
+      .join(singles.unionByName(collided).unionByName(nullWinner), Seq(idCol), "left_semi")
   }
 
   /** All pairs (a < b) with exact word-n-gram Jaccard >= threshold, via
@@ -216,9 +224,18 @@ object Dedup {
     * segments — any pair within the distance must agree exactly on at
     * least one segment (pigeonhole), so candidates come from cheap
     * equality joins on segments.
+    *
+    * `maxBucket` caps degenerate segment values (e.g. a 16-bit segment
+    * that is 0 for many short docs would otherwise make the equality
+    * self-join quadratic): (seg, v) groups above the cap are dropped
+    * before the join, same safety valve as [[minhashLshPairs]]. A pair is
+    * lost only if every segment it agrees on is oversize — clusters of
+    * that size belong to exact dedup. Recall note: with the default cap
+    * of 10,000 this is lossless on corpora up to 10k docs per degenerate
+    * segment value; the test corpora (≤5k docs) never hit it.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
     val nSeg = maxHamming + 1
     val segBits = 64 / nSeg
     val fp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
@@ -226,11 +243,19 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(nSeg - 1)),
         s => call_function("shiftrightunsigned", col("fp"), s * segBits)
           .bitwiseAND(lit((1L << segBits) - 1)))).as(Seq("seg", "v")))
-    segs.as("a").join(segs.as("b"),
+    val smallSegs = segs.groupBy("seg", "v")
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxBucket)
+      .select("seg", "v")
+    val capped = segs.join(smallSegs, Seq("seg", "v"))
+    // hamming filter BEFORE distinct: hamming is a pure function of the
+    // pair, so filtering first shrinks the dedup shuffle to matching
+    // pairs only (the candidate set is typically much larger).
+    capped.as("a").join(capped.as("b"),
         col("a.seg") === col("b.seg") && col("a.v") === col("b.v") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.fp"), col("b.fp")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

@@ -91,14 +91,7 @@ object SortedRun {
     val readIndex: Map[String, Int] = readFields.map(_.name).zipWithIndex.toMap
 
     val leafPred = spec.clip.flatMap(parquetFilter(_, readFields))
-    // OR semantics: a region with no translatable bounds matches
-    // everything, so if ANY region yields no predicate the disjunction
-    // must be match-all (None) — otherwise the pushed record filter
-    // would be narrower than the query.
-    val regionPreds = spec.queryRegions.map(parquetFilter(_, readFields))
-    val queryPred =
-      if (regionPreds.isEmpty || regionPreds.exists(_.isEmpty)) None
-      else regionPreds.flatten.reduceOption(org.apache.parquet.filter2.predicate.FilterApi.or)
+    val queryPred = queryPredicate(spec.queryRegions, readFields)
     val pushed = (leafPred, queryPred) match {
       case (Some(a), Some(b)) => Some(org.apache.parquet.filter2.predicate.FilterApi.and(a, b))
       case (a, b) => a.orElse(b)
@@ -145,6 +138,20 @@ object SortedRun {
         new GenericInternalRow(out)
       }
     (projected, readers)
+  }
+
+  /** Query regions (ORed) as one parquet row-group predicate. OR
+    * semantics: a region with no translatable bounds matches everything,
+    * so if ANY region yields no predicate the disjunction must be
+    * match-all (None) — otherwise the pushed record filter would be
+    * narrower than the query. Shared by the row-merge reader and the
+    * DSv2 vectorized fast path.
+    */
+  private[graft] def queryPredicate(queryRegions: Seq[Region], fields: Seq[GraftField])
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    val regionPreds = queryRegions.map(parquetFilter(_, fields))
+    if (regionPreds.isEmpty || regionPreds.exists(_.isEmpty)) None
+    else regionPreds.flatten.reduceOption(org.apache.parquet.filter2.predicate.FilterApi.or)
   }
 
   /** The clip region as a parquet FilterPredicate, so the reader skips

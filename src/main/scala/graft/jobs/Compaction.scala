@@ -212,6 +212,13 @@ final class Compaction(table: GraftTable) {
       table.store.replaceFiles(pid, needsWork(pid).map(_.filename),
         FileReference(filename, pid, rowCount))
     }
+    // A leaf whose rows were ALL dropped (filter/transform) produces no
+    // output file on the partitionBy path — commit a pure removal so its
+    // inputs don't stay live and get re-merged by every later compaction.
+    val produced = written.map(_._2).toSet
+    (needsWork.keySet -- produced).toSeq.sorted.foreach { pid =>
+      table.store.removeFiles(pid, needsWork(pid).map(_.filename))
+    }
   }
 
   /** Move `__gpart=<pid>` subdirectory outputs into their leaf dirs. */
@@ -268,8 +275,10 @@ final class Compaction(table: GraftTable) {
 
   /** Map `part-NNNNN-*` outputs of a flat write back to the leaf whose
     * merge task produced them (task index == partition index), and move
-    * each into its leaf directory. Empty tasks write no file — their
-    * leaves simply get no output this round.
+    * each into its leaf directory. A task whose rows were all filtered
+    * away still commits a zero-row parquet file, so every leaf in the job
+    * gets an output here; the partitionBy path has no such guarantee and
+    * relies on compactAll's pure-removal fallback instead.
     */
   private def moveFromFlatDir(tmpDir: String, leafIds: Seq[String],
       prefix: String): Seq[(Int, String, String)] = {

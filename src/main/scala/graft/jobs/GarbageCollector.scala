@@ -14,17 +14,21 @@ final class GarbageCollector(table: GraftTable) {
   /** Returns filenames deleted. */
   def run(nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val delayMs = table.config.gcDelayMinutes * 60000L
-    val ready = table.store.unreferencedFiles.collect {
-      case (f, since) if nowMs - since >= delayMs => f
-    }
-    val deleted = ready.filter { filename =>
-      locate(filename) match {
-        case Some(p) =>
-          Files.deleteIfExists(p)
-          Files.deleteIfExists(Paths.get(p.toString + ".sketches"))
-          true
-        case None => true // already gone; still clear from the queue
+    val ready = table.store.unreferencedFiles.filter(e => nowMs - e.sinceMs >= delayMs)
+    val deleted = ready.map { entry =>
+      // O(1) path via the queue entry's homeId; the directory scan is the
+      // migration fallback for entries queued before homeId existed
+      // (mirrors GraftTable.pathOf) — never O(files × partitions) for new
+      // entries.
+      val p = entry.homeId
+        .map(h => Paths.get(table.dataDir, h, entry.filename))
+        .filter(Files.exists(_))
+        .orElse(locate(entry.filename))
+      p.foreach { path =>
+        Files.deleteIfExists(path)
+        Files.deleteIfExists(Paths.get(path.toString + ".sketches"))
       }
+      entry.filename // already-gone files still clear from the queue
     }
     table.store.removeGCFiles(deleted)
     deleted

@@ -28,9 +28,17 @@ final class Ingest(table: GraftTable) {
 
   private def spark = table.spark
 
-  def run(input: DataFrame): Seq[FileReference] = {
+  /** Runs the ingest dataflow and commits the new files. With `txnId`,
+    * the state-store commit is idempotent (addFilesIfAbsent): a replay of
+    * an already-committed txn writes nothing and returns Nil — the basis
+    * of the streaming sink's exactly-once guarantee.
+    */
+  def run(input: DataFrame, txnId: Option[String] = None): Seq[FileReference] = {
     val schema = table.schema
     val tree = table.store.partitionTree
+    // cheap pre-check: skip the whole Spark job for a known replay (the
+    // authoritative gate is the atomic addFilesIfAbsent below)
+    if (txnId.exists(table.store.hasCommittedTxn)) return Nil
 
     // Validate + project to schema order (names must exist; types must match).
     schema.allFields.foreach { f =>
@@ -79,8 +87,20 @@ final class Ingest(table: GraftTable) {
     }.toSeq
 
     writeSketches(moved.map(_._2).toSeq)
-    table.store.addFiles(refs)
-    refs
+    txnId match {
+      case None => table.store.addFiles(refs); refs
+      case Some(id) =>
+        if (table.store.addFilesIfAbsent(id, refs)) refs
+        else {
+          // lost to a concurrent/prior commit of the same txn: the data is
+          // already in the table — remove this attempt's orphan files
+          moved.foreach { case (_, path) =>
+            Files.deleteIfExists(Paths.get(path))
+            Files.deleteIfExists(Paths.get(path + ".sketches"))
+          }
+          Nil
+        }
+    }
   }
 
   /** One pruned-columnar job building every new file's key sketches. */

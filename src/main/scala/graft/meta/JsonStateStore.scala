@@ -29,7 +29,7 @@ class JsonStateStore private (
   import JsonStateStore._
 
   override protected def commit(t: PartitionTree, r: Vector[FileReference],
-      g: Vector[(String, Long)]): Unit = {
+      g: Vector[GCEntry], x: Set[String]): Unit = {
     val next = version + 1
     // tmp name must be writer-unique: with a shared name, a concurrent
     // writer could overwrite this writer's staged content before the
@@ -38,7 +38,7 @@ class JsonStateStore private (
     val tmp = dir.resolve(s".state-v$next.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val target = dir.resolve(s"state-v$next.json")
     Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(
-      toJson(schema, t, r, g, aggregationConfig, filterConfig, transformConfig))))
+      toJson(schema, t, r, g, x, aggregationConfig, filterConfig, transformConfig))))
     try {
       // Hard-link the fully-written tmp onto the version name. link(2) fails
       // with EEXIST when the version is taken — a true O_EXCL CAS — unlike
@@ -64,7 +64,7 @@ class JsonStateStore private (
         throw new ConcurrentStateException(s"lost CAS on version $next", e)
     }
     version = next
-    super.commit(t, r, g)
+    super.commit(t, r, g, x)
     pruneOldVersions(next)
   }
 
@@ -88,22 +88,20 @@ class JsonStateStore private (
     }
   }
 
-  /** Re-read the newest snapshot on disk into memory. */
+  /** Re-read the newest parseable snapshot on disk into memory. */
   def reloadLatest(): Unit = synchronized {
-    val latest = latestVersion(dir).getOrElse(
-      throw new IllegalStateException(s"no state snapshot in $dir"))
-    val (_, t, r, g) = fromJson(JsonMethods.parse(
-      Files.readString(dir.resolve(s"state-v$latest.json"))))
-    setState(t, r, g)
+    val (latest, json) = loadLatestParseable(dir)
+    val s = fromJson(json)
+    setState(s.tree, s.refs, s.gc, s.txns)
     version = latest
   }
 
   private[meta] def setState(t: PartitionTree, r: Vector[FileReference],
-      g: Vector[(String, Long)]): Unit = { tree = t; refs = r; gcQueue = g }
+      g: Vector[GCEntry], x: Set[String]): Unit = { tree = t; refs = r; gcQueue = g; txns = x }
 
   def currentVersion: Long = version
 
-  private[meta] def commitInitial(): Unit = synchronized { commit(tree, refs, gcQueue) }
+  private[meta] def commitInitial(): Unit = synchronized { commit(tree, refs, gcQueue, txns) }
 }
 
 class ConcurrentStateException(msg: String, cause: Throwable) extends RuntimeException(msg, cause)
@@ -126,14 +124,40 @@ object JsonStateStore {
 
   def load(dirStr: String): JsonStateStore = {
     val dir = Paths.get(dirStr)
+    val (latest, json) = loadLatestParseable(dir)
+    val s = fromJson(json)
+    val (agg, filt, tf) = configFromJson(json)
+    val store = new JsonStateStore(dir, s.schema, s.tree, latest, agg, filt, tf)
+    store.setState(s.tree, s.refs, s.gc, s.txns)
+    store
+  }
+
+  /** Newest snapshot that parses. A crash in the non-hard-link commit
+    * fallback (version reserved O_EXCL, then filled by a move) can leave
+    * a permanently empty/truncated latest snapshot; selecting it forever
+    * would brick the table. Corrupt snapshots are quarantined (renamed
+    * `.corrupt`) and the previous version is used — every snapshot is a
+    * FULL state copy, so falling back one version only loses the single
+    * interrupted transaction, which its writer never saw succeed.
+    */
+  private def loadLatestParseable(dir: Path): (Long, JValue) = {
     val latest = latestVersion(dir).getOrElse(
       throw new IllegalStateException(s"no state snapshot in $dir"))
-    val json = JsonMethods.parse(Files.readString(dir.resolve(s"state-v$latest.json")))
-    val (schema, tree, refs, gc) = fromJson(json)
-    val (agg, filt, tf) = configFromJson(json)
-    val store = new JsonStateStore(dir, schema, tree, latest, agg, filt, tf)
-    store.setState(tree, refs, gc)
-    store
+    var v = latest
+    val floor = math.max(1L, latest - RetainedVersions) // older versions are pruned anyway
+    while (v >= floor) {
+      val p = dir.resolve(s"state-v$v.json")
+      try {
+        if (Files.exists(p)) return (v, JsonMethods.parse(Files.readString(p)))
+      } catch {
+        case scala.util.control.NonFatal(_) =>
+          try Files.move(p, dir.resolve(s"state-v$v.json.corrupt"),
+            StandardCopyOption.REPLACE_EXISTING)
+          catch { case scala.util.control.NonFatal(_) => () }
+      }
+      v -= 1
+    }
+    throw new IllegalStateException(s"no parseable state snapshot in $dir")
   }
 
   private def latestVersion(dir: Path): Option[Long] = {
@@ -249,7 +273,7 @@ object JsonStateStore {
   }
 
   private def toJson(schema: GraftSchema, tree: PartitionTree,
-      refs: Vector[FileReference], gc: Vector[(String, Long)],
+      refs: Vector[FileReference], gc: Vector[GCEntry], txns: Set[String],
       aggregationConfig: String, filterConfig: String, transformConfig: String): JValue = JObject(
     "tableConfig" -> JObject(
       "aggregation" -> JString(aggregationConfig), "filter" -> JString(filterConfig),
@@ -260,11 +284,15 @@ object JsonStateStore {
       "values" -> JArray(schema.values.map(fieldToJson).toList)),
     "partitions" -> JArray(tree.partitions.map(partitionToJson).toList),
     "files" -> JArray(refs.map(refToJson).toList),
-    "gc" -> JArray(gc.map { case (f, t) =>
-      JObject("filename" -> JString(f), "sinceMs" -> JInt(t)) }.toList))
+    "gc" -> JArray(gc.map { e =>
+      JObject("filename" -> JString(e.filename), "sinceMs" -> JInt(e.sinceMs),
+        "homeId" -> e.homeId.map(JString(_)).getOrElse(JNothing)) }.toList),
+    "txns" -> JArray(txns.toList.sorted.map(JString(_))))
 
-  private def fromJson(j: JValue)
-      : (GraftSchema, PartitionTree, Vector[FileReference], Vector[(String, Long)]) = {
+  private final case class Snapshot(schema: GraftSchema, tree: PartitionTree,
+      refs: Vector[FileReference], gc: Vector[GCEntry], txns: Set[String])
+
+  private def fromJson(j: JValue): Snapshot = {
     val m = j.asInstanceOf[JObject].obj.toMap
     val sm = m("schema").asInstanceOf[JObject].obj.toMap
     def fields(k: String): Seq[GraftField] =
@@ -278,8 +306,12 @@ object JsonStateStore {
       val gm = g.asInstanceOf[JObject].obj.toMap
       val JString(f) = gm("filename"): @unchecked
       val JInt(t) = gm("sinceMs"): @unchecked
-      (f, t.toLong)
+      GCEntry(f, t.toLong, gm.get("homeId").collect { case JString(s) => s })
     }
-    (schema, tree, fs.map(refFromJson).toVector, gc.toVector)
+    // "txns" absent in pre-round-4 snapshots (migration)
+    val txns = m.get("txns").collect {
+      case JArray(xs) => xs.collect { case JString(s) => s }.toSet
+    }.getOrElse(Set.empty[String])
+    Snapshot(schema, tree, fs.map(refFromJson).toVector, gc.toVector, txns)
   }
 }

@@ -21,6 +21,13 @@ final case class FileReference(
   def physicalPartitionId: String = homeId.getOrElse(partitionId)
 }
 
+/** A garbage-collection queue entry: an unreferenced file, when it became
+  * unreferenced, and the partition directory it physically lives under
+  * (so deletion is O(1) path resolution, no directory scan). `homeId` is
+  * None only for entries persisted before it existed (migration).
+  */
+final case class GCEntry(filename: String, sinceMs: Long, homeId: Option[String] = None)
+
 /** The table's metadata log: partition tree + file references + GC queue.
   * This is the reference's transaction-log state store distilled to the
   * operations the dataflow needs (reference:
@@ -38,16 +45,37 @@ trait StateStore {
   /** Files no longer referenced anywhere, with the epoch-ms they became
     * unreferenced (GC eligibility, reference: GarbageCollector.java).
     */
-  def unreferencedFiles: Seq[(String, Long)]
+  def unreferencedFiles: Seq[GCEntry]
 
   /** AddFilesTransaction — new files from ingest/bulk import. */
   def addFiles(refs: Seq[FileReference]): Unit
+
+  /** Idempotent AddFilesTransaction (Delta-Lake-style `txn` marker): the
+    * refs are committed only if `txnId` has never been committed before;
+    * a replay returns false and changes nothing. The txn id lands in the
+    * SAME atomic snapshot as the refs, so a crash between data commit and
+    * any external progress marker (e.g. a streaming checkpoint) cannot
+    * duplicate rows — the replayed batch sees its txn id and skips.
+    */
+  def addFilesIfAbsent(txnId: String, refs: Seq[FileReference]): Boolean
+
+  /** Whether an idempotent-commit txn id has already been committed. */
+  def hasCommittedTxn(txnId: String): Boolean
 
   /** ReplaceFileReferencesTransaction — compaction commit: atomically
     * remove the input refs in a partition and add the single output ref.
     * Inputs that end up with zero references anywhere move to the GC queue.
     */
   def replaceFiles(partitionId: String, inputs: Seq[String], output: FileReference,
+      nowMs: Long = System.currentTimeMillis()): Unit
+
+  /** Pure-removal ReplaceFileReferences variant: a compaction whose
+    * filter/transform dropped every row commits by removing its inputs
+    * with no replacement file — the leaf legitimately becomes empty.
+    * Without this, such a leaf's inputs stay live and every subsequent
+    * compaction re-merges them forever.
+    */
+  def removeFiles(partitionId: String, inputs: Seq[String],
       nowMs: Long = System.currentTimeMillis()): Unit
 
   /** SplitPartitionTransaction — split a leaf at a point (metadata only;
@@ -81,11 +109,13 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
 
   protected var tree: PartitionTree = initialTree
   protected var refs: Vector[FileReference] = Vector.empty
-  protected var gcQueue: Vector[(String, Long)] = Vector.empty
+  protected var gcQueue: Vector[GCEntry] = Vector.empty
+  protected var txns: Set[String] = Set.empty
 
   override def partitionTree: PartitionTree = synchronized(tree)
   override def fileReferences: Seq[FileReference] = synchronized(refs)
-  override def unreferencedFiles: Seq[(String, Long)] = synchronized(gcQueue)
+  override def unreferencedFiles: Seq[GCEntry] = synchronized(gcQueue)
+  override def hasCommittedTxn(txnId: String): Boolean = synchronized(txns.contains(txnId))
 
   /** Atomically install a candidate state. Mutators build the whole next
     * state as locals and pass it here, so a failed persist (lost CAS in a
@@ -93,7 +123,7 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
     * usable for a retry — memory never diverges from disk.
     */
   protected def commit(t: PartitionTree, r: Vector[FileReference],
-      g: Vector[(String, Long)]): Unit = { tree = t; refs = r; gcQueue = g }
+      g: Vector[GCEntry], x: Set[String]): Unit = { tree = t; refs = r; gcQueue = g; txns = x }
 
   /** Lost-CAS auto-retry, the reference's transaction-log model: a losing
     * writer's store reloads disk truth (JsonStateStore.commit), then the
@@ -122,24 +152,52 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
       require(!refs.exists(e => e.filename == r.filename && e.partitionId == r.partitionId),
         s"${r.filename} already referenced in ${r.partitionId}")
     }
-    commit(tree, refs ++ newRefs, gcQueue)
+    commit(tree, refs ++ newRefs, gcQueue, txns)
   }}
+
+  override def addFilesIfAbsent(txnId: String, newRefs: Seq[FileReference]): Boolean =
+    withRetry { synchronized {
+      if (txns.contains(txnId)) false
+      else {
+        newRefs.foreach { r =>
+          require(tree.partitions.exists(_.id == r.partitionId), s"unknown partition ${r.partitionId}")
+          require(!refs.exists(e => e.filename == r.filename && e.partitionId == r.partitionId),
+            s"${r.filename} already referenced in ${r.partitionId}")
+        }
+        commit(tree, refs ++ newRefs, gcQueue, txns + txnId)
+        true
+      }
+    }}
 
   override def replaceFiles(partitionId: String, inputs: Seq[String], output: FileReference,
       nowMs: Long): Unit = withRetry { synchronized {
     require(output.partitionId == partitionId, "output must belong to the compacted partition")
+    dropInputs(partitionId, inputs, Some(output), nowMs)
+  }}
+
+  override def removeFiles(partitionId: String, inputs: Seq[String], nowMs: Long): Unit =
+    withRetry { synchronized { dropInputs(partitionId, inputs, None, nowMs) }}
+
+  /** Shared commit body of replaceFiles/removeFiles (callers hold the lock). */
+  private def dropInputs(partitionId: String, inputs: Seq[String],
+      output: Option[FileReference], nowMs: Long): Unit = {
     inputs.foreach { f =>
       require(refs.exists(r => r.filename == f && r.partitionId == partitionId),
         s"input $f not referenced in $partitionId")
     }
+    // capture each orphaned file's physical home BEFORE dropping its refs,
+    // so GC later deletes by direct path instead of scanning partition dirs
+    val homes: Map[String, String] =
+      refs.filter(r => inputs.contains(r.filename)).map(r => r.filename -> r.physicalPartitionId).toMap
     val remaining = refs.filterNot(r => r.partitionId == partitionId && inputs.contains(r.filename))
     val orphaned = inputs.filterNot(f => remaining.exists(_.filename == f))
-    commit(tree, remaining :+ output, gcQueue ++ orphaned.map(_ -> nowMs))
-  }}
+    commit(tree, remaining ++ output,
+      gcQueue ++ orphaned.map(f => GCEntry(f, nowMs, homes.get(f))), txns)
+  }
 
   override def splitPartition(parentId: String, dimension: Int, splitPoint: Any,
       leftId: String, rightId: String): Unit = withRetry { synchronized {
-    commit(tree.addSplit(parentId, dimension, splitPoint, leftId, rightId), refs, gcQueue)
+    commit(tree.addSplit(parentId, dimension, splitPoint, leftId, rightId), refs, gcQueue, txns)
   }}
 
   override def splitFileReferences(): Int = withRetry { synchronized {
@@ -151,7 +209,7 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
       next = next.filterNot(_ == r) ++ children.map(c =>
         FileReference(r.filename, c.id, half, r.jobId, Some(r.physicalPartitionId)))
     }
-    if (nonLeaf.nonEmpty) commit(tree, next, gcQueue)
+    if (nonLeaf.nonEmpty) commit(tree, next, gcQueue, txns)
     nonLeaf.size
   }}
 
@@ -166,10 +224,10 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
         if (filenames.contains(r.filename) && r.partitionId == partitionId)
           r.copy(jobId = Some(jobId))
         else r
-      }, gcQueue)
+      }, gcQueue, txns)
     }}
 
   override def removeGCFiles(filenames: Seq[String]): Unit = withRetry { synchronized {
-    commit(tree, refs, gcQueue.filterNot { case (f, _) => filenames.contains(f) })
+    commit(tree, refs, gcQueue.filterNot(e => filenames.contains(e.filename)), txns)
   }}
 }

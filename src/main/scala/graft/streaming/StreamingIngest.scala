@@ -11,11 +11,16 @@ import graft.table.GraftTable
   * (reference: java/ingest/ingest-batcher-core/.../IngestBatcher.java,
   * docs/usage/ingest-batcher.md).
   *
-  * Exactly-once: the stream's checkpoint (the file-source log) is the
-  * authority on which inbox files have been consumed — a file is ingested
-  * once across any number of trigger cycles and JVM restarts. The
-  * batcher's own pending-file marker only gates WHEN a cycle runs; a
-  * stale marker can delay a batch, never duplicate or lose one.
+  * Exactly-once: the stream's checkpoint (the file-source log) decides
+  * which inbox files feed which micro-batch, and each micro-batch commits
+  * through the state store's idempotent txn marker
+  * (StateStore.addFilesIfAbsent with a txn id derived from the checkpoint
+  * location + batch id). foreachBatch alone is only at-least-once — a
+  * crash after the table commit but before the checkpoint commit replays
+  * the batch — but the replay carries the same batch id, finds its txn
+  * already committed, and skips. The batcher's own pending-file marker
+  * only gates WHEN a cycle runs; a stale marker can delay a batch, never
+  * duplicate or lose one.
   *
   * Each cycle is a `Trigger.AvailableNow` pass whose `foreachBatch`
   * hands the micro-batch to the normal bulk-ingest dataflow
@@ -68,9 +73,10 @@ final class StreamingIngest(
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          table.ingest(batch.select(schema.allFields.map(f => batch(f.name)): _*))
+          table.ingest(batch.select(schema.allFields.map(f => batch(f.name)): _*),
+            txnId = Some(s"stream:$checkpointDir:$batchId"))
         }
         ()
       }

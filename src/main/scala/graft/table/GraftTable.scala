@@ -64,7 +64,8 @@ final class GraftTable(
     }
   }
 
-  def ingest(input: DataFrame): Seq[FileReference] = new graft.jobs.Ingest(this).run(input)
+  def ingest(input: DataFrame, txnId: Option[String] = None): Seq[FileReference] =
+    new graft.jobs.Ingest(this).run(input, txnId)
 
   def query(q: graft.query.GraftQuery): DataFrame =
     new graft.query.QueryExecutor(this).execute(q)

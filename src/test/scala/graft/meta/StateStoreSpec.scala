@@ -32,7 +32,8 @@ class StateStoreSpec extends AnyFunSuite {
     s.addFiles(Seq(FileReference("f1", l, 100), FileReference("f2", l, 50)))
     s.replaceFiles(l, Seq("f1", "f2"), FileReference("out", l, 140), nowMs = 1000L)
     assert(s.fileReferences.map(_.filename) == Seq("out"))
-    assert(s.unreferencedFiles.toSet == Set("f1" -> 1000L, "f2" -> 1000L))
+    assert(s.unreferencedFiles.toSet ==
+      Set(GCEntry("f1", 1000L, Some(l)), GCEntry("f2", 1000L, Some(l))))
     intercept[IllegalArgumentException](
       s.replaceFiles(l, Seq("missing"), FileReference("x", l, 1)))
   }
@@ -43,9 +44,9 @@ class StateStoreSpec extends AnyFunSuite {
     s.addFiles(Seq(FileReference("shared", l, 100), FileReference("shared", r, 100),
       FileReference("lonely", l, 10)))
     s.replaceFiles(l, Seq("shared", "lonely"), FileReference("outL", l, 90), nowMs = 5L)
-    assert(s.unreferencedFiles.map(_._1) == Seq("lonely")) // still referenced in r
+    assert(s.unreferencedFiles.map(_.filename) == Seq("lonely")) // still referenced in r
     s.replaceFiles(r, Seq("shared"), FileReference("outR", r, 80), nowMs = 6L)
-    assert(s.unreferencedFiles.map(_._1).toSet == Set("lonely", "shared"))
+    assert(s.unreferencedFiles.map(_.filename).toSet == Set("lonely", "shared"))
   }
 
   test("splitPartition + splitFileReferences push refs to children") {

@@ -196,6 +196,51 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("transform"), e.getMessage)
   }
 
+  test("vectorized fast path activates on a fully-compacted table and matches the row path") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
+    table.ingest(batch(("a", 1L, 1L, Map("x" -> 1L)), ("z", 1L, 2L, Map.empty[String, Long])))
+    table.ingest(batch(("b", 1L, 3L, Map.empty[String, Long]), ("y", 2L, 4L, Map("y" -> 5L))))
+
+    def scanNode(df: org.apache.spark.sql.DataFrame): BatchScanExec =
+      df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+
+    val before = spark.read.format("graft").load(dir)
+    assert(!scanNode(before).supportsColumnar,
+      "multi-file leaves must stay on the row merge path")
+    val rowsBefore = before.as[(String, Long, Long, Map[String, Long])].collect().toSet
+
+    table.compactAll()
+    val after = spark.read.format("graft").load(dir)
+    assert(scanNode(after).supportsColumnar,
+      "compacted single-file leaves should serve ColumnarBatches")
+    assert(after.as[(String, Long, Long, Map[String, Long])].collect().toSet == rowsBefore)
+
+    // pruning, pushdown, and projection still work on the columnar path
+    val one = after.filter($"key" === "b").select("count")
+    assert(scanPartitions(one) == 1)
+    assert(one.as[Long].collect().toSeq == Seq(3L))
+
+    // per-partition order is preserved (single sorted file read in order)
+    val sorted = after.sortWithinPartitions("key", "ts")
+    assert(sorted.queryExecution.executedPlan.collect { case s: SortExec => s }.isEmpty)
+  }
+
+  test("persistent aggregation keeps the scan on the row merge path even when compacted") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema,
+      config = TableConfig(aggregationConfig = "sum(count),map_sum(m)"))
+    table.ingest(batch(("a", 1L, 2L, Map("x" -> 1L))))
+    table.ingest(batch(("a", 1L, 3L, Map("x" -> 4L))))
+    table.compactAll()
+    // compaction already folded the rows; config still demands merge semantics
+    val df = spark.read.format("graft").load(dir)
+    val b = df.queryExecution.executedPlan.collect { case s: BatchScanExec => s }.head
+    assert(!b.supportsColumnar)
+    assert(df.as[(String, Long, Long, Map[String, Long])].collect().toSeq ==
+      Seq(("a", 1L, 5L, Map("x" -> 5L))))
+  }
+
   test("column pruning reaches the reader (narrow read schema)") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema, splitPoints = Nil)

@@ -160,7 +160,7 @@ class TableLifecycleSpec extends AnyFunSuite {
     table.ingest(batch(("a", 1L, 1L, Map.empty[String, Long])))
     table.ingest(batch(("a", 1L, 2L, Map.empty[String, Long])))
     table.compactAll()
-    val doomed = table.store.unreferencedFiles.map(_._1)
+    val doomed = table.store.unreferencedFiles.map(_.filename)
     assert(doomed.size == 2)
     val deleted = table.collectGarbage(System.currentTimeMillis() + 1000)
     assert(deleted.toSet == doomed.toSet)
