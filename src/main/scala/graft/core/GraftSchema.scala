@@ -57,6 +57,11 @@ final case class GraftSchema(
 object GraftSchema {
   private val keyTypes: Set[DataType] = Set(IntegerType, LongType, StringType, BinaryType)
 
+  /** Parse the reference's schema JSON interchange form (see
+    * graft.query.SchemaSerDe; example/basic/schema.json).
+    */
+  def fromJson(json: String): GraftSchema = graft.query.SchemaSerDe.fromJson(json)
+
   def isKeyType(t: DataType): Boolean = keyTypes.contains(t)
 
   def isValueType(t: DataType): Boolean = t match {

@@ -163,7 +163,8 @@ final class Compaction(table: GraftTable) {
     }.toSet
     val needsWork = byLeaf.filter { case (_, refs) =>
       refs.size > 1 || refs.exists(r => sharedFiles(r.filename)) ||
-        aggSpecs.nonEmpty || filterSpec.nonEmpty
+        aggSpecs.nonEmpty || filterSpec.nonEmpty ||
+        table.config.transformConfig.trim.nonEmpty // transform rewrites persist
     }
     if (needsWork.isEmpty) return
 
@@ -186,7 +187,7 @@ final class Compaction(table: GraftTable) {
         // One file per task; part numbering (part-NNNNN) = task index =
         // the leaf at that index (valid: no transform ran, partition
         // layout untouched).
-        merged.write.parquet(tmpDir)
+        ParquetLayout.configure(merged.write, schema).parquet(tmpDir)
         moveFromFlatDir(tmpDir, leafIds, s"compact-$jobId")
       } else {
         // A transform may move rows between tasks; re-derive each row's
@@ -194,10 +195,10 @@ final class Compaction(table: GraftTable) {
         // is no longer guaranteed after partitionBy's internal sort, so
         // sort explicitly.
         val tree = table.store.partitionTree
-        merged.withColumn("__gpart", tree.leafIdColumn)
+        val resorted = merged.withColumn("__gpart", tree.leafIdColumn)
           .repartition(leafIds.size, col("__gpart"))
           .sortWithinPartitions((Seq("__gpart") ++ schema.keyNames).map(col): _*)
-          .write.partitionBy("__gpart").parquet(tmpDir)
+        ParquetLayout.configure(resorted.write, schema).partitionBy("__gpart").parquet(tmpDir)
         moveFromPartitionedDir(tmpDir, s"compact-$jobId").map { case (pid, path) =>
           (-1, pid, path)
         }
@@ -260,7 +261,7 @@ final class Compaction(table: GraftTable) {
   private def writeSingleFile(df: DataFrame, partitionId: String, prefix: String)
       : (String, Long) = {
     val tmpDir = s"${table.dir}/.$prefix-tmp"
-    df.write.mode("overwrite").parquet(tmpDir)
+    ParquetLayout.configure(df.write.mode("overwrite"), schema).parquet(tmpDir)
     val part = Files.list(Paths.get(tmpDir)).iterator().asScala
       .find(_.getFileName.toString.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"no parquet written in $tmpDir"))

@@ -62,7 +62,7 @@ final class Ingest(table: GraftTable) {
     // reference's OVERWRITE mode).
     val jobId = UUID.randomUUID().toString.take(8)
     val tmpDir = s"${table.dir}/.ingest-$jobId"
-    sorted.write.partitionBy("__gpart").parquet(tmpDir)
+    ParquetLayout.configure(sorted.write, schema).partitionBy("__gpart").parquet(tmpDir)
 
     val moved = scala.collection.mutable.ArrayBuffer.empty[(String, String)] // (partitionId, path)
     val tmp = Paths.get(tmpDir)

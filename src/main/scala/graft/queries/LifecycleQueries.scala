@@ -56,6 +56,65 @@ object LifecycleQueries {
     GraftTable.load(s, tableDir)
   }
 
+  private val metricsDirs = new ConcurrentHashMap[String, String]()
+
+  /** A6 fixture: one ingest into a 2-leaf table (no agg config), so every
+    * state-store number the metrics read is exactly derivable from the
+    * source rows.
+    */
+  private def metricsTable(s: SparkSession, dir: String): GraftTable = {
+    val tableDir = metricsDirs.computeIfAbsent(dir, { _ =>
+      val td = java.nio.file.Files.createTempDirectory("graft-metrics").toString
+      // split point chosen inside the populated key range at every SF
+      // (orderkeys start at 0), so both leaves get data and the COUNT-
+      // DISTINCT bucket oracle equals the tree's leaf count
+      val table = GraftTable.create(s, td, schema, splitPoints = Seq(700L))
+      table.ingest(Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty")))
+      td
+    })
+    GraftTable.load(s, tableDir)
+  }
+
+  private val streamingDirs = new ConcurrentHashMap[String, String]()
+
+  /** T1 fixture: drop two halves of lineitem into an inbox as separate
+    * files across two batcher cycles; the streaming sink lands them
+    * through the normal ingest dataflow with idempotent batch commits.
+    */
+  private def streamingTable(s: SparkSession, dir: String): GraftTable = {
+    val tableDir = streamingDirs.computeIfAbsent(dir, { _ =>
+      val td = java.nio.file.Files.createTempDirectory("graft-streaming").toString
+      val table = GraftTable.create(s, td, schema,
+        splitPoints = Seq(20000L, 40000L),
+        config = TableConfig(aggregationConfig = "sum(qty)"))
+      val inbox = java.nio.file.Files.createTempDirectory("graft-inbox").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft-stream-cp").toString
+      val ingest = new graft.streaming.StreamingIngest(table, inbox, cp)
+      val src = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+
+      def drop(name: String, batch: DataFrame): Unit = {
+        val stage = java.nio.file.Files.createTempDirectory("graft-stage")
+        batch.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val it = java.nio.file.Files.list(stage).iterator()
+        var part: java.nio.file.Path = null
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) part = p
+        }
+        java.nio.file.Files.move(part, java.nio.file.Paths.get(inbox, name))
+      }
+
+      drop("batch-1.parquet", src.filter(col("l_linenumber") <= 2))
+      require(ingest.runOnce() == 1, "first streaming cycle should dispatch one file")
+      drop("batch-2.parquet", src.filter(col("l_linenumber") >= 3))
+      require(ingest.runOnce() == 1, "second streaming cycle should dispatch one file")
+      td
+    })
+    GraftTable.load(s, tableDir)
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // M2 — the full LSM lifecycle, read back through a region query.
@@ -100,6 +159,57 @@ object LifecycleQueries {
           regions = Seq(Region(KeyRange.minMax("l_orderkey", 20000L, 30000L))),
           queryTransformConfig = Some("graft.transforms.CapValue{qty,77}")))
         .orderBy("l_orderkey")
+    },
+
+    // A6 — table metrics computed from the state store ALONE (no data
+    // read), checked against COUNT-based truths DuckDB derives from the
+    // source rows: one ingest into a 2-leaf table writes one file per
+    // non-empty leaf with exact footer row counts, so fileCount /
+    // rowCount / partitionCount(=2*leaves-1) / leafCount / avg refs are
+    // all data-derivable.
+    "a6_metrics" -> withOracle(
+      """SELECT CAST(COUNT(DISTINCT CASE WHEN l_orderkey < 700 THEN 0 ELSE 1 END) AS BIGINT) AS file_count,
+        |       CAST(COUNT(*) AS BIGINT) AS row_count,
+        |       CAST(2 * COUNT(DISTINCT CASE WHEN l_orderkey < 700 THEN 0 ELSE 1 END) - 1 AS BIGINT) AS partition_count,
+        |       CAST(COUNT(DISTINCT CASE WHEN l_orderkey < 700 THEN 0 ELSE 1 END) AS BIGINT) AS leaf_count,
+        |       CAST(1.0 AS DOUBLE) AS avg_refs
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val table = metricsTable(s, dir)
+      val m = table.metrics
+      import s.implicits._
+      Seq((m.fileCount.toLong, m.rowCount, m.partitionCount.toLong,
+        m.leafPartitionCount.toLong, m.averageFileReferencesPerPartition))
+        .toDF("file_count", "row_count", "partition_count", "leaf_count", "avg_refs")
+    },
+
+    // T1 — continuous micro-batch ingest: two parquet files dropped into
+    // an inbox across two batcher cycles land through the streaming sink
+    // (checkpointed file source + idempotent txn commit), then the table
+    // reads back as the same continual aggregation the oracle computes.
+    "t1_streaming" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val table = streamingTable(s, dir)
+      table.toDF.orderBy("l_orderkey")
+    },
+
+    // X4 — a query planned from the reference's JSON interchange form
+    // (regions spelling; QuerySerDe) against the lifecycle table.
+    "x4_query_json" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey >= 12000 AND l_orderkey < 18000
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val table = lifecycleTable(s, dir)
+      val q = GraftQuery.fromJson(
+        """{"queryId": "x4", "type": "Query",
+           "regions": [ {"l_orderkey": {"min": 12000, "minInclusive": true,
+                                        "max": 18000, "maxInclusive": false}} ]}""",
+        schema)
+      table.query(q).orderBy("l_orderkey")
     },
 
     // S2/DSv2 — spark.sql over the graft source; the BETWEEN pushes down

@@ -26,6 +26,10 @@ object GraftQuery {
   val all: GraftQuery = GraftQuery()
   def forRegions(regions: Region*): GraftQuery = GraftQuery(regions = regions)
 
+  /** Parse the reference's query JSON interchange form (see QuerySerDe). */
+  def fromJson(json: String, schema: graft.core.GraftSchema): GraftQuery =
+    QuerySerDe.fromJson(json, schema)
+
   /** Point-lookup sugar: one exact-key region per key, each key giving
     * row-key values in schema order (reference: the "keys" query JSON
     * form, example/query/sampleExactQueryInt.json, Query.java:30-34).
@@ -72,7 +76,13 @@ final class QueryExecutor(table: GraftTable) {
     val refsByPartition = table.store.fileReferences.groupBy(_.partitionId)
 
     val scans: Seq[DataFrame] = {
-      val allOnLeaves = refsByPartition.keySet.forall(tree(_).isLeaf)
+      // Fast-path decision is scoped to the SELECTED leaves: only an
+      // ancestor of a selected leaf can contribute shared (pre-split)
+      // files to this query. A pre-split ref parked elsewhere in the
+      // table must not push unrelated queries onto the clip path (whose
+      // CASE-WHEN leaf-id expression grows with the tree).
+      val allOnLeaves = leaves.forall(l =>
+        tree.ancestors(l.id).forall(a => !refsByPartition.contains(a.id)))
       if (allOnLeaves) {
         val files = leaves.flatMap(l => refsByPartition.getOrElse(l.id, Nil))
           .map(table.pathOf).distinct

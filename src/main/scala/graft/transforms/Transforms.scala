@@ -36,7 +36,10 @@ trait SortedRowTransform extends Serializable {
   * `fully.qualified.ClassName` or `fully.qualified.ClassName{config}` —
   * the reference's class-name + config-string convention
   * (`sleeper.table.iterator.class.name` / `queryTimeIteratorClassName`,
-  * IteratorFactory.java:62-99).
+  * IteratorFactory.java:62-99). A `;`-separated spec composes a CHAIN of
+  * transforms applied left-to-right, the reference's iterator-list
+  * composition (SortedRowIterators.java:30-52); the chain's
+  * requiredValueFields is the union of its members'.
   */
 object TransformFactory {
 
@@ -51,8 +54,39 @@ object TransformFactory {
     case other => throw new IllegalArgumentException(s"bad transform spec: '$other'")
   }
 
-  def parse(specStr: String, schema: GraftSchema): Option[SortedRowTransform] =
-    if (specStr == null || specStr.trim.isEmpty) None else Some(create(specStr, schema))
+  def parse(specStr: String, schema: GraftSchema): Option[SortedRowTransform] = {
+    if (specStr == null || specStr.trim.isEmpty) return None
+    splitChain(specStr).map(create(_, schema)) match {
+      case Seq() => None
+      case Seq(one) => Some(one)
+      case many => Some(new ChainedTransform(many))
+    }
+  }
+
+  /** Split on `;` outside `{...}` (a config payload may itself use `;`). */
+  private def splitChain(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val sb = new StringBuilder
+    s.foreach {
+      case '{' => depth += 1; sb += '{'
+      case '}' => depth -= 1; sb += '}'
+      case ';' if depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+}
+
+/** Left-to-right composition of transforms (each member individually
+  * preserves key order, so the chain does too).
+  */
+private final class ChainedTransform(members: Seq[SortedRowTransform])
+    extends SortedRowTransform {
+  override def apply(df: DataFrame): DataFrame = members.foldLeft(df)((d, t) => t(d))
+  override def requiredValueFields: Seq[String] =
+    members.flatMap(_.requiredValueFields).distinct
 }
 
 /** Example transform mirroring the reference's example iterator: keep a

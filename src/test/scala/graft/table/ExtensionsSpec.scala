@@ -38,6 +38,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(TransformFactory.parse("  ", schema).isEmpty)
   }
 
+  test("a ;-separated spec chains transforms in order with unioned required fields") {
+    val chain = TransformFactory.parse(
+      "graft.transforms.SecurityFilter{vis,public};graft.transforms.CapValue{count,10}",
+      schema).get
+    assert(chain.requiredValueFields.toSet == Set("vis", "count"))
+
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema,
+      config = TableConfig(transformConfig =
+        "graft.transforms.SecurityFilter{vis,public};graft.transforms.CapValue{count,10}"))
+    table.ingest(batch(
+      ("a", 1L, "public", 100L), ("b", 1L, "secret!", 2L), ("c", 1L, "public", 5L)))
+
+    // query view: filter drops b, cap rewrites a's count
+    assert(table.toDF.select("key", "count").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 10L), ("c", 5L)))
+
+    // compaction applies the whole chain persistently
+    table.compactAll()
+    val refs = table.store.fileReferences
+    assert(refs.map(_.rowCount).sum == 2)
+    val raw = spark.read.parquet(refs.map(table.pathOf): _*)
+      .select("key", "count").as[(String, Long)].collect().toSet
+    assert(raw == Set(("a", 10L), ("c", 5L)))
+  }
+
   test("table-level transform applies at query time AND rewrites data at compaction") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema,

@@ -76,6 +76,28 @@ class TableLifecycleSpec extends AnyFunSuite {
     assert(table.store.unreferencedFiles.nonEmpty)
   }
 
+  test("a pre-split ref elsewhere keeps untouched regions on the single-scan fast path") {
+    val table = GraftTable.create(spark, tmp(), schema, splitPoints = Seq("m"))
+    table.ingest(batch(
+      ("a", 1L, 1L, Map.empty[String, Long]), ("x", 1L, 2L, Map.empty[String, Long])))
+    // metadata-only split of the right leaf (no splitFileReferences): its
+    // ref now sits on a NON-leaf partition
+    val tree = table.store.partitionTree
+    val right = tree.leaves.find(_.region.ranges.head.min.contains("m")).get
+    table.store.splitPartition(right.id, 0, "t", s"${right.id}-a", s"${right.id}-b")
+
+    // untouched left region: single-scan fast path, no leaf-id CASE WHEN
+    val qLeft = table.query(GraftQuery.forRegions(Region(Seq(KeyRange.minMax("key", "a", "c")))))
+    assert(!qLeft.queryExecution.optimizedPlan.toString.contains("CASE WHEN"),
+      "a pre-split ref in another branch must not force the clip path")
+    assert(qLeft.select("key").as[String].collect().toSeq == Seq("a"))
+
+    // the split branch itself still takes the (correct) clip path
+    val qRight = table.query(GraftQuery.forRegions(Region(Seq(KeyRange.minMax("key", "u", "z")))))
+    assert(qRight.queryExecution.optimizedPlan.toString.contains("CASE WHEN"))
+    assert(qRight.select("key").as[String].collect().toSeq == Seq("x"))
+  }
+
   test("strategy-driven partition compaction matches whole-table compaction (order independence)") {
     def build(): GraftTable = {
       val t = GraftTable.create(spark, tmp(), schema, config = aggConfig)
