@@ -34,7 +34,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Scale-stress section (x10 engine dataflows, x3 dedup corpora) in
+    // rows/s — BASELINE-comparable numbers where fixed overhead doesn't
+    // dominate. SPARK_GRAFT_SCALE=0 skips it.
+    val scale =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0") "{}"
+      else BenchScale.run(spark, sfDir, timeoutSec)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"scale":$scale,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

