@@ -161,10 +161,19 @@ final class Compaction(table: GraftTable) {
     val sharedFiles = live.groupBy(_.filename).collect {
       case (f, rs) if rs.size > 1 => f
     }.toSet
+    // Aggregation/transform rewrites are persistent and idempotent: a
+    // single leaf-local `compact-*` file already carries them (rows were
+    // merged/transformed when it was written), so such leaves are
+    // CONVERGED and skipped — repeated compactAll is then a no-op.
+    // Ingest-written files (`ingest-*`) still need the rewrite. ageOff
+    // filters are time-dependent and always force work. (Changing the
+    // table's transform config after data was compacted re-applies only
+    // to future rewrites — the reference's iterator semantics.)
+    val needsRewrite = aggSpecs.nonEmpty || table.config.transformConfig.trim.nonEmpty
     val needsWork = byLeaf.filter { case (_, refs) =>
       refs.size > 1 || refs.exists(r => sharedFiles(r.filename)) ||
-        aggSpecs.nonEmpty || filterSpec.nonEmpty ||
-        table.config.transformConfig.trim.nonEmpty // transform rewrites persist
+        filterSpec.nonEmpty ||
+        (needsRewrite && refs.exists(r => !r.filename.startsWith("compact-")))
     }
     if (needsWork.isEmpty) return
 

@@ -1,0 +1,42 @@
+package graft.dedup
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Targeted regressions for the dedup operators (the driver rows cover
+  * the happy paths at corpus scale).
+  */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup keeps one representative for null-text docs") {
+    // xxhash64(null) is null; the collision-verify equi-join can never
+    // match null keys, so nulls are routed around the hash machinery —
+    // without that, BOTH null docs vanished (r3 ADVICE regression).
+    val docs = Seq(
+      (1L, "same"), (2L, "same"), (3L, null.asInstanceOf[String]),
+      (4L, null.asInstanceOf[String]), (5L, "unique")).toDF("id", "text")
+    val got = Dedup.exact(docs, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 5L))
+  }
+
+  test("exact dedup without any null text is unchanged") {
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "text")
+    assert(Dedup.exact(docs, "id", "text").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+  }
+
+  test("simhash cap drops degenerate segment buckets instead of going quadratic") {
+    // identical texts -> identical fingerprints -> every segment bucket
+    // holds all docs; a cap below the doc count suppresses ALL candidate
+    // pairs (they would need an under-cap shared segment)
+    val docs = (1L to 20L).map(i => (i, "the same text repeated over and over"))
+      .toDF("id", "text")
+    val uncapped = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3)
+    assert(uncapped.count() == 20L * 19 / 2) // all pairs, hamming 0
+    val capped = Dedup.simhashPairs(docs, "id", "text", maxHamming = 3, maxBucket = 10)
+    assert(capped.count() == 0)
+  }
+}

@@ -139,6 +139,53 @@ class StateStoreSpec extends AnyFunSuite {
     assert(JsonStateStore.load(dir).fileReferences.size == n)
   }
 
+  test("removeFiles commits a pure removal and queues orphans with their home") {
+    val s = newStore()
+    val Seq(l, _) = leafIds(s)
+    s.addFiles(Seq(FileReference("f1", l, 100), FileReference("f2", l, 50)))
+    s.removeFiles(l, Seq("f1", "f2"), nowMs = 7L)
+    assert(s.fileReferences.isEmpty)
+    assert(s.unreferencedFiles.toSet ==
+      Set(GCEntry("f1", 7L, Some(l)), GCEntry("f2", 7L, Some(l))))
+    intercept[IllegalArgumentException](s.removeFiles(l, Seq("missing")))
+  }
+
+  test("addFilesIfAbsent commits once per txn id and skips replays") {
+    val dir = Files.createTempDirectory("graft-txn").toString
+    val s = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+    val Seq(l, _) = s.partitionTree.leaves.map(_.id).sorted
+    assert(s.addFilesIfAbsent("batch-1", Seq(FileReference("f1", l, 10))))
+    assert(s.hasCommittedTxn("batch-1"))
+    // replay: same txn id, different file — nothing changes
+    assert(!s.addFilesIfAbsent("batch-1", Seq(FileReference("f1-retry", l, 10))))
+    assert(s.fileReferences.map(_.filename) == Seq("f1"))
+    // the txn set survives persistence (crash-restart window)
+    val reloaded = JsonStateStore.load(dir)
+    assert(reloaded.hasCommittedTxn("batch-1"))
+    assert(!reloaded.addFilesIfAbsent("batch-1", Seq(FileReference("f1-retry", l, 10))))
+    assert(reloaded.addFilesIfAbsent("batch-2", Seq(FileReference("f2", l, 5))))
+  }
+
+  test("load falls back past a corrupt latest snapshot and quarantines it") {
+    val dir = Files.createTempDirectory("graft-corrupt").toString
+    val s = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+    val Seq(l, _) = s.partitionTree.leaves.map(_.id).sorted
+    s.addFiles(Seq(FileReference("f1", l, 10))) // v2
+    // simulate the non-hard-link crash window: an empty latest version
+    val v3 = java.nio.file.Paths.get(dir, "state-v3.json")
+    Files.createFile(v3)
+
+    val loaded = JsonStateStore.load(dir)
+    assert(loaded.fileReferences.map(_.filename) == Seq("f1"))
+    assert(loaded.currentVersion == 2)
+    assert(!Files.exists(v3), "corrupt snapshot should be quarantined")
+    assert(Files.exists(java.nio.file.Paths.get(dir, "state-v3.json.corrupt")))
+    // the store is fully usable: the next commit takes v3 again
+    loaded.addFiles(Seq(FileReference("f2", l, 5)))
+    assert(loaded.currentVersion == 3)
+    assert(JsonStateStore.load(dir).fileReferences.map(_.filename).toSet == Set("f1", "f2"))
+  }
+
   test("many concurrent writers all land their transactions (stress)") {
     val dir = Files.createTempDirectory("graft-stress").toString
     JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))

@@ -241,6 +241,24 @@ class GraftSourceSpec extends AnyFunSuite {
       Seq(("a", 1L, 5L, Map("x" -> 5L))))
   }
 
+  test("row estimate counts refs still parked on ancestor partitions") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema)
+    table.ingest(batch(
+      ("a", 1L, 1L, Map.empty[String, Long]), ("z", 1L, 2L, Map.empty[String, Long])))
+    // metadata-only split: the root's ref stays on the (now non-leaf) root
+    val root = table.store.partitionTree.root.id
+    table.store.splitPartition(root, 0, "m", s"$root-a", s"$root-b")
+
+    val store = graft.meta.JsonStateStore.load(s"$dir/meta")
+    val scan = new GraftScanBuilder(dir, store).build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsReportStatistics]
+    val stats = scan.estimateStatistics()
+    assert(stats.numRows.getAsLong == 2,
+      s"ancestor-held refs must prorate into numRows, got ${stats.numRows}")
+    assert(stats.sizeInBytes.getAsLong > 0)
+  }
+
   test("column pruning reaches the reader (narrow read schema)") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema, splitPoints = Nil)

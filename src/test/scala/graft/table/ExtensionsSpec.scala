@@ -64,6 +64,29 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(raw == Set(("a", 10L), ("c", 5L)))
   }
 
+  test("compactAll converges when a transform drops ALL of a leaf's rows") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"),
+      config = TableConfig(transformConfig = "graft.transforms.SecurityFilter{vis,public}"))
+    // left leaf: only secret rows (fully dropped); right leaf: mixed
+    table.ingest(batch(
+      ("a", 1L, "secret!", 1L), ("b", 1L, "secret!", 2L),
+      ("x", 1L, "public", 3L), ("y", 1L, "secret!", 4L)))
+
+    table.compactAll()
+    // the emptied leaf's inputs were committed away (pure removal), not
+    // left live to be re-merged forever
+    val live = table.store.fileReferences
+    assert(live.map(_.rowCount).sum == 1, s"live=$live")
+    assert(table.toDF.select("key").as[String].collect().toSeq == Seq("x"))
+
+    // convergence: a second compactAll finds nothing to do
+    val versionBefore = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+    table.compactAll()
+    assert(table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion == versionBefore,
+      "second compactAll should be a no-op on a converged table")
+  }
+
   test("table-level transform applies at query time AND rewrites data at compaction") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema,
