@@ -277,26 +277,31 @@ final class GraftScan(dir: String, store: JsonStateStore,
     }.toArray
   }
 
-  /** The vectorized (ColumnarBatch) fast path activates when EVERY
-    * selected leaf is a fully-compacted single local file and no
-    * persistent filter/aggregation is pending: then the merged view of
-    * each leaf IS its file, and Spark's native vectorized parquet reader
-    * serves it at full columnar speed (the documented ~2x win over the
-    * row merge for whole-table analytics). Spark requires the whole scan
-    * to be uniformly row-based or columnar, so one unmerged leaf keeps
-    * the scan on the row path. Pushed/runtime filters stay correct: all
-    * filters are re-applied by Spark post-scan (pushFilters returns every
-    * filter as residual); the row-group predicate still prunes IO.
+  /** The vectorized (ColumnarBatch) path activates when no persistent
+    * filter/aggregation is pending and at least one selected leaf is a
+    * fully-compacted single local file: such leaves' merged view IS the
+    * file, and Spark's native vectorized parquet reader serves it at
+    * full columnar speed (the documented ~2x win over the row merge for
+    * whole-table analytics). Spark requires the whole scan to be
+    * uniformly row-based or columnar, so the remaining (multi-run)
+    * leaves ride along as row merges wrapped into ColumnarBatches — a
+    * small copy cost, paid only while a leaf awaits compaction. A scan
+    * with NO native-capable leaf stays on the plain row path (wrapping
+    * everything would be pure overhead). Pushed/runtime filters stay
+    * correct either way: all filters are re-applied by Spark post-scan
+    * (pushFilters returns every filter as residual); the row-group
+    * predicate still prunes IO.
     */
-  private def allVectorized(parts: Array[LeafScan]): Boolean =
-    parts.nonEmpty && parts.forall(_.singleLocalFile) &&
+  private def scanColumnar(parts: Array[LeafScan]): Boolean =
+    parts.exists(_.singleLocalFile) &&
       store.aggregationConfig.trim.isEmpty && store.filterConfig.trim.isEmpty &&
       required.fields.nonEmpty // count(*)-style empty projection stays on the row path
 
   override def planInputPartitions(): Array[InputPartition] = {
     val parts = planSpecs
-    val vectorized = allVectorized(parts)
-    parts.map(p => GraftInputPartition(p.spec, vectorized): InputPartition)
+    val columnar = scanColumnar(parts)
+    parts.map(p =>
+      GraftInputPartition(p.spec, columnar, p.singleLocalFile): InputPartition)
   }
 
   /** Rows come out of each partition merged in (row keys, sort keys)
@@ -315,13 +320,18 @@ final class GraftScan(dir: String, store: JsonStateStore,
   override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
 }
 
-final case class GraftInputPartition(spec: RunSpec, vectorized: Boolean = false)
-  extends InputPartition
+/** `columnar` = the whole scan serves ColumnarBatches (uniform across
+  * partitions, as Spark requires); `nativeFile` = THIS leaf is a single
+  * local file servable by the native vectorized parquet reader (others
+  * wrap the row merge into batches).
+  */
+final case class GraftInputPartition(spec: RunSpec, columnar: Boolean = false,
+    nativeFile: Boolean = false) extends InputPartition
 
 final class GraftReaderFactory extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    partition.asInstanceOf[GraftInputPartition].vectorized
+    partition.asInstanceOf[GraftInputPartition].columnar
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val (it, closeAll) = SortedRun.open(partition.asInstanceOf[GraftInputPartition].spec)
@@ -335,13 +345,19 @@ final class GraftReaderFactory extends PartitionReaderFactory {
     }
   }
 
-  /** Fast path: the leaf's single sorted file through Spark's native
-    * vectorized parquet reader — preserves the file's (= the merge's)
-    * order, so the declared outputOrdering still holds.
+  /** Columnar readers. A native-file leaf reads its single sorted file
+    * through Spark's vectorized parquet reader; other leaves run the
+    * normal row merge and pack the rows into ColumnarBatches. Both
+    * preserve the merge order, so the declared outputOrdering holds.
     */
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
-    val spec = partition.asInstanceOf[GraftInputPartition].spec
+    val p = partition.asInstanceOf[GraftInputPartition]
+    if (p.nativeFile) nativeColumnarReader(p.spec) else wrappedColumnarReader(p.spec)
+  }
+
+  private def nativeColumnarReader(spec: RunSpec)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val pred = SortedRun.queryPredicate(spec.queryRegions, spec.schema.keyFields)
     val vec = org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedBridge
       .open(spec.paths.head, spec.output, pred, capacity = 4096)
@@ -350,6 +366,39 @@ final class GraftReaderFactory extends PartitionReaderFactory {
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
         vec.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
       override def close(): Unit = vec.close()
+    }
+  }
+
+  private def wrappedColumnarReader(spec: RunSpec)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    import org.apache.spark.sql.vectorized.{ColumnarBatch, ColumnVector}
+    // all-nullable conversion schema: the converter then takes the
+    // null-checking path for every field, which is what merged rows need
+    val structType = StructType(spec.output.map { n =>
+      val f = spec.schema.field(n)
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)
+    })
+    val capacity = 4096
+    val converter = new org.apache.spark.sql.execution.GraftRowPacker(structType)
+    val vectors = OnHeapColumnVector.allocateColumns(capacity, structType)
+    val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector), 0)
+    val (it, closeAll) = SortedRun.open(spec)
+    new PartitionReader[ColumnarBatch] {
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        vectors.foreach(_.reset())
+        var n = 0
+        while (n < capacity && it.hasNext) {
+          converter.pack(it.next(), vectors.asInstanceOf[Array[
+            org.apache.spark.sql.execution.vectorized.WritableColumnVector]])
+          n += 1
+        }
+        batch.setNumRows(n)
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = { closeAll(); batch.close() }
     }
   }
 }

@@ -226,6 +226,26 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(sorted.queryExecution.executedPlan.collect { case s: SortExec => s }.isEmpty)
   }
 
+  test("mixed table goes columnar: compacted leaves native, multi-run leaves wrapped") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
+    table.ingest(batch(
+      ("a", 1L, 1L, Map("x" -> 1L)), ("z", 1L, 2L, Map.empty[String, Long])))
+    // second batch touches ONLY the right leaf -> left stays single-file
+    table.ingest(batch(("y", 1L, 3L, Map("y" -> 9L))))
+
+    val df = spark.read.format("graft").load(dir)
+    val scan = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }.head
+    assert(scan.supportsColumnar,
+      "one compacted leaf should pull the scan onto the columnar path")
+    assert(df.as[(String, Long, Long, Map[String, Long])].collect().toSet == Set(
+      ("a", 1L, 1L, Map("x" -> 1L)), ("z", 1L, 2L, Map.empty[String, Long]),
+      ("y", 1L, 3L, Map("y" -> 9L))))
+    // order still preserved per partition through the wrapped batches
+    val sorted = df.sortWithinPartitions("key", "ts")
+    assert(sorted.queryExecution.executedPlan.collect { case s: SortExec => s }.isEmpty)
+  }
+
   test("persistent aggregation keeps the scan on the row merge path even when compacted") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema,
