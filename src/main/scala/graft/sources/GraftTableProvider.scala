@@ -111,15 +111,53 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
 }
 
 final class GraftScanBuilder(dir: String, store: JsonStateStore)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private val schema = store.schema
   private var pushed: Array[Filter] = Array.empty
   private var regions: Seq[Region] = Seq(allKeySpace)
   private var required: StructType = schema.toStructType
+  private var pushedCount: Option[(Long, Int)] = None // (count, #CountStar columns)
 
   private def allKeySpace: Region =
     Region(schema.rowKeys.map(f => KeyRange.unbounded(f.name)))
+
+  /** COUNT(*) with no grouping and no filters is answerable from the
+    * state store alone: committed footer row counts are exact whenever
+    * every reference is leaf-local (a post-metadata-split ref carries a
+    * halved ESTIMATE and a shared file would double-count — both
+    * disqualify) and no persistent filter/aggregation changes the merged
+    * view's cardinality. A 100-TB `SELECT COUNT(*)` then reads zero data
+    * files. (Spark only attempts aggregate pushdown when every filter
+    * was fully pushed; since this source keeps all filters residual, a
+    * filtered count never reaches here — the guard is belt-and-braces.)
+    */
+  private def countFromMetadata(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(Long, Int)] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    val countStars = agg.aggregateExpressions.count(_.isInstanceOf[CountStar])
+    val onlyCountStar = agg.groupByExpressions.isEmpty &&
+      countStars == agg.aggregateExpressions.length && countStars > 0
+    if (!onlyCountStar || pushed.nonEmpty) return None
+    if (store.aggregationConfig.trim.nonEmpty || store.filterConfig.trim.nonEmpty) return None
+    val tree = store.partitionTree
+    val refs = store.fileReferences
+    val exact = refs.forall(r =>
+      tree(r.partitionId).isLeaf && r.physicalPartitionId == r.partitionId)
+    if (exact) Some((refs.map(_.rowCount).sum, countStars)) else None
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countFromMetadata(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countFromMetadata(agg) match {
+      case some @ Some(_) => pushedCount = some; true
+      case None => false
+    }
 
   /** Translate row-key conjuncts into regions used for partition/file
     * pruning. Every filter is ALSO returned as residual: Spark re-applies
@@ -139,9 +177,39 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan =
-    new GraftScan(dir, store, regions, required)
+  override def build(): Scan = pushedCount match {
+    case Some((count, n)) => new GraftCountScan(dir, count, n)
+    case None => new GraftScan(dir, store, regions, required)
+  }
 }
+
+/** Metadata-only COUNT(*) scan: one partition emitting one row whose n
+  * columns all hold the table's committed row count.
+  */
+final class GraftCountScan(dir: String, count: Long, n: Int) extends Scan with Batch {
+  override def readSchema(): StructType = StructType(
+    (0 until n).map(i => org.apache.spark.sql.types.StructField(
+      s"count_star_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"GraftCountScan $dir count=$count (metadata-only)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftCountPartition(count, n))
+  override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
+    override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+      val p = partition.asInstanceOf[GraftCountPartition]
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow =
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array.fill[Any](p.n)(p.count))
+        override def close(): Unit = ()
+      }
+    }
+  }
+}
+
+final case class GraftCountPartition(count: Long, n: Int) extends InputPartition
 
 final class GraftScan(dir: String, store: JsonStateStore,
     initialRegions: Seq[Region], required: StructType)

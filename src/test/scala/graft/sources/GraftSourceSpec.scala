@@ -279,6 +279,40 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(stats.sizeInBytes.getAsLong > 0)
   }
 
+  test("COUNT(*) is served from state-store metadata when counts are exact") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
+    table.ingest(batch(
+      ("a", 1L, 1L, Map.empty[String, Long]), ("z", 1L, 2L, Map.empty[String, Long]),
+      ("b", 2L, 3L, Map.empty[String, Long])))
+
+    // AQE hides the physical scan pre-execution; the optimized logical
+    // plan carries the pushed scan either way
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+      }.head
+
+    val df = spark.read.format("graft").load(dir)
+    val counted = df.groupBy().count()
+    assert(counted.as[Long].head() == 3L)
+    assert(scanOf(counted).isInstanceOf[GraftCountScan],
+      s"COUNT(*) should push to metadata, got ${scanOf(counted).getClass}")
+
+    // a WHERE disables the pushdown (filters are residual) but stays correct
+    val filtered = df.filter($"key" < "m").groupBy().count()
+    assert(filtered.as[Long].head() == 2L)
+    assert(scanOf(filtered).isInstanceOf[GraftScan])
+
+    // a metadata-only split makes counts estimates -> no pushdown, correct result
+    val root2 = table.store.partitionTree.leaves.head.id
+    table.store.splitPartition(root2, 0, "f", s"$root2-a", s"$root2-b")
+    val df2 = spark.read.format("graft").load(dir)
+    val counted2 = df2.groupBy().count()
+    assert(counted2.as[Long].head() == 3L)
+    assert(scanOf(counted2).isInstanceOf[GraftScan])
+  }
+
   test("column pruning reaches the reader (narrow read schema)") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema, splitPoints = Nil)
