@@ -118,44 +118,91 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
   private var pushed: Array[Filter] = Array.empty
   private var regions: Seq[Region] = Seq(allKeySpace)
   private var required: StructType = schema.toStructType
-  private var pushedCount: Option[(Long, Int)] = None // (count, #CountStar columns)
+  private var pushedAgg: Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = None
 
   private def allKeySpace: Region =
     Region(schema.rowKeys.map(f => KeyRange.unbounded(f.name)))
 
-  /** COUNT(*) with no grouping and no filters is answerable from the
-    * state store alone: committed footer row counts are exact whenever
-    * every reference is leaf-local (a post-metadata-split ref carries a
-    * halved ESTIMATE and a shared file would double-count — both
-    * disqualify) and no persistent filter/aggregation changes the merged
-    * view's cardinality. A 100-TB `SELECT COUNT(*)` then reads zero data
-    * files. (Spark only attempts aggregate pushdown when every filter
-    * was fully pushed; since this source keeps all filters residual, a
-    * filtered count never reaches here — the guard is belt-and-braces.)
+  /** COUNT(*) / MIN(row key) / MAX(row key) with no grouping and no
+    * filters are answerable from table metadata alone: committed footer
+    * row counts are exact, and every data file's sketch sidecar tracks
+    * its key columns' exact min/max items — whenever every reference is
+    * leaf-local (a post-metadata-split ref carries a halved ESTIMATE and
+    * a shared file would double-count; both disqualify) and no
+    * persistent filter/aggregation changes the merged view. A 100-TB
+    * `SELECT COUNT(*), MIN(k), MAX(k)` then reads zero data files —
+    * only sidecars, bounded at 4096 driver-side reads. (Spark only
+    * attempts aggregate pushdown when every filter was fully pushed;
+    * this source keeps all filters residual, so a filtered aggregate
+    * never reaches here — the guard is belt-and-braces.)
     */
-  private def countFromMetadata(
-      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Option[(Long, Int)] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
-    val countStars = agg.aggregateExpressions.count(_.isInstanceOf[CountStar])
-    val onlyCountStar = agg.groupByExpressions.isEmpty &&
-      countStars == agg.aggregateExpressions.length && countStars > 0
-    if (!onlyCountStar || pushed.nonEmpty) return None
+  private def aggFromMetadata(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.types.LongType
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return None
+    if (pushed.nonEmpty) return None
     if (store.aggregationConfig.trim.nonEmpty || store.filterConfig.trim.nonEmpty) return None
     val tree = store.partitionTree
     val refs = store.fileReferences
     val exact = refs.forall(r =>
       tree(r.partitionId).isLeaf && r.physicalPartitionId == r.partitionId)
-    if (exact) Some((refs.map(_.rowCount).sum, countStars)) else None
+    if (!exact || refs.size > 4096) return None
+
+    def rowKeyName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case ref: NamedReference if ref.fieldNames.length == 1 &&
+          schema.rowKeyNames.contains(ref.fieldNames.head) => Some(ref.fieldNames.head)
+        case _ => None
+      }
+
+    val dataFiles = refs.filter(_.rowCount > 0)
+      .map(r => s"$dir/data/${r.physicalPartitionId}/${r.filename}")
+    // (min, max) per row-key field from the unioned sidecar sketches —
+    // exact items, not estimates (quantile sketches track min/max
+    // exactly). None = a sidecar is missing; empty table = Some((null, null)).
+    val minMaxCache = mutable.Map.empty[String, Option[(Any, Any)]]
+    def minMax(field: String): Option[(Any, Any)] = minMaxCache.getOrElseUpdate(field, {
+      if (dataFiles.isEmpty) Some((null, null))
+      else if (!dataFiles.forall(graft.meta.SketchSidecar.exists)) None
+      else {
+        val kind = graft.functions.KeySketch.kindOf(schema.field(field).dataType)
+        val parts = dataFiles.map(f => graft.meta.SketchSidecar.read(f).get(field))
+        if (parts.exists(_.isEmpty)) None
+        else {
+          val merged = graft.functions.KeySketch.union(kind, parts.flatten)
+          Some((kind.fromItem(merged.getMinItem), kind.fromItem(merged.getMaxItem)))
+        }
+      }
+    })
+
+    def internal(v: Any): Any = v match {
+      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case other => other
+    }
+
+    lazy val count = refs.map(_.rowCount).sum
+    val vals = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some((count: Any, LongType: org.apache.spark.sql.types.DataType))
+      case m: Min => rowKeyName(m.column).flatMap(f =>
+        minMax(f).map(mm => (internal(mm._1), schema.field(f).dataType)))
+      case m: Max => rowKeyName(m.column).flatMap(f =>
+        minMax(f).map(mm => (internal(mm._2), schema.field(f).dataType)))
+      case _ => None
+    }
+    if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
   }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    countFromMetadata(agg).isDefined
+    aggFromMetadata(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    countFromMetadata(agg) match {
-      case some @ Some(_) => pushedCount = some; true
+    aggFromMetadata(agg) match {
+      case some @ Some(_) => pushedAgg = some; true
       case None => false
     }
 
@@ -177,39 +224,40 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = pushedCount match {
-    case Some((count, n)) => new GraftCountScan(dir, count, n)
+  override def build(): Scan = pushedAgg match {
+    case Some(values) => new GraftMetaAggScan(dir, values)
     case None => new GraftScan(dir, store, regions, required)
   }
 }
 
-/** Metadata-only COUNT(*) scan: one partition emitting one row whose n
-  * columns all hold the table's committed row count.
+/** Metadata-only aggregate scan: one partition emitting the single
+  * pre-computed COUNT/MIN/MAX result row.
   */
-final class GraftCountScan(dir: String, count: Long, n: Int) extends Scan with Batch {
+final class GraftMetaAggScan(dir: String,
+    values: Seq[(Any, org.apache.spark.sql.types.DataType)]) extends Scan with Batch {
   override def readSchema(): StructType = StructType(
-    (0 until n).map(i => org.apache.spark.sql.types.StructField(
-      s"count_star_$i", org.apache.spark.sql.types.LongType, nullable = false)))
+    values.zipWithIndex.map { case ((_, dt), i) =>
+      org.apache.spark.sql.types.StructField(s"agg_$i", dt, nullable = true)
+    })
   override def toBatch: Batch = this
-  override def description(): String = s"GraftCountScan $dir count=$count (metadata-only)"
+  override def description(): String = s"GraftMetaAggScan $dir (metadata-only)"
   override def planInputPartitions(): Array[InputPartition] =
-    Array(GraftCountPartition(count, n))
+    Array(GraftMetaAggPartition(values.map(_._1)))
   override def createReaderFactory(): PartitionReaderFactory = new PartitionReaderFactory {
     override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-      val p = partition.asInstanceOf[GraftCountPartition]
+      val p = partition.asInstanceOf[GraftMetaAggPartition]
       new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean = if (emitted) false else { emitted = true; true }
         override def get(): InternalRow =
-          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-            Array.fill[Any](p.n)(p.count))
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(p.values.toArray)
         override def close(): Unit = ()
       }
     }
   }
 }
 
-final case class GraftCountPartition(count: Long, n: Int) extends InputPartition
+final case class GraftMetaAggPartition(values: Seq[Any]) extends InputPartition
 
 final class GraftScan(dir: String, store: JsonStateStore,
     initialRegions: Seq[Region], required: StructType)

@@ -279,6 +279,32 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(stats.sizeInBytes.getAsLong > 0)
   }
 
+  test("COUNT/MIN/MAX push to metadata (sketch sidecars) in one query") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
+    table.ingest(batch(
+      ("ant", 5L, 1L, Map.empty[String, Long]), ("zebra", 1L, 2L, Map.empty[String, Long]),
+      ("mango", 2L, 3L, Map.empty[String, Long])))
+    table.ingest(batch(("yak", 3L, 4L, Map.empty[String, Long])))
+
+    val df = spark.read.format("graft").load(dir)
+    import org.apache.spark.sql.functions.{count => fcount, min => fmin, max => fmax}
+    val agg = df.agg(fcount("*").as("n"), fmin("key").as("lo"), fmax("key").as("hi"))
+    assert(agg.as[(Long, String, String)].head() == ((4L, "ant", "zebra")))
+    val scan = agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(scan.isInstanceOf[GraftMetaAggScan],
+      s"COUNT/MIN/MAX should push to metadata, got ${scan.getClass}")
+
+    // min/max on a VALUE column has no sidecar -> normal scan, correct
+    val aggV = df.agg(fmin("count").as("lo"))
+    assert(aggV.as[Long].head() == 1L)
+    assert(aggV.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.head.isInstanceOf[GraftScan])
+  }
+
   test("COUNT(*) is served from state-store metadata when counts are exact") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
@@ -296,7 +322,7 @@ class GraftSourceSpec extends AnyFunSuite {
     val df = spark.read.format("graft").load(dir)
     val counted = df.groupBy().count()
     assert(counted.as[Long].head() == 3L)
-    assert(scanOf(counted).isInstanceOf[GraftCountScan],
+    assert(scanOf(counted).isInstanceOf[GraftMetaAggScan],
       s"COUNT(*) should push to metadata, got ${scanOf(counted).getClass}")
 
     // a WHERE disables the pushdown (filters are residual) but stays correct
