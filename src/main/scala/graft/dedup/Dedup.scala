@@ -219,6 +219,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a pair list by iterative min-label
+    * propagation: every node starts labeled with its own id; each round
+    * joins labels across edges and keeps the minimum; convergence after
+    * O(component diameter) rounds. All work is hash joins + partial
+    * aggregations on (id, label) longs — no driver-side graph, so a
+    * 100-TB corpus's near-dup graph distributes like any other join.
+    * Each round persists its labels and unpersists the previous ones,
+    * keeping lineage flat. Returns (id, component) where component = the
+    * smallest id reachable from `id`.
+    */
+  def components(pairs: DataFrame, srcCol: String, dstCol: String,
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .unionByName(pairs.select(col(dstCol).as("a"), col(srcCol).as("b")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("component").as("nc")), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nc")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .persist()
+      val changed = next.as("n")
+        .join(labels.select(col("id"), col("component").as("old")), "id")
+        .filter(col("component") < col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Cluster-level near-duplicate dedup: MinHash+LSH pairs → connected
+    * components → keep ONE representative (the smallest id) per cluster.
+    * This is what a training-data pipeline actually does with near-dup
+    * pairs — pairs alone over-remove (a—b, b—c would drop both b and c
+    * even though a and c may not match) — so the cluster closure is the
+    * unit of deduplication.
+    */
+  def neardupDedup(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double): DataFrame = {
+    val pairs = minhashLshPairs(docs, idCol, textCol, n, threshold)
+    val comp = components(pairs, "id_a", "id_b")
+    val losers = comp.filter(col("component") =!= col("id")).select(col("id").as(idCol))
+    docs.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using
     * the band trick: split the 64-bit fingerprint into `maxHamming + 1`
     * segments — any pair within the distance must agree exactly on at

@@ -65,6 +65,43 @@ object TextQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // D5 — cluster-level dedup: near-dup pairs (LSH recall ~1, so the
+    // exact-Jaccard pair set is the edge list) → connected components →
+    // keep the smallest doc_id per cluster. The oracle replays the
+    // closure with a recursive CTE: a doc survives iff the minimum id
+    // reachable from it is itself.
+    "d5_neardup_dedup" -> withOracle(
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        |  FROM toks WHERE len(ws) >= 2
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id
+        |)
+        |SELECT id AS doc_id FROM reach
+        |GROUP BY id HAVING MIN(lab) = id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.neardupDedup(t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.5)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // D4 — SimHash near-dup pairs. The token hash family is a rolling
     // hash (mod 1e9+7) expanded to 64 bits by an affine map mod 2^31-1 —
     // plain integer arithmetic (HashOps.simhash scaladoc), so the oracle

@@ -28,6 +28,24 @@ class DedupSpec extends AnyFunSuite {
       Set(1L, 2L))
   }
 
+  test("connected components label every node with its cluster's smallest id") {
+    // chain 1-2-3, pair 5-4 (reversed), self-contained 9
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L), (9L, 9L)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("cluster dedup keeps one representative per near-dup cluster and all singletons") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta epsilon"), // chains to 1/2 transitively
+      (7L, "totally different words here entirely")).toDF("id", "text")
+    val survivors = Dedup.neardupDedup(docs, "id", "text", n = 2, threshold = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 7L))
+  }
+
   test("simhash cap drops degenerate segment buckets instead of going quadratic") {
     // identical texts -> identical fingerprints -> every segment bucket
     // holds all docs; a cap below the doc count suppresses ALL candidate
