@@ -254,6 +254,34 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    // T6 — deterministic hash-based train/held-out split with per-split
+    // token budgets: assignment is a pure function of the document
+    // fingerprint (stable across runs/partitions, no RNG), replayed
+    // exactly by the oracle.
+    "t6_split" -> withOracle(
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         list_reduce(
+        |           list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+        |  FROM documents
+        |)
+        |SELECT CASE WHEN h % 100 < 90 THEN 'train' ELSE 'heldout' END AS split,
+        |       CAST(COUNT(*) AS BIGINT) AS docs,
+        |       CAST(SUM(ntok) AS BIGINT) AS tokens
+        |FROM fp
+        |GROUP BY 1
+        |ORDER BY split""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(TextFunctions.hashSplit(col("text"), 90).as("split"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("ntok"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tokens"))
+        .orderBy("split")
+    },
+
     "t4_fingerprint" -> withOracle(
       """SELECT doc_id,
         |       list_reduce(

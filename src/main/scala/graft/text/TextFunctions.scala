@@ -74,6 +74,16 @@ object TextFunctions {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "una", "es", "por"),
     "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "que", "pour", "dans"))
 
+  /** Deterministic corpus split assignment ("train"/"heldout") from the
+    * document fingerprint: stable across runs, machines, and partitions
+    * (no RNG), reproducible in plain SQL — the standard hash-based
+    * held-out split of a training-data pipeline. `trainPct` of the hash
+    * space goes to "train".
+    */
+  def hashSplit(text: Column, trainPct: Int): Column =
+    when(pmod(graft.functions.RollingHash.rolling_hash(text), lit(100)) < trainPct,
+      lit("train")).otherwise(lit("heldout"))
+
   /** Stopword hits for one language (distinct tokens ∩ stopword list). */
   def stopwordHits(text: Column, lang: String): Column =
     size(array_intersect(array_distinct(tokens(text)),
