@@ -227,7 +227,9 @@ object Dedup {
     * 100-TB corpus's near-dup graph distributes like any other join.
     * Each round persists its labels and unpersists the previous ones,
     * keeping lineage flat. Returns (id, component) where component = the
-    * smallest id reachable from `id`.
+    * smallest id reachable from `id`. The returned frame stays persisted
+    * (it IS the fixpoint); callers holding it long-term can `unpersist()`
+    * once consumed.
     */
   def components(pairs: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 50): DataFrame = {
