@@ -15,8 +15,9 @@ import graft.table.{GraftTable, TableConfig}
   * 170–400k rows/s, DataFusion 2.9–4.5M rows/s) is made at a size where
   * Spark's fixed per-query overhead doesn't dominate.
   *
-  * The ×10 copies shift l_orderkey by i·150000 so the key space stays
-  * contiguous and the 32-way split tree stays balanced.
+  * The ×10 copies shift l_orderkey by i·(max key + 1) so the key space
+  * stays contiguous and the 32-way split tree stays balanced at every
+  * scale factor.
   */
 object BenchScale {
 
@@ -38,9 +39,12 @@ object BenchScale {
     // -- engine dataflows on x10 lineitem ------------------------------
     val li = Tables(spark, sfDir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity").cast("long").as("qty"))
-    val keySpan = 150000L * EngineFactor
+    // derive the copy shift from the DATA (max key + 1), so copies never
+    // overlap and the split tree stays balanced at every scale factor
+    val shift = li.agg(max("l_orderkey")).head().getLong(0) + 1
+    val keySpan = shift * EngineFactor
     val scaled = (0 until EngineFactor).map(i =>
-        li.select((col("l_orderkey") + lit(i * 150000L)).as("l_orderkey"),
+        li.select((col("l_orderkey") + lit(i * shift)).as("l_orderkey"),
           col("l_linenumber"), col("qty")))
       .reduce(_ unionByName _)
     val totalRows = li.count() * EngineFactor

@@ -226,10 +226,12 @@ object Dedup {
     * aggregations on (id, label) longs — no driver-side graph, so a
     * 100-TB corpus's near-dup graph distributes like any other join.
     * Each round persists its labels and unpersists the previous ones,
-    * keeping lineage flat. Returns (id, component) where component = the
-    * smallest id reachable from `id`. The returned frame stays persisted
-    * (it IS the fixpoint); callers holding it long-term can `unpersist()`
-    * once consumed.
+    * keeping lineage flat; the returned frame is locally checkpointed
+    * (lineage-free, blocks reclaimed by the ContextCleaner once the
+    * frame is unreferenced — no permanent cache entry). Throws if the
+    * fixpoint is not reached within `maxRounds`: silently returning
+    * partial labels would make a dedup caller keep several
+    * "representatives" of one cluster.
     */
   def components(pairs: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 50): DataFrame = {
@@ -260,7 +262,13 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    labels
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds — " +
+          "a cluster's diameter exceeds the bound; raise maxRounds")
+    val result = labels.localCheckpoint(true)
+    labels.unpersist()
+    result
   }
 
   /** Cluster-level near-duplicate dedup: MinHash+LSH pairs → connected

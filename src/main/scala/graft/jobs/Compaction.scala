@@ -71,6 +71,21 @@ final class Compaction(table: GraftTable) {
   private def aggSpecs = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
   private def filterSpec = ConfigDsl.parseFilter(table.config.filterConfig, schema)
 
+  /** Output-file prefix encoding WHICH aggregation/transform config
+    * produced the rewrite, so the convergence skip in compactAll never
+    * mistakes a file compacted under an OLD config for current — a table
+    * reloaded with an overridden config (GraftTable.load) re-compacts
+    * everything once and then converges under the new tag.
+    */
+  private def configTag: String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(s"${table.config.aggregationConfig}\n${table.config.transformConfig}"
+      .getBytes("UTF-8"))
+    f"${crc.getValue}%08x"
+  }
+
+  private def compactPrefix(jobId: String): String = s"compact-$configTag-$jobId"
+
   /** Table-level custom transform (X1) runs at compaction exactly as at
     * query time — the transform contract requires it to preserve
     * (row key, sort key) order, so the merged stream's sortedness
@@ -134,7 +149,7 @@ final class Compaction(table: GraftTable) {
     val writable =
       if (onePassSketches) merged
       else merged.coalesce(1).sortWithinPartitions(schema.keyNames.map(col): _*)
-    val (filename, rowCount) = writeSingleFile(writable, job.partitionId, s"compact-$jobId")
+    val (filename, rowCount) = writeSingleFile(writable, job.partitionId, compactPrefix(jobId))
     val outPath = table.filePath(job.partitionId, filename)
     if (onePassSketches) attachSketches(sketchDir, Seq(0 -> outPath))
     else writeSketches(Seq(outPath))
@@ -162,18 +177,18 @@ final class Compaction(table: GraftTable) {
       case (f, rs) if rs.size > 1 => f
     }.toSet
     // Aggregation/transform rewrites are persistent and idempotent: a
-    // single leaf-local `compact-*` file already carries them (rows were
-    // merged/transformed when it was written), so such leaves are
-    // CONVERGED and skipped — repeated compactAll is then a no-op.
-    // Ingest-written files (`ingest-*`) still need the rewrite. ageOff
-    // filters are time-dependent and always force work. (Changing the
-    // table's transform config after data was compacted re-applies only
-    // to future rewrites — the reference's iterator semantics.)
+    // single leaf-local file already compacted under the CURRENT config
+    // (the filename carries the config tag) is CONVERGED and skipped —
+    // repeated compactAll is then a no-op. Ingest-written files and
+    // files compacted under a different (overridden) config still need
+    // the rewrite. ageOff filters are time-dependent and always force
+    // work.
+    val convergedPrefix = s"compact-$configTag-"
     val needsRewrite = aggSpecs.nonEmpty || table.config.transformConfig.trim.nonEmpty
     val needsWork = byLeaf.filter { case (_, refs) =>
       refs.size > 1 || refs.exists(r => sharedFiles(r.filename)) ||
         filterSpec.nonEmpty ||
-        (needsRewrite && refs.exists(r => !r.filename.startsWith("compact-")))
+        (needsRewrite && refs.exists(r => !r.filename.startsWith(convergedPrefix)))
     }
     if (needsWork.isEmpty) return
 
@@ -197,7 +212,7 @@ final class Compaction(table: GraftTable) {
         // the leaf at that index (valid: no transform ran, partition
         // layout untouched).
         ParquetLayout.configure(merged.write, schema).parquet(tmpDir)
-        moveFromFlatDir(tmpDir, leafIds, s"compact-$jobId")
+        moveFromFlatDir(tmpDir, leafIds, compactPrefix(jobId))
       } else {
         // A transform may move rows between tasks; re-derive each row's
         // leaf from its keys and write partitionBy. Order inside a task
@@ -208,7 +223,7 @@ final class Compaction(table: GraftTable) {
           .repartition(leafIds.size, col("__gpart"))
           .sortWithinPartitions((Seq("__gpart") ++ schema.keyNames).map(col): _*)
         ParquetLayout.configure(resorted.write, schema).partitionBy("__gpart").parquet(tmpDir)
-        moveFromPartitionedDir(tmpDir, s"compact-$jobId").map { case (pid, path) =>
+        moveFromPartitionedDir(tmpDir, compactPrefix(jobId)).map { case (pid, path) =>
           (-1, pid, path)
         }
       }
@@ -285,10 +300,11 @@ final class Compaction(table: GraftTable) {
 
   /** Map `part-NNNNN-*` outputs of a flat write back to the leaf whose
     * merge task produced them (task index == partition index), and move
-    * each into its leaf directory. A task whose rows were all filtered
-    * away still commits a zero-row parquet file, so every leaf in the job
-    * gets an output here; the partitionBy path has no such guarantee and
-    * relies on compactAll's pure-removal fallback instead.
+    * each into its leaf directory. A task whose rows were ALL filtered
+    * away may write no file (Spark only commits a zero-row file for
+    * partition index 0) — such leaves get no entry here and are handled
+    * by compactAll's pure-removal fallback, same as on the partitionBy
+    * path.
     */
   private def moveFromFlatDir(tmpDir: String, leafIds: Seq[String],
       prefix: String): Seq[(Int, String, String)] = {

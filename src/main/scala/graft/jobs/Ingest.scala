@@ -28,17 +28,18 @@ final class Ingest(table: GraftTable) {
 
   private def spark = table.spark
 
-  /** Runs the ingest dataflow and commits the new files. With `txnId`,
-    * the state-store commit is idempotent (addFilesIfAbsent): a replay of
-    * an already-committed txn writes nothing and returns Nil — the basis
-    * of the streaming sink's exactly-once guarantee.
+  /** Runs the ingest dataflow and commits the new files. With `txn` =
+    * (appId, version), the state-store commit is idempotent
+    * (addFilesIfAbsent watermark): a replay of an already-committed
+    * version writes nothing and returns Nil — the basis of the streaming
+    * sink's exactly-once guarantee.
     */
-  def run(input: DataFrame, txnId: Option[String] = None): Seq[FileReference] = {
+  def run(input: DataFrame, txn: Option[(String, Long)] = None): Seq[FileReference] = {
     val schema = table.schema
     val tree = table.store.partitionTree
     // cheap pre-check: skip the whole Spark job for a known replay (the
     // authoritative gate is the atomic addFilesIfAbsent below)
-    if (txnId.exists(table.store.hasCommittedTxn)) return Nil
+    if (txn.exists { case (app, v) => table.store.lastTxnVersion(app).exists(_ >= v) }) return Nil
 
     // Validate + project to schema order (names must exist; types must match).
     schema.allFields.foreach { f =>
@@ -87,10 +88,10 @@ final class Ingest(table: GraftTable) {
     }.toSeq
 
     writeSketches(moved.map(_._2).toSeq)
-    txnId match {
+    txn match {
       case None => table.store.addFiles(refs); refs
-      case Some(id) =>
-        if (table.store.addFilesIfAbsent(id, refs)) refs
+      case Some((app, version)) =>
+        if (table.store.addFilesIfAbsent(app, version, refs)) refs
         else {
           // lost to a concurrent/prior commit of the same txn: the data is
           // already in the table — remove this attempt's orphan files

@@ -29,7 +29,7 @@ class JsonStateStore private (
   import JsonStateStore._
 
   override protected def commit(t: PartitionTree, r: Vector[FileReference],
-      g: Vector[GCEntry], x: Set[String]): Unit = {
+      g: Vector[GCEntry], x: Map[String, Long]): Unit = {
     val next = version + 1
     // tmp name must be writer-unique: with a shared name, a concurrent
     // writer could overwrite this writer's staged content before the
@@ -97,7 +97,7 @@ class JsonStateStore private (
   }
 
   private[meta] def setState(t: PartitionTree, r: Vector[FileReference],
-      g: Vector[GCEntry], x: Set[String]): Unit = { tree = t; refs = r; gcQueue = g; txns = x }
+      g: Vector[GCEntry], x: Map[String, Long]): Unit = { tree = t; refs = r; gcQueue = g; txns = x }
 
   def currentVersion: Long = version
 
@@ -110,6 +110,11 @@ object JsonStateStore {
 
   /** Snapshot versions kept on disk (see pruneOldVersions). */
   val RetainedVersions = 50L
+
+  /** Age before an unparseable snapshot may be quarantined — younger
+    * ones may be a live writer's reserved-but-unfilled version.
+    */
+  val QuarantineGraceMs = 60000L
 
   def create(dirStr: String, schema: GraftSchema, tree: PartitionTree,
       aggregationConfig: String = "", filterConfig: String = "",
@@ -135,10 +140,23 @@ object JsonStateStore {
   /** Newest snapshot that parses. A crash in the non-hard-link commit
     * fallback (version reserved O_EXCL, then filled by a move) can leave
     * a permanently empty/truncated latest snapshot; selecting it forever
-    * would brick the table. Corrupt snapshots are quarantined (renamed
-    * `.corrupt`) and the previous version is used — every snapshot is a
-    * FULL state copy, so falling back one version only loses the single
-    * interrupted transaction, which its writer never saw succeed.
+    * would brick the table, so readers fall back past unparseable
+    * versions — every snapshot is a FULL state copy, so falling back one
+    * version only loses the single interrupted transaction, which its
+    * writer never saw succeed.
+    *
+    * Quarantine (rename to `.corrupt`) is deliberately conservative and
+    * only applies to content that was READ successfully but fails to
+    * parse. Non-empty garbage is quarantined immediately (the fallback
+    * fills a reservation with one atomic move, so partial content never
+    * legitimately exists). An EMPTY file gets a grace window first: it
+    * may be a LIVE fallback writer's just-reserved version — renaming it
+    * away would free the version name for a rival and let the first
+    * writer's later move silently clobber the rival's committed snapshot
+    * (the exact lost-update the create-exclusive CAS exists to prevent).
+    * An IO error never quarantines: the content is unknown, and a
+    * transient failure (NFS hiccup, permissions) must not destroy the
+    * latest committed state.
     */
   private def loadLatestParseable(dir: Path): (Long, JValue) = {
     val latest = latestVersion(dir).getOrElse(
@@ -147,13 +165,23 @@ object JsonStateStore {
     val floor = math.max(1L, latest - RetainedVersions) // older versions are pruned anyway
     while (v >= floor) {
       val p = dir.resolve(s"state-v$v.json")
-      try {
-        if (Files.exists(p)) return (v, JsonMethods.parse(Files.readString(p)))
-      } catch {
-        case scala.util.control.NonFatal(_) =>
-          try Files.move(p, dir.resolve(s"state-v$v.json.corrupt"),
-            StandardCopyOption.REPLACE_EXISTING)
-          catch { case scala.util.control.NonFatal(_) => () }
+      val content: Option[String] =
+        try { if (Files.exists(p)) Some(Files.readString(p)) else None }
+        catch { case scala.util.control.NonFatal(_) => None } // IO error: fall back, never rename
+      content.foreach { text =>
+        try return (v, JsonMethods.parse(text))
+        catch {
+          case scala.util.control.NonFatal(_) =>
+            val stale =
+              try Files.getLastModifiedTime(p).toMillis <
+                System.currentTimeMillis() - QuarantineGraceMs
+              catch { case scala.util.control.NonFatal(_) => false }
+            if (text.nonEmpty || stale) {
+              try Files.move(p, dir.resolve(s"state-v$v.json.corrupt"),
+                StandardCopyOption.REPLACE_EXISTING)
+              catch { case scala.util.control.NonFatal(_) => () }
+            }
+        }
       }
       v -= 1
     }
@@ -273,7 +301,7 @@ object JsonStateStore {
   }
 
   private def toJson(schema: GraftSchema, tree: PartitionTree,
-      refs: Vector[FileReference], gc: Vector[GCEntry], txns: Set[String],
+      refs: Vector[FileReference], gc: Vector[GCEntry], txns: Map[String, Long],
       aggregationConfig: String, filterConfig: String, transformConfig: String): JValue = JObject(
     "tableConfig" -> JObject(
       "aggregation" -> JString(aggregationConfig), "filter" -> JString(filterConfig),
@@ -287,10 +315,10 @@ object JsonStateStore {
     "gc" -> JArray(gc.map { e =>
       JObject("filename" -> JString(e.filename), "sinceMs" -> JInt(e.sinceMs),
         "homeId" -> e.homeId.map(JString(_)).getOrElse(JNothing)) }.toList),
-    "txns" -> JArray(txns.toList.sorted.map(JString(_))))
+    "txns" -> JObject(txns.toList.sortBy(_._1).map { case (app, v) => app -> JInt(v) }))
 
   private final case class Snapshot(schema: GraftSchema, tree: PartitionTree,
-      refs: Vector[FileReference], gc: Vector[GCEntry], txns: Set[String])
+      refs: Vector[FileReference], gc: Vector[GCEntry], txns: Map[String, Long])
 
   private def fromJson(j: JValue): Snapshot = {
     val m = j.asInstanceOf[JObject].obj.toMap
@@ -310,8 +338,8 @@ object JsonStateStore {
     }
     // "txns" absent in pre-round-4 snapshots (migration)
     val txns = m.get("txns").collect {
-      case JArray(xs) => xs.collect { case JString(s) => s }.toSet
-    }.getOrElse(Set.empty[String])
+      case JObject(fields) => fields.collect { case (app, JInt(v)) => app -> v.toLong }.toMap
+    }.getOrElse(Map.empty[String, Long])
     Snapshot(schema, tree, fs.map(refFromJson).toVector, gc.toVector, txns)
   }
 }

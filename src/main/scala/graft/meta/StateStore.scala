@@ -50,17 +50,20 @@ trait StateStore {
   /** AddFilesTransaction — new files from ingest/bulk import. */
   def addFiles(refs: Seq[FileReference]): Unit
 
-  /** Idempotent AddFilesTransaction (Delta-Lake-style `txn` marker): the
-    * refs are committed only if `txnId` has never been committed before;
-    * a replay returns false and changes nothing. The txn id lands in the
-    * SAME atomic snapshot as the refs, so a crash between data commit and
-    * any external progress marker (e.g. a streaming checkpoint) cannot
-    * duplicate rows — the replayed batch sees its txn id and skips.
+  /** Idempotent AddFilesTransaction (Delta-Lake-style `txn` action —
+    * one monotonically-increasing version watermark per application id,
+    * so the txn state is O(#writers), not O(#batches ever committed):
+    * the refs land only if `version` is strictly greater than the last
+    * committed version for `appId`; a replay returns false and changes
+    * nothing. The watermark lands in the SAME atomic snapshot as the
+    * refs, so a crash between data commit and any external progress
+    * marker (e.g. a streaming checkpoint) cannot duplicate rows — the
+    * replayed batch carries an already-committed version and skips.
     */
-  def addFilesIfAbsent(txnId: String, refs: Seq[FileReference]): Boolean
+  def addFilesIfAbsent(appId: String, version: Long, refs: Seq[FileReference]): Boolean
 
-  /** Whether an idempotent-commit txn id has already been committed. */
-  def hasCommittedTxn(txnId: String): Boolean
+  /** Last committed idempotent-txn version for an application id. */
+  def lastTxnVersion(appId: String): Option[Long]
 
   /** ReplaceFileReferencesTransaction — compaction commit: atomically
     * remove the input refs in a partition and add the single output ref.
@@ -110,12 +113,12 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
   protected var tree: PartitionTree = initialTree
   protected var refs: Vector[FileReference] = Vector.empty
   protected var gcQueue: Vector[GCEntry] = Vector.empty
-  protected var txns: Set[String] = Set.empty
+  protected var txns: Map[String, Long] = Map.empty
 
   override def partitionTree: PartitionTree = synchronized(tree)
   override def fileReferences: Seq[FileReference] = synchronized(refs)
   override def unreferencedFiles: Seq[GCEntry] = synchronized(gcQueue)
-  override def hasCommittedTxn(txnId: String): Boolean = synchronized(txns.contains(txnId))
+  override def lastTxnVersion(appId: String): Option[Long] = synchronized(txns.get(appId))
 
   /** Atomically install a candidate state. Mutators build the whole next
     * state as locals and pass it here, so a failed persist (lost CAS in a
@@ -123,7 +126,7 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
     * usable for a retry — memory never diverges from disk.
     */
   protected def commit(t: PartitionTree, r: Vector[FileReference],
-      g: Vector[GCEntry], x: Set[String]): Unit = { tree = t; refs = r; gcQueue = g; txns = x }
+      g: Vector[GCEntry], x: Map[String, Long]): Unit = { tree = t; refs = r; gcQueue = g; txns = x }
 
   /** Lost-CAS auto-retry, the reference's transaction-log model: a losing
     * writer's store reloads disk truth (JsonStateStore.commit), then the
@@ -155,16 +158,17 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
     commit(tree, refs ++ newRefs, gcQueue, txns)
   }}
 
-  override def addFilesIfAbsent(txnId: String, newRefs: Seq[FileReference]): Boolean =
+  override def addFilesIfAbsent(appId: String, version: Long,
+      newRefs: Seq[FileReference]): Boolean =
     withRetry { synchronized {
-      if (txns.contains(txnId)) false
+      if (txns.get(appId).exists(_ >= version)) false
       else {
         newRefs.foreach { r =>
           require(tree.partitions.exists(_.id == r.partitionId), s"unknown partition ${r.partitionId}")
           require(!refs.exists(e => e.filename == r.filename && e.partitionId == r.partitionId),
             s"${r.filename} already referenced in ${r.partitionId}")
         }
-        commit(tree, refs ++ newRefs, gcQueue, txns + txnId)
+        commit(tree, refs ++ newRefs, gcQueue, txns + (appId -> version))
         true
       }
     }}

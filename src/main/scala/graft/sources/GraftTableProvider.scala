@@ -195,13 +195,28 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
     if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
   }
 
+  // Spark probes supportCompletePushDown then pushAggregation with the
+  // same Aggregation; memoize so the sidecar reads happen once, not twice.
+  private var aggMemo: (org.apache.spark.sql.connector.expressions.aggregate.Aggregation,
+    Option[Seq[(Any, org.apache.spark.sql.types.DataType)]]) = null
+
+  private def aggFromMetadataMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
+    val memo = aggMemo
+    if (memo != null && (memo._1 eq agg)) return memo._2
+    val r = aggFromMetadata(agg)
+    aggMemo = (agg, r)
+    r
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    aggFromMetadata(agg).isDefined
+    aggFromMetadataMemo(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    aggFromMetadata(agg) match {
+    aggFromMetadataMemo(agg) match {
       case some @ Some(_) => pushedAgg = some; true
       case None => false
     }

@@ -13,14 +13,15 @@ import graft.table.GraftTable
   *
   * Exactly-once: the stream's checkpoint (the file-source log) decides
   * which inbox files feed which micro-batch, and each micro-batch commits
-  * through the state store's idempotent txn marker
-  * (StateStore.addFilesIfAbsent with a txn id derived from the checkpoint
-  * location + batch id). foreachBatch alone is only at-least-once — a
-  * crash after the table commit but before the checkpoint commit replays
-  * the batch — but the replay carries the same batch id, finds its txn
-  * already committed, and skips. The batcher's own pending-file marker
-  * only gates WHEN a cycle runs; a stale marker can delay a batch, never
-  * duplicate or lose one.
+  * through the state store's idempotent txn watermark
+  * (StateStore.addFilesIfAbsent keyed on the checkpoint location, with
+  * the batch id as the monotonically-increasing version — Delta's `txn`
+  * model, O(#streams) state, not O(#batches)). foreachBatch alone is
+  * only at-least-once — a crash after the table commit but before the
+  * checkpoint commit replays the batch — but the replay carries an
+  * already-committed version and skips. The batcher's own pending-file
+  * marker only gates WHEN a cycle runs; a stale marker can delay a
+  * batch, never duplicate or lose one.
   *
   * Each cycle is a `Trigger.AvailableNow` pass whose `foreachBatch`
   * hands the micro-batch to the normal bulk-ingest dataflow
@@ -76,7 +77,7 @@ final class StreamingIngest(
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           table.ingest(batch.select(schema.allFields.map(f => batch(f.name)): _*),
-            txnId = Some(s"stream:$checkpointDir:$batchId"))
+            txn = Some((s"stream:$checkpointDir", batchId)))
         }
         ()
       }

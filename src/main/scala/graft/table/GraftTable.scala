@@ -64,8 +64,8 @@ final class GraftTable(
     }
   }
 
-  def ingest(input: DataFrame, txnId: Option[String] = None): Seq[FileReference] =
-    new graft.jobs.Ingest(this).run(input, txnId)
+  def ingest(input: DataFrame, txn: Option[(String, Long)] = None): Seq[FileReference] =
+    new graft.jobs.Ingest(this).run(input, txn)
 
   def query(q: graft.query.GraftQuery): DataFrame =
     new graft.query.QueryExecutor(this).execute(q)

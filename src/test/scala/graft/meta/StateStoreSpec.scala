@@ -150,40 +150,63 @@ class StateStoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s.removeFiles(l, Seq("missing")))
   }
 
-  test("addFilesIfAbsent commits once per txn id and skips replays") {
+  test("addFilesIfAbsent commits once per (appId, version) and skips replays") {
     val dir = Files.createTempDirectory("graft-txn").toString
     val s = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
     val Seq(l, _) = s.partitionTree.leaves.map(_.id).sorted
-    assert(s.addFilesIfAbsent("batch-1", Seq(FileReference("f1", l, 10))))
-    assert(s.hasCommittedTxn("batch-1"))
-    // replay: same txn id, different file — nothing changes
-    assert(!s.addFilesIfAbsent("batch-1", Seq(FileReference("f1-retry", l, 10))))
+    assert(s.addFilesIfAbsent("stream-a", 1L, Seq(FileReference("f1", l, 10))))
+    assert(s.lastTxnVersion("stream-a").contains(1L))
+    // replay: same version, different file — nothing changes
+    assert(!s.addFilesIfAbsent("stream-a", 1L, Seq(FileReference("f1-retry", l, 10))))
     assert(s.fileReferences.map(_.filename) == Seq("f1"))
-    // the txn set survives persistence (crash-restart window)
+    // the watermark survives persistence (crash-restart window) and is
+    // ONE entry per app, not one per batch
     val reloaded = JsonStateStore.load(dir)
-    assert(reloaded.hasCommittedTxn("batch-1"))
-    assert(!reloaded.addFilesIfAbsent("batch-1", Seq(FileReference("f1-retry", l, 10))))
-    assert(reloaded.addFilesIfAbsent("batch-2", Seq(FileReference("f2", l, 5))))
+    assert(reloaded.lastTxnVersion("stream-a").contains(1L))
+    assert(!reloaded.addFilesIfAbsent("stream-a", 1L, Seq(FileReference("f1-retry", l, 10))))
+    assert(reloaded.addFilesIfAbsent("stream-a", 2L, Seq(FileReference("f2", l, 5))))
+    assert(reloaded.lastTxnVersion("stream-a").contains(2L))
+    // stale (below-watermark) versions are rejected too
+    assert(!reloaded.addFilesIfAbsent("stream-a", 1L, Seq(FileReference("f3", l, 5))))
+    // an independent app has its own watermark
+    assert(reloaded.addFilesIfAbsent("stream-b", 1L, Seq(FileReference("g1", l, 7))))
   }
 
-  test("load falls back past a corrupt latest snapshot and quarantines it") {
+  test("load falls back past a corrupt latest snapshot with conservative quarantine") {
     val dir = Files.createTempDirectory("graft-corrupt").toString
     val s = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
     val Seq(l, _) = s.partitionTree.leaves.map(_.id).sorted
     s.addFiles(Seq(FileReference("f1", l, 10))) // v2
-    // simulate the non-hard-link crash window: an empty latest version
+
+    // a YOUNG empty latest may be a live writer's reservation: fall back
+    // for this read but do NOT rename it away
     val v3 = java.nio.file.Paths.get(dir, "state-v3.json")
     Files.createFile(v3)
+    val young = JsonStateStore.load(dir)
+    assert(young.fileReferences.map(_.filename) == Seq("f1"))
+    assert(young.currentVersion == 2)
+    assert(Files.exists(v3), "young empty reservation must not be quarantined")
 
+    // once STALE (no writer can still be filling it), it is quarantined
+    Files.setLastModifiedTime(v3, java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - JsonStateStore.QuarantineGraceMs - 1000))
     val loaded = JsonStateStore.load(dir)
-    assert(loaded.fileReferences.map(_.filename) == Seq("f1"))
     assert(loaded.currentVersion == 2)
-    assert(!Files.exists(v3), "corrupt snapshot should be quarantined")
+    assert(!Files.exists(v3), "stale empty snapshot should be quarantined")
     assert(Files.exists(java.nio.file.Paths.get(dir, "state-v3.json.corrupt")))
     // the store is fully usable: the next commit takes v3 again
     loaded.addFiles(Seq(FileReference("f2", l, 5)))
     assert(loaded.currentVersion == 3)
     assert(JsonStateStore.load(dir).fileReferences.map(_.filename).toSet == Set("f1", "f2"))
+
+    // NON-EMPTY garbage is definitely corrupt (fills are atomic moves):
+    // quarantined immediately, no grace needed
+    val v4 = java.nio.file.Paths.get(dir, "state-v4.json")
+    Files.writeString(v4, "this is not json")
+    val after = JsonStateStore.load(dir)
+    assert(after.currentVersion == 3)
+    assert(!Files.exists(v4) &&
+      Files.exists(java.nio.file.Paths.get(dir, "state-v4.json.corrupt")))
   }
 
   test("many concurrent writers all land their transactions (stress)") {
