@@ -43,7 +43,12 @@ final case class RunSpec(
     nowMs: Long,
     /** query regions (ORed) — pushed into the parquet row-group filter
       * and applied per row; empty = unconstrained */
-    queryRegions: Seq[Region] = Nil)
+    queryRegions: Seq[Region] = Nil,
+    /** per-partition row cap (pushed LIMIT / key-order TopN): the stream
+      * stops after this many output rows — valid for TopN because the
+      * merged stream is already in key order, so its top-n IS its first
+      * n rows; Spark still applies the global limit above the scan */
+    limit: Option[Int] = None)
 
 object SortedRun {
 
@@ -137,7 +142,8 @@ object SortedRun {
         }
         new GenericInternalRow(out)
       }
-    (projected, readers)
+    val limited = spec.limit.map(projected.take).getOrElse(projected)
+    (limited, readers)
   }
 
   /** Query regions (ORed) as one parquet row-group predicate. OR

@@ -112,12 +112,46 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
 
 final class GraftScanBuilder(dir: String, store: JsonStateStore)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private val schema = store.schema
   private var pushed: Array[Filter] = Array.empty
   private var regions: Seq[Region] = Seq(allKeySpace)
   private var required: StructType = schema.toStructType
+  private var pushedLimit: Option[Int] = None
+
+  /** Per-partition row cap; Spark keeps the global limit above the scan
+    * because the push is only partial.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+
+  // resolves the limit/TopN default-method diamond; both mean the same
+  // here: the cap is per partition, Spark finishes the job globally
+  override def isPartiallyPushed(): Boolean = true
+
+  /** Key-order TopN: each partition's merged stream is ALREADY sorted by
+    * (row keys, sort keys) ASC NULLS FIRST, so when the requested order
+    * is a prefix of that, a partition's top-n is literally its first n
+    * rows — `ORDER BY key LIMIT n` on a 100-TB table reads n rows per
+    * leaf instead of everything. Any other ordering declines the push.
+    */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val keyNames = schema.keyNames
+    val prefixOfKeyOrder = orders.nonEmpty && orders.length <= keyNames.length &&
+      orders.zipWithIndex.forall { case (o, i) =>
+        o.expression() match {
+          case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
+            ref.fieldNames.length == 1 && ref.fieldNames.head == keyNames(i) &&
+              o.direction() == SortDirection.ASCENDING &&
+              o.nullOrdering() == NullOrdering.NULLS_FIRST
+          case _ => false
+        }
+      }
+    if (prefixOfKeyOrder) { pushedLimit = Some(limit); true } else false
+  }
   private var pushedAgg: Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = None
 
   private def allKeySpace: Region =
@@ -241,7 +275,7 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
 
   override def build(): Scan = pushedAgg match {
     case Some(values) => new GraftMetaAggScan(dir, values)
-    case None => new GraftScan(dir, store, regions, required)
+    case None => new GraftScan(dir, store, regions, required, pushedLimit)
   }
 }
 
@@ -275,7 +309,7 @@ final class GraftMetaAggScan(dir: String,
 final case class GraftMetaAggPartition(values: Seq[Any]) extends InputPartition
 
 final class GraftScan(dir: String, store: JsonStateStore,
-    initialRegions: Seq[Region], required: StructType)
+    initialRegions: Seq[Region], required: StructType, limit: Option[Int] = None)
   extends Scan with Batch with SupportsReportOrdering with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -325,7 +359,8 @@ final class GraftScan(dir: String, store: JsonStateStore,
 
   override def description(): String = {
     val leafCount = planSpecs.length
-    s"GraftScan ${dir} leaves=$leafCount regions=${regions.size}"
+    s"GraftScan ${dir} leaves=$leafCount regions=${regions.size}" +
+      limit.map(l => s" perPartitionLimit=$l").getOrElse("")
   }
 
   /** Runtime filtering (dynamic partition pruning): when this table is
@@ -400,7 +435,8 @@ final class GraftScan(dir: String, store: JsonStateStore,
           // pushed-filter regions reach the parquet row-group filter, so a
           // point lookup touches ~one page per column even inside the leaf
           queryRegions = if (regions.exists(_.ranges.forall(r => r.min.isEmpty && r.max.isEmpty)))
-            Nil else regions)
+            Nil else regions,
+          limit = limit)
         val singleLocal = refs.size == 1 && refs.head.partitionId == leaf.id &&
           refs.head.physicalPartitionId == leaf.id && refs.head.rowCount <= Int.MaxValue
         Some(LeafScan(spec, singleLocal))

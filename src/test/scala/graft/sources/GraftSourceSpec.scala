@@ -279,6 +279,37 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(stats.sizeInBytes.getAsLong > 0)
   }
 
+  test("LIMIT and key-order TopN push a per-partition row cap into the scan") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
+    table.ingest(batch(
+      ("a", 1L, 1L, Map.empty[String, Long]), ("b", 1L, 2L, Map.empty[String, Long]),
+      ("c", 1L, 3L, Map.empty[String, Long]), ("n", 1L, 4L, Map.empty[String, Long]),
+      ("p", 1L, 5L, Map.empty[String, Long]), ("z", 1L, 6L, Map.empty[String, Long])))
+    val df = spark.read.format("graft").load(dir)
+
+    def scanDesc(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+
+    val limited = df.limit(3)
+    assert(limited.collect().length == 3)
+    assert(scanDesc(limited).contains("perPartitionLimit=3"))
+
+    // ORDER BY on the key prefix: partition streams are sorted, so the
+    // per-partition head IS the top-n — pushed
+    val topn = df.orderBy("key", "ts").limit(2)
+    assert(topn.select("key").as[String].collect().toSeq == Seq("a", "b"))
+    assert(scanDesc(topn).contains("perPartitionLimit=2"))
+
+    // DESC order: per-partition head would be the WRONG rows — declined
+    val descTop = df.orderBy($"key".desc).limit(2)
+    assert(descTop.select("key").as[String].collect().toSeq == Seq("z", "p"))
+    assert(!scanDesc(descTop).contains("perPartitionLimit"))
+  }
+
   test("COUNT/MIN/MAX push to metadata (sketch sidecars) in one query") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
