@@ -73,6 +73,15 @@ object BenchScale {
     timed("dsv2_vector_scan_x10", totalRows) {
       spark.read.format("graft").load(dir).agg(sum("qty")).collect()
     }
+    // Point lookup on the compacted x10 table (the reference's headline
+    // ~0.5s use case): leaf pruning + 8MB-row-group/128KB-page layout
+    // means one leaf, a few pages per column. Report seconds per lookup
+    // (rows/s is meaningless here).
+    timed("point_lookup_x10", 1) {
+      val key = shift * (EngineFactor / 2) + 42
+      spark.read.format("graft").load(dir)
+        .filter(col("l_orderkey") === key).collect()
+    }
 
     // -- quadratic dedup operators on a x3 corpus ----------------------
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
