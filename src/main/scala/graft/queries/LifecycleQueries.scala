@@ -115,7 +115,49 @@ object LifecycleQueries {
     GraftTable.load(s, tableDir)
   }
 
+  private val catalogRoots = new ConcurrentHashMap[String, String]()
+
+  /** X5 fixture: a table created, loaded, and queried through PURE SQL
+    * via the TableCatalog (CREATE TABLE + INSERT INTO + SELECT) — no
+    * Scala API anywhere in the path.
+    */
+  private def ensureCatalogTable(s: SparkSession, dir: String): Unit = {
+    catalogRoots.computeIfAbsent(dir, { _ =>
+      val root = java.nio.file.Files.createTempDirectory("graft-cat-root").toString
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      s.sql(
+        """CREATE TABLE graft_cat.li (l_orderkey BIGINT, qty BIGINT NOT NULL)
+          |USING graft
+          |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000',
+          |              'aggregation'='sum(qty)')""".stripMargin)
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        .createOrReplaceTempView("li_src_x5")
+      s.sql("INSERT INTO graft_cat.li SELECT * FROM li_src_x5")
+      root
+    })
+    ()
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // X5 — pure-SQL table lifecycle through the TableCatalog: DDL with
+    // key/config properties, INSERT INTO running the full ingest
+    // dataflow, SELECT with region pushdown and the continual sum(qty)
+    // aggregation view — against the same plain GROUP BY oracle.
+    "x5_catalog_sql" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey >= 3000 AND l_orderkey < 9000
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      ensureCatalogTable(s, dir)
+      s.sql(
+        """SELECT l_orderkey, qty FROM graft_cat.li
+          |WHERE l_orderkey >= 3000 AND l_orderkey < 9000
+          |ORDER BY l_orderkey""".stripMargin)
+    },
 
     // M2 — the full LSM lifecycle, read back through a region query.
     "m2_lifecycle" -> withOracle(

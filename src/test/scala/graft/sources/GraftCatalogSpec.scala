@@ -1,0 +1,67 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-SQL lifecycle through the TableCatalog: CREATE TABLE with key
+  * properties, INSERT INTO (full ingest dataflow), SELECT with pushdown,
+  * SHOW TABLES, DROP TABLE — plus interchangeability with the Scala API.
+  */
+class GraftCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private lazy val root = {
+    val r = Files.createTempDirectory("graft-catalog").toString
+    spark.conf.set("spark.sql.catalog.gcat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.root", r)
+    r
+  }
+
+  test("CREATE / INSERT / SELECT / SHOW / DROP round-trip in SQL") {
+    root
+    spark.sql(
+      """CREATE TABLE gcat.events (key STRING, ts BIGINT, count BIGINT NOT NULL)
+        |USING graft
+        |TBLPROPERTIES('rowKeys'='key', 'sortKeys'='ts', 'splitPoints'='m',
+        |              'aggregation'='sum(count)')""".stripMargin)
+    assert(spark.sql("SHOW TABLES IN gcat").collect().map(_.getString(1)).contains("events"))
+
+    spark.sql("INSERT INTO gcat.events VALUES ('a', 1, 10), ('z', 2, 20), ('a', 1, 5)")
+    // key-equal continual aggregation applies on the read
+    val got = spark.sql("SELECT key, ts, count FROM gcat.events ORDER BY key")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 1L, 15L), ("z", 2L, 20L)))
+
+    // pushdown prunes to one leaf through the catalog path too
+    val one = spark.sql("SELECT count FROM gcat.events WHERE key = 'z'")
+    assert(one.as[Long].collect().toSeq == Seq(20L))
+
+    // the SAME directory opens through the Scala API
+    val table = graft.table.GraftTable.load(spark, s"$root/events")
+    assert(table.metrics.rowCount == 3) // physical rows (not yet compacted)
+
+    spark.sql("DROP TABLE gcat.events")
+    assert(spark.sql("SHOW TABLES IN gcat").count() == 0)
+    assert(!Files.exists(java.nio.file.Paths.get(root, "events")))
+  }
+
+  test("CREATE TABLE validates key properties and configs at DDL time") {
+    root
+    intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.bad (key STRING, v BIGINT) USING graft"))
+    intercept[Exception](spark.sql(
+      """CREATE TABLE gcat.bad2 (key STRING, v BIGINT) USING graft
+        |TBLPROPERTIES('rowKeys'='nope')""".stripMargin))
+    // nullable aggregated field rejected at CREATE, not at first ingest
+    intercept[Exception](spark.sql(
+      """CREATE TABLE gcat.bad3 (key STRING, v BIGINT) USING graft
+        |TBLPROPERTIES('rowKeys'='key', 'aggregation'='sum(v)')""".stripMargin))
+    Seq("bad", "bad2", "bad3").foreach { n =>
+      assert(!Files.exists(java.nio.file.Paths.get(root, n)) ||
+        !Files.exists(java.nio.file.Paths.get(root, n, "meta")),
+        s"failed CREATE must not leave table $n behind")
+    }
+  }
+}
