@@ -96,10 +96,28 @@ final class Compaction(table: GraftTable) {
     graft.transforms.TransformFactory.parse(table.config.transformConfig, schema)
       .map(_(df)).getOrElse(df)
 
-  def runStrategy(strategy: CompactionStrategy): Int = {
+  /** Plan jobs with the strategy and run them `parallelism` at a time —
+    * each job is a one-task Spark job (the reference's one-node-per-job
+    * model), so concurrent submission is what fills a cluster's task
+    * slots; sequential submission would idle all but one. Jobs touch
+    * disjoint file sets (each file is assigned to at most one job), and
+    * the state store serializes commits via its CAS retry, so
+    * concurrency is safe by construction.
+    */
+  def runStrategy(strategy: CompactionStrategy, parallelism: Int = 4): Int = {
     val live = table.store.fileReferences
     val jobs = strategy.plan(live.groupBy(_.partitionId))
-    jobs.foreach(run)
+    if (jobs.size <= 1 || parallelism <= 1) jobs.foreach(run)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(parallelism, jobs.size))
+      try {
+        val futures = jobs.map(j => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { run(j); () }
+        }))
+        futures.foreach(_.get()) // propagate the first failure
+      } finally pool.shutdownNow()
+    }
     jobs.size
   }
 

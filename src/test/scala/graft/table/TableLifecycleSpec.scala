@@ -76,6 +76,26 @@ class TableLifecycleSpec extends AnyFunSuite {
     assert(table.store.unreferencedFiles.nonEmpty)
   }
 
+  test("concurrent strategy jobs across many leaves commit without conflicts") {
+    val table = GraftTable.create(spark, tmp(), schema,
+      splitPoints = Seq("f", "m", "t"), config = aggConfig)
+    def rows(off: Int) = batch(
+      ("a", off.toLong, 1L, Map.empty[String, Long]), ("g", off.toLong, 2L, Map.empty[String, Long]),
+      ("n", off.toLong, 3L, Map.empty[String, Long]), ("x", off.toLong, 4L, Map.empty[String, Long]))
+    table.ingest(rows(1))
+    table.ingest(rows(2))
+    val before = table.toDF.orderBy("key", "ts")
+      .as[(String, Long, Long, Map[String, Long])].collect().toSeq
+
+    // 4 leaves x 2 files -> 4 jobs, run concurrently
+    val n = new graft.jobs.Compaction(table).runStrategy(BasicCompactionStrategy(), parallelism = 4)
+    assert(n == 4)
+    assert(table.store.fileReferences.groupBy(_.partitionId).values.forall(_.size == 1))
+    val after = table.toDF.orderBy("key", "ts")
+      .as[(String, Long, Long, Map[String, Long])].collect().toSeq
+    assert(after == before)
+  }
+
   test("a pre-split ref elsewhere keeps untouched regions on the single-scan fast path") {
     val table = GraftTable.create(spark, tmp(), schema, splitPoints = Seq("m"))
     table.ingest(batch(
