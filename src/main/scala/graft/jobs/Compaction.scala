@@ -115,7 +115,10 @@ final class Compaction(table: GraftTable) {
         val futures = jobs.map(j => pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = { run(j); () }
         }))
-        futures.foreach(_.get()) // propagate the first failure
+        // propagate failures with their ORIGINAL type (precondition
+        // IllegalArgumentExceptions are part of the API surface)
+        try futures.foreach(_.get())
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
       } finally pool.shutdownNow()
     }
     jobs.size

@@ -119,25 +119,29 @@ object LifecycleQueries {
 
   /** X5 fixture: a table created, loaded, and queried through PURE SQL
     * via the TableCatalog (CREATE TABLE + INSERT INTO + SELECT) — no
-    * Scala API anywhere in the path.
+    * Scala API anywhere in the path. The catalog NAME is derived from
+    * the data dir: Spark caches catalog instances after first use, so
+    * re-pointing one name's `root` at a different dir would silently
+    * keep serving the old root.
     */
-  private def ensureCatalogTable(s: SparkSession, dir: String): Unit = {
+  private def catalogFor(s: SparkSession, dir: String): String = {
+    val cat = s"graft_cat_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
     catalogRoots.computeIfAbsent(dir, { _ =>
       val root = java.nio.file.Files.createTempDirectory("graft-cat-root").toString
-      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.GraftCatalog")
-      s.conf.set("spark.sql.catalog.graft_cat.root", root)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", root)
       s.sql(
-        """CREATE TABLE graft_cat.li (l_orderkey BIGINT, qty BIGINT NOT NULL)
-          |USING graft
-          |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000',
-          |              'aggregation'='sum(qty)')""".stripMargin)
+        s"""CREATE TABLE $cat.li (l_orderkey BIGINT, qty BIGINT NOT NULL)
+           |USING graft
+           |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000',
+           |              'aggregation'='sum(qty)')""".stripMargin)
       Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
         .createOrReplaceTempView("li_src_x5")
-      s.sql("INSERT INTO graft_cat.li SELECT * FROM li_src_x5")
+      s.sql(s"INSERT INTO $cat.li SELECT * FROM li_src_x5")
       root
     })
-    ()
+    cat
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -152,11 +156,11 @@ object LifecycleQueries {
         |WHERE l_orderkey >= 3000 AND l_orderkey < 9000
         |GROUP BY l_orderkey
         |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
-      ensureCatalogTable(s, dir)
+      val cat = catalogFor(s, dir)
       s.sql(
-        """SELECT l_orderkey, qty FROM graft_cat.li
-          |WHERE l_orderkey >= 3000 AND l_orderkey < 9000
-          |ORDER BY l_orderkey""".stripMargin)
+        s"""SELECT l_orderkey, qty FROM $cat.li
+           |WHERE l_orderkey >= 3000 AND l_orderkey < 9000
+           |ORDER BY l_orderkey""".stripMargin)
     },
 
     // M2 — the full LSM lifecycle, read back through a region query.

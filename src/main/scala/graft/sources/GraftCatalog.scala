@@ -55,10 +55,12 @@ final class GraftCatalog extends TableCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val dir = Paths.get((root +: namespace.toSeq).mkString("/"))
     if (!Files.isDirectory(dir)) return Array.empty
-    Files.list(dir).iterator().asScala
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
       .filter(d => Files.isDirectory(d.resolve("meta")))
       .map(d => Identifier.of(namespace, d.getFileName.toString))
       .toArray
+    finally stream.close()
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -83,7 +85,17 @@ final class GraftCatalog extends TableCatalog {
         throw new IllegalArgumentException(s"key property names missing column: $n"))
       GraftField(f.name, f.dataType, nullable = false) // keys are never nullable
     }
-    val keyNames = (rowKeys ++ sortKeys).toSet
+    // The table's physical schema is ALWAYS (row keys, sort keys,
+    // values) in that order; require the DDL to declare columns the same
+    // way, because INSERT INTO resolves positionally against the table
+    // schema — silently reordering would swap columns of compatible
+    // types without any error.
+    val declared = schema.fields.map(_.name).toSeq
+    val expectedPrefix = rowKeys ++ sortKeys
+    require(declared.take(expectedPrefix.size) == expectedPrefix,
+      s"declare key columns first and in key order: expected leading columns " +
+        s"(${expectedPrefix.mkString(", ")}), got (${declared.mkString(", ")})")
+    val keyNames = expectedPrefix.toSet
     val values = schema.fields.toSeq.filterNot(f => keyNames(f.name))
       .map(f => GraftField(f.name, f.dataType, f.nullable))
     val gschema = GraftSchema(rowKeys.map(keyField), sortKeys.map(keyField), values)
@@ -121,7 +133,9 @@ final class GraftCatalog extends TableCatalog {
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
     val dir = Paths.get(dirFor(ident))
-    Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    val stream = Files.walk(dir)
+    try stream.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    finally stream.close()
     true
   }
 

@@ -529,9 +529,17 @@ final class GraftReaderFactory extends PartitionReaderFactory {
     val vec = org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedBridge
       .open(spec.paths.head, spec.output, pred, capacity = 4096)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
-      override def next(): Boolean = vec.nextKeyValue()
-      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch =
-        vec.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+      // honor the pushed per-partition LIMIT/TopN cap here too — without
+      // it, exactly the advertised steady state (compacted leaves) would
+      // read whole files; the last batch is truncated via setNumRows
+      private var remaining: Long = spec.limit.map(_.toLong).getOrElse(Long.MaxValue)
+      override def next(): Boolean = remaining > 0 && vec.nextKeyValue()
+      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
+        val b = vec.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+        if (b.numRows > remaining) b.setNumRows(remaining.toInt)
+        remaining -= b.numRows
+        b
+      }
       override def close(): Unit = vec.close()
     }
   }

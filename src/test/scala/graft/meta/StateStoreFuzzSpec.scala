@@ -33,10 +33,6 @@ class StateStoreFuzzSpec extends AnyFunSuite {
     // no duplicate (filename, partition) references
     assert(refs.map(r => (r.filename, r.partitionId)).distinct.size == refs.size,
       s"$label: duplicate references")
-    // at most one reference per (filename, leaf): splits push down without fanout dupes
-    refs.groupBy(_.filename).foreach { case (f, rs) =>
-      assert(rs.map(_.partitionId).distinct.size == rs.size, s"$label: $f duplicated in a partition")
-    }
   }
 
   test("random op sequences uphold invariants and survive the JSON round-trip") {

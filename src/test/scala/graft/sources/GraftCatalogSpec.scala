@@ -58,7 +58,11 @@ class GraftCatalogSpec extends AnyFunSuite {
     intercept[Exception](spark.sql(
       """CREATE TABLE gcat.bad3 (key STRING, v BIGINT) USING graft
         |TBLPROPERTIES('rowKeys'='key', 'aggregation'='sum(v)')""".stripMargin))
-    Seq("bad", "bad2", "bad3").foreach { n =>
+    // keys not declared first would silently swap positional INSERTs
+    intercept[Exception](spark.sql(
+      """CREATE TABLE gcat.bad4 (v BIGINT, key STRING) USING graft
+        |TBLPROPERTIES('rowKeys'='key')""".stripMargin))
+    Seq("bad", "bad2", "bad3", "bad4").foreach { n =>
       assert(!Files.exists(java.nio.file.Paths.get(root, n)) ||
         !Files.exists(java.nio.file.Paths.get(root, n, "meta")),
         s"failed CREATE must not leave table $n behind")

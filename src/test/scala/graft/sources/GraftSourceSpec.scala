@@ -308,6 +308,13 @@ class GraftSourceSpec extends AnyFunSuite {
     val descTop = df.orderBy($"key".desc).limit(2)
     assert(descTop.select("key").as[String].collect().toSeq == Seq("z", "p"))
     assert(!scanDesc(descTop).contains("perPartitionLimit"))
+
+    // the cap also holds on the NATIVE vectorized path (compacted table)
+    table.compactAll()
+    val dfc = spark.read.format("graft").load(dir)
+    val topnC = dfc.orderBy("key", "ts").limit(2)
+    assert(scanDesc(topnC).contains("perPartitionLimit=2"))
+    assert(topnC.select("key").as[String].collect().toSeq == Seq("a", "b"))
   }
 
   test("COUNT/MIN/MAX push to metadata (sketch sidecars) in one query") {
