@@ -68,9 +68,14 @@ object SortedRun {
   /** The merged, clipped, filtered, aggregated row stream for a spec,
     * paired with a close() that releases every still-open file reader —
     * needed when a consumer stops early (LIMIT / cancelled task).
+    * `conf` is the Hadoop configuration resolving the file paths —
+    * executor-side callers must pass the driver's (shipped via
+    * [[graft.meta.SerializableHadoopConf]]); the default covers
+    * driver-side use.
     */
-  def open(spec: RunSpec): (Iterator[InternalRow], () => Unit) = {
-    val (it, readers) = build(spec)
+  def open(spec: RunSpec, conf: Configuration = graft.meta.GraftFS.conf)
+      : (Iterator[InternalRow], () => Unit) = {
+    val (it, readers) = build(spec, conf)
     (it, () => readers.foreach(r => try r.close() catch { case _: Exception => () }))
   }
 
@@ -78,9 +83,11 @@ object SortedRun {
     * Readers self-close when drained; use [[open]] when the consumer may
     * stop early.
     */
-  def iterator(spec: RunSpec): Iterator[InternalRow] = build(spec)._1
+  def iterator(spec: RunSpec, conf: Configuration = graft.meta.GraftFS.conf)
+      : Iterator[InternalRow] = build(spec, conf)._1
 
-  private def build(spec: RunSpec): (Iterator[InternalRow], Seq[GroupRowIterator]) = {
+  private def build(spec: RunSpec, conf: Configuration)
+      : (Iterator[InternalRow], Seq[GroupRowIterator]) = {
     val schema = spec.schema
     val keyFields = schema.keyFields
     val filterSpec = ConfigDsl.parseFilter(spec.filterConfig, schema)
@@ -101,7 +108,7 @@ object SortedRun {
       case (Some(a), Some(b)) => Some(org.apache.parquet.filter2.predicate.FilterApi.and(a, b))
       case (a, b) => a.orElse(b)
     }
-    val readers = spec.paths.map(p => new GroupRowIterator(p, readFields, pushed)).filter { r =>
+    val readers = spec.paths.map(p => new GroupRowIterator(p, readFields, pushed, conf)).filter { r =>
       if (r.hasNext) true else { r.close(); false }
     }
     val merged = mergeSorted(readers, keyFields)
@@ -450,12 +457,13 @@ private[graft] object SortedRunAccess {
   * StructTypeFactory.java:54-73).
   */
 private[graft] final class GroupRowIterator(path: String, fields: Seq[GraftField],
-    filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+    filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+    conf: Configuration = graft.meta.GraftFS.conf)
   extends Iterator[InternalRow] with AutoCloseable {
 
   private val reader: ParquetReader[InternalRow] = {
     val b = ParquetReader.builder(new RowReadSupport(fields), new Path(path))
-      .withConf(new Configuration())
+      .withConf(conf)
     filter.foreach(f =>
       b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(f)))
     b.build()
@@ -486,12 +494,15 @@ final class MergeRDD(
     specs: Seq[RunSpec])
   extends org.apache.spark.rdd.RDD[InternalRow](sc, Nil) {
 
+  // driver conf captured at construction; ships once with the RDD
+  private val confW = graft.meta.GraftFS.serializableConf
+
   override protected def getPartitions: Array[org.apache.spark.Partition] =
     specs.zipWithIndex.map { case (s, i) => MergeTaskPartition(i, s): org.apache.spark.Partition }.toArray
 
   override def compute(split: org.apache.spark.Partition,
       context: org.apache.spark.TaskContext): Iterator[InternalRow] = {
-    val (it, close) = SortedRun.open(split.asInstanceOf[MergeTaskPartition].spec)
+    val (it, close) = SortedRun.open(split.asInstanceOf[MergeTaskPartition].spec, confW.value)
     context.addTaskCompletionListener[Unit](_ => close())
     it
   }
@@ -514,6 +525,9 @@ final class SketchingMergeRDD(
     sketchDir: String)
   extends org.apache.spark.rdd.RDD[InternalRow](sc, Nil) {
 
+  // driver conf captured at construction; ships once with the RDD
+  private val confW = graft.meta.GraftFS.serializableConf
+
   override protected def getPartitions: Array[org.apache.spark.Partition] =
     specs.zipWithIndex.map { case (s, i) => MergeTaskPartition(i, s): org.apache.spark.Partition }.toArray
 
@@ -527,18 +541,21 @@ final class SketchingMergeRDD(
     val kinds = schema.rowKeys.map(f => graft.functions.KeySketch.kindOf(f.dataType)).toArray
     val types = schema.rowKeys.map(_.dataType).toArray
     val sketches = kinds.map(k => graft.functions.KeySketch.empty(k))
-    val (inner, close) = SortedRun.open(spec)
+    val (inner, close) = SortedRun.open(spec, confW.value)
     context.addTaskCompletionListener[Unit](_ => close())
     var written = false
 
     def flush(): Unit = if (!written) {
       written = true
-      val dir = java.nio.file.Paths.get(sketchDir)
-      java.nio.file.Files.createDirectories(dir)
+      // the sketch side-channel lives next to the table (same store) —
+      // resolve it through the task's shipped Hadoop conf
+      val (fs, dir) = graft.meta.GraftFS.resolve(sketchDir, confW.value)
+      fs.mkdirs(dir)
       var f = 0
       while (f < kinds.length) {
         val bytes = graft.functions.KeySketch.serialize(kinds(f), sketches(f))
-        java.nio.file.Files.write(dir.resolve(s"${part.index}-$f.sketch"), bytes)
+        val out = fs.create(new Path(dir, s"${part.index}-$f.sketch"), true)
+        try out.write(bytes) finally out.close()
         f += 1
       }
     }

@@ -1,13 +1,12 @@
 package graft.jobs
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.dsl.ConfigDsl
 import graft.functions.QuantileSketchAgg.sketch_agg
-import graft.meta.{FileReference, SketchSidecar}
+import graft.meta.{FileReference, GraftFS, SketchSidecar}
 import graft.table.GraftTable
 
 /** One compaction work item: merge these files of this partition into one
@@ -115,11 +114,18 @@ final class Compaction(table: GraftTable) {
         val futures = jobs.map(j => pool.submit(new java.util.concurrent.Callable[Unit] {
           def call(): Unit = { run(j); () }
         }))
-        // propagate failures with their ORIGINAL type (precondition
-        // IllegalArgumentExceptions are part of the API surface)
-        try futures.foreach(_.get())
-        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-      } finally pool.shutdownNow()
+        // Await EVERY job — jobs touch disjoint file sets, so siblings of
+        // a failed job complete and commit normally (interrupting them
+        // would discard finished merges and strand their temp dirs) —
+        // then propagate the first failure with its ORIGINAL type
+        // (precondition IllegalArgumentExceptions are part of the API
+        // surface).
+        val failures = futures.flatMap { f =>
+          try { f.get(); None }
+          catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) }
+        }
+        failures.headOption.foreach(throw _)
+      } finally pool.shutdown()
     }
     jobs.size
   }
@@ -253,7 +259,7 @@ final class Compaction(table: GraftTable) {
     written.foreach { case (_, pid, path) =>
       require(needsWork.contains(pid),
         s"transform produced rows in untouched leaf $pid — transforms must not rewrite key columns")
-      val filename = Paths.get(path).getFileName.toString
+      val filename = new Path(path).getName
       val rowCount = footerRowCount(path)
       table.store.replaceFiles(pid, needsWork(pid).map(_.filename),
         FileReference(filename, pid, rowCount))
@@ -270,19 +276,19 @@ final class Compaction(table: GraftTable) {
   /** Move `__gpart=<pid>` subdirectory outputs into their leaf dirs. */
   private def moveFromPartitionedDir(tmpDir: String, prefix: String): Seq[(String, String)] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-    val tmp = Paths.get(tmpDir)
-    Files.list(tmp).iterator().asScala.filter(Files.isDirectory(_)).foreach { partDir =>
-      val pid = partDir.getFileName.toString.stripPrefix("__gpart=")
-      val destDir = Paths.get(s"${table.dataDir}/$pid")
-      Files.createDirectories(destDir)
-      Files.list(partDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+    val (fs, _) = GraftFS.resolve(tmpDir)
+    GraftFS.list(tmpDir).filter(_.isDirectory).foreach { partDir =>
+      val pid = partDir.getPath.getName.stripPrefix("__gpart=")
+      val destDir = new Path(s"${table.dataDir}/$pid")
+      fs.mkdirs(destDir)
+      fs.listStatus(partDir.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
           val name = s"$prefix-${UUID.randomUUID().toString.take(8)}.parquet"
-          Files.move(f, destDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-          out += pid -> s"$destDir/$name"
+          GraftFS.rename(f.getPath, new Path(destDir, name), fs)
+          out += pid -> s"${table.dataDir}/$pid/$name"
         }
     }
-    deleteRecursively(tmp)
+    GraftFS.deleteRecursive(tmpDir)
     out.toSeq
   }
 
@@ -294,11 +300,11 @@ final class Compaction(table: GraftTable) {
     val keyNames = schema.rowKeyNames
     files.foreach { case (idx, path) =>
       val sketches = keyNames.zipWithIndex.map { case (k, f) =>
-        k -> Files.readAllBytes(Paths.get(sketchDir, s"$idx-$f.sketch"))
+        k -> GraftFS.readBytes(s"$sketchDir/$idx-$f.sketch")
       }
       SketchSidecar.write(path, sketches)
     }
-    deleteRecursively(Paths.get(sketchDir))
+    GraftFS.deleteRecursive(sketchDir)
   }
 
   // -- shared IO helpers --
@@ -307,16 +313,17 @@ final class Compaction(table: GraftTable) {
       : (String, Long) = {
     val tmpDir = s"${table.dir}/.$prefix-tmp"
     ParquetLayout.configure(df.write.mode("overwrite"), schema).parquet(tmpDir)
-    val part = Files.list(Paths.get(tmpDir)).iterator().asScala
-      .find(_.getFileName.toString.endsWith(".parquet"))
+    val (fs, _) = GraftFS.resolve(tmpDir)
+    val part = GraftFS.list(tmpDir)
+      .find(_.getPath.getName.endsWith(".parquet"))
       .getOrElse(throw new IllegalStateException(s"no parquet written in $tmpDir"))
-    val destDir = Paths.get(s"${table.dataDir}/$partitionId")
-    Files.createDirectories(destDir)
+    val destDir = new Path(s"${table.dataDir}/$partitionId")
+    fs.mkdirs(destDir)
     val filename = s"$prefix-${UUID.randomUUID().toString.take(8)}.parquet"
-    val dest = destDir.resolve(filename)
-    Files.move(part, dest, StandardCopyOption.ATOMIC_MOVE)
-    deleteRecursively(Paths.get(tmpDir))
-    (filename, footerRowCount(dest.toString))
+    val dest = s"${table.dataDir}/$partitionId/$filename"
+    GraftFS.rename(part.getPath, new Path(destDir, filename), fs)
+    GraftFS.deleteRecursive(tmpDir)
+    (filename, footerRowCount(dest))
   }
 
   /** Map `part-NNNNN-*` outputs of a flat write back to the leaf whose
@@ -331,21 +338,21 @@ final class Compaction(table: GraftTable) {
       prefix: String): Seq[(Int, String, String)] = {
     val partNum = "part-(\\d+).*\\.parquet".r
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
-    val tmp = Paths.get(tmpDir)
-    Files.list(tmp).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
-        val idx = f.getFileName.toString match {
+    val (fs, _) = GraftFS.resolve(tmpDir)
+    GraftFS.list(tmpDir)
+      .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
+        val idx = f.getPath.getName match {
           case partNum(n) => n.toInt
           case other => throw new IllegalStateException(s"unexpected output file $other")
         }
         val pid = leafIds(idx)
-        val destDir = Paths.get(s"${table.dataDir}/$pid")
-        Files.createDirectories(destDir)
+        val destDir = new Path(s"${table.dataDir}/$pid")
+        fs.mkdirs(destDir)
         val name = s"$prefix-${UUID.randomUUID().toString.take(8)}.parquet"
-        Files.move(f, destDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-        out += ((idx, pid, s"$destDir/$name"))
+        GraftFS.rename(f.getPath, new Path(destDir, name), fs)
+        out += ((idx, pid, s"${table.dataDir}/$pid/$name"))
       }
-    deleteRecursively(tmp)
+    GraftFS.deleteRecursive(tmpDir)
     out.toSeq
   }
 
@@ -359,19 +366,17 @@ final class Compaction(table: GraftTable) {
         keyNames.tail.map(k => sketch_agg(col(k)).as(k)): _*)
       .collect()
     rows.foreach { r =>
-      val file = r.getString(r.fieldIndex("__file")).stripPrefix("file://").stripPrefix("file:")
+      // input_file_name is a fully-qualified URI; the sidecar resolves it
+      // through the same FileSystem machinery as any table path
+      val file = r.getString(r.fieldIndex("__file"))
       SketchSidecar.write(file, keyNames.map(k => k -> r.getAs[Array[Byte]](k)))
     }
   }
 
   private def footerRowCount(path: String): Long = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-      new org.apache.hadoop.fs.Path(path), spark.sparkContext.hadoopConfiguration)
+      new Path(path), spark.sparkContext.hadoopConfiguration)
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try reader.getRecordCount finally reader.close()
   }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
 }

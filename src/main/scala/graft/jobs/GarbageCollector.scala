@@ -1,13 +1,14 @@
 package graft.jobs
 
-import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
+import graft.meta.GraftFS
 import graft.table.GraftTable
 
 /** Garbage collection (M5): physically delete files that have had zero
   * references for longer than the configured delay — queries planned
   * against an older state snapshot may still be reading younger ones
-  * (reference: GarbageCollector.java, docs/design.md:331-343).
+  * (reference: GarbageCollector.java, docs/design.md:331-343). Deletes
+  * go through the Hadoop FileSystem API, so they work against whatever
+  * store holds the table.
   */
 final class GarbageCollector(table: GraftTable) {
 
@@ -21,12 +22,12 @@ final class GarbageCollector(table: GraftTable) {
       // (mirrors GraftTable.pathOf) — never O(files × partitions) for new
       // entries.
       val p = entry.homeId
-        .map(h => Paths.get(table.dataDir, h, entry.filename))
-        .filter(Files.exists(_))
+        .map(h => s"${table.dataDir}/$h/${entry.filename}")
+        .filter(GraftFS.exists)
         .orElse(locate(entry.filename))
       p.foreach { path =>
-        Files.deleteIfExists(path)
-        Files.deleteIfExists(Paths.get(path.toString + ".sketches"))
+        GraftFS.delete(path)
+        GraftFS.delete(path + ".sketches")
       }
       entry.filename // already-gone files still clear from the queue
     }
@@ -34,11 +35,11 @@ final class GarbageCollector(table: GraftTable) {
     deleted
   }
 
-  private def locate(filename: String): Option[java.nio.file.Path] = {
-    val root = Paths.get(table.dataDir)
-    if (!Files.exists(root)) return None
-    Files.list(root).iterator().asScala
-      .map(_.resolve(filename))
-      .find(Files.exists(_))
+  private def locate(filename: String): Option[String] = {
+    val (fs, _) = GraftFS.resolve(table.dataDir)
+    GraftFS.list(table.dataDir)
+      .map(st => new org.apache.hadoop.fs.Path(st.getPath, filename))
+      .find(fs.exists)
+      .map(_.toString)
   }
 }

@@ -1,15 +1,13 @@
 package graft.jobs
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.UUID
-import scala.jdk.CollectionConverters._
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.QuantileSketchAgg.sketch_agg
-import graft.meta.{FileReference, SketchSidecar}
+import graft.meta.{FileReference, GraftFS, SketchSidecar}
 import graft.table.GraftTable
 
 /** Bulk ingest: the reference's Spark bulk-import dataflow re-expressed
@@ -66,25 +64,25 @@ final class Ingest(table: GraftTable) {
     ParquetLayout.configure(sorted.write, schema).partitionBy("__gpart").parquet(tmpDir)
 
     val moved = scala.collection.mutable.ArrayBuffer.empty[(String, String)] // (partitionId, path)
-    val tmp = Paths.get(tmpDir)
-    Files.list(tmp).iterator().asScala.filter(Files.isDirectory(_)).foreach { partDir =>
-      val pid = partDir.getFileName.toString.stripPrefix("__gpart=")
-      val destDir = Paths.get(s"${table.dataDir}/$pid")
-      Files.createDirectories(destDir)
-      Files.list(partDir).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).foreach { f =>
+    val (fs, _) = GraftFS.resolve(tmpDir)
+    GraftFS.list(tmpDir).filter(_.isDirectory).foreach { partDir =>
+      val pid = partDir.getPath.getName.stripPrefix("__gpart=")
+      val destDir = new Path(s"${table.dataDir}/$pid")
+      fs.mkdirs(destDir)
+      fs.listStatus(partDir.getPath)
+        .filter(_.getPath.getName.endsWith(".parquet")).foreach { f =>
           val name = s"ingest-$jobId-${UUID.randomUUID().toString.take(8)}.parquet"
-          Files.move(f, destDir.resolve(name), StandardCopyOption.ATOMIC_MOVE)
-          moved += pid -> s"$destDir/$name"
+          GraftFS.rename(f.getPath, new Path(destDir, name), fs)
+          moved += pid -> s"${table.dataDir}/$pid/$name"
         }
     }
-    deleteRecursively(tmp)
+    GraftFS.deleteRecursive(tmpDir)
 
     if (moved.isEmpty) return Nil
 
     // Row counts from parquet footers — no data pass.
     val refs = moved.map { case (pid, path) =>
-      FileReference(Paths.get(path).getFileName.toString, pid, footerRowCount(path))
+      FileReference(new Path(path).getName, pid, footerRowCount(path))
     }.toSeq
 
     writeSketches(moved.map(_._2).toSeq)
@@ -96,8 +94,8 @@ final class Ingest(table: GraftTable) {
           // lost to a concurrent/prior commit of the same txn: the data is
           // already in the table — remove this attempt's orphan files
           moved.foreach { case (_, path) =>
-            Files.deleteIfExists(Paths.get(path))
-            Files.deleteIfExists(Paths.get(path + ".sketches"))
+            GraftFS.delete(path)
+            GraftFS.delete(path + ".sketches")
           }
           Nil
         }
@@ -115,7 +113,9 @@ final class Ingest(table: GraftTable) {
         keyNames.tail.map(k => sketch_agg(col(k)).as(k)): _*)
       .collect()
     rows.foreach { r =>
-      val file = r.getString(r.fieldIndex("__file")).stripPrefix("file://").stripPrefix("file:")
+      // input_file_name is a fully-qualified URI; SketchSidecar resolves
+      // it through the same FileSystem machinery as any table path
+      val file = r.getString(r.fieldIndex("__file"))
       val sketches = keyNames.map(k => k -> r.getAs[Array[Byte]](k))
       SketchSidecar.write(file, sketches)
     }
@@ -126,11 +126,5 @@ final class Ingest(table: GraftTable) {
       spark.sparkContext.hadoopConfiguration)
     val reader = ParquetFileReader.open(in)
     try reader.getRecordCount finally reader.close()
-  }
-
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
-    if (Files.exists(p)) {
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    }
   }
 }

@@ -1,21 +1,25 @@
 package graft.meta
 
-import java.nio.file.{FileAlreadyExistsException, Files, Path, Paths, StandardCopyOption}
 import java.util.Base64
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 import org.apache.spark.sql.types.DataType
 import graft.core._
 
 /** File-backed state store: the whole state serializes as one JSON
-  * snapshot per version, committed by atomic create-new of
-  * `state-v{N}.json` (create-exclusive = compare-and-set on N). This is
-  * the reference's transaction-log store distilled to a local/HDFS-style
-  * filesystem; a DynamoDB-like CAS store can replace the version chain
-  * without touching callers (SURVEY.md §7.3).
+  * snapshot per version, committed by a conditional put of
+  * `state-v{N}.json` (publish-if-absent = compare-and-set on N). All IO
+  * goes through the Hadoop FileSystem API, so the chain can live on
+  * file://, hdfs://, or any Hadoop store; the CAS primitive itself is
+  * pluggable ([[StateStoreCAS]]) so an external conditional-put store —
+  * the reference's DynamoDB transaction log (SURVEY.md §7.3,
+  * docs/design/transaction-log-state-store.md) — slots in where the
+  * filesystem can't express one.
   */
 class JsonStateStore private (
-    dir: Path, schema0: GraftSchema, initialTree: PartitionTree, private var version: Long,
+    fs: FileSystem, dir: Path, cas: StateStoreCAS,
+    schema0: GraftSchema, initialTree: PartitionTree, private var version: Long,
     /** table-level continual aggregation / persistent filter config —
       * table metadata in the reference; persisted so any consumer (e.g.
       * the DSv2 provider) applies the same read semantics from the path
@@ -35,37 +39,55 @@ class JsonStateStore private (
     // writer could overwrite this writer's staged content before the
     // link lands (silent wrong-content commit) or delete it from under
     // the link (NoSuchFileException) — caught by the stress test.
-    val tmp = dir.resolve(s".state-v$next.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val target = dir.resolve(s"state-v$next.json")
-    Files.writeString(tmp, JsonMethods.pretty(JsonMethods.render(
+    val tmp = new Path(dir, s".state-v$next.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val target = new Path(dir, s"state-v$next.json")
+    writeText(tmp, JsonMethods.pretty(JsonMethods.render(
       toJson(schema, t, r, g, x, aggregationConfig, filterConfig, transformConfig))))
-    try {
-      // Hard-link the fully-written tmp onto the version name. link(2) fails
-      // with EEXIST when the version is taken — a true O_EXCL CAS — unlike
-      // rename(2), which silently replaces an existing target and would lose
-      // the concurrent writer's committed transaction.
-      try Files.createLink(target, tmp)
-      catch {
-        case _: UnsupportedOperationException =>
-          // Filesystems without hard links: reserve the version O_EXCL, then
-          // fill it. Readers can momentarily see a partial latest version —
-          // acceptable on such filesystems; the link path has no window.
-          Files.createFile(target)
-          Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
-      }
-      Files.deleteIfExists(tmp)
-    } catch {
-      case e: FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
-        // Lost the race: another writer committed v{next}. In-memory fields
-        // were never touched (commit receives candidates as arguments), but
-        // they are now stale — reload disk truth so the caller can retry.
-        reloadLatest()
-        throw new ConcurrentStateException(s"lost CAS on version $next", e)
+    if (!cas.publish(fs, tmp, target)) {
+      try fs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
+      // Lost the race: another writer committed v{next}. In-memory fields
+      // were never touched (commit receives candidates as arguments), but
+      // they are now stale — reload disk truth so the caller can retry.
+      reloadLatest()
+      // If the reload did NOT advance to v{next}, the conflicting file is
+      // unreadable — a live fallback writer mid-fill or a crashed writer's
+      // empty husk. Retrying immediately would lose the same CAS until the
+      // quarantine grace expires (far longer than withRetry's ~20 fast
+      // attempts), so wait the conflict out HERE, bounded by the grace
+      // window, before surfacing the conflict for retry.
+      if (version < next) awaitConflictResolution(next)
+      throw new ConcurrentStateException(s"lost CAS on version $next", null)
     }
+    try fs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
     version = next
     super.commit(t, r, g, x)
     pruneOldVersions(next)
+  }
+
+  private def writeText(p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  /** A version name is taken by a file that doesn't (yet) parse. Poll
+    * until a live writer fills it (reload then advances past it), it is
+    * quarantined away (name free again), or the quarantine grace expires —
+    * after which the final reload quarantines the husk itself. Keeps a
+    * writer behind a crashed fallback commit blocked for AT MOST the
+    * grace window, instead of failing every retry for the same duration.
+    */
+  private def awaitConflictResolution(next: Long): Unit = {
+    val target = new Path(dir, s"state-v$next.json")
+    val deadline =
+      try fs.getFileStatus(target).getModificationTime + JsonStateStore.QuarantineGraceMs + 500
+      catch { case scala.util.control.NonFatal(_) => return } // already gone
+    while (System.currentTimeMillis() < deadline) {
+      Thread.sleep(50)
+      reloadLatest()
+      if (version >= next) return // conflicting commit became readable
+      if (!fs.exists(target)) return // quarantined — the name is free again
+    }
+    reloadLatest() // past the grace: loadLatestParseable may now quarantine it
   }
 
   /** Retention: each commit is a full snapshot, so only recent versions
@@ -82,7 +104,10 @@ class JsonStateStore private (
       // walk down until a version is already gone (previous prunes)
       var missing = 0
       while (v > 0 && missing < 3) {
-        if (!Files.deleteIfExists(dir.resolve(s"state-v$v.json"))) missing += 1
+        val gone =
+          try !fs.delete(new Path(dir, s"state-v$v.json"), false)
+          catch { case scala.util.control.NonFatal(_) => true }
+        if (gone) missing += 1
         v -= 1
       }
     }
@@ -90,7 +115,7 @@ class JsonStateStore private (
 
   /** Re-read the newest parseable snapshot on disk into memory. */
   def reloadLatest(): Unit = synchronized {
-    val (latest, json) = loadLatestParseable(dir)
+    val (latest, json) = loadLatestParseable(fs, dir)
     val s = fromJson(json)
     setState(s.tree, s.refs, s.gc, s.txns)
     version = latest
@@ -113,26 +138,29 @@ object JsonStateStore {
 
   /** Age before an unparseable snapshot may be quarantined — younger
     * ones may be a live writer's reserved-but-unfilled version.
+    * Overridable (tests, fast-failover deployments) via system property.
     */
-  val QuarantineGraceMs = 60000L
+  def QuarantineGraceMs: Long =
+    java.lang.Long.getLong("graft.state.quarantine.grace.ms", 60000L)
 
   def create(dirStr: String, schema: GraftSchema, tree: PartitionTree,
       aggregationConfig: String = "", filterConfig: String = "",
-      transformConfig: String = ""): JsonStateStore = {
-    val dir = Paths.get(dirStr)
-    Files.createDirectories(dir)
-    val store = new JsonStateStore(dir, schema, tree, 0L,
-      aggregationConfig, filterConfig, transformConfig)
+      transformConfig: String = "", cas: Option[StateStoreCAS] = None): JsonStateStore = {
+    val (fs, dir) = GraftFS.resolve(dirStr)
+    fs.mkdirs(dir)
+    val store = new JsonStateStore(fs, dir, cas.getOrElse(GraftFS.casFor(fs)),
+      schema, tree, 0L, aggregationConfig, filterConfig, transformConfig)
     store.commitInitial() // writes state-v1.json
     store
   }
 
-  def load(dirStr: String): JsonStateStore = {
-    val dir = Paths.get(dirStr)
-    val (latest, json) = loadLatestParseable(dir)
+  def load(dirStr: String, cas: Option[StateStoreCAS] = None): JsonStateStore = {
+    val (fs, dir) = GraftFS.resolve(dirStr)
+    val (latest, json) = loadLatestParseable(fs, dir)
     val s = fromJson(json)
     val (agg, filt, tf) = configFromJson(json)
-    val store = new JsonStateStore(dir, s.schema, s.tree, latest, agg, filt, tf)
+    val store = new JsonStateStore(fs, dir, cas.getOrElse(GraftFS.casFor(fs)),
+      s.schema, s.tree, latest, agg, filt, tf)
     store.setState(s.tree, s.refs, s.gc, s.txns)
     store
   }
@@ -158,27 +186,37 @@ object JsonStateStore {
     * transient failure (NFS hiccup, permissions) must not destroy the
     * latest committed state.
     */
-  private def loadLatestParseable(dir: Path): (Long, JValue) = {
-    val latest = latestVersion(dir).getOrElse(
+  private def loadLatestParseable(fs: FileSystem, dir: Path): (Long, JValue) = {
+    val latest = latestVersion(fs, dir).getOrElse(
       throw new IllegalStateException(s"no state snapshot in $dir"))
     var v = latest
     val floor = math.max(1L, latest - RetainedVersions) // older versions are pruned anyway
     while (v >= floor) {
-      val p = dir.resolve(s"state-v$v.json")
+      val p = new Path(dir, s"state-v$v.json")
       val content: Option[String] =
-        try { if (Files.exists(p)) Some(Files.readString(p)) else None }
+        try {
+          if (!fs.exists(p)) None
+          else {
+            val in = fs.open(p)
+            try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+            finally in.close()
+          }
+        }
         catch { case scala.util.control.NonFatal(_) => None } // IO error: fall back, never rename
       content.foreach { text =>
         try return (v, JsonMethods.parse(text))
         catch {
           case scala.util.control.NonFatal(_) =>
             val stale =
-              try Files.getLastModifiedTime(p).toMillis <
+              try fs.getFileStatus(p).getModificationTime <
                 System.currentTimeMillis() - QuarantineGraceMs
               catch { case scala.util.control.NonFatal(_) => false }
             if (text.nonEmpty || stale) {
-              try Files.move(p, dir.resolve(s"state-v$v.json.corrupt"),
-                StandardCopyOption.REPLACE_EXISTING)
+              try {
+                val corrupt = new Path(dir, s"state-v$v.json.corrupt")
+                try fs.delete(corrupt, false) catch { case scala.util.control.NonFatal(_) => () }
+                fs.rename(p, corrupt)
+              }
               catch { case scala.util.control.NonFatal(_) => () }
             }
         }
@@ -188,12 +226,12 @@ object JsonStateStore {
     throw new IllegalStateException(s"no parseable state snapshot in $dir")
   }
 
-  private def latestVersion(dir: Path): Option[Long] = {
+  private def latestVersion(fs: FileSystem, dir: Path): Option[Long] = {
     val re = "state-v(\\d+)\\.json".r
-    val it = Files.list(dir).iterator()
+    if (!fs.exists(dir)) return None
     var best: Option[Long] = None
-    while (it.hasNext) {
-      it.next().getFileName.toString match {
+    fs.listStatus(dir).foreach { st =>
+      st.getPath.getName match {
         case re(n) => if (best.forall(_ < n.toLong)) best = Some(n.toLong)
         case _ =>
       }

@@ -1,7 +1,6 @@
 package graft.meta
 
 import java.io.{DataInputStream, DataOutputStream}
-import java.nio.file.{Files, Path, Paths}
 import graft.core.GraftSchema
 import graft.functions.KeySketch
 
@@ -9,13 +8,16 @@ import graft.functions.KeySketch
   * each data file as `<file>.sketches` — the reference's sketch sidecar
   * store (reference: java/common/sketches/.../Sketches.java,
   * S3SketchesStore.java). Format: count, then (fieldName, bytes) pairs.
+  * Resolved through the Hadoop FileSystem API, so sidecars live wherever
+  * the data files do (local, HDFS, object store).
   */
 object SketchSidecar {
 
-  def pathFor(dataFile: String): Path = Paths.get(dataFile + ".sketches")
+  def pathFor(dataFile: String): String = dataFile + ".sketches"
 
   def write(dataFile: String, sketches: Seq[(String, Array[Byte])]): Unit = {
-    val out = new DataOutputStream(Files.newOutputStream(pathFor(dataFile)))
+    val (fs, p) = GraftFS.resolve(pathFor(dataFile))
+    val out = new DataOutputStream(fs.create(p, true))
     try {
       out.writeInt(sketches.size)
       sketches.foreach { case (name, bytes) =>
@@ -27,7 +29,8 @@ object SketchSidecar {
   }
 
   def read(dataFile: String): Map[String, Array[Byte]] = {
-    val in = new DataInputStream(Files.newInputStream(pathFor(dataFile)))
+    val (fs, p) = GraftFS.resolve(pathFor(dataFile))
+    val in = new DataInputStream(fs.open(p))
     try {
       val n = in.readInt()
       (0 until n).map { _ =>
@@ -39,7 +42,7 @@ object SketchSidecar {
     } finally in.close()
   }
 
-  def exists(dataFile: String): Boolean = Files.exists(pathFor(dataFile))
+  def exists(dataFile: String): Boolean = GraftFS.exists(pathFor(dataFile))
 
   /** Merged sketch for one row-key field across data files (A5). */
   def mergedSketch(schema: GraftSchema, field: String, dataFiles: Seq[String])

@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
@@ -9,7 +8,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import graft.core.{GraftField, GraftSchema, PartitionTree}
-import graft.meta.JsonStateStore
+import graft.meta.{GraftFS, JsonStateStore}
 
 /** Spark TableCatalog over a directory of graft tables, enabling a
   * pure-SQL workflow end to end:
@@ -50,17 +49,15 @@ final class GraftCatalog extends TableCatalog {
     (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
 
   override def tableExists(ident: Identifier): Boolean =
-    Files.isDirectory(Paths.get(dirFor(ident), "meta"))
+    GraftFS.exists(s"${dirFor(ident)}/meta")
 
   override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val dir = Paths.get((root +: namespace.toSeq).mkString("/"))
-    if (!Files.isDirectory(dir)) return Array.empty
-    val stream = Files.list(dir)
-    try stream.iterator().asScala
-      .filter(d => Files.isDirectory(d.resolve("meta")))
-      .map(d => Identifier.of(namespace, d.getFileName.toString))
+    val dir = (root +: namespace.toSeq).mkString("/")
+    val (fs, _) = GraftFS.resolve(dir)
+    GraftFS.list(dir)
+      .filter(d => d.isDirectory && fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "meta")))
+      .map(d => Identifier.of(namespace, d.getPath.getName))
       .toArray
-    finally stream.close()
   }
 
   override def loadTable(ident: Identifier): Table = {
@@ -118,11 +115,11 @@ final class GraftCatalog extends TableCatalog {
     graft.transforms.TransformFactory.parse(tf, gschema)
 
     val dir = dirFor(ident)
-    Files.createDirectories(Paths.get(dir))
+    GraftFS.mkdirs(dir)
     JsonStateStore.create(s"$dir/meta", gschema,
       PartitionTree.fromSplitPoints(gschema, splitPoints),
       aggregationConfig = agg, filterConfig = filt, transformConfig = tf)
-    Files.createDirectories(Paths.get(s"$dir/data"))
+    GraftFS.mkdirs(s"$dir/data")
     new GraftBatchTable(dir)
   }
 
@@ -132,10 +129,7 @@ final class GraftCatalog extends TableCatalog {
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
-    val dir = Paths.get(dirFor(ident))
-    val stream = Files.walk(dir)
-    try stream.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
-    finally stream.close()
+    GraftFS.deleteRecursive(dirFor(ident))
     true
   }
 

@@ -345,7 +345,7 @@ final class GraftScan(dir: String, store: JsonStateStore,
       else 0L
     }.sum
     val bytes = selected.flatMap(_.spec.paths).distinct.map { p =>
-      try java.nio.file.Files.size(java.nio.file.Paths.get(p)) catch { case _: Exception => 0L }
+      try graft.meta.GraftFS.length(p) catch { case _: Exception => 0L }
     }.sum
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(math.max(bytes, 1L))
@@ -484,7 +484,10 @@ final class GraftScan(dir: String, store: JsonStateStore,
     else Array.empty
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = new GraftReaderFactory
+  override def createReaderFactory(): PartitionReaderFactory =
+    // capture the driver's Hadoop configuration: executors resolve the
+    // table's filesystem (credentials, fs.defaultFS) with it
+    new GraftReaderFactory(graft.meta.GraftFS.serializableConf)
 }
 
 /** `columnar` = the whole scan serves ColumnarBatches (uniform across
@@ -495,13 +498,15 @@ final class GraftScan(dir: String, store: JsonStateStore,
 final case class GraftInputPartition(spec: RunSpec, columnar: Boolean = false,
     nativeFile: Boolean = false) extends InputPartition
 
-final class GraftReaderFactory extends PartitionReaderFactory {
+final class GraftReaderFactory(confW: graft.meta.SerializableHadoopConf)
+    extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     partition.asInstanceOf[GraftInputPartition].columnar
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val (it, closeAll) = SortedRun.open(partition.asInstanceOf[GraftInputPartition].spec)
+    val (it, closeAll) =
+      SortedRun.open(partition.asInstanceOf[GraftInputPartition].spec, confW.value)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
@@ -527,7 +532,7 @@ final class GraftReaderFactory extends PartitionReaderFactory {
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val pred = SortedRun.queryPredicate(spec.queryRegions, spec.schema.keyFields)
     val vec = org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedBridge
-      .open(spec.paths.head, spec.output, pred, capacity = 4096)
+      .open(spec.paths.head, spec.output, pred, capacity = 4096, conf = confW.value)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       // honor the pushed per-partition LIMIT/TopN cap here too — without
       // it, exactly the advertised steady state (compacted leaves) would
@@ -558,7 +563,7 @@ final class GraftReaderFactory extends PartitionReaderFactory {
     val converter = new org.apache.spark.sql.execution.GraftRowPacker(structType)
     val vectors = OnHeapColumnVector.allocateColumns(capacity, structType)
     val batch = new ColumnarBatch(vectors.map(v => v: ColumnVector), 0)
-    val (it, closeAll) = SortedRun.open(spec)
+    val (it, closeAll) = SortedRun.open(spec, confW.value)
     new PartitionReader[ColumnarBatch] {
       override def next(): Boolean = {
         if (!it.hasNext) return false

@@ -1,8 +1,7 @@
 package graft.streaming
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.streaming.Trigger
+import graft.meta.GraftFS
 import graft.table.GraftTable
 
 /** Continuous micro-batch ingest (T1): a Structured Streaming file
@@ -14,14 +13,19 @@ import graft.table.GraftTable
   * Exactly-once: the stream's checkpoint (the file-source log) decides
   * which inbox files feed which micro-batch, and each micro-batch commits
   * through the state store's idempotent txn watermark
-  * (StateStore.addFilesIfAbsent keyed on the checkpoint location, with
-  * the batch id as the monotonically-increasing version — Delta's `txn`
-  * model, O(#streams) state, not O(#batches)). foreachBatch alone is
-  * only at-least-once — a crash after the table commit but before the
-  * checkpoint commit replays the batch — but the replay carries an
-  * already-committed version and skips. The batcher's own pending-file
-  * marker only gates WHEN a cycle runs; a stale marker can delay a
-  * batch, never duplicate or lose one.
+  * (StateStore.addFilesIfAbsent, with the batch id as the monotonically-
+  * increasing version — Delta's `txn` model, O(#streams) state, not
+  * O(#batches)). foreachBatch alone is only at-least-once — a crash after
+  * the table commit but before the checkpoint commit replays the batch —
+  * but the replay carries an already-committed version and skips.
+  *
+  * The txn app id is a STREAM UUID minted on first run and persisted in
+  * the checkpoint directory — not the checkpoint path itself. A relocated
+  * checkpoint keeps its identity (no double-ingest of replayed batches);
+  * a deleted-and-recreated checkpoint mints a FRESH identity, so its
+  * restarted batch ids (from 0) get a fresh watermark instead of being
+  * silently swallowed by the old one. The checkpoint directory and the
+  * stream's identity therefore live and die together, by construction.
   *
   * Each cycle is a `Trigger.AvailableNow` pass whose `foreachBatch`
   * hands the micro-batch to the normal bulk-ingest dataflow
@@ -36,22 +40,30 @@ final class StreamingIngest(
     minBatchFiles: Int = 1,
     maxBatchAgeMs: Long = 0L) {
 
-  private def markerPath: Path = Paths.get(checkpointDir, "batched-files.txt")
+  private def markerPath: String = s"$checkpointDir/batched-files.txt"
+  private def streamIdPath: String = s"$checkpointDir/stream-id"
 
-  private def batchedFiles(): Set[String] =
-    if (Files.exists(markerPath)) Files.readAllLines(markerPath).asScala.toSet else Set.empty
-
-  private def listInbox(): Seq[Path] = {
-    val inbox = Paths.get(inboxDir)
-    if (!Files.exists(inbox)) Nil
-    else Files.list(inbox).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+  /** Stable stream identity: minted once, persisted with the checkpoint. */
+  private def streamId(): String = {
+    if (!GraftFS.exists(streamIdPath)) {
+      GraftFS.mkdirs(checkpointDir)
+      GraftFS.writeString(streamIdPath, java.util.UUID.randomUUID().toString)
+    }
+    GraftFS.readString(streamIdPath).trim
   }
 
+  private def batchedFiles(): Set[String] =
+    if (GraftFS.exists(markerPath))
+      GraftFS.readString(markerPath).linesIterator.filter(_.nonEmpty).toSet
+    else Set.empty
+
+  private def listInbox(): Seq[org.apache.hadoop.fs.FileStatus] =
+    GraftFS.list(inboxDir).filter(_.getPath.getName.endsWith(".parquet"))
+
   /** Files in the inbox no prior cycle was asked to process. */
-  def pendingFiles(): Seq[Path] = {
+  def pendingFiles(): Seq[org.apache.hadoop.fs.FileStatus] = {
     val seen = batchedFiles()
-    listInbox().filterNot(p => seen.contains(p.toString))
+    listInbox().filterNot(st => seen.contains(st.getPath.toUri.getPath))
   }
 
   /** Batcher decision + one micro-batch cycle. Returns the number of
@@ -62,10 +74,11 @@ final class StreamingIngest(
   def runOnce(nowMs: Long = System.currentTimeMillis()): Int = {
     val pending = pendingFiles()
     if (pending.isEmpty) return 0
-    val oldestAge = nowMs - pending.map(p => Files.getLastModifiedTime(p).toMillis).min
+    val oldestAge = nowMs - pending.map(_.getModificationTime).min
     val ageForces = maxBatchAgeMs > 0 && oldestAge >= maxBatchAgeMs
     if (pending.size < minBatchFiles && !ageForces) return 0
 
+    val appId = s"stream:${streamId()}"
     val spark = table.spark
     val schema = table.schema
     val stream = spark.readStream
@@ -77,16 +90,16 @@ final class StreamingIngest(
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           table.ingest(batch.select(schema.allFields.map(f => batch(f.name)): _*),
-            txn = Some((s"stream:$checkpointDir", batchId)))
+            txn = Some((appId, batchId)))
         }
         ()
       }
       .start()
     stream.awaitTermination()
 
-    Files.createDirectories(markerPath.getParent)
-    Files.write(markerPath,
-      (batchedFiles() ++ pending.map(_.toString)).toSeq.sorted.asJava)
+    GraftFS.mkdirs(checkpointDir)
+    GraftFS.writeString(markerPath,
+      (batchedFiles() ++ pending.map(_.getPath.toUri.getPath)).toSeq.sorted.mkString("\n"))
     pending.size
   }
 }

@@ -1,6 +1,5 @@
 package graft.table
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core._
 import graft.meta._
@@ -51,14 +50,14 @@ final class GraftTable(
 
   def pathOf(ref: FileReference): String = {
     val direct = filePath(ref.physicalPartitionId, ref.filename)
-    if (Files.exists(Paths.get(direct))) direct
+    if (GraftFS.exists(direct)) direct
     else {
       // refs persisted before homeId existed resolve by scanning the
       // partition dirs once (migration path only — new refs are O(1))
-      val it = Files.list(Paths.get(dataDir)).iterator()
-      while (it.hasNext) {
-        val cand = it.next().resolve(ref.filename)
-        if (Files.exists(cand)) return cand.toString
+      GraftFS.list(dataDir).foreach { st =>
+        val cand = new org.apache.hadoop.fs.Path(st.getPath, ref.filename)
+        val (fs, _) = GraftFS.resolve(cand.toString)
+        if (fs.exists(cand)) return cand.toString
       }
       throw new IllegalStateException(s"data file not found: ${ref.filename}")
     }
@@ -125,7 +124,7 @@ object GraftTable {
     val tree = PartitionTree.fromSplitPoints(schema, splitPoints)
     val store = JsonStateStore.create(s"$dir/meta", schema, tree,
       config.aggregationConfig, config.filterConfig, config.transformConfig)
-    Files.createDirectories(Paths.get(s"$dir/data"))
+    GraftFS.mkdirs(s"$dir/data")
     new GraftTable(spark, dir, store, config)
   }
 

@@ -41,8 +41,7 @@ object GraftVectorizedBridge {
     * `close()`.
     */
   def open(path: String, columns: Seq[String], rowGroupFilter: Option[FilterPredicate],
-      capacity: Int): VectorizedParquetRecordReader = {
-    val conf = new Configuration()
+      capacity: Int, conf: Configuration = new Configuration()): VectorizedParquetRecordReader = {
     val hPath = new Path(path)
     val optsB = HadoopReadOptions.builder(conf, hPath)
     rowGroupFilter.foreach(p => optsB.withRecordFilter(FilterCompat.get(p)))
