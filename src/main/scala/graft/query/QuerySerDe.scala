@@ -149,9 +149,18 @@ object QuerySerDe {
         }
       }.toList)
     }
-    val transform = q.queryTransformConfig.map { spec =>
-      val i = spec.indexOf('{')
-      if (i < 0) (spec, "") else (spec.take(i), spec.slice(i + 1, spec.length - 1))
+    // A single-member spec maps onto the reference's two-field form
+    // (className + config). A CHAIN doesn't fit it, so the raw spec goes
+    // through verbatim as the class name with an empty config — fromJson
+    // reconstructs exactly that string and TransformFactory.parse
+    // understands the chain syntax, so the round trip is lossless
+    // (naive first-'{' slicing silently dropped every member after the
+    // first when an earlier member carried a config).
+    val transform = q.queryTransformConfig.map { rawSpec =>
+      graft.transforms.TransformFactory.chainMembers(rawSpec) match {
+        case Seq(single) => graft.transforms.TransformFactory.memberParts(single)
+        case _ => (rawSpec.trim, "")
+      }
     }
     JsonMethods.pretty(JsonMethods.render(JObject(List(
       "queryId" -> JString(queryId),

@@ -63,6 +63,18 @@ object TransformFactory {
     }
   }
 
+  /** Chain members of a spec: `"A{x};B"` → `Seq("A{x}", "B")` — the same
+    * depth-aware split `parse` uses, for callers (serde) that need the
+    * chain structure without instantiating anything.
+    */
+  def chainMembers(s: String): Seq[String] = splitChain(s)
+
+  /** One member's (className, config): `"A{x}"` → `("A", "x")`. */
+  def memberParts(member: String): (String, String) = member.trim match {
+    case spec(cls, cfg) => (cls, Option(cfg).getOrElse(""))
+    case other => throw new IllegalArgumentException(s"bad transform spec: '$other'")
+  }
+
   /** Split on `;` outside `{...}` (a config payload may itself use `;`). */
   private def splitChain(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -82,6 +82,17 @@ class QuerySerDeSpec extends AnyFunSuite {
     assert(back.queryTransformConfig == q.queryTransformConfig)
   }
 
+  test("a CHAINED transform spec with a configured non-final member round-trips losslessly") {
+    // "A{x};B": naive first-'{' slicing serialized className="A",
+    // config="x};B"-minus-last-char, silently losing the ";B" tail
+    val chain = "graft.transforms.CapValue{count,5};graft.transforms.SecurityFilter{key,a|b}"
+    val q = GraftQuery(queryTransformConfig = Some(chain))
+    val back = GraftQuery.fromJson(QuerySerDe.toJson(q, schema), schema)
+    assert(back.queryTransformConfig.contains(chain))
+    // and the reconstructed spec still parses into a working chain
+    assert(graft.transforms.TransformFactory.parse(back.queryTransformConfig.get, schema).isDefined)
+  }
+
   test("a JSON query plans and runs against a live table") {
     val dir = Files.createTempDirectory("graft-qjson").toString
     val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
