@@ -118,9 +118,34 @@ object GraftFS {
     fs.getFileStatus(p).getLen
   }
 
-  /** The CAS implementation matching a filesystem's primitives. */
-  def casFor(fs: FileSystem): StateStoreCAS =
-    if (fs.getUri.getScheme == "file") HardLinkCAS else RenameCAS
+  /** Schemes whose connectors implement `rename` as a non-atomic
+    * copy+delete over a racy existence pre-check — RenameCAS on these can
+    * silently discard a rival writer's committed transaction.
+    */
+  private val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos", "cosn", "swift")
+
+  /** The CAS implementation matching a filesystem's primitives.
+    * Object-store schemes have NO filesystem primitive that can express a
+    * conditional put, so they require an explicit external
+    * [[StateStoreCAS]] (the reference pairs S3 data with a DynamoDB
+    * transaction log for exactly this reason,
+    * docs/design/transaction-log-state-store.md) — defaulting to
+    * RenameCAS there would hand users silent lost-update risk. The
+    * `graft.state.cas.allow.rename` system property overrides for stores
+    * known to rename atomically (e.g. S3 Express directory buckets).
+    */
+  def casFor(fs: FileSystem): StateStoreCAS = {
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file")
+    if (scheme == "file") HardLinkCAS
+    else if (ObjectStoreSchemes.contains(scheme)
+        && !java.lang.Boolean.getBoolean("graft.state.cas.allow.rename"))
+      throw new IllegalArgumentException(
+        s"scheme '$scheme' cannot express an atomic compare-and-set through filesystem rename; " +
+        "pass an explicit StateStoreCAS (external conditional-put store) when creating/loading " +
+        "the table, or set -Dgraft.state.cas.allow.rename=true if this store's rename is atomic")
+    else RenameCAS
+  }
 }
 
 /** Conditional publish of a state-store snapshot: put the fully-written

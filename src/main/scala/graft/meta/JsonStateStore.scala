@@ -53,10 +53,13 @@ class JsonStateStore private (
       // unreadable — a live fallback writer mid-fill or a crashed writer's
       // empty husk. Retrying immediately would lose the same CAS until the
       // quarantine grace expires (far longer than withRetry's ~20 fast
-      // attempts), so wait the conflict out HERE, bounded by the grace
-      // window, before surfacing the conflict for retry.
-      if (version < next) awaitConflictResolution(next)
-      throw new ConcurrentStateException(s"lost CAS on version $next", null)
+      // attempts). commit always runs INSIDE the store's monitor
+      // (mutators synchronize), so the wait must not happen here — it
+      // would block every reader and sibling writer for up to the grace
+      // window. Tag the exception; withRetry's catch (outside the
+      // monitor) does the bounded wait via onCasConflict.
+      throw new ConcurrentStateException(s"lost CAS on version $next", null,
+        unresolvedVersion = if (version < next) Some(next) else None)
     }
     try fs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
     version = next
@@ -68,6 +71,17 @@ class JsonStateStore private (
     val out = fs.create(p, true)
     try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
   }
+
+  /** The grace-window wait for an unreadable rival snapshot happens here,
+    * in withRetry's catch — OUTSIDE the store's monitor — so readers
+    * (partitionTree/fileReferences) and sibling writers keep flowing
+    * while one writer waits out a crashed fallback commit.
+    */
+  override protected def onCasConflict(e: ConcurrentStateException, attempt: Int): Unit =
+    e.unresolvedVersion match {
+      case Some(next) => awaitConflictResolution(next)
+      case None => super.onCasConflict(e, attempt)
+    }
 
   /** A version name is taken by a file that doesn't (yet) parse. Poll
     * until a live writer fills it (reload then advances past it), it is
@@ -129,7 +143,12 @@ class JsonStateStore private (
   private[meta] def commitInitial(): Unit = synchronized { commit(tree, refs, gcQueue, txns) }
 }
 
-class ConcurrentStateException(msg: String, cause: Throwable) extends RuntimeException(msg, cause)
+/** `unresolvedVersion` = the CAS was lost to a version that could not be
+  * reloaded (unreadable rival — live fallback writer mid-fill or crashed
+  * husk); the retry loop should wait out the conflict before retrying.
+  */
+class ConcurrentStateException(msg: String, cause: Throwable,
+    val unresolvedVersion: Option[Long] = None) extends RuntimeException(msg, cause)
 
 object JsonStateStore {
 
@@ -215,7 +234,12 @@ object JsonStateStore {
               try {
                 val corrupt = new Path(dir, s"state-v$v.json.corrupt")
                 try fs.delete(corrupt, false) catch { case scala.util.control.NonFatal(_) => () }
-                fs.rename(p, corrupt)
+                // rename returning false (destination re-created concurrently,
+                // HDFS-style semantics) would leave the unparseable snapshot in
+                // place, re-read and re-quarantined on every load — the content
+                // is proven unreadable and past grace, so deleting it loses
+                // only a transaction its writer never saw succeed.
+                if (!fs.rename(p, corrupt)) fs.delete(p, false)
               }
               catch { case scala.util.control.NonFatal(_) => () }
             }

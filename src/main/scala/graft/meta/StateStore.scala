@@ -141,13 +141,20 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
     while (i < attempts) {
       try return body
       catch {
-        case _: ConcurrentStateException =>
-          Thread.sleep(i.toLong) // linear backoff under contention
+        case e: ConcurrentStateException =>
+          onCasConflict(e, i) // runs OUTSIDE the monitor (body's synchronized has exited)
           i += 1
       }
     }
     body
   }
+
+  /** Between-retries hook; called with the store's monitor RELEASED, so a
+    * durable subclass may block here (e.g. waiting out an unreadable rival
+    * snapshot) without stalling readers or sibling writers.
+    */
+  protected def onCasConflict(e: ConcurrentStateException, attempt: Int): Unit =
+    Thread.sleep(attempt.toLong) // linear backoff under contention
 
   override def addFiles(newRefs: Seq[FileReference]): Unit = withRetry { synchronized {
     newRefs.foreach { r =>

@@ -127,10 +127,13 @@ object QuerySerDe {
     val requested = m.get("requestedValueFields").collect {
       case JArray(vs) => vs.collect { case JString(s) => s }
     }
-    val transform = m.get("queryTimeIteratorClassName").collect { case JString(cls) =>
-      val cfg = m.get("queryTimeIteratorConfig").collect { case JString(c) => c }.getOrElse("")
-      if (cfg.isEmpty) cls else s"$cls{$cfg}"
-    }
+    // graft extension field first (multi-member chains), then the
+    // reference's two-field single-transform form (Query.java:30-34)
+    val transform = m.get("queryTimeIteratorChain").collect { case JString(spec) => spec }
+      .orElse(m.get("queryTimeIteratorClassName").collect { case JString(cls) =>
+        val cfg = m.get("queryTimeIteratorConfig").collect { case JString(c) => c }.getOrElse("")
+        if (cfg.isEmpty) cls else s"$cls{$cfg}"
+      })
     GraftQuery(regions = regions, requestedValueFields = requested,
       queryTransformConfig = transform)
   }
@@ -150,16 +153,20 @@ object QuerySerDe {
       }.toList)
     }
     // A single-member spec maps onto the reference's two-field form
-    // (className + config). A CHAIN doesn't fit it, so the raw spec goes
-    // through verbatim as the class name with an empty config — fromJson
-    // reconstructs exactly that string and TransformFactory.parse
-    // understands the chain syntax, so the round trip is lossless
-    // (naive first-'{' slicing silently dropped every member after the
-    // first when an earlier member carried a config).
+    // (className + config), keeping those fields spec-conformant — a bare
+    // class name, as Query.java defines them. A CHAIN doesn't fit the
+    // reference's shape at all (it has no chain encoding), so it goes
+    // into the graft-specific `queryTimeIteratorChain` field verbatim;
+    // fromJson prefers that field, so the round trip stays lossless
+    // without ever emitting "A{x};B{y}" where a reference consumer
+    // expects a loadable class name.
     val transform = q.queryTransformConfig.map { rawSpec =>
       graft.transforms.TransformFactory.chainMembers(rawSpec) match {
-        case Seq(single) => graft.transforms.TransformFactory.memberParts(single)
-        case _ => (rawSpec.trim, "")
+        case Seq(single) =>
+          val (cls, cfg) = graft.transforms.TransformFactory.memberParts(single)
+          List("queryTimeIteratorClassName" -> JString(cls)) ++
+            (if (cfg.nonEmpty) List("queryTimeIteratorConfig" -> JString(cfg)) else Nil)
+        case _ => List("queryTimeIteratorChain" -> JString(rawSpec.trim))
       }
     }
     JsonMethods.pretty(JsonMethods.render(JObject(List(
@@ -169,10 +176,7 @@ object QuerySerDe {
       "regions" -> JArray(regionJson.toList)) ++
       q.requestedValueFields.map(vs =>
         "requestedValueFields" -> JArray(vs.map(JString(_)).toList)).toList ++
-      transform.toList.flatMap { case (cls, cfg) =>
-        List("queryTimeIteratorClassName" -> JString(cls)) ++
-          (if (cfg.nonEmpty) List("queryTimeIteratorConfig" -> JString(cfg)) else Nil)
-      })))
+      transform.toList.flatten)))
   }
 
   private def regionFromJson(j: JValue, schema: GraftSchema): Region = {

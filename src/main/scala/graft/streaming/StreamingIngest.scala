@@ -43,13 +43,36 @@ final class StreamingIngest(
   private def markerPath: String = s"$checkpointDir/batched-files.txt"
   private def streamIdPath: String = s"$checkpointDir/stream-id"
 
-  /** Stable stream identity: minted once, persisted with the checkpoint. */
+  /** Stable stream identity: minted once, persisted with the checkpoint.
+    * Minting is CREATE-EXCLUSIVE (no overwrite): two racing drivers on one
+    * checkpoint both observe the single winner's identity instead of each
+    * writing its own. A checkpoint that predates the identity file (it
+    * already has offsets or a batch marker) committed its watermarks under
+    * the legacy appId `stream:<checkpointDir>` — seed the file with the
+    * checkpoint path so a crash-replayed micro-batch straddling the
+    * upgrade still deduplicates against the old watermark.
+    */
   private def streamId(): String = {
-    if (!GraftFS.exists(streamIdPath)) {
+    val (fs, p) = GraftFS.resolve(streamIdPath)
+    if (!fs.exists(p)) {
       GraftFS.mkdirs(checkpointDir)
-      GraftFS.writeString(streamIdPath, java.util.UUID.randomUUID().toString)
+      val legacyCheckpoint =
+        GraftFS.exists(markerPath) || GraftFS.exists(s"$checkpointDir/offsets")
+      val id = if (legacyCheckpoint) checkpointDir else java.util.UUID.randomUUID().toString
+      try {
+        val out = fs.create(p, false) // create-exclusive: lose the race, adopt the winner's id
+        try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
+      } catch { case _: java.io.IOException => () }
     }
-    GraftFS.readString(streamIdPath).trim
+    // the winner may still be mid-fill; wait out the (tiny) create-to-write window
+    var read = GraftFS.readString(streamIdPath).trim
+    var waited = 0
+    while (read.isEmpty && waited < 100) {
+      Thread.sleep(10); waited += 1
+      read = GraftFS.readString(streamIdPath).trim
+    }
+    require(read.nonEmpty, s"empty stream identity at $streamIdPath")
+    read
   }
 
   private def batchedFiles(): Set[String] =

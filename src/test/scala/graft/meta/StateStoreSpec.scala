@@ -231,4 +231,24 @@ class StateStoreSpec extends AnyFunSuite {
     assert(finalStore.fileReferences.size == threads * perThread)
     assert(finalStore.currentVersion == 1 + threads * perThread)
   }
+
+  test("casFor refuses rename-CAS on object-store schemes without an explicit CAS") {
+    // a FileSystem whose URI claims s3a://; rename there is copy+delete,
+    // not a conditional put — silently defaulting to RenameCAS would risk
+    // lost updates exactly where the storage port claims S3 support
+    val s3ish = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("s3a://bucket")
+    }
+    val e = intercept[IllegalArgumentException] { GraftFS.casFor(s3ish) }
+    assert(e.getMessage.contains("StateStoreCAS"))
+    // hdfs-like schemes keep rename-without-overwrite, file keeps hard links
+    val hdfsish = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("hdfs://nn")
+    }
+    assert(GraftFS.casFor(hdfsish) == RenameCAS)
+    val local = new org.apache.hadoop.fs.RawLocalFileSystem {
+      override def getUri: java.net.URI = java.net.URI.create("file:///")
+    }
+    assert(GraftFS.casFor(local) == HardLinkCAS)
+  }
 }

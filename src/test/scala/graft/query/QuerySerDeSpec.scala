@@ -91,6 +91,12 @@ class QuerySerDeSpec extends AnyFunSuite {
     assert(back.queryTransformConfig.contains(chain))
     // and the reconstructed spec still parses into a working chain
     assert(graft.transforms.TransformFactory.parse(back.queryTransformConfig.get, schema).isDefined)
+    // a chain rides the graft-specific field; the reference-shaped
+    // className field stays a loadable bare class name or is absent
+    // (Query.java defines it as a Java class name, not a chain spec)
+    val json = QuerySerDe.toJson(q, schema)
+    assert(json.contains("queryTimeIteratorChain"))
+    assert(!json.contains("queryTimeIteratorClassName"))
   }
 
   test("a JSON query plans and runs against a live table") {
