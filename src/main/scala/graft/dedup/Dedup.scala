@@ -235,12 +235,20 @@ object Dedup {
     */
   def components(pairs: DataFrame, srcCol: String, dstCol: String,
       maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionByName(pairs.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // Materialize the pair list ONCE before symmetrizing: a union of two
+    // projections of the same subplan executes that subplan twice, and
+    // the pair pipeline feeding this (MinHash/LSH candidate generation)
+    // is the most expensive plan in the dedup family.
+    val p = pairs.select(col(srcCol).as("s"), col(dstCol).as("d")).persist()
+    val edges = p.select(col("s").as("a"), col("d").as("b"))
+      .unionByName(p.select(col("d").as("a"), col("s").as("b")))
       .distinct()
       .persist()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("component", col("id"))
+    // init = round 1 for free: min(own id, min neighbor id) costs the
+    // same single shuffle as a distinct over node ids would
+    var labels = edges.groupBy("a")
+      .agg(least(col("a"), min(col("b"))).as("component"))
+      .select(col("a").as("id"), col("component"))
       .persist()
     var rounds = 0
     var converged = false
@@ -249,24 +257,26 @@ object Dedup {
         .join(labels.select(col("id").as("b"), col("component").as("nc")), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("nc")).as("nmin"))
+      // carry the previous label through the join so convergence is a
+      // filter+count over the (persisted) round result — one action per
+      // round instead of an extra labels self-join
       val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
         .persist()
-      val changed = next.as("n")
-        .join(labels.select(col("id"), col("component").as("old")), "id")
-        .filter(col("component") < col("old")).count()
+      val changed = next.filter(col("component") < col("prev")).count()
       labels.unpersist()
       labels = next
       converged = changed == 0
       rounds += 1
     }
     edges.unpersist()
+    p.unpersist()
     if (!converged)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds — " +
           "a cluster's diameter exceeds the bound; raise maxRounds")
-    val result = labels.localCheckpoint(true)
+    val result = labels.select("id", "component").localCheckpoint(true)
     labels.unpersist()
     result
   }
