@@ -11,32 +11,24 @@ import org.apache.spark.sql.types._
   * PySpark deployment these are Pandas UDFs via mapInPandas; here the
   * same batch shape is a Scala mapPartitions).
   *
-  * STUB NOTE: this container has no image/audio codecs, so `decodeMeta`
-  * and `extractFeatures` are deterministic fakes over the raw bytes —
-  * clearly marked below. The Spark-side contract (binary column in,
-  * typed struct/vector out, partition-batched execution, schema
-  * preserved) is real and tested; swapping in a real codec changes only
-  * the marked function bodies.
+  * `decodeMeta` is a REAL header decode: magic-byte format detection and
+  * dimension/channel parsing for PNG/JPEG/GIF/BMP via [[ImageCodec]];
+  * unrecognized or corrupt payloads yield null metadata rather than
+  * failing the scan. `extractFeatures` remains a deterministic stand-in
+  * for model inference (a vision/audio model is not shippable here);
+  * its contract — binary in, fixed-dim float vector out, batched — is
+  * the real one.
   */
 object Multimodal {
 
   val metaSchema: StructType = StructType(Seq(
-    StructField("width", IntegerType, nullable = false),
-    StructField("height", IntegerType, nullable = false),
-    StructField("channels", IntegerType, nullable = false),
-    StructField("n_frames", IntegerType, nullable = false)))
+    StructField("format", StringType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true)))
 
-  /** ==== STUB ==== deterministic fake of an image/video header decode:
-    * real implementation would parse the codec header. Keeps a fixed
-    * arithmetic mapping from byte length so results are verifiable.
-    */
-  private def fakeDecode(bytes: Array[Byte]): (Int, Int, Int, Int) = {
-    val len = bytes.length
-    (1 + len % 64, 1 + (len * 7) % 64, 3, 1 + len % 8)
-  }
-
-  /** ==== STUB ==== deterministic fake feature extractor: real
-    * implementation would run a vision/audio model over decoded frames.
+  /** Deterministic stand-in for a model feature extractor (real
+    * implementation would run a vision/audio model over decoded frames).
     * Produces a fixed-dim float vector from per-byte hashes. The
     * accumulation is integer and position-based (order-independent), so
     * the SQL correctness oracle can replay it exactly; the final floats
@@ -56,9 +48,10 @@ object Multimodal {
     out
   }
 
-  /** Decode metadata for a binary `content` column: mapPartitions keeps
-    * the per-batch amortization a real decoder needs (load codec once
-    * per partition, stream rows through it).
+  /** Decode header metadata for a binary `content` column: mapPartitions
+    * keeps the per-batch amortization a real decoder needs (load codec
+    * once per partition, stream rows through it). Unparseable payloads
+    * produce null metadata, not a task failure.
     */
   def decodeMeta(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
     val outSchema = StructType(
@@ -70,8 +63,10 @@ object Multimodal {
       // per-partition setup happens here (real codec: open once)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](contentIdx)
-        val (w, h, c, f) = fakeDecode(bytes)
-        Row(r.getLong(idIdx), w, h, c, f)
+        ImageCodec.parse(bytes) match {
+          case Some(m) => Row(r.getLong(idIdx), m.format, m.width, m.height, m.channels)
+          case None => Row(r.getLong(idIdx), null, null, null, null)
+        }
       }
     }(enc)
   }

@@ -168,16 +168,41 @@ object VectorQueries {
     // MM1 — multimodal metadata decode: binary payload column ->
     // partition-batched decode (stubbed codec, see Multimodal scaladoc)
     // -> typed metadata; the stub's arithmetic is reproduced in SQL.
+    // MM1 — REAL header decode: each document becomes a spec-conformant
+    // PNG/JPEG/GIF binary (by doc_id), or deliberate garbage for every
+    // tenth id; Multimodal.decodeMeta parses the actual bytes with
+    // ImageCodec, and the oracle predicts format/dims/channels from the
+    // same arithmetic the encoder used — so a wrong magic check, a
+    // byte-order slip (GIF is LE, PNG BE), or a broken marker walk
+    // (JPEG's APP0 skip) all show up as a driver mismatch.
     "mm1_multimodal_meta" -> withOracle(
       """SELECT doc_id AS id,
-        |       CAST(1 + octet_length(encode(text)) % 64 AS INT) AS width,
-        |       CAST(1 + (octet_length(encode(text)) * 7) % 64 AS INT) AS height,
-        |       CAST(3 AS INT) AS channels,
-        |       CAST(1 + octet_length(encode(text)) % 8 AS INT) AS n_frames
+        |       CASE WHEN doc_id % 10 = 9 THEN NULL
+        |            WHEN doc_id % 3 = 0 THEN 'png'
+        |            WHEN doc_id % 3 = 1 THEN 'jpeg'
+        |            ELSE 'gif' END AS format,
+        |       CASE WHEN doc_id % 10 = 9 THEN NULL
+        |            ELSE CAST(1 + doc_id % 640 AS INT) END AS width,
+        |       CASE WHEN doc_id % 10 = 9 THEN NULL
+        |            ELSE CAST(1 + (doc_id * 3) % 480 AS INT) END AS height,
+        |       CASE WHEN doc_id % 10 = 9 THEN NULL
+        |            WHEN doc_id % 3 = 0 THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END AS INT)
+        |            WHEN doc_id % 3 = 1 THEN CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS INT)
+        |            ELSE CAST(3 AS INT) END AS channels
         |FROM documents
         |ORDER BY id""".stripMargin) { (s, dir) =>
+      val mkContent = udf { (id: Long) =>
+        val w = (1 + id % 640).toInt
+        val h = (1 + (id * 3) % 480).toInt
+        if (id % 10 == 9) s"not an image $id".getBytes("UTF-8")
+        else (id % 3) match {
+          case 0 => graft.multimodal.ImageCodec.pngBytes(w, h, colorType = if (id % 2 == 0) 2 else 6)
+          case 1 => graft.multimodal.ImageCodec.jpegBytes(w, h, components = if (id % 2 == 0) 1 else 3)
+          case _ => graft.multimodal.ImageCodec.gifBytes(w, h)
+        }
+      }
       val docs = t(s, dir, "documents")
-        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .select(col("doc_id"), mkContent(col("doc_id")).as("content"))
       Multimodal.decodeMeta(docs, "doc_id", "content").orderBy("id")
     },
 
