@@ -232,6 +232,34 @@ class StateStoreSpec extends AnyFunSuite {
     assert(finalStore.currentVersion == 1 + threads * perThread)
   }
 
+  test("cross-process CAS: three JVMs hammering one table dir lose no updates") {
+    // The in-process stress shares one page cache and one JVM's monitors;
+    // rival ingest/compaction jobs in production are separate PROCESSES.
+    // Spawn three child JVMs (same classpath) that each land 170 uniquely
+    // named refs through the hard-link CAS — 510 contended commits — and
+    // assert every single one is present with a dense version chain.
+    val dir = Files.createTempDirectory("graft-xproc").toString
+    JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val perWriter = 170
+    val procs = (0 until 3).map { w =>
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.meta.CasHammer", dir, s"w$w", perWriter.toString)
+        .redirectErrorStream(true).start()
+    }
+    procs.zipWithIndex.foreach { case (p, w) =>
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), s"writer $w did not finish")
+      assert(p.exitValue() == 0, s"writer $w failed:\n$out")
+      assert(out.contains(s"DONE $perWriter"), s"writer $w incomplete:\n$out")
+    }
+    val finalStore = JsonStateStore.load(dir)
+    val names = finalStore.fileReferences.map(_.filename).toSet
+    val expected = (for (w <- 0 until 3; i <- 0 until perWriter) yield s"w$w-f$i").toSet
+    assert(names == expected, s"lost updates: ${(expected -- names).take(5)}...")
+    assert(finalStore.currentVersion == 1 + 3 * perWriter)
+  }
+
   test("casFor refuses rename-CAS on object-store schemes without an explicit CAS") {
     // a FileSystem whose URI claims s3a://; rename there is copy+delete,
     // not a conditional put — silently defaulting to RenameCAS would risk
