@@ -101,6 +101,29 @@ object BenchScale {
       graft.dedup.Dedup.simhashPairs(docs3, "doc_id", "text", maxHamming = 3).count()
     }
 
+    // -- true sf1 row: heavy hitters over MATERIALIZED parquet ---------
+    // The ×10 sections above stream an in-memory union; this one writes
+    // the scaled lineitem to parquet FIRST (sf0.1 × 10 ≈ sf1: ~6M rows),
+    // then runs the heavy-hitter driver queries end-to-end — parquet
+    // scan included — exactly as they run at sf0.1, so the rows/s here
+    // is a whole-pipeline number against the compaction baseline, not a
+    // cached-input one. SPARK_GRAFT_SF1=0 skips it.
+    if (sys.env.getOrElse("SPARK_GRAFT_SF1", "1") == "1") {
+      val liFull = Tables(spark, sfDir, "lineitem")
+      val sf1Dir = java.nio.file.Files.createTempDirectory("graft-sf1").toString
+      val scaledFull = (0 until EngineFactor).map(i =>
+          liFull.withColumn("l_orderkey", col("l_orderkey") + lit(i * shift)))
+        .reduce(_ unionByName _)
+      timed("sf1_materialize", totalRows) {
+        scaledFull.write.parquet(s"$sf1Dir/lineitem.parquet")
+      }
+      Seq("o1_sorted_merge", "x3_agg_dsl", "m1_compaction_merge", "m2_lifecycle")
+        .foreach { q =>
+          timed(s"sf1_$q", totalRows) { SparkEntry.queries(q)(spark, sf1Dir).count(): Unit }
+        }
+      graft.meta.GraftFS.deleteRecursive(sf1Dir)
+    }
+
     results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
   }
 }
