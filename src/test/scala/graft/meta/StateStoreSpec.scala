@@ -260,6 +260,40 @@ class StateStoreSpec extends AnyFunSuite {
     assert(finalStore.currentVersion == 1 + 3 * perWriter)
   }
 
+  test("readers are not blocked while a writer waits out an unreadable rival snapshot") {
+    // Reserve the next version name with an EMPTY file (a crashed
+    // fallback writer's husk). The next commit loses its CAS and must
+    // wait out the quarantine grace — but that wait happens OUTSIDE the
+    // store's monitor, so concurrent reads return immediately.
+    val prev = System.getProperty("graft.state.quarantine.grace.ms")
+    System.setProperty("graft.state.quarantine.grace.ms", "3000")
+    try {
+      val dir = Files.createTempDirectory("graft-noblock").toString
+      val store = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+      val leaf = store.partitionTree.leaves.map(_.id).min
+      Files.createFile(java.nio.file.Paths.get(dir, "state-v2.json")) // unreadable rival
+      val writer = new Thread(() => {
+        try store.addFiles(Seq(FileReference("f1", leaf, 1)))
+        catch { case _: Throwable => () }
+      })
+      writer.start()
+      Thread.sleep(300) // writer is now inside the grace-window wait
+      val t0 = System.nanoTime()
+      val leaves = store.partitionTree.leaves.size
+      val refs = store.fileReferences.size
+      val readMs = (System.nanoTime() - t0) / 1e6
+      assert(leaves == 2 && refs == 0)
+      assert(readMs < 1000, s"reader blocked ${readMs}ms behind the writer's grace wait")
+      writer.join(30000)
+      assert(!writer.isAlive, "writer never finished")
+      // past the grace the husk is quarantined and the commit lands
+      assert(JsonStateStore.load(dir).fileReferences.map(_.filename) == Seq("f1"))
+    } finally {
+      if (prev == null) System.clearProperty("graft.state.quarantine.grace.ms")
+      else System.setProperty("graft.state.quarantine.grace.ms", prev)
+    }
+  }
+
   test("casFor refuses rename-CAS on object-store schemes without an explicit CAS") {
     // a FileSystem whose URI claims s3a://; rename there is copy+delete,
     // not a conditional put — silently defaulting to RenameCAS would risk
