@@ -87,7 +87,7 @@ object SortedRun {
       : Iterator[InternalRow] = build(spec, conf)._1
 
   private def build(spec: RunSpec, conf: Configuration)
-      : (Iterator[InternalRow], Seq[GroupRowIterator]) = {
+      : (Iterator[InternalRow], Seq[RowSource]) = {
     val schema = spec.schema
     val keyFields = schema.keyFields
     val filterSpec = ConfigDsl.parseFilter(spec.filterConfig, schema)
@@ -108,7 +108,19 @@ object SortedRun {
       case (Some(a), Some(b)) => Some(org.apache.parquet.filter2.predicate.FilterApi.and(a, b))
       case (a, b) => a.orElse(b)
     }
-    val readers = spec.paths.map(p => new GroupRowIterator(p, readFields, pushed, conf)).filter { r =>
+    // Atomic-typed schemas decode through the vectorized reader (the
+    // pushed predicate prunes at row-group-stats granularity there; the
+    // explicit row-level bound tests below carry the exact semantics
+    // either way). Nested types (map_sum tables etc.) keep the
+    // record-materializing Group reader.
+    val vectorizable = readFields.forall(f => f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    })
+    val readers: Seq[RowSource] = spec.paths.map { p =>
+      if (vectorizable) new VectorizedRowIterator(p, readFields, pushed, conf)
+      else new GroupRowIterator(p, readFields, pushed, conf)
+    }.filter { r =>
       if (r.hasNext) true else { r.close(); false }
     }
     val merged = mergeSorted(readers, keyFields)
@@ -229,15 +241,15 @@ object SortedRun {
   /** PriorityQueue N-way merge of per-file sorted iterators
     * (reference: MergingIterator.java — same (head, iterator) heap).
     */
-  private def mergeSorted(readers: Seq[GroupRowIterator],
+  private def mergeSorted(readers: Seq[RowSource],
       keyFields: Seq[GraftField]): Iterator[InternalRow] = {
     if (readers.isEmpty) return Iterator.empty
     if (readers.size == 1) return readers.head
 
     val keyTypes = keyFields.map(_.dataType).toArray
-    val cmp = new java.util.Comparator[(InternalRow, GroupRowIterator)] {
-      override def compare(a: (InternalRow, GroupRowIterator),
-          b: (InternalRow, GroupRowIterator)): Int = {
+    val cmp = new java.util.Comparator[(InternalRow, RowSource)] {
+      override def compare(a: (InternalRow, RowSource),
+          b: (InternalRow, RowSource)): Int = {
         var i = 0
         while (i < keyTypes.length) {
           val c = compareInternal(keyTypes(i), a._1.get(i, keyTypes(i)), b._1.get(i, keyTypes(i)))
@@ -247,7 +259,7 @@ object SortedRun {
         0
       }
     }
-    val pq = new PriorityQueue[(InternalRow, GroupRowIterator)](readers.size, cmp)
+    val pq = new PriorityQueue[(InternalRow, RowSource)](readers.size, cmp)
     readers.foreach(r => if (r.hasNext) pq.add((r.next(), r)))
 
     new Iterator[InternalRow] {
@@ -456,10 +468,46 @@ private[graft] object SortedRunAccess {
   * one-level list/map — the reference's exact type surface,
   * StructTypeFactory.java:54-73).
   */
+/** Per-file sorted row source feeding the N-way merge. */
+private[graft] sealed trait RowSource extends Iterator[InternalRow] with AutoCloseable
+
+/** Spark's vectorized parquet decoder consumed row-wise: batches decode
+  * columnar (dictionary/RLE-aware, ~2× the example-Group assembly path),
+  * each row is copied out of the live batch so downstream holds (merge
+  * heap, key-agg lookback) stay valid across batch reloads. Used for
+  * atomic-typed schemas; nested types take [[GroupRowIterator]].
+  */
+private[graft] final class VectorizedRowIterator(path: String, fields: Seq[GraftField],
+    filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+    conf: Configuration = graft.meta.GraftFS.conf)
+  extends RowSource {
+
+  private val reader = org.apache.spark.sql.execution.datasources.parquet
+    .GraftVectorizedBridge.open(path, fields.map(_.name), filter, capacity = 4096, conf)
+  private var batchRows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
+  private var done = false
+
+  private def advance(): Unit = {
+    while (!done && !batchRows.hasNext) {
+      if (reader.nextKeyValue()) {
+        batchRows = reader.getCurrentValue
+          .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+          .rowIterator()
+      } else { done = true; close() }
+    }
+  }
+
+  override def hasNext: Boolean = { advance(); batchRows.hasNext }
+
+  override def next(): InternalRow = { advance(); batchRows.next().copy() }
+
+  override def close(): Unit = reader.close()
+}
+
 private[graft] final class GroupRowIterator(path: String, fields: Seq[GraftField],
     filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
     conf: Configuration = graft.meta.GraftFS.conf)
-  extends Iterator[InternalRow] with AutoCloseable {
+  extends RowSource {
 
   private val reader: ParquetReader[InternalRow] = {
     val b = ParquetReader.builder(new RowReadSupport(fields), new Path(path))
