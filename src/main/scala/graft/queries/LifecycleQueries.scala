@@ -207,6 +207,27 @@ object LifecycleQueries {
         .orderBy("l_orderkey")
     },
 
+    // X6 — query status tracking: a region query runs through
+    // TrackedQueryExecutor; the emitted row is the tracker's record
+    // (state machine mirroring the reference's QueryState enum), and the
+    // oracle recomputes the tracked row count from the source rows —
+    // COUNT(DISTINCT key) in the region, since the table aggregates
+    // per key.
+    "x6_query_tracker" -> withOracle(
+      """SELECT 'q-track' AS query_id, 'COMPLETED' AS state,
+        |       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS row_cnt
+        |FROM lineitem
+        |WHERE l_orderkey >= 10000 AND l_orderkey < 20000""".stripMargin) { (s, dir) =>
+      val table = lifecycleTable(s, dir)
+      val ex = new graft.query.TrackedQueryExecutor(table)
+      ex.run("q-track", GraftQuery.forRegions(
+        Region(KeyRange.minMax("l_orderkey", 10000L, 20000L))))
+      val t = ex.tracker.get("q-track").get
+      import s.implicits._
+      Seq((t.queryId, t.state.name, t.rowCount.get))
+        .toDF("query_id", "state", "row_cnt")
+    },
+
     // A6 — table metrics computed from the state store ALONE (no data
     // read), checked against COUNT-based truths DuckDB derives from the
     // source rows: one ingest into a 2-leaf table writes one file per

@@ -215,4 +215,38 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ingest.runOnce(nowMs = System.currentTimeMillis() + 120000) == 1)
     assert(table.toDF.count() == 1)
   }
+
+  test("stream identity: legacy checkpoints keep their appId, fresh ones mint a uuid") {
+    def drop(inbox: String, name: String): Unit = {
+      val stage = Files.createTempDirectory("graft-stage3")
+      batch(("a", 1L, "p", 1L)).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, java.nio.file.Paths.get(inbox, name))
+    }
+
+    // PRE-UPGRADE checkpoint (has an offsets dir, no stream-id file):
+    // its committed watermarks live under appId "stream:<checkpointDir>",
+    // so the minted identity must seed from the path — a crash-replayed
+    // batch straddling the upgrade then still deduplicates.
+    val legacyTable = GraftTable.create(spark, tmp(), schema, splitPoints = Seq("m"))
+    val legacyInbox = Files.createTempDirectory("graft-inbox-lg").toString
+    val legacyCp = Files.createTempDirectory("graft-cp-lg").toString
+    Files.createDirectories(java.nio.file.Paths.get(legacyCp, "offsets"))
+    drop(legacyInbox, "f.parquet")
+    assert(new StreamingIngest(legacyTable, legacyInbox, legacyCp).runOnce() == 1)
+    assert(legacyTable.store.lastTxnVersion(s"stream:$legacyCp").nonEmpty)
+
+    // FRESH checkpoint: a uuid identity, persisted next to the checkpoint;
+    // the path-keyed appId is never used
+    val freshTable = GraftTable.create(spark, tmp(), schema, splitPoints = Seq("m"))
+    val freshInbox = Files.createTempDirectory("graft-inbox-fr").toString
+    val freshCp = Files.createTempDirectory("graft-cp-fr").toString
+    drop(freshInbox, "f.parquet")
+    assert(new StreamingIngest(freshTable, freshInbox, freshCp).runOnce() == 1)
+    assert(freshTable.store.lastTxnVersion(s"stream:$freshCp").isEmpty)
+    val id = Files.readString(java.nio.file.Paths.get(freshCp, "stream-id")).trim
+    assert(id.nonEmpty && id != freshCp)
+    assert(freshTable.store.lastTxnVersion(s"stream:$id").nonEmpty)
+  }
 }
