@@ -386,4 +386,38 @@ class GraftSourceSpec extends AnyFunSuite {
     val scans = df.queryExecution.executedPlan.collect { case b: BatchScanExec => b }
     assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("count"))
   }
+
+  test("a 256-leaf tree plans in O(relevant leaves): point lookup = 1 partition, planning stays fast") {
+    // The structures a 1000-executor deployment leans on — leaf pruning
+    // before file listing, one input partition per RELEVANT leaf, plan
+    // size independent of tree size — exercised at a leaf count where
+    // accidental O(leaves) work in the planner would be visible.
+    val longSchema = GraftSchema(
+      rowKeys = Seq(GraftField("k", LongType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("v", LongType)))
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, longSchema,
+      splitPoints = (1 until 256).map(_.toLong * 100))
+    table.ingest((0L until 25600L).map(i => (i, i)).toDF("k", "v"))
+
+    val t0 = System.nanoTime()
+    val lookup = spark.read.format("graft").load(dir).filter($"k" === 12345L)
+    assert(lookup.as[(Long, Long)].collect().toSeq == Seq((12345L, 12345L)))
+    val lookupSec = (System.nanoTime() - t0) / 1e9
+    assert(scanPartitions(lookup) == 1, "a point lookup must touch exactly one leaf")
+
+    val range = spark.read.format("graft").load(dir)
+      .filter($"k" >= 1000L && $"k" < 2000L)
+    assert(scanPartitions(range) == 10, "a 10-leaf range must touch exactly 10 leaves")
+    assert(range.count() == 1000)
+
+    val full = spark.read.format("graft").load(dir)
+    assert(scanPartitions(full) == 256)
+    assert(full.count() == 25600)
+
+    // planning + execution of the 1-leaf lookup must not scale with the
+    // 256-leaf tree (generous bound: catches O(leaves) file IO, not noise)
+    assert(lookupSec < 15.0, s"point lookup took ${lookupSec}s on a 256-leaf tree")
+  }
 }
