@@ -203,3 +203,137 @@ object RenameCAS extends StateStoreCAS {
     catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
   }
 }
+
+/** External CAS for object-store tables: the conditional put happens on
+  * a separate COORDINATION filesystem that CAN express one (HDFS-like
+  * rename-without-overwrite semantics — HDFS, NFS/EFS, local disk),
+  * while the snapshot bytes live wherever the table lives. This is the
+  * reference's S3-data + DynamoDB-transaction-log split
+  * (docs/design/transaction-log-state-store.md) with a filesystem as
+  * the log. The protocol is crash-safe at every step:
+  *
+  *  1. STAGE: the snapshot uploads to a uuid-named object next to the
+  *     table (unique name — always safe, no coordination needed);
+  *  2. CLAIM: a record naming the staged uuid renames into
+  *     `<version>.claim` in the coordination dir — rename-without-
+  *     overwrite is the atomic winner-takes-all, and the claim carries
+  *     its content atomically (no empty-claim window);
+  *  3. FILL: the version object is copied from the staged object. The
+  *     fill is IDEMPOTENT — the claim pins which uuid fills the version,
+  *     so ANY writer can (re)do it: a rival that loses the claim first
+  *     REPAIRS the winner's fill if the winner crashed between 2 and 3,
+  *     which is what keeps a crashed writer from wedging the version
+  *     chain forever.
+  *
+  * Readers never consult the coordination dir — an unfilled version
+  * reads as an absent snapshot, which `loadLatestParseable` tolerates
+  * (falls back one version) until a writer repairs it. Claims and
+  * staged objects far behind the committed version are pruned
+  * opportunistically on publish.
+  */
+final class CoordinatedCAS(coordDir: String) extends StateStoreCAS {
+  import java.nio.charset.StandardCharsets.UTF_8
+  private val VersionName = "state-v(\\d+)\\.json".r
+
+  override def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
+    val (cfs, cdir) = GraftFS.resolve(coordDir)
+    cfs.mkdirs(cdir)
+    val uuid = java.util.UUID.randomUUID().toString
+    val staged = stagedPath(target, uuid)
+    copy(fs, tmp, fs, staged)                      // 1. STAGE (unique name)
+
+    val claim = new Path(cdir, target.getName + ".claim")
+    val claimTmp = new Path(cdir, s".${target.getName}.$uuid.tmp")
+    val out = cfs.create(claimTmp, true)
+    try out.write(uuid.getBytes(UTF_8)) finally out.close()
+    // 2. CLAIM: the claim is itself a small conditional put, delegated
+    // to the coordination store's own primitive (hard-link on file://,
+    // rename-without-overwrite on HDFS — a raw local rename would
+    // silently OVERWRITE a rival's claim). casFor also rejects an
+    // object-store coordination dir outright, which is exactly right.
+    val won = GraftFS.casFor(cfs).publish(cfs, claimTmp, claim)
+    try cfs.delete(claimTmp, false) catch { case scala.util.control.NonFatal(_) => () }
+    if (!won) {
+      try fs.delete(staged, false) catch { case scala.util.control.NonFatal(_) => () }
+      repair(fs, cfs, claim, target)                // un-wedge a crashed winner
+      return false
+    }
+    copy(fs, stagedPath(target, uuid), fs, target)  // 3. FILL (idempotent)
+    target.getName match {
+      case VersionName(v) => prune(fs, cfs, cdir, target, v.toLong)
+      case _ =>
+    }
+    true
+  }
+
+  /** If the claim's version object is missing, its writer crashed
+    * between claim and fill — finish the fill from the staged object the
+    * claim names. Idempotent: every repairer writes the same bytes.
+    */
+  private def repair(fs: FileSystem, cfs: FileSystem, claim: Path, target: Path): Unit = {
+    try {
+      if (fs.exists(target)) return
+      val in = cfs.open(claim)
+      val uuid = try new String(in.readAllBytes(), UTF_8).trim finally in.close()
+      val staged = stagedPath(target, uuid)
+      if (uuid.nonEmpty && fs.exists(staged)) copy(fs, staged, fs, target)
+    } catch { case scala.util.control.NonFatal(_) => () } // best-effort; next rival retries
+  }
+
+  private def stagedPath(target: Path, uuid: String): Path =
+    new Path(target.getParent, s".staged-$uuid.json")
+
+  private def copy(srcFs: FileSystem, src: Path, dstFs: FileSystem, dst: Path): Unit = {
+    val in = srcFs.open(src)
+    try {
+      val out = dstFs.create(dst, true)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+    } finally in.close()
+  }
+
+  /** Best-effort deletion of claims + staged objects far behind the
+    * committed version — keeps both dirs O(retention), like snapshot
+    * pruning. Staged objects are only removed once their version's
+    * claim is old enough that no repair will ever need them.
+    */
+  private def prune(fs: FileSystem, cfs: FileSystem, cdir: Path,
+      target: Path, latest: Long): Unit = {
+    val floor = latest - 2 * JsonStateStore.RetainedVersions
+    if (floor <= 0) return
+    try {
+      val liveUuids = scala.collection.mutable.HashSet[String]()
+      cfs.listStatus(cdir).foreach { st =>
+        st.getPath.getName match {
+          case s if s.endsWith(".claim") =>
+            s.stripSuffix(".claim") match {
+              case VersionName(v) if v.toLong < floor =>
+                try cfs.delete(st.getPath, false)
+                catch { case scala.util.control.NonFatal(_) => () }
+              case VersionName(_) =>
+                val in = cfs.open(st.getPath)
+                try liveUuids += new String(in.readAllBytes(), UTF_8).trim finally in.close()
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      // age guard: a rival may have staged for a version it has not yet
+      // claimed — deleting that object would make its later fill fail
+      // and wedge the version. Only unreferenced staged objects old
+      // enough that no in-flight publish can still name them go.
+      val oldEnough = System.currentTimeMillis() - math.max(
+        JsonStateStore.QuarantineGraceMs * 2, 10L * 60 * 1000)
+      fs.listStatus(target.getParent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(".staged-") && n.endsWith(".json")
+            && st.getModificationTime < oldEnough
+            && !liveUuids.contains(n.stripPrefix(".staged-").stripSuffix(".json")))
+          try fs.delete(st.getPath, false) catch { case scala.util.control.NonFatal(_) => () }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+  }
+}

@@ -136,7 +136,7 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
     * not as a transient conflict.
     */
   protected def withRetry[T](body: => T): T = {
-    val attempts = 20
+    val attempts = 50
     var i = 1
     while (i < attempts) {
       try return body
@@ -152,9 +152,16 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
   /** Between-retries hook; called with the store's monitor RELEASED, so a
     * durable subclass may block here (e.g. waiting out an unreadable rival
     * snapshot) without stalling readers or sibling writers.
+    *
+    * Backoff is jittered-exponential (capped ~128ms): losing writers
+    * whose loss cycle takes similar wall time otherwise retry in
+    * LOCKSTEP and can starve each other through the whole budget —
+    * randomization breaks the convoy, the cap bounds commit latency.
     */
-  protected def onCasConflict(e: ConcurrentStateException, attempt: Int): Unit =
-    Thread.sleep(attempt.toLong) // linear backoff under contention
+  protected def onCasConflict(e: ConcurrentStateException, attempt: Int): Unit = {
+    val ceiling = 1 << math.min(attempt, 7)
+    Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom.current().nextInt(ceiling))
+  }
 
   override def addFiles(newRefs: Seq[FileReference]): Unit = withRetry { synchronized {
     newRefs.foreach { r =>

@@ -294,6 +294,60 @@ class StateStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("CoordinatedCAS: external conditional put keeps concurrent writers serialized") {
+    // the object-store deployment shape: snapshots live in the table dir
+    // (stand-in for s3a://), the conditional put happens in a separate
+    // coordination dir — no writer may ever clobber a committed rival
+    val dir = Files.createTempDirectory("graft-coord-data").toString
+    val coord = Files.createTempDirectory("graft-coord-log").toString
+    JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")),
+      cas = Some(new CoordinatedCAS(coord)))
+    val threads = 4; val perThread = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val futures = (0 until threads).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = {
+          val store = JsonStateStore.load(dir, cas = Some(new CoordinatedCAS(coord)))
+          val leaf = store.partitionTree.leaves.map(_.id).min
+          (0 until perThread).foreach { i =>
+            store.addFiles(Seq(FileReference(s"c$t-f$i", leaf, 1)))
+          }
+        }
+      })
+    }
+    futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdownNow()
+    val fin = JsonStateStore.load(dir, cas = Some(new CoordinatedCAS(coord)))
+    assert(fin.fileReferences.size == threads * perThread)
+    assert(fin.currentVersion == 1 + threads * perThread)
+  }
+
+  test("CoordinatedCAS: a rival repairs a writer that crashed between claim and fill") {
+    val dir = Files.createTempDirectory("graft-repair-data").toString
+    val coord = Files.createTempDirectory("graft-repair-log").toString
+    val cas = new CoordinatedCAS(coord)
+    val store = JsonStateStore.create(dir, schema,
+      PartitionTree.fromSplitPoints(schema, Seq("m")), cas = Some(cas)) // v1
+    val leaf = store.partitionTree.leaves.map(_.id).min
+
+    // simulate a writer that staged v2 and claimed it, then died before
+    // filling state-v2.json (the liveness hole a naive claim-then-upload
+    // protocol wedges on forever)
+    val uuid = "crashed-writer-uuid"
+    val v1 = java.nio.file.Paths.get(dir, "state-v1.json")
+    Files.copy(v1, java.nio.file.Paths.get(dir, s".staged-$uuid.json"))
+    Files.writeString(java.nio.file.Paths.get(coord, "state-v2.json.claim"), uuid)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "state-v2.json")))
+
+    // a live writer: loses the v2 claim, repairs the crashed fill, and
+    // lands its own transaction at v3 — nothing wedges, nothing is lost
+    store.addFiles(Seq(FileReference("alive", leaf, 1)))
+    assert(Files.exists(java.nio.file.Paths.get(dir, "state-v2.json")), "crashed fill not repaired")
+    assert(store.currentVersion == 3)
+    val fin = JsonStateStore.load(dir, cas = Some(cas))
+    assert(fin.fileReferences.map(_.filename) == Seq("alive"))
+  }
+
   test("casFor refuses rename-CAS on object-store schemes without an explicit CAS") {
     // a FileSystem whose URI claims s3a://; rename there is copy+delete,
     // not a conditional put — silently defaulting to RenameCAS would risk
