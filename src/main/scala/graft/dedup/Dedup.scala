@@ -203,20 +203,44 @@ object Dedup {
 
   /** Dense-corpus exact Jaccard: dictionary-encode shingles to int ids,
     * pack each doc's set into a `vocab`-bit mask, broadcast the masks,
-    * and AND+popcount every (a < b) pair in whole-stage codegen — zero
-    * wide shuffles, no posting-list blowup. O(docs²) pair evaluations at
-    * ~1ns/word, gated by [[BitsetVocabLimit]]/doc count above.
+    * and AND+popcount every (a < b) pair — zero wide shuffles, no
+    * posting-list blowup. Gated by [[BitsetVocabLimit]]/doc count above.
+    *
+    * The pair sweep is a hand-rolled mapPartitions kernel over the
+    * broadcast mask array rather than a broadcast-nested-loop join: the
+    * work is O(docs²) TINY operations (a few dozen AND+popcounts), so
+    * the join's per-row machinery dominated the arithmetic by ~10×. The
+    * driver-side collect materializes exactly what the BNLJ broadcast
+    * collected anyway (≤ docLimit masks); outer rows are round-robin
+    * repartitioned because row i's work is proportional to docs − i —
+    * contiguous ranges would skew the triangle onto one task.
     */
   private def bitsetJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
-    import graft.functions.BitsetExpressions._
-    val masks = bitsetMasks(sh)
-    masks.as("a").join(broadcast(masks.as("b")), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bitset_intersect_count(col("a.mask"), col("b.mask")).as("inter"),
-        (col("a.sz") + col("b.sz")).as("szsum"))
-      .withColumn("jaccard", col("inter").cast("double") / (col("szsum") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val spark = sh.sparkSession
+    import spark.implicits._
+    val arr = bitsetMasks(sh).select("id", "sz", "mask").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getAs[scala.collection.Seq[Long]](2).toArray))
+      .sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(arr)
+    val n = arr.length
+    val parallelism = spark.sparkContext.defaultParallelism
+    spark.range(n.toLong).repartition(parallelism).as[Long]
+      .mapPartitions { it =>
+        val a = bc.value
+        it.flatMap { ii =>
+          val i = ii.toInt
+          val (idA, szA, mA) = a(i)
+          (i + 1 until n).iterator.flatMap { j =>
+            val (idB, szB, mB) = a(j)
+            var inter = 0
+            var w = 0
+            while (w < mA.length) { inter += java.lang.Long.bitCount(mA(w) & mB(w)); w += 1 }
+            val jac = inter.toDouble / (szA + szB - inter)
+            if (jac >= threshold) Iterator.single((idA, idB, jac)) else Iterator.empty
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "jaccard")
   }
 
   /** Connected components over a pair list by iterative min-label
