@@ -130,8 +130,35 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
-    val withSets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+    // shingle materialization is the pipeline's most recomputed subplan
+    // (duplication gate, signatures, verification all need it) — cache it
+    val allSets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
+
+    // EXACT-DUPLICATE COLLAPSE (result-identical): docs with the same
+    // shingle set are jaccard-1 with each other and share every minhash,
+    // so only one representative per set enters LSH. Crawled corpora are
+    // heavy with exact duplicates, and each k-clone cluster otherwise
+    // multiplies every bucket's self-join k² — a large candidate-volume
+    // lever that loses NOTHING: within-group pairs are emitted directly
+    // as jaccard 1.0, and a member inherits its representative's
+    // verified pairs verbatim (identical sets ⇒ identical jaccard to any
+    // third doc). ADAPTIVE like the dense-corpus strategies: the
+    // group/expand machinery costs a set-keyed shuffle plus three joins,
+    // so it only runs when a cheap duplication estimate says clones are
+    // actually there to collapse.
+    val dupStats = allSets.agg(count(lit(1)).cast("double").as("n"),
+      approx_count_distinct(xxhash64(col("sh"))).cast("double").as("u")).head()
+    val collapse = dupStats.getDouble(0) >= dupStats.getDouble(1) * 1.5
+    val groups =
+      if (!collapse) null
+      else allSets.groupBy(col("sh")).agg(collect_list(col("id")).as("ids"))
+        .select(array_min(col("ids")).as("rep"), col("ids"), col("sh"))
+        .persist()
+    val withSets =
+      if (collapse) groups.select(col("rep").as("id"), col("sh")) else allSets
+
     val sigs = withSets.select(col("id"),
       bandHashes(minhashSignature(col("sh"), numHashes), bands, rows).as("bh"))
     val buckets = sigs.select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
@@ -145,7 +172,21 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(candidates, withSets, threshold)
+    val repPairs = verifyJaccard(candidates, withSets, threshold)
+    if (!collapse) return repPairs
+
+    // expand representatives back to members
+    val members = groups.select(col("rep"), explode(col("ids")).as("member"))
+    val cross = repPairs
+      .join(members.select(col("rep").as("id_a"), col("member").as("m_a")), "id_a")
+      .join(members.select(col("rep").as("id_b"), col("member").as("m_b")), "id_b")
+      .select(least(col("m_a"), col("m_b")).as("id_a"),
+        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+    val within = members.as("x").join(members.as("y"),
+        col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
+      .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
   }
 
   /** Exact-Jaccard verification of candidate pairs, adaptive like
