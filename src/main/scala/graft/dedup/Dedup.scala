@@ -130,11 +130,20 @@ object Dedup {
       maxBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
-    // shingle materialization is the pipeline's most recomputed subplan
-    // (duplication gate, signatures, verification all need it) — cache it
-    val allSets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+    // Duplication gate FIRST, over raw text hashes — no shingle work:
+    // exact text clones (the dominant clone mode in crawled corpora)
+    // imply identical shingle sets. A low estimate skips the collapse
+    // machinery entirely, leaving the classic pipeline untouched.
+    val dupStats = docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).cast("double").as("n"),
+        approx_count_distinct(xxhash64(col(textCol))).cast("double").as("u")).head()
+    val collapse = dupStats.getDouble(0) >= dupStats.getDouble(1) * 1.5
+
+    val rawSets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-      .persist()
+    // under collapse the shingle subplan feeds the group/expand machinery
+    // on top of its usual consumers — cache it for the run there
+    val allSets = if (collapse) rawSets.persist() else rawSets
 
     // EXACT-DUPLICATE COLLAPSE (result-identical): docs with the same
     // shingle set are jaccard-1 with each other and share every minhash,
@@ -146,11 +155,8 @@ object Dedup {
     // verified pairs verbatim (identical sets ⇒ identical jaccard to any
     // third doc). ADAPTIVE like the dense-corpus strategies: the
     // group/expand machinery costs a set-keyed shuffle plus three joins,
-    // so it only runs when a cheap duplication estimate says clones are
-    // actually there to collapse.
-    val dupStats = allSets.agg(count(lit(1)).cast("double").as("n"),
-      approx_count_distinct(xxhash64(col("sh"))).cast("double").as("u")).head()
-    val collapse = dupStats.getDouble(0) >= dupStats.getDouble(1) * 1.5
+    // so it only runs when the text-hash duplication gate above says
+    // clones are actually there to collapse.
     val groups =
       if (!collapse) null
       else allSets.groupBy(col("sh")).agg(collect_list(col("id")).as("ids"))
