@@ -36,6 +36,15 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
   }
 
+  test("connected components converge in O(log diameter) rounds on a long chain") {
+    // A 220-node path: plain min-label propagation would need ~219
+    // rounds; pointer jumping must land it well inside 16.
+    val pairs = (0L until 219L).map(i => (i + 1, i)).toDF("id_a", "id_b")
+    val got = Dedup.components(pairs, "id_a", "id_b", maxRounds = 16)
+      .as[(Long, Long)].collect()
+    assert(got.length == 220 && got.forall(_._2 == 0L))
+  }
+
   test("cluster dedup keeps one representative per near-dup cluster and all singletons") {
     val docs = Seq(
       (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
