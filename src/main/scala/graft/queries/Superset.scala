@@ -231,6 +231,135 @@ object Superset {
         .orderBy("event_id")
     },
 
+    // J4 — as-of join: every purchase picks up the latest same-user click
+    // at or before it (operators/AsofJoin: union + one partitioned
+    // window — no join, no per-row subquery). The oracle replays the
+    // identical carry-forward; events.value is non-null in the corpus,
+    // so per-column IGNORE NULLS in SQL equals the struct carry in code.
+    "j4_asof_join" -> withOracle(
+      """WITH ev AS (
+        |  SELECT user_id, epoch_ns(ts) AS tn, event_id, value,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS side
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |), w AS (
+        |  SELECT *,
+        |         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER
+        |           (PARTITION BY user_id ORDER BY tn, side, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id,
+        |         last_value(CASE WHEN side = 0 THEN value END IGNORE NULLS) OVER
+        |           (PARTITION BY user_id ORDER BY tn, side, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_value
+        |  FROM ev
+        |)
+        |SELECT event_id, user_id, click_event_id, click_value
+        |FROM w WHERE side = 1
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "event_id", "value")
+      graft.operators.AsofJoin.asof(purchases, clicks, "user_id", "ts",
+          payloadCols = Seq("event_id", "value"), tieBreakCol = "event_id",
+          payloadPrefix = "click_")
+        .select("event_id", "user_id", "click_event_id", "click_value")
+        .orderBy("event_id")
+    },
+
+    // J5 — range join without an equi key: customers whose balance falls
+    // in a supplier's [acctbal, acctbal+100] band (operators/RangeJoin:
+    // binned equi-join + exact filter — a plain hash join, where Spark's
+    // native plan for the same predicate is a nested-loop cross).
+    "j5_range_join" -> withOracle(
+      """SELECT c.c_custkey, s.s_suppkey
+        |FROM customer c JOIN supplier s
+        |  ON c.c_acctbal >= s.s_acctbal AND c.c_acctbal <= s.s_acctbal + 100
+        |ORDER BY c_custkey, s_suppkey""".stripMargin) { (s, dir) =>
+      val points = t(s, dir, "customer").select("c_custkey", "c_acctbal")
+      val bands = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_acctbal").as("lo"),
+          (col("s_acctbal") + 100).as("hi"))
+      graft.operators.RangeJoin.pointInInterval(points, "c_acctbal", bands,
+          "lo", "hi", binWidth = 100.0)
+        .select("c_custkey", "s_suppkey")
+        .orderBy("c_custkey", "s_suppkey")
+    },
+
+    // J6 — salted skew join (operators/SkewJoin): same answer as the
+    // plain lineitem⋈orders join — the oracle IS the plain join — with
+    // the fact side split 8 ways per key so one hot orderkey cannot pin
+    // a reducer.
+    "j6_skew_salted" -> withOracle(
+      """SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderpriority
+        |ORDER BY o.o_orderpriority""".stripMargin) { (s, dir) =>
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+      graft.operators.SkewJoin.salted(l, o,
+          (f, d) => f("l_orderkey") === d("o_orderkey"),
+          saltFrom = struct(l("l_orderkey"), l("l_linenumber")), salts = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("o_orderpriority")
+    },
+
+    // W4 — sessionization: Spark's session_window (30-min inactivity gap)
+    // over per-user event streams; the oracle rebuilds sessions with the
+    // lag + running-sum formulation on the same microsecond timeline.
+    // events.ts is epoch-nanos (TESTDATA nanos timestamp), truncated to
+    // micros on both sides; session bounds output as epoch micros, so no
+    // timezone enters the compare.
+    "w4_sessionize" -> withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu, value FROM events
+        |), marks AS (
+        |  SELECT *, CASE WHEN tu - LAG(tu) OVER
+        |                   (PARTITION BY user_id ORDER BY tu, event_id) > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marks
+        |)
+        |SELECT user_id, CAST(MIN(tu) AS BIGINT) AS session_start,
+        |       CAST(MAX(tu) + 1800000000 AS BIGINT) AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("user_id"), col("value"),
+          timestamp_micros(expr("ts DIV 1000")).as("tsm"))
+        .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("session_start"),
+          unix_micros(col("session_window.end")).as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start")
+    },
+
+    // T7 — streaming event-time windowed aggregation (watermark + 1-day
+    // tumbling windows, complete mode, AvailableNow drain). The oracle is
+    // the equivalent batch rollup: on a drained bounded stream the two
+    // must agree exactly.
+    "t7_stream_window" -> withOracle(
+      """SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_start,
+        |       event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day_start, event_type""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamAnalytics.dailyTypeRollup(s, dir)
+        .orderBy("day_start", "event_type")
+    },
+
     // X2 — SELECT-only SQL post-stage over registered table views
     // (reference: rust/query_sql/src/lib.rs:35-54). Routed through the
     // engine's gated SqlStage.

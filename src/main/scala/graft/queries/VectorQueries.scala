@@ -165,6 +165,55 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // V5 — embedding-cluster dedup (SemDeDup shape): the v3 LSH pair
+    // pipeline → connected components → smallest vec_id survives per
+    // cluster. The oracle replays the identical pair generation (same
+    // LCG hyperplanes as v3, so the candidate set matches bit-for-bit)
+    // and closes it with a recursive CTE, the d5 playbook on vectors.
+    "v5_embed_dedup" -> withOracle(
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |),
+        |pl AS (SELECT t.range AS t, p.range AS p FROM range(12) t, range(8) p),
+        |proj AS (
+        |  SELECT v.vec_id, pl.t, pl.p,
+        |         sum(v.ev[d.range + 1] *
+        |             (((pl.t*1000003 + pl.p*7919 + d.range)*2654435761 + 1013904223) % 2001 - 1000)) AS proj
+        |  FROM v, pl, range(64) d
+        |  GROUP BY 1, 2, 3
+        |),
+        |sig AS (
+        |  SELECT vec_id, t*256 + sum(CASE WHEN proj > 0 THEN 1<<p ELSE 0 END) AS s
+        |  FROM proj GROUP BY vec_id, t
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
+        |),
+        |pairs AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c JOIN v va ON c.id_a = va.vec_id JOIN v vb ON c.id_b = vb.vec_id
+        |  WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.3
+        |),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |),
+        |reach(id, lab) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id
+        |)
+        |SELECT id AS vec_id FROM reach
+        |GROUP BY id HAVING MIN(lab) = id
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      VectorFunctions.clusterDedup(t(s, dir, "embeddings"), "vec_id", "embedding",
+          threshold = 0.3, bits = 8, tables = 12)
+        .select("vec_id")
+        .orderBy("vec_id")
+    },
+
     // MM1 — multimodal metadata decode: binary payload column ->
     // partition-batched decode (stubbed codec, see Multimodal scaladoc)
     // -> typed metadata; the stub's arithmetic is reproduced in SQL.

@@ -163,4 +163,21 @@ object VectorFunctions {
       .select(col("id_a"), col("id_b"), cosine_sim(col("v_a"), col("v_b")).as("sim"))
       .filter(col("sim") >= threshold)
   }
+
+  /** Embedding-cluster dedup (the SemDeDup shape): near-dup pairs from
+    * [[nearDupPairsLsh]] → connected components → keep ONE row (the
+    * smallest id) per cluster. Pairs alone over-remove — with edges
+    * a—b and b—c, pairwise dropping loses both b and c even though a
+    * and c may not be near — so, exactly as in the text pipeline's
+    * `Dedup.neardupDedup`, the cluster closure is the unit of
+    * deduplication. Every stage is bucketed/capped hash joins on id
+    * longs; embeddings never ride a shuffle past candidate generation.
+    */
+  def clusterDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bits: Int = 8, tables: Int = 12): DataFrame = {
+    val pairs = nearDupPairsLsh(vectors, idCol, vecCol, threshold, bits, tables)
+    val comp = graft.dedup.Dedup.components(pairs, "id_a", "id_b")
+    val losers = comp.filter(col("component") =!= col("id")).select(col("id").as(idCol))
+    vectors.join(losers, Seq(idCol), "left_anti")
+  }
 }
