@@ -290,28 +290,84 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
   }
 
-  /** Connected components over a pair list by min-label propagation
-    * with pointer jumping: every node starts labeled min(own id,
-    * neighbor ids); each round takes the min across edges AND follows
-    * label→label(label) (path halving), so convergence needs
-    * O(log diameter) rounds, not O(diameter) — a 100-deep near-dup
-    * chain costs ~7 rounds instead of 100 shuffle rounds. All work is
-    * hash joins + partial aggregations on (id, label) longs — no
-    * driver-side graph, so a 100-TB corpus's near-dup graph distributes
-    * like any other join. Every round's labels are eagerly
-    * local-checkpointed (lineage-FREE, blocks reclaimed by the
-    * ContextCleaner once the round's frame is unreferenced). Throws if
-    * the fixpoint is not reached within `maxRounds`: silently returning
-    * partial labels would make a dedup caller keep several
-    * "representatives" of one cluster.
+  /** Connected components over a pair list. Two strategies behind one
+    * contract (labels = min id per component; only nodes appearing in
+    * the pair list are labeled):
+    *
+    *  - **small graphs** (≤ [[DriverGraphLimit]] pairs, integral ids):
+    *    driver union-find — a near-dup pair set is a sliver of the
+    *    corpus (it IS the duplication rate), and 1M pairs collect as a
+    *    few tens of MB and solve in milliseconds, versus O(log diameter)
+    *    Spark rounds of 2 joins + an action each. The same small-side
+    *    economics as the driver-side sketch merge (A5).
+    *  - **at scale**: min-label propagation with pointer jumping — every
+    *    node starts labeled min(own id, neighbor ids); each round takes
+    *    the min across edges AND follows label→label(label) (path
+    *    halving), so convergence needs O(log diameter) rounds, not
+    *    O(diameter). All work is hash joins + partial aggregations on
+    *    (id, label) longs — no driver-side graph, so a 100-TB corpus's
+    *    worst-case near-dup graph distributes like any other join.
+    *    Every round's labels are eagerly local-checkpointed
+    *    (lineage-FREE, blocks reclaimed by the ContextCleaner once the
+    *    round's frame is unreferenced). Throws if the fixpoint is not
+    *    reached within `maxRounds`: silently returning partial labels
+    *    would make a dedup caller keep several "representatives" of one
+    *    cluster.
     */
+  val DriverGraphLimit: Long = 1000000L
+
+  /** Driver union-find for small pair graphs: union-by-min + path
+    * compression, so each tree's root IS the smallest id in its
+    * component and the output labels match the distributed fixpoint
+    * exactly. Only nodes appearing in the pair list are labeled (same
+    * contract as the distributed path).
+    */
+  private def driverComponents(p: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val intOut = p.schema.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val edges = p.select(col("s").cast("long"), col("d").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long](edges.length * 2)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val labels = new Array[(Long, Long)](parent.size)
+    val it = parent.keySet.iterator()
+    var i = 0
+    while (it.hasNext) { val id = it.next(); labels(i) = (id, find(id)); i += 1 }
+    val df = labels.toSeq.toDF("id", "component")
+    if (intOut) df.select(col("id").cast("int").as("id"),
+      col("component").cast("int").as("component"))
+    else df
+  }
+
   def components(pairs: DataFrame, srcCol: String, dstCol: String,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, driverLimit: Long = DriverGraphLimit): DataFrame = {
     // Materialize the pair list ONCE before symmetrizing: a union of two
     // projections of the same subplan executes that subplan twice, and
     // the pair pipeline feeding this (MinHash/LSH candidate generation)
     // is the most expensive plan in the dedup family.
     val p = pairs.select(col(srcCol).as("s"), col(dstCol).as("d")).persist()
+    val integralIds = p.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (integralIds && driverLimit > 0 && p.count() <= driverLimit) {
+      val out = driverComponents(p)
+      p.unpersist()
+      return out
+    }
     // Eager localCheckpoint, NOT persist: labels feed the next round in
     // several places (neighbor join + pointer jump), so a cached-but-
     // lineage-carrying frame doubles the LOGICAL plan every round —
@@ -425,5 +481,38 @@ object Dedup {
         hamming64(col("a.fp"), col("b.fp")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Incremental exact dedup against a reference corpus (the "drop
+    * everything we already trained on" shape): rows of `docs` whose text
+    * does NOT appear in `ref`, with a Bloom filter doing almost all of
+    * the work executor-side so the big side never shuffles.
+    *
+    * Phases: (1) one aggregation over the (small) reference side builds
+    * a Bloom filter of text hashes; (2) the filter probes every doc
+    * inside whole-stage codegen ([[graft.functions.BloomMightContainLong]])
+    * — no false negatives, so probe-misses are EXACTLY new and pass
+    * through with zero further work; (3) only probe-hits (true dups +
+    * ~fpp false positives) are confirmed by a real join against the
+    * reference texts, and the confirmed-new remainder is unioned back.
+    * The result is exact; the join touches |dups| + fpp·|docs| rows
+    * instead of |docs|.
+    *
+    * At 100 TB: the probed side streams map-only; the filter is built
+    * once (~1.2 GB per 1e9 reference texts at 1% fpp — partition the
+    * reference and probe k filters when it outgrows a broadcast).
+    */
+  def bloomDedup(docs: DataFrame, ref: DataFrame, idCol: String, textCol: String,
+      fpp: Double = 0.01): DataFrame = {
+    val refTexts = ref.select(col(textCol)).filter(col(textCol).isNotNull).distinct()
+    val expected = math.max(refTexts.count(), 1L)
+    val bloom = refTexts.select(xxhash64(col(textCol)).as("__h"))
+      .stat.bloomFilter("__h", expected, fpp)
+    val probe = graft.functions.BloomExpressions
+      .bloom_might_contain_long(xxhash64(col(textCol)), bloom)
+    val definitelyNew = docs.filter(col(textCol).isNotNull && !probe)
+    val maybeDup = docs.filter(col(textCol).isNotNull && probe)
+    val confirmedNew = maybeDup.join(refTexts, Seq(textCol), "left_anti")
+    definitelyNew.unionByName(confirmedNew)
   }
 }

@@ -120,6 +120,42 @@ object HashOps {
     fp
   }
 
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * n-gram OCCURRENCES (a multiset, unlike [[wordShingleSet]]) taken by
+    * its single most frequent n-gram. One pass per row with a local
+    * count map — no explode, no shuffle, so the signal costs the same as
+    * any scalar projection at any corpus size. Returns -1 when the text
+    * has fewer than n tokens (the Column wrapper maps that to null).
+    */
+  def topNgramFraction(text: UTF8String, n: Int): Double = {
+    val words = text.toString.split(' ')
+    val toks = new java.util.ArrayList[String](words.length)
+    var i = 0
+    while (i < words.length) {
+      if (!words(i).isEmpty) toks.add(words(i))
+      i += 1
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return -1.0
+    val counts = new java.util.HashMap[String, Int](m * 2)
+    val sb = new java.lang.StringBuilder(64)
+    var max = 0
+    i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks.get(i + j))
+        j += 1
+      }
+      val c = counts.merge(sb.toString, 1, Integer.sum)
+      if (c > max) max = c
+      i += 1
+    }
+    max * 1.0 / m
+  }
+
   /** Distinct space-joined word n-gram shingles of a text, in one pass:
     * whitespace-split (empties dropped), sliding windows of n, dedup.
     * Equivalent to the DuckDB oracle's
@@ -217,6 +253,32 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `top_ngram_fraction(text, n)`: share of word n-gram occurrences held
+  * by the most frequent n-gram (repetition quality signal). Native
+  * codegen — see [[HashOps.topNgramFraction]]. Emits null (not -1) for
+  * texts with fewer than n tokens.
+  */
+case class TopNgramFraction(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "top_ngram_fraction"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val f = HashOps.topNgramFraction(input.asInstanceOf[UTF8String], n)
+    if (f < 0) null else f
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.HashOps.topNgramFraction($c, $n);
+         |if (${ev.value} < 0) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+         |""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): TopNgramFraction =
+    copy(child = newChild)
+}
+
 /** `word_shingle_set(text, n)`: distinct word n-gram shingles of a text
   * column, one pass per row. Native codegen — see
   * [[HashOps.wordShingleSet]].
@@ -245,4 +307,6 @@ object HashExpressions {
     bridge.column(SimHash64(bridge.expression(tokens)))
   def word_shingle_set(text: Column, n: Int): Column =
     bridge.column(WordShingleSet(bridge.expression(text), n))
+  def top_ngram_fraction(text: Column, n: Int): Column =
+    bridge.column(TopNgramFraction(bridge.expression(text), n))
 }

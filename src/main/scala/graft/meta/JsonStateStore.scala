@@ -143,6 +143,25 @@ class JsonStateStore private (
   private[meta] def commitInitial(): Unit = synchronized { commit(tree, refs, gcQueue, txns) }
 }
 
+/** An immutable historical snapshot of a table's state — the time-travel
+  * read surface. Every query-path consumer (QueryExecutor, DSv2
+  * provider, metrics) only reads, so a snapshot store drops into
+  * [[graft.table.GraftTable]] unchanged; any mutation throws.
+  */
+final class SnapshotStateStore(
+    schema0: GraftSchema, tree0: PartitionTree,
+    refs0: Vector[FileReference], gc0: Vector[GCEntry], txns0: Map[String, Long],
+    val version: Long,
+    val aggregationConfig: String, val filterConfig: String, val transformConfig: String)
+    extends InMemoryStateStore(schema0, tree0) {
+  refs = refs0; gcQueue = gc0; txns = txns0
+
+  override protected def commit(t: PartitionTree, r: Vector[FileReference],
+      g: Vector[GCEntry], x: Map[String, Long]): Unit =
+    throw new UnsupportedOperationException(
+      s"table snapshot at version $version is read-only (time-travel view)")
+}
+
 /** `unresolvedVersion` = the CAS was lost to a version that could not be
   * reloaded (unreadable rival — live fallback writer mid-fill or crashed
   * husk); the retry loop should wait out the conflict before retrying.
@@ -182,6 +201,34 @@ object JsonStateStore {
       s.schema, s.tree, latest, agg, filt, tf)
     store.setState(s.tree, s.refs, s.gc, s.txns)
     store
+  }
+
+  /** Time travel: the state EXACTLY as of a historical version. Valid
+    * within the retention bounds — the version chain keeps the last
+    * [[RetainedVersions]] snapshots, and GC physically deletes a file
+    * only after it has been unreferenced for the table's GC delay — the
+    * same bounded-history contract as the reference's transaction-log
+    * snapshots (docs/design/transaction-log-state-store.md) and Delta
+    * time travel. Reads work; mutations throw.
+    */
+  def loadAt(dirStr: String, version: Long): SnapshotStateStore = {
+    val (fs, dir) = GraftFS.resolve(dirStr)
+    val p = new Path(dir, s"state-v$version.json")
+    val json =
+      try {
+        val in = fs.open(p)
+        try JsonMethods.parse(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalStateException(
+            s"state version $version unavailable in $dirStr (pruned after " +
+              s"$RetainedVersions newer commits, or never committed)", e)
+      }
+    val s = fromJson(json)
+    val (agg, filt, tf) = configFromJson(json)
+    new SnapshotStateStore(s.schema, s.tree, s.refs, s.gc, s.txns, version, agg, filt, tf)
   }
 
   /** Newest snapshot that parses. A crash in the non-hard-link commit

@@ -115,6 +115,28 @@ object LifecycleQueries {
     GraftTable.load(s, tableDir)
   }
 
+  private val travelDirs = new ConcurrentHashMap[String, (String, Long)]()
+
+  /** X7 fixture: ingest batch 1, capture the state-store version, ingest
+    * batch 2 and compact — so the CURRENT state differs from the
+    * captured version in tree shape, file set, and content, and only a
+    * genuine historical read returns batch 1 alone.
+    */
+  private def travelTable(s: SparkSession, dir: String): (String, Long) =
+    travelDirs.computeIfAbsent(dir, { _ =>
+      val td = java.nio.file.Files.createTempDirectory("graft-travel").toString
+      val table = GraftTable.create(s, td, schema,
+        splitPoints = Seq(30000L),
+        config = TableConfig(aggregationConfig = "sum(qty)"))
+      val src = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      table.ingest(src.filter(col("l_linenumber") <= 2))
+      val v = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+      table.ingest(src.filter(col("l_linenumber") >= 3))
+      table.compactAll() // current state: merged files; v still sees batch 1's
+      (td, v)
+    })
+
   private val catalogRoots = new ConcurrentHashMap[String, String]()
 
   /** X5 fixture: a table created, loaded, and queried through PURE SQL
@@ -226,6 +248,21 @@ object LifecycleQueries {
       import s.implicits._
       Seq((t.queryId, t.state.name, t.rowCount.get))
         .toDF("query_id", "state", "row_cnt")
+    },
+
+    // X7 — time travel: the table read back AS OF the version captured
+    // after the first ingest. Batch 2 and a compaction have rewritten
+    // the current state since, so the oracle (batch 1's rows alone)
+    // passes only if the historical tree + file references drive the
+    // read. Mirrors the reference's transaction-log snapshot history.
+    "x7_time_travel" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_linenumber <= 2
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val (td, v) = travelTable(s, dir)
+      GraftTable.loadAsOf(s, td, v).toDF.orderBy("l_orderkey")
     },
 
     // A6 — table metrics computed from the state store ALONE (no data

@@ -282,6 +282,163 @@ object TextQueries {
         .orderBy("split")
     },
 
+    // T8 — repetition quality signals (Gopher §A.1.1 shape): repeated-
+    // word fraction plus the share of bigram/trigram occurrences held by
+    // the single most frequent n-gram. The n-gram stats are a native
+    // one-pass codegen expression (no explode, no shuffle — the signal
+    // prices like a scalar projection at any corpus size); the oracle
+    // recomputes them the expensive way (unnest + GROUP BY).
+    "t8_repetition" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+        |), g2 AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS g
+        |    FROM d WHERE len(ws) >= 2) GROUP BY 1, 2
+        |), g3 AS (
+        |  SELECT doc_id, g, COUNT(*) AS c FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+        |    FROM d WHERE len(ws) >= 3) GROUP BY 1, 2
+        |), t2 AS (SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS f FROM g2 GROUP BY 1),
+        |   t3 AS (SELECT doc_id, MAX(c) * 1.0 / SUM(c) AS f FROM g3 GROUP BY 1)
+        |SELECT d.doc_id,
+        |       1.0 - len(list_distinct(ws)) * 1.0 / len(ws) AS dup_word_frac,
+        |       t2.f AS top_bigram_frac,
+        |       t3.f AS top_trigram_frac
+        |FROM d LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.dupWordFraction(col("text")).as("dup_word_frac"),
+          TextFunctions.topNgramFraction(col("text"), 2).as("top_bigram_frac"),
+          TextFunctions.topNgramFraction(col("text"), 3).as("top_trigram_frac"))
+        .orderBy("doc_id")
+    },
+
+    // T9 — benchmark decontamination audit: documents sharing any word
+    // 4-gram with the held-out benchmark set (source 'src0'), with the
+    // count of distinct shared 4-grams. An anti-join of these ids yields
+    // the decontaminated corpus. Scale shape: the benchmark n-gram set is
+    // the small side and broadcasts, so the corpus side never shuffles
+    // for candidate generation.
+    "t9_decontaminate" -> withOracle(
+      """WITH w AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |         unnest(list_transform(range(1, len(ws) - 2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS g
+        |  FROM w WHERE len(ws) >= 4
+        |), b AS (SELECT DISTINCT g FROM g WHERE source = 'src0')
+        |SELECT m.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM g m JOIN b USING (g)
+        |WHERE m.source <> 'src0'
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val bench = docs.filter(col("source") === "src0")
+        .select(explode(TextFunctions.shingleSet(col("text"), 4)).as("g")).distinct()
+      docs.filter(col("source") =!= "src0")
+        .select(col("doc_id"), explode(TextFunctions.shingleSet(col("text"), 4)).as("g"))
+        .join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .orderBy("doc_id")
+    },
+
+    // T10 — PII redaction: emails and phone-shaped digit groups replaced
+    // by typed placeholders, with audit counts. The corpus carries no
+    // PII, so the query plants deterministic PII on every 5th doc first
+    // (both engines build the identical augmented text); the operator
+    // under test is the redaction chain, which runs fully inside
+    // whole-stage codegen.
+    "t10_pii_redact" -> withOracle(
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 0
+        |              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |                   || '@example.com or 555-0' || CAST(100 + doc_id % 900 AS VARCHAR)
+        |              ELSE text END AS t
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(t,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\d{3}-\d{4}', '<PHONE>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(t,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(regexp_replace(t,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\d{3}-\d{4}')) AS BIGINT) AS n_phones
+        |FROM aug
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val aug = when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-0"),
+          (lit(100) + pmod(col("doc_id"), lit(900))).cast("string")))
+        .otherwise(col("text"))
+      val counts = TextFunctions.piiCounts(aug).toMap
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.redactPii(aug).as("redacted"),
+          counts("n_emails").as("n_emails"),
+          counts("n_phones").as("n_phones"))
+        .orderBy("doc_id")
+    },
+
+    // T11 — domain mixing: deterministic per-source sampling rates
+    // (80/50/20) through the hash gate, then the blended corpus counts.
+    // No RNG and no sampling state — the blend is a pure function of
+    // (source, text), reproducible on any cluster at any partitioning,
+    // and the oracle replays it exactly in SQL.
+    "t11_domain_mix" -> withOracle(
+      """WITH fp AS (
+        |  SELECT source,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
+        |         len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok,
+        |         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 80
+        |              WHEN source IN ('src5','src6','src7','src8','src9') THEN 50
+        |              ELSE 20 END AS rate
+        |  FROM documents
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS docs, CAST(SUM(ntok) AS BIGINT) AS tokens
+        |FROM fp WHERE h % 100 < rate
+        |GROUP BY source
+        |ORDER BY source""".stripMargin) { (s, dir) =>
+      val rate = when(col("source").isin((0 to 4).map("src" + _): _*), lit(80))
+        .when(col("source").isin((5 to 9).map("src" + _): _*), lit(50))
+        .otherwise(lit(20))
+      t(s, dir, "documents")
+        .filter(TextFunctions.sampleByRate(col("text"), rate))
+        .groupBy("source")
+        .agg(count(lit(1)).as("docs"),
+          sum(size(TextFunctions.tokens(col("text")))).cast("long").as("tokens"))
+        .orderBy("source")
+    },
+
+    // D6 — incremental dedup against a reference corpus via a Bloom
+    // filter built on the reference texts: probe-misses pass through
+    // with zero join work (no false negatives), probe-hits are exactly
+    // confirmed. The oracle is the plain NOT EXISTS the bloom path must
+    // reproduce bit-for-bit.
+    "d6_bloom_dedup" -> withOracle(
+      """SELECT m.doc_id
+        |FROM documents m
+        |WHERE m.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM documents r
+        |                  WHERE r.doc_id % 2 = 0 AND r.text = m.text)
+        |ORDER BY m.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val main = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      Dedup.bloomDedup(main, ref, "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     "t4_fingerprint" -> withOracle(
       """SELECT doc_id,
         |       list_reduce(

@@ -138,4 +138,21 @@ object GraftTable {
       transformConfig = store.transformConfig))
     new GraftTable(spark, dir, store, cfg)
   }
+
+  /** Time-travel load: the table exactly as of state-store version
+    * `version` (see `JsonStateStore.currentVersion` for capturing one).
+    * Every read works against the historical partition tree and file
+    * references; mutations throw. Readable while the snapshot chain
+    * retains the version AND garbage collection has not yet deleted
+    * files that were live then — the same bounded-history contract as
+    * the reference's transaction-log snapshots.
+    */
+  def loadAsOf(spark: SparkSession, dir: String, version: Long,
+      config: Option[TableConfig] = None): GraftTable = {
+    val store = JsonStateStore.loadAt(s"$dir/meta", version)
+    val cfg = config.getOrElse(TableConfig(
+      aggregationConfig = store.aggregationConfig, filterConfig = store.filterConfig,
+      transformConfig = store.transformConfig))
+    new GraftTable(spark, dir, store, cfg)
+  }
 }

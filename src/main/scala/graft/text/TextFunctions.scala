@@ -84,6 +84,50 @@ object TextFunctions {
     when(pmod(graft.functions.RollingHash.rolling_hash(text), lit(100)) < trainPct,
       lit("train")).otherwise(lit("heldout"))
 
+  /** Repetition signal (Gopher §A.1.1-style): fraction of word n-gram
+    * occurrences taken by the most frequent n-gram; null for texts with
+    * fewer than n tokens. Native one-pass codegen expression — no
+    * explode/shuffle, so it prices like any scalar at 100 TB.
+    */
+  def topNgramFraction(text: Column, n: Int): Column =
+    HashExpressions.top_ngram_fraction(text, n)
+
+  /** Repetition signal: fraction of token occurrences that are repeats
+    * of an earlier token (1 - distinct/total); null on empty texts.
+    */
+  def dupWordFraction(text: Column): Column = {
+    val toks = tokens(text)
+    lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks)
+  }
+
+  private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PhoneRe = """\d{3}-\d{4}"""
+
+  /** PII redaction: emails then phone-shaped digit groups replaced by
+    * typed placeholder tokens. Both patterns are RE2-compatible so an
+    * independent engine (the DuckDB oracle) replays them verbatim;
+    * `regexp_replace` is codegen'd, so redaction runs inside
+    * whole-stage codegen.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+
+  /** Redaction counts (emails, phones) for audit columns. */
+  def piiCounts(text: Column): Seq[(String, Column)] = Seq(
+    "n_emails" -> size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+    "n_phones" -> size(regexp_extract_all(regexp_replace(text, EmailRe, "<EMAIL>"),
+      lit(PhoneRe), lit(0))).cast("long"))
+
+  /** Deterministic weighted sampling gate: keep a row iff its text
+    * fingerprint lands under `ratePct` (a per-row Column, 0–100). The
+    * domain-mixing primitive: per-source rates pick the corpus blend,
+    * and the hash gate makes the sample reproducible across runs,
+    * partitionings, and engines (the oracle replays it in SQL) —
+    * no RNG, no sampling state.
+    */
+  def sampleByRate(text: Column, ratePct: Column): Column =
+    pmod(graft.functions.RollingHash.rolling_hash(text), lit(100)) < ratePct
+
   /** Stopword hits for one language (distinct tokens ∩ stopword list). */
   def stopwordHits(text: Column, lang: String): Column =
     size(array_intersect(array_distinct(tokens(text)),

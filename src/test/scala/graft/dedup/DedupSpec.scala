@@ -28,6 +28,25 @@ class DedupSpec extends AnyFunSuite {
       Set(1L, 2L))
   }
 
+  test("bloom dedup against a reference corpus is exact (no false negatives or positives)") {
+    val ref = (1L to 200L).map(i => (i, s"ref doc $i")).toDF("id", "text")
+    val docs = ((1000L to 1099L).map(i => (i, s"new doc $i")) ++ // all survive
+      Seq((2000L, "ref doc 7"), (2001L, "ref doc 150"))) // exact dups, dropped
+      .toDF("id", "text")
+    val got = Dedup.bloomDedup(docs, ref, "id", "text").select("id").as[Long].collect().toSet
+    assert(got == (1000L to 1099L).toSet)
+  }
+
+  test("bloom dedup with a tiny filter (forced false positives) still confirms exactly") {
+    // fpp=0.5 on 500 reference texts makes probe false-positives near
+    // certain across 300 probes — the confirm join must rescue them all.
+    val ref = (1L to 500L).map(i => (i, s"r$i")).toDF("id", "text")
+    val docs = (1L to 300L).map(i => (i, s"n$i")).toDF("id", "text")
+    val got = Dedup.bloomDedup(docs, ref, "id", "text", fpp = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(got == (1L to 300L).toSet)
+  }
+
   test("connected components label every node with its cluster's smallest id") {
     // chain 1-2-3, pair 5-4 (reversed), self-contained 9
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L), (9L, 9L)).toDF("id_a", "id_b")
@@ -38,11 +57,27 @@ class DedupSpec extends AnyFunSuite {
 
   test("connected components converge in O(log diameter) rounds on a long chain") {
     // A 220-node path: plain min-label propagation would need ~219
-    // rounds; pointer jumping must land it well inside 16.
+    // rounds; pointer jumping must land it well inside 16. driverLimit=0
+    // forces the distributed fixpoint (the default would take the
+    // union-find fast path on a graph this small).
     val pairs = (0L until 219L).map(i => (i + 1, i)).toDF("id_a", "id_b")
-    val got = Dedup.components(pairs, "id_a", "id_b", maxRounds = 16)
+    val got = Dedup.components(pairs, "id_a", "id_b", maxRounds = 16, driverLimit = 0)
       .as[(Long, Long)].collect()
     assert(got.length == 220 && got.forall(_._2 == 0L))
+  }
+
+  test("driver union-find and distributed fixpoint label identically") {
+    // deterministic pseudo-random graph: 400 nodes, 300 edges
+    val pairs = (1 to 300).map { i =>
+      val a = (i * 2654435761L) % 400
+      val b = (i * 1013904223L + 7) % 400
+      (a, b)
+    }.toDF("id_a", "id_b")
+    val fast = Dedup.components(pairs, "id_a", "id_b")
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.components(pairs, "id_a", "id_b", driverLimit = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == dist)
   }
 
   test("cluster dedup keeps one representative per near-dup cluster and all singletons") {

@@ -341,4 +341,30 @@ class TableLifecycleSpec extends AnyFunSuite {
     val sql = spark.sql("SELECT v FROM md_t WHERE x = 7 AND y = 'c'")
     assert(sql.as[Long].collect().toSeq == Seq(70L))
   }
+
+  test("time travel reads the state as of a captured version; snapshots are read-only") {
+    val table = GraftTable.create(spark, tmp(), schema, config = aggConfig)
+    table.ingest(batch(("a", 1L, 2L, Map("x" -> 1L)), ("b", 1L, 7L, Map.empty[String, Long])))
+    val v = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+    table.ingest(batch(("a", 1L, 3L, Map("x" -> 4L)), ("c", 1L, 1L, Map.empty[String, Long])))
+    table.compactAll() // rewrite current files; v's files stay until GC
+
+    // current state sees both batches, aggregated
+    assert(table.toDF.count() == 3)
+    assert(table.toDF.filter($"key" === "a").select("count").as[Long].head() == 5L)
+
+    // historical view: batch 1 alone
+    val asOf = GraftTable.loadAsOf(spark, table.dir, v)
+    assert(asOf.toDF.select("key").as[String].collect().toSet == Set("a", "b"))
+    assert(asOf.toDF.filter($"key" === "a").select("count").as[Long].head() == 2L)
+
+    // mutations on a snapshot must throw, current table is unaffected
+    intercept[UnsupportedOperationException] {
+      asOf.ingest(batch(("z", 1L, 1L, Map.empty[String, Long])))
+    }
+    assert(table.toDF.count() == 3)
+
+    // a never-committed version fails loudly
+    intercept[IllegalStateException] { GraftTable.loadAsOf(spark, table.dir, 999L) }
+  }
 }

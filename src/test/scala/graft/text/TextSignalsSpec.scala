@@ -1,0 +1,64 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit checks for the round-6 curation signals: repetition fractions,
+  * PII redaction, and the deterministic sampling gate. (The driver rows
+  * t8–t11 check the same operators against DuckDB at corpus scale.)
+  */
+class TextSignalsSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("top n-gram fraction counts occurrences, not distinct n-grams") {
+    // "a b a b a": bigrams = [a b, b a, a b, b a] -> top 2 of 4 = 0.5
+    // "x x x x":   bigrams = [x x, x x, x x]      -> top 3 of 3 = 1.0
+    val df = Seq((1, "a b a b a"), (2, "x x x x"), (3, "one"), (4, "u v w"))
+      .toDF("id", "text")
+      .select($"id", TextFunctions.topNgramFraction($"text", 2).as("f"))
+    val got = df.as[(Int, Option[Double])].collect().toMap
+    assert(got(1).contains(0.5))
+    assert(got(2).contains(1.0))
+    assert(got(3).isEmpty) // fewer than n tokens -> null
+    assert(got(4).contains(0.5)) // all distinct -> 1/m, m = 2 bigrams
+  }
+
+  test("duplicate-word fraction is 1 - distinct/total") {
+    val f = Seq("a a b" -> 0).toDF("text", "z")
+      .select(TextFunctions.dupWordFraction($"text")).as[Double].head()
+    assert(math.abs(f - (1.0 - 2.0 / 3)) < 1e-15)
+  }
+
+  test("PII redaction replaces emails and phone-shaped digits with typed placeholders") {
+    val df = Seq("mail bob.smith+x@corp.example.org or 555-0134 now").toDF("text")
+      .select(TextFunctions.redactPii($"text").as("r"),
+        struct(TextFunctions.piiCounts($"text").map { case (n, c) => c.as(n) }: _*).as("c"))
+    val (r, c) = df.as[(String, (Long, Long))].head()
+    assert(r == "mail <EMAIL> or <PHONE> now")
+    assert(c == ((1L, 1L)))
+  }
+
+  test("phone digits inside an email are not double-counted") {
+    val (r, nPhones) = Seq("x 123-4567@example.com y").toDF("text")
+      .select(TextFunctions.redactPii($"text").as("r"),
+        TextFunctions.piiCounts($"text").toMap.apply("n_phones").as("p"))
+      .as[(String, Long)].head()
+    assert(r == "x <EMAIL> y")
+    assert(nPhones == 0L)
+  }
+
+  test("sampling gate is deterministic and honors the rate column") {
+    val docs = (1 to 400).map(i => (i, s"document number $i text")).toDF("id", "text")
+    val keep100 = docs.filter(TextFunctions.sampleByRate($"text", lit(100)))
+    val keep0 = docs.filter(TextFunctions.sampleByRate($"text", lit(0)))
+    assert(keep100.count() == 400 && keep0.count() == 0)
+    val a = docs.filter(TextFunctions.sampleByRate($"text", lit(40)))
+      .select("id").as[Int].collect().toSet
+    val b = docs.repartition(7).filter(TextFunctions.sampleByRate($"text", lit(40)))
+      .select("id").as[Int].collect().toSet
+    assert(a == b) // partitioning-independent
+    assert(a.size > 80 && a.size < 240) // roughly 40%, hash not degenerate
+  }
+}
