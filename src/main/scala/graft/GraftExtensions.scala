@@ -64,6 +64,10 @@ object GraftExtensions {
     fn("rolling_hash", "rolling_hash(text) - polynomial rolling hash mod 1e9+7") {
       args => RollingHash(args(0))
     },
+    fn("top_ngram_fraction",
+      "top_ngram_fraction(text, n) - share of word n-gram occurrences held by the most frequent one") {
+      args => TopNgramFraction(args(0), intArg(args(1), "n"))
+    },
     fn("bitset_from_indices", "bitset_from_indices(ids, numWords) - pack int ids into a long[] mask") {
       args => BitsetFromIndices(args(0), intArg(args(1), "numWords"))
     },

@@ -510,9 +510,13 @@ object Dedup {
       .stat.bloomFilter("__h", expected, fpp)
     val probe = graft.functions.BloomExpressions
       .bloom_might_contain_long(xxhash64(col(textCol)), bloom)
+    // null-text rows can never equal a reference text (SQL NOT EXISTS
+    // semantics keep them), so they bypass the probe — xxhash64(null)
+    // is null and must not be handed to the filter
+    val nullText = docs.filter(col(textCol).isNull)
     val definitelyNew = docs.filter(col(textCol).isNotNull && !probe)
     val maybeDup = docs.filter(col(textCol).isNotNull && probe)
     val confirmedNew = maybeDup.join(refTexts, Seq(textCol), "left_anti")
-    definitelyNew.unionByName(confirmedNew)
+    definitelyNew.unionByName(confirmedNew).unionByName(nullText)
   }
 }

@@ -265,6 +265,38 @@ object LifecycleQueries {
       GraftTable.loadAsOf(s, td, v).toDF.orderBy("l_orderkey")
     },
 
+    // X8 — results publishing (the reference's serving-tier S5 surface):
+    // a tracked region query pushes its rows as JSON batch messages onto
+    // a queue (executor-side foreachPartition — the driver never sees a
+    // row), then the emitted frame is the messages parsed BACK into rows
+    // — so the oracle passes only if the whole publish path (batching,
+    // JSON serialization, accumulator count, tracker completion) is
+    // lossless. A file (parquet) output and the in-memory queue share
+    // the same ResultsOutput contract.
+    "x8_results_output" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey >= 8000 AND l_orderkey < 14000
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val table = lifecycleTable(s, dir)
+      val qname = s"x8-${java.util.UUID.randomUUID()}"
+      val ex = new graft.query.TrackedQueryExecutor(table)
+      val info = ex.publish("q-x8",
+        GraftQuery.forRegions(Region(KeyRange.minMax("l_orderkey", 8000L, 14000L))),
+        new graft.query.QueueResultsOutput(new graft.query.InMemoryResultsQueue(qname),
+          batchSize = 200))
+      require(info.error.isEmpty, s"publish failed: ${info.error}")
+      require(ex.stateOf("q-x8").contains(graft.query.QueryState.Completed))
+      val msgs = graft.query.InMemoryResultsQueue.drain(qname)
+      require(msgs.nonEmpty, "no result messages published")
+      import s.implicits._
+      s.read.json(s.createDataset(msgs))
+        .select(explode(col("rows")).as("r"))
+        .select(col("r.l_orderkey").as("l_orderkey"), col("r.qty").as("qty"))
+        .orderBy("l_orderkey")
+    },
+
     // A6 — table metrics computed from the state store ALONE (no data
     // read), checked against COUNT-based truths DuckDB derives from the
     // source rows: one ingest into a 2-leaf table writes one file per

@@ -113,6 +113,37 @@ final class TrackedQueryExecutor(
     }
   }
 
+  /** Run a query and publish its results through a [[ResultsOutput]],
+    * tracking the full lifecycle — the reference's serving-tier shape
+    * (execute → publish → track completion with the PUBLISHED row
+    * count). A delivery error lands as FAILED with the output's error,
+    * not as an exception: partial delivery is an operational state the
+    * tracker must surface, exactly like the reference's
+    * ResultsOutputInfo-with-error path.
+    */
+  def publish(queryId: String, q: GraftQuery, out: ResultsOutput): ResultsOutputInfo = {
+    tracker.put(TrackedQuery(queryId, state = QueryState.Queued, lastUpdateMs = clock()))
+    try {
+      tracker.put(TrackedQuery(queryId, state = QueryState.InProgress, lastUpdateMs = clock()))
+      val info = out.publish(queryId, executor.execute(q))
+      info.error match {
+        case None =>
+          tracker.put(TrackedQuery(queryId, state = QueryState.Completed,
+            lastUpdateMs = clock(), rowCount = Some(info.rowCount)))
+        case Some(e) =>
+          tracker.put(TrackedQuery(queryId, state = QueryState.Failed,
+            lastUpdateMs = clock(), rowCount = Some(info.rowCount),
+            errorMessage = Some(String.valueOf(e.getMessage))))
+      }
+      info
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        tracker.put(TrackedQuery(queryId, state = QueryState.Failed,
+          lastUpdateMs = clock(), errorMessage = Some(String.valueOf(e.getMessage))))
+        throw e
+    }
+  }
+
   /** Current state for a query id, if tracked. */
   def stateOf(queryId: String): Option[QueryState] = tracker.get(queryId).map(_.state)
 }
