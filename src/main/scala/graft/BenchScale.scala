@@ -100,6 +100,22 @@ object BenchScale {
     timed("d4_simhash_x3", docRows) {
       graft.dedup.Dedup.simhashPairs(docs3, "doc_id", "text", maxHamming = 3).count()
     }
+    // bloom-gated incremental dedup: odd ids deduped against even ids —
+    // the probe side is ~half the ×3 corpus, all of it map-only except
+    // the (tiny) probe-hit confirm join
+    timed("d6_bloom_x3", docRows / 2) {
+      graft.dedup.Dedup.bloomDedup(
+        docs3.filter(pmod(col("doc_id"), lit(2)) === 1),
+        docs3.filter(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text").count()
+    }
+    // repetition signals: one-pass codegen expression, the pure map-side
+    // throughput number for the curation-signal family
+    timed("t8_repetition_x3", docRows) {
+      docs3.select(col("doc_id"),
+        graft.text.TextFunctions.topNgramFraction(col("text"), 2),
+        graft.text.TextFunctions.topNgramFraction(col("text"), 3)).count()
+    }
 
     // -- true sf1 row: heavy hitters over MATERIALIZED parquet ---------
     // The ×10 sections above stream an in-memory union; this one writes

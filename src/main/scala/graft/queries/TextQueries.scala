@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.functions.RollingHash.rolling_hash
-import graft.text.TextFunctions
+import graft.text.{CorpusScoring, TextFunctions}
 
 /** Training-data text pipeline: deduplication (exact, n-gram Jaccard,
   * MinHash+LSH, SimHash), language-ID, quality scoring, token counting,
@@ -437,6 +437,34 @@ object TextQueries {
       Dedup.bloomDedup(main, ref, "doc_id", "text")
         .select("doc_id")
         .orderBy("doc_id")
+    },
+
+    // T12 — TF-IDF top-3 terms per document (smoothed idf, rounded to 6
+    // decimals BEFORE ranking so both engines rank identically; ties
+    // break by term). The df table is the small side and broadcasts.
+    "t12_tfidf" -> withOracle(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |         ROUND(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+        |  FROM tf JOIN dfreq USING (term), n
+        |), ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |       score, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+      CorpusScoring.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
     },
 
     "t4_fingerprint" -> withOracle(
