@@ -24,7 +24,29 @@ object BenchScale {
   private val EngineFactor = 10
   private val CorpusFactor = 3
 
+  /** Whole-section repeat with per-row min-merge (best-of-N like the
+    * query section's best-of-two): each pass rebuilds its own tables in
+    * fresh temp dirs, so re-running the stateful engine sequence is
+    * safe, and the reported number is the steady-state one instead of
+    * whichever machine-noise draw a single pass landed on. The `_sec`
+    * and `_rows_per_s` of a row always come from the SAME (fastest)
+    * pass.
+    */
   def run(spark: SparkSession, sfDir: String, timeoutSec: Long): String = {
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEAT", "2").toInt.max(1)
+    val passes = (1 to repeats).map(_ => runOnce(spark, sfDir, timeoutSec))
+    val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
+    passes.head.keys.filter(_.endsWith("_sec")).foreach { secKey =>
+      val rateKey = secKey.stripSuffix("_sec") + "_rows_per_s"
+      val best = passes.filter(_(secKey) >= 0).sortBy(_(secKey)).headOption
+      merged(secKey) = best.map(_(secKey)).getOrElse(-1)
+      merged(rateKey) = best.map(_(rateKey)).getOrElse(-1)
+    }
+    merged.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+  }
+
+  private def runOnce(spark: SparkSession, sfDir: String,
+      timeoutSec: Long): scala.collection.mutable.LinkedHashMap[String, Double] = {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
     def timed(name: String, rows: => Long)(body: => Unit): Unit = {
@@ -140,6 +162,6 @@ object BenchScale {
       graft.meta.GraftFS.deleteRecursive(sf1Dir)
     }
 
-    results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    results
   }
 }
