@@ -129,7 +129,7 @@ object BenchScale {
       graft.dedup.Dedup.bloomDedup(
         docs3.filter(pmod(col("doc_id"), lit(2)) === 1),
         docs3.filter(pmod(col("doc_id"), lit(2)) === 0),
-        "doc_id", "text").count()
+        "text").count()
     }
     // repetition signals: one-pass codegen expression, the pure map-side
     // throughput number for the curation-signal family

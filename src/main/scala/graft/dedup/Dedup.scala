@@ -502,21 +502,32 @@ object Dedup {
     * once (~1.2 GB per 1e9 reference texts at 1% fpp — partition the
     * reference and probe k filters when it outgrows a broadcast).
     */
-  def bloomDedup(docs: DataFrame, ref: DataFrame, idCol: String, textCol: String,
+  def bloomDedup(docs: DataFrame, ref: DataFrame, textCol: String,
       fpp: Double = 0.01): DataFrame = {
-    val refTexts = ref.select(col(textCol)).filter(col(textCol).isNotNull).distinct()
-    val expected = math.max(refTexts.count(), 1L)
-    val bloom = refTexts.select(xxhash64(col(textCol)).as("__h"))
-      .stat.bloomFilter("__h", expected, fpp)
+    val refHashes = ref.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("__h"))
+    // Build-side cost is two SHUFFLE-FREE passes over the raw reference:
+    // an approximate distinct count to size the filter (duplicate hashes
+    // are no-ops to a bloom, so exact cardinality is unnecessary — a 20%
+    // headroom absorbs the sketch error), then the bloom aggregation
+    // itself (partial filters OR-merged, only bitmaps move). The exact
+    // distinct of the reference runs once, lazily, inside the confirm
+    // join below — the only shuffle of reference texts anywhere.
+    val expected = math.max(
+      (refHashes.agg(approx_count_distinct(col("__h")).as("u")).head().getLong(0) * 1.2).toLong,
+      64L)
+    val bloom = refHashes.stat.bloomFilter("__h", expected, fpp)
     val probe = graft.functions.BloomExpressions
       .bloom_might_contain_long(xxhash64(col(textCol)), bloom)
-    // null-text rows can never equal a reference text (SQL NOT EXISTS
-    // semantics keep them), so they bypass the probe — xxhash64(null)
-    // is null and must not be handed to the filter
-    val nullText = docs.filter(col(textCol).isNull)
-    val definitelyNew = docs.filter(col(textCol).isNotNull && !probe)
+    // one scan for the pass-through side: null-text rows (SQL NOT EXISTS
+    // semantics keep them — they can never equal a reference text; the
+    // probe itself is null on them) merge with probe-misses, which are
+    // exactly new (no false negatives)
+    val passThrough = docs.filter(
+      when(col(textCol).isNull, lit(true)).otherwise(!probe))
     val maybeDup = docs.filter(col(textCol).isNotNull && probe)
+    val refTexts = ref.select(col(textCol)).filter(col(textCol).isNotNull).distinct()
     val confirmedNew = maybeDup.join(refTexts, Seq(textCol), "left_anti")
-    definitelyNew.unionByName(confirmedNew).unionByName(nullText)
+    passThrough.unionByName(confirmedNew)
   }
 }

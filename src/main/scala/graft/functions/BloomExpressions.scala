@@ -31,12 +31,20 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
   @transient private lazy val bloom: BloomFilter =
     BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
 
-  protected override def nullSafeEval(input: Any): Any =
-    bloom.mightContainLong(input.asInstanceOf[Long])
+  /** Entry point for generated code (see doGenCode). */
+  def probe(hash: Long): Boolean = bloom.mightContainLong(hash)
+
+  protected override def nullSafeEval(input: Any): Any = probe(input.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("bloomFilter", bloom, classOf[BloomFilter].getName)
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mightContainLong($c);")
+    // Reference THIS expression, not the materialized BloomFilter: the
+    // filter bytes then ship exactly once (inside the expression; the
+    // transient filter rebuilds lazily per executor) instead of the
+    // task binary carrying a serialized BloomFilter object ALONGSIDE
+    // the plan's copy of the bytes — which doubles driver memory and
+    // shipping cost for large filters.
+    val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomMightContainLong].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.probe($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomMightContainLong =

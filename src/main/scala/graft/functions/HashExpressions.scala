@@ -120,6 +120,35 @@ object HashOps {
     fp
   }
 
+  /** Whitespace tokens with empties dropped — the ONE tokenization both
+    * shingle/n-gram kernels share, matching the DuckDB oracle's
+    * `list_filter(string_split(text, ' '), x -> x <> '')` exactly; a
+    * tokenization change here changes every dependent kernel together.
+    */
+  private def splitTokens(text: UTF8String): java.util.ArrayList[String] = {
+    val words = text.toString.split(' ')
+    val toks = new java.util.ArrayList[String](words.length)
+    var i = 0
+    while (i < words.length) {
+      if (!words(i).isEmpty) toks.add(words(i))
+      i += 1
+    }
+    toks
+  }
+
+  /** Space-join the n-token window starting at `i` into `sb`. */
+  private def joinWindow(sb: java.lang.StringBuilder,
+      toks: java.util.ArrayList[String], i: Int, n: Int): String = {
+    sb.setLength(0)
+    var j = 0
+    while (j < n) {
+      if (j > 0) sb.append(' ')
+      sb.append(toks.get(i + j))
+      j += 1
+    }
+    sb.toString
+  }
+
   /** Gopher-style repetition signal: the fraction of a document's word
     * n-gram OCCURRENCES (a multiset, unlike [[wordShingleSet]]) taken by
     * its single most frequent n-gram. One pass per row with a local
@@ -128,28 +157,15 @@ object HashOps {
     * has fewer than n tokens (the Column wrapper maps that to null).
     */
   def topNgramFraction(text: UTF8String, n: Int): Double = {
-    val words = text.toString.split(' ')
-    val toks = new java.util.ArrayList[String](words.length)
-    var i = 0
-    while (i < words.length) {
-      if (!words(i).isEmpty) toks.add(words(i))
-      i += 1
-    }
+    val toks = splitTokens(text)
     val m = toks.size - n + 1
     if (m <= 0) return -1.0
     val counts = new java.util.HashMap[String, Int](m * 2)
     val sb = new java.lang.StringBuilder(64)
     var max = 0
-    i = 0
+    var i = 0
     while (i < m) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks.get(i + j))
-        j += 1
-      }
-      val c = counts.merge(sb.toString, 1, Integer.sum)
+      val c = counts.merge(joinWindow(sb, toks, i, n), 1, Integer.sum)
       if (c > max) max = c
       i += 1
     }
@@ -162,27 +178,14 @@ object HashOps {
     * `list_transform(range(...), i -> ws[i] || ' ' || ws[i+1])` set.
     */
   def wordShingleSet(text: UTF8String, n: Int): ArrayData = {
-    val words = text.toString.split(' ')
-    val toks = new java.util.ArrayList[String](words.length)
-    var i = 0
-    while (i < words.length) {
-      if (!words(i).isEmpty) toks.add(words(i))
-      i += 1
-    }
+    val toks = splitTokens(text)
     val m = toks.size - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String](m * 2)
     val sb = new java.lang.StringBuilder(64)
-    i = 0
+    var i = 0
     while (i < m) {
-      sb.setLength(0)
-      var j = 0
-      while (j < n) {
-        if (j > 0) sb.append(' ')
-        sb.append(toks.get(i + j))
-        j += 1
-      }
-      seen.add(sb.toString)
+      seen.add(joinWindow(sb, toks, i, n))
       i += 1
     }
     val out = new Array[Any](seen.size)

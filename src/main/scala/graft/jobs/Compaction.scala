@@ -104,6 +104,7 @@ final class Compaction(table: GraftTable) {
     * concurrency is safe by construction.
     */
   def runStrategy(strategy: CompactionStrategy, parallelism: Int = 4): Int = {
+    table.store.assertWritable()
     val live = table.store.fileReferences
     val jobs = strategy.plan(live.groupBy(_.partitionId))
     if (jobs.size <= 1 || parallelism <= 1) jobs.foreach(run)
@@ -193,6 +194,7 @@ final class Compaction(table: GraftTable) {
     * parquet writer.
     */
   def compactAll(): Unit = {
+    table.store.assertWritable()
     val live = table.store.fileReferences
     if (live.isEmpty) return
     val byLeaf = live.groupBy(_.partitionId)

@@ -14,6 +14,7 @@ final class GarbageCollector(table: GraftTable) {
 
   /** Returns filenames deleted. */
   def run(nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    table.store.assertWritable() // a snapshot must never delete the live table's files
     val delayMs = table.config.gcDelayMinutes * 60000L
     val ready = table.store.unreferencedFiles.filter(e => nowMs - e.sinceMs >= delayMs)
     val deleted = ready.map { entry =>

@@ -33,6 +33,7 @@ final class Ingest(table: GraftTable) {
     * sink's exactly-once guarantee.
     */
   def run(input: DataFrame, txn: Option[(String, Long)] = None): Seq[FileReference] = {
+    table.store.assertWritable() // BEFORE any data file lands in the table dir
     val schema = table.schema
     val tree = table.store.partitionTree
     // cheap pre-check: skip the whole Spark job for a known replay (the

@@ -17,6 +17,7 @@ final class PartitionSplitter(table: GraftTable) {
 
   /** Returns ids of partitions that were split. */
   def run(): Seq[String] = {
+    table.store.assertWritable()
     val threshold = table.config.splitThreshold
     val split = scala.collection.mutable.ArrayBuffer.empty[String]
     var progress = true

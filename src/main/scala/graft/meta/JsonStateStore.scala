@@ -156,6 +156,10 @@ final class SnapshotStateStore(
     extends InMemoryStateStore(schema0, tree0) {
   refs = refs0; gcQueue = gc0; txns = txns0
 
+  override def readOnly: Boolean = true
+
+  // backstop: jobs check assertWritable() before touching the
+  // filesystem, but any mutation that slips through dies here too
   override protected def commit(t: PartitionTree, r: Vector[FileReference],
       g: Vector[GCEntry], x: Map[String, Long]): Unit =
     throw new UnsupportedOperationException(

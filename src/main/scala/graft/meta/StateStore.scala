@@ -42,6 +42,18 @@ trait StateStore {
   def partitionTree: PartitionTree
   def fileReferences: Seq[FileReference]
 
+  /** True for historical snapshots (time travel): mutating jobs must
+    * check this BEFORE any filesystem side effect — the store-level
+    * commit throw alone would come after data files were already
+    * written into the live table's directories.
+    */
+  def readOnly: Boolean = false
+
+  /** Fail fast when a mutating job targets a read-only snapshot. */
+  def assertWritable(): Unit =
+    if (readOnly) throw new UnsupportedOperationException(
+      "table snapshot is read-only (time-travel view)")
+
   /** Files no longer referenced anywhere, with the epoch-ms they became
     * unreferenced (GC eligibility, reference: GarbageCollector.java).
     */

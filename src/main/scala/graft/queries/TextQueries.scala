@@ -434,7 +434,7 @@ object TextQueries {
       val docs = t(s, dir, "documents")
       val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
       val main = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
-      Dedup.bloomDedup(main, ref, "doc_id", "text")
+      Dedup.bloomDedup(main, ref, "text")
         .select("doc_id")
         .orderBy("doc_id")
     },

@@ -92,19 +92,22 @@ final class TrackedQueryExecutor(
 
   private val executor = new QueryExecutor(table)
 
-  /** Run a query to completion (materializes the count), tracking the
-    * full state lifecycle. Returns the result frame; the recorded row
-    * count is the frame's count at execution time.
+  /** Shared lifecycle scaffolding: QUEUED → IN_PROGRESS → `body`, whose
+    * result reports either a completion row count or a failure; a thrown
+    * exception tracks FAILED and rethrows. Both entry points below are
+    * this wrapper with different bodies, so lifecycle changes happen in
+    * one place.
     */
-  def run(queryId: String, q: GraftQuery): DataFrame = {
+  private def tracked[T](queryId: String)(body: => T)(
+      outcome: T => (QueryState, Option[Long], Option[String])): T = {
     tracker.put(TrackedQuery(queryId, state = QueryState.Queued, lastUpdateMs = clock()))
     try {
       tracker.put(TrackedQuery(queryId, state = QueryState.InProgress, lastUpdateMs = clock()))
-      val df = executor.execute(q)
-      val n = df.count()
-      tracker.put(TrackedQuery(queryId, state = QueryState.Completed,
-        lastUpdateMs = clock(), rowCount = Some(n)))
-      df
+      val result = body
+      val (state, rows, err) = outcome(result)
+      tracker.put(TrackedQuery(queryId, state = state, lastUpdateMs = clock(),
+        rowCount = rows, errorMessage = err))
+      result
     } catch {
       case scala.util.control.NonFatal(e) =>
         tracker.put(TrackedQuery(queryId, state = QueryState.Failed,
@@ -112,6 +115,16 @@ final class TrackedQueryExecutor(
         throw e
     }
   }
+
+  /** Run a query to completion (materializes the count), tracking the
+    * full state lifecycle. Returns the result frame; the recorded row
+    * count is the frame's count at execution time.
+    */
+  def run(queryId: String, q: GraftQuery): DataFrame =
+    tracked(queryId) {
+      val df = executor.execute(q)
+      (df, df.count())
+    } { case (_, n) => (QueryState.Completed, Some(n), None) }._1
 
   /** Run a query and publish its results through a [[ResultsOutput]],
     * tracking the full lifecycle — the reference's serving-tier shape
@@ -121,28 +134,16 @@ final class TrackedQueryExecutor(
     * tracker must surface, exactly like the reference's
     * ResultsOutputInfo-with-error path.
     */
-  def publish(queryId: String, q: GraftQuery, out: ResultsOutput): ResultsOutputInfo = {
-    tracker.put(TrackedQuery(queryId, state = QueryState.Queued, lastUpdateMs = clock()))
-    try {
-      tracker.put(TrackedQuery(queryId, state = QueryState.InProgress, lastUpdateMs = clock()))
-      val info = out.publish(queryId, executor.execute(q))
+  def publish(queryId: String, q: GraftQuery, out: ResultsOutput): ResultsOutputInfo =
+    tracked(queryId) {
+      out.publish(queryId, executor.execute(q))
+    } { info =>
       info.error match {
-        case None =>
-          tracker.put(TrackedQuery(queryId, state = QueryState.Completed,
-            lastUpdateMs = clock(), rowCount = Some(info.rowCount)))
+        case None => (QueryState.Completed, Some(info.rowCount), None)
         case Some(e) =>
-          tracker.put(TrackedQuery(queryId, state = QueryState.Failed,
-            lastUpdateMs = clock(), rowCount = Some(info.rowCount),
-            errorMessage = Some(String.valueOf(e.getMessage))))
+          (QueryState.Failed, Some(info.rowCount), Some(String.valueOf(e.getMessage)))
       }
-      info
-    } catch {
-      case scala.util.control.NonFatal(e) =>
-        tracker.put(TrackedQuery(queryId, state = QueryState.Failed,
-          lastUpdateMs = clock(), errorMessage = Some(String.valueOf(e.getMessage))))
-        throw e
     }
-  }
 
   /** Current state for a query id, if tracked. */
   def stateOf(queryId: String): Option[QueryState] = tracker.get(queryId).map(_.state)

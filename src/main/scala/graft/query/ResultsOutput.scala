@@ -76,12 +76,15 @@ final class QueueResultsOutput(queue: ResultsQueue, batchSize: Int = 500,
   override def publish(queryId: String, results: DataFrame): ResultsOutputInfo = {
     val loc = Seq(ResultsOutputLocation(kind, queue.toString))
     val acc = results.sparkSession.sparkContext.longAccumulator(s"graft-results-$queryId")
-    val (q, bs, id) = (queue, batchSize, queryId)
+    // the id is embedded in every message — escape it once, driver-side,
+    // so an id containing quotes/backslashes cannot corrupt the JSON
+    val idJson = graft.Verify.jsonEscape(queryId)
+    val (q, bs) = (queue, batchSize)
     try {
       results.toJSON.foreachPartition { (it: Iterator[String]) =>
         val buf = new scala.collection.mutable.ArrayBuffer[String](bs)
         def flush(): Unit = if (buf.nonEmpty) {
-          q.send(s"""{"queryId":"$id","rows":[${buf.mkString(",")}]}""")
+          q.send(s"""{"queryId":$idJson,"rows":[${buf.mkString(",")}]}""")
           buf.clear()
         }
         it.foreach { r => buf += r; acc.add(1); if (buf.size >= bs) flush() }

@@ -27,7 +27,9 @@ object CorpusScoring {
     val n = docs.count()
     val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = toks.distinct().groupBy("term").agg(count(lit(1)).as("df"))
+    // tf already holds one row per (doc, term) — df is a re-aggregation
+    // of that frame, not a second explode+distinct over the raw corpus
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "term")
       .withColumn("score", round(col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 6))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)

@@ -33,7 +33,7 @@ class DedupSpec extends AnyFunSuite {
     val docs = ((1000L to 1099L).map(i => (i, s"new doc $i")) ++ // all survive
       Seq((2000L, "ref doc 7"), (2001L, "ref doc 150"))) // exact dups, dropped
       .toDF("id", "text")
-    val got = Dedup.bloomDedup(docs, ref, "id", "text").select("id").as[Long].collect().toSet
+    val got = Dedup.bloomDedup(docs, ref, "text").select("id").as[Long].collect().toSet
     assert(got == (1000L to 1099L).toSet)
   }
 
@@ -42,7 +42,7 @@ class DedupSpec extends AnyFunSuite {
     // certain across 300 probes — the confirm join must rescue them all.
     val ref = (1L to 500L).map(i => (i, s"r$i")).toDF("id", "text")
     val docs = (1L to 300L).map(i => (i, s"n$i")).toDF("id", "text")
-    val got = Dedup.bloomDedup(docs, ref, "id", "text", fpp = 0.5)
+    val got = Dedup.bloomDedup(docs, ref, "text", fpp = 0.5)
       .select("id").as[Long].collect().toSet
     assert(got == (1L to 300L).toSet)
   }
