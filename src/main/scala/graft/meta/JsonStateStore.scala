@@ -391,7 +391,8 @@ object JsonStateStore {
   private def refToJson(r: FileReference): JValue = JObject(
     "filename" -> JString(r.filename), "partitionId" -> JString(r.partitionId),
     "rowCount" -> JInt(r.rowCount), "jobId" -> r.jobId.map(JString(_)).getOrElse(JNothing),
-    "homeId" -> r.homeId.map(JString(_)).getOrElse(JNothing))
+    "homeId" -> r.homeId.map(JString(_)).getOrElse(JNothing),
+    "dataChange" -> JBool(r.dataChange))
 
   private def refFromJson(j: JValue): FileReference = {
     val m = j.asInstanceOf[JObject].obj.toMap
@@ -399,7 +400,11 @@ object JsonStateStore {
     val JString(p) = m("partitionId"): @unchecked
     val JInt(c) = m("rowCount"): @unchecked
     FileReference(f, p, c.toLong, m.get("jobId").collect { case JString(s) => s },
-      m.get("homeId").collect { case JString(s) => s })
+      m.get("homeId").collect { case JString(s) => s },
+      // absent in pre-round-6 snapshots (migration): conservatively true —
+      // a stream starting from such history may re-emit compacted rows,
+      // but never silently drops ingested ones
+      m.get("dataChange").collect { case JBool(b) => b }.getOrElse(true))
   }
 
   private def configFromJson(j: JValue): (String, String, String) = {

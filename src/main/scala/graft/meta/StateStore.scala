@@ -16,7 +16,13 @@ final case class FileReference(
     partitionId: String,
     rowCount: Long,
     jobId: Option[String] = None,
-    homeId: Option[String] = None) {
+    homeId: Option[String] = None,
+    /** False for files whose rows merely REARRANGE existing data
+      * (compaction outputs): the table-changes stream skips them, so a
+      * subscriber sees each ingested row exactly once — Delta's
+      * dataChange flag, the same contract.
+      */
+    dataChange: Boolean = true) {
   /** Physical partition directory holding the file. */
   def physicalPartitionId: String = homeId.getOrElse(partitionId)
 }
@@ -221,7 +227,9 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
       refs.filter(r => inputs.contains(r.filename)).map(r => r.filename -> r.physicalPartitionId).toMap
     val remaining = refs.filterNot(r => r.partitionId == partitionId && inputs.contains(r.filename))
     val orphaned = inputs.filterNot(f => remaining.exists(_.filename == f))
-    commit(tree, remaining ++ output,
+    // a compaction output rearranges rows the log already carries — mark
+    // it dataChange=false so the table-changes stream never re-emits them
+    commit(tree, remaining ++ output.map(_.copy(dataChange = false)),
       gcQueue ++ orphaned.map(f => GCEntry(f, nowMs, homes.get(f))), txns)
   }
 
@@ -237,7 +245,8 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
       val children = tree(r.partitionId).childIds.map(tree(_))
       val half = math.max(r.rowCount / 2, 1)
       next = next.filterNot(_ == r) ++ children.map(c =>
-        FileReference(r.filename, c.id, half, r.jobId, Some(r.physicalPartitionId)))
+        FileReference(r.filename, c.id, half, r.jobId, Some(r.physicalPartitionId),
+          r.dataChange))
     }
     if (nonLeaf.nonEmpty) commit(tree, next, gcQueue, txns)
     nonLeaf.size

@@ -265,6 +265,46 @@ object LifecycleQueries {
       GraftTable.loadAsOf(s, td, v).toDF.orderBy("l_orderkey")
     },
 
+    // S7 — table-changes stream (readStream on a graft table): drain 1
+    // checkpoints after batch 1 (snapshot initial load); between drains,
+    // batch 2 lands AND is compacted away, then batch 3 lands — so
+    // drain 2 exercises the incremental version walk: it must pick the
+    // mid-window batch-2 files (gone from both endpoint snapshots — else
+    // keys vanish) while skipping the compaction output (else sums
+    // double). The emitted frame aggregates everything both drains
+    // delivered into a durable (parquet) sink; the oracle is the plain
+    // GROUP BY over all three batches.
+    "s7_table_changes" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val td = java.nio.file.Files.createTempDirectory("graft-changes").toString
+      val cp = java.nio.file.Files.createTempDirectory("graft-changes-cp").toString
+      val out = java.nio.file.Files.createTempDirectory("graft-changes-out").toString
+      val table = GraftTable.create(s, td, schema, splitPoints = Seq(7000L))
+      val src = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      def drain(): Unit = {
+        val q = s.readStream.format("graft").load(td)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", cp)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      table.ingest(src.filter(col("l_linenumber") === 1))
+      drain()
+      table.ingest(src.filter(col("l_linenumber") === 2))
+      table.compactAll() // consumes batch 2's files mid-window
+      table.ingest(src.filter(col("l_linenumber") >= 3))
+      drain()
+      s.read.parquet(out)
+        .groupBy("l_orderkey").agg(sum(col("qty")).as("qty"))
+        .orderBy("l_orderkey")
+    },
+
     // X8 — results publishing (the reference's serving-tier S5 surface):
     // a tracked region query pushes its rows as JSON batch messages onto
     // a queue (executor-side foreachPartition — the driver never sees a

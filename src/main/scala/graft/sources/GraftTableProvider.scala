@@ -72,6 +72,7 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
   override def schema(): StructType = store.schema.toStructType
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
   // Re-load the snapshot per scan build (a small JSON read), so a view
@@ -356,6 +357,17 @@ final class GraftScan(dir: String, store: JsonStateStore,
   override def readSchema(): StructType = required
 
   override def toBatch: Batch = this
+
+  /** `spark.readStream.format("graft")` — the table-changes micro-batch
+    * source (see [[GraftMicroBatchStream]]). Column pruning applies (the
+    * stream reads only `required`); pushed filters are safe because this
+    * builder reports every filter as residual, so Spark re-applies them
+    * above the stream.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(dir,
+      required.fields.map(f => graft.core.GraftField(f.name, f.dataType, f.nullable)).toSeq)
 
   override def description(): String = {
     val leafCount = planSpecs.length

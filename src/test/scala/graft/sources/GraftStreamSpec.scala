@@ -1,0 +1,93 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.table.{GraftTable, TableConfig}
+
+/** The table-changes stream: state-store versions as offsets, ingested
+  * files exactly once across restarts, compaction outputs never.
+  */
+class GraftStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val schema = GraftSchema(
+    rowKeys = Seq(GraftField("k", LongType)),
+    sortKeys = Nil,
+    values = Seq(GraftField("v", LongType)))
+
+  /** Drain all available table changes into a parquet file sink (the
+    * durable sink that supports checkpoint RESUME — the memory sink
+    * refuses recovery, and resume is exactly what the restart test
+    * needs).
+    */
+  private def drainTo(dir: String, cp: String, out: String): Unit = {
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("readStream delivers each ingested row exactly once across restarts, skipping compactions") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val cp = Files.createTempDirectory("graft-stream-cp").toString
+    val out = Files.createTempDirectory("graft-stream-out").toString
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq(50L))
+    table.ingest((1L to 40L).map(i => (i, i)).toDF("k", "v"))
+
+    drainTo(dir, cp, out)
+    assert(spark.read.parquet(out).select("k").as[Long].collect().toSet == (1L to 40L).toSet)
+
+    // appends + a compaction between restarts: the second drain must see
+    // ONLY the new appends — the compacted rewrite of 1..80 repeats rows
+    // the stream already delivered and must not re-emit
+    table.ingest((41L to 80L).map(i => (i, i)).toDF("k", "v"))
+    table.compactAll()
+    table.ingest((81L to 100L).map(i => (i, i)).toDF("k", "v"))
+
+    drainTo(dir, cp, out)
+    val all = spark.read.parquet(out).select("k").as[Long].collect()
+    assert(all.length == 100) // 180 would mean the compaction output was re-emitted
+    assert(all.toSet == (1L to 100L).toSet)
+  }
+
+  test("initial load of a pre-compacted table is snapshot-complete") {
+    // all live files are compaction outputs (dataChange=false) here — a
+    // diff-style initial batch would deliver NOTHING
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    val cp = Files.createTempDirectory("graft-stream3-cp").toString
+    val out = Files.createTempDirectory("graft-stream3-out").toString
+    val table = GraftTable.create(spark, dir, schema)
+    table.ingest((1L to 25L).map(i => (i, i)).toDF("k", "v"))
+    table.ingest((26L to 50L).map(i => (i, i)).toDF("k", "v"))
+    table.compactAll()
+    drainTo(dir, cp, out)
+    assert(spark.read.parquet(out).select("k").as[Long].collect().toSet == (1L to 50L).toSet)
+  }
+
+  test("stream prunes columns and applies residual filters") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    val cp = Files.createTempDirectory("graft-stream2-cp").toString
+    val table = GraftTable.create(spark, dir, schema)
+    table.ingest((1L to 30L).map(i => (i, i * 10)).toDF("k", "v"))
+
+    val mem = s"gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("graft").load(dir)
+      .filter($"k" > 25L).select("v")
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", cp)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(mem).as[Long].collect().toSet == (26L to 30L).map(_ * 10).toSet)
+  }
+}
