@@ -214,17 +214,21 @@ object LifecycleQueries {
 
     // X1 — config-string transform at query time over the lifecycle
     // table: a CapValue{qty,77} transform caps the aggregated quantity,
-    // reproduced in the oracle as LEAST over the same grouping.
+    // reproduced in the oracle as LEAST over the same grouping. The
+    // region sits inside the populated key range at every sf (orderkeys
+    // stop near 15000·sf/0.01) and per-key sums reach ~200, so the cap
+    // genuinely rewrites values — a region above the key range would
+    // pass vacuously on zero rows.
     "x1_transform" -> withOracle(
       """SELECT l_orderkey,
         |       CAST(LEAST(SUM(CAST(l_quantity AS BIGINT)), 77) AS BIGINT) AS qty
         |FROM lineitem
-        |WHERE l_orderkey >= 20000 AND l_orderkey < 30000
+        |WHERE l_orderkey >= 2000 AND l_orderkey < 3000
         |GROUP BY l_orderkey
         |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
       val table = lifecycleTable(s, dir)
       table.query(graft.query.GraftQuery(
-          regions = Seq(Region(KeyRange.minMax("l_orderkey", 20000L, 30000L))),
+          regions = Seq(Region(KeyRange.minMax("l_orderkey", 2000L, 3000L))),
           queryTransformConfig = Some("graft.transforms.CapValue{qty,77}")))
         .orderBy("l_orderkey")
     },
