@@ -467,6 +467,33 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // T13 — sequence packing: documents binned into 256-token training
+    // sequences by greedy contiguous packing in id order. The Spark side
+    // computes the global running sum as a distributed two-phase prefix
+    // scan (parallel per-partition windows + broadcast offsets — never a
+    // single-partition global window); the oracle is the plain global
+    // window the scan must equal exactly.
+    "t13_pack" -> withOracle(
+      """WITH t AS (
+        |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, ntok,
+        |         SUM(ntok) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS tok_before
+        |  FROM t
+        |)
+        |SELECT CAST(tok_before // 256 AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS docs,
+        |       CAST(SUM(ntok) AS BIGINT) AS tokens
+        |FROM c
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.text.SequencePacking.packSummary(t(s, dir, "documents"), "doc_id", "text",
+          budgetTokens = 256)
+        .orderBy("bin")
+    },
+
     "t4_fingerprint" -> withOracle(
       """SELECT doc_id,
         |       list_reduce(

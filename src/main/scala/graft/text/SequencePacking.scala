@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for training pipelines: assign documents to
+  * fixed-token-budget bins (training sequences) by greedy CONTIGUOUS
+  * packing in id order — bin = floor(tokens-before-this-doc / budget).
+  * Deterministic (a pure function of the corpus), so shards are
+  * reproducible across runs and engines; oversize documents overflow
+  * their bin rather than splitting (the usual packing contract).
+  *
+  * The global running sum is computed as a DISTRIBUTED prefix sum — the
+  * naive `Window.orderBy(id)` with no partitioning funnels the corpus
+  * through one task and is the canonical 100-TB scale-killer. Instead:
+  * range-repartition by id (contiguous id ranges per partition, in
+  * partition order), a PARALLEL per-partition window for local prefix
+  * sums, then per-partition totals (one tiny row each) collect to the
+  * driver, turn into starting offsets, and broadcast-join back — the
+  * classic two-phase scan, O(rows/partitions) per task.
+  */
+object SequencePacking {
+
+  /** Per-document bin assignment: (idCol, ntok, bin). */
+  def packContiguous(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, partitions: Int = 0): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    val spark = docs.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.sessionState.conf.numShufflePartitions
+    val toks = docs.select(col(idCol),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("ntok"))
+    val parted = toks.repartitionByRange(p, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid").orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("__lsum", sum(col("ntok")).over(w))
+    // one row per partition — the only driver-side data, O(partitions)
+    val totals = local.groupBy("__pid").agg(max(col("__lsum")).as("__total"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    // offset(pid) = Σ totals of all partitions before pid (exclusive scan);
+    // range partitioning orders partition ids by id range, so this is the
+    // global token count preceding the partition
+    val cum = totals.map(_._2).scanLeft(0L)(_ + _)
+    val offsetRows = totals.map(_._1).zip(cum)
+    val offsetDf = spark.createDataFrame(offsetRows.toSeq).toDF("__pid", "__offset")
+    local.join(broadcast(offsetDf), "__pid")
+      .withColumn("bin",
+        floor((col("__offset") + col("__lsum") - col("ntok")) / budgetTokens).cast("long"))
+      .select(col(idCol), col("ntok"), col("bin"))
+  }
+
+  /** Bin-level summary: (bin, docs, tokens), the shard manifest. */
+  def packSummary(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame =
+    packContiguous(docs, idCol, textCol, budgetTokens)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tokens"))
+}

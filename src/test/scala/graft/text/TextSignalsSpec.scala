@@ -49,6 +49,23 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(nPhones == 0L)
   }
 
+  test("distributed sequence packing equals the single-window global prefix sum") {
+    // 200 docs with varying token counts across several range partitions
+    val docs = (1 to 200).map(i => (i.toLong, ("w " * (1 + i % 13)).trim)).toDF("id", "text")
+    val got = SequencePacking.packContiguous(docs, "id", "text",
+      budgetTokens = 50, partitions = 7)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    // reference: sequential greedy packing
+    var run = 0L
+    val expected = (1 to 200).map { i =>
+      val ntok = 1 + i % 13
+      val bin = run / 50
+      run += ntok
+      i.toLong -> bin
+    }.toMap
+    assert(got == expected)
+  }
+
   test("sampling gate is deterministic and honors the rate column") {
     val docs = (1 to 400).map(i => (i, s"document number $i text")).toDF("id", "text")
     val keep100 = docs.filter(TextFunctions.sampleByRate($"text", lit(100)))
