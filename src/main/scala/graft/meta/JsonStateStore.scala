@@ -207,6 +207,15 @@ object JsonStateStore {
     store
   }
 
+  /** Newest committed version number from the directory listing alone —
+    * no snapshot content is read or parsed. The cheap poll for offset
+    * discovery (the table-changes stream calls this every trigger).
+    */
+  def latestVersionIn(dirStr: String): Option[Long] = {
+    val (fs, dir) = GraftFS.resolve(dirStr)
+    latestVersion(fs, dir)
+  }
+
   /** Time travel: the state EXACTLY as of a historical version. Valid
     * within the retention bounds — the version chain keeps the last
     * [[RetainedVersions]] snapshots, and GC physically deletes a file

@@ -1,11 +1,12 @@
 package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import graft.core.GraftField
 import graft.exec.{GroupRowIterator, VectorizedRowIterator}
-import graft.meta.JsonStateStore
+import graft.meta.{JsonStateStore, SerializableHadoopConf}
 
 /** Stream offset = state-store version: every commit is a full snapshot
   * with a monotonically increasing version, so the version chain IS the
@@ -22,11 +23,15 @@ case class GraftStreamOffset(version: Long) extends Offset {
   * streamed from the files they merged; `FileReference.dataChange`).
   *
   * Semantics: the stream is the table's APPEND LOG — raw rows as
-  * ingested, BEFORE compaction-time continual aggregation or persistent
-  * filters. Downstream aggregation of the stream reproduces the table
-  * for decomposable aggregates (sum/min/max/map_*), which is exactly the
-  * contract a derived streaming pipeline needs. Starting offset is
-  * version 0, so the first micro-batch carries the whole existing table.
+  * ingested, BEFORE compaction-time continual aggregation. Downstream
+  * aggregation of the stream reproduces the table for decomposable
+  * aggregates (sum/min/max/map_*), which is exactly the contract a
+  * derived streaming pipeline needs. Tables with a persistent
+  * filterConfig or transformConfig are REFUSED at stream build
+  * (GraftScan.toMicroBatchStream): the append log cannot apply them,
+  * and silently streaming rows a batch read would suppress is a leak.
+  * Starting offset is version 0, so the first micro-batch carries the
+  * whole existing table.
   *
   * Bounded history, like the reference's transaction log and Delta
   * vacuum: a restart is valid while the snapshot chain retains the
@@ -34,17 +39,22 @@ case class GraftStreamOffset(version: Long) extends Offset {
   * an out-of-retention restart fails loudly rather than silently
   * skipping data.
   */
-final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField])
-  extends MicroBatchStream with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField],
+    fallbackKeyField: GraftField) extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def meta = s"$dir/meta"
 
   @volatile private var availableNowTarget: Option[Long] = None
 
+  /** Filename listing only — no snapshot parse on the poll path. */
+  private def currentVersion: Long =
+    JsonStateStore.latestVersionIn(meta).getOrElse(
+      throw new IllegalStateException(s"no state snapshot in $meta"))
+
   override def initialOffset(): Offset = GraftStreamOffset(0L)
 
-  override def latestOffset(): Offset =
-    GraftStreamOffset(JsonStateStore.load(meta).currentVersion)
+  override def latestOffset(): Offset = GraftStreamOffset(currentVersion)
 
   // -- admission control / AvailableNow ---------------------------------
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
@@ -56,7 +66,7 @@ final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField])
     }
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowTarget = Some(JsonStateStore.load(meta).currentVersion)
+    availableNowTarget = Some(currentVersion)
 
   override def reportLatestOffset(): Offset = latestOffset()
 
@@ -67,19 +77,28 @@ final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField])
 
   /** Distinct data files present at a version, keyed by filename (a
     * split can reference one file from several partitions) with the
-    * physical home directory; version 0 = the empty table.
+    * physical home directory; version 0 = the empty table. Wraps an
+    * out-of-retention version in the stream-recovery message.
     */
-  private def filesAt(version: Long): Map[String, (String, Boolean)] =
+  private def filesAt(version: Long, window: (Long, Long)): Map[String, (String, Boolean)] =
     if (version <= 0L) Map.empty
-    else JsonStateStore.loadAt(meta, version).fileReferences
-      .map(r => r.filename -> (r.physicalPartitionId, r.dataChange)).toMap
+    else try {
+      JsonStateStore.loadAt(meta, version).fileReferences
+        .map(r => r.filename -> (r.physicalPartitionId, r.dataChange)).toMap
+    } catch {
+      case e: IllegalStateException => throw new IllegalStateException(
+        s"table-changes stream cannot recover: version $version inside the " +
+          s"micro-batch window (${window._1}, ${window._2}] is no longer " +
+          "retained — the checkpoint is older than the snapshot retention " +
+          "window; restart the stream from a fresh checkpoint", e)
+    }
 
   /** EVERY version in `(start, end]` is walked, not just the endpoints
     * diffed: a file ingested and then compacted away inside the window
     * exists in neither endpoint snapshot, and an endpoint diff would
     * silently lose its rows (caught by the restart spec). Walking is
     * bounded by snapshot retention; a checkpoint older than that fails
-    * loudly below rather than skipping data.
+    * loudly rather than skipping data.
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val sv = start.asInstanceOf[GraftStreamOffset].version
@@ -93,24 +112,15 @@ final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField])
     // filter would lose the whole initial load). Incremental batches
     // below then diff forward from exactly that file set.
     if (sv == 0L) {
-      return filesAt(ev).map { case (name, (home, _)) =>
+      return filesAt(ev, (sv, ev)).map { case (name, (home, _)) =>
         GraftStreamFilePartition(s"$dir/data/$home/$name"): InputPartition
       }.toArray
     }
-    val seen = scala.collection.mutable.Set.empty[String] ++= filesAt(sv).keys
+    val seen = scala.collection.mutable.Set.empty[String] ++= filesAt(sv, (sv, ev)).keys
     val parts = Array.newBuilder[InputPartition]
     var v = sv + 1
     while (v <= ev) {
-      val cur =
-        try filesAt(v)
-        catch {
-          case e: IllegalStateException => throw new IllegalStateException(
-            s"table-changes stream cannot recover: version $v inside the " +
-              s"micro-batch window ($sv, $ev] is no longer retained — the " +
-              "checkpoint is older than the snapshot retention window; " +
-              "restart the stream from a fresh checkpoint", e)
-        }
-      cur.foreach { case (name, (home, dataChange)) =>
+      filesAt(v, (sv, ev)).foreach { case (name, (home, dataChange)) =>
         if (dataChange && !seen.contains(name)) {
           seen += name
           parts += GraftStreamFilePartition(s"$dir/data/$home/$name")
@@ -122,7 +132,11 @@ final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftStreamReaderFactory(readFields)
+    // capture the driver's Hadoop configuration: executors resolve the
+    // table's filesystem (credentials, fs.defaultFS) with it — same as
+    // the batch GraftReaderFactory
+    GraftStreamReaderFactory(readFields, fallbackKeyField,
+      graft.meta.GraftFS.serializableConf)
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -134,24 +148,34 @@ final case class GraftStreamFilePartition(path: String) extends InputPartition
   * uses (vectorized for atomic schemas, record-materializing for nested
   * types) — within-file key order is preserved, no merge semantics.
   */
-final case class GraftStreamReaderFactory(readFields: Seq[GraftField])
+final case class GraftStreamReaderFactory(readFields: Seq[GraftField],
+    fallbackKeyField: GraftField, conf: SerializableHadoopConf)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val path = partition.asInstanceOf[GraftStreamFilePartition].path
-    val vectorizable = readFields.forall(f => f.dataType match {
+    // Empty projection (streaming COUNT(*)): the vectorized bridge is
+    // never opened with zero fields (the batch path routes this case to
+    // the row path too) — read one key column and emit empty rows.
+    val countOnly = readFields.isEmpty
+    val fields = if (countOnly) Seq(fallbackKeyField) else readFields
+    val vectorizable = !countOnly && fields.forall(f => f.dataType match {
       case _: org.apache.spark.sql.types.ArrayType |
            _: org.apache.spark.sql.types.MapType |
            _: org.apache.spark.sql.types.StructType => false
       case _ => true
     })
     val source =
-      if (vectorizable) new VectorizedRowIterator(path, readFields)
-      else new GroupRowIterator(path, readFields)
+      if (vectorizable) new VectorizedRowIterator(path, fields, conf = conf.value)
+      else new GroupRowIterator(path, fields, conf = conf.value)
+    val empty = new GenericInternalRow(0)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
       override def next(): Boolean =
-        if (source.hasNext) { current = source.next(); true } else false
+        if (source.hasNext) {
+          current = if (countOnly) { source.next(); empty } else source.next()
+          true
+        } else false
       override def get(): InternalRow = current
       override def close(): Unit = source.close()
     }

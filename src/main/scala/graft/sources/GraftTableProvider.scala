@@ -362,12 +362,21 @@ final class GraftScan(dir: String, store: JsonStateStore,
     * source (see [[GraftMicroBatchStream]]). Column pruning applies (the
     * stream reads only `required`); pushed filters are safe because this
     * builder reports every filter as residual, so Spark re-applies them
-    * above the stream.
+    * above the stream. A persistent filterConfig is refused like the
+    * transform config at newScanBuilder: the append log cannot apply it,
+    * and silently streaming rows a batch read suppresses (age-off, row
+    * suppression) would leak them to every subscriber.
     */
   override def toMicroBatchStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(store.filterConfig.trim.isEmpty,
+      s"table at $dir has a persistent filter (${store.filterConfig}); " +
+        "the table-changes stream delivers the raw append log and cannot " +
+        "apply it — read the table in batch via GraftTable.query/toDF")
     new GraftMicroBatchStream(dir,
-      required.fields.map(f => graft.core.GraftField(f.name, f.dataType, f.nullable)).toSeq)
+      required.fields.map(f => graft.core.GraftField(f.name, f.dataType, f.nullable)).toSeq,
+      schema.rowKeys.head)
+  }
 
   override def description(): String = {
     val leafCount = planSpecs.length

@@ -35,7 +35,15 @@ object SequencePacking {
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy("__pid").orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted.withColumn("__lsum", sum(col("ntok")).over(w))
+    // Persisted: the frame is evaluated twice (totals collect below, then
+    // the caller's action on the join), and WITHOUT a persist the range
+    // partitioner re-samples on the second run — against an upstream with
+    // nondeterministic row order (a shuffle/join output, a task retry)
+    // rows could land in different __pid's than the totals were collected
+    // from, silently corrupting every bin. The cache also halves the
+    // tokenize+shuffle+window cost; blocks are reclaimed by the
+    // ContextCleaner once the result frame is unreferenced.
+    val local = parted.withColumn("__lsum", sum(col("ntok")).over(w)).persist()
     // one row per partition — the only driver-side data, O(partitions)
     val totals = local.groupBy("__pid").agg(max(col("__lsum")).as("__total"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)

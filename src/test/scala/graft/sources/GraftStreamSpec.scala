@@ -73,6 +73,44 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).select("k").as[Long].collect().toSet == (1L to 50L).toSet)
   }
 
+  test("streaming count(*) survives the empty projection (row path, not the vectorized bridge)") {
+    val dir = Files.createTempDirectory("graft-stream4").toString
+    val cp = Files.createTempDirectory("graft-stream4-cp").toString
+    val table = GraftTable.create(spark, dir, schema)
+    table.ingest((1L to 20L).map(i => (i, i)).toDF("k", "v"))
+    val mem = s"gs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = spark.readStream.format("graft").load(dir)
+      .groupBy().count()
+      .writeStream.format("memory").queryName(mem)
+      .option("checkpointLocation", cp)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(mem).as[Long].head() == 20L)
+  }
+
+  test("a table with a persistent filter refuses the changes stream (no row leak)") {
+    val dir = Files.createTempDirectory("graft-stream5").toString
+    val cp = Files.createTempDirectory("graft-stream5-cp").toString
+    val table = GraftTable.create(spark, dir, schema,
+      config = TableConfig(filterConfig = "ageOff(v,1000)"))
+    table.ingest((1L to 5L).map(i => (i, System.currentTimeMillis())).toDF("k", "v"))
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft").load(dir)
+        .writeStream.format("memory")
+        .queryName(s"gs_${java.util.UUID.randomUUID().toString.replace("-", "")}")
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("persistent filter")))
+  }
+
   test("stream prunes columns and applies residual filters") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val cp = Files.createTempDirectory("graft-stream2-cp").toString
