@@ -92,6 +92,12 @@ final class GraftTable(
   /** Bulk export: whole table to parquet at `outDir` (M8). */
   def export(outDir: String): Unit = toDF.write.mode("overwrite").parquet(outDir)
 
+  /** The table's append log as a streaming DataFrame — state-store
+    * versions as offsets, each ingested row delivered exactly once
+    * (see graft.sources.GraftMicroBatchStream for the full contract).
+    */
+  def changes: DataFrame = spark.readStream.format("graft").load(dir)
+
   /** Table metrics from the state store alone (A6; reference
     * TableMetrics.java:39-134).
     */
