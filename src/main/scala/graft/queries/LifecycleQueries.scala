@@ -139,6 +139,8 @@ object LifecycleQueries {
 
   private val catalogRoots = new ConcurrentHashMap[String, String]()
 
+  private val changesDirs = new ConcurrentHashMap[String, String]()
+
   /** X5 fixture: a table created, loaded, and queried through PURE SQL
     * via the TableCatalog (CREATE TABLE + INSERT INTO + SELECT) — no
     * Scala API anywhere in the path. The catalog NAME is derived from
@@ -283,27 +285,33 @@ object LifecycleQueries {
         |FROM lineitem
         |GROUP BY l_orderkey
         |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
-      val td = java.nio.file.Files.createTempDirectory("graft-changes").toString
-      val cp = java.nio.file.Files.createTempDirectory("graft-changes-cp").toString
-      val out = java.nio.file.Files.createTempDirectory("graft-changes-out").toString
-      val table = GraftTable.create(s, td, schema, splitPoints = Seq(7000L))
-      val src = Tables(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
-      def drain(): Unit = {
-        val q = s.readStream.format("graft").load(td)
-          .writeStream.format("parquet")
-          .option("path", out).option("checkpointLocation", cp)
-          .outputMode("append")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        q.awaitTermination()
-      }
-      table.ingest(src.filter(col("l_linenumber") === 1))
-      drain()
-      table.ingest(src.filter(col("l_linenumber") === 2))
-      table.compactAll() // consumes batch 2's files mid-window
-      table.ingest(src.filter(col("l_linenumber") >= 3))
-      drain()
+      // memoized per JVM like the other lifecycle fixtures: the build
+      // (ingests + compaction + two stream drains) runs once, re-runs
+      // re-read the drained output
+      val out = changesDirs.computeIfAbsent(dir, { _ =>
+        val td = java.nio.file.Files.createTempDirectory("graft-changes").toString
+        val cp = java.nio.file.Files.createTempDirectory("graft-changes-cp").toString
+        val o = java.nio.file.Files.createTempDirectory("graft-changes-out").toString
+        val table = GraftTable.create(s, td, schema, splitPoints = Seq(7000L))
+        val src = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        def drain(): Unit = {
+          val q = s.readStream.format("graft").load(td)
+            .writeStream.format("parquet")
+            .option("path", o).option("checkpointLocation", cp)
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        table.ingest(src.filter(col("l_linenumber") === 1))
+        drain()
+        table.ingest(src.filter(col("l_linenumber") === 2))
+        table.compactAll() // consumes batch 2's files mid-window
+        table.ingest(src.filter(col("l_linenumber") >= 3))
+        drain()
+        o
+      })
       s.read.parquet(out)
         .groupBy("l_orderkey").agg(sum(col("qty")).as("qty"))
         .orderBy("l_orderkey")
