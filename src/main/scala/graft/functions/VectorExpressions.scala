@@ -78,6 +78,95 @@ object VectorOps {
     }
     sig
   }
+
+  /** Index of the nearest centroid by cosine (= max dot product, the
+    * centroid rows being pre-normalized), ties toward the lowest index.
+    * `flat` is the k×dim centroid matrix row-major; one fused loop, no
+    * per-row allocation. Truncates to the common min(dim, |v|) prefix
+    * like [[cosine]].
+    */
+  def nearestCell(v: ArrayData, flat: Array[Double], k: Int, isFloat: Boolean): Int = {
+    val dim = flat.length / k
+    val n = math.min(dim, v.numElements())
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += get(v, i, isFloat) * flat(off + i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Max cosine similarity of `v` against the pre-normalized centroid
+    * matrix — the k-means|| cost kernel (cost = 2 − 2·maxCos on
+    * normalized points). A zero vector reports 1.0 (cost 0): it can
+    * never be a useful center and must not poison the sampling total.
+    */
+  def maxCentroidCos(v: ArrayData, flat: Array[Double], k: Int, isFloat: Boolean): Double = {
+    val dim = flat.length / k
+    val n = math.min(dim, v.numElements())
+    var norm = 0.0
+    var i = 0
+    while (i < n) { val x = get(v, i, isFloat); norm += x * x; i += 1 }
+    if (norm <= 0) return 1.0
+    val inv = 1.0 / math.sqrt(norm)
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += get(v, i, isFloat) * flat(off + i); i += 1 }
+      if (dot > best) best = dot
+      c += 1
+    }
+    best * inv
+  }
+}
+
+/** Centroid matrix for the IVF expressions: k pre-normalized rows,
+  * flattened row-major. A plain `Array[Double]` param in a case class
+  * would compare by reference (see the BloomMightContainLong lesson) —
+  * structurally identical expressions would never canonicalize equal and
+  * subexpression elimination would miss them — so equality/hashCode here
+  * are content-based.
+  */
+case class CentroidMatrix(flat: Array[Double], k: Int) extends Serializable {
+  require(k > 0 && flat.length % k == 0, s"flat length ${flat.length} not divisible by k=$k")
+  def dim: Int = flat.length / k
+  def row(c: Int): Array[Double] = java.util.Arrays.copyOfRange(flat, c * dim, (c + 1) * dim)
+  override def equals(o: Any): Boolean = o match {
+    case CentroidMatrix(f, kk) => kk == k && java.util.Arrays.equals(f, flat)
+    case _ => false
+  }
+  override def hashCode(): Int = 31 * k + java.util.Arrays.hashCode(flat)
+  override def toString: String = s"CentroidMatrix(k=$k, dim=$dim)"
+}
+
+object CentroidMatrix {
+  /** Build from centroid rows, L2-normalizing each (zero rows pass through). */
+  def normalized(rows: Array[Array[Double]]): CentroidMatrix = {
+    val k = rows.length
+    val dim = rows.head.length
+    val flat = new Array[Double](k * dim)
+    var c = 0
+    while (c < k) {
+      val r = rows(c)
+      var n2 = 0.0
+      var i = 0
+      while (i < dim) { n2 += r(i) * r(i); i += 1 }
+      val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+      i = 0
+      while (i < dim) { flat(c * dim + i) = r(i) * inv; i += 1 }
+      c += 1
+    }
+    CentroidMatrix(flat, k)
+  }
 }
 
 private[functions] trait VecElemType { self: Expression =>
@@ -171,6 +260,58 @@ case class HyperplaneLsh(child: Expression, bits: Int, salt: Long)
     copy(child = newChild)
 }
 
+/** `nearest_centroid(vec)`: index of the nearest (max-cosine) centroid in
+  * a fixed pre-normalized matrix, ties toward the lowest index. The
+  * matrix ships once per plan via `addReferenceObj` — never per row —
+  * so assignment runs shuffle-free inside whole-stage codegen.
+  */
+case class NearestCentroid(child: Expression, m: CentroidMatrix)
+    extends UnaryExpression with VecElemType {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    checkVecTypes(Seq(child))
+  private lazy val vF = elemIsFloat(child)
+
+  protected override def nullSafeEval(v: Any): Any =
+    VectorOps.nearestCell(v.asInstanceOf[ArrayData], m.flat, m.k, vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flat = ctx.addReferenceObj("centFlat", m.flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorOps.nearestCell($v, $flat, ${m.k}, $vF);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+/** `max_centroid_cos(vec)`: max cosine of `vec` against the fixed
+  * centroid matrix — the k-means|| sampling cost kernel.
+  */
+case class MaxCentroidCos(child: Expression, m: CentroidMatrix)
+    extends UnaryExpression with VecElemType {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "max_centroid_cos"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    checkVecTypes(Seq(child))
+  private lazy val vF = elemIsFloat(child)
+
+  protected override def nullSafeEval(v: Any): Any =
+    VectorOps.maxCentroidCos(v.asInstanceOf[ArrayData], m.flat, m.k, vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flat = ctx.addReferenceObj("centFlat", m.flat, "double[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.VectorOps.maxCentroidCos($v, $flat, ${m.k}, $vF);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaxCentroidCos =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   def cosine_sim(a: Column, b: Column): Column =
     bridge.column(CosineSim(bridge.expression(a), bridge.expression(b)))
@@ -178,4 +319,8 @@ object VectorExpressions {
     bridge.column(DotProduct(bridge.expression(a), bridge.expression(b)))
   def hyperplane_lsh(v: Column, bits: Int, salt: Long): Column =
     bridge.column(HyperplaneLsh(bridge.expression(v), bits, salt))
+  def nearest_centroid(v: Column, m: CentroidMatrix): Column =
+    bridge.column(NearestCentroid(bridge.expression(v), m))
+  def max_centroid_cos(v: Column, m: CentroidMatrix): Column =
+    bridge.column(MaxCentroidCos(bridge.expression(v), m))
 }
