@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.dedup.Dedup
 import graft.functions.RollingHash.rolling_hash
-import graft.text.{CorpusScoring, TextFunctions}
+import graft.functions.BpeExpressions.bpe_token_count
+import graft.text.{Bpe, CorpusScoring, TextFunctions}
 
 /** Training-data text pipeline: deduplication (exact, n-gram Jaccard,
   * MinHash+LSH, SimHash), language-ID, quality scoring, token counting,
@@ -468,20 +469,22 @@ object TextQueries {
     },
 
     // T13 — sequence packing: documents binned into 256-token training
-    // sequences by greedy contiguous packing in id order. The Spark side
-    // computes the global running sum as a distributed two-phase prefix
-    // scan (parallel per-partition windows + broadcast offsets — never a
-    // single-partition global window); the oracle is the plain global
-    // window the scan must equal exactly.
+    // sequences by greedy contiguous packing in id order, priced in BPE
+    // tokens (the pinned corpus merge table — what a training pipeline
+    // actually budgets), not whitespace words. The Spark side computes
+    // the global running sum as a distributed two-phase prefix scan
+    // (parallel per-partition windows + broadcast offsets — never a
+    // single-partition global window); the oracle replays BPE encoding
+    // with a recursive CTE, then applies the plain global window the
+    // scan must equal exactly.
     "t13_pack" -> withOracle(
-      """WITH t AS (
-        |  SELECT doc_id, len(list_filter(string_split(text, ' '), x -> x <> '')) AS ntok
-        |  FROM documents
-        |), c AS (
-        |  SELECT doc_id, ntok,
-        |         SUM(ntok) OVER (ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - ntok AS tok_before
-        |  FROM t
+      s"""WITH RECURSIVE
+        |${Bpe.oracleCtes},
+        |c AS (
+        |  SELECT doc_id, bpe_tokens AS ntok,
+        |         SUM(bpe_tokens) OVER (ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bpe_tokens AS tok_before
+        |  FROM bpe_doc
         |)
         |SELECT CAST(tok_before // 256 AS BIGINT) AS bin,
         |       CAST(COUNT(*) AS BIGINT) AS docs,
@@ -489,9 +492,31 @@ object TextQueries {
         |FROM c
         |GROUP BY 1
         |ORDER BY 1""".stripMargin) { (s, dir) =>
-      graft.text.SequencePacking.packSummary(t(s, dir, "documents"), "doc_id", "text",
-          budgetTokens = 256)
+      graft.text.SequencePacking.packSummary(
+          t(s, dir, "documents").filter(col("text").isNotNull), "doc_id", "text",
+          budgetTokens = 256,
+          tokenCount = c => bpe_token_count(c, Bpe.corpusMerges))
         .orderBy("bin")
+    },
+
+    // T14 — BPE token statistics per document: real (merge-table) token
+    // counts next to whitespace counts, the budgeting signal training
+    // pipelines actually use. The merge table is pinned
+    // (graft.text.Bpe.corpusMerges, trained by the distributed trainer
+    // over this corpus — BpeSpec proves the round trip) and the oracle
+    // re-derives every count from the same table via a recursive CTE,
+    // so the entire encoder — not just the sums — is cross-checked.
+    "t14_bpe_stats" -> withOracle(
+      s"""WITH RECURSIVE
+        |${Bpe.oracleCtes}
+        |SELECT doc_id, bpe_tokens, ws_tokens
+        |FROM bpe_doc
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          bpe_token_count(col("text"), Bpe.corpusMerges).cast("long").as("bpe_tokens"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("ws_tokens"))
+        .orderBy("doc_id")
     },
 
     "t4_fingerprint" -> withOracle(

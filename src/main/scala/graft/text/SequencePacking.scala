@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,15 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object SequencePacking {
 
-  /** Per-document bin assignment: (idCol, ntok, bin). */
+  /** Per-document bin assignment: (idCol, ntok, bin). `tokenCount`
+    * prices a document in tokens — default whitespace tokens; training
+    * pipelines budgeting real tokenizer output pass
+    * `graft.functions.BpeExpressions.bpe_token_count(_, merges)`.
+    */
   def packContiguous(docs: DataFrame, idCol: String, textCol: String,
-      budgetTokens: Long, partitions: Int = 0): DataFrame = {
+      budgetTokens: Long, partitions: Int = 0,
+      tokenCount: Column => Column = c => size(TextFunctions.tokens(c))): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val spark = docs.sparkSession
     val p = if (partitions > 0) partitions
       else spark.sessionState.conf.numShufflePartitions
     val toks = docs.select(col(idCol),
-      size(TextFunctions.tokens(col(textCol))).cast("long").as("ntok"))
+      tokenCount(col(textCol)).cast("long").as("ntok"))
     val parted = toks.repartitionByRange(p, col(idCol))
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy("__pid").orderBy(col(idCol))
@@ -61,8 +66,9 @@ object SequencePacking {
 
   /** Bin-level summary: (bin, docs, tokens), the shard manifest. */
   def packSummary(docs: DataFrame, idCol: String, textCol: String,
-      budgetTokens: Long): DataFrame =
-    packContiguous(docs, idCol, textCol, budgetTokens)
+      budgetTokens: Long,
+      tokenCount: Column => Column = c => size(TextFunctions.tokens(c))): DataFrame =
+    packContiguous(docs, idCol, textCol, budgetTokens, tokenCount = tokenCount)
       .groupBy("bin")
       .agg(count(lit(1)).as("docs"), sum(col("ntok")).as("tokens"))
 }
