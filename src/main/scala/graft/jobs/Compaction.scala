@@ -92,7 +92,8 @@ final class Compaction(table: GraftTable) {
     * applied in JavaCompactionRunner.getMergingIterator:150-165).
     */
   private def withTableTransform(df: DataFrame): DataFrame =
-    graft.transforms.TransformFactory.parse(table.config.transformConfig, schema)
+    graft.transforms.TransformFactory.parse(table.config.transformConfig, schema,
+        table.config.userJarsDir)
       .map(_(df)).getOrElse(df)
 
   /** Plan jobs with the strategy and run them `parallelism` at a time —

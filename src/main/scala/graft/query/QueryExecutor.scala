@@ -111,9 +111,9 @@ final class QueryExecutor(table: GraftTable) {
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema.toStructType))
 
     val tableTransform = graft.transforms.TransformFactory.parse(
-      table.config.transformConfig, schema)
+      table.config.transformConfig, schema, table.config.userJarsDir)
     val queryTransform = q.queryTransformConfig.flatMap(
-      graft.transforms.TransformFactory.parse(_, schema))
+      graft.transforms.TransformFactory.parse(_, schema, table.config.userJarsDir))
     val filterSpec = ConfigDsl.parseFilter(table.config.filterConfig, schema)
     val aggSpecs = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
 

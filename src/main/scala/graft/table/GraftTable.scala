@@ -22,6 +22,11 @@ final case class TableConfig(
     splitThreshold: Long = 1000000000L,
     /** files per compaction job (DEFAULT_COMPACTION_FILES_BATCH_SIZE=11) */
     compactionBatchSize: Int = 11,
+    /** directory of user jars for transform classes — deployment-level,
+      * NOT persisted to the state store (paths are environment-specific,
+      * like the reference's instance-level jars bucket); falls back to
+      * the `graft.user.jars.dir` system property when empty */
+    userJarsDir: String = "",
     /** SizeRatio strategy ratio (Accumulo-style, default 3) */
     sizeRatio: Int = 3,
     /** minutes a file must be unreferenced before GC deletes it */

@@ -40,23 +40,67 @@ trait SortedRowTransform extends Serializable {
   * transforms applied left-to-right, the reference's iterator-list
   * composition (SortedRowIterators.java:30-52); the chain's
   * requiredValueFields is the union of its members'.
+  *
+  * Classes resolve from the engine classpath PLUS a directory of
+  * user-supplied jars — the reference's user-jars extension path
+  * (IteratorFactory loads iterators through an ObjectFactory over the
+  * instance's jars bucket, IteratorFactory.java:62-99; system test
+  * UserJarsST) — so an extension author ships a jar next to the engine
+  * instead of rebuilding it. The directory comes from the `userJarsDir`
+  * argument (threaded from `TableConfig.userJarsDir`) or, when absent,
+  * the `graft.user.jars.dir` system property (the deployment-level
+  * setting — how the SQL catalog's DDL-time validation finds user
+  * classes without per-table plumbing). Loaders are cached per
+  * directory; parent-first delegation, so user jars add classes but
+  * never shadow the engine's. NOTE for cluster mode: this covers
+  * driver-side resolution; executors deserialize transform closures, so
+  * the same jars must also ride `spark.jars`/`--jars` (exactly the
+  * reference's requirement that user jars be on every component's
+  * classpath).
   */
 object TransformFactory {
 
   private val spec = """([\w.$]+)(?:\{(.*)\})?""".r
 
-  def create(specStr: String, schema: GraftSchema): SortedRowTransform = specStr.trim match {
+  private val loaders =
+    new java.util.concurrent.ConcurrentHashMap[String, ClassLoader]()
+
+  /** The classloader for a user-jars directory (cached; every `*.jar`
+    * in lexicographic order). An empty/missing dir degrades to the
+    * engine classloader.
+    */
+  def classLoaderFor(jarsDir: String): ClassLoader =
+    loaders.computeIfAbsent(jarsDir, dir => {
+      val d = new java.io.File(dir)
+      val jars = Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".jar"))
+        .sortBy(_.getName)
+      if (jars.isEmpty) getClass.getClassLoader
+      else new java.net.URLClassLoader(jars.map(_.toURI.toURL),
+        getClass.getClassLoader)
+    })
+
+  private def resolveLoader(userJarsDir: String): ClassLoader = {
+    val dir = if (userJarsDir != null && userJarsDir.trim.nonEmpty) userJarsDir.trim
+      else sys.props.getOrElse("graft.user.jars.dir", "").trim
+    if (dir.isEmpty) getClass.getClassLoader else classLoaderFor(dir)
+  }
+
+  def create(specStr: String, schema: GraftSchema,
+      userJarsDir: String = ""): SortedRowTransform = specStr.trim match {
     case spec(className, config) =>
-      val t = Class.forName(className).getDeclaredConstructor()
+      val t = Class.forName(className, true, resolveLoader(userJarsDir))
+        .getDeclaredConstructor()
         .newInstance().asInstanceOf[SortedRowTransform]
       t.init(Option(config).getOrElse(""), schema)
       t
     case other => throw new IllegalArgumentException(s"bad transform spec: '$other'")
   }
 
-  def parse(specStr: String, schema: GraftSchema): Option[SortedRowTransform] = {
+  def parse(specStr: String, schema: GraftSchema,
+      userJarsDir: String = ""): Option[SortedRowTransform] = {
     if (specStr == null || specStr.trim.isEmpty) return None
-    splitChain(specStr).map(create(_, schema)) match {
+    splitChain(specStr).map(create(_, schema, userJarsDir)) match {
       case Seq() => None
       case Seq(one) => Some(one)
       case many => Some(new ChainedTransform(many))
