@@ -517,6 +517,9 @@ object Dedup {
       (refHashes.agg(approx_count_distinct(col("__h")).as("u")).head().getLong(0) * 1.2).toLong,
       64L)
     val bloom = refHashes.stat.bloomFilter("__h", expected, fpp)
+    // one broadcast of the filter, one shared probe expression: both
+    // branches below carry only the broadcast handle, so the (possibly
+    // GB-scale) bitmap crosses the cluster once
     val probe = graft.functions.BloomExpressions
       .bloom_might_contain_long(xxhash64(col(textCol)), bloom)
     // one scan for the pass-through side: null-text rows (SQL NOT EXISTS

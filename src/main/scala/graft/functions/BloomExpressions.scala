@@ -2,34 +2,46 @@ package graft.functions
 
 import java.io.ByteArrayInputStream
 
-import org.apache.spark.sql.Column
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.bridge
 import org.apache.spark.sql.types.{BooleanType, DataType}
 import org.apache.spark.util.sketch.BloomFilter
 
-/** `bloom_might_contain_long(hash, filterBytes)`: membership probe of a
-  * long hash against a serialized `org.apache.spark.util.sketch
-  * .BloomFilter`. The filter ships to executors as plan bytes and is
-  * deserialized once per task (transient lazy), then each row is one
-  * compiled `mightContainLong` call inside whole-stage codegen — the
-  * probe prices like a scalar function, and no join or shuffle touches
-  * the probed side.
+/** `bloom_might_contain_long(hash, filter)`: membership probe of a long
+  * hash against an `org.apache.spark.util.sketch.BloomFilter`. The
+  * serialized filter travels as a TORRENT BROADCAST — the expression
+  * (and thus every plan branch, task binary, and canonicalized copy)
+  * carries only the broadcast handle, so a gigabyte-class filter ships
+  * over the cluster once and lives once per executor, no matter how
+  * many plan branches probe it (bloomDedup probes from two). Earlier
+  * revisions embedded the raw bytes in the expression, which (a) made
+  * equality reference-based — structurally identical probes never
+  * canonicalized equal, defeating subexpression elimination — and
+  * (b) re-shipped the bytes per plan branch. A `Broadcast` handle has
+  * stable identity, and the builder reuses one handle per filter, so
+  * both problems disappear.
+  *
+  * Per task the filter deserializes lazily once (transient), then each
+  * row is one compiled `mightContainLong` call inside whole-stage
+  * codegen — the probe prices like a scalar function, and no join or
+  * shuffle touches the probed side.
   *
   * False positives only (rate set at build time), never false
   * negatives — so `!might_contain` is an exact "definitely new" gate,
   * and only the tiny maybe-set needs an exact confirmation join
   * (see graft.dedup.Dedup.bloomDedup).
   */
-case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
+case class BloomMightContainLong(child: Expression, filterBc: Broadcast[Array[Byte]])
     extends UnaryExpression {
   override def dataType: DataType = BooleanType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "bloom_might_contain_long"
 
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBc.value))
 
   /** Entry point for generated code (see doGenCode). */
   def probe(hash: Long): Boolean = bloom.mightContainLong(hash)
@@ -37,12 +49,9 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
   protected override def nullSafeEval(input: Any): Any = probe(input.asInstanceOf[Long])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    // Reference THIS expression, not the materialized BloomFilter: the
-    // filter bytes then ship exactly once (inside the expression; the
-    // transient filter rebuilds lazily per executor) instead of the
-    // task binary carrying a serialized BloomFilter object ALONGSIDE
-    // the plan's copy of the bytes — which doubles driver memory and
-    // shipping cost for large filters.
+    // Reference THIS expression: it serializes as (child, broadcast
+    // handle) — bytes never ride the task binary — and the transient
+    // filter rebuilds lazily per executor from the broadcast block.
     val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomMightContainLong].getName)
     nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.probe($c);")
   }
@@ -52,9 +61,20 @@ case class BloomMightContainLong(child: Expression, filterBytes: Array[Byte])
 }
 
 object BloomExpressions {
-  def bloom_might_contain_long(hash: Column, filter: BloomFilter): Column = {
+  /** Broadcast `filter` once and return a probe column bound to the
+    * broadcast handle. Call once per filter and reuse the returned
+    * handle/column — `probeColumn(bc, hash)` derives further probes of
+    * the same filter without re-broadcasting.
+    */
+  def broadcastFilter(spark: SparkSession, filter: BloomFilter): Broadcast[Array[Byte]] = {
     val out = new java.io.ByteArrayOutputStream()
     filter.writeTo(out)
-    bridge.column(BloomMightContainLong(bridge.expression(hash), out.toByteArray))
+    spark.sparkContext.broadcast(out.toByteArray)
   }
+
+  def probeColumn(filterBc: Broadcast[Array[Byte]], hash: Column): Column =
+    bridge.column(BloomMightContainLong(bridge.expression(hash), filterBc))
+
+  def bloom_might_contain_long(hash: Column, filter: BloomFilter): Column =
+    probeColumn(broadcastFilter(SparkSession.active, filter), hash)
 }

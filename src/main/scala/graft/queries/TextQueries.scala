@@ -451,7 +451,7 @@ object TextQueries {
         |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
         |), dfreq AS (
         |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1
-        |), n AS (SELECT COUNT(*) AS n FROM documents),
+        |), n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM toks),
         |scored AS (
         |  SELECT doc_id, term, tf, df,
         |         ROUND(tf * (ln((n.n + 1.0) / (df + 1.0)) + 1.0), 6) AS score

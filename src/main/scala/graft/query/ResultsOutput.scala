@@ -34,17 +34,20 @@ trait ResultsOutput {
 
 /** S3/file results output (reference: S3ResultsOutput): one parquet
   * directory per query id under `baseDir`, written by the executors in
-  * parallel. The row count is read back from the written files — a
-  * metadata-cheap count over parquet footers, not a second execution of
-  * the query plan.
+  * parallel. The row count rides the write itself as an observed
+  * metric — no re-listing/footer pass over the written directory, which
+  * on an object store would be a second round of LIST+HEAD calls.
   */
 final class FileResultsOutput(baseDir: String) extends ResultsOutput {
   override def publish(queryId: String, results: DataFrame): ResultsOutputInfo = {
     val dir = s"$baseDir/$queryId"
     val loc = Seq(ResultsOutputLocation("DATA", dir))
     try {
-      results.write.mode("overwrite").parquet(dir)
-      val n = results.sparkSession.read.parquet(dir).count()
+      val obs = org.apache.spark.sql.Observation(s"graft-results-$queryId")
+      results.observe(obs, org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+        .write.mode("overwrite").parquet(dir)
+      val n = obs.get("rows").asInstanceOf[Long]
       ResultsOutputInfo(n, loc)
     } catch {
       case scala.util.control.NonFatal(e) => ResultsOutputInfo(0, loc, Some(e))
@@ -64,10 +67,20 @@ trait ResultsQueue extends Serializable {
 }
 
 /** SQS/WebSocket-analog results output: rows serialize to JSON and leave
-  * in batch messages `{"queryId":…,"rows":[…]}` (reference:
+  * in batch messages
+  * `{"queryId":…,"partitionId":p,"batchSeq":s,"rows":[…]}` (reference:
   * JSONResultsBatchSerialiser + SQSResultsOutput batch size). Delivery
   * is executor-side via `foreachPartition` — the driver never sees a
   * row; the count comes back through an accumulator.
+  *
+  * DELIVERY CONTRACT: at-least-once. A task that fails after sending
+  * some batches re-sends them on retry (exactly the semantics of the
+  * reference's SQS transport), while the accumulator counts each
+  * SUCCESSFUL task exactly once — so `rowCount` is the exact result
+  * size, and can legitimately differ from the number of rows a consumer
+  * saw on the wire. Consumers deduplicate idempotently on the
+  * `(queryId, partitionId, batchSeq)` triple, which is deterministic
+  * per batch across retries of a partition.
   */
 final class QueueResultsOutput(queue: ResultsQueue, batchSize: Int = 500,
     kind: String = "QUEUE") extends ResultsOutput {
@@ -82,9 +95,13 @@ final class QueueResultsOutput(queue: ResultsQueue, batchSize: Int = 500,
     val (q, bs) = (queue, batchSize)
     try {
       results.toJSON.foreachPartition { (it: Iterator[String]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var seq = 0
         val buf = new scala.collection.mutable.ArrayBuffer[String](bs)
         def flush(): Unit = if (buf.nonEmpty) {
-          q.send(s"""{"queryId":$idJson,"rows":[${buf.mkString(",")}]}""")
+          q.send(s"""{"queryId":$idJson,"partitionId":$pid,"batchSeq":$seq,""" +
+            s""""rows":[${buf.mkString(",")}]}""")
+          seq += 1
           buf.clear()
         }
         it.foreach { r => buf += r; acc.add(1); if (buf.size >= bs) flush() }

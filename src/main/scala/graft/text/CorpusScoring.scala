@@ -8,30 +8,36 @@ import org.apache.spark.sql.functions._
   * document — the standard keyword/topic signal a curation pipeline
   * attaches before filtering or mixing.
   *
-  * Scale shape: two aggregations that partition by (doc, term) and
-  * (term) — both plain hash aggregations with map-side combine — and a
-  * join of per-doc term counts against the (small) document-frequency
-  * table, which AQE broadcasts when the vocabulary allows. Nothing is
-  * quadratic and no per-doc state leaves the executors; the top-k is a
-  * bounded window over each doc's own terms.
+  * Scale shape: the raw corpus is scanned ONCE into the (doc, term, tf)
+  * aggregate, which is persisted and reused three ways — the
+  * document-frequency re-aggregation, the corpus-size N (a 1-row
+  * broadcast, so no separate `docs.count()` pass over the corpus), and
+  * the scoring join itself. Both aggregations are plain hash aggs with
+  * map-side combine; the df table broadcasts when the vocabulary
+  * allows; the top-k is a bounded window over each doc's own terms.
+  * The persisted tf blocks are reclaimed by the ContextCleaner once the
+  * result frame is unreferenced (spill-safe: MEMORY_AND_DISK).
   *
   * Scores are rounded to 6 decimals BEFORE ranking so independent
   * engines (the DuckDB oracle) rank identically — ties then break by
   * term, deterministically. idf = ln((N+1)/(df+1)) + 1 (the classic
-  * smooth variant, always positive).
+  * smooth variant, always positive), where N counts documents with at
+  * least one term (an empty document neither holds terms nor dilutes
+  * them).
   */
 object CorpusScoring {
 
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val n = docs.count()
     val toks = docs.select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    // tf already holds one row per (doc, term) — df is a re-aggregation
-    // of that frame, not a second explode+distinct over the raw corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // df and N both re-aggregate the cached tf frame, never the corpus
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val scored = tf.join(dfreq, "term")
-      .withColumn("score", round(col("tf") * (log(lit(n + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val nDf = tf.select(countDistinct(col(idCol)).as("__n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(nDf))
+      .withColumn("score",
+        round(col("tf") * (log((col("__n") + 1.0) / (col("df") + 1.0)) + 1.0), 6))
     val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
     scored
       .withColumn("rank", row_number().over(w).cast("long"))

@@ -29,7 +29,27 @@ object SequencePacking {
     */
   def packContiguous(docs: DataFrame, idCol: String, textCol: String,
       budgetTokens: Long, partitions: Int = 0,
+      tokenCount: Column => Column = c => size(TextFunctions.tokens(c))): DataFrame =
+    packImpl(docs, idCol, textCol, budgetTokens, partitions, tokenCount)._1
+
+  /** [[packContiguous]] that MATERIALIZES the assignment (localCheckpoint)
+    * and unpersists its cached intermediate before returning — for
+    * callers packing many corpora in one session, where relying on the
+    * ContextCleaner to reclaim each call's cached blocks is unpredictable
+    * under memory pressure. The returned frame is computed and detached
+    * from the packing lineage.
+    */
+  def packContiguousEager(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, partitions: Int = 0,
       tokenCount: Column => Column = c => size(TextFunctions.tokens(c))): DataFrame = {
+    val (result, cached) = packImpl(docs, idCol, textCol, budgetTokens, partitions, tokenCount)
+    try result.localCheckpoint(true)
+    finally cached.unpersist()
+  }
+
+  private def packImpl(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long, partitions: Int,
+      tokenCount: Column => Column): (DataFrame, DataFrame) = {
     require(budgetTokens > 0, "budgetTokens must be positive")
     val spark = docs.sparkSession
     val p = if (partitions > 0) partitions
@@ -47,7 +67,8 @@ object SequencePacking {
     // rows could land in different __pid's than the totals were collected
     // from, silently corrupting every bin. The cache also halves the
     // tokenize+shuffle+window cost; blocks are reclaimed by the
-    // ContextCleaner once the result frame is unreferenced.
+    // ContextCleaner once the result frame is unreferenced (or
+    // deterministically by [[packContiguousEager]]).
     val local = parted.withColumn("__lsum", sum(col("ntok")).over(w)).persist()
     // one row per partition — the only driver-side data, O(partitions)
     val totals = local.groupBy("__pid").agg(max(col("__lsum")).as("__total"))
@@ -58,10 +79,11 @@ object SequencePacking {
     val cum = totals.map(_._2).scanLeft(0L)(_ + _)
     val offsetRows = totals.map(_._1).zip(cum)
     val offsetDf = spark.createDataFrame(offsetRows.toSeq).toDF("__pid", "__offset")
-    local.join(broadcast(offsetDf), "__pid")
+    val result = local.join(broadcast(offsetDf), "__pid")
       .withColumn("bin",
         floor((col("__offset") + col("__lsum") - col("ntok")) / budgetTokens).cast("long"))
       .select(col(idCol), col("ntok"), col("bin"))
+    (result, local)
   }
 
   /** Bin-level summary: (bin, docs, tokens), the shard manifest. */

@@ -64,6 +64,20 @@ class TextSignalsSpec extends AnyFunSuite {
       i.toLong -> bin
     }.toMap
     assert(got == expected)
+
+    // the eager variant materializes the same assignment and leaves no
+    // cached intermediate behind
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val eager = SequencePacking.packContiguousEager(docs, "id", "text",
+      budgetTokens = 50, partitions = 7)
+      .select("id", "bin").as[(Long, Long)].collect().toMap
+    assert(eager == expected)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // localCheckpoint keeps the RESULT cached by design; the packing
+    // intermediate (the wide __lsum frame) must be gone
+    val leakedCols = leaked.flatMap(spark.sparkContext.getPersistentRDDs.get)
+      .map(_.name).mkString(",")
+    assert(!leakedCols.contains("__lsum"), s"intermediate still cached: $leakedCols")
   }
 
   test("sampling gate is deterministic and honors the rate column") {
