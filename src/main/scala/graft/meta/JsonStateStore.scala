@@ -62,10 +62,38 @@ class JsonStateStore private (
         unresolvedVersion = if (version < next) Some(next) else None)
     }
     try fs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
+    // per-version delta manifest: computed against the pre-commit refs
+    // (still the previous version's at this point)
+    val prevNames = fileReferences.map(_.filename).toSet
     version = next
     super.commit(t, r, g, x)
+    writeDelta(next, r.filter(ref => !prevNames.contains(ref.filename)))
     pruneOldVersions(next)
   }
+
+  /** Write `delta-v{N}.json` — the files ADDED at version N, the tiny
+    * manifest the table-changes stream plans micro-batches from without
+    * parsing full snapshots (O(changes), not O(table) per version).
+    * Written only AFTER the CAS publish succeeds, so a delta can only
+    * ever describe the version's true winning commit — a losing or
+    * crashed writer never writes one, and a missing delta just routes
+    * the stream to its snapshot-walk fallback. Best-effort by design.
+    */
+  private def writeDelta(v: Long, added: Vector[FileReference]): Unit = try {
+    // one entry per physical file (a pre-split can reference one file
+    // from several partitions; the flags agree by construction)
+    val byFile = added.groupBy(_.filename).toSeq.sortBy(_._1).map(_._2.head)
+    val json = JObject(
+      "version" -> JInt(v),
+      "added" -> JArray(byFile.map(ref => JObject(
+        "filename" -> JString(ref.filename),
+        "home" -> JString(ref.physicalPartitionId),
+        "dataChange" -> JBool(ref.dataChange))).toList))
+    val tmp = new Path(dir, s".delta-v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    writeText(tmp, JsonMethods.compact(JsonMethods.render(json)))
+    if (!fs.rename(tmp, new Path(dir, s"delta-v$v.json")))
+      fs.delete(tmp, false)
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   private def writeText(p: Path, s: String): Unit = {
     val out = fs.create(p, true)
@@ -121,6 +149,8 @@ class JsonStateStore private (
         val gone =
           try !fs.delete(new Path(dir, s"state-v$v.json"), false)
           catch { case scala.util.control.NonFatal(_) => true }
+        try fs.delete(new Path(dir, s"delta-v$v.json"), false)
+        catch { case scala.util.control.NonFatal(_) => () }
         if (gone) missing += 1
         v -= 1
       }
@@ -214,6 +244,39 @@ object JsonStateStore {
   def latestVersionIn(dirStr: String): Option[Long] = {
     val (fs, dir) = GraftFS.resolve(dirStr)
     latestVersion(fs, dir)
+  }
+
+  /** The files added at `version`, from its delta manifest:
+    * (filename, home partition dir, dataChange). `None` when the
+    * manifest is absent or unreadable — history from before deltas
+    * existed, a writer that crashed between snapshot and delta, or a
+    * torn write — in which case callers fall back to diffing the
+    * consecutive snapshots (which the manifest merely memoizes).
+    */
+  def deltaAddedAt(dirStr: String, version: Long): Option[Seq[(String, String, Boolean)]] = {
+    val (fs, dir) = GraftFS.resolve(dirStr)
+    val p = new Path(dir, s"delta-v$version.json")
+    try {
+      if (!fs.exists(p)) return None
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      JsonMethods.parse(text) match {
+        case o: JObject =>
+          val m = o.obj.toMap
+          val declared = m.get("version").collect { case JInt(n) => n.toLong }
+          if (!declared.contains(version)) return None
+          m.get("added").collect { case JArray(items) =>
+            items.map { item =>
+              val f = item.asInstanceOf[JObject].obj.toMap
+              def str(k: String) = f(k).asInstanceOf[JString].s
+              val dc = f.get("dataChange").collect { case JBool(b) => b }.getOrElse(true)
+              (str("filename"), str("home"), dc)
+            }
+          }
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Time travel: the state EXACTLY as of a historical version. Valid

@@ -99,6 +99,18 @@ final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField],
     * silently lose its rows (caught by the restart spec). Walking is
     * bounded by snapshot retention; a checkpoint older than that fails
     * loudly rather than skipping data.
+    *
+    * The walk reads per-version DELTA manifests (`delta-v{N}.json`,
+    * written at commit), so a catch-up batch over a 50-version window on
+    * a 100k-file table plans from 50 tiny added-file lists instead of 50
+    * full snapshot parses — O(changes), not O(window × table). A version
+    * missing its manifest (pre-delta history, or a writer that crashed
+    * between snapshot and delta) falls back to diffing that version's
+    * snapshot against its predecessor's — with the predecessor parse
+    * cached, so even an all-fallback window parses each snapshot once.
+    * Filenames are UUIDs (never reused), so "added at v" sets are
+    * pairwise disjoint and disjoint from the start snapshot — no
+    * cross-version seen-set is needed.
     */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val sv = start.asInstanceOf[GraftStreamOffset].version
@@ -116,15 +128,29 @@ final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField],
         GraftStreamFilePartition(s"$dir/data/$home/$name"): InputPartition
       }.toArray
     }
-    val seen = scala.collection.mutable.Set.empty[String] ++= filesAt(sv, (sv, ev)).keys
     val parts = Array.newBuilder[InputPartition]
+    // fallback snapshot cache: (version, parsed file map) — consecutive
+    // fallbacks reuse the previous iteration's endpoint
+    var cached: (Long, Map[String, (String, Boolean)]) = null
+    def snapshotAt(v: Long): Map[String, (String, Boolean)] = {
+      if (cached == null || cached._1 != v) cached = (v, filesAt(v, (sv, ev)))
+      cached._2
+    }
     var v = sv + 1
     while (v <= ev) {
-      filesAt(v, (sv, ev)).foreach { case (name, (home, dataChange)) =>
-        if (dataChange && !seen.contains(name)) {
-          seen += name
-          parts += GraftStreamFilePartition(s"$dir/data/$home/$name")
-        }
+      JsonStateStore.deltaAddedAt(meta, v) match {
+        case Some(added) =>
+          added.foreach { case (name, home, dataChange) =>
+            if (dataChange) parts += GraftStreamFilePartition(s"$dir/data/$home/$name")
+          }
+        case None =>
+          val prev = snapshotAt(v - 1)
+          val cur = filesAt(v, (sv, ev))
+          cached = (v, cur)
+          cur.foreach { case (name, (home, dataChange)) =>
+            if (dataChange && !prev.contains(name))
+              parts += GraftStreamFilePartition(s"$dir/data/$home/$name")
+          }
       }
       v += 1
     }

@@ -111,6 +111,75 @@ class GraftStreamSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("persistent filter")))
   }
 
+  test("catch-up windows plan from delta manifests; snapshot walk only as fallback") {
+    val dir = Files.createTempDirectory("graft-stream6").toString
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq(500L))
+    (1 to 12).foreach { i =>
+      table.ingest(Seq((i.toLong, i.toLong), (i + 500L, i.toLong)).toDF("k", "v"))
+    }
+    table.compactAll() // adds dataChange=false outputs the stream must skip
+    (13 to 15).foreach { i =>
+      table.ingest(Seq((i.toLong, i.toLong)).toDF("k", "v"))
+    }
+    val latest = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+    val stream = new GraftMicroBatchStream(dir,
+      Seq(GraftField("k", LongType), GraftField("v", LongType)), GraftField("k", LongType))
+    def plan(sv: Long, ev: Long): Seq[String] =
+      stream.planInputPartitions(GraftStreamOffset(sv), GraftStreamOffset(ev))
+        .map(_.asInstanceOf[GraftStreamFilePartition].path).sorted.toSeq
+
+    // baseline: full artifacts present — a many-version catch-up window
+    val expected = plan(1, latest)
+    assert(expected.nonEmpty)
+
+    val meta = new java.io.File(s"$dir/meta")
+    def deltas = meta.listFiles().filter(_.getName.startsWith("delta-v"))
+    assert(deltas.length >= latest.toInt - 1,
+      "every commit after the first must have written a delta manifest")
+
+    // delete EVERY snapshot inside the window: with deltas present the
+    // planner must not touch them (the old implementation parsed one per
+    // version and would throw here)
+    (1L until latest).foreach { v =>
+      val f = new java.io.File(meta, s"state-v$v.json")
+      if (f.exists()) assert(f.delete())
+    }
+    assert(plan(1, latest) == expected, "delta-only catch-up must equal baseline")
+
+    // restore-by-fallback: drop all deltas on a SECOND identical table
+    // and plan from snapshots alone
+    val dir2 = Files.createTempDirectory("graft-stream6b").toString
+    val table2 = GraftTable.create(spark, dir2, schema, splitPoints = Seq(500L))
+    (1 to 12).foreach { i =>
+      table2.ingest(Seq((i.toLong, i.toLong), (i + 500L, i.toLong)).toDF("k", "v"))
+    }
+    table2.compactAll()
+    (13 to 15).foreach { i =>
+      table2.ingest(Seq((i.toLong, i.toLong)).toDF("k", "v"))
+    }
+    val latest2 = table2.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+    val stream2 = new GraftMicroBatchStream(dir2,
+      Seq(GraftField("k", LongType), GraftField("v", LongType)), GraftField("k", LongType))
+    def plan2(sv: Long, ev: Long): Seq[Long] =
+      stream2.planInputPartitions(GraftStreamOffset(sv), GraftStreamOffset(ev))
+        .map(_.asInstanceOf[GraftStreamFilePartition].path).sorted
+        .map(p => spark.read.parquet(p).count())
+    val before = plan2(1, latest2)
+    // mixed mode first: every second delta gone, those versions diff
+    // consecutive snapshots while the rest still plan from manifests
+    val meta2 = new java.io.File(s"$dir2/meta")
+    meta2.listFiles().filter(_.getName.startsWith("delta-v"))
+      .sortBy(_.getName).zipWithIndex
+      .foreach { case (f, i) => if (i % 2 == 0) assert(f.delete()) }
+    assert(plan2(1, latest2) == before, "mixed delta/snapshot planning must equal baseline")
+    // then pure snapshot-walk fallback
+    meta2.listFiles().filter(_.getName.startsWith("delta-v")).foreach(f => assert(f.delete()))
+    assert(plan2(1, latest2) == before, "snapshot-walk fallback must equal delta planning")
+
+    // sub-window on the delta-only table: still snapshot-free
+    assert(plan(3, latest).toSet.subsetOf(expected.toSet))
+  }
+
   test("stream prunes columns and applies residual filters") {
     val dir = Files.createTempDirectory("graft-stream2").toString
     val cp = Files.createTempDirectory("graft-stream2-cp").toString
