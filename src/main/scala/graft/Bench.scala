@@ -52,18 +52,29 @@ object Bench {
         } else first
       name -> best
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4-decimal seconds: full double precision triples the JSON line's
+    // length, and the round driver captures only the TAIL of the output —
+    // a bloated line gets its head (and the leading '{') truncated away,
+    // which is exactly what nulled BENCH_r06's parsed field.
+    def r4(v: Double): Double = math.rint(v * 1e4) / 1e4
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + v }
+    val qsCold = cold.map { case (k, v) => "\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = r4(results.values.filter(_ >= 0).sum)
     // Scale-stress section (x10 engine dataflows, x3 dedup corpora) in
     // rows/s — BASELINE-comparable numbers where fixed overhead doesn't
     // dominate. SPARK_GRAFT_SCALE=0 skips it.
     val scale =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0") "{}"
       else BenchScale.run(spark, sfDir, timeoutSec)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"scale":$scale,"sf":"$sfDir"}""")
-    spark.stop()
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"scale":$scale,"sf":"$sfDir"}"""
+    // durable copy first, then the JSON as the very LAST stdout line
+    // (after spark.stop(), whose shutdown logging goes to stderr)
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
+    try spark.stop() catch { case scala.util.control.NonFatal(_) => () }
+    println(json)
   }
 }

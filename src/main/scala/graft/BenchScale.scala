@@ -159,6 +159,40 @@ object BenchScale {
         .foreach { q =>
           timed(s"sf1_$q", totalRows) { SparkEntry.queries(q)(spark, sf1Dir).count(): Unit }
         }
+
+      // The dedup family over a MATERIALIZED ×10 documents corpus
+      // (sf0.1 × 10 ≈ 50k docs — the sf1 shape): every copy keeps its
+      // full text, so the near-dup graph really does densify ~100× in
+      // pair count (each base cluster of c docs becomes 10c) — this is
+      // what pushes d5 past its 1M-edge driver union-find cap into the
+      // distributed pointer-jumping path at true sf1.
+      val docsF = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      val docs10 = (0 until EngineFactor).map(i =>
+          docsF.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _)
+      val docRows10 = docsF.count() * EngineFactor
+      timed("sf1_docs_materialize", docRows10) {
+        docs10.write.parquet(s"$sf1Dir/documents.parquet")
+      }
+      val docsSf1 = spark.read.parquet(s"$sf1Dir/documents.parquet")
+      timed("sf1_d2_ngram", docRows10) {
+        graft.dedup.Dedup.ngramJaccardPairs(docsSf1, "doc_id", "text",
+          n = 2, threshold = 0.5).count()
+      }
+      timed("sf1_d3_minhash", docRows10) {
+        graft.dedup.Dedup.minhashLshPairs(docsSf1, "doc_id", "text",
+          n = 2, threshold = 0.5).count()
+      }
+      timed("sf1_d5_cluster", docRows10) {
+        graft.dedup.Dedup.neardupDedup(docsSf1, "doc_id", "text",
+          n = 2, threshold = 0.5).count()
+      }
+      timed("sf1_d6_bloom", docRows10 / 2) {
+        graft.dedup.Dedup.bloomDedup(
+          docsSf1.filter(pmod(col("doc_id"), lit(2)) === 1),
+          docsSf1.filter(pmod(col("doc_id"), lit(2)) === 0),
+          "text").count()
+      }
       graft.meta.GraftFS.deleteRecursive(sf1Dir)
     }
 
