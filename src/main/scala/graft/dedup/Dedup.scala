@@ -78,7 +78,11 @@ object Dedup {
     * broadcast, AND+popcount per pair in codegen — no wide shuffle).
     */
   val BitsetVocabLimit = 16384
-  private val BitsetDocLimit = 50000L
+  private val BitsetDocLimit = 100000L
+  /** Cap on the broadcast mask matrix (docs × vocab/8 bytes): the doc
+    * and vocab limits alone would allow 100k × 2KB = 200MB broadcasts.
+    */
+  private val BitsetBroadcastBytesLimit = 64L * 1024 * 1024
 
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, maxPostings: Long = Long.MaxValue): DataFrame = {
@@ -226,9 +230,18 @@ object Dedup {
   }
 
   private def isDense(sh: DataFrame): Boolean = {
-    val stats = sh.agg(approx_count_distinct(col("shingle")).as("v"),
-      approx_count_distinct(col("id")).as("d")).head()
-    stats.getLong(0) <= BitsetVocabLimit * 9L / 10 && stats.getLong(1) <= BitsetDocLimit
+    // EXACT distinct counts, not approx_count_distinct: the sketch's ±2%
+    // wobble at exactly the doc limit silently flipped a 50k-doc corpus
+    // onto the UNCAPPED inverted-index path, whose Σdf² join rows on a
+    // dense vocabulary are ~10¹¹ — a timeout, not a slowdown. The exact
+    // agg is one pass over the (id, shingle) pairs with map-side
+    // partial aggregation; the strategy choice deserves it.
+    val stats = sh.agg(countDistinct(col("shingle")).as("v"),
+      countDistinct(col("id")).as("d")).head()
+    val (v, d) = (stats.getLong(0), stats.getLong(1))
+    val maskBytes = ((v + 63) / 64) * 8
+    v <= BitsetVocabLimit * 9L / 10 && d <= BitsetDocLimit &&
+      d * maskBytes <= BitsetBroadcastBytesLimit
   }
 
   /** Per-doc (id, set size, bitset mask) over dictionary-encoded
@@ -265,26 +278,42 @@ object Dedup {
   private def bitsetJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val arr = bitsetMasks(sh).select("id", "sz", "mask").collect()
+    val rows = bitsetMasks(sh).select("id", "sz", "mask").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getAs[scala.collection.Seq[Long]](2).toArray))
       .sortBy(_._1)
-    val bc = spark.sparkContext.broadcast(arr)
-    val n = arr.length
+    // parallel primitive arrays, not an Array[Tuple3]: the inner loop
+    // runs O(docs²) times, and generic-tuple field reads (boxed longs)
+    // plus a per-pair Iterator allocation in the previous revision cost
+    // ~800ns/pair — 20-40× the actual AND+popcount arithmetic. At 50k
+    // docs (1.25e9 pairs) that was the difference between ~3s and a
+    // timeout.
+    val ids = rows.map(_._1)
+    val szs = rows.map(_._2)
+    val masks = rows.map(_._3)
+    val bc = spark.sparkContext.broadcast((ids, szs, masks))
+    val n = rows.length
     val parallelism = spark.sparkContext.defaultParallelism
     spark.range(n.toLong).repartition(parallelism).as[Long]
       .mapPartitions { it =>
-        val a = bc.value
+        val (ids, szs, masks) = bc.value
         it.flatMap { ii =>
           val i = ii.toInt
-          val (idA, szA, mA) = a(i)
-          (i + 1 until n).iterator.flatMap { j =>
-            val (idB, szB, mB) = a(j)
+          val idA = ids(i)
+          val szA = szs(i)
+          val mA = masks(i)
+          val words = mA.length
+          val hits = new scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]()
+          var j = i + 1
+          while (j < n) {
+            val mB = masks(j)
             var inter = 0
             var w = 0
-            while (w < mA.length) { inter += java.lang.Long.bitCount(mA(w) & mB(w)); w += 1 }
-            val jac = inter.toDouble / (szA + szB - inter)
-            if (jac >= threshold) Iterator.single((idA, idB, jac)) else Iterator.empty
+            while (w < words) { inter += java.lang.Long.bitCount(mA(w) & mB(w)); w += 1 }
+            val jac = inter.toDouble / (szA + szs(j) - inter)
+            if (jac >= threshold) hits += ((idA, ids(j), jac))
+            j += 1
           }
+          hits
         }
       }
       .toDF("id_a", "id_b", "jaccard")

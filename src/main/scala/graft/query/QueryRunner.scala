@@ -1,0 +1,80 @@
+package graft.query
+
+import org.apache.spark.sql.SparkSession
+import graft.table.GraftTable
+
+/** Out-of-process query submission — the reference's JSON-over-queue
+  * path (query submission via JSON to SQS, executed by the lambda/EMR
+  * query runner: java/query/query-runner, docs/usage/query.md), here as
+  * a `spark-submit`-able main over the same interchange JSON that
+  * QuerySerDe round-trips (x4): a non-JVM client writes the reference's
+  * query JSON, submits this main, and collects parquet results plus a
+  * machine-readable status file, without linking against the library.
+  *
+  *   spark-submit --class graft.query.QueryRunner graft.jar \
+  *     <tableDir> <queryJson | @queryJsonFile> <outDir>
+  *
+  * Results land at `<outDir>/<queryId>/` (parquet, executor-parallel);
+  * the terminal tracker state is written to
+  * `<outDir>/<queryId>.status.json` and printed as the last stdout
+  * line. Exit code 0 iff the query COMPLETED and delivery succeeded.
+  */
+object QueryRunner {
+
+  def main(args: Array[String]): Unit = sys.exit(run(args))
+
+  def run(args: Array[String]): Int = {
+    if (args.length != 3) {
+      System.err.println(
+        "usage: QueryRunner <tableDir> <queryJson | @queryJsonFile> <outDir>")
+      return 2
+    }
+    val Array(tableDir, queryArg, outDir) = args
+    val json =
+      if (queryArg.startsWith("@"))
+        java.nio.file.Files.readString(java.nio.file.Paths.get(queryArg.drop(1)))
+      else queryArg
+
+    val spark = SparkSession.builder()
+      .appName("graft-query-runner")
+      .getOrCreate() // master/conf come from spark-submit (or the test session)
+
+    val table = GraftTable.load(spark, tableDir)
+    val q = GraftQuery.fromJson(json, table.schema)
+    val queryId = queryIdOf(json)
+
+    val exec = new TrackedQueryExecutor(table)
+    val info =
+      try exec.publish(queryId, q, new FileResultsOutput(outDir))
+      catch { case scala.util.control.NonFatal(_) =>
+        ResultsOutputInfo(0, Nil, None) // tracker already holds FAILED + message
+      }
+    val state = exec.tracker.get(queryId).map(_.state).getOrElse(QueryState.Failed)
+    val err = exec.tracker.get(queryId).flatMap(_.errorMessage)
+      .orElse(info.error.map(e => String.valueOf(e.getMessage)))
+
+    val status =
+      s"""{"queryId":${graft.Verify.jsonEscape(queryId)},"state":"$state",""" +
+        s""""rowCount":${info.rowCount},"locations":[${info.locations.map(l =>
+          s"""{"kind":${graft.Verify.jsonEscape(l.kind)},"location":${graft.Verify.jsonEscape(l.location)}}""").mkString(",")}],""" +
+        s""""error":${err.map(graft.Verify.jsonEscape).getOrElse("null")}}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, s"$queryId.status.json"), status + "\n")
+    catch { case scala.util.control.NonFatal(_) => () }
+    println(status)
+    if (state == QueryState.Completed && err.isEmpty) 0 else 1
+  }
+
+  /** The interchange JSON's queryId, else a fresh one. */
+  private def queryIdOf(json: String): String =
+    try {
+      org.json4s.jackson.JsonMethods.parse(json) match {
+        case o: org.json4s.JObject =>
+          o.obj.toMap.get("queryId") match {
+            case Some(org.json4s.JString(id)) if id.trim.nonEmpty => id.trim
+            case _ => java.util.UUID.randomUUID().toString
+          }
+        case _ => java.util.UUID.randomUUID().toString
+      }
+    } catch { case scala.util.control.NonFatal(_) => java.util.UUID.randomUUID().toString }
+}
