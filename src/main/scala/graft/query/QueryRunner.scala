@@ -30,9 +30,10 @@ object QueryRunner {
       return 2
     }
     val Array(tableDir, queryArg, outDir) = args
+    // Hadoop FS, not java.nio: both the query file and the results dir
+    // may live on any scheme (file://, hdfs://, an object store)
     val json =
-      if (queryArg.startsWith("@"))
-        java.nio.file.Files.readString(java.nio.file.Paths.get(queryArg.drop(1)))
+      if (queryArg.startsWith("@")) graft.meta.GraftFS.readString(queryArg.drop(1))
       else queryArg
 
     val spark = SparkSession.builder()
@@ -58,8 +59,7 @@ object QueryRunner {
         s""""rowCount":${info.rowCount},"locations":[${info.locations.map(l =>
           s"""{"kind":${graft.Verify.jsonEscape(l.kind)},"location":${graft.Verify.jsonEscape(l.location)}}""").mkString(",")}],""" +
         s""""error":${err.map(graft.Verify.jsonEscape).getOrElse("null")}}"""
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(outDir, s"$queryId.status.json"), status + "\n")
+    try graft.meta.GraftFS.writeString(s"$outDir/$queryId.status.json", status + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     println(status)
     if (state == QueryState.Completed && err.isEmpty) 0 else 1
