@@ -194,6 +194,24 @@ object HashOps {
     while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
     new GenericArrayData(out)
   }
+
+  /** ALL space-joined word n-gram occurrences (the multiset counterpart
+    * of [[wordShingleSet]] — duplicates kept, order preserved): the unit
+    * the n-gram language model counts and scores.
+    */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = splitTokens(text)
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      out(i) = UTF8String.fromString(joinWindow(sb, toks, i, n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `minhash_signature(shingleSet, k)`: k-long MinHash signature of a
@@ -301,9 +319,29 @@ case class WordShingleSet(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `word_ngrams(text, n)`: every word n-gram occurrence in order
+  * (multiset — the language-model counterpart of [[WordShingleSet]]).
+  */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_ngrams"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.wordNgrams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = graft.functions.HashOps.wordNgrams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   def minhash_signature(set: Column, k: Int): Column =
     bridge.column(MinHashSignature(bridge.expression(set), k))
+  def word_ngrams(text: Column, n: Int): Column =
+    bridge.column(WordNgrams(bridge.expression(text), n))
   def band_hashes(sig: Column, bands: Int, rows: Int): Column =
     bridge.column(BandHashes(bridge.expression(sig), bands, rows))
   def simhash64(tokens: Column): Column =

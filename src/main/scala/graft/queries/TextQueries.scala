@@ -519,6 +519,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T15 — bigram LM scoring (the CCNet-shape perplexity filter): an
+    // add-0.5-smoothed bigram model trained on the corpus itself scores
+    // every document by mean bigram log-probability. The oracle rebuilds
+    // the identical model and scores in SQL; means round to 6 dp before
+    // compare so summation order cannot split the engines.
+    "t15_lm_score" -> withOracle(
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |bi AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b, ws[i] AS w1
+        |  FROM words, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2
+        |),
+        |bc AS (SELECT b, COUNT(*) AS c FROM bi GROUP BY 1),
+        |cc AS (SELECT w1, COUNT(*) AS n FROM bi GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM words))
+        |SELECT bi.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       ROUND(AVG(ln((bc.c + 0.5) / (cc.n + 0.5 * v.v))), 6) AS lm_score
+        |FROM bi JOIN bc USING (b) JOIN cc USING (w1), v
+        |GROUP BY bi.doc_id
+        |ORDER BY bi.doc_id""".stripMargin) { (s, dir) =>
+      CorpusScoring.lmBigramScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
     "t4_fingerprint" -> withOracle(
       """SELECT doc_id,
         |       list_reduce(

@@ -44,4 +44,47 @@ object CorpusScoring {
       .filter(col("rank") <= k)
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
+
+  /** Bigram language-model scoring — the CCNet-shape perplexity filter a
+    * curation pipeline ranks documents with: train an add-α-smoothed
+    * bigram LM on the corpus itself, score each document by its mean
+    * bigram log-probability (higher = more corpus-typical; the tails are
+    * boilerplate/garbage). `lm_score(d) = avg over bigram OCCURRENCES b
+    * = (w1,w2) of ln((c(b)+α)/(c(w1·)+α·V))`, with c(w1·) the count of
+    * bigrams starting w1 and V the corpus vocabulary. Documents with
+    * fewer than two words carry no bigram and are excluded.
+    *
+    * Scale shape: bigram occurrences come from a one-pass codegen
+    * expression (`word_ngrams`, no split-array intermediate); the count
+    * model is one hash aggregation of those occurrences, the context
+    * totals a re-aggregation of that (small, Zipf-bounded) table, and
+    * scoring joins occurrences back against the model — broadcastable
+    * for bounded vocabularies, a plain shuffled hash join otherwise.
+    * The corpus is scanned twice (model build + scoring); persisting the
+    * exploded occurrences would cost more than the second scan at scale.
+    * The mean is rounded to 6 dp so independent engines (the DuckDB
+    * oracle) agree despite summation-order float drift.
+    */
+  def lmBigramScore(docs: DataFrame, idCol: String, textCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be positive (unseen bigrams need mass)")
+    import graft.functions.HashExpressions.word_ngrams
+    val bi = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(word_ngrams(col(textCol), 2)).as("b"))
+    val bc = bi.groupBy("b").agg(count(lit(1)).as("c"))
+    val cc = bc.groupBy(substring_index(col("b"), " ", 1).as("w1"))
+      .agg(sum(col("c")).as("n"))
+    // vocabulary = distinct words across the corpus (incl. 1-word docs)
+    val vDf = docs.filter(col(textCol).isNotNull)
+      .select(explode(word_ngrams(col(textCol), 1)).as("w"))
+      .agg(countDistinct(col("w")).as("__v"))
+    bi.join(bc, "b")
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(cc, "w1")
+      .crossJoin(broadcast(vDf))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(log((col("c") + alpha) / (col("n") + lit(alpha) * col("__v")))), 6)
+          .as("lm_score"))
+  }
 }

@@ -80,6 +80,24 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(!leakedCols.contains("__lsum"), s"intermediate still cached: $leakedCols")
   }
 
+  test("bigram LM score matches a hand-computed model; short docs excluded") {
+    // corpus: "a b a b" (bigrams: a·b ×2, b·a ×1), "a b" (a·b ×1), "x" (none)
+    // counts: c(a b)=3, c(b a)=1; contexts: c(a·)=3, c(b·)=1; V=3 (a,b,x)
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val got = CorpusScoring.lmBigramScore(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "lm_score")
+      .as[(Long, Long, Double)].collect()
+    val v = 3.0
+    val pAB = math.log((3 + 0.5) / (3 + 0.5 * v)) // P(b|a)
+    val pBA = math.log((1 + 0.5) / (1 + 0.5 * v)) // P(a|b)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // the 1-word doc is excluded
+    assert(got(0)._2 == 3 && got(1)._2 == 1)
+    assert(math.abs(got(0)._3 - r6((2 * pAB + pBA) / 3)) < 1e-9)
+    assert(math.abs(got(1)._3 - r6(pAB)) < 1e-9)
+  }
+
   test("sampling gate is deterministic and honors the rate column") {
     val docs = (1 to 400).map(i => (i, s"document number $i text")).toDF("id", "text")
     val keep100 = docs.filter(TextFunctions.sampleByRate($"text", lit(100)))
