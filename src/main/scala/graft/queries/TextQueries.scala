@@ -519,6 +519,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T16 — duplicated-span detection (exact-substring-dedup signal):
+    // word 4-grams appearing in >= 2 documents flag boilerplate; each
+    // doc reports its span count, shared-span count, and fraction. The
+    // per-doc span set is DISTINCT (word_shingle_set), so a span's
+    // occurrence count in the exploded relation is its document
+    // frequency on both engines.
+    "t16_dup_spans" -> withOracle(
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |spans AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ws) - 2),
+        |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS s
+        |  FROM words WHERE len(ws) >= 4
+        |),
+        |c AS (SELECT s, COUNT(*) AS d FROM spans GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_spans,
+        |       CAST(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |       ROUND(SUM(CASE WHEN d >= 2 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac
+        |FROM spans JOIN c USING (s)
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusScoring.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", k = 4)
+        .orderBy("doc_id")
+    },
+
     // T15 — bigram LM scoring (the CCNet-shape perplexity filter): an
     // add-0.5-smoothed bigram model trained on the corpus itself scores
     // every document by mean bigram log-probability. The oracle rebuilds

@@ -45,6 +45,34 @@ object CorpusScoring {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"), col("rank"))
   }
 
+  /** Corpus-internal duplicated-span detection — the exact-substring-
+    * dedup signal (Lee et al. '22 shape, span-granular): a word k-gram
+    * occurring in ≥2 documents is boilerplate/duplication; each document
+    * reports how much of it is made of such spans. Per doc:
+    * (n_spans = distinct k-gram spans, n_dup_spans = spans shared with
+    * another doc, dup_frac) — the filter signal pipelines threshold on.
+    *
+    * Scale shape: spans come from the one-pass codegen
+    * `word_shingle_set` (per-doc distinct, so a span's count IS its
+    * document frequency), the frequency table is one hash aggregation,
+    * and the flag join carries (span, doc) pairs once. Spans join as
+    * strings so an independent engine replays exactly; at 100 TB the
+    * join key would be a 128-bit span fingerprint instead (collision
+    * odds ~n²/2¹²⁸), halving shuffle bytes without changing the shape.
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 2, "a span needs at least 2 words")
+    val spans = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(TextFunctions.shingleSet(col(textCol), k)).as("s"))
+    val freq = spans.groupBy("s").agg(count(lit(1)).as("d"))
+    spans.join(freq, "s")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(when(col("d") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_spans"))
+      .withColumn("dup_frac", round(col("n_dup_spans") / col("n_spans"), 6))
+  }
+
   /** Bigram language-model scoring — the CCNet-shape perplexity filter a
     * curation pipeline ranks documents with: train an add-α-smoothed
     * bigram LM on the corpus itself, score each document by its mean

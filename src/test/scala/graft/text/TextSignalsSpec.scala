@@ -98,6 +98,26 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(math.abs(got(1)._3 - r6(pAB)) < 1e-9)
   }
 
+  test("duplicated spans: cross-doc 4-grams flagged, within-doc repeats are one span") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat today"),      // spans: 4 distinct
+      (2L, "the cat sat on a very soft mat"),    // shares "the cat sat on"
+      (3L, "x y z w x y z w")                    // self-repeat only
+    ).toDF("doc_id", "text")
+    val got = CorpusScoring.duplicateSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect().toSeq
+    // doc1: windows = 4 ("the cat sat on", "cat sat on the", "sat on the mat",
+    // "on the mat today"); only the first is shared (with doc2)
+    assert(got(0) == ((1L, 4L, 1L)))
+    assert(got(1) == ((2L, 5L, 1L)))
+    // doc3: 5 windows but "x y z w" repeats → 4 distinct; none shared
+    // with another doc — zero dup spans (within-doc repetition is t8's
+    // signal, not this one's)
+    assert(got(2) == ((3L, 4L, 0L)))
+  }
+
   test("sampling gate is deterministic and honors the rate column") {
     val docs = (1 to 400).map(i => (i, s"document number $i text")).toDF("id", "text")
     val keep100 = docs.filter(TextFunctions.sampleByRate($"text", lit(100)))
