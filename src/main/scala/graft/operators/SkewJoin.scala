@@ -37,4 +37,33 @@ object SkewJoin {
         joinExpr(saltedFact, saltedDim) && saltedFact("__salt") === saltedDim("__salt"))
       .drop("__salt")
   }
+
+  /** Hot-head/tail split INNER equi-join against a ONE-ROW-PER-KEY dim
+    * (a count/model table): identical results to `fact.join(dim, key)`,
+    * but the `hotKeys` dim rows ranked highest by `hotBy` resolve via
+    * broadcast on the map side, so a Zipf-skewed fact ("of the"-style
+    * hot keys carrying billions of rows) never funnels a hot key
+    * through one reducer; only tail keys — bounded per-reducer by
+    * construction — take the shuffled join. The right tool when
+    * salting would replicate a LARGE dim `salts`× for no reason: the
+    * head of a Zipf distribution is small by definition, so broadcasting
+    * it is cheap and exact.
+    *
+    * Ties at the head cutoff may land on either side; both sides
+    * resolve the identical dim row, so results never depend on the
+    * split.
+    */
+  def hotSplit(fact: DataFrame, dim: DataFrame, key: String,
+      hotBy: Column, hotKeys: Int = 65536): DataFrame = {
+    require(hotKeys >= 0, "hotKeys must be >= 0")
+    if (hotKeys == 0) return fact.join(dim, Seq(key))
+    val hot = dim.orderBy(hotBy.desc).limit(hotKeys).withColumn("__hot", lit(true))
+    val withHot = fact.join(broadcast(hot), Seq(key), "left")
+    val dimCols = dim.columns.filterNot(_ == key)
+    val hit = withHot.filter(col("__hot") === true).drop("__hot")
+    // a miss key is by definition not in the head, so the tail join
+    // against the FULL dim matches exactly the tail rows
+    val miss = withHot.filter(col("__hot").isNull).drop(dimCols :+ "__hot": _*)
+    hit.unionByName(miss.join(dim, Seq(key)))
+  }
 }

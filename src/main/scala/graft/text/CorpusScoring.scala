@@ -59,6 +59,11 @@ object CorpusScoring {
     * strings so an independent engine replays exactly; at 100 TB the
     * join key would be a 128-bit span fingerprint instead (collision
     * odds ~n²/2¹²⁸), halving shuffle bytes without changing the shape.
+    * The probe side is Zipf-skewed (boilerplate spans are exactly the
+    * hot keys), so the flag join is
+    * [[graft.operators.SkewJoin.hotSplit]]: the frequency table's head
+    * broadcasts and resolves hot spans map-side, the tail takes the
+    * shuffle — same structure as [[lmBigramScore]]'s scoring join.
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4): DataFrame = {
@@ -66,7 +71,7 @@ object CorpusScoring {
     val spans = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(TextFunctions.shingleSet(col(textCol), k)).as("s"))
     val freq = spans.groupBy("s").agg(count(lit(1)).as("d"))
-    spans.join(freq, "s")
+    graft.operators.SkewJoin.hotSplit(spans, freq, "s", hotBy = col("d"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_spans"),
         sum(when(col("d") >= 2, 1L).otherwise(0L)).cast("long").as("n_dup_spans"))
@@ -90,8 +95,15 @@ object CorpusScoring {
     * for bounded vocabularies, a plain shuffled hash join otherwise.
     * The corpus is scanned twice (model build + scoring); persisting the
     * exploded occurrences would cost more than the second scan at scale.
-    * The mean is rounded to 6 dp so independent engines (the DuckDB
-    * oracle) agree despite summation-order float drift.
+    * SKEW at 100 TB: the probe side is Zipfian — "of the" would shuffle
+    * a billion occurrences to one reducer in a naive shuffled join. The
+    * model row for a hot bigram is ONE row, so the fix is structural,
+    * not a salt: the scoring join is [[graft.operators.SkewJoin.hotSplit]]
+    * — the model's head (small by definition) broadcasts and resolves
+    * hot occurrences map-side; only tail keys, bounded per reducer by
+    * construction, take the shuffle. The mean is rounded to 6 dp so
+    * independent engines (the DuckDB oracle) agree despite
+    * summation-order float drift.
     */
   def lmBigramScore(docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.5): DataFrame = {
@@ -102,13 +114,17 @@ object CorpusScoring {
     val bc = bi.groupBy("b").agg(count(lit(1)).as("c"))
     val cc = bc.groupBy(substring_index(col("b"), " ", 1).as("w1"))
       .agg(sum(col("c")).as("n"))
+    // one combined model row per bigram: bc ⋈ cc joins count tables on
+    // w1 (rows per w1 bounded by vocabulary — no occurrence skew here),
+    // so the occurrence relation takes exactly ONE skew-managed join
+    val model = bc.withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(cc, "w1")
+      .select(col("b"), col("c"), col("n"))
     // vocabulary = distinct words across the corpus (incl. 1-word docs)
     val vDf = docs.filter(col(textCol).isNotNull)
       .select(explode(word_ngrams(col(textCol), 1)).as("w"))
       .agg(countDistinct(col("w")).as("__v"))
-    bi.join(bc, "b")
-      .withColumn("w1", substring_index(col("b"), " ", 1))
-      .join(cc, "w1")
+    graft.operators.SkewJoin.hotSplit(bi, model, "b", hotBy = col("c"))
       .crossJoin(broadcast(vDf))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),

@@ -133,4 +133,31 @@ class OperatorsSpec extends AnyFunSuite {
       .groupBy("s").count().collect()
     assert(salts.length == 8 && salts.map(_.getLong(1)).min > 200)
   }
+
+  test("hotSplit join equals the plain join at every head size") {
+    // Zipf-ish fact: key k appears ~3000/k times; one-row-per-key dim
+    val fact = (1 to 30).flatMap(k => (1 to 3000 / k).map(i => (s"k$k", i.toLong)))
+      .toDF("key", "row_id")
+    val dim = (1 to 30).map(k => (s"k$k", k.toLong * 10)).toDF("key", "payload")
+    val expect = fact.join(dim, Seq("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"), sum("payload").as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // head smaller than / equal to / larger than the key space, and 0
+    // (degrades to the plain join)
+    for (h <- Seq(0, 5, 30, 100)) {
+      val got = SkewJoin.hotSplit(fact, dim, "key", hotBy = dim("payload"), hotKeys = h)
+        .groupBy("key").agg(count(lit(1)).as("n"), sum("payload").as("p"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expect, s"hotKeys=$h")
+    }
+  }
+
+  test("hotSplit resolves head keys via broadcast (no shuffle for the hot side)") {
+    val fact = (1 to 2000).map(i => ("hot", i.toLong)).toDF("key", "row_id")
+    val dim = Seq(("hot", 1L), ("cold", 2L)).toDF("key", "payload")
+    val plan = SkewJoin.hotSplit(fact, dim, "key", hotBy = dim("payload"), hotKeys = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"head keys must resolve via broadcast:\n$plan")
+  }
 }
