@@ -52,6 +52,16 @@ object SkewJoin {
     * Ties at the head cutoff may land on either side; both sides
     * resolve the identical dim row, so results never depend on the
     * split.
+    *
+    * Costs and contract: the fact subtree appears in BOTH branches of
+    * the union (hit filter, miss filter) — at scale that is two
+    * embarrassingly-parallel map passes over the fact in exchange for
+    * never stalling a reducer on a hot key, the right trade for a
+    * Zipf head; callers whose fact is expensive to recompute should
+    * persist it first. The fact must be DETERMINISTIC (or persisted):
+    * a nondeterministic upstream evaluated once per branch could route
+    * a row into neither or both branches (the round-5 double-evaluation
+    * lesson).
     */
   def hotSplit(fact: DataFrame, dim: DataFrame, key: String,
       hotBy: Column, hotKeys: Int = 65536): DataFrame = {
