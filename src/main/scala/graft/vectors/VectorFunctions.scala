@@ -270,6 +270,56 @@ object VectorFunctions {
     knnIvfTrained(vectors, idCol, vecCol, query, queryVecCol, k, cents, nprobe)
   }
 
+  /** Build and PERSIST an IVF index — the build-once/serve-many artifact
+    * a production ANN deployment runs on:
+    *
+    *   <indexDir>/centroids/   (cell, centroid) — k rows
+    *   <indexDir>/lists/       (id, vec) partitioned BY CELL — the
+    *                           inverted lists, each cell one directory
+    *
+    * The lists carry the vectors themselves (classic IVF: the inverted
+    * list IS the data), so serving reads ONLY the probed cells' files —
+    * Spark's partition pruning turns nprobe/nCentroids into a physical
+    * IO fraction, no join back to the corpus. One range-free shuffle at
+    * build (the partitioned write); queries touch no shuffle at all
+    * until the final top-k.
+    */
+  def buildIvfIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, nCentroids: Int = 16, lloydIters: Int = 8,
+      seed: Long = 42L): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = trainKmeansCentroids(vectors, idCol, vecCol, nCentroids,
+      lloydIters = lloydIters, seed = seed)
+    val m = CentroidMatrix.normalized(cents)
+    cents.indices.map(c => (c, m.row(c))).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", nearest_centroid(col("vec"), m))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/lists")
+  }
+
+  /** Serve kNN from a persisted [[buildIvfIndex]] index: rank cells
+    * against the tiny centroids table, then scan ONLY the `nprobe`
+    * probed cell directories (partition-pruned) and exact-rescore.
+    */
+  def knnIvfIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      query: DataFrame, queryVecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val qCells = query.select(col(queryVecCol).as("q"))
+      .crossJoin(broadcast(cents))
+      .select(col("cell"), cosine_sim(col("q"), col("centroid")).as("sim"))
+      .orderBy(col("sim").desc, col("cell"))
+      .limit(nprobe)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(s"$indexDir/lists")
+      .filter(col("cell").isin(qCells: _*))
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("q"))))
+      .select(col("id"), cosine_sim(col("vec"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** IVF query against pre-trained centroids (the serving-path shape: a
     * production deployment trains once, persists the matrix, and serves
     * many queries from it).

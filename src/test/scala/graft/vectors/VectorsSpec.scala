@@ -119,6 +119,51 @@ class VectorsSpec extends AnyFunSuite {
     assert(mean >= 0.9, s"mean recall@10 $mean across panel; per-query: $recalls")
   }
 
+  test("persisted IVF index serves the same results and prunes to the probed cells") {
+    val rnd = new Random(31)
+    val dim = 32
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val points = (0 until 8).flatMap { c =>
+      (0 until 40).map { i =>
+        (c * 40 + i).toLong -> centers(c).map(x => (x + rnd.nextDouble() * 0.2 - 0.1).toFloat)
+      }
+    }
+    val all = points.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    VectorFunctions.buildIvfIndex(all, "vec_id", "embedding", idx, nCentroids = 8)
+
+    val qv = points(100)._2.map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+    val queryDf = Seq(9999L -> qv).toDF("vec_id", "embedding")
+
+    val cents = spark.read.parquet(s"$idx/centroids").orderBy("cell").collect()
+      .map(r => r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    val fromTrained = VectorFunctions.knnIvfTrained(all, "vec_id", "embedding",
+      queryDf, "embedding", k = 10, cents, nprobe = 2)
+      .select("id").as[Long].collect().toSeq
+    val served = VectorFunctions.knnIvfIndex(spark, idx, queryDf, "embedding",
+      k = 10, nprobe = 2)
+    assert(served.select("id").as[Long].collect().toSeq == fromTrained)
+
+    // physical partition pruning: rank the probe cells as the server
+    // does, then prove at EXECUTION time that only those cells' files
+    // are read (input_file_name over the identical pruned scan)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qd = qv.map(_.toDouble)
+    val probed = cents.zipWithIndex
+      .map { case (cv, c) => (cos(qd, cv), c) }
+      .sortBy { case (s, c) => (-s, c) }.take(2).map(_._2)
+    val scannedCells = spark.read.parquet(s"$idx/lists")
+      .filter($"cell".isin(probed: _*))
+      .select(input_file_name()).distinct().as[String].collect()
+      .flatMap(f => "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
+      .toSet
+    assert(scannedCells == probed.toSet,
+      s"scan must touch exactly the probed cell dirs: $scannedCells vs $probed")
+  }
+
   test("trainKmeansCentroids is deterministic across runs") {
     val all = randomVectors(200, 32, seed = 41).toDF("vec_id", "embedding")
     val a = VectorFunctions.trainKmeansCentroids(all, "vec_id", "embedding", k = 8)
