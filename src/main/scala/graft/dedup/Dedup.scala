@@ -542,9 +542,12 @@ object Dedup {
     // itself (partial filters OR-merged, only bitmaps move). The exact
     // distinct of the reference runs once, lazily, inside the confirm
     // join below — the only shuffle of reference texts anywhere.
-    val expected = math.max(
-      (refHashes.agg(approx_count_distinct(col("__h")).as("u")).head().getLong(0) * 1.2).toLong,
-      64L)
+    val refDistinct = refHashes.agg(approx_count_distinct(col("__h")).as("u")).head().getLong(0)
+    // empty reference: nothing can be a duplicate (also, Spark's
+    // stat.bloomFilter NPEs aggregating zero rows — the streaming
+    // dedup-on-ingest path hits this on a table's very first batch)
+    if (refDistinct == 0L) return docs
+    val expected = math.max((refDistinct * 1.2).toLong, 64L)
     val bloom = refHashes.stat.bloomFilter("__h", expected, fpp)
     // one broadcast of the filter, one shared probe expression: both
     // branches below carry only the broadcast handle, so the (possibly

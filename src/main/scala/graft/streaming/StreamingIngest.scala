@@ -38,7 +38,17 @@ final class StreamingIngest(
     inboxDir: String,
     checkpointDir: String,
     minBatchFiles: Int = 1,
-    maxBatchAgeMs: Long = 0L) {
+    maxBatchAgeMs: Long = 0L,
+    /** shaping hook applied to each micro-batch BEFORE ingest — the seam
+      * streaming curation composes through (e.g.
+      * [[StreamingDedup.againstTable]] drops rows whose text the table
+      * already holds). Runs inside foreachBatch; a crash-replayed batch
+      * re-runs it, but the replay's ingest is skipped by the txn
+      * watermark, so the hook needs no determinism for exactly-once —
+      * though a deterministic hook keeps replay logs comprehensible.
+      */
+    batchTransform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      identity) {
 
   private def markerPath: String = s"$checkpointDir/batched-files.txt"
   private def streamIdPath: String = s"$checkpointDir/stream-id"
@@ -112,8 +122,11 @@ final class StreamingIngest(
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          table.ingest(batch.select(schema.allFields.map(f => batch(f.name)): _*),
-            txn = Some((appId, batchId)))
+          val shaped = batchTransform(batch)
+          if (!shaped.isEmpty) {
+            table.ingest(shaped.select(schema.allFields.map(f => shaped(f.name)): _*),
+              txn = Some((appId, batchId)))
+          }
         }
         ()
       }
@@ -124,5 +137,32 @@ final class StreamingIngest(
     GraftFS.writeString(markerPath,
       (batchedFiles() ++ pending.map(_.getPath.toUri.getPath)).toSeq.sorted.mkString("\n"))
     pending.size
+  }
+}
+
+/** Streaming-curation batch transforms for [[StreamingIngest]]. */
+object StreamingDedup {
+
+  /** Drop batch rows whose `textCol` the table already holds, and keep
+    * one row per text WITHIN the batch (smallest row keys win —
+    * deterministic). The against-table gate is [[graft.dedup.Dedup
+    * .bloomDedup]]: the table's texts compress into a Bloom filter that
+    * rides a broadcast and probes inside codegen, so only probe-hits
+    * reach an exact confirmation join — each micro-batch pays map-side
+    * work plus a join sized by the (tiny) maybe-duplicate set, not by
+    * the table. The filter is rebuilt per batch from the table's
+    * CURRENT contents, so rows ingested by earlier batches gate later
+    * ones.
+    */
+  def againstTable(table: GraftTable, textCol: String): org.apache.spark.sql.DataFrame =>
+      org.apache.spark.sql.DataFrame = { batch =>
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val keys = table.schema.keyNames.map(col)
+    val inBatch = batch
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(textCol)).orderBy(keys: _*)))
+      .filter(col("__rn") === 1).drop("__rn")
+    graft.dedup.Dedup.bloomDedup(inBatch, table.toDF.select(col(textCol)), textCol)
   }
 }

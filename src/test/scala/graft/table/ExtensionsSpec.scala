@@ -193,6 +193,35 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(table.toDF.select("key").as[String].collect().toSet == Set("a", "z", "m"))
   }
 
+  test("streaming ingest with the dedup transform drops already-ingested texts") {
+    // text dedup lives on the `vis` column here (any string value field)
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema)
+    val inbox = Files.createTempDirectory("graft-inbox-dd").toString
+    val cp = Files.createTempDirectory("graft-cp-dd").toString
+    val ingest = new StreamingIngest(table, inbox, cp,
+      batchTransform = graft.streaming.StreamingDedup.againstTable(table, "vis"))
+
+    def drop(name: String, rows: (String, Long, String, Long)*): Unit = {
+      val stage = Files.createTempDirectory("graft-stage-dd")
+      batch(rows: _*).coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, java.nio.file.Paths.get(inbox, name))
+    }
+
+    // in-batch duplicate "aa": the smallest key wins, deterministically
+    drop("f1.parquet", ("a", 1L, "aa", 1L), ("b", 1L, "bb", 2L), ("c", 1L, "aa", 3L))
+    assert(ingest.runOnce() == 1)
+    assert(table.toDF.select("key").as[String].collect().toSet == Set("a", "b"))
+
+    // cross-batch duplicate "bb" gated by the table's current contents
+    drop("f2.parquet", ("d", 2L, "bb", 4L), ("e", 2L, "cc", 5L))
+    assert(ingest.runOnce() == 1)
+    assert(table.toDF.select("key", "vis").as[(String, String)].collect().toSet ==
+      Set(("a", "aa"), ("b", "bb"), ("e", "cc")))
+  }
+
   test("streaming ingest batcher honors min batch size until max age forces it") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema)
