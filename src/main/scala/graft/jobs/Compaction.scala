@@ -62,10 +62,17 @@ final case class SizeRatioCompactionStrategy(ratio: Int = 3, maxBatch: Int = 11)
   *    sorted file per leaf (same shuffle shape as bulk import). On a
   *    cluster this replaces thousands of queued single-node jobs.
   */
-final class Compaction(table: GraftTable) {
+final class Compaction(table: GraftTable,
+    tracker: CompactionJobTracker = CompactionJobTracker.Noop) {
 
   private def spark = table.spark
   private def schema = table.schema
+
+  private def track(jobId: String, partitionId: String, inputFiles: Int,
+      state: CompactionJobState, rows: Option[Long] = None,
+      err: Option[String] = None): Unit =
+    tracker.put(TrackedCompactionJob(jobId, partitionId, inputFiles, state,
+      System.currentTimeMillis(), rows, err))
 
   private def aggSpecs = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
   private def filterSpec = ConfigDsl.parseFilter(table.config.filterConfig, schema)
@@ -159,32 +166,46 @@ final class Compaction(table: GraftTable) {
   def run(job: CompactionJob): FileReference = {
     val jobId = UUID.randomUUID().toString.take(8)
     table.store.assignJob(jobId, job.partitionId, job.files.map(_.filename))
+    track(jobId, job.partitionId, job.files.size, CompactionJobState.Created)
+    try {
+      track(jobId, job.partitionId, job.files.size, CompactionJobState.Started)
+      val sketchDir = s"${table.dir}/.sketch-$jobId"
+      val specs = Seq(specFor(job.partitionId, job.files, System.currentTimeMillis()))
+      // With a custom transform, rows can change between merge and write,
+      // so the one-pass merge sketch would describe the wrong row set —
+      // fall back to sketching the written file.
+      val onePassSketches = table.config.transformConfig.trim.isEmpty
+      val rdd =
+        if (onePassSketches) new graft.exec.SketchingMergeRDD(spark.sparkContext, specs, sketchDir)
+        else new graft.exec.MergeRDD(spark.sparkContext, specs)
+      val merged = withTableTransform(org.apache.spark.sql.graft.bridge
+        .internalCreateDataFrame(spark, rdd, schema.toStructType))
 
-    val sketchDir = s"${table.dir}/.sketch-$jobId"
-    val specs = Seq(specFor(job.partitionId, job.files, System.currentTimeMillis()))
-    // With a custom transform, rows can change between merge and write,
-    // so the one-pass merge sketch would describe the wrong row set —
-    // fall back to sketching the written file.
-    val onePassSketches = table.config.transformConfig.trim.isEmpty
-    val rdd =
-      if (onePassSketches) new graft.exec.SketchingMergeRDD(spark.sparkContext, specs, sketchDir)
-      else new graft.exec.MergeRDD(spark.sparkContext, specs)
-    val merged = withTableTransform(org.apache.spark.sql.graft.bridge
-      .internalCreateDataFrame(spark, rdd, schema.toStructType))
-
-    // A custom transform may repartition/reorder (its contract only
-    // promises key-order preservation WITHIN the result): force the
-    // single-sorted-file invariant explicitly on that path.
-    val writable =
-      if (onePassSketches) merged
-      else merged.coalesce(1).sortWithinPartitions(schema.keyNames.map(col): _*)
-    val (filename, rowCount) = writeSingleFile(writable, job.partitionId, compactPrefix(jobId))
-    val outPath = table.filePath(job.partitionId, filename)
-    if (onePassSketches) attachSketches(sketchDir, Seq(0 -> outPath))
-    else writeSketches(Seq(outPath))
-    val output = FileReference(filename, job.partitionId, rowCount)
-    table.store.replaceFiles(job.partitionId, job.files.map(_.filename), output)
-    output
+      // A custom transform may repartition/reorder (its contract only
+      // promises key-order preservation WITHIN the result): force the
+      // single-sorted-file invariant explicitly on that path.
+      val writable =
+        if (onePassSketches) merged
+        else merged.coalesce(1).sortWithinPartitions(schema.keyNames.map(col): _*)
+      val (filename, rowCount) = writeSingleFile(writable, job.partitionId, compactPrefix(jobId))
+      val outPath = table.filePath(job.partitionId, filename)
+      if (onePassSketches) attachSketches(sketchDir, Seq(0 -> outPath))
+      else writeSketches(Seq(outPath))
+      // output written but not yet in the state store — the reference's
+      // FINISHED-before-COMMITTED distinction
+      track(jobId, job.partitionId, job.files.size, CompactionJobState.Finished,
+        rows = Some(rowCount))
+      val output = FileReference(filename, job.partitionId, rowCount)
+      table.store.replaceFiles(job.partitionId, job.files.map(_.filename), output)
+      track(jobId, job.partitionId, job.files.size, CompactionJobState.Committed,
+        rows = Some(rowCount))
+      output
+    } catch {
+      case e: Throwable =>
+        track(jobId, job.partitionId, job.files.size, CompactionJobState.Failed,
+          err = Some(String.valueOf(e.getMessage)))
+        throw e
+    }
   }
 
   /** Whole-table compaction as ONE distributed job: one merge task per
@@ -226,6 +247,15 @@ final class Compaction(table: GraftTable) {
     val nowMs = System.currentTimeMillis()
     val leafIds = needsWork.keys.toSeq.sorted
     val specs = leafIds.map(pid => specFor(pid, needsWork(pid), nowMs))
+    // one tracked job per leaf, sharing the run id — the whole-table
+    // path is one Spark job, so leaves go CREATED→STARTED together and
+    // COMMITTED individually as their replace/removal lands
+    leafIds.foreach(pid =>
+      track(s"$jobId:$pid", pid, needsWork(pid).size, CompactionJobState.Created))
+    val committed = scala.collection.mutable.Set.empty[String]
+    try {
+    leafIds.foreach(pid =>
+      track(s"$jobId:$pid", pid, needsWork(pid).size, CompactionJobState.Started))
 
     val sketchDir = s"${table.dir}/.sketch-$jobId"
     val onePassSketches = table.config.transformConfig.trim.isEmpty
@@ -266,6 +296,9 @@ final class Compaction(table: GraftTable) {
       val rowCount = footerRowCount(path)
       table.store.replaceFiles(pid, needsWork(pid).map(_.filename),
         FileReference(filename, pid, rowCount))
+      track(s"$jobId:$pid", pid, needsWork(pid).size, CompactionJobState.Committed,
+        rows = Some(rowCount))
+      committed += pid
     }
     // A leaf whose rows were ALL dropped (filter/transform) produces no
     // output file on the partitionBy path — commit a pure removal so its
@@ -273,6 +306,16 @@ final class Compaction(table: GraftTable) {
     val produced = written.map(_._2).toSet
     (needsWork.keySet -- produced).toSeq.sorted.foreach { pid =>
       table.store.removeFiles(pid, needsWork(pid).map(_.filename))
+      track(s"$jobId:$pid", pid, needsWork(pid).size, CompactionJobState.Committed,
+        rows = Some(0L))
+      committed += pid
+    }
+    } catch {
+      case e: Throwable =>
+        (leafIds.toSet -- committed).toSeq.sorted.foreach(pid =>
+          track(s"$jobId:$pid", pid, needsWork(pid).size, CompactionJobState.Failed,
+            err = Some(String.valueOf(e.getMessage))))
+        throw e
     }
   }
 

@@ -84,10 +84,14 @@ final class GraftTable(
   /** Whole table as a DataFrame (sorted within partitions). */
   def toDF: DataFrame = query(graft.query.GraftQuery.all)
 
-  def compactAll(): Unit = new graft.jobs.Compaction(this).compactAll()
+  def compactAll(tracker: graft.jobs.CompactionJobTracker =
+      graft.jobs.CompactionJobTracker.Noop): Unit =
+    new graft.jobs.Compaction(this, tracker).compactAll()
 
-  def compact(strategy: graft.jobs.CompactionStrategy): Int =
-    new graft.jobs.Compaction(this).runStrategy(strategy)
+  def compact(strategy: graft.jobs.CompactionStrategy,
+      tracker: graft.jobs.CompactionJobTracker =
+        graft.jobs.CompactionJobTracker.Noop): Int =
+    new graft.jobs.Compaction(this, tracker).runStrategy(strategy)
 
   def splitPartitions(): Seq[String] = new graft.jobs.PartitionSplitter(this).run()
 
