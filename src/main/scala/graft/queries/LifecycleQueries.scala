@@ -56,6 +56,8 @@ object LifecycleQueries {
     GraftTable.load(s, tableDir)
   }
 
+  private val trackedCompactions = new ConcurrentHashMap[String, (String, Long, Long)]()
+
   private val metricsDirs = new ConcurrentHashMap[String, String]()
 
   /** A6 fixture: one ingest into a 2-leaf table (no agg config), so every
@@ -254,6 +256,43 @@ object LifecycleQueries {
       import s.implicits._
       Seq((t.queryId, t.state.name, t.rowCount.get))
         .toDF("query_id", "state", "row_cnt")
+    },
+
+    // X9 — compaction job tracker: a fresh table (4 fixed-width leaves,
+    // two interleaved ingest batches) compacted whole-table under an
+    // InMemoryCompactionJobTracker; the row aggregates the TRACKED
+    // lifecycle — every per-leaf job COMMITTED, job count = leaves
+    // holding data, rows written = every ingested row (no aggregation
+    // configured). The oracle recomputes leaf occupancy and row count
+    // from lineitem directly, so the tracker's numbers are checked
+    // against ground truth, not against the engine's own metrics.
+    "x9_compaction_tracker" -> withOracle(
+      """SELECT 'COMMITTED' AS state,
+        |  CAST(COUNT(DISTINCT CASE WHEN l_orderkey < 3000 THEN 0
+        |                           WHEN l_orderkey < 6000 THEN 1
+        |                           WHEN l_orderkey < 9000 THEN 2
+        |                           ELSE 3 END) AS BIGINT) AS jobs,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_orderkey < 12000""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (state, jobs, rows) = trackedCompactions.computeIfAbsent(dir, { _ =>
+        val td = java.nio.file.Files.createTempDirectory("graft-ctrack-q").toString
+        val table = GraftTable.create(s, td, schema,
+          splitPoints = Seq(3000L, 6000L, 9000L))
+        val src = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        table.ingest(src.filter(col("l_linenumber") <= 2))
+        table.ingest(src.filter(col("l_linenumber") >= 3))
+        val tracker = new graft.jobs.InMemoryCompactionJobTracker
+        table.compactAll(tracker)
+        val jobs = tracker.all
+        val allCommitted = jobs.nonEmpty &&
+          jobs.forall(_.state == graft.jobs.CompactionJobState.Committed) &&
+          tracker.unfinished.isEmpty
+        (if (allCommitted) "COMMITTED" else "NOT_COMMITTED",
+          jobs.size.toLong, jobs.flatMap(_.rowsWritten).sum)
+      })
+      Seq((state, jobs, rows)).toDF("state", "jobs", "n_rows")
     },
 
     // X7 — time travel: the table read back AS OF the version captured
