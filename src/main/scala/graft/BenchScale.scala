@@ -193,6 +193,19 @@ object BenchScale {
           docsSf1.filter(pmod(col("doc_id"), lit(2)) === 0),
           "text").count()
       }
+      // the curation family at the same scale: BPE counting (pure
+      // map-side codegen), bigram-LM scoring and duplicated-span
+      // detection (model agg + hot-split join each)
+      timed("sf1_t14_bpe", docRows10) {
+        docsSf1.agg(sum(graft.functions.BpeExpressions
+          .bpe_token_count(col("text"), graft.text.Bpe.corpusMerges))).collect()
+      }
+      timed("sf1_t15_lm", docRows10) {
+        graft.text.CorpusScoring.lmBigramScore(docsSf1, "doc_id", "text").count()
+      }
+      timed("sf1_t16_spans", docRows10) {
+        graft.text.CorpusScoring.duplicateSpans(docsSf1, "doc_id", "text").count()
+      }
       graft.meta.GraftFS.deleteRecursive(sf1Dir)
     }
 
