@@ -165,9 +165,12 @@ final class Compaction(table: GraftTable,
     */
   def run(job: CompactionJob): FileReference = {
     val jobId = UUID.randomUUID().toString.take(8)
-    table.store.assignJob(jobId, job.partitionId, job.files.map(_.filename))
+    // CREATED is recorded before file assignment so a job whose
+    // assignment loses to a rival still surfaces as CREATED→FAILED in
+    // the tracker (the reference tracks created jobs that cannot start).
     track(jobId, job.partitionId, job.files.size, CompactionJobState.Created)
     try {
+      table.store.assignJob(jobId, job.partitionId, job.files.map(_.filename))
       track(jobId, job.partitionId, job.files.size, CompactionJobState.Started)
       val sketchDir = s"${table.dir}/.sketch-$jobId"
       val specs = Seq(specFor(job.partitionId, job.files, System.currentTimeMillis()))

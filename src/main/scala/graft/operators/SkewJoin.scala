@@ -61,7 +61,11 @@ object SkewJoin {
     * persist it first. The fact must be DETERMINISTIC (or persisted):
     * a nondeterministic upstream evaluated once per branch could route
     * a row into neither or both branches (the round-5 double-evaluation
-    * lesson).
+    * lesson). The dim must be DETERMINISTIC (or persisted) for the same
+    * reason: it is evaluated in both the orderBy/limit head and the
+    * full tail join, so a nondeterministic dim could place a key in the
+    * broadcast head on one evaluation yet match it again (or not at
+    * all) in the tail, duplicating or dropping rows.
     */
   def hotSplit(fact: DataFrame, dim: DataFrame, key: String,
       hotBy: Column, hotKeys: Int = 65536): DataFrame = {

@@ -65,13 +65,21 @@ object QueryRunner {
     if (state == QueryState.Completed && err.isEmpty) 0 else 1
   }
 
-  /** The interchange JSON's queryId, else a fresh one. */
+  /** The interchange JSON's queryId, else a fresh one. The id is caller
+    * supplied and interpolated into filesystem paths (`<outDir>/<id>/`,
+    * `<outDir>/<id>.status.json`), so it must not carry path separators
+    * or dot-dot segments — anything outside a safe charset falls back to
+    * a fresh UUID, like the reference's generated query ids.
+    */
+  private val SafeQueryId = "[A-Za-z0-9._-]+".r
   private def queryIdOf(json: String): String =
     try {
       org.json4s.jackson.JsonMethods.parse(json) match {
         case o: org.json4s.JObject =>
           o.obj.toMap.get("queryId") match {
-            case Some(org.json4s.JString(id)) if id.trim.nonEmpty => id.trim
+            case Some(org.json4s.JString(id))
+                if SafeQueryId.matches(id.trim) && id.trim != "." && id.trim != ".." =>
+              id.trim
             case _ => java.util.UUID.randomUUID().toString
           }
         case _ => java.util.UUID.randomUUID().toString

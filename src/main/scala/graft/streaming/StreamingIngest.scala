@@ -153,16 +153,26 @@ object StreamingDedup {
     * the table. The filter is rebuilt per batch from the table's
     * CURRENT contents, so rows ingested by earlier batches gate later
     * ones.
+    *
+    * Null-text rows follow the codebase's null convention (Dedup
+    * .dedupExact's nullWinner routing, bloomDedup's NOT-EXISTS
+    * semantics): every null-text row is its own winner, so the in-batch
+    * window dedup applies only to rows where `textCol IS NOT NULL` and
+    * null-text rows pass through unchanged — without the split, all
+    * null rows would share one window partition and collapse to 1.
     */
   def againstTable(table: GraftTable, textCol: String): org.apache.spark.sql.DataFrame =>
       org.apache.spark.sql.DataFrame = { batch =>
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val keys = table.schema.keyNames.map(col)
-    val inBatch = batch
+    val nonNull = batch.filter(col(textCol).isNotNull)
+    val nulls = batch.filter(col(textCol).isNull)
+    val inBatch = nonNull
       .withColumn("__rn", row_number().over(
         Window.partitionBy(col(textCol)).orderBy(keys: _*)))
       .filter(col("__rn") === 1).drop("__rn")
+      .unionByName(nulls)
     graft.dedup.Dedup.bloomDedup(inBatch, table.toDF.select(col(textCol)), textCol)
   }
 }

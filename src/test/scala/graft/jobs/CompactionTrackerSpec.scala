@@ -69,5 +69,10 @@ class CompactionTrackerSpec extends AnyFunSuite {
         CompactionJob(files.head.partitionId, files))
     }
     assert(tracker.all.forall(_.state != CompactionJobState.Committed))
+    // the assignment failure is VISIBLE: the job was tracked CREATED and
+    // its loss to the rival surfaces as FAILED, not as a missing record
+    assert(tracker.all.size == 1)
+    assert(tracker.all.head.state == CompactionJobState.Failed)
+    assert(tracker.all.head.errorMessage.nonEmpty)
   }
 }

@@ -220,6 +220,23 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(ingest.runOnce() == 1)
     assert(table.toDF.select("key", "vis").as[(String, String)].collect().toSet ==
       Set(("a", "aa"), ("b", "bb"), ("e", "cc")))
+
+    // null-text rows are each their own winner (Dedup's null convention):
+    // a batch with two distinct null-text rows ingests BOTH, while its
+    // non-null duplicate still collapses
+    val stage = Files.createTempDirectory("graft-stage-dd")
+    Seq(("n1", 3L, Option.empty[String], 6L), ("n2", 3L, Option.empty[String], 7L),
+        ("n3", 3L, Some("dd"), 8L), ("n4", 3L, Some("dd"), 9L))
+      .toDF("key", "ts", "vis", "count")
+      .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val part = Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, java.nio.file.Paths.get(inbox, "f3.parquet"))
+    assert(ingest.runOnce() == 1)
+    assert(table.toDF.filter(col("vis").isNull).select("key").as[String].collect().toSet ==
+      Set("n1", "n2"))
+    assert(table.toDF.filter(col("vis") === "dd").select("key").as[String].collect().toSet ==
+      Set("n3"))
   }
 
   test("streaming ingest batcher honors min batch size until max age forces it") {
