@@ -233,7 +233,9 @@ object RenameCAS extends StateStoreCAS {
   */
 final class CoordinatedCAS(coordDir: String) extends StateStoreCAS {
   import java.nio.charset.StandardCharsets.UTF_8
-  private val VersionName = "state-v(\\d+)\\.json".r
+  // both commit-record kinds arbitrate through claims: the v1 snapshot
+  // and every transaction-log entry
+  private val VersionName = "(?:state|txn)-v(\\d+)\\.json".r
 
   override def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
     val (cfs, cdir) = GraftFS.resolve(coordDir)

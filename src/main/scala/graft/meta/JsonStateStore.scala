@@ -7,15 +7,26 @@ import org.json4s.jackson.JsonMethods
 import org.apache.spark.sql.types.DataType
 import graft.core._
 
-/** File-backed state store: the whole state serializes as one JSON
-  * snapshot per version, committed by a conditional put of
-  * `state-v{N}.json` (publish-if-absent = compare-and-set on N). All IO
-  * goes through the Hadoop FileSystem API, so the chain can live on
+/** File-backed transaction-log state store — the reference's design
+  * (docs/design/transaction-log-state-store.md,
+  * java/core/.../statestore/transactionlog/): each commit appends a
+  * small O(changes) transaction entry `txn-v{N}.json`, serialized by a
+  * conditional put on the version name (publish-if-absent = compare-and-
+  * set on N); a full `state-v{N}.json` snapshot lands only every
+  * [[JsonStateStore.SnapshotInterval]] versions (plus v1 at creation,
+  * which must carry the schema and table config), so commit cost no
+  * longer grows with table size and reader replay is bounded by the
+  * interval. Readers reconstruct any version from the newest parseable
+  * snapshot at-or-below it plus the transaction tail.
+  *
+  * All IO goes through the Hadoop FileSystem API, so the log can live on
   * file://, hdfs://, or any Hadoop store; the CAS primitive itself is
   * pluggable ([[StateStoreCAS]]) so an external conditional-put store —
-  * the reference's DynamoDB transaction log (SURVEY.md §7.3,
-  * docs/design/transaction-log-state-store.md) — slots in where the
-  * filesystem can't express one.
+  * the reference's DynamoDB transaction log — slots in where the
+  * filesystem can't express one. Tables written by the earlier
+  * snapshot-per-commit format load unchanged: an old `state-v{N}.json`
+  * is simply a snapshot whose version has no transaction tail, and new
+  * commits append transactions after it.
   */
 class JsonStateStore private (
     fs: FileSystem, dir: Path, cas: StateStoreCAS,
@@ -32,17 +43,24 @@ class JsonStateStore private (
 
   import JsonStateStore._
 
-  override protected def commit(t: PartitionTree, r: Vector[FileReference],
-      g: Vector[GCEntry], x: Map[String, Long]): Unit = {
-    val next = version + 1
+  override protected def commit(txn: StateTransaction, next: TableState): Unit = {
+    val nextV = version + 1
     // tmp name must be writer-unique: with a shared name, a concurrent
     // writer could overwrite this writer's staged content before the
     // link lands (silent wrong-content commit) or delete it from under
     // the link (NoSuchFileException) — caught by the stress test.
-    val tmp = new Path(dir, s".state-v$next.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val target = new Path(dir, s"state-v$next.json")
-    writeText(tmp, JsonMethods.pretty(JsonMethods.render(
-      toJson(schema, t, r, g, x, aggregationConfig, filterConfig, transformConfig))))
+    val target = arbiterPath(dir, nextV)
+    val tmp = new Path(dir,
+      s".${target.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    // version 1 is always a FULL snapshot (it must carry schema + table
+    // config so `load` can bootstrap); every later commit appends only
+    // the O(changes) transaction entry
+    val body =
+      if (nextV == 1L)
+        JsonMethods.pretty(JsonMethods.render(toJson(schema, next.tree, next.refs,
+          next.gc, next.txns, aggregationConfig, filterConfig, transformConfig)))
+      else JsonMethods.compact(JsonMethods.render(txnToJson(txn)))
+    writeText(tmp, body)
     if (!cas.publish(fs, tmp, target)) {
       try fs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
       // Lost the race: another writer committed v{next}. In-memory fields
@@ -58,26 +76,38 @@ class JsonStateStore private (
       // would block every reader and sibling writer for up to the grace
       // window. Tag the exception; withRetry's catch (outside the
       // monitor) does the bounded wait via onCasConflict.
-      throw new ConcurrentStateException(s"lost CAS on version $next", null,
-        unresolvedVersion = if (version < next) Some(next) else None)
+      throw new ConcurrentStateException(s"lost CAS on version $nextV", null,
+        unresolvedVersion = if (version < nextV) Some(nextV) else None)
     }
     try fs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
-    // per-version delta manifest: computed against the pre-commit refs
-    // (still the previous version's at this point)
-    val prevNames = fileReferences.map(_.filename).toSet
-    version = next
-    super.commit(t, r, g, x)
-    writeDelta(next, r.filter(ref => !prevNames.contains(ref.filename)))
-    pruneOldVersions(next)
+    // delta manifest needs the pre-commit filename set (still the
+    // previous version's refs at this point)
+    val prevNames = refs.map(_.filename).toSet
+    version = nextV
+    super.commit(txn, next)
+    writeDelta(nextV, addedRefs(txn).filterNot(r => prevNames.contains(r.filename)))
+    if (nextV % SnapshotInterval == 0) {
+      writeSnapshot(nextV, next)
+      pruneOldVersions(nextV)
+    }
+  }
+
+  /** The refs a transaction ADDS (for the delta manifest). */
+  private def addedRefs(txn: StateTransaction): Vector[FileReference] = txn match {
+    case StateTransaction.AddFiles(rs, _) => rs
+    // the committed output carries dataChange=false (see ReplaceFiles.applyTo)
+    case StateTransaction.ReplaceFiles(_, _, out, _) =>
+      out.map(_.copy(dataChange = false)).toVector
+    case _ => Vector.empty
   }
 
   /** Write `delta-v{N}.json` — the files ADDED at version N, the tiny
     * manifest the table-changes stream plans micro-batches from without
-    * parsing full snapshots (O(changes), not O(table) per version).
-    * Written only AFTER the CAS publish succeeds, so a delta can only
-    * ever describe the version's true winning commit — a losing or
-    * crashed writer never writes one, and a missing delta just routes
-    * the stream to its snapshot-walk fallback. Best-effort by design.
+    * parsing snapshots or replaying transactions (O(changes) per
+    * version). Written only AFTER the CAS publish succeeds, so a delta
+    * can only ever describe the version's true winning commit — a losing
+    * or crashed writer never writes one, and a missing delta just routes
+    * the stream to its state-walk fallback. Best-effort by design.
     */
   private def writeDelta(v: Long, added: Vector[FileReference]): Unit = try {
     // one entry per physical file (a pre-split can reference one file
@@ -95,12 +125,25 @@ class JsonStateStore private (
       fs.delete(tmp, false)
   } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** Periodic full snapshot bounding replay. Derived data with a single
+    * writer (the CAS winner of `txn-v{N}`), published by plain atomic
+    * rename; best-effort — a missing snapshot only means readers replay
+    * further back from the previous one.
+    */
+  private def writeSnapshot(v: Long, s: TableState): Unit = try {
+    val tmp = new Path(dir, s".state-v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    writeText(tmp, JsonMethods.pretty(JsonMethods.render(toJson(schema, s.tree, s.refs,
+      s.gc, s.txns, aggregationConfig, filterConfig, transformConfig))))
+    if (!fs.rename(tmp, new Path(dir, s"state-v$v.json")))
+      fs.delete(tmp, false)
+  } catch { case scala.util.control.NonFatal(_) => () }
+
   private def writeText(p: Path, s: String): Unit = {
     val out = fs.create(p, true)
     try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)) finally out.close()
   }
 
-  /** The grace-window wait for an unreadable rival snapshot happens here,
+  /** The grace-window wait for an unreadable rival commit happens here,
     * in withRetry's catch — OUTSIDE the store's monitor — so readers
     * (partitionTree/fileReferences) and sibling writers keep flowing
     * while one writer waits out a crashed fallback commit.
@@ -119,7 +162,7 @@ class JsonStateStore private (
     * grace window, instead of failing every retry for the same duration.
     */
   private def awaitConflictResolution(next: Long): Unit = {
-    val target = new Path(dir, s"state-v$next.json")
+    val target = arbiterPath(dir, next)
     val deadline =
       try fs.getFileStatus(target).getModificationTime + JsonStateStore.QuarantineGraceMs + 500
       catch { case scala.util.control.NonFatal(_) => return } // already gone
@@ -129,40 +172,71 @@ class JsonStateStore private (
       if (version >= next) return // conflicting commit became readable
       if (!fs.exists(target)) return // quarantined — the name is free again
     }
-    reloadLatest() // past the grace: loadLatestParseable may now quarantine it
+    reloadLatest() // past the grace: the reload may now quarantine it
   }
 
-  /** Retention: each commit is a full snapshot, so only recent versions
-    * are needed (crash recovery + concurrent readers of the near-past).
-    * Best-effort delete of versions older than the retention window
-    * keeps the chain O(retention) instead of O(transaction count).
-    * (The reference's transaction log compacts the same way via
-    * periodic snapshots, docs/design/transaction-log-state-store.md.)
+  /** Retention: readers need a snapshot at-or-below any version they may
+    * reconstruct plus the transaction tail after it. Time travel promises
+    * the last [[RetainedVersions]] versions, so everything below the
+    * newest snapshot that is ≤ (latest − retention) can go. Runs only on
+    * snapshot commits (one directory listing per interval, not per
+    * commit); best-effort.
     */
-  private def pruneOldVersions(latest: Long): Unit = {
-    val keep = JsonStateStore.RetainedVersions
-    if (latest > keep) {
-      var v = latest - keep
-      // walk down until a version is already gone (previous prunes)
-      var missing = 0
-      while (v > 0 && missing < 3) {
-        val gone =
-          try !fs.delete(new Path(dir, s"state-v$v.json"), false)
-          catch { case scala.util.control.NonFatal(_) => true }
-        try fs.delete(new Path(dir, s"delta-v$v.json"), false)
+  private def pruneOldVersions(latest: Long): Unit = try {
+    val floorWanted = latest - RetainedVersions
+    if (floorWanted <= 1) return
+    val names = fs.listStatus(dir).map(_.getPath.getName)
+    val snaps = names.collect { case SnapName(v) => v.toLong }
+    val eligible = snaps.filter(_ <= floorWanted)
+    if (eligible.isEmpty) return
+    val floorSnap = eligible.max
+    names.foreach { n =>
+      val drop = n match {
+        case SnapName(v) => v.toLong < floorSnap
+        case TxnName(v) => v.toLong <= floorSnap // the floor snapshot subsumes them
+        case DeltaName(v) => v.toLong <= floorSnap
+        case _ => false
+      }
+      if (drop)
+        try fs.delete(new Path(dir, n), false)
         catch { case scala.util.control.NonFatal(_) => () }
-        if (gone) missing += 1
-        v -= 1
+    }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Bring memory up to disk truth. Incremental: replay transactions
+    * forward from the in-memory version — O(changes since), never a full
+    * snapshot parse (the log store's cheap-reload payoff; the snapshot
+    * store re-parsed O(table) JSON on every lost CAS). Stops at the
+    * first absent/unreadable entry, applying the same conservative
+    * quarantine rules as a cold load (which is what eventually frees a
+    * crashed writer's husk at the head).
+    */
+  def reloadLatest(): Unit = synchronized {
+    if (version == 0) { // pre-initial-commit loser (create race): cold load
+      val l = loadCurrent(fs, dir)
+      setState(l.state.tree, l.state.refs, l.state.gc, l.state.txns)
+      version = l.version
+      return
+    }
+    var state = currentState
+    var v = version + 1
+    var advanced = false
+    var done = false
+    while (!done) {
+      val p = new Path(dir, s"txn-v$v.json")
+      readFile(fs, p) match {
+        case FileContent(text) =>
+          parseRecord(fs, dir, p, text, txnFromJson) match {
+            case Some(t) => state = t.applyTo(state); advanced = true; v += 1
+            case None => done = true // unreadable head (quarantined if eligible)
+          }
+        case _ => done = true // absent or IO error: head reached
       }
     }
-  }
-
-  /** Re-read the newest parseable snapshot on disk into memory. */
-  def reloadLatest(): Unit = synchronized {
-    val (latest, json) = loadLatestParseable(fs, dir)
-    val s = fromJson(json)
-    setState(s.tree, s.refs, s.gc, s.txns)
-    version = latest
+    if (advanced) {
+      setState(state.tree, state.refs, state.gc, state.txns)
+      version = v - 1
+    }
   }
 
   private[meta] def setState(t: PartitionTree, r: Vector[FileReference],
@@ -170,7 +244,9 @@ class JsonStateStore private (
 
   def currentVersion: Long = version
 
-  private[meta] def commitInitial(): Unit = synchronized { commit(tree, refs, gcQueue, txns) }
+  private[meta] def commitInitial(): Unit = synchronized {
+    commit(StateTransaction.Init, currentState)
+  }
 }
 
 /** An immutable historical snapshot of a table's state — the time-travel
@@ -190,8 +266,7 @@ final class SnapshotStateStore(
 
   // backstop: jobs check assertWritable() before touching the
   // filesystem, but any mutation that slips through dies here too
-  override protected def commit(t: PartitionTree, r: Vector[FileReference],
-      g: Vector[GCEntry], x: Map[String, Long]): Unit =
+  override protected def commit(txn: StateTransaction, next: TableState): Unit =
     throw new UnsupportedOperationException(
       s"table snapshot at version $version is read-only (time-travel view)")
 }
@@ -205,15 +280,34 @@ class ConcurrentStateException(msg: String, cause: Throwable,
 
 object JsonStateStore {
 
-  /** Snapshot versions kept on disk (see pruneOldVersions). */
+  /** Reconstructable versions kept in the log (see pruneOldVersions). */
   val RetainedVersions = 50L
 
-  /** Age before an unparseable snapshot may be quarantined — younger
+  /** A full snapshot lands every this-many commits, bounding reader
+    * replay to at most this many transaction entries past the newest
+    * snapshot. Overridable (tests, read-heavy deployments) via system
+    * property.
+    */
+  def SnapshotInterval: Long =
+    java.lang.Long.getLong("graft.state.snapshot.interval", 25L)
+
+  /** Age before an unparseable commit record may be quarantined — younger
     * ones may be a live writer's reserved-but-unfilled version.
     * Overridable (tests, fast-failover deployments) via system property.
     */
   def QuarantineGraceMs: Long =
     java.lang.Long.getLong("graft.state.quarantine.grace.ms", 60000L)
+
+  private val SnapName = "state-v(\\d+)\\.json".r
+  private val TxnName = "txn-v(\\d+)\\.json".r
+  private val DeltaName = "delta-v(\\d+)\\.json".r
+
+  /** The file whose conditional put commits version `v`: the full
+    * snapshot for v1 (it bootstraps schema + config), the transaction
+    * entry for every later version.
+    */
+  private def arbiterPath(dir: Path, v: Long): Path =
+    if (v == 1L) new Path(dir, "state-v1.json") else new Path(dir, s"txn-v$v.json")
 
   def create(dirStr: String, schema: GraftSchema, tree: PartitionTree,
       aggregationConfig: String = "", filterConfig: String = "",
@@ -228,17 +322,15 @@ object JsonStateStore {
 
   def load(dirStr: String, cas: Option[StateStoreCAS] = None): JsonStateStore = {
     val (fs, dir) = GraftFS.resolve(dirStr)
-    val (latest, json) = loadLatestParseable(fs, dir)
-    val s = fromJson(json)
-    val (agg, filt, tf) = configFromJson(json)
+    val l = loadCurrent(fs, dir)
     val store = new JsonStateStore(fs, dir, cas.getOrElse(GraftFS.casFor(fs)),
-      s.schema, s.tree, latest, agg, filt, tf)
-    store.setState(s.tree, s.refs, s.gc, s.txns)
+      l.schema, l.state.tree, l.version, l.agg, l.filt, l.tf)
+    store.setState(l.state.tree, l.state.refs, l.state.gc, l.state.txns)
     store
   }
 
   /** Newest committed version number from the directory listing alone —
-    * no snapshot content is read or parsed. The cheap poll for offset
+    * no record content is read or parsed. The cheap poll for offset
     * discovery (the table-changes stream calls this every trigger).
     */
   def latestVersionIn(dirStr: String): Option[Long] = {
@@ -249,9 +341,9 @@ object JsonStateStore {
   /** The files added at `version`, from its delta manifest:
     * (filename, home partition dir, dataChange). `None` when the
     * manifest is absent or unreadable — history from before deltas
-    * existed, a writer that crashed between snapshot and delta, or a
+    * existed, a writer that crashed between commit and delta, or a
     * torn write — in which case callers fall back to diffing the
-    * consecutive snapshots (which the manifest merely memoizes).
+    * consecutive states (which the manifest merely memoizes).
     */
   def deltaAddedAt(dirStr: String, version: Long): Option[Seq[(String, String, Boolean)]] = {
     val (fs, dir) = GraftFS.resolve(dirStr)
@@ -279,111 +371,241 @@ object JsonStateStore {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Time travel: the state EXACTLY as of a historical version. Valid
-    * within the retention bounds — the version chain keeps the last
-    * [[RetainedVersions]] snapshots, and GC physically deletes a file
-    * only after it has been unreferenced for the table's GC delay — the
-    * same bounded-history contract as the reference's transaction-log
-    * snapshots (docs/design/transaction-log-state-store.md) and Delta
-    * time travel. Reads work; mutations throw.
+  /** Time travel: the state EXACTLY as of a historical version,
+    * reconstructed from the newest snapshot at-or-below it plus the
+    * transaction tail. Valid within the retention bounds — pruning keeps
+    * the last [[RetainedVersions]] versions reconstructable, and GC
+    * physically deletes a file only after it has been unreferenced for
+    * the table's GC delay — the same bounded-history contract as the
+    * reference's transaction-log snapshots and Delta time travel. Reads
+    * work; mutations throw.
     */
   def loadAt(dirStr: String, version: Long): SnapshotStateStore = {
     val (fs, dir) = GraftFS.resolve(dirStr)
-    val p = new Path(dir, s"state-v$version.json")
-    val json =
-      try {
-        val in = fs.open(p)
-        try JsonMethods.parse(new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally in.close()
-      } catch {
-        case scala.util.control.NonFatal(e) =>
-          throw new IllegalStateException(
-            s"state version $version unavailable in $dirStr (pruned after " +
-              s"$RetainedVersions newer commits, or never committed)", e)
-      }
-    val s = fromJson(json)
-    val (agg, filt, tf) = configFromJson(json)
-    new SnapshotStateStore(s.schema, s.tree, s.refs, s.gc, s.txns, version, agg, filt, tf)
+    tryLoadVersion(fs, dir, version) match {
+      case Some(l) =>
+        new SnapshotStateStore(l.schema, l.state.tree, l.state.refs, l.state.gc,
+          l.state.txns, version, l.agg, l.filt, l.tf)
+      case None =>
+        throw new IllegalStateException(
+          s"state version $version unavailable in $dirStr (pruned after " +
+            s"$RetainedVersions newer commits, or never committed)")
+    }
   }
 
-  /** Newest snapshot that parses. A crash in the non-hard-link commit
-    * fallback (version reserved O_EXCL, then filled by a move) can leave
-    * a permanently empty/truncated latest snapshot; selecting it forever
-    * would brick the table, so readers fall back past unparseable
-    * versions — every snapshot is a FULL state copy, so falling back one
-    * version only loses the single interrupted transaction, which its
-    * writer never saw succeed.
+  // ---- reconstruction ----
+
+  private final case class Loaded(version: Long, schema: GraftSchema, state: TableState,
+      agg: String, filt: String, tf: String)
+
+  private sealed trait FileRead
+  private case object FileAbsent extends FileRead
+  private case object FileIOError extends FileRead
+  private final case class FileContent(text: String) extends FileRead
+
+  private def readFile(fs: FileSystem, p: Path): FileRead =
+    try {
+      if (!fs.exists(p)) FileAbsent
+      else {
+        val in = fs.open(p)
+        try FileContent(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => FileIOError } // IO error: never quarantine
+
+  /** Parse a commit record that was READ successfully; on failure apply
+    * the conservative quarantine rules and return None.
     *
-    * Quarantine (rename to `.corrupt`) is deliberately conservative and
-    * only applies to content that was READ successfully but fails to
-    * parse. Non-empty garbage is quarantined immediately (the fallback
-    * fills a reservation with one atomic move, so partial content never
-    * legitimately exists). An EMPTY file gets a grace window first: it
-    * may be a LIVE fallback writer's just-reserved version — renaming it
-    * away would free the version name for a rival and let the first
-    * writer's later move silently clobber the rival's committed snapshot
-    * (the exact lost-update the create-exclusive CAS exists to prevent).
-    * An IO error never quarantines: the content is unknown, and a
-    * transient failure (NFS hiccup, permissions) must not destroy the
-    * latest committed state.
+    * Quarantine (rename to `.corrupt`) only applies to content that was
+    * read successfully but fails to parse. Non-empty garbage is
+    * quarantined immediately (fills are atomic links/moves, so partial
+    * content never legitimately exists on the filesystem CAS paths). An
+    * EMPTY file gets a grace window first: it may be a LIVE fallback
+    * writer's just-reserved version — renaming it away would free the
+    * version name for a rival and let the first writer's later move
+    * silently clobber the rival's committed record (the exact lost-update
+    * the create-exclusive CAS exists to prevent).
     */
-  private def loadLatestParseable(fs: FileSystem, dir: Path): (Long, JValue) = {
-    val latest = latestVersion(fs, dir).getOrElse(
-      throw new IllegalStateException(s"no state snapshot in $dir"))
-    var v = latest
-    val floor = math.max(1L, latest - RetainedVersions) // older versions are pruned anyway
-    while (v >= floor) {
-      val p = new Path(dir, s"state-v$v.json")
-      val content: Option[String] =
-        try {
-          if (!fs.exists(p)) None
-          else {
-            val in = fs.open(p)
-            try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
-            finally in.close()
+  private def parseRecord[T](fs: FileSystem, dir: Path, p: Path, text: String,
+      parse: String => T): Option[T] =
+    try Some(parse(text))
+    catch {
+      case scala.util.control.NonFatal(_) =>
+        val stale =
+          try fs.getFileStatus(p).getModificationTime <
+            System.currentTimeMillis() - QuarantineGraceMs
+          catch { case scala.util.control.NonFatal(_) => false }
+        if (text.nonEmpty || stale) {
+          try {
+            val corrupt = new Path(dir, p.getName + ".corrupt")
+            try fs.delete(corrupt, false) catch { case scala.util.control.NonFatal(_) => () }
+            // rename returning false (destination re-created concurrently,
+            // HDFS-style semantics) would leave the unparseable record in
+            // place, re-read and re-quarantined on every load — the content
+            // is proven unreadable and past grace, so deleting it loses
+            // only a transaction its writer never saw succeed.
+            if (!fs.rename(p, corrupt)) fs.delete(p, false)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        None
+    }
+
+  /** Reconstruct the state EXACTLY at `target`, or None if the version's
+    * committing record is absent/unreadable (after applying quarantine
+    * rules) or the chain below it cannot be assembled. The committing
+    * record is `txn-v{target}.json` (new format) or `state-v{target}
+    * .json` alone (v1 and pre-log history).
+    */
+  private def tryLoadVersion(fs: FileSystem, dir: Path, target: Long): Option[Loaded] = {
+    if (target < 1) return None
+    // 1. the committing record at `target`
+    val txnP = new Path(dir, s"txn-v$target.json")
+    val headTxn: Option[StateTransaction] = readFile(fs, txnP) match {
+      case FileContent(text) =>
+        parseRecord(fs, dir, txnP, text, txnFromJson) match {
+          case Some(t) => Some(t)
+          case None => return None // unreadable arbiter (quarantined if eligible)
+        }
+      case FileIOError => return None
+      case FileAbsent => None // snapshot-committed version (v1 / old format) — checked below
+    }
+    // 2. base snapshot: newest parseable `state-v{b}.json` with b ≤ target.
+    //    When the version has no transaction record, the snapshot at
+    //    `target` IS the committing record and must itself parse.
+    var b = target
+    var base: Option[(Long, JValue)] = None
+    while (base.isEmpty && b >= 1) {
+      val sp = new Path(dir, s"state-v$b.json")
+      readFile(fs, sp) match {
+        case FileContent(text) =>
+          parseRecord(fs, dir, sp, text, JsonMethods.parse(_)) match {
+            case Some(j) => base = Some((b, j))
+            case None => if (b == target && headTxn.isEmpty) return None
+          }
+        case FileIOError => if (b == target && headTxn.isEmpty) return None
+        case FileAbsent => if (b == target && headTxn.isEmpty) return None
+      }
+      if (base.isEmpty) b -= 1
+    }
+    val (baseV, baseJson) = base.getOrElse(return None)
+    val snap = fromJson(baseJson)
+    val (agg, filt, tf) = configFromJson(baseJson)
+    // 3. replay the transaction tail (baseV, target]
+    var state = TableState(snap.tree, snap.refs, snap.gc, snap.txns)
+    var v = baseV + 1
+    while (v <= target) {
+      val t: StateTransaction =
+        if (v == target && headTxn.isDefined) headTxn.get
+        else {
+          val p = new Path(dir, s"txn-v$v.json")
+          readFile(fs, p) match {
+            case FileContent(text) =>
+              parseRecord(fs, dir, p, text, txnFromJson).getOrElse(return None)
+            case _ => return None // mid-chain record missing: cannot reach target
           }
         }
-        catch { case scala.util.control.NonFatal(_) => None } // IO error: fall back, never rename
-      content.foreach { text =>
-        try return (v, JsonMethods.parse(text))
-        catch {
-          case scala.util.control.NonFatal(_) =>
-            val stale =
-              try fs.getFileStatus(p).getModificationTime <
-                System.currentTimeMillis() - QuarantineGraceMs
-              catch { case scala.util.control.NonFatal(_) => false }
-            if (text.nonEmpty || stale) {
-              try {
-                val corrupt = new Path(dir, s"state-v$v.json.corrupt")
-                try fs.delete(corrupt, false) catch { case scala.util.control.NonFatal(_) => () }
-                // rename returning false (destination re-created concurrently,
-                // HDFS-style semantics) would leave the unparseable snapshot in
-                // place, re-read and re-quarantined on every load — the content
-                // is proven unreadable and past grace, so deleting it loses
-                // only a transaction its writer never saw succeed.
-                if (!fs.rename(p, corrupt)) fs.delete(p, false)
-              }
-              catch { case scala.util.control.NonFatal(_) => () }
-            }
-        }
+      state = t.applyTo(state)
+      v += 1
+    }
+    Some(Loaded(target, snap.schema, state, agg, filt, tf))
+  }
+
+  /** Newest reconstructable state. A crash in the non-hard-link commit
+    * fallback can leave a permanently empty/truncated latest record;
+    * selecting it forever would brick the table, so readers fall back
+    * past unreadable versions (quarantining per parseRecord's rules) —
+    * falling back one version only loses the single interrupted
+    * transaction, which its writer never saw succeed.
+    */
+  private def loadCurrent(fs: FileSystem, dir: Path): Loaded = {
+    val latest = latestVersion(fs, dir).getOrElse(
+      throw new IllegalStateException(s"no state snapshot in $dir"))
+    var head = latest
+    val floor = math.max(1L, latest - RetainedVersions)
+    while (head >= floor) {
+      tryLoadVersion(fs, dir, head) match {
+        case Some(l) => return l
+        case None => head -= 1
       }
-      v -= 1
     }
     throw new IllegalStateException(s"no parseable state snapshot in $dir")
   }
 
+  /** Newest version NAMED in the directory (snapshot or transaction);
+    * content is not read — unreadable heads are resolved by loadCurrent.
+    */
   private def latestVersion(fs: FileSystem, dir: Path): Option[Long] = {
-    val re = "state-v(\\d+)\\.json".r
     if (!fs.exists(dir)) return None
     var best: Option[Long] = None
     fs.listStatus(dir).foreach { st =>
-      st.getPath.getName match {
-        case re(n) => if (best.forall(_ < n.toLong)) best = Some(n.toLong)
-        case _ =>
+      val v = st.getPath.getName match {
+        case SnapName(n) => Some(n.toLong)
+        case TxnName(n) => Some(n.toLong)
+        case _ => None
       }
+      v.foreach(n => if (best.forall(_ < n)) best = Some(n))
     }
     best
+  }
+
+  // ---- transaction JSON codec ----
+
+  private[meta] def txnToJson(txn: StateTransaction): JValue = txn match {
+    case StateTransaction.AddFiles(rs, wm) => JObject(
+      "txn" -> JString("addFiles"),
+      "refs" -> JArray(rs.map(refToJson).toList),
+      "app" -> wm.map(w => JString(w._1)).getOrElse(JNothing),
+      "appVersion" -> wm.map(w => JInt(w._2)).getOrElse(JNothing))
+    case StateTransaction.ReplaceFiles(pid, inputs, out, nowMs) => JObject(
+      "txn" -> JString("replaceFiles"),
+      "partitionId" -> JString(pid),
+      "inputs" -> JArray(inputs.map(JString(_)).toList),
+      "output" -> out.map(refToJson).getOrElse(JNothing),
+      "nowMs" -> JInt(nowMs))
+    case StateTransaction.SplitPartition(parent, dim, point, l, r) => JObject(
+      "txn" -> JString("splitPartition"),
+      "parentId" -> JString(parent), "dimension" -> JInt(dim),
+      "splitPoint" -> keyToJson(point),
+      "leftId" -> JString(l), "rightId" -> JString(r))
+    case StateTransaction.SplitFileRefs => JObject("txn" -> JString("splitFileRefs"))
+    case StateTransaction.AssignJob(job, pid, files) => JObject(
+      "txn" -> JString("assignJob"), "jobId" -> JString(job),
+      "partitionId" -> JString(pid),
+      "filenames" -> JArray(files.map(JString(_)).toList))
+    case StateTransaction.RemoveGCFiles(files) => JObject(
+      "txn" -> JString("removeGC"),
+      "filenames" -> JArray(files.map(JString(_)).toList))
+    case StateTransaction.Init =>
+      throw new IllegalStateException("Init commits as a full snapshot, never a log entry")
+  }
+
+  private[meta] def txnFromJson(text: String): StateTransaction = {
+    val m = JsonMethods.parse(text).asInstanceOf[JObject].obj.toMap
+    def str(k: String): String = m(k).asInstanceOf[JString].s
+    def strs(k: String): Vector[String] =
+      m(k).asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s).toVector
+    str("txn") match {
+      case "addFiles" =>
+        val refs = m("refs").asInstanceOf[JArray].arr.map(refFromJson).toVector
+        val wm = (m.get("app"), m.get("appVersion")) match {
+          case (Some(JString(a)), Some(JInt(v))) => Some(a -> v.toLong)
+          case _ => None
+        }
+        StateTransaction.AddFiles(refs, wm)
+      case "replaceFiles" =>
+        val out = m.get("output").collect { case o: JObject => refFromJson(o) }
+        val JInt(now) = m("nowMs"): @unchecked
+        StateTransaction.ReplaceFiles(str("partitionId"), strs("inputs"), out, now.toLong)
+      case "splitPartition" =>
+        val JInt(dim) = m("dimension"): @unchecked
+        StateTransaction.SplitPartition(str("parentId"), dim.toInt,
+          keyFromJson(m("splitPoint")), str("leftId"), str("rightId"))
+      case "splitFileRefs" => StateTransaction.SplitFileRefs
+      case "assignJob" =>
+        StateTransaction.AssignJob(str("jobId"), str("partitionId"), strs("filenames"))
+      case "removeGC" => StateTransaction.RemoveGCFiles(strs("filenames"))
+      case other => throw new IllegalArgumentException(s"unknown transaction type '$other'")
+    }
   }
 
   // ---- JSON codec (key values are tagged so Int/Long/String/bytes round-trip) ----

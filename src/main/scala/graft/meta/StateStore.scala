@@ -124,6 +124,12 @@ trait StateStore {
 /** In-memory single-writer implementation; also the base for the
   * JSON-persisted store. Thread-safe via coarse synchronization (the
   * reference serializes through its transaction log the same way).
+  *
+  * Every mutation is expressed as a [[StateTransaction]]: the mutator
+  * builds the transaction, applies it to the current state
+  * (preconditions included), and hands BOTH to `commit` — so a durable
+  * subclass can persist the O(changes) transaction instead of the
+  * O(table) snapshot, and replay it deterministically.
   */
 class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
     extends StateStore {
@@ -138,13 +144,22 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
   override def unreferencedFiles: Seq[GCEntry] = synchronized(gcQueue)
   override def lastTxnVersion(appId: String): Option[Long] = synchronized(txns.get(appId))
 
+  /** The current state as one immutable value (callers hold the lock). */
+  protected final def currentState: TableState = TableState(tree, refs, gcQueue, txns)
+
+  /** Apply a transaction and commit the result (callers hold the lock). */
+  protected final def runTxn(txn: StateTransaction): Unit =
+    commit(txn, txn.applyTo(currentState))
+
   /** Atomically install a candidate state. Mutators build the whole next
-    * state as locals and pass it here, so a failed persist (lost CAS in a
-    * durable subclass) leaves the in-memory fields untouched and the store
-    * usable for a retry — memory never diverges from disk.
+    * state as a local and pass it here WITH the transaction that produced
+    * it, so a failed persist (lost CAS in a durable subclass) leaves the
+    * in-memory fields untouched and the store usable for a retry —
+    * memory never diverges from disk.
     */
-  protected def commit(t: PartitionTree, r: Vector[FileReference],
-      g: Vector[GCEntry], x: Map[String, Long]): Unit = { tree = t; refs = r; gcQueue = g; txns = x }
+  protected def commit(txn: StateTransaction, next: TableState): Unit = {
+    tree = next.tree; refs = next.refs; gcQueue = next.gc; txns = next.txns
+  }
 
   /** Lost-CAS auto-retry, the reference's transaction-log model: a losing
     * writer's store reloads disk truth (JsonStateStore.commit), then the
@@ -182,91 +197,49 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
   }
 
   override def addFiles(newRefs: Seq[FileReference]): Unit = withRetry { synchronized {
-    newRefs.foreach { r =>
-      require(tree.partitions.exists(_.id == r.partitionId), s"unknown partition ${r.partitionId}")
-      require(!refs.exists(e => e.filename == r.filename && e.partitionId == r.partitionId),
-        s"${r.filename} already referenced in ${r.partitionId}")
-    }
-    commit(tree, refs ++ newRefs, gcQueue, txns)
+    runTxn(StateTransaction.AddFiles(newRefs.toVector))
   }}
 
   override def addFilesIfAbsent(appId: String, version: Long,
       newRefs: Seq[FileReference]): Boolean =
     withRetry { synchronized {
+      // the watermark check belongs to the MUTATOR, not the transaction:
+      // a transaction only reaches the log if it committed, so replay
+      // applies it unconditionally
       if (txns.get(appId).exists(_ >= version)) false
       else {
-        newRefs.foreach { r =>
-          require(tree.partitions.exists(_.id == r.partitionId), s"unknown partition ${r.partitionId}")
-          require(!refs.exists(e => e.filename == r.filename && e.partitionId == r.partitionId),
-            s"${r.filename} already referenced in ${r.partitionId}")
-        }
-        commit(tree, refs ++ newRefs, gcQueue, txns + (appId -> version))
+        runTxn(StateTransaction.AddFiles(newRefs.toVector, Some(appId -> version)))
         true
       }
     }}
 
   override def replaceFiles(partitionId: String, inputs: Seq[String], output: FileReference,
       nowMs: Long): Unit = withRetry { synchronized {
-    require(output.partitionId == partitionId, "output must belong to the compacted partition")
-    dropInputs(partitionId, inputs, Some(output), nowMs)
+    runTxn(StateTransaction.ReplaceFiles(partitionId, inputs.toVector, Some(output), nowMs))
   }}
 
   override def removeFiles(partitionId: String, inputs: Seq[String], nowMs: Long): Unit =
-    withRetry { synchronized { dropInputs(partitionId, inputs, None, nowMs) }}
-
-  /** Shared commit body of replaceFiles/removeFiles (callers hold the lock). */
-  private def dropInputs(partitionId: String, inputs: Seq[String],
-      output: Option[FileReference], nowMs: Long): Unit = {
-    inputs.foreach { f =>
-      require(refs.exists(r => r.filename == f && r.partitionId == partitionId),
-        s"input $f not referenced in $partitionId")
-    }
-    // capture each orphaned file's physical home BEFORE dropping its refs,
-    // so GC later deletes by direct path instead of scanning partition dirs
-    val homes: Map[String, String] =
-      refs.filter(r => inputs.contains(r.filename)).map(r => r.filename -> r.physicalPartitionId).toMap
-    val remaining = refs.filterNot(r => r.partitionId == partitionId && inputs.contains(r.filename))
-    val orphaned = inputs.filterNot(f => remaining.exists(_.filename == f))
-    // a compaction output rearranges rows the log already carries — mark
-    // it dataChange=false so the table-changes stream never re-emits them
-    commit(tree, remaining ++ output.map(_.copy(dataChange = false)),
-      gcQueue ++ orphaned.map(f => GCEntry(f, nowMs, homes.get(f))), txns)
-  }
+    withRetry { synchronized {
+      runTxn(StateTransaction.ReplaceFiles(partitionId, inputs.toVector, None, nowMs))
+    }}
 
   override def splitPartition(parentId: String, dimension: Int, splitPoint: Any,
       leftId: String, rightId: String): Unit = withRetry { synchronized {
-    commit(tree.addSplit(parentId, dimension, splitPoint, leftId, rightId), refs, gcQueue, txns)
+    runTxn(StateTransaction.SplitPartition(parentId, dimension, splitPoint, leftId, rightId))
   }}
 
   override def splitFileReferences(): Int = withRetry { synchronized {
-    val nonLeaf = refs.filter(r => !tree(r.partitionId).isLeaf)
-    var next = refs
-    nonLeaf.foreach { r =>
-      val children = tree(r.partitionId).childIds.map(tree(_))
-      val half = math.max(r.rowCount / 2, 1)
-      next = next.filterNot(_ == r) ++ children.map(c =>
-        FileReference(r.filename, c.id, half, r.jobId, Some(r.physicalPartitionId),
-          r.dataChange))
-    }
-    if (nonLeaf.nonEmpty) commit(tree, next, gcQueue, txns)
-    nonLeaf.size
+    val nonLeaf = refs.count(r => !tree(r.partitionId).isLeaf)
+    if (nonLeaf > 0) runTxn(StateTransaction.SplitFileRefs)
+    nonLeaf
   }}
 
   override def assignJob(jobId: String, partitionId: String, filenames: Seq[String]): Unit =
     withRetry { synchronized {
-      filenames.foreach { f =>
-        val r = refs.find(r => r.filename == f && r.partitionId == partitionId)
-          .getOrElse(throw new IllegalArgumentException(s"$f not referenced in $partitionId"))
-        require(r.jobId.isEmpty, s"$f already assigned to job ${r.jobId.get}")
-      }
-      commit(tree, refs.map { r =>
-        if (filenames.contains(r.filename) && r.partitionId == partitionId)
-          r.copy(jobId = Some(jobId))
-        else r
-      }, gcQueue, txns)
+      runTxn(StateTransaction.AssignJob(jobId, partitionId, filenames.toVector))
     }}
 
   override def removeGCFiles(filenames: Seq[String]): Unit = withRetry { synchronized {
-    commit(tree, refs, gcQueue.filterNot(e => filenames.contains(e.filename)), txns)
+    runTxn(StateTransaction.RemoveGCFiles(filenames.toVector))
   }}
 }

@@ -94,7 +94,7 @@ class HadoopStorageSpec extends AnyFunSuite {
       val dir = java.nio.file.Files.createTempDirectory("graft-husk").toString
       val store = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Nil))
       // simulate the fallback-writer crash: version 2 reserved but never filled
-      GraftFS.writeString(s"$dir/state-v2.json", "")
+      GraftFS.writeString(s"$dir/txn-v2.json", "")
       val t0 = System.currentTimeMillis()
       store.addFiles(Seq(FileReference("f1.parquet", store.partitionTree.leaves.head.id, 1L)))
       val elapsed = System.currentTimeMillis() - t0
@@ -102,7 +102,7 @@ class HadoopStorageSpec extends AnyFunSuite {
       assert(store.fileReferences.map(_.filename) == Seq("f1.parquet"))
       assert(elapsed >= 350, s"commit should have waited for the grace window, took ${elapsed}ms")
       assert(elapsed < 10000, s"commit must be bounded by the grace window, took ${elapsed}ms")
-      assert(GraftFS.exists(s"$dir/state-v2.json.corrupt") || !GraftFS.exists(s"$dir/state-v2.json"))
+      assert(GraftFS.exists(s"$dir/txn-v2.json.corrupt") || !GraftFS.exists(s"$dir/txn-v2.json"))
     } finally {
       if (prev == null) System.clearProperty("graft.state.quarantine.grace.ms")
       else System.setProperty("graft.state.quarantine.grace.ms", prev)

@@ -125,18 +125,85 @@ class StateStoreSpec extends AnyFunSuite {
     assert(JsonStateStore.load(dir).fileReferences.map(_.filename) == Seq("out"))
   }
 
-  test("version chain is pruned to the retention window") {
+  test("transaction log is pruned to the retention window; time travel inside it works") {
     val dir = Files.createTempDirectory("graft-prune").toString
     val s = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
     val Seq(l, _) = s.partitionTree.leaves.map(_.id).sorted
-    val n = JsonStateStore.RetainedVersions.toInt + 20
+    val n = JsonStateStore.RetainedVersions.toInt + 60 // enough commits to trigger pruning
     (0 until n).foreach(i => s.addFiles(Seq(FileReference(s"f$i", l, 1))))
-    val files = Files.list(java.nio.file.Paths.get(dir)).iterator()
-    var count = 0
-    while (files.hasNext) { if (files.next().getFileName.toString.startsWith("state-v")) count += 1 }
-    assert(count <= JsonStateStore.RetainedVersions + 3, s"chain not pruned: $count snapshots")
+    var snaps = 0; var txns = 0
+    Files.list(java.nio.file.Paths.get(dir)).iterator().forEachRemaining { p =>
+      val name = p.getFileName.toString
+      if (name.matches("state-v\\d+\\.json")) snaps += 1
+      if (name.matches("txn-v\\d+\\.json")) txns += 1
+    }
+    // snapshots are sparse (one per interval inside the retained window);
+    // the txn tail is bounded by retention + one interval
+    val bound = JsonStateStore.RetainedVersions + JsonStateStore.SnapshotInterval + 3
+    assert(snaps <= bound / JsonStateStore.SnapshotInterval + 2, s"too many snapshots: $snaps")
+    assert(txns <= bound, s"txn log not pruned: $txns entries")
     // latest state still loads with everything in it
-    assert(JsonStateStore.load(dir).fileReferences.size == n)
+    val loaded = JsonStateStore.load(dir)
+    assert(loaded.fileReferences.size == n)
+    assert(loaded.currentVersion == 1 + n)
+    // every version in the retention window reconstructs, snapshot or not
+    val head = loaded.currentVersion
+    val oldest = head - JsonStateStore.RetainedVersions
+    Seq(oldest, oldest + 7, head - 1, head).foreach { v =>
+      assert(JsonStateStore.loadAt(dir, v).fileReferences.size == v - 1, s"loadAt($v)")
+    }
+    // far older versions are pruned away
+    intercept[IllegalStateException](JsonStateStore.loadAt(dir, 2))
+  }
+
+  test("every transaction type replays identically from the log (mixed chain, sparse snapshots)") {
+    // force replay through MANY txn entries between snapshots
+    val prev = System.getProperty("graft.state.snapshot.interval")
+    System.setProperty("graft.state.snapshot.interval", "7")
+    try {
+      val dir = Files.createTempDirectory("graft-replay").toString
+      val schema2 = GraftSchema(
+        rowKeys = Seq(GraftField("k1", LongType), GraftField("k2", BinaryType)),
+        sortKeys = Seq(GraftField("s", IntegerType)),
+        values = Seq(GraftField("m", MapType(StringType, LongType), nullable = true)))
+      val s = JsonStateStore.create(dir, schema2, PartitionTree.single(schema2))
+      s.addFiles(Seq(FileReference("f1", "root", 10)))                       // v2 AddFiles
+      s.splitPartition("root", 0, 42L, "a", "b")                             // v3 SplitPartition(long)
+      s.splitFileReferences()                                                // v4 SplitFileRefs
+      s.assignJob("job-1", "a", Seq("f1"))                                   // v5 AssignJob
+      s.replaceFiles("a", Seq("f1"), FileReference("f2", "a", 5), nowMs = 99L) // v6 ReplaceFiles
+      assert(s.addFilesIfAbsent("stream-x", 3L, Seq(FileReference("f3", "b", 7)))) // v7 + watermark (snapshot lands)
+      s.splitPartition("b", 1, Array[Byte](1, 2), "b-a", "b-b")              // v8 SplitPartition(bytes)
+      s.splitFileReferences()                                                // v9 (f1, f3 -> both children)
+      s.removeFiles("b-a", Seq("f1"), nowMs = 123L)                          // v10 (f1 still in b-b)
+      s.removeFiles("b-b", Seq("f1"), nowMs = 456L)                          // v11 f1 orphaned -> GC
+      s.removeGCFiles(Seq("f1"))                                             // v12 RemoveGCFiles
+      assert(s.currentVersion == 12)
+
+      // cold load replays v8..v12 from the v7 snapshot
+      val loaded = JsonStateStore.load(dir)
+      assert(loaded.currentVersion == 12)
+      assert(loaded.schema == schema2)
+      // byte-array split points compare by identity — normalize for equality
+      def norm(p: graft.core.Partition) = (p.id, p.parentId, p.childIds, p.splitDimension,
+        p.splitPoint.map { case b: Array[Byte] => b.toSeq; case x => x })
+      assert(loaded.partitionTree.partitions.map(norm).toSet ==
+        s.partitionTree.partitions.map(norm).toSet)
+      assert(loaded.fileReferences.toSet == s.fileReferences.toSet)
+      assert(loaded.unreferencedFiles == s.unreferencedFiles)
+      assert(loaded.lastTxnVersion("stream-x").contains(3L))
+      assert(loaded.unreferencedFiles.isEmpty) // f1 GC'd away at v12
+      // time travel to versions with NO snapshot replays to exactly there;
+      // the GC nowMs survives replay exactly (recorded IN the transaction)
+      val at6 = JsonStateStore.loadAt(dir, 6)
+      assert(at6.fileReferences.map(_.filename).toSet == Set("f1", "f2"))
+      assert(at6.unreferencedFiles.isEmpty) // f1 still referenced in b at v6
+      val at11 = JsonStateStore.loadAt(dir, 11)
+      assert(at11.unreferencedFiles == Seq(GCEntry("f1", 456L, Some("root"))))
+    } finally {
+      if (prev == null) System.clearProperty("graft.state.snapshot.interval")
+      else System.setProperty("graft.state.snapshot.interval", prev)
+    }
   }
 
   test("removeFiles commits a pure removal and queues orphans with their home") {
@@ -271,7 +338,7 @@ class StateStoreSpec extends AnyFunSuite {
       val dir = Files.createTempDirectory("graft-noblock").toString
       val store = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
       val leaf = store.partitionTree.leaves.map(_.id).min
-      Files.createFile(java.nio.file.Paths.get(dir, "state-v2.json")) // unreadable rival
+      Files.createFile(java.nio.file.Paths.get(dir, "txn-v2.json")) // unreadable rival
       val writer = new Thread(() => {
         try store.addFiles(Seq(FileReference("f1", leaf, 1)))
         catch { case _: Throwable => () }
@@ -330,22 +397,25 @@ class StateStoreSpec extends AnyFunSuite {
       PartitionTree.fromSplitPoints(schema, Seq("m")), cas = Some(cas)) // v1
     val leaf = store.partitionTree.leaves.map(_.id).min
 
-    // simulate a writer that staged v2 and claimed it, then died before
-    // filling state-v2.json (the liveness hole a naive claim-then-upload
-    // protocol wedges on forever)
+    // simulate a writer that staged its v2 transaction and claimed it,
+    // then died before filling txn-v2.json (the liveness hole a naive
+    // claim-then-upload protocol wedges on forever)
     val uuid = "crashed-writer-uuid"
-    val v1 = java.nio.file.Paths.get(dir, "state-v1.json")
-    Files.copy(v1, java.nio.file.Paths.get(dir, s".staged-$uuid.json"))
-    Files.writeString(java.nio.file.Paths.get(coord, "state-v2.json.claim"), uuid)
-    assert(!Files.exists(java.nio.file.Paths.get(dir, "state-v2.json")))
+    val crashedTxn =
+      s"""{"txn":"addFiles","refs":[{"filename":"crashed","partitionId":"$leaf","rowCount":1,"dataChange":true}]}"""
+    Files.writeString(java.nio.file.Paths.get(dir, s".staged-$uuid.json"), crashedTxn)
+    Files.writeString(java.nio.file.Paths.get(coord, "txn-v2.json.claim"), uuid)
+    assert(!Files.exists(java.nio.file.Paths.get(dir, "txn-v2.json")))
 
-    // a live writer: loses the v2 claim, repairs the crashed fill, and
-    // lands its own transaction at v3 — nothing wedges, nothing is lost
+    // a live writer: loses the v2 claim, repairs the crashed fill (the
+    // crashed writer's transaction becomes visible), and lands its own
+    // transaction at v3 — nothing wedges, nothing is lost
     store.addFiles(Seq(FileReference("alive", leaf, 1)))
-    assert(Files.exists(java.nio.file.Paths.get(dir, "state-v2.json")), "crashed fill not repaired")
+    assert(Files.exists(java.nio.file.Paths.get(dir, "txn-v2.json")), "crashed fill not repaired")
     assert(store.currentVersion == 3)
+    assert(store.fileReferences.map(_.filename).toSet == Set("crashed", "alive"))
     val fin = JsonStateStore.load(dir, cas = Some(cas))
-    assert(fin.fileReferences.map(_.filename) == Seq("alive"))
+    assert(fin.fileReferences.map(_.filename).toSet == Set("crashed", "alive"))
   }
 
   test("casFor refuses rename-CAS on object-store schemes without an explicit CAS") {
