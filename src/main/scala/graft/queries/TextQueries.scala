@@ -565,7 +565,9 @@ object TextQueries {
         |),
         |bc AS (SELECT b, COUNT(*) AS c FROM bi GROUP BY 1),
         |cc AS (SELECT w1, COUNT(*) AS n FROM bi GROUP BY 1),
-        |v AS (SELECT COUNT(DISTINCT w) AS v FROM (SELECT unnest(ws) AS w FROM words))
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM (
+        |  SELECT string_split(b, ' ')[1] AS w FROM bc
+        |  UNION SELECT string_split(b, ' ')[2] AS w FROM bc))
         |SELECT bi.doc_id,
         |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |       ROUND(AVG(ln((bc.c + 0.5) / (cc.n + 0.5 * v.v))), 6) AS lm_score

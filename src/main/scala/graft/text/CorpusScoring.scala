@@ -59,6 +59,11 @@ object CorpusScoring {
     * strings so an independent engine replays exactly; at 100 TB the
     * join key would be a 128-bit span fingerprint instead (collision
     * odds ~n²/2¹²⁸), halving shuffle bytes without changing the shape.
+    * The exploded spans relation feeds the frequency aggregation AND
+    * both branches of the flag join, so it is persisted — hotSplit's
+    * own contract: one corpus scan materializes the spans, every later
+    * pass reads the cached blocks (spill-safe MEMORY_AND_DISK; the
+    * ContextCleaner reclaims them once the result is unreferenced).
     * The probe side is Zipf-skewed (boilerplate spans are exactly the
     * hot keys), so the flag join is
     * [[graft.operators.SkewJoin.hotSplit]]: the frequency table's head
@@ -70,6 +75,7 @@ object CorpusScoring {
     require(k >= 2, "a span needs at least 2 words")
     val spans = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(TextFunctions.shingleSet(col(textCol), k)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val freq = spans.groupBy("s").agg(count(lit(1)).as("d"))
     graft.operators.SkewJoin.hotSplit(spans, freq, "s", hotBy = col("d"))
       .groupBy(col(idCol))
@@ -84,7 +90,11 @@ object CorpusScoring {
     * bigram log-probability (higher = more corpus-typical; the tails are
     * boilerplate/garbage). `lm_score(d) = avg over bigram OCCURRENCES b
     * = (w1,w2) of ln((c(b)+α)/(c(w1·)+α·V))`, with c(w1·) the count of
-    * bigrams starting w1 and V the corpus vocabulary. Documents with
+    * bigrams starting w1 and V the model vocabulary — the distinct
+    * words OF THE BIGRAM TABLE (first ∪ last words), so V folds out of
+    * the tiny Zipf-bounded model instead of costing its own corpus
+    * scan (a word occurring only in 1-word documents never enters a
+    * bigram, so it rightly holds no smoothing mass). Documents with
     * fewer than two words carry no bigram and are excluded.
     *
     * Scale shape: bigram occurrences come from a one-pass codegen
@@ -120,9 +130,10 @@ object CorpusScoring {
     val model = bc.withColumn("w1", substring_index(col("b"), " ", 1))
       .join(cc, "w1")
       .select(col("b"), col("c"), col("n"))
-    // vocabulary = distinct words across the corpus (incl. 1-word docs)
-    val vDf = docs.filter(col(textCol).isNotNull)
-      .select(explode(word_ngrams(col(textCol), 1)).as("w"))
+    // vocabulary from the MODEL, not the corpus: distinct first ∪ last
+    // words of the bigram table (Zipf-bounded — no extra corpus scan)
+    val vDf = bc.select(substring_index(col("b"), " ", 1).as("w"))
+      .union(bc.select(substring_index(col("b"), " ", -1).as("w")))
       .agg(countDistinct(col("w")).as("__v"))
     graft.operators.SkewJoin.hotSplit(bi, model, "b", hotBy = col("c"))
       .crossJoin(broadcast(vDf))

@@ -82,13 +82,16 @@ class TextSignalsSpec extends AnyFunSuite {
 
   test("bigram LM score matches a hand-computed model; short docs excluded") {
     // corpus: "a b a b" (bigrams: a·b ×2, b·a ×1), "a b" (a·b ×1), "x" (none)
-    // counts: c(a b)=3, c(b a)=1; contexts: c(a·)=3, c(b·)=1; V=3 (a,b,x)
+    // counts: c(a b)=3, c(b a)=1; contexts: c(a·)=3, c(b·)=1; V=2 — the
+    // model vocabulary is the bigram table's words {a, b}: "x" occurs
+    // only as a 1-word doc, enters no bigram, and carries no smoothing
+    // mass (no corpus scan is spent counting it)
     val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
     val got = CorpusScoring.lmBigramScore(docs, "doc_id", "text")
       .orderBy("doc_id")
       .select("doc_id", "n_bigrams", "lm_score")
       .as[(Long, Long, Double)].collect()
-    val v = 3.0
+    val v = 2.0
     val pAB = math.log((3 + 0.5) / (3 + 0.5 * v)) // P(b|a)
     val pBA = math.log((1 + 0.5) / (1 + 0.5 * v)) // P(a|b)
     def r6(x: Double) = math.rint(x * 1e6) / 1e6
