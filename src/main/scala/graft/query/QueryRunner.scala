@@ -12,24 +12,30 @@ import graft.table.GraftTable
   * machine-readable status file, without linking against the library.
   *
   *   spark-submit --class graft.query.QueryRunner graft.jar \
-  *     <tableDir> <queryJson | @queryJsonFile> <outDir>
+  *     <tableDir> <queryJson | @queryJsonFile> <outDir> [trackerDir]
   *
   * Results land at `<outDir>/<queryId>/` (parquet, executor-parallel);
   * the terminal tracker state is written to
   * `<outDir>/<queryId>.status.json` and printed as the last stdout
   * line. Exit code 0 iff the query COMPLETED and delivery succeeded.
+  *
+  * With the optional `trackerDir`, the full QUEUED → IN_PROGRESS →
+  * terminal lifecycle also lands in a durable [[FileQueryTracker]]
+  * there, so a separate process (a polling client, a dashboard) watches
+  * the query LIVE across JVMs — the reference's DynamoDB query tracker
+  * role — instead of only reading the terminal status file afterwards.
   */
 object QueryRunner {
 
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
   def run(args: Array[String]): Int = {
-    if (args.length != 3) {
+    if (args.length < 3 || args.length > 4) {
       System.err.println(
-        "usage: QueryRunner <tableDir> <queryJson | @queryJsonFile> <outDir>")
+        "usage: QueryRunner <tableDir> <queryJson | @queryJsonFile> <outDir> [trackerDir]")
       return 2
     }
-    val Array(tableDir, queryArg, outDir) = args
+    val Array(tableDir, queryArg, outDir) = args.take(3)
     // Hadoop FS, not java.nio: both the query file and the results dir
     // may live on any scheme (file://, hdfs://, an object store)
     val json =
@@ -44,7 +50,9 @@ object QueryRunner {
     val q = GraftQuery.fromJson(json, table.schema)
     val queryId = queryIdOf(json)
 
-    val exec = new TrackedQueryExecutor(table)
+    val tracker: QueryTrackerStore =
+      if (args.length == 4) new FileQueryTracker(args(3)) else new InMemoryQueryTracker
+    val exec = new TrackedQueryExecutor(table, tracker)
     val info =
       try exec.publish(queryId, q, new FileResultsOutput(outDir))
       catch { case scala.util.control.NonFatal(_) =>
