@@ -299,6 +299,57 @@ object VectorFunctions {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/lists")
   }
 
+  /** Incrementally maintain a persisted [[buildIvfIndex]] index: assign
+    * the appended vectors to the EXISTING centroids and append them to
+    * the cell lists — no re-train, no touch of the resident lists
+    * (parquet append writes only the new files into each cell
+    * directory). This is how streaming ingest keeps the index fresh:
+    * appends are cheap and recall degrades only as far as the data
+    * actually drifts from the trained centroids, which
+    * [[ivfIndexStats]] watches — when cell-size skew crosses its bound,
+    * rebuild with [[buildIvfIndex]] (the reference pattern: FAISS-style
+    * IVF serves from a trained quantizer and re-trains out-of-band).
+    */
+  def appendToIvfIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = spark.read.parquet(s"$indexDir/centroids").orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    require(cents.nonEmpty, s"no centroids at $indexDir — build the index first")
+    val m = CentroidMatrix.normalized(cents)
+    newVectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", nearest_centroid(col("vec"), m))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/lists")
+  }
+
+  /** Index health for the re-train trigger: per-cell occupancy of the
+    * inverted lists (parquet footer counts — no vector decode). `skew`
+    * is max-cell over mean-cell across the TRAINED cell count (a cell
+    * every vector drifted away from still divides the mean), so a
+    * value near 1 means balanced lists and probe cost ≈
+    * nprobe/nCentroids of the corpus; a skewed value means appended
+    * data has outgrown the trained quantizer and queries probing the
+    * hot cell pay for it — rebuild when `needsRetrain` fires.
+    */
+  final case class IvfIndexStats(cells: Int, totalVectors: Long,
+      maxCell: Long, minCell: Long, skew: Double) {
+    def needsRetrain(maxSkew: Double = 4.0): Boolean = skew > maxSkew
+  }
+
+  def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): IvfIndexStats = {
+    import spark.implicits._
+    val k = spark.read.parquet(s"$indexDir/centroids").count().toInt
+    val sizes = spark.read.parquet(s"$indexDir/lists")
+      .groupBy("cell").count().select("count").as[Long].collect()
+    val total = sizes.sum
+    val maxC = if (sizes.isEmpty) 0L else sizes.max
+    // cells with no resident vectors count as empty lists
+    val minC = if (sizes.length < k) 0L else sizes.min
+    val mean = if (k == 0) 0.0 else total.toDouble / k
+    IvfIndexStats(k, total, maxC, minC, if (mean == 0) 0.0 else maxC / mean)
+  }
+
   /** Serve kNN from a persisted [[buildIvfIndex]] index: rank cells
     * against the tiny centroids table, then scan ONLY the `nprobe`
     * probed cell directories (partition-pruned) and exact-rescore.

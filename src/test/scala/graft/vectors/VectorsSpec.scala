@@ -164,6 +164,61 @@ class VectorsSpec extends AnyFunSuite {
       s"scan must touch exactly the probed cell dirs: $scannedCells vs $probed")
   }
 
+  test("incremental IVF append: recall@10 holds without rebuild; drift trips the re-train gate") {
+    val rnd = new Random(57)
+    val dim = 32
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    def near(c: Int, id: Long) =
+      id -> centers(c).map(x => (x + rnd.nextDouble() * 0.2 - 0.1).toFloat)
+    val initial = (0 until 8).flatMap(c => (0 until 30).map(i => near(c, c * 30 + i)))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivf-append").toString
+    VectorFunctions.buildIvfIndex(initial.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idx, nCentroids = 8)
+
+    // appended batch: same distribution, new ids — assigned to the
+    // EXISTING centroids, resident lists untouched
+    val appended = (0 until 8).flatMap(c => (0 until 10).map(i => near(c, 1000 + c * 10 + i)))
+    VectorFunctions.appendToIvfIndex(appended.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx)
+    val everything = initial ++ appended
+    assert(spark.read.parquet(s"$idx/lists").count() == everything.size)
+
+    // recall@10 over a 10-query panel vs brute force on the FULL corpus
+    // (old + appended), served from the appended index without rebuild
+    val all = everything.toDF("vec_id", "embedding")
+    val recalls = (0 until 10).map { qi =>
+      val qv = everything(rnd.nextInt(everything.size))._2
+        .map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      val queryDf = Seq(9999L -> qv).toDF("vec_id", "embedding")
+      val brute = VectorFunctions.knnBrute(all, "vec_id", "embedding",
+        queryDf, "embedding", k = 10).select("id").as[Long].collect().toSet
+      val served = VectorFunctions.knnIvfIndex(spark, idx, queryDf, "embedding",
+        k = 10, nprobe = 4).select("id").as[Long].collect().toSet
+      (brute intersect served).size.toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 after append $mean; per-query: $recalls")
+    // appended ids are actually servable (not just resident)
+    val qNew = Seq(8888L -> everything.find(_._1 == 1000L).get._2)
+      .toDF("vec_id", "embedding")
+    assert(VectorFunctions.knnIvfIndex(spark, idx, qNew, "embedding", k = 1, nprobe = 2)
+      .select("id").as[Long].head() == 1000L)
+
+    // balanced appends keep the gate quiet
+    val statsBefore = VectorFunctions.ivfIndexStats(spark, idx)
+    assert(statsBefore.cells == 8 && statsBefore.totalVectors == everything.size)
+    assert(!statsBefore.needsRetrain(), s"balanced index flagged: $statsBefore")
+
+    // drift: a flood of vectors all landing in one cell skews occupancy
+    // past the bound — the signal to re-train the quantizer
+    val flood = (0 until 400).map(i => near(3, 5000 + i))
+    VectorFunctions.appendToIvfIndex(flood.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx)
+    val statsAfter = VectorFunctions.ivfIndexStats(spark, idx)
+    assert(statsAfter.needsRetrain(), s"drifted index not flagged: $statsAfter")
+    assert(statsAfter.maxCell >= 400, s"flood cell not dominant: $statsAfter")
+  }
+
   test("trainKmeansCentroids is deterministic across runs") {
     val all = randomVectors(200, 32, seed = 41).toDF("vec_id", "embedding")
     val a = VectorFunctions.trainKmeansCentroids(all, "vec_id", "embedding", k = 8)
