@@ -1,0 +1,14 @@
+"""Thin Python client for the graft Spark analytics engine.
+
+Mirrors the reference system's Python client surface (exact-key and
+range queries against a table) over graft's out-of-process interchange:
+the client writes the query JSON, submits `graft.query.QueryRunner`
+via spark-submit, and reads back parquet results plus a machine-readable
+status file. No JVM linkage, no pyspark dependency — just subprocess +
+files (pyarrow, if installed, decodes result rows).
+"""
+
+from .query import Range, Region, Query
+from .client import GraftClient, QueryResult
+
+__all__ = ["Range", "Region", "Query", "GraftClient", "QueryResult"]
