@@ -34,11 +34,13 @@ object BenchScale {
     */
   def run(spark: SparkSession, sfDir: String, timeoutSec: Long): String = {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEAT", "2").toInt.max(1)
-    val passes = (1 to repeats).map(_ => runOnce(spark, sfDir, timeoutSec))
+    val passes = (1 to repeats).map(p => runOnce(spark, sfDir, timeoutSec, p))
     val merged = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // rows may be once-per-run (firstPassOnly), so guard on key presence
     passes.head.keys.filter(_.endsWith("_sec")).foreach { secKey =>
       val rateKey = secKey.stripSuffix("_sec") + "_rows_per_s"
-      val best = passes.filter(_(secKey) >= 0).sortBy(_(secKey)).headOption
+      val best = passes.filter(p => p.contains(secKey) && p(secKey) >= 0)
+        .sortBy(_(secKey)).headOption
       merged(secKey) = best.map(_(secKey)).getOrElse(-1)
       merged(rateKey) = best.map(_(rateKey)).getOrElse(-1)
     }
@@ -46,16 +48,29 @@ object BenchScale {
   }
 
   private def runOnce(spark: SparkSession, sfDir: String,
-      timeoutSec: Long): scala.collection.mutable.LinkedHashMap[String, Double] = {
+      timeoutSec: Long, pass: Int): scala.collection.mutable.LinkedHashMap[String, Double] = {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
-    def timed(name: String, rows: => Long)(body: => Unit): Unit = {
-      val t0 = System.nanoTime()
-      val ok = Verify.runBounded(spark, s"scale_$name", timeoutSec) { body }
-      val sec = (System.nanoTime() - t0) / 1e9
-      results(s"${name}_sec") = if (ok) math.rint(sec * 1000) / 1000 else -1
+    /** Best-of-`innerRepeats` within the pass: sub-second rows (the
+      * DSv2 scans) are JIT/GC-noise-bound at best-of-passes granularity
+      * — r7 booked a -43% "regression" on a 0.145s absolute delta —
+      * so cheap rows re-measure inside the pass and report the min.
+      */
+    def timed(name: String, rows: => Long, innerRepeats: Int = 1,
+        timeoutMult: Long = 1)(body: => Unit): Unit = {
+      var bestSec = Double.MaxValue
+      var ok = true
+      var i = 0
+      while (i < innerRepeats && ok) {
+        val t0 = System.nanoTime()
+        ok = Verify.runBounded(spark, s"scale_$name", timeoutSec * timeoutMult) { body }
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (ok) bestSec = math.min(bestSec, sec)
+        i += 1
+      }
+      results(s"${name}_sec") = if (ok) math.rint(bestSec * 1000) / 1000 else -1
       results(s"${name}_rows_per_s") =
-        if (ok && sec > 0) math.rint(rows / sec) else -1
+        if (ok && bestSec > 0) math.rint(rows / bestSec) else -1
     }
 
     // -- engine dataflows on x10 lineitem ------------------------------
@@ -88,11 +103,11 @@ object BenchScale {
       table.ingest(scaled.filter(col("l_linenumber") <= 2).drop("l_linenumber"))
       table.ingest(scaled.filter(col("l_linenumber") >= 3).drop("l_linenumber"))
     }
-    timed("dsv2_merge_scan_x10", totalRows) {
+    timed("dsv2_merge_scan_x10", totalRows, innerRepeats = 3) {
       spark.read.format("graft").load(dir).agg(sum("qty")).collect()
     }
     timed("compact_x10", totalRows) { table.compactAll() }
-    timed("dsv2_vector_scan_x10", totalRows) {
+    timed("dsv2_vector_scan_x10", totalRows, innerRepeats = 3) {
       spark.read.format("graft").load(dir).agg(sum("qty")).collect()
     }
     // Point lookup on the compacted x10 table (the reference's headline
@@ -205,6 +220,32 @@ object BenchScale {
       }
       timed("sf1_t16_spans", docRows10) {
         graft.text.CorpusScoring.duplicateSpans(docsSf1, "doc_id", "text").count()
+      }
+
+      // -- d5 past the driver union-find cap (verdict r7 #5) -----------
+      // The ×10 corpus keeps exact clones, which the pre-LSH exact
+      // collapse folds away — its pair graph stays under the 1M-edge
+      // driver cutover. This row makes every copy a NEAR-dup instead
+      // (a per-copy suffix token), so a ×30 corpus (~150k docs) forms
+      // ~30-member near-dup cliques whose pair graph exceeds the cap
+      // and the DISTRIBUTED pointer-jumping path is what gets measured
+      // (components() logs which path ran on stderr). Expensive by
+      // design → once per bench run, not per pass.
+      if (pass == 1) {
+        val NearFactor = 30
+        val docs30 = (0 until NearFactor).map(i =>
+            docsF.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+              concat(col("text"), lit(s" dupcopy$i")).as("text")))
+          .reduce(_ unionByName _)
+        val docRows30 = docsF.count() * NearFactor
+        docs30.write.parquet(s"$sf1Dir/documents30.parquet") // corpus prep, not timed
+        val d30 = spark.read.parquet(s"$sf1Dir/documents30.parquet")
+        // once per run and deliberately past the driver cutover: give
+        // it the long-row budget rather than the per-query one
+        timed("sf1x10_d5_cluster", docRows30, timeoutMult = 3) {
+          graft.dedup.Dedup.neardupDedup(d30, "doc_id", "text",
+            n = 2, threshold = 0.5).count()
+        }
       }
       graft.meta.GraftFS.deleteRecursive(sf1Dir)
     }

@@ -392,11 +392,18 @@ object Dedup {
     val integralIds = p.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
-    if (integralIds && driverLimit > 0 && p.count() <= driverLimit) {
+    val edgeCount = p.count()
+    if (integralIds && driverLimit > 0 && edgeCount <= driverLimit) {
+      // path marker for bench logs: which components engine ran is a
+      // scale question (driver union-find vs distributed jumping)
+      System.err.println(s"[graft] components: DRIVER union-find " +
+        s"($edgeCount edges <= limit $driverLimit)")
       val out = driverComponents(p)
       p.unpersist()
       return out
     }
+    System.err.println(s"[graft] components: DISTRIBUTED pointer-jumping " +
+      s"($edgeCount edges, limit $driverLimit)")
     // Eager localCheckpoint, NOT persist: labels feed the next round in
     // several places (neighbor join + pointer jump), so a cached-but-
     // lineage-carrying frame doubles the LOGICAL plan every round —
