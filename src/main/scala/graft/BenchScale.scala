@@ -222,15 +222,17 @@ object BenchScale {
         graft.text.CorpusScoring.duplicateSpans(docsSf1, "doc_id", "text").count()
       }
 
-      // -- d5 past the driver union-find cap (verdict r7 #5) -----------
+      // -- d5 on the distributed component path (verdict r7 #5) --------
       // The ×10 corpus keeps exact clones, which the pre-LSH exact
-      // collapse folds away — its pair graph stays under the 1M-edge
-      // driver cutover. This row makes every copy a NEAR-dup instead
-      // (a per-copy suffix token), so a ×30 corpus (~150k docs) forms
-      // ~30-member near-dup cliques whose pair graph exceeds the cap
-      // and the DISTRIBUTED pointer-jumping path is what gets measured
-      // (components() logs which path ran on stderr). Expensive by
-      // design → once per bench run, not per pass.
+      // collapse folds away. This row makes every copy a NEAR-dup
+      // instead (a per-copy suffix token): the base corpus's ~270-doc
+      // families become ~8,100-member cliques, whose ALL-PAIRS
+      // candidate volume (Σk² ≈ 1.9e9) used to fill the disk — the
+      // exact blowup minhashLshEdges's star mode exists for; it keeps
+      // the edge graph LINEAR (~255k edges), so driverLimit=0 forces
+      // the DISTRIBUTED pointer-jumping fixpoint that a 100-TB graph
+      // would take (components() logs which path ran on stderr).
+      // Expensive by design → once per bench run, not per pass.
       if (pass == 1) {
         val NearFactor = 30
         val docs30 = (0 until NearFactor).map(i =>
@@ -244,7 +246,7 @@ object BenchScale {
         // it the long-row budget rather than the per-query one
         timed("sf1x10_d5_cluster", docRows30, timeoutMult = 3) {
           graft.dedup.Dedup.neardupDedup(d30, "doc_id", "text",
-            n = 2, threshold = 0.5).count()
+            n = 2, threshold = 0.5, driverLimit = 0).count()
         }
       }
       graft.meta.GraftFS.deleteRecursive(sf1Dir)

@@ -131,7 +131,51 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 64,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000): DataFrame =
+    lshPairs(docs, idCol, textCol, n, threshold, numHashes, bands, maxBucket,
+      starLimit = Long.MaxValue)
+
+  /** Candidate-volume bound above which [[minhashLshEdges]] switches from
+    * all-pairs bucket enumeration to per-bucket star edges. 50M candidate
+    * rows is a ~1 GB distinct shuffle — comfortably cheap; the corpora
+    * that exceed it are the quadratic-blowup ones where all-pairs is tens
+    * of billions of rows.
+    */
+  val StarCandidateLimit: Long = 50L * 1000 * 1000
+
+  /** Connectivity-oriented LSH edges for CLUSTER dedup, adaptive in the
+    * candidate-volume dimension: identical to [[minhashLshPairs]] while
+    * Σ k·(k−1)/2 over kept buckets stays ≤ `starCandidateLimit`, and
+    * per-bucket STAR candidates above it — each bucket member links to
+    * the bucket's minimum id, O(k) rows per bucket instead of O(k²), the
+    * linear candidate generation published web-scale MinHash dedup
+    * pipelines use. A corpus whose near-dup families have thousands of
+    * members (boilerplate, templated pages) makes all-pairs enumeration
+    * Ω(family²) — ~10¹² rows for a 1M-member family at 100 TB — while its
+    * cluster closure is linear-sized; the star graph spans exactly that
+    * closure. Every star edge is verified by exact Jaccard like any other
+    * candidate, and the star edge set is a SUBSET of the all-pairs edge
+    * set (the hub shares the bucket with each member), so star-mode
+    * clusters are always a refinement of all-pairs clusters: never an
+    * over-merge, at worst a chain-shaped cluster splits where only an
+    * unverifiable hub link would have bridged it. Below the limit, the
+    * one departure from [[minhashLshPairs]] is that buckets OVER
+    * `maxBucket` are star-linked instead of dropped — linear cost, and
+    * they are exactly the giant boilerplate families cluster dedup
+    * exists to remove. Use this for cluster closure ([[neardupDedup]]);
+    * use [[minhashLshPairs]] when the product is the pair listing
+    * itself, which is inherently quadratic.
+    */
+  def minhashLshEdges(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 64,
+      maxBucket: Int = 10000,
+      starCandidateLimit: Long = StarCandidateLimit): DataFrame =
+    lshPairs(docs, idCol, textCol, n, threshold, numHashes, bands, maxBucket,
+      starLimit = starCandidateLimit)
+
+  private def lshPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, numHashes: Int, bands: Int,
+      maxBucket: Int, starLimit: Long): DataFrame = {
     val rows = numHashes / bands
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     // Duplication gate FIRST, over raw text hashes — no shingle work:
@@ -172,31 +216,104 @@ object Dedup {
     val sigs = withSets.select(col("id"),
       bandHashes(minhashSignature(col("sh"), numHashes), bands, rows).as("bh"))
     val buckets = sigs.select(col("id"), posexplode(col("bh")).as(Seq("band", "h")))
-    val smallBuckets = buckets.groupBy("band", "h")
-      .agg(count(lit(1)).as("__bc"))
-      .filter(col("__bc") <= maxBucket)
-      .select("band", "h")
-    val capped = buckets.join(smallBuckets, Seq("band", "h"))
-    val candidates = capped.as("a").join(capped.as("b"),
-        col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    val edgesMode = starLimit < Long.MaxValue
+
+    // Per-bucket star edges: every member links to the bucket's minimum
+    // id. One window shuffle, O(k) output per bucket, preserves the
+    // id_a < id_b invariant (the hub IS the minimum).
+    def starEdges(bk: DataFrame): DataFrame = {
+      val wBucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "h")
+      bk.withColumn("__hub", min(col("id")).over(wBucket))
+        .filter(col("id") =!= col("__hub"))
+        .select(col("__hub").as("id_a"), col("id").as("id_b"))
+    }
+
+    val candidates =
+      if (!edgesMode) {
+        // PAIR-LISTING MODE (minhashLshPairs): unchanged classic plan —
+        // oversize buckets dropped, all-pairs enumeration over the rest.
+        val smallBuckets = buckets.groupBy("band", "h")
+          .agg(count(lit(1)).as("__bc"))
+          .filter(col("__bc") <= maxBucket)
+          .select("band", "h")
+        val capped = buckets.join(smallBuckets, Seq("band", "h"))
+        capped.as("a").join(capped.as("b"),
+            col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+      } else {
+        // EDGES MODE: the strategy gate needs the EXACT candidate volume
+        // (the isDense precedent — approx wobble at the limit flips
+        // plans). Persisting the O(buckets) count relation means the
+        // gate's one extra action re-aggregates nothing, and the
+        // candidate join's filter side reads the persisted rows instead
+        // of re-evaluating the minhash lineage.
+        val bucketCounts = buckets.groupBy("band", "h")
+          .agg(count(lit(1)).as("__bc")).persist()
+        val volume = Option(
+            bucketCounts.filter(col("__bc") <= maxBucket)
+              .agg(sum(col("__bc") * (col("__bc") - lit(1L))).as("v"))
+              .head().get(0))
+          .map(_.asInstanceOf[Long] / 2).getOrElse(0L)
+        val star = volume > starLimit
+        if (star) {
+          // Quadratic blowup detected: star-link EVERY bucket — linear,
+          // so the oversize cap is unnecessary (and dropping giant
+          // buckets would drop exactly the boilerplate families cluster
+          // dedup most wants linked).
+          starEdges(buckets).distinct()
+        } else {
+          // Volume is cheap: all-pairs over in-cap buckets — identical
+          // to pair-listing mode — PLUS star edges for oversize buckets
+          // (which pair mode drops; O(k) makes them affordable here).
+          val small = buckets.join(
+            bucketCounts.filter(col("__bc") <= maxBucket).select("band", "h"),
+            Seq("band", "h"))
+          val over = buckets.join(
+            bucketCounts.filter(col("__bc") > maxBucket).select("band", "h"),
+            Seq("band", "h"))
+          val allPairs = small.as("a").join(small.as("b"),
+              col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
+                col("a.id") < col("b.id"))
+            .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          allPairs.unionByName(starEdges(over)).distinct()
+        }
+      }
     val repPairs = verifyJaccard(candidates, withSets, threshold)
     if (!collapse) return repPairs
 
-    // expand representatives back to members
     val members = groups.select(col("rep"), explode(col("ids")).as("member"))
-    val cross = repPairs
-      .join(members.select(col("rep").as("id_a"), col("member").as("m_a")), "id_a")
-      .join(members.select(col("rep").as("id_b"), col("member").as("m_b")), "id_b")
-      .select(least(col("m_a"), col("m_b")).as("id_a"),
-        greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
-    val within = members.as("x").join(members.as("y"),
-        col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
-      .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
-        lit(1.0).as("jaccard"))
-    cross.unionByName(within)
+    // Exact-clone groups are unbounded by maxBucket, so member expansion
+    // has its own quadratic dimension: Σ g·(g−1)/2 within-group pairs (a
+    // 1M-clone family = 5·10¹¹ rows). In edges mode, gate it by the same
+    // volume bound; the star expansion (rep→member 1.0-edges + rep-level
+    // verified pairs verbatim — reps ARE member ids, array_min(ids)) has
+    // identical connected components.
+    val withinVolume =
+      if (!edgesMode) 0L
+      else Option(groups
+          .agg(sum(size(col("ids")).cast("long") * (size(col("ids")) - lit(1))).as("v"))
+          .head().get(0))
+        .map(_.asInstanceOf[Long] / 2).getOrElse(0L)
+    if (edgesMode && withinVolume > starLimit) {
+      val within = members.filter(col("member") =!= col("rep"))
+        .select(col("rep").as("id_a"), col("member").as("id_b"),
+          lit(1.0).as("jaccard"))
+      repPairs.unionByName(within)
+    } else {
+      // expand representatives back to members
+      val cross = repPairs
+        .join(members.select(col("rep").as("id_a"), col("member").as("m_a")), "id_a")
+        .join(members.select(col("rep").as("id_b"), col("member").as("m_b")), "id_b")
+        .select(least(col("m_a"), col("m_b")).as("id_a"),
+          greatest(col("m_a"), col("m_b")).as("id_b"), col("jaccard"))
+      val within = members.as("x").join(members.as("y"),
+          col("x.rep") === col("y.rep") && col("x.member") < col("y.member"))
+        .select(col("x.member").as("id_a"), col("y.member").as("id_b"),
+          lit(1.0).as("jaccard"))
+      cross.unionByName(within)
+    }
   }
 
   /** Exact-Jaccard verification of candidate pairs, adaptive like
@@ -459,17 +576,20 @@ object Dedup {
     labels.select("id", "component")
   }
 
-  /** Cluster-level near-duplicate dedup: MinHash+LSH pairs → connected
-    * components → keep ONE representative (the smallest id) per cluster.
-    * This is what a training-data pipeline actually does with near-dup
-    * pairs — pairs alone over-remove (a—b, b—c would drop both b and c
-    * even though a and c may not match) — so the cluster closure is the
-    * unit of deduplication.
+  /** Cluster-level near-duplicate dedup: MinHash+LSH edges
+    * ([[minhashLshEdges]] — linear star candidates when bucket volume
+    * goes quadratic) → connected components → keep ONE representative
+    * (the smallest id) per cluster. This is what a training-data
+    * pipeline actually does with near-dup pairs — pairs alone
+    * over-remove (a—b, b—c would drop both b and c even though a and c
+    * may not match) — so the cluster closure is the unit of
+    * deduplication.
     */
   def neardupDedup(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double): DataFrame = {
-    val pairs = minhashLshPairs(docs, idCol, textCol, n, threshold)
-    val comp = components(pairs, "id_a", "id_b")
+      n: Int, threshold: Double,
+      driverLimit: Long = DriverGraphLimit): DataFrame = {
+    val pairs = minhashLshEdges(docs, idCol, textCol, n, threshold)
+    val comp = components(pairs, "id_a", "id_b", driverLimit = driverLimit)
     val losers = comp.filter(col("component") =!= col("id")).select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }

@@ -90,6 +90,59 @@ class DedupSpec extends AnyFunSuite {
     assert(survivors == Set(1L, 7L))
   }
 
+  // clique-shaped corpus: `fams` families of `k` near-identical members
+  // (shared base, one distinguishing suffix word each) plus singletons.
+  private def cliqueCorpus(fams: Int, k: Int) = {
+    val families = for (f <- 1 to fams; m <- 1 to k)
+      yield ((f * 100 + m).toLong,
+        s"family$f alpha beta gamma delta epsilon zeta eta theta member$m")
+    val singles = (1 to 5).map(i =>
+      (9000L + i, s"singleton$i completely unrelated words nothing shared$i here$i"))
+    (families ++ singles).toDF("id", "text")
+  }
+
+  private def clusterMap(edges: org.apache.spark.sql.DataFrame) =
+    Dedup.components(edges, "id_a", "id_b").as[(Long, Long)].collect().toMap
+
+  test("star-forced LSH edges cluster identically to all-pairs on clique families") {
+    val docs = cliqueCorpus(fams = 3, k = 8)
+    val allPairs = clusterMap(
+      Dedup.minhashLshPairs(docs, "id", "text", n = 2, threshold = 0.5))
+    // starCandidateLimit = 0 forces the linear star path on any volume
+    val star = clusterMap(
+      Dedup.minhashLshEdges(docs, "id", "text", n = 2, threshold = 0.5,
+        starCandidateLimit = 0L))
+    assert(star == allPairs && allPairs.nonEmpty)
+  }
+
+  test("edges mode star-links oversize buckets that pair mode drops") {
+    // maxBucket=1: EVERY shared bucket is oversize, so pair mode loses
+    // the 12-member family entirely — edges mode star-links the
+    // oversize buckets at O(k) and the family still clusters
+    val docs = cliqueCorpus(fams = 1, k = 12)
+    val pairs = Dedup.minhashLshPairs(docs, "id", "text",
+      n = 2, threshold = 0.5, maxBucket = 1)
+    assert(pairs.count() == 0)
+    val edges = Dedup.minhashLshEdges(docs, "id", "text",
+      n = 2, threshold = 0.5, maxBucket = 1)
+    val comp = clusterMap(edges)
+    assert((101L to 112L).forall(id => comp(id) == 101L))
+  }
+
+  test("star expansion of exact-clone groups preserves components") {
+    // exact clones trigger the pre-LSH collapse; starLimit=0 forces the
+    // star-shaped member expansion, which must cluster like the full one
+    val clones = for (f <- 1 to 3; c <- 1 to 6)
+      yield ((f * 1000 + c).toLong, s"clone family $f same text for every copy")
+    val docs = (clones ++ Seq((5000L, "one lonely unrelated document"))).toDF("id", "text")
+    val full = clusterMap(
+      Dedup.minhashLshPairs(docs, "id", "text", n = 2, threshold = 0.5))
+    val star = clusterMap(
+      Dedup.minhashLshEdges(docs, "id", "text", n = 2, threshold = 0.5,
+        starCandidateLimit = 0L))
+    assert(star == full && full.keySet == clones.map(_._1).toSet)
+  }
+
   test("simhash cap drops degenerate segment buckets instead of going quadratic") {
     // identical texts -> identical fingerprints -> every segment bucket
     // holds all docs; a cap below the doc count suppresses ALL candidate
