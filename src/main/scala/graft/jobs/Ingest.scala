@@ -53,8 +53,26 @@ final class Ingest(table: GraftTable) {
     val keyCols = schema.keyNames.map(col)
     val tagged = projected.withColumn("__gpart", tree.leafIdColumn)
     val numLeaves = tree.leaves.size
-    val sorted = tagged
-      .repartition(numLeaves, col("__gpart"))
+    // One sorted run per leaf caps BOTH parallelism (numLeaves tasks
+    // total — a 4-leaf table ingests on 4 of 32 cores) and sort memory
+    // (a 100 GB leaf must spill-sort inside one task). The LSM already
+    // treats N sorted runs per leaf as its normal state — that is what
+    // compaction merges — so big ingests salt each leaf into several
+    // sorted files: salt ~ cores/leaves for parallelism, floored by a
+    // per-run size target so small ingests keep one file per leaf
+    // (correctness-scale plans unchanged) and a many-leaf table at
+    // cluster scale salts only when leaves outgrow the sort budget.
+    val perLeafBytes = (projected.queryExecution.optimizedPlan.stats.sizeInBytes
+      / math.max(numLeaves, 1)).min(BigInt(Long.MaxValue)).toLong
+    val salt = Ingest.saltFor(perLeafBytes,
+      spark.sparkContext.defaultParallelism, numLeaves)
+    val saltKey = pmod(xxhash64(schema.rowKeyNames.map(col): _*), lit(salt))
+    // 2× partition slack: repartition-by-expression HASHES (leaf, salt)
+    // combos into slots, and at slots == combos the birthday collisions
+    // idle ~1/e of the cores; doubling the slot count (empty tasks are
+    // ~free) cuts expected collisions without changing file granularity.
+    val sorted = (if (salt == 1) tagged.repartition(numLeaves, col("__gpart"))
+      else tagged.repartition(2 * numLeaves * salt, col("__gpart"), saltKey))
       .sortWithinPartitions(col("__gpart") +: keyCols: _*)
 
     // Write to a job-scoped temp dir, then move files into their
@@ -128,4 +146,31 @@ final class Ingest(table: GraftTable) {
     val reader = ParquetFileReader.open(in)
     try reader.getRecordCount finally reader.close()
   }
+}
+
+object Ingest {
+  /** Leaves whose estimated share of the input is below this stay one
+    * sorted run — salting a small ingest would litter the LSM with tiny
+    * files that compaction then has to fold for no parallelism gain.
+    * The estimate is COMPRESSED scan bytes (Catalyst stats), which
+    * understates sort CPU on narrow columnar data by ~10×: 1 MB
+    * compressed is already ~10⁵–10⁶ rows of per-task sort+encode work,
+    * well worth spreading across cores.
+    */
+  val MinSaltedLeafBytes: Long = 1L * 1024 * 1024
+  /** Sort-budget ceiling per written run (estimated input bytes): leaves
+    * larger than this are salted even on a fully-busy cluster, bounding
+    * per-task spill-sort volume at 100-TB leaf sizes.
+    */
+  val MaxRunBytes: Long = 256L * 1024 * 1024
+
+  /** Sorted runs per leaf for an ingest: 1 below the small-leaf floor,
+    * else enough to use the cores AND keep each run's sort under the
+    * spill budget.
+    */
+  def saltFor(perLeafBytes: Long, cpus: Int, numLeaves: Int): Int =
+    if (perLeafBytes < MinSaltedLeafBytes) 1
+    else math.max(
+      math.ceil(cpus.toDouble / math.max(numLeaves, 1)).toInt,
+      math.ceil(perLeafBytes.toDouble / MaxRunBytes).toInt)
 }

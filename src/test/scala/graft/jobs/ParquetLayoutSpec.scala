@@ -44,7 +44,13 @@ class ParquetLayoutSpec extends AnyFunSuite {
 
   test("ingest writes small row groups with dictionary keys and plain values") {
     val dir = tmp()
-    val table = GraftTable.create(spark, dir, schema)
+    // Split points ABOVE every generated key: 4 leaves keep the salt
+    // sizing at one run (estimate/leaves < cores-worth) while all rows
+    // land in leaf 0 as ONE big file — the multi-row-group layout needs
+    // a single file larger than the 8 MB group target (the salted
+    // multi-run path is covered by TableLifecycleSpec).
+    val table = GraftTable.create(spark, dir, schema,
+      splitPoints = Seq("z1", "z2", "z3"))
     // ~26 MB incompressible: 200k rows x 128 B (repetitive keys so the
     // dictionary encoder is actually exercised; unique sort keys)
     table.ingest((0 until 200000).map(i =>

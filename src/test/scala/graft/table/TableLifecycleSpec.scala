@@ -46,6 +46,40 @@ class TableLifecycleSpec extends AnyFunSuite {
     assert(table.query(q).select("key").as[String].collect().toSeq == Seq("apple"))
   }
 
+  test("salt sizing: small leaves stay one run; big leaves use cores and cap run size") {
+    import graft.jobs.Ingest
+    assert(Ingest.saltFor(Ingest.MinSaltedLeafBytes - 1, cpus = 32, numLeaves = 4) == 1)
+    assert(Ingest.saltFor(2L * 1024 * 1024, cpus = 32, numLeaves = 4) == 8)
+    assert(Ingest.saltFor(2L * 1024 * 1024, cpus = 32, numLeaves = 64) == 1)
+    // spill bound dominates when leaves outgrow it even on a busy cluster
+    assert(Ingest.saltFor(10L * Ingest.MaxRunBytes, cpus = 32, numLeaves = 64) == 10)
+  }
+
+  test("a salted ingest writes several sorted runs per leaf and queries/aggregates exactly") {
+    // big enough that the Catalyst size estimate exceeds the per-leaf
+    // salt floor — the ingest must split each leaf into multiple sorted
+    // runs (cores > leaves) and remain result-identical
+    val table = GraftTable.create(spark, tmp(), schema, splitPoints = Seq("m"),
+      config = aggConfig)
+    val n = 200000
+    val src = spark.range(n.toLong).selectExpr(
+      "format_string('k%07d', id % 50000) AS key",
+      "CAST(1 AS LONG) AS ts",
+      "CAST(1 AS LONG) AS count",
+      "map('x', id) AS m")
+    val refs = table.ingest(src)
+    val runsPerLeaf = refs.groupBy(_.partitionId).map(_._2.size)
+    assert(runsPerLeaf.forall(_ > 1), s"expected salted runs, got $runsPerLeaf")
+    refs.foreach(r => assert(graft.meta.SketchSidecar.exists(table.pathOf(r))))
+    // the continual aggregation view must merge key-equal rows across
+    // ALL of a leaf's runs: 50k distinct keys, count = 4 each — any
+    // unsorted run or missed merge breaks one of these
+    val agg = table.toDF.selectExpr("count(*) AS rows", "sum(count) AS total").head()
+    assert(agg.getLong(0) == 50000L && agg.getLong(1) == n.toLong)
+    val q = GraftQuery.forRegions(Region(KeyRange.minMax("key", "k0000000", "k0000010")))
+    assert(table.query(q).count() == 10L)
+  }
+
   test("query applies persistent aggregation before results (continual aggregation view)") {
     val table = GraftTable.create(spark, tmp(), schema, config = aggConfig)
     table.ingest(batch(("a", 1L, 2L, Map("x" -> 1L))))
