@@ -6,7 +6,7 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.functions.RollingHash.rolling_hash
 import graft.functions.BpeExpressions.bpe_token_count
-import graft.text.{Bpe, CorpusScoring, TextFunctions}
+import graft.text.{Bpe, CorpusScoring, MixtureSampling, TextFunctions}
 
 /** Training-data text pipeline: deduplication (exact, n-gram Jaccard,
   * MinHash+LSH, SimHash), language-ID, quality scoring, token counting,
@@ -385,6 +385,36 @@ object TextQueries {
           TextFunctions.redactPii(aug).as("redacted"),
           counts("n_emails").as("n_emails"),
           counts("n_phones").as("n_phones"))
+        .orderBy("doc_id")
+    },
+
+    // T17 — token-BUDGET mixture sampling: each source cut to a target
+    // token count in deterministic hash order (the "blend sources to a
+    // mixture" recipe). The oracle is the naive per-domain running-sum
+    // window; the engine's two-phase bucket-histogram plan must match it
+    // doc-for-doc while never sorting a whole domain in one reducer.
+    "t17_mixture" -> withOracle(
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS ntok,
+        |         (doc_id * 2654435761) % 1000000007 AS h,
+        |         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 800
+        |              WHEN source IN ('src5','src6','src7','src8','src9') THEN 400
+        |              ELSE 200 END AS budget
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, ntok, budget,
+        |         SUM(ntok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |                         ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT doc_id, source, ntok AS tokens FROM c WHERE cum <= budget
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val budgets = ((0 to 4).map("src" + _ -> 800L) ++
+        (5 to 9).map("src" + _ -> 400L) ++
+        (10 to 19).map("src" + _ -> 200L)).toMap
+      MixtureSampling.sampleToBudget(t(s, dir, "documents"), "doc_id", "source",
+        size(TextFunctions.tokens(col("text"))), budgets)
         .orderBy("doc_id")
     },
 
