@@ -245,12 +245,13 @@ object Dedup {
       } else {
         // EDGES MODE: the strategy gate needs the EXACT candidate volume
         // (the isDense precedent — approx wobble at the limit flips
-        // plans). Persisting the O(buckets) count relation means the
-        // gate's one extra action re-aggregates nothing, and the
-        // candidate join's filter side reads the persisted rows instead
-        // of re-evaluating the minhash lineage.
-        val bucketCounts = buckets.groupBy("band", "h")
-          .agg(count(lit(1)).as("__bc")).persist()
+        // plans), which costs one extra action. Persist the bucket
+        // relation itself — (id, band, h), ~20 B × docs × bands — so the
+        // gate, the cap filter, and both candidate-join sides read the
+        // persisted rows instead of re-evaluating the shingle+minhash
+        // lineage (the expensive subplan) once per consumer.
+        val bk = buckets.persist()
+        val bucketCounts = bk.groupBy("band", "h").agg(count(lit(1)).as("__bc"))
         val volume = Option(
             bucketCounts.filter(col("__bc") <= maxBucket)
               .agg(sum(col("__bc") * (col("__bc") - lit(1L))).as("v"))
@@ -262,15 +263,15 @@ object Dedup {
           // so the oversize cap is unnecessary (and dropping giant
           // buckets would drop exactly the boilerplate families cluster
           // dedup most wants linked).
-          starEdges(buckets).distinct()
+          starEdges(bk).distinct()
         } else {
           // Volume is cheap: all-pairs over in-cap buckets — identical
           // to pair-listing mode — PLUS star edges for oversize buckets
           // (which pair mode drops; O(k) makes them affordable here).
-          val small = buckets.join(
+          val small = bk.join(
             bucketCounts.filter(col("__bc") <= maxBucket).select("band", "h"),
             Seq("band", "h"))
-          val over = buckets.join(
+          val over = bk.join(
             bucketCounts.filter(col("__bc") > maxBucket).select("band", "h"),
             Seq("band", "h"))
           val allPairs = small.as("a").join(small.as("b"),
