@@ -1,0 +1,319 @@
+package graft.functions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass mergeable frequency/cardinality sketches — the corpus
+  * profiling tools a 100-TB pipeline runs before it plans: a KMV
+  * distinct-count sketch (how many distinct keys will this join/agg
+  * shuffle?) and a Misra-Gries heavy-hitters sketch (WHICH keys are the
+  * Zipf head — the input [[graft.operators.SkewJoin.hotSplit]] wants).
+  * Both are `TypedImperativeAggregate`s, so partials combine map-side
+  * and merge across partitions without collecting rows — the same
+  * Catalyst shape as [[QuantileSketchAgg]], which mirrors the
+  * reference's mergeable per-file quantile sketches
+  * (reference: java/common/sketches/.../Sketches.java:35-95).
+  *
+  * Both are EXACT below capacity (no compaction ever triggers), which is
+  * what makes them oracle-checkable at test scale while the estimator
+  * semantics carry to 100 TB.
+  */
+object FrequencySketches {
+
+  /** Catalyst-value hash for the supported key types, fixed seed so
+    * partials from different partitions agree.
+    */
+  private[functions] def hashValue(v: Any, seed: Long): Long = v match {
+    case i: Int => XXH64.hashInt(i, seed)
+    case l: Long => XXH64.hashLong(l, seed)
+    case s: UTF8String => XXH64.hashUTF8String(s, seed)
+    case other => throw new IllegalArgumentException(
+      s"unsupported sketch key ${other.getClass.getName}")
+  }
+
+  private[functions] def checkKeyType(e: Expression, name: String)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    e.dataType match {
+      case IntegerType | LongType | StringType => TypeCheckSuccess
+      case t => TypeCheckFailure(s"$name supports int/bigint/string keys, got ${t.sql}")
+    }
+  }
+
+  def kmv_distinct(c: Column, k: Int = 4096): Column =
+    bridge.column(KmvDistinctAgg(bridge.expression(c), k).toAggregateExpression())
+
+  def heavy_hitters(c: Column, capacity: Int = 4096): Column =
+    bridge.column(HeavyHittersAgg(bridge.expression(c), capacity).toAggregateExpression())
+}
+
+/** KMV buffer: the `k` smallest (unsigned) 64-bit hashes seen. */
+final class KmvBuffer(val k: Int) extends Serializable {
+  val set = new java.util.TreeSet[java.lang.Long](
+    (a: java.lang.Long, b: java.lang.Long) => java.lang.Long.compareUnsigned(a, b))
+
+  def add(h: Long): Unit = {
+    if (set.size < k) { set.add(h); () }
+    else if (java.lang.Long.compareUnsigned(h, set.last()) < 0) {
+      if (set.add(h)) set.pollLast()
+      ()
+    }
+  }
+
+  /** Exact size below capacity; the KMV estimator (k−1)/u(kth-min) at
+    * capacity (Bar-Yossef '02 / Beyer '07 — the unbiased variant).
+    */
+  def estimate: Long =
+    if (set.size < k) set.size.toLong
+    else {
+      // kth smallest unsigned hash mapped to (0, 1): top 53 bits scaled
+      val kth = set.last()
+      val frac = (kth >>> 11).toDouble * (1.0 / (1L << 53).toDouble)
+      if (frac <= 0.0) set.size.toLong else math.round((k - 1).toDouble / frac)
+    }
+}
+
+/** `kmv_distinct(key, k)`: mergeable distinct-count — exact below `k`
+  * distinct keys, the (k−1)/u(k-th min hash) KMV estimate past it
+  * (relative error ~1/sqrt(k−2), ~1.6% at the default k=4096).
+  */
+case class KmvDistinctAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  require(k >= 16, s"kmv_distinct needs k >= 16, got $k")
+  private val Seed = 0x9E3779B97F4A7C15L
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    FrequencySketches.checkKeyType(child, prettyName)
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(FrequencySketches.hashValue(v, Seed))
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    val it = other.set.iterator()
+    while (it.hasNext) buf.add(it.next())
+    buf
+  }
+
+  override def eval(buf: KmvBuffer): Any = buf.estimate
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.set.size)
+    val it = buf.set.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new KmvBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.set.add(in.readLong()); i += 1 }
+    buf
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_distinct"
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvDistinctAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvDistinctAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinctAgg =
+    copy(child = newChild)
+}
+
+/** Misra-Gries buffer: key → count, compacted to `capacity` survivors by
+  * subtracting the (capacity+1)-th largest count (the mergeable-summary
+  * reduction of Agarwal '13). Keys are Int / Long / String (JVM String,
+  * copied out of any UTF8String so no buffer aliasing).
+  */
+final class MgBuffer(val capacity: Int) extends Serializable {
+  val counts = new java.util.HashMap[Any, Long]()
+
+  private def keyOf(v: Any): Any = v match {
+    case s: UTF8String => s.toString // copy: the input row buffer is reused
+    case other => other
+  }
+
+  def add(v: Any, n: Long): Unit = {
+    val k = keyOf(v)
+    counts.merge(k, n, (a: Long, b: Long) => a + b)
+    // compact lazily at 2× so updates amortize O(1): each compaction
+    // removes at least `capacity` entries, paid for by the >= capacity
+    // inserts that grew the map past the bound
+    if (counts.size > 2 * capacity) compact()
+  }
+
+  def mergeFrom(other: MgBuffer): Unit = {
+    val it = other.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      counts.merge(e.getKey, e.getValue, (a: Long, b: Long) => a + b)
+    }
+    if (counts.size > capacity) compact()
+  }
+
+  /** Subtract the (capacity+1)-th largest count from everyone, drop the
+    * non-positive — at most `capacity` survive, and every unit removed
+    * from a surviving key is matched across > capacity keys, preserving
+    * the MG undercount bound (error <= total/(capacity+1)).
+    */
+  def compact(): Unit = {
+    if (counts.size <= capacity) return
+    val vals = new Array[Long](counts.size)
+    var i = 0
+    val vit = counts.values().iterator()
+    while (vit.hasNext) { vals(i) = vit.next(); i += 1 }
+    java.util.Arrays.sort(vals)
+    val sub = vals(vals.length - capacity - 1) // (capacity+1)-th largest
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val left = e.getValue - sub
+      if (left <= 0) it.remove() else e.setValue(left)
+    }
+  }
+}
+
+/** `heavy_hitters(key, capacity)`: mergeable Misra-Gries top-keys sketch.
+  * Exact counts while distinct keys <= capacity (no compaction ever
+  * fires); past it, surviving counts undercount by at most
+  * total/(capacity+1) — any key with frequency above that bound is
+  * guaranteed present. Returns array<struct<item, count>> sorted by
+  * (count desc, item asc); callers slice the head they need — e.g. the
+  * hot-key list [[graft.operators.SkewJoin.hotSplit]] broadcasts.
+  */
+case class HeavyHittersAgg(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[MgBuffer] with UnaryLike[Expression] {
+
+  require(capacity >= 1, s"heavy_hitters needs capacity >= 1, got $capacity")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    FrequencySketches.checkKeyType(child, prettyName)
+
+  override def createAggregationBuffer(): MgBuffer = new MgBuffer(capacity)
+
+  override def update(buf: MgBuffer, input: InternalRow): MgBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(v, 1L)
+    buf
+  }
+
+  override def merge(buf: MgBuffer, other: MgBuffer): MgBuffer = {
+    buf.mergeFrom(other)
+    buf
+  }
+
+  /** (item, count) rows, count desc then item asc — a total order, so
+    * engines agree on any LIMIT prefix.
+    */
+  override def eval(buf: MgBuffer): Any = {
+    val ord: Ordering[(Any, Long)] = new Ordering[(Any, Long)] {
+      def compare(a: (Any, Long), b: (Any, Long)): Int = {
+        val byCount = java.lang.Long.compare(b._2, a._2)
+        if (byCount != 0) byCount
+        else (a._1, b._1) match {
+          case (x: Int, y: Int) => Integer.compare(x, y)
+          case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+          case (x: String, y: String) => x.compareTo(y)
+          case _ => 0
+        }
+      }
+    }
+    val entries = new scala.collection.mutable.ArrayBuffer[(Any, Long)](buf.counts.size)
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); entries += ((e.getKey, e.getValue)) }
+    val sorted = entries.sortInPlace()(ord)
+    new GenericArrayData(sorted.map { case (item, n) =>
+      val catalystItem = item match {
+        case s: String => UTF8String.fromString(s)
+        case other => other
+      }
+      InternalRow(catalystItem, n)
+    }.toArray[Any])
+  }
+
+  override def serialize(buf: MgBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.capacity)
+    out.writeInt(buf.counts.size)
+    val it = buf.counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      e.getKey match {
+        case i: Int => out.writeByte(0); out.writeInt(i)
+        case l: Long => out.writeByte(1); out.writeLong(l)
+        case s: String => out.writeByte(2)
+          val b = s.getBytes("UTF-8"); out.writeInt(b.length); out.write(b)
+        case other => throw new IllegalStateException(s"unreachable key $other")
+      }
+      out.writeLong(e.getValue)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): MgBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new MgBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val key: Any = in.readByte() match {
+        case 0 => in.readInt()
+        case 1 => in.readLong()
+        case 2 =>
+          val len = in.readInt(); val b = new Array[Byte](len)
+          in.readFully(b); new String(b, "UTF-8")
+        case other => throw new IllegalStateException(s"bad key tag $other")
+      }
+      buf.counts.put(key, in.readLong())
+      i += 1
+    }
+    buf
+  }
+
+  override def dataType: DataType =
+    ArrayType(StructType(Seq(
+      StructField("item", child.dataType, nullable = false),
+      StructField("count", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "heavy_hitters"
+
+  override def withNewMutableAggBufferOffset(offset: Int): HeavyHittersAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HeavyHittersAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HeavyHittersAgg =
+    copy(child = newChild)
+}

@@ -108,6 +108,43 @@ object EngineQueries {
         .agg(QuantileSketchAgg.sketch_agg(col("q")).as("sk"))
         .select(col("lang"), medianUdf(col("sk")).as("median_chars"))
         .orderBy("lang")
+    },
+
+    // A8 — mergeable KMV distinct-count sketch, grouped: distinct parts
+    // per return flag in ONE pass (no distinct shuffle — partial sketch
+    // buffers merge map-side). Below the k=4096 capacity the sketch is
+    // exact, so the oracle is plain COUNT(DISTINCT); the estimator
+    // regime past capacity (the 100-TB case: pre-sizing a join's key
+    // space without paying a shuffle for it) is gated in
+    // FrequencySketchesSpec (relative error ~1/sqrt(k)).
+    "a8_distinct_sketch" -> withOracle(
+      """SELECT l_returnflag AS flag,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY flag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(graft.functions.FrequencySketches.kmv_distinct(col("l_partkey")).as("nd"))
+        .orderBy("flag")
+    },
+
+    // A9 — mergeable Misra-Gries heavy hitters: the Zipf head of
+    // lineitem's supplier key in ONE pass — the hot-key list
+    // SkewJoin.hotSplit broadcasts, computed without a full groupBy
+    // shuffle (only O(partitions × capacity) sketch partials move).
+    // Below capacity the counts are exact, so the oracle is the plain
+    // GROUP BY top-10 under the same (count desc, key asc) total order.
+    "a9_heavy_hitters" -> withOracle(
+      """SELECT l_suppkey, CAST(cnt AS BIGINT) AS cnt
+        |FROM (SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1)
+        |ORDER BY cnt DESC, l_suppkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(graft.functions.FrequencySketches.heavy_hitters(col("l_suppkey")).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("l_suppkey"), col("e.count").as("cnt"))
+        .limit(10)
     }
   )
 }

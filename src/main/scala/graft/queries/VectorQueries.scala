@@ -19,6 +19,10 @@ object VectorQueries {
   private val trainedCentroids =
     new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
+  /** Per-JVM memo of the trained PQ codebooks, keyed by sf dir. */
+  private val trainedCodebooks =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.PqCodebooks]()
+
   val defs: Map[String, QueryDef] = Map(
 
     // V1 — exact brute-force cosine top-k for the vec_id=0 query vector.
@@ -124,6 +128,41 @@ object VectorQueries {
       VectorFunctions.knnIvfTrained(
           e.filter(col("vec_id") =!= 7), "vec_id", "embedding",
           e.filter(col("vec_id") === 7), "embedding", k = 5, cents, nprobe = 6)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
+    },
+
+    // V6 — product-quantization kNN (Jégou '11): the corpus compresses
+    // to m=16 one-byte codes per 64-dim vector (16×), the query scores
+    // every code row with 16 table lookups (ADC), and the rerank-best
+    // candidates are exact-rescored. Trained codebooks cannot be
+    // replayed in SQL, so — the v4 playbook — the oracle is the EXACT
+    // brute-force top-k: the row passes only when PQ+rerank achieves
+    // perfect recall on this pinned query (vec_id=11, k=5, rerank=64 —
+    // exact there with margin: a 5-query-id probe was exact at rerank=64
+    // everywhere, and 3 of 5 ids already exact at rerank=32; VectorsSpec
+    // replays this gate and additionally gates mean recall@10 >= 0.9
+    // over a 20-query panel on clustered data).
+    "v6_knn_pq" -> withOracle(
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 11
+        |), scored AS (
+        |  SELECT vec_id,
+        |         list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 11
+        |)
+        |SELECT vec_id, ROUND(sim, 6) AS sim_r
+        |FROM scored
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 5""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cb = trainedCodebooks.computeIfAbsent(dir, { _ =>
+        VectorFunctions.trainPqCodebooks(
+          e.filter(col("vec_id") =!= 11), "vec_id", "embedding", m = 16, ksub = 16)
+      })
+      VectorFunctions.knnPq(
+          e.filter(col("vec_id") =!= 11), "vec_id", "embedding",
+          e.filter(col("vec_id") === 11), "embedding", k = 5, cb, rerank = 64)
         .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
     },
 

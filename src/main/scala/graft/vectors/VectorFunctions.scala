@@ -446,6 +446,194 @@ object VectorFunctions {
       .filter(col("sim") >= threshold)
   }
 
+  /** Plain-L2 driver-side k-means for PQ sub-codebooks: deterministic
+    * maximin init (first center = the point with max L2 norm, each next
+    * = the point farthest from its nearest chosen center; ties toward
+    * the lowest index — no RNG, so reruns agree), then Lloyd. Unlike
+    * [[localKmeans]] these points are NOT unit vectors (they are d/m-dim
+    * subvectors of unit vectors), so cost is squared euclidean and means
+    * are not re-normalized.
+    */
+  private def localKmeansL2(points: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    val kk = math.min(k, n)
+    val dim = points.head.length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = new Array[Int](kk)
+    chosen(0) = points.indices.maxBy(i => (dotD(points(i), points(i)), -i))
+    val minCost = Array.fill(n)(Double.MaxValue)
+    var c = 0
+    while (c + 1 < kk) {
+      var i = 0
+      while (i < n) {
+        val d = dist2(points(i), points(chosen(c)))
+        if (d < minCost(i)) minCost(i) = d
+        i += 1
+      }
+      var best = 0; var bestScore = -1.0
+      i = 0
+      while (i < n) {
+        if (minCost(i) > bestScore) { bestScore = minCost(i); best = i }
+        i += 1
+      }
+      chosen(c + 1) = best
+      c += 1
+    }
+    var cents = chosen.map(points(_).clone())
+    var it = 0
+    var moved = true
+    while (it < iters && moved) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val tot = new Array[Long](kk)
+      var i = 0
+      while (i < n) {
+        var best = 0; var bd = Double.MaxValue
+        var j = 0
+        while (j < kk) {
+          val d = dist2(points(i), cents(j))
+          if (d < bd) { bd = d; best = j }
+          j += 1
+        }
+        var p = 0
+        while (p < dim) { sums(best)(p) += points(i)(p); p += 1 }
+        tot(best) += 1
+        i += 1
+      }
+      moved = false
+      val next = cents.map(_.clone())
+      var j = 0
+      while (j < kk) {
+        if (tot(j) > 0) {
+          val m = sums(j).map(_ / tot(j))
+          if (!java.util.Arrays.equals(m, cents(j))) { next(j) = m; moved = true }
+        }
+        j += 1
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Train PQ codebooks on a deterministic bounded sample — the
+    * FAISS-standard recipe (codebooks train on ~10⁴–10⁶ sampled vectors
+    * regardless of corpus size; encoding is the distributed pass). The
+    * sample is hash-ordered (`xxhash64(id, seed)`) so every rerun draws
+    * the same rows, vectors are L2-normalized to match [[PqOps.encode]],
+    * and each of the `m` subspaces gets an independent deterministic
+    * L2 k-means ([[localKmeansL2]]). Driver memory is O(sampleSize ×
+    * dim) — bounded, documented.
+    */
+  def trainPqCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16, sampleSize: Int = 65536, iters: Int = 20,
+      seed: Long = 42L): graft.functions.PqCodebooks = {
+    import org.apache.spark.sql.Row
+    val sample: Array[Array[Double]] = vectors
+      .select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .collect() // bounded by sampleSize — the PQ training sample
+      .map { case Row(_, v: scala.collection.Seq[_]) =>
+        normalize(v.asInstanceOf[scala.collection.Seq[Double]].toArray)
+      }
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val flat = new Array[Double](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val cents = localKmeansL2(sub, ksub, iters)
+      var c = 0
+      while (c < ksub) {
+        // fewer distinct points than ksub leaves the tail codewords at the
+        // last trained row — harmless (never nearest) but keep the layout full
+        val row = cents(math.min(c, cents.length - 1))
+        System.arraycopy(row, 0, flat, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    graft.functions.PqCodebooks(flat, m, ksub)
+  }
+
+  /** ADC lookup table for one (driver-side) query vector: entry (j, c) =
+    * dot(normalized query's subspace j, codeword (j, c)), so summing the
+    * entries a vector's codes select approximates cos(query, vector).
+    */
+  def adcTable(queryVec: Array[Double], cb: graft.functions.PqCodebooks): graft.functions.PqDistTable = {
+    val q = normalize(queryVec)
+    val dsub = cb.dsub
+    val flat = new Array[Double](cb.m * cb.ksub)
+    var j = 0
+    while (j < cb.m) {
+      var c = 0
+      while (c < cb.ksub) {
+        val off = (j * cb.ksub + c) * dsub
+        var s = 0.0
+        var d = 0
+        while (d < dsub) {
+          val x = if (j * dsub + d < q.length) q(j * dsub + d) else 0.0
+          s += x * cb.flat(off + d)
+          d += 1
+        }
+        flat(j * cb.ksub + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    graft.functions.PqDistTable(flat, cb.ksub)
+  }
+
+  /** Encode a corpus to (id, codes) — the distributed one-pass build of
+    * the compressed representation (64-dim float → `m` bytes, 32×).
+    */
+  def pqEncodeAll(vectors: DataFrame, idCol: String, vecCol: String,
+      cb: graft.functions.PqCodebooks): DataFrame =
+    vectors.select(col(idCol).as("id"),
+      graft.functions.PqExpressions.pq_encode(col(vecCol), cb).as("codes"))
+
+  /** PQ approximate kNN with exact re-rank: ADC-score every encoded
+    * vector (m table lookups per row, whole-stage codegen), take the
+    * `rerank` best as candidates (TakeOrderedAndProject — per-partition
+    * heap, no global sort), then exact-cosine rescore only those and
+    * return the top k. At 100 TB the codes relation is the scan: 8
+    * bytes/vector instead of 256, so the full-corpus ADC pass reads
+    * ~3% of the raw bytes, and only `rerank` full vectors are touched.
+    *
+    * Recall comes from rerank ≫ k absorbing quantization error;
+    * VectorsSpec gates recall@10 ≥ 0.9 on a query panel, and the driver
+    * row's oracle is the exact brute-force top-k (the v4 playbook).
+    */
+  def knnPq(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      cb: graft.functions.PqCodebooks, rerank: Int = 64): DataFrame = {
+    import org.apache.spark.sql.Row
+    val qVec = query.select(toDouble(col(queryVecCol)).as("q")).head() match {
+      case Row(v: scala.collection.Seq[_]) =>
+        v.asInstanceOf[scala.collection.Seq[Double]].toArray
+    }
+    val table = adcTable(qVec, cb)
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val codes = pqEncodeAll(vectors, idCol, vecCol, cb)
+    val cands = codes
+      .select(col("id"), graft.functions.PqExpressions.pq_adc(col("codes"), table).as("approx"))
+      .orderBy(col("approx").desc, col("id"))
+      .limit(math.max(rerank, k))
+      .select("id")
+    cands.join(v, Seq("id"))
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("q"))))
+      .select(col("id"), cosine_sim(col("v"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Embedding-cluster dedup (the SemDeDup shape): near-dup pairs from
     * [[nearDupPairsLsh]] → connected components → keep ONE row (the
     * smallest id) per cluster. Pairs alone over-remove — with edges

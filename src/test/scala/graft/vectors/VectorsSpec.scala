@@ -249,6 +249,80 @@ class VectorsSpec extends AnyFunSuite {
       s"missing=${brute diff ivf} extra=${ivf diff brute}")
   }
 
+  test("PQ encode: m codes per vector, all < ksub, deterministic across runs") {
+    val all = randomVectors(150, 64, seed = 61).toDF("vec_id", "embedding")
+    val cb = VectorFunctions.trainPqCodebooks(all, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(cb.dsub == 8 && cb.dim == 64)
+    val cb2 = VectorFunctions.trainPqCodebooks(all, "vec_id", "embedding", m = 8, ksub = 16)
+    assert(cb == cb2, "training must be deterministic")
+    val codes = VectorFunctions.pqEncodeAll(all, "vec_id", "embedding", cb)
+      .as[(Long, Seq[Byte])].collect()
+    assert(codes.length == 150)
+    codes.foreach { case (id, cs) =>
+      assert(cs.length == 8, s"vector $id encoded to ${cs.length} codes")
+      cs.foreach(c => assert((c & 0xff) < 16, s"code $c out of range for ksub=16"))
+    }
+    // ADC of a vector against itself-as-query ranks it at/near the top:
+    // the table bakes the query in, the codes select its own cells
+    val q = codes.head._1
+    val qRow = all.filter($"vec_id" === q)
+    val top = VectorFunctions.knnPq(all.filter($"vec_id" =!= q), "vec_id", "embedding",
+      qRow, "embedding", k = 1, cb, rerank = 16)
+    assert(top.count() == 1)
+  }
+
+  test("PQ kNN: mean recall@10 >= 0.9 over a 20-query panel on clustered vectors") {
+    val rnd = new Random(67)
+    val dim = 64
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val points = (0 until 16).flatMap { c =>
+      (0 until 25).map { i =>
+        (c * 25 + i).toLong -> centers(c).map(x => (x + rnd.nextDouble() * 0.3 - 0.15).toFloat)
+      }
+    }
+    val all = points.toDF("vec_id", "embedding")
+    // train ONCE, serve the panel from the trained codebooks
+    val cb = VectorFunctions.trainPqCodebooks(all, "vec_id", "embedding", m = 8, ksub = 16)
+    val recalls = (0 until 20).map { qi =>
+      val base = points(rnd.nextInt(points.size))._2
+      val qv = base.map(x => x + (rnd.nextDouble() * 0.05 - 0.025).toFloat)
+      val queryDf = Seq((qi + 10000L) -> qv).toDF("vec_id", "embedding")
+      val brute = VectorFunctions.knnBrute(all, "vec_id", "embedding",
+        queryDf, "embedding", k = 10).select("id").as[Long].collect().toSet
+      val pq = VectorFunctions.knnPq(all, "vec_id", "embedding",
+        queryDf, "embedding", k = 10, cb, rerank = 50)
+        .select("id").as[Long].collect().toSet
+      (brute intersect pq).size.toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean across panel; per-query: $recalls")
+  }
+
+  test("v6 driver-row preflight: PQ+rerank == brute top-5 on sf0.01 embeddings") {
+    // The driver row's oracle is the exact brute-force top-5 for
+    // vec_id 11 at m=16, ksub=16, rerank=64; this replays that gate
+    // (the v4 playbook) so a recall regression is caught before the
+    // round's Verify run. (The sf0.01 embeddings are near-random, the
+    // hard regime for PQ: at m=8 the subspace quantization error buries
+    // the tiny cosine spreads — recall 3/5 even at rerank=128 — while
+    // m=16/dsub=4 is exact at rerank=64 for every probed query id.)
+    val dir = "/root/testdata/sf0.01/embeddings.parquet"
+    assume(new java.io.File(dir).exists(), s"$dir not present")
+    val e = spark.read.parquet(dir)
+    val cb = VectorFunctions.trainPqCodebooks(
+      e.filter($"vec_id" =!= 11), "vec_id", "embedding", m = 16, ksub = 16)
+    val brute = VectorFunctions.knnBrute(
+      e.filter($"vec_id" =!= 11), "vec_id", "embedding",
+      e.filter($"vec_id" === 11), "embedding", k = 5)
+      .select("id").as[Long].collect().toSet
+    val pq = VectorFunctions.knnPq(
+      e.filter($"vec_id" =!= 11), "vec_id", "embedding",
+      e.filter($"vec_id" === 11), "embedding", k = 5, cb, rerank = 64)
+      .select("id").as[Long].collect().toSet
+    assert(pq == brute, s"PQ must reach exact recall on the driver query; " +
+      s"missing=${brute diff pq} extra=${pq diff brute}")
+  }
+
   test("nearDupPairsLsh finds the pairs nearDupPairsBrute finds (high threshold)") {
     val rnd = new Random(3)
     val dim = 64
