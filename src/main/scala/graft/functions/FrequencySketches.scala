@@ -54,6 +54,83 @@ object FrequencySketches {
 
   def heavy_hitters(c: Column, capacity: Int = 4096): Column =
     bridge.column(HeavyHittersAgg(bridge.expression(c), capacity).toAggregateExpression())
+
+  /** The serialized KMV sketch itself (binary), for set-operation
+    * estimates across independently-built sketches — the profiling shape
+    * a 100-TB planner wants: sketch each side's key set in its own pass
+    * (or the same pass, via `when()`-masked inputs), ship the O(k)
+    * sketches to the driver, and answer union/intersection cardinality
+    * questions without ever shuffling the key sets together.
+    */
+  def kmv_sketch(c: Column, k: Int = 4096): Column =
+    bridge.column(KmvSketchAgg(bridge.expression(c), k).toAggregateExpression())
+
+  def kmvEstimate(sketch: Array[Byte]): Long = KmvBuffer.fromBytes(sketch).estimate
+
+  /** Union estimate: merge (KMV sketches are closed under union — the
+    * union of two k-min sets re-capped at min(kA, kB) IS the sketch of
+    * the union stream), then estimate.
+    */
+  def kmvUnionEstimate(a: Array[Byte], b: Array[Byte]): Long =
+    union(KmvBuffer.fromBytes(a), KmvBuffer.fromBytes(b)).estimate
+
+  /** Intersection estimate (Beyer '07): EXACT when both sketches are
+    * below capacity (each then holds its full hash set); otherwise the
+    * union sketch's k-min set is a uniform sample of A ∪ B, so the
+    * fraction of it lying in both sketches, scaled by |A ∪ B|, estimates
+    * the overlap.
+    */
+  def kmvIntersectEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val ba = KmvBuffer.fromBytes(a)
+    val bb = KmvBuffer.fromBytes(b)
+    if (ba.set.size < ba.k && bb.set.size < bb.k) {
+      var n = 0L
+      val it = ba.set.iterator()
+      while (it.hasNext) if (bb.set.contains(it.next())) n += 1
+      n
+    } else {
+      val u = union(ba, bb)
+      var inBoth = 0L
+      val it = u.set.iterator()
+      while (it.hasNext) {
+        val h = it.next()
+        if (ba.set.contains(h) && bb.set.contains(h)) inBoth += 1
+      }
+      if (u.set.isEmpty) 0L
+      else math.round(inBoth.toDouble / u.set.size * u.estimate)
+    }
+  }
+
+  private def union(a: KmvBuffer, b: KmvBuffer): KmvBuffer = {
+    val u = new KmvBuffer(math.min(a.k, b.k))
+    val ia = a.set.iterator()
+    while (ia.hasNext) u.add(ia.next())
+    val ib = b.set.iterator()
+    while (ib.hasNext) u.add(ib.next())
+    u
+  }
+}
+
+object KmvBuffer {
+  def toBytes(buf: KmvBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.k)
+    out.writeInt(buf.set.size)
+    val it = buf.set.iterator()
+    while (it.hasNext) out.writeLong(it.next())
+    out.flush()
+    bos.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): KmvBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new KmvBuffer(in.readInt())
+    val n = in.readInt()
+    var i = 0
+    while (i < n) { buf.set.add(in.readLong()); i += 1 }
+    buf
+  }
 }
 
 /** KMV buffer: the `k` smallest (unsigned) 64-bit hashes seen. */
@@ -115,25 +192,8 @@ case class KmvDistinctAgg(
 
   override def eval(buf: KmvBuffer): Any = buf.estimate
 
-  override def serialize(buf: KmvBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    val out = new DataOutputStream(bos)
-    out.writeInt(buf.k)
-    out.writeInt(buf.set.size)
-    val it = buf.set.iterator()
-    while (it.hasNext) out.writeLong(it.next())
-    out.flush()
-    bos.toByteArray
-  }
-
-  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val buf = new KmvBuffer(in.readInt())
-    val n = in.readInt()
-    var i = 0
-    while (i < n) { buf.set.add(in.readLong()); i += 1 }
-    buf
-  }
+  override def serialize(buf: KmvBuffer): Array[Byte] = KmvBuffer.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvBuffer.fromBytes(bytes)
 
   override def dataType: DataType = LongType
   override def nullable: Boolean = false
@@ -144,6 +204,56 @@ case class KmvDistinctAgg(
   override def withNewInputAggBufferOffset(offset: Int): KmvDistinctAgg =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(newChild: Expression): KmvDistinctAgg =
+    copy(child = newChild)
+}
+
+/** `kmv_sketch(key, k)`: the serialized KMV buffer itself, so callers can
+  * run the set-operation estimators ([[FrequencySketches.kmvUnionEstimate]]
+  * / [[FrequencySketches.kmvIntersectEstimate]]) across sketches built in
+  * different passes, branches, or tables. Same buffer, update and merge
+  * as [[KmvDistinctAgg]]; only the eval differs.
+  */
+case class KmvSketchAgg(
+    child: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  require(k >= 16, s"kmv_sketch needs k >= 16, got $k")
+  private val Seed = 0x9E3779B97F4A7C15L
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    FrequencySketches.checkKeyType(child, prettyName)
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(FrequencySketches.hashValue(v, Seed))
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    val it = other.set.iterator()
+    while (it.hasNext) buf.add(it.next())
+    buf
+  }
+
+  override def eval(buf: KmvBuffer): Any = KmvBuffer.toBytes(buf)
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = KmvBuffer.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = KmvBuffer.fromBytes(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def withNewMutableAggBufferOffset(offset: Int): KmvSketchAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): KmvSketchAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketchAgg =
     copy(child = newChild)
 }
 

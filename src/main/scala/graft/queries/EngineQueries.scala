@@ -145,6 +145,38 @@ object EngineQueries {
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("l_suppkey"), col("e.count").as("cnt"))
         .limit(10)
+    },
+
+    // A10 — KMV set-operation estimates: the distinct part keys shipped
+    // in 1994 vs 1995, their overlap and union — ONE corpus pass builds
+    // both serialized sketches (`when()`-masked inputs), the O(k) blobs
+    // come to the driver, and the set-op estimators answer without ever
+    // shuffling the two key sets together (at 100 TB: profile a join's
+    // key overlap for the cost of a map pass + 32 KB). Below capacity
+    // both sketches hold their full hash sets, so all four numbers are
+    // exact and the oracle is plain COUNT(DISTINCT)/INTERSECT/UNION;
+    // the estimator regime past capacity is gated in
+    // FrequencySketchesSpec.
+    "a10_sketch_setops" -> withOracle(
+      """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem
+        |           WHERE EXTRACT(year FROM l_shipdate) = 1994),
+        |     b AS (SELECT DISTINCT l_partkey FROM lineitem
+        |           WHERE EXTRACT(year FROM l_shipdate) = 1995)
+        |SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS nd_a,
+        |       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS nd_b,
+        |       CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT) AS nd_common,
+        |       CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT) AS nd_union""".stripMargin) { (s, dir) =>
+      import graft.functions.FrequencySketches._
+      val row = t(s, dir, "lineitem").agg(
+        kmv_sketch(when(year(col("l_shipdate")) === 1994, col("l_partkey"))).as("sa"),
+        kmv_sketch(when(year(col("l_shipdate")) === 1995, col("l_partkey"))).as("sb"))
+        .head() // two O(k) sketch blobs — the bounded driver set
+      val sa = row.getAs[Array[Byte]]("sa")
+      val sb = row.getAs[Array[Byte]]("sb")
+      import s.implicits._
+      Seq((kmvEstimate(sa), kmvEstimate(sb),
+        kmvIntersectEstimate(sa, sb), kmvUnionEstimate(sa, sb)))
+        .toDF("nd_a", "nd_b", "nd_common", "nd_union")
     }
   )
 }
