@@ -31,7 +31,12 @@ object Bench {
     // cold run charges whichever query happens to go first for JIT /
     // reader warm-up and hands every query machine-noise jitter; the
     // minimum of two is the steady-state number a cluster would see.
-    val repeatCap = sys.env.getOrElse("SPARK_GRAFT_REPEAT_CAP", "10").toDouble
+    // The cap defaults to 60s (was 10): with ambient machine load a
+    // contended first run can blow past a small cap, and "warm = the
+    // contended cold run" fabricates 20-170x regressions (BENCH_r08).
+    // Re-running a 17s query costs seconds; a fabricated regression
+    // costs a round of misdirected tuning.
+    val repeatCap = sys.env.getOrElse("SPARK_GRAFT_REPEAT_CAP", "60").toDouble
     def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = Verify.runBounded(spark, name, timeoutSec) { fn(spark, sfDir).count(): Unit }

@@ -67,6 +67,26 @@ object FrequencySketches {
 
   def kmvEstimate(sketch: Array[Byte]): Long = KmvBuffer.fromBytes(sketch).estimate
 
+  /** True while the sketch still holds its FULL hash set (below capacity),
+    * i.e. every estimate drawn from it is exact, not an estimator output.
+    * Oracle-checked queries assert this so pointing Verify at a larger sf
+    * fails fast instead of silently drifting into the estimator regime.
+    */
+  def kmvIsExact(sketch: Array[Byte]): Boolean = {
+    val b = KmvBuffer.fromBytes(sketch)
+    b.set.size < b.k
+  }
+
+  /** True while the UNION of the two sketches is itself exact: the union
+    * buffer is capped at min(kA, kB), so two individually-exact sketches
+    * can still flip the union (and the intersect scaling) to the
+    * estimator once |A ∪ B| >= min(kA, kB).
+    */
+  def kmvUnionIsExact(a: Array[Byte], b: Array[Byte]): Boolean = {
+    val u = union(KmvBuffer.fromBytes(a), KmvBuffer.fromBytes(b))
+    u.set.size < u.k
+  }
+
   /** Union estimate: merge (KMV sketches are closed under union — the
     * union of two k-min sets re-capped at min(kA, kB) IS the sketch of
     * the union stream), then estimate.
@@ -347,6 +367,7 @@ case class HeavyHittersAgg(
     * engines agree on any LIMIT prefix.
     */
   override def eval(buf: MgBuffer): Any = {
+    buf.compact() // enforce the documented 'at most capacity survive' output bound
     val ord: Ordering[(Any, Long)] = new Ordering[(Any, Long)] {
       def compare(a: (Any, Long), b: (Any, Long)): Int = {
         val byCount = java.lang.Long.compare(b._2, a._2)
@@ -373,6 +394,7 @@ case class HeavyHittersAgg(
   }
 
   override def serialize(buf: MgBuffer): Array[Byte] = {
+    buf.compact() // ship O(capacity) partials, not the lazy 2x working set
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buf.capacity)

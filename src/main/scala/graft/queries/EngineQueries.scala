@@ -116,16 +116,28 @@ object EngineQueries {
     // exact, so the oracle is plain COUNT(DISTINCT); the estimator
     // regime past capacity (the 100-TB case: pre-sizing a join's key
     // space without paying a shuffle for it) is gated in
-    // FrequencySketchesSpec (relative error ~1/sqrt(k)).
+    // FrequencySketchesSpec (relative error ~1/sqrt(k)). The estimate is
+    // drawn through a regime-asserting extractor, so pointing Verify at
+    // an sf whose per-group distinct count exceeds k fails fast with a
+    // clear message instead of silently hash-mismatching the oracle.
     "a8_distinct_sketch" -> withOracle(
       """SELECT l_returnflag AS flag,
         |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd
         |FROM lineitem
         |GROUP BY 1
         |ORDER BY flag""".stripMargin) { (s, dir) =>
+      import graft.functions.FrequencySketches._
+      val exactEstimate = udf { (sk: Array[Byte]) =>
+        require(kmvIsExact(sk),
+          "a8_distinct_sketch oracle is only valid in the KMV exact regime " +
+            "(per-group distinct count < k=4096); this sf exceeds capacity — " +
+            "raise k or check against FrequencySketchesSpec's estimator gates")
+        kmvEstimate(sk)
+      }
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"))
-        .agg(graft.functions.FrequencySketches.kmv_distinct(col("l_partkey")).as("nd"))
+        .agg(kmv_sketch(col("l_partkey")).as("sk"))
+        .select(col("flag"), exactEstimate(col("sk")).as("nd"))
         .orderBy("flag")
     },
 
@@ -144,6 +156,10 @@ object EngineQueries {
         .agg(graft.functions.FrequencySketches.heavy_hitters(col("l_suppkey")).as("hh"))
         .select(explode(col("hh")).as("e"))
         .select(col("e.item").as("l_suppkey"), col("e.count").as("cnt"))
+        // the sketch already emits (count desc, item asc), but a LIMIT
+        // prefix is only guaranteed under an explicit sort — don't rely
+        // on the single-partition plan preserving array order
+        .orderBy(col("cnt").desc, col("l_suppkey"))
         .limit(10)
     },
 
@@ -154,9 +170,13 @@ object EngineQueries {
     // shuffling the two key sets together (at 100 TB: profile a join's
     // key overlap for the cost of a map pass + 32 KB). Below capacity
     // both sketches hold their full hash sets, so all four numbers are
-    // exact and the oracle is plain COUNT(DISTINCT)/INTERSECT/UNION;
-    // the estimator regime past capacity is gated in
-    // FrequencySketchesSpec.
+    // exact and the oracle is plain COUNT(DISTINCT)/INTERSECT/UNION —
+    // note the union needs its OWN exactness check: the union buffer is
+    // capped at min(kA, kB), so nd_union (and the intersect scaling) is
+    // exact only while |A UNION B| < k, which two individually-exact
+    // sketches don't imply. All three regimes are asserted below, so a
+    // larger sf fails fast; the estimator regime past capacity is gated
+    // in FrequencySketchesSpec.
     "a10_sketch_setops" -> withOracle(
       """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem
         |           WHERE EXTRACT(year FROM l_shipdate) = 1994),
@@ -173,6 +193,10 @@ object EngineQueries {
         .head() // two O(k) sketch blobs — the bounded driver set
       val sa = row.getAs[Array[Byte]]("sa")
       val sb = row.getAs[Array[Byte]]("sb")
+      require(kmvIsExact(sa) && kmvIsExact(sb) && kmvUnionIsExact(sa, sb),
+        "a10_sketch_setops oracle is only valid while both sketches AND " +
+          "their union are below the KMV capacity; this sf exceeds it — " +
+          "raise k or check against FrequencySketchesSpec's estimator gates")
       import s.implicits._
       Seq((kmvEstimate(sa), kmvEstimate(sb),
         kmvIntersectEstimate(sa, sb), kmvUnionEstimate(sa, sb)))

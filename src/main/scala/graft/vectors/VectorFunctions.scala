@@ -29,6 +29,16 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = cosine_sim(a, b)
 
+  /** The kNN entry points answer ONE query vector per call (the serving
+    * shape: per-query top-k under one limit). A multi-row query frame
+    * would silently mix per-row sims under a single top-k, so the
+    * contract is enforced, not latent.
+    */
+  private def requireSingleQuery(query: DataFrame, fn: String): Unit =
+    require(query.take(2).length == 1,
+      s"$fn expects a query DataFrame with exactly one row " +
+        "(one query vector per call); got a different cardinality")
+
   /** Exact top-k nearest neighbours of `queryVec` (from a one-row
     * DataFrame, broadcast) by cosine. One scan over the vectors; the
     * top-k is a TakeOrderedAndProject (per-partition heap + driver
@@ -36,6 +46,7 @@ object VectorFunctions {
     */
   def knnBrute(vectors: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    requireSingleQuery(query, "knnBrute")
     val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
     v.crossJoin(broadcast(query.select(col(queryVecCol).as("q"))))
       .select(col("id"), cosine_sim(col("v"), col("q")).as("sim"))
@@ -614,6 +625,7 @@ object VectorFunctions {
   def knnPq(vectors: DataFrame, idCol: String, vecCol: String,
       query: DataFrame, queryVecCol: String, k: Int,
       cb: graft.functions.PqCodebooks, rerank: Int = 64): DataFrame = {
+    requireSingleQuery(query, "knnPq")
     import org.apache.spark.sql.Row
     val qVec = query.select(toDouble(col(queryVecCol)).as("q")).head() match {
       case Row(v: scala.collection.Seq[_]) =>
