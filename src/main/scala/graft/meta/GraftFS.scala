@@ -204,20 +204,103 @@ object RenameCAS extends StateStoreCAS {
   }
 }
 
-/** External CAS for object-store tables: the conditional put happens on
-  * a separate COORDINATION filesystem that CAN express one (HDFS-like
-  * rename-without-overwrite semantics — HDFS, NFS/EFS, local disk),
-  * while the snapshot bytes live wherever the table lives. This is the
+/** The arbitration primitive behind [[ClaimArbitratedCAS]]: a named
+  * conditional put — create claim `name` carrying `uuid` atomically,
+  * succeeding for exactly one writer. This is the ONLY operation that
+  * must be remote-atomic in the whole commit protocol (the reference
+  * isolates the same primitive in DynamoDB's conditional PutItem,
+  * docs/design/transaction-log-state-store.md); everything else is
+  * unique-named uploads and idempotent copies. Implementations:
+  * [[FsClaimStore]] (a coordination filesystem) and
+  * [[graft.meta.HttpClaimStore]] (a remote conditional-put service).
+  */
+trait ClaimStore {
+  /** Atomically create claim `name` with content `uuid`; true iff THIS
+    * call created it. Must never overwrite an existing claim, and the
+    * content must be visible atomically with the claim (no empty-claim
+    * window — repairers read it).
+    */
+  def tryClaim(name: String, uuid: String): Boolean
+  def readClaim(name: String): Option[String]
+  def deleteClaim(name: String): Unit
+  /** All current (name, uuid) claims — O(retention) by pruning. */
+  def listClaims(): Seq[(String, String)]
+}
+
+/** Filesystem-backed [[ClaimStore]]: claims are `<name>.claim` files in
+  * a coordination directory whose store CAN express a conditional put
+  * (HDFS-like rename-without-overwrite, hard links on file://). The
+  * claim content travels atomically with publication: written to a tmp
+  * first, then linked/renamed into place by the directory's own CAS
+  * primitive — a raw local rename would silently OVERWRITE a rival's
+  * claim, and `casFor` rejects an object-store coordination dir
+  * outright, which is exactly right.
+  */
+final class FsClaimStore(coordDir: String) extends ClaimStore {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private def resolved: (FileSystem, Path) = {
+    val (cfs, cdir) = GraftFS.resolve(coordDir)
+    cfs.mkdirs(cdir)
+    (cfs, cdir)
+  }
+
+  override def tryClaim(name: String, uuid: String): Boolean = {
+    val (cfs, cdir) = resolved
+    val claim = new Path(cdir, name + ".claim")
+    val claimTmp = new Path(cdir, s".$name.$uuid.tmp")
+    val out = cfs.create(claimTmp, true)
+    try out.write(uuid.getBytes(UTF_8)) finally out.close()
+    val won = GraftFS.casFor(cfs).publish(cfs, claimTmp, claim)
+    try cfs.delete(claimTmp, false) catch { case scala.util.control.NonFatal(_) => () }
+    won
+  }
+
+  override def readClaim(name: String): Option[String] = {
+    val (cfs, cdir) = resolved
+    val claim = new Path(cdir, name + ".claim")
+    try {
+      val in = cfs.open(claim)
+      val s = try new String(in.readAllBytes(), UTF_8).trim finally in.close()
+      if (s.isEmpty) None else Some(s)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  override def deleteClaim(name: String): Unit = {
+    val (cfs, cdir) = resolved
+    try cfs.delete(new Path(cdir, name + ".claim"), false)
+    catch { case scala.util.control.NonFatal(_) => () }
+  }
+
+  override def listClaims(): Seq[(String, String)] = {
+    val (cfs, cdir) = resolved
+    cfs.listStatus(cdir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (!n.endsWith(".claim")) None
+      else {
+        val name = n.stripSuffix(".claim")
+        try {
+          val in = cfs.open(st.getPath)
+          val s = try new String(in.readAllBytes(), UTF_8).trim finally in.close()
+          Some(name -> s)
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+    }
+  }
+}
+
+/** External CAS for object-store tables: arbitration happens on a
+  * [[ClaimStore]] that CAN express a conditional put, while the
+  * snapshot bytes live wherever the table lives. This is the
   * reference's S3-data + DynamoDB-transaction-log split
-  * (docs/design/transaction-log-state-store.md) with a filesystem as
-  * the log. The protocol is crash-safe at every step:
+  * (docs/design/transaction-log-state-store.md) with the log behind
+  * the pluggable claim primitive. The protocol is crash-safe at every
+  * step:
   *
   *  1. STAGE: the snapshot uploads to a uuid-named object next to the
   *     table (unique name — always safe, no coordination needed);
-  *  2. CLAIM: a record naming the staged uuid renames into
-  *     `<version>.claim` in the coordination dir — rename-without-
-  *     overwrite is the atomic winner-takes-all, and the claim carries
-  *     its content atomically (no empty-claim window);
+  *  2. CLAIM: `tryClaim(<version>, uuid)` — the atomic winner-takes-all,
+  *     carrying its content atomically (no empty-claim window);
   *  3. FILL: the version object is copied from the staged object. The
   *     fill is IDEMPOTENT — the claim pins which uuid fills the version,
   *     so ANY writer can (re)do it: a rival that loses the claim first
@@ -225,44 +308,30 @@ object RenameCAS extends StateStoreCAS {
   *     which is what keeps a crashed writer from wedging the version
   *     chain forever.
   *
-  * Readers never consult the coordination dir — an unfilled version
-  * reads as an absent snapshot, which `loadLatestParseable` tolerates
-  * (falls back one version) until a writer repairs it. Claims and
-  * staged objects far behind the committed version are pruned
-  * opportunistically on publish.
+  * Readers never consult the claim store — an unfilled version reads as
+  * an absent snapshot, which `loadLatestParseable` tolerates (falls
+  * back one version) until a writer repairs it. Claims and staged
+  * objects far behind the committed version are pruned opportunistically
+  * on publish.
   */
-final class CoordinatedCAS(coordDir: String) extends StateStoreCAS {
-  import java.nio.charset.StandardCharsets.UTF_8
+class ClaimArbitratedCAS(claims: ClaimStore) extends StateStoreCAS {
   // both commit-record kinds arbitrate through claims: the v1 snapshot
   // and every transaction-log entry
   private val VersionName = "(?:state|txn)-v(\\d+)\\.json".r
 
   override def publish(fs: FileSystem, tmp: Path, target: Path): Boolean = {
-    val (cfs, cdir) = GraftFS.resolve(coordDir)
-    cfs.mkdirs(cdir)
     val uuid = java.util.UUID.randomUUID().toString
     val staged = stagedPath(target, uuid)
     copy(fs, tmp, fs, staged)                      // 1. STAGE (unique name)
-
-    val claim = new Path(cdir, target.getName + ".claim")
-    val claimTmp = new Path(cdir, s".${target.getName}.$uuid.tmp")
-    val out = cfs.create(claimTmp, true)
-    try out.write(uuid.getBytes(UTF_8)) finally out.close()
-    // 2. CLAIM: the claim is itself a small conditional put, delegated
-    // to the coordination store's own primitive (hard-link on file://,
-    // rename-without-overwrite on HDFS — a raw local rename would
-    // silently OVERWRITE a rival's claim). casFor also rejects an
-    // object-store coordination dir outright, which is exactly right.
-    val won = GraftFS.casFor(cfs).publish(cfs, claimTmp, claim)
-    try cfs.delete(claimTmp, false) catch { case scala.util.control.NonFatal(_) => () }
+    val won = claims.tryClaim(target.getName, uuid) // 2. CLAIM
     if (!won) {
       try fs.delete(staged, false) catch { case scala.util.control.NonFatal(_) => () }
-      repair(fs, cfs, claim, target)                // un-wedge a crashed winner
+      repair(fs, target)                            // un-wedge a crashed winner
       return false
     }
     copy(fs, stagedPath(target, uuid), fs, target)  // 3. FILL (idempotent)
     target.getName match {
-      case VersionName(v) => prune(fs, cfs, cdir, target, v.toLong)
+      case VersionName(v) => prune(fs, target, v.toLong)
       case _ =>
     }
     true
@@ -272,13 +341,13 @@ final class CoordinatedCAS(coordDir: String) extends StateStoreCAS {
     * between claim and fill — finish the fill from the staged object the
     * claim names. Idempotent: every repairer writes the same bytes.
     */
-  private def repair(fs: FileSystem, cfs: FileSystem, claim: Path, target: Path): Unit = {
+  private def repair(fs: FileSystem, target: Path): Unit = {
     try {
       if (fs.exists(target)) return
-      val in = cfs.open(claim)
-      val uuid = try new String(in.readAllBytes(), UTF_8).trim finally in.close()
-      val staged = stagedPath(target, uuid)
-      if (uuid.nonEmpty && fs.exists(staged)) copy(fs, staged, fs, target)
+      claims.readClaim(target.getName).foreach { uuid =>
+        val staged = stagedPath(target, uuid)
+        if (fs.exists(staged)) copy(fs, staged, fs, target)
+      }
     } catch { case scala.util.control.NonFatal(_) => () } // best-effort; next rival retries
   }
 
@@ -298,28 +367,19 @@ final class CoordinatedCAS(coordDir: String) extends StateStoreCAS {
   }
 
   /** Best-effort deletion of claims + staged objects far behind the
-    * committed version — keeps both dirs O(retention), like snapshot
+    * committed version — keeps both stores O(retention), like snapshot
     * pruning. Staged objects are only removed once their version's
     * claim is old enough that no repair will ever need them.
     */
-  private def prune(fs: FileSystem, cfs: FileSystem, cdir: Path,
-      target: Path, latest: Long): Unit = {
+  private def prune(fs: FileSystem, target: Path, latest: Long): Unit = {
     val floor = latest - 2 * JsonStateStore.RetainedVersions
     if (floor <= 0) return
     try {
       val liveUuids = scala.collection.mutable.HashSet[String]()
-      cfs.listStatus(cdir).foreach { st =>
-        st.getPath.getName match {
-          case s if s.endsWith(".claim") =>
-            s.stripSuffix(".claim") match {
-              case VersionName(v) if v.toLong < floor =>
-                try cfs.delete(st.getPath, false)
-                catch { case scala.util.control.NonFatal(_) => () }
-              case VersionName(_) =>
-                val in = cfs.open(st.getPath)
-                try liveUuids += new String(in.readAllBytes(), UTF_8).trim finally in.close()
-              case _ =>
-            }
+      claims.listClaims().foreach { case (name, uuid) =>
+        name match {
+          case VersionName(v) if v.toLong < floor => claims.deleteClaim(name)
+          case VersionName(_) => liveUuids += uuid
           case _ =>
         }
       }
@@ -339,3 +399,11 @@ final class CoordinatedCAS(coordDir: String) extends StateStoreCAS {
     } catch { case scala.util.control.NonFatal(_) => () }
   }
 }
+
+/** The filesystem-coordinated external CAS (see [[ClaimArbitratedCAS]]
+  * for the protocol): claims arbitrate through `coordDir`, a directory
+  * on a store with conditional-put-capable primitives (HDFS, NFS/EFS,
+  * local disk).
+  */
+final class CoordinatedCAS(coordDir: String)
+  extends ClaimArbitratedCAS(new FsClaimStore(coordDir))

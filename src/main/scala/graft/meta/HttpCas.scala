@@ -1,0 +1,163 @@
+package graft.meta
+
+import java.net.{InetSocketAddress, URI, URLDecoder, URLEncoder}
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{FileAlreadyExistsException, Files, Paths}
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+
+/** Remote conditional-put [[ClaimStore]] over HTTP — the
+  * production-shaped external CAS an object-store deployment needs (the
+  * reference's DynamoDB transaction log plays exactly this role:
+  * reference docs/design/transaction-log-state-store.md,
+  * java/core/.../statestore/transactionlog/ — a remote store whose only
+  * required primitive is an atomic put-if-absent). Protocol, rooted at
+  * `baseUrl` (e.g. `http://cas-host:8080/claims`):
+  *
+  *   PUT    {base}/{name}  body=uuid  → 201 created | 409 already claimed
+  *   GET    {base}/{name}             → 200 uuid    | 404
+  *   DELETE {base}/{name}             → 204
+  *   GET    {base}                    → 200, lines of `name\tuuid`
+  *
+  * Every response other than the expected pair throws: a claim PUT that
+  * cannot reach the arbiter must FAIL the commit (the caller retries),
+  * never guess — guessing either way risks a lost update.
+  *
+  * Wrapped by [[HttpCas]] into the staged/claim/fill commit protocol of
+  * [[ClaimArbitratedCAS]]; served by [[HttpCasServer]] (a durable
+  * single-node stand-in for the managed service).
+  */
+final class HttpClaimStore(baseUrl: String) extends ClaimStore {
+  private val base = baseUrl.stripSuffix("/")
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  private def uri(name: String): URI =
+    URI.create(s"$base/${URLEncoder.encode(name, UTF_8)}")
+
+  private def send(req: HttpRequest): HttpResponse[String] =
+    client.send(req, HttpResponse.BodyHandlers.ofString())
+
+  override def tryClaim(name: String, uuid: String): Boolean =
+    send(HttpRequest.newBuilder(uri(name))
+        .PUT(HttpRequest.BodyPublishers.ofString(uuid, UTF_8)).build())
+      .statusCode() match {
+        case 201 => true
+        case 409 => false
+        case c => throw new java.io.IOException(s"claim PUT $name → HTTP $c")
+      }
+
+  override def readClaim(name: String): Option[String] = {
+    val r = send(HttpRequest.newBuilder(uri(name)).GET().build())
+    r.statusCode() match {
+      case 200 => Some(r.body()).filter(_.nonEmpty)
+      case 404 => None
+      case c => throw new java.io.IOException(s"claim GET $name → HTTP $c")
+    }
+  }
+
+  override def deleteClaim(name: String): Unit = {
+    val c = send(HttpRequest.newBuilder(uri(name)).DELETE().build()).statusCode()
+    if (c != 204 && c != 404) throw new java.io.IOException(s"claim DELETE $name → HTTP $c")
+  }
+
+  override def listClaims(): Seq[(String, String)] = {
+    val r = send(HttpRequest.newBuilder(URI.create(base)).GET().build())
+    if (r.statusCode() != 200) throw new java.io.IOException(s"claim LIST → HTTP ${r.statusCode()}")
+    r.body().split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+      line.split("\t", 2) match {
+        case Array(n, u) => Some(n -> u)
+        case _ => None
+      }
+    }
+  }
+}
+
+/** The external conditional-put CAS for object-store tables: the
+  * [[ClaimArbitratedCAS]] stage/claim/fill protocol with arbitration on
+  * a remote HTTP claim service — the drop-in the
+  * `GraftFS.casFor` object-store refusal asks for.
+  */
+final class HttpCas(baseUrl: String)
+  extends ClaimArbitratedCAS(new HttpClaimStore(baseUrl))
+
+/** Single-node claim service — the in-repo stand-in for the managed
+  * conditional-put store (DynamoDB in the reference's deployment).
+  * Claims are DURABLE: each is a file in `dataDir` published via
+  * hard-link (content written to a uuid tmp, then `link(2)` onto the
+  * claim name — creation is atomic WITH content, EEXIST is the 409), so
+  * a server restart over the same directory loses nothing and two
+  * racing PUTs for one name serialize on the filesystem primitive, not
+  * on server-side locking. A deployment would put TLS/auth in front and
+  * replicate the directory (or swap in the real managed service); the
+  * CLIENT protocol — [[HttpClaimStore]] — is the production shape.
+  */
+final class HttpCasServer(dataDir: String, port: Int = 0) extends AutoCloseable {
+  private val root = Paths.get(dataDir)
+  Files.createDirectories(root)
+  private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+
+  server.createContext("/claims", (ex: HttpExchange) => handle(ex))
+  server.setExecutor(pool) // concurrent writers must not serialize on one thread
+  server.start()
+
+  val address: String = s"http://127.0.0.1:${server.getAddress.getPort}/claims"
+
+  private def fileFor(encName: String) = {
+    // claim names arrive URL-encoded; keep them encoded on disk so the
+    // filename stays scheme-safe regardless of what the name contains
+    require(!encName.contains("/") && !encName.startsWith("."), s"bad claim name $encName")
+    root.resolve(encName)
+  }
+
+  private def handle(ex: HttpExchange): Unit = {
+    try {
+      val rel = ex.getRequestURI.getRawPath.stripPrefix("/claims").stripPrefix("/")
+      (ex.getRequestMethod, rel) match {
+        case ("GET", "") =>
+          val sb = new StringBuilder
+          val listing = Files.list(root)
+          try listing.forEach { p =>
+            val n = p.getFileName.toString
+            if (!n.startsWith(".")) {
+              val uuid = new String(Files.readAllBytes(p), UTF_8)
+              sb.append(URLDecoder.decode(n, UTF_8)).append('\t').append(uuid).append('\n')
+            }
+          } finally listing.close()
+          respond(ex, 200, sb.toString)
+        case ("PUT", name) if name.nonEmpty =>
+          val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+          val tmp = root.resolve(s".put-${java.util.UUID.randomUUID()}.tmp")
+          Files.write(tmp, body.getBytes(UTF_8))
+          val created =
+            try { Files.createLink(fileFor(name), tmp); true }
+            catch { case _: FileAlreadyExistsException => false }
+          Files.deleteIfExists(tmp)
+          respond(ex, if (created) 201 else 409, if (created) "created" else "exists")
+        case ("GET", name) =>
+          val f = fileFor(name)
+          if (Files.exists(f)) respond(ex, 200, new String(Files.readAllBytes(f), UTF_8))
+          else respond(ex, 404, "")
+        case ("DELETE", name) if name.nonEmpty =>
+          Files.deleteIfExists(fileFor(name))
+          respond(ex, 204, "")
+        case _ => respond(ex, 405, "method not allowed")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try respond(ex, 500, String.valueOf(e.getMessage))
+        catch { case scala.util.control.NonFatal(_) => () }
+    } finally ex.close()
+  }
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(UTF_8)
+    if (code == 204) ex.sendResponseHeaders(code, -1)
+    else { ex.sendResponseHeaders(code, if (bytes.length == 0) -1 else bytes.length) }
+    if (bytes.length > 0 && code != 204) ex.getResponseBody.write(bytes)
+  }
+
+  override def close(): Unit = { server.stop(0); pool.shutdownNow() }
+}

@@ -18,7 +18,10 @@ object CasHammer {
     val dir = args(0)
     val writerId = args(1)
     val commits = args(2).toInt
-    val store = JsonStateStore.load(dir)
+    // optional 4th arg: an HTTP claim-service URL — arbitrate through the
+    // remote conditional-put store instead of the filesystem primitive
+    val cas = args.lift(3).map(url => new HttpCas(url))
+    val store = JsonStateStore.load(dir, cas = cas)
     val leaf = store.partitionTree.leaves.map(_.id).min
     var landed = 0
     while (landed < commits) {

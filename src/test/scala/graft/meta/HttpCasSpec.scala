@@ -1,0 +1,121 @@
+package graft.meta
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import org.apache.spark.sql.types._
+
+/** The HTTP conditional-put claim service as the external CAS — the
+  * production-shaped DynamoDB-analog the object-store path requires:
+  * the [[LifecycleStress]] crash battery, a cross-process (3-JVM)
+  * hammer arbitrating through the server, protocol-level conditional
+  * semantics, and restart durability of acknowledged claims.
+  */
+class HttpCasSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+
+  private val schema = GraftSchema(
+    rowKeys = Seq(GraftField("k", StringType)),
+    sortKeys = Nil,
+    values = Seq(GraftField("v", LongType)))
+
+  test("claim protocol: put-if-absent, read, delete, list") {
+    val data = Files.createTempDirectory("graft-httpcas").toString
+    val server = new HttpCasServer(data)
+    try {
+      val store = new HttpClaimStore(server.address)
+      assert(store.readClaim("txn-v2.json").isEmpty)
+      assert(store.tryClaim("txn-v2.json", "uuid-a"), "first claim must win")
+      assert(!store.tryClaim("txn-v2.json", "uuid-b"), "second claim must lose")
+      assert(store.readClaim("txn-v2.json").contains("uuid-a"),
+        "the WINNER's content must be what readers see")
+      assert(store.tryClaim("txn-v3.json", "uuid-c"))
+      assert(store.listClaims().toMap == Map(
+        "txn-v2.json" -> "uuid-a", "txn-v3.json" -> "uuid-c"))
+      store.deleteClaim("txn-v2.json")
+      assert(store.readClaim("txn-v2.json").isEmpty)
+      assert(store.listClaims().toMap == Map("txn-v3.json" -> "uuid-c"))
+    } finally server.close()
+  }
+
+  test("acknowledged claims survive a server restart over the same directory") {
+    val data = Files.createTempDirectory("graft-httpcas-restart").toString
+    val first = new HttpCasServer(data)
+    val port = java.net.URI.create(first.address).getPort
+    try assert(new HttpClaimStore(first.address).tryClaim("txn-v2.json", "uuid-a"))
+    finally first.close()
+    val second = new HttpCasServer(data, port = port)
+    try {
+      val store = new HttpClaimStore(second.address)
+      assert(store.readClaim("txn-v2.json").contains("uuid-a"),
+        "a durable claim store must not forget acknowledged claims on restart")
+      assert(!store.tryClaim("txn-v2.json", "uuid-b"))
+    } finally second.close()
+  }
+
+  test("concurrent writers through one HTTP arbiter all land their transactions") {
+    val data = Files.createTempDirectory("graft-httpcas-conc").toString
+    val server = new HttpCasServer(data)
+    try {
+      val dir = Files.createTempDirectory("graft-httpcas-store").toString
+      JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")),
+        cas = Some(new HttpCas(server.address)))
+      val threads = 4; val perThread = 8
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val futures = (0 until threads).map { t =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val store = JsonStateStore.load(dir, cas = Some(new HttpCas(server.address)))
+            val leaf = store.partitionTree.leaves.map(_.id).min
+            (0 until perThread).foreach { i =>
+              store.addFiles(Seq(FileReference(s"w$t-f$i", leaf, 1)))
+            }
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdownNow()
+      val fin = JsonStateStore.load(dir, cas = Some(new HttpCas(server.address)))
+      assert(fin.fileReferences.size == threads * perThread)
+      assert(fin.currentVersion == 1 + threads * perThread)
+    } finally server.close()
+  }
+
+  test("ingest || compact || GC crash battery over the HTTP CAS (stress)") {
+    val data = Files.createTempDirectory("graft-httpcas-battery").toString
+    val server = new HttpCasServer(data)
+    try LifecycleStress.run(spark, () => new HttpCas(server.address))
+    finally server.close()
+  }
+
+  test("cross-process: three JVMs arbitrating through the HTTP CAS lose no updates") {
+    val data = Files.createTempDirectory("graft-httpcas-xproc").toString
+    val server = new HttpCasServer(data)
+    try {
+      val dir = Files.createTempDirectory("graft-httpcas-xdir").toString
+      JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")),
+        cas = Some(new HttpCas(server.address)))
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val perWriter = 60
+      val procs = (0 until 3).map { w =>
+        new ProcessBuilder(javaBin, "-cp", cp, "graft.meta.CasHammer",
+            dir, s"w$w", perWriter.toString, server.address)
+          .redirectErrorStream(true).start()
+      }
+      procs.zipWithIndex.foreach { case (p, w) =>
+        val out = new String(p.getInputStream.readAllBytes())
+        assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), s"writer $w did not finish")
+        assert(p.exitValue() == 0, s"writer $w failed:\n$out")
+        assert(out.contains(s"DONE $perWriter"), s"writer $w incomplete:\n$out")
+      }
+      val fin = JsonStateStore.load(dir, cas = Some(new HttpCas(server.address)))
+      val names = fin.fileReferences.map(_.filename).toSet
+      val expected = (for (w <- 0 until 3; i <- 0 until perWriter) yield s"w$w-f$i").toSet
+      assert(names == expected, s"lost updates: ${(expected -- names).take(5)}...")
+      assert(fin.currentVersion == 1 + 3 * perWriter)
+    } finally server.close()
+  }
+}
