@@ -25,17 +25,22 @@ object StreamAnalytics {
     * stream. Output: (day_start epoch-micros, event_type, n, sum_value).
     */
   def dailyTypeRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS), readable only as epoch-nanos
-    // longs (see Tables); the stream converts to micros for event time.
+    // events.ts is either parquet TIMESTAMP(NANOS) (readable only as an
+    // epoch-nanos long, see Tables) or TIMESTAMP(MICROS)/NTZ, depending
+    // on the generator; the stream converts either to a µs event time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tsm =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts DIV 1000"))
+      else col("ts").cast("timestamp")
 
     val windowed = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .select(col("event_type"), col("value"),
-        timestamp_micros(expr("ts DIV 1000")).as("tsm"))
+      .select(col("event_type"), col("value"), tsm.as("tsm"))
       .withWatermark("tsm", "1 hour")
       .groupBy(window(col("tsm"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"),
