@@ -44,6 +44,12 @@ object BenchScale {
       merged(secKey) = best.map(_(secKey)).getOrElse(-1)
       merged(rateKey) = best.map(_(rateKey)).getOrElse(-1)
     }
+    // non-timing metrics (index footprints etc.) pass through from the
+    // first pass that carries them
+    passes.flatten.foreach { case (k, v) =>
+      if (!k.endsWith("_sec") && !k.endsWith("_rows_per_s") && !merged.contains(k))
+        merged(k) = v
+    }
     merged.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
   }
 
@@ -118,6 +124,53 @@ object BenchScale {
       val key = shift * (EngineFactor / 2) + 42
       spark.read.format("graft").load(dir)
         .filter(col("l_orderkey") === key).collect()
+    }
+
+    // -- salt=1 control (verdict r8 #5): the same ingest+merge+compact
+    // sequence with leaf salting disabled, so the parallel-sorted-runs
+    // trade (faster ingest, more files for the downstream merge) is a
+    // measured delta, not a guess. Once per run.
+    if (pass == 1) {
+      val dirC = java.nio.file.Files.createTempDirectory("graft-bench-salt1").toString
+      val tableC = GraftTable.create(spark, dirC, schema, splitPoints = splits,
+        config = TableConfig(gcDelayMinutes = 0))
+      System.setProperty("graft.ingest.max.salt", "1")
+      try {
+        timed("ingest_x10_salt1", totalRows) {
+          tableC.ingest(scaled.filter(col("l_linenumber") <= 2).drop("l_linenumber"))
+          tableC.ingest(scaled.filter(col("l_linenumber") >= 3).drop("l_linenumber"))
+        }
+      } finally System.clearProperty("graft.ingest.max.salt")
+      timed("dsv2_merge_scan_x10_salt1", totalRows, innerRepeats = 3) {
+        spark.read.format("graft").load(dirC).agg(sum("qty")).collect()
+      }
+      timed("compact_x10_salt1", totalRows) { tableC.compactAll() }
+      graft.meta.GraftFS.deleteRecursive(dirC)
+    }
+
+    // -- composed IVF-PQ index: build + serve + footprint --------------
+    // Build is a once-per-corpus artifact (train coarse + residual
+    // codebooks, one encode pass, partitioned write); serve is the
+    // per-query cost of cell-pruned ADC + rerank. bytes/vec is the
+    // physical list footprint over the vector count — the compression
+    // the ADC scan actually enjoys (codes + raw vectors both live in
+    // the lists; the approximate phase reads only the m-byte codes).
+    if (pass == 1) {
+      val emb = Tables(spark, sfDir, "embeddings")
+      val embRows = emb.count()
+      val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-ivfpq").toString
+      timed("ivfpq_build", embRows) {
+        graft.vectors.VectorFunctions.buildIvfPqIndex(emb, "vec_id", "embedding",
+          idxDir, nCentroids = 16, m = 16, ksub = 16)
+      }
+      val qdf = emb.filter(col("vec_id") === 13)
+      timed("ivfpq_serve", embRows, innerRepeats = 3) {
+        graft.vectors.VectorFunctions.knnIvfPqIndex(spark, idxDir, qdf, "embedding",
+          k = 10, nprobe = 8, rerank = 64).collect()
+      }
+      val (bytes, n) = graft.vectors.VectorFunctions.ivfPqIndexBytes(spark, idxDir)
+      if (n > 0) results("ivfpq_index_bytes_per_vec") = math.rint(bytes * 100.0 / n) / 100
+      graft.meta.GraftFS.deleteRecursive(idxDir)
     }
 
     // -- quadratic dedup operators on a x3 corpus ----------------------

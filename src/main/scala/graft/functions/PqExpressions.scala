@@ -83,6 +83,53 @@ object PqOps {
     while (j < m) { s += table(j * ksub + (codes.getByte(j) & 0xff)); j += 1 }
     s
   }
+
+  /** RESIDUAL encode — the IVFADC composition (Jégou '11 §III): quantize
+    * `normalize(v) − centroid(cell)` against residual-trained codebooks,
+    * WITHOUT re-normalizing (residuals are not unit vectors; their scale
+    * is the signal). Query-time scoring recomposes
+    * cos(q, v) ≈ dot(q̂, c_cell) + Σ_j table[j][code_j].
+    * `cent` is the pre-normalized k×dim coarse matrix row-major.
+    */
+  def encodeResidual(v: ArrayData, cell: Int, cent: Array[Double], k: Int,
+      flat: Array[Double], m: Int, ksub: Int, isFloat: Boolean): ArrayData = {
+    val dsub = flat.length / (m * ksub)
+    val dim = m * dsub
+    val cdim = cent.length / k
+    val coff = cell * cdim
+    val n = v.numElements()
+    var norm = 0.0
+    var i = 0
+    val lim = math.min(n, dim)
+    while (i < lim) { val x = get(v, i, isFloat); norm += x * x; i += 1 }
+    val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+    val codes = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var best = 0
+      var bestDist = Double.MaxValue
+      var c = 0
+      while (c < ksub) {
+        val off = (j * ksub + c) * dsub
+        var dist = 0.0
+        var d = 0
+        while (d < dsub) {
+          val p = base + d
+          val x = (if (p < n) get(v, p, isFloat) * inv else 0.0) -
+            (if (p < cdim) cent(coff + p) else 0.0)
+          val diff = x - flat(off + d)
+          dist += diff * diff
+          d += 1
+        }
+        if (dist < bestDist) { bestDist = dist; best = c }
+        c += 1
+      }
+      codes(j) = best.toByte
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(codes)
+  }
 }
 
 /** Trained PQ codebooks: `m` subspaces × `ksub` codewords × `dsub` dims,
@@ -172,9 +219,50 @@ case class PqAdc(child: Expression, table: PqDistTable) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** `pq_encode_residual(vec, cell)`: the vector's `m` residual-PQ codes
+  * against its coarse cell — the IVFADC build kernel. Both the coarse
+  * matrix and the codebooks ship once per plan via `addReferenceObj`.
+  */
+case class PqEncodeResidual(left: Expression, right: Expression,
+    cents: CentroidMatrix, cb: PqCodebooks)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with VecElemType {
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "pq_encode_residual"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    checkVecTypes(Seq(left)) match {
+      case TypeCheckSuccess => right.dataType match {
+        case IntegerType => TypeCheckSuccess
+        case t => TypeCheckFailure(s"pq_encode_residual cell must be int, got ${t.sql}")
+      }
+      case f => f
+    }
+  }
+  private lazy val vF = elemIsFloat(left)
+
+  protected override def nullSafeEval(v: Any, cell: Any): Any =
+    PqOps.encodeResidual(v.asInstanceOf[ArrayData], cell.asInstanceOf[Int],
+      cents.flat, cents.k, cb.flat, cb.m, cb.ksub, vF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cent = ctx.addReferenceObj("ivfpqCent", cents.flat, "double[]")
+    val flat = ctx.addReferenceObj("ivfpqFlat", cb.flat, "double[]")
+    nullSafeCodeGen(ctx, ev, (v, cell) =>
+      s"${ev.value} = graft.functions.PqOps.encodeResidual($v, $cell, $cent, ${cents.k}, " +
+        s"$flat, ${cb.m}, ${cb.ksub}, $vF);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqEncodeResidual =
+    copy(left = l, right = r)
+}
+
 object PqExpressions {
   def pq_encode(v: Column, cb: PqCodebooks): Column =
     bridge.column(PqEncode(bridge.expression(v), cb))
   def pq_adc(codes: Column, table: PqDistTable): Column =
     bridge.column(PqAdc(bridge.expression(codes), table))
+  def pq_encode_residual(v: Column, cell: Column, cents: CentroidMatrix,
+      cb: PqCodebooks): Column =
+    bridge.column(PqEncodeResidual(bridge.expression(v), bridge.expression(cell), cents, cb))
 }

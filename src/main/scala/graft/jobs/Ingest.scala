@@ -65,7 +65,8 @@ final class Ingest(table: GraftTable) {
     val perLeafBytes = (projected.queryExecution.optimizedPlan.stats.sizeInBytes
       / math.max(numLeaves, 1)).min(BigInt(Long.MaxValue)).toLong
     val salt = Ingest.saltFor(perLeafBytes,
-      spark.sparkContext.defaultParallelism, numLeaves)
+      spark.sparkContext.defaultParallelism, numLeaves,
+      maxSalt = table.config.compactionBatchSize)
     val saltKey = pmod(xxhash64(schema.rowKeyNames.map(col): _*), lit(salt))
     // 2× partition slack: repartition-by-expression HASHES (leaf, salt)
     // combos into slots, and at slots == combos the birthday collisions
@@ -166,11 +167,21 @@ object Ingest {
 
   /** Sorted runs per leaf for an ingest: 1 below the small-leaf floor,
     * else enough to use the cores AND keep each run's sort under the
-    * spill budget.
+    * spill budget — CAPPED at `maxSalt` (the table's compaction batch
+    * size): one ingest must never leave more runs on a leaf than a
+    * single compaction folds, or the merge side pays for the ingest
+    * side's parallelism until a second compaction round catches up
+    * (the r8→r9 sorted-merge regression). The
+    * `graft.ingest.max.salt` system property overrides for experiments
+    * (the bench's salt=1 control row).
     */
-  def saltFor(perLeafBytes: Long, cpus: Int, numLeaves: Int): Int =
+  def saltFor(perLeafBytes: Long, cpus: Int, numLeaves: Int,
+      maxSalt: Int = Int.MaxValue): Int = {
+    val cap = Option(Integer.getInteger("graft.ingest.max.salt"))
+      .map(_.intValue).getOrElse(maxSalt)
     if (perLeafBytes < MinSaltedLeafBytes) 1
-    else math.max(
+    else math.min(math.max(cap, 1), math.max(
       math.ceil(cpus.toDouble / math.max(numLeaves, 1)).toInt,
-      math.ceil(perLeafBytes.toDouble / MaxRunBytes).toInt)
+      math.ceil(perLeafBytes.toDouble / MaxRunBytes).toInt))
+  }
 }

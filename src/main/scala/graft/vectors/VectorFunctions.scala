@@ -646,6 +646,169 @@ object VectorFunctions {
       .limit(k)
   }
 
+  /** Train RESIDUAL PQ codebooks against a trained coarse quantizer —
+    * the IVFADC recipe (Jégou '11 §III): on the deterministic bounded
+    * sample, each vector is normalized, assigned to its nearest coarse
+    * centroid, and the codebooks learn the RESIDUAL `v̂ − c(v)` per
+    * subspace. Residuals are far smaller than the vectors themselves
+    * once the coarse quantizer has absorbed the cluster structure, so
+    * the same m×ksub code budget buys a much finer quantization than
+    * flat PQ — which is exactly why the composed index is the standard
+    * 100-TB ANN architecture.
+    */
+  def trainPqResidualCodebooks(vectors: DataFrame, idCol: String, vecCol: String,
+      cents: graft.functions.CentroidMatrix, m: Int = 16, ksub: Int = 16,
+      sampleSize: Int = 65536, iters: Int = 20,
+      seed: Long = 42L): graft.functions.PqCodebooks = {
+    import org.apache.spark.sql.Row
+    val sample: Array[Array[Double]] = vectors
+      .select(col(idCol).cast("long").as("id"), toDouble(col(vecCol)).as("v"))
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .collect() // bounded by sampleSize — the PQ training sample
+      .map { case Row(_, v: scala.collection.Seq[_]) =>
+        normalize(v.asInstanceOf[scala.collection.Seq[Double]].toArray)
+      }
+    require(sample.nonEmpty, "cannot train PQ codebooks on an empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val cdim = cents.dim
+    // residual per sample point against its own coarse cell
+    val residuals = sample.map { v =>
+      var best = 0; var bd = Double.NegativeInfinity
+      var c = 0
+      while (c < cents.k) {
+        var d = 0.0; var i = 0
+        val lim = math.min(dim, cdim)
+        while (i < lim) { d += v(i) * cents.flat(c * cdim + i); i += 1 }
+        if (d > bd) { bd = d; best = c }
+        c += 1
+      }
+      val r = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { r(i) = v(i) - (if (i < cdim) cents.flat(best * cdim + i) else 0.0); i += 1 }
+      r
+    }
+    val flat = new Array[Double](m * ksub * dsub)
+    var j = 0
+    while (j < m) {
+      val sub = residuals.map(v => java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val cw = localKmeansL2(sub, ksub, iters)
+      var c = 0
+      while (c < ksub) {
+        val row = cw(math.min(c, cw.length - 1))
+        System.arraycopy(row, 0, flat, (j * ksub + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    graft.functions.PqCodebooks(flat, m, ksub)
+  }
+
+  /** Build and PERSIST the composed IVF-PQ index — the FAISS-style
+    * IVFADC layout, the real 100-TB ANN architecture:
+    *
+    *   <indexDir>/centroids/   (cell, centroid) — the coarse quantizer
+    *   <indexDir>/codebooks/   one row (flat, m, ksub) — residual PQ
+    *   <indexDir>/lists/       (id, vec, codes) partitioned BY CELL
+    *
+    * Each cell list carries both the m-byte residual codes (the ADC scan
+    * representation — the only column the approximate phase reads,
+    * parquet being columnar) and the raw vector (the exact-rerank
+    * representation, read only for the rerank candidates' cells). Build
+    * is one distributed pass after training: assignment and residual
+    * encoding are shuffle-free codegen expressions; the only shuffle is
+    * the partitioned write.
+    */
+  def buildIvfPqIndex(vectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String, nCentroids: Int = 16, m: Int = 16, ksub: Int = 16,
+      lloydIters: Int = 8, sampleSize: Int = 65536,
+      seed: Long = 42L): Unit = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cents = trainKmeansCentroids(vectors, idCol, vecCol, nCentroids,
+      lloydIters = lloydIters, seed = seed)
+    val cm = graft.functions.CentroidMatrix.normalized(cents)
+    val cb = trainPqResidualCodebooks(vectors, idCol, vecCol, cm, m, ksub,
+      sampleSize = sampleSize, seed = seed)
+    cents.indices.map(c => (c, cm.row(c))).toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    Seq((cb.flat.toSeq, cb.m, cb.ksub)).toDF("flat", "m", "ksub")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", nearest_centroid(col("vec"), cm))
+      .withColumn("codes", graft.functions.PqExpressions.pq_encode_residual(
+        col("vec"), col("cell"), cm, cb))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/lists")
+  }
+
+  /** Serve kNN from a persisted [[buildIvfPqIndex]] index — the IVFADC
+    * query path: rank cells against the tiny centroid table (driver
+    * math), scan ONLY the `nprobe` probed cell directories
+    * (partition-pruned) reading ONLY (id, codes), score each row with
+    * `m` table lookups plus the per-cell constant dot(q̂, c), TakeOrdered
+    * the `rerank` best, exact-rescore just those vectors, return top-k.
+    * At 100 TB the approximate phase reads nprobe/nCentroids of the
+    * corpus at m bytes a vector (a ~3% IO fraction twice over); only
+    * `rerank` full vectors are ever touched.
+    */
+  def knnIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      query: DataFrame, queryVecCol: String, k: Int, nprobe: Int = 4,
+      rerank: Int = 64): DataFrame = {
+    requireSingleQuery(query, "knnIvfPqIndex")
+    import org.apache.spark.sql.Row
+    import spark.implicits._
+    val cbRow = spark.read.parquet(s"$indexDir/codebooks").head()
+    val cb = graft.functions.PqCodebooks(
+      cbRow.getAs[scala.collection.Seq[Double]]("flat").toArray,
+      cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ksub"))
+    val centRows = spark.read.parquet(s"$indexDir/centroids").orderBy("cell").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+    val qVec = query.select(toDouble(col(queryVecCol)).as("q")).head() match {
+      case Row(v: scala.collection.Seq[_]) =>
+        v.asInstanceOf[scala.collection.Seq[Double]].toArray
+    }
+    val qn = normalize(qVec)
+    // rank the coarse cells; carry dot(q̂, c) — the ADC recomposition term
+    val probed = centRows.map { case (c, cv) => (c, dotD(qn, cv)) }
+      .sortBy { case (c, d) => (-d, c) }.take(nprobe).toSeq
+    val table = adcTable(qVec, cb)
+    val constDf = probed.toDF("cell", "cconst")
+    val lists = spark.read.parquet(s"$indexDir/lists")
+      .filter(col("cell").isin(probed.map(_._1): _*))
+    val cands = lists
+      .join(broadcast(constDf), "cell")
+      .select(col("id"),
+        (graft.functions.PqExpressions.pq_adc(col("codes"), table) + col("cconst")).as("approx"))
+      .orderBy(col("approx").desc, col("id"))
+      .limit(math.max(rerank, k))
+      .select("id")
+    // exact rerank: the tiny candidate set broadcasts into a second
+    // pruned scan that reads only (id, vec)
+    cands.join(lists.select("id", "vec"), Seq("id"))
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("q"))))
+      .select(col("id"), cosine_sim(col("vec"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Footprint of a persisted IVF-PQ index: physical bytes of the list
+    * files against the vector count — the bench's bytes/vector number.
+    */
+  def ivfPqIndexBytes(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (Long, Long) = {
+    val (fs, p) = graft.meta.GraftFS.resolve(s"$indexDir/lists")
+    def walk(dir: org.apache.hadoop.fs.Path): Long =
+      fs.listStatus(dir).map { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) st.getLen else 0L
+      }.sum
+    val bytes = walk(p)
+    val n = spark.read.parquet(s"$indexDir/lists").count()
+    (bytes, n)
+  }
+
   /** Embedding-cluster dedup (the SemDeDup shape): near-dup pairs from
     * [[nearDupPairsLsh]] → connected components → keep ONE row (the
     * smallest id) per cluster. Pairs alone over-remove — with edges

@@ -53,6 +53,14 @@ class TableLifecycleSpec extends AnyFunSuite {
     assert(Ingest.saltFor(2L * 1024 * 1024, cpus = 32, numLeaves = 64) == 1)
     // spill bound dominates when leaves outgrow it even on a busy cluster
     assert(Ingest.saltFor(10L * Ingest.MaxRunBytes, cpus = 32, numLeaves = 64) == 10)
+    // one ingest never exceeds the compaction batch: the merge side must
+    // be able to fold a whole ingest's runs in ONE compaction round
+    assert(Ingest.saltFor(100L * Ingest.MaxRunBytes, cpus = 32, numLeaves = 4,
+      maxSalt = 11) == 11)
+    // the experiment override pins the salt regardless of sizing
+    System.setProperty("graft.ingest.max.salt", "1")
+    try assert(Ingest.saltFor(100L * Ingest.MaxRunBytes, cpus = 32, numLeaves = 4) == 1)
+    finally System.clearProperty("graft.ingest.max.salt")
   }
 
   test("a salted ingest writes several sorted runs per leaf and queries/aggregates exactly") {

