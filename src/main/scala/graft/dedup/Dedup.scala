@@ -611,10 +611,24 @@ object Dedup {
     * segment value; the test corpora (≤5k docs) never hit it.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    fingerprintPairs(
+      docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp")),
+      maxHamming, maxBucket)
+
+  /** Near-dup pairs over ANY 64-bit fingerprint relation (id, fp) —
+    * the segment-banding engine behind [[simhashPairs]] and the image
+    * perceptual-hash dedup ([[graft.multimodal.Multimodal.imageNearDupPairs]]):
+    * split the 64 bits into maxHamming+1 segments, candidates from
+    * equality joins on segments (pigeonhole: a pair within the distance
+    * agrees exactly on at least one segment), verified by hamming64.
+    * Null fingerprints (undecodable payloads) drop out here.
+    */
+  def fingerprintPairs(fp0: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     val nSeg = maxHamming + 1
     val segBits = 64 / nSeg
-    val fp = docs.select(col(idCol).as("id"), simhash(col(textCol)).as("fp"))
+    val fp = fp0.filter(col("fp").isNotNull)
     val segs = fp.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(nSeg - 1)),
         s => call_function("shiftrightunsigned", col("fp"), s * segBits)

@@ -176,6 +176,54 @@ object ImageCodec {
     out.toByteArray
   }
 
+  /** COMPLETE 24-bit uncompressed BMP with real pixel data — decodable
+    * by any BMP reader (including `javax.imageio`), so the pixel-level
+    * stages (perceptual hash) exercise a genuine decode, not a stub.
+    * `gray(x, y)` in [0,255] is written to all three channels;
+    * bottom-up row order and 4-byte row padding per the format.
+    */
+  def bmpBytes(width: Int, height: Int, gray: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = width * 3
+    val pad = (4 - rowBytes % 4) % 4
+    val imageSize = (rowBytes + pad) * height
+    val fileSize = 14 + 40 + imageSize
+    val out = new java.io.ByteArrayOutputStream(fileSize)
+    out.write('B'); out.write('M')
+    writeLe32(out, fileSize)
+    writeLe32(out, 0)        // reserved
+    writeLe32(out, 54)       // pixel-data offset
+    writeLe32(out, 40)       // BITMAPINFOHEADER size
+    writeLe32(out, width)
+    writeLe32(out, height)   // positive: bottom-up rows
+    writeLe16b(out, 1)       // planes
+    writeLe16b(out, 24)      // bits per pixel
+    writeLe32(out, 0)        // BI_RGB, uncompressed
+    writeLe32(out, imageSize)
+    writeLe32(out, 2835); writeLe32(out, 2835) // 72 dpi
+    writeLe32(out, 0); writeLe32(out, 0)       // palette
+    var y = height - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < width) {
+        val g = gray(x, y) & 0xff
+        out.write(g); out.write(g); out.write(g) // B G R
+        x += 1
+      }
+      var p = 0
+      while (p < pad) { out.write(0); p += 1 }
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  private def writeLe32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+  }
+  private def writeLe16b(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+
   private def writeBe16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
     o.write((v >> 8) & 0xff); o.write(v & 0xff)
   }

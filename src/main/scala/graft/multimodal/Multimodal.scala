@@ -71,6 +71,95 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit difference hash (dHash) of an image payload — the standard
+    * perceptual fingerprint for image near-dup in a crawl-curation
+    * pipeline: decode pixels (a REAL decode via `javax.imageio` — PNG /
+    * JPEG / GIF / BMP, whatever the JDK readers handle), deterministic
+    * area-average downsample to a 9×8 luminance grid, then one bit per
+    * adjacent-column comparison (bit y·8+x = gray(x+1,y) > gray(x,y)).
+    * Near-identical images (recompress, small edits, resize) land within
+    * a few bits; unrelated images differ in ~32. Undecodable payloads
+    * hash to null. Luminance is the integer mean (r+g+b)/3 and the
+    * downsample is exact integer math over pixel-block sums, so two
+    * engines decoding the same pixels agree bit-for-bit.
+    */
+  def imageDHash(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    img.filter(i => i.getWidth > 0 && i.getHeight > 0).map { i =>
+      val w = i.getWidth; val h = i.getHeight
+      val gw = 9; val gh = 8
+      val grid = Array.ofDim[Long](gw, gh)
+      var ty = 0
+      while (ty < gh) {
+        val y0 = ty * h / gh; val y1 = math.max((ty + 1) * h / gh, y0 + 1)
+        var tx = 0
+        while (tx < gw) {
+          val x0 = tx * w / gw; val x1 = math.max((tx + 1) * w / gw, x0 + 1)
+          var sum = 0L; var n = 0L
+          var y = y0
+          while (y < math.min(y1, h)) {
+            var x = x0
+            while (x < math.min(x1, w)) {
+              val rgb = i.getRGB(x, y)
+              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+              n += 1
+              x += 1
+            }
+            y += 1
+          }
+          grid(tx)(ty) = if (n == 0) 0L else sum / (3L * n)
+          tx += 1
+        }
+        ty += 1
+      }
+      var hash = 0L
+      var y = 0
+      while (y < gh) {
+        var x = 0
+        while (x < 8) {
+          if (grid(x + 1)(y) > grid(x)(y)) hash |= 1L << (y * 8 + x)
+          x += 1
+        }
+        y += 1
+      }
+      hash
+    }
+  }
+
+  /** (id, dhash) for a binary image column — partition-batched like
+    * [[decodeMeta]] (a real decoder amortizes per partition); null hash
+    * for undecodable payloads.
+    */
+  def imageDHashes(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("fp", LongType, nullable = true)))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val h = imageDHash(r.getAs[Array[Byte]](contentIdx))
+        Row(r.getLong(idIdx), h.map(java.lang.Long.valueOf).orNull)
+      }
+    }(enc)
+  }
+
+  /** Image near-dup pairs: dHash fingerprints into the SAME segment-
+    * banding candidate engine the text SimHash dedup uses
+    * ([[graft.dedup.Dedup.fingerprintPairs]]) — pigeonhole candidates
+    * from (maxHamming+1)-segment equality joins, exact Hamming verify.
+    * With the default maxHamming=3 the 4-segment banding is LOSSLESS:
+    * every pair within distance 3 shares an untouched 16-bit segment.
+    */
+  def imageNearDupPairs(df: DataFrame, idCol: String, contentCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame =
+    graft.dedup.Dedup.fingerprintPairs(
+      imageDHashes(df, idCol, contentCol), maxHamming, maxBucket)
+
   /** Fixed-dim feature vectors from binary payloads (batched). */
   def extractFeatures(df: DataFrame, idCol: String, contentCol: String, dim: Int = 8): DataFrame = {
     val outSchema = StructType(Seq(

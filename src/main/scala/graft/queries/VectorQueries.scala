@@ -339,6 +339,60 @@ object VectorQueries {
       Multimodal.decodeMeta(docs, "doc_id", "content").orderBy("id")
     },
 
+    // MM3 — image perceptual-hash near-dup: every document becomes a
+    // REAL 9×8 24-bit BMP (decoded by javax.imageio — an actual pixel
+    // decode, not a header parse) whose grays are a deterministic
+    // function of a BASE id; ids with doc_id % 5 = 1 reuse the previous
+    // id's base, so (5k, 5k+1) are pixel-identical pairs, and every
+    // doc_id % 10 = 7 payload is garbage (hashes to null, must drop
+    // out). The Spark side runs the full pipeline — ImageIO decode →
+    // area-average 9×8 luminance → 64-bit dHash → segment-banding
+    // candidates (lossless at maxHamming=3 by pigeonhole) → exact
+    // Hamming verify; the oracle replays the gray arithmetic and dHash
+    // bit-packing in SQL (two 32-bit halves: 1<<63 would overflow
+    // BIGINT) and takes ALL pairs within Hamming 3 exhaustively — so a
+    // decoder slip, a resize-grid bug, a bit-order mismatch, or a lost
+    // banding candidate all surface as a driver mismatch.
+    "mm3_image_neardup" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 5 = 1 THEN doc_id - 1 ELSE doc_id END AS base
+        |  FROM documents WHERE doc_id % 10 <> 7
+        |), g AS (
+        |  SELECT d.doc_id, x.range AS x, y.range AS y,
+        |         (d.base * 2654435761 + (y.range * 9 + x.range) * 1013904223) % 256 AS gray
+        |  FROM d, range(9) x, range(8) y
+        |), bits AS (
+        |  SELECT a.doc_id, a.y * 8 + a.x AS pos,
+        |         CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+        |  WHERE a.x < 8
+        |), h AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN pos < 32 THEN bit * (CAST(1 AS BIGINT) << pos) ELSE 0 END) AS lo,
+        |         SUM(CASE WHEN pos >= 32 THEN bit * (CAST(1 AS BIGINT) << (pos - 32)) ELSE 0 END) AS hi
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+      val mkImg = udf { (id: Long) =>
+        if (id % 10 == 7) s"garbage payload $id".getBytes("UTF-8")
+        else {
+          val base = if (id % 5 == 1) id - 1 else id
+          graft.multimodal.ImageCodec.bmpBytes(9, 8,
+            (x, y) => ((base * 2654435761L + (y * 9 + x) * 1013904223L) % 256).toInt)
+        }
+      }
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), mkImg(col("doc_id")).as("content"))
+      Multimodal.imageNearDupPairs(docs, "doc_id", "content", maxHamming = 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
+    },
+
     // MM2 — multimodal feature extraction (stubbed model, batched
     // mapPartitions). The stub accumulates per-byte integer hashes
     // position-wise (order-independent), so the oracle replays it in

@@ -60,6 +60,60 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(parse(noSof).isEmpty)
   }
 
+  test("bmpBytes round-trips pixel-exact through javax.imageio") {
+    val bytes = ImageCodec.bmpBytes(9, 8, (x, y) => (x * 7 + y * 13) % 256)
+    // header parse agrees with the pixel decoder
+    assert(ImageCodec.parse(bytes).contains(ImageCodec.ImageMeta("bmp", 9, 8, 3)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null && img.getWidth == 9 && img.getHeight == 8)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val rgb = img.getRGB(x, y)
+      val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+      assert(g == (x * 7 + y * 13) % 256, s"pixel ($x,$y)")
+    }
+    // odd width exercises the 4-byte row padding
+    val odd = ImageCodec.bmpBytes(5, 3, (x, y) => x + y)
+    val oi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(odd))
+    assert(oi != null && oi.getWidth == 5 && oi.getHeight == 3)
+    assert((oi.getRGB(4, 2) & 0xff) == 6)
+  }
+
+  test("imageDHash: identity, sensitivity, resize tolerance, garbage -> None") {
+    def pat(x: Int, y: Int) = ((x * 2654435761L + y * 1013904223L) % 256).toInt
+    val a = ImageCodec.bmpBytes(9, 8, pat)
+    val b = ImageCodec.bmpBytes(9, 8, pat) // identical pixels
+    val c = ImageCodec.bmpBytes(9, 8, (x, y) => pat(8 - x, y)) // mirrored
+    val ha = Multimodal.imageDHash(a).get
+    assert(Multimodal.imageDHash(b).get == ha, "same pixels, same hash")
+    assert(java.lang.Long.bitCount(ha ^ Multimodal.imageDHash(c).get) > 8,
+      "a structurally different image must be far in Hamming space")
+    // the SAME pattern rendered 10x larger hashes close to the small
+    // one: the area-average grid is scale-normalizing by construction
+    val big = ImageCodec.bmpBytes(90, 80, (x, y) => pat(x / 10, y / 10))
+    assert(java.lang.Long.bitCount(ha ^ Multimodal.imageDHash(big).get) <= 3,
+      "10x upscale of the same pattern must stay within a few bits")
+    assert(Multimodal.imageDHash("not an image".getBytes).isEmpty)
+    assert(Multimodal.imageDHash(null).isEmpty)
+  }
+
+  test("imageNearDupPairs finds pixel-identical pairs and drops garbage") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    def img(base: Long) = ImageCodec.bmpBytes(9, 8,
+      (x, y) => ((base * 2654435761L + (y * 9 + x) * 1013904223L) % 256).toInt)
+    val df = Seq(
+      (0L, img(0)), (1L, img(0)),          // identical pair
+      (2L, img(2)), (3L, img(3)),          // unrelated
+      (4L, "garbage".getBytes),            // undecodable
+      (5L, img(5)), (6L, img(5))           // second identical pair
+    ).toDF("doc_id", "content")
+    val pairs = Multimodal.imageNearDupPairs(df, "doc_id", "content", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((5L, 6L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "garbage must drop out")
+    assert(!pairs.contains((2L, 3L)), "unrelated images must not pair")
+  }
+
   test("decodeMeta maps a mixed-format frame with nulls for garbage") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").config("spark.ui.enabled", "false").getOrCreate()
