@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The Python-client round-trip spec shells out to pytest, which drives
+// the packaged jar through spark-submit — make sure it exists.
+Test / test := (Test / test).dependsOn(Compile / packageBin).value
+Test / testOnly := (Test / testOnly).dependsOn(Compile / packageBin).evaluated
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -71,12 +71,75 @@ object SkewJoin {
       hotBy: Column, hotKeys: Int = 65536): DataFrame = {
     require(hotKeys >= 0, "hotKeys must be >= 0")
     if (hotKeys == 0) return fact.join(dim, Seq(key))
-    val hot = dim.orderBy(hotBy.desc).limit(hotKeys).withColumn("__hot", lit(true))
-    val withHot = fact.join(broadcast(hot), Seq(key), "left")
+    splitOn(fact, dim, key, dim.orderBy(hotBy.desc).limit(hotKeys))
+  }
+
+  /** The head keys a one-pass Misra-Gries profile of the FACT's key
+    * column elects — the sketch side of [[hotSplitProfiled]], exposed so
+    * callers (and the spec) can inspect the decision. One map-side pass
+    * over the fact; partials merge in O(capacity); the result is a
+    * bounded O(hotKeys) driver list, which is the point: the plan
+    * DECISION is driver-side and stable, the data never is. The MG
+    * guarantee makes the election safe: every key with frequency >
+    * |fact|/capacity is retained, so with capacity comfortably above
+    * hotKeys the true Zipf head cannot be missed.
+    */
+  def profileHeadKeys(fact: DataFrame, key: String, hotKeys: Int,
+      capacity: Int = 8192): Seq[Any] = {
+    import graft.functions.FrequencySketches.heavy_hitters
+    fact.select(col(key))
+      .agg(heavy_hitters(col(key), capacity).as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item").as(key), col("e.count").as("__cnt"))
+      .orderBy(col("__cnt").desc, col(key))
+      .limit(hotKeys)
+      .collect().map(_.get(0)).toSeq // bounded by hotKeys — the plan input
+  }
+
+  /** [[hotSplit]] with the head ELECTED BY A SKETCH: a one-pass
+    * Misra-Gries heavy-hitters profile of the fact's key column
+    * ([[profileHeadKeys]]) decides which dim rows broadcast, instead of
+    * an exact `orderBy(count).limit` TopN over the dim. Two reasons
+    * this is the 100-TB default: the profile measures the skew where it
+    * LIVES (the fact — a dim-side count column is a proxy that may not
+    * exist), and it costs one map-side pass with O(capacity) partials
+    * against the dim TopN's full sort. The elected keys land in the
+    * plan as a LITERAL local relation, so both union branches see the
+    * identical head by construction — no double-evaluation hazard even
+    * though MG partial merge order is not deterministic.
+    *
+    * Results are identical to `fact.join(dim, key)` for ANY elected
+    * head (the split is correctness-neutral; the head only decides
+    * which keys avoid the shuffle), spec'd equal to the exact-count
+    * decision in OperatorsSpec.
+    */
+  def hotSplitProfiled(fact: DataFrame, dim: DataFrame, key: String,
+      hotKeys: Int = 1024, capacity: Int = 8192): DataFrame = {
+    require(hotKeys >= 0, "hotKeys must be >= 0")
+    if (hotKeys == 0) return fact.join(dim, Seq(key))
+    val spark = fact.sparkSession
+    val elected = profileHeadKeys(fact, key, hotKeys, capacity)
+    if (elected.isEmpty) return fact.join(dim, Seq(key))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(key, fact.schema(key).dataType)))
+    val headKeys = spark.createDataFrame(
+      java.util.Arrays.asList(elected.map(v =>
+        org.apache.spark.sql.Row(v)): _*), schema)
+    splitOn(fact, dim, key, dim.join(broadcast(headKeys), Seq(key)))
+  }
+
+  /** Shared split body: `hot` must be a subset of `dim`'s rows (same
+    * columns, one row per key). The left join flags fact rows whose key
+    * is in the head; hits already carry their dim row, misses — by
+    * definition not in the head — take the shuffled join against the
+    * full dim.
+    */
+  private def splitOn(fact: DataFrame, dim: DataFrame, key: String,
+      hot: DataFrame): DataFrame = {
+    val flagged = hot.withColumn("__hot", lit(true))
+    val withHot = fact.join(broadcast(flagged), Seq(key), "left")
     val dimCols = dim.columns.filterNot(_ == key)
     val hit = withHot.filter(col("__hot") === true).drop("__hot")
-    // a miss key is by definition not in the head, so the tail join
-    // against the FULL dim matches exactly the tail rows
     val miss = withHot.filter(col("__hot").isNull).drop(dimCols :+ "__hot": _*)
     hit.unionByName(miss.join(dim, Seq(key)))
   }

@@ -25,6 +25,17 @@ import graft.table.GraftTable
   *                                client); runs synchronously, responds
   *                                {"queryId","state","rowCount","rows"}
   *                                with rows capped at `maxRows`
+  *   POST /tables/{name}/query?mode=async
+  *                                ASYNC submission: responds 202
+  *                                Accepted immediately with a
+  *                                `Location: /queries/{id}` header; the
+  *                                query runs on a server pool and the
+  *                                client polls the status route to
+  *                                COMPLETED/FAILED — the shape for
+  *                                queries too long to hold an HTTP
+  *                                connection open (results flow to the
+  *                                parquet/queue outputs, the
+  *                                reference's async split)
   *   GET  /queries/{queryId}      last tracker record for the id
   *
   * Query execution is the library's own tracked path
@@ -60,8 +71,22 @@ final class GraftRestServer(spark: SparkSession,
       case Some(t) => respond(ex, 200, FileQueryTracker.toJson(t))
     }
   })
-  server.setExecutor(null) // same-thread: queries serialize per connection
+  // status polls must not queue behind a running query, and async
+  // submissions need somewhere to run: handlers on a cached pool, query
+  // bodies on their own pool (daemon threads — server shutdown wins)
+  private val httpPool = java.util.concurrent.Executors.newCachedThreadPool(daemonFactory("rest-http"))
+  private val queryPool = java.util.concurrent.Executors.newCachedThreadPool(daemonFactory("rest-query"))
+  server.setExecutor(httpPool)
   server.start()
+
+  private def daemonFactory(prefix: String): java.util.concurrent.ThreadFactory =
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"$prefix-${n.incrementAndGet()}")
+        t.setDaemon(true); t
+      }
+    }
 
   val address: String = s"http://127.0.0.1:${server.getAddress.getPort}"
 
@@ -96,6 +121,31 @@ final class GraftRestServer(spark: SparkSession,
       }
     } catch { case scala.util.control.NonFatal(_) => java.util.UUID.randomUUID().toString }
     val exec = new TrackedQueryExecutor(table, tracker)
+    val async = Option(ex.getRequestURI.getQuery).exists(_.contains("mode=async"))
+    if (async) {
+      // parse errors surface NOW (400); execution errors surface in the
+      // tracker. The QUEUED record is written on THIS thread so a poll
+      // racing the submission never 404s.
+      val q = try GraftQuery.fromJson(body, table.schema) catch {
+        case scala.util.control.NonFatal(e) =>
+          respond(ex, 400,
+            s"""{"queryId":${RestJson.jsonEscape(queryId)},"state":"FAILED",""" +
+              s""""error":${RestJson.jsonEscape(String.valueOf(e.getMessage))}}""")
+          return
+      }
+      tracker.put(TrackedQuery(queryId, state = QueryState.Queued,
+        lastUpdateMs = System.currentTimeMillis()))
+      queryPool.submit(new Runnable {
+        override def run(): Unit =
+          try exec.run(queryId, q)
+          catch { case scala.util.control.NonFatal(_) => () } // tracker holds FAILED
+      })
+      ex.getResponseHeaders.set("Location", s"/queries/$queryId")
+      respond(ex, 202,
+        s"""{"queryId":${RestJson.jsonEscape(queryId)},"state":"QUEUED",""" +
+          s""""location":"/queries/${RestJson.esc(queryId)}"}""")
+      return
+    }
     try {
       val q = GraftQuery.fromJson(body, table.schema)
       val df = exec.run(queryId, q)
@@ -130,7 +180,11 @@ final class GraftRestServer(spark: SparkSession,
     ex.getResponseBody.write(bytes)
   }
 
-  override def close(): Unit = server.stop(0)
+  override def close(): Unit = {
+    server.stop(0)
+    httpPool.shutdownNow()
+    queryPool.shutdownNow()
+  }
 }
 
 private object RestJson {

@@ -113,7 +113,12 @@ class HadoopStorageSpec extends AnyFunSuite {
     val dataPathDirs = Seq("jobs", "meta", "table", "sources", "streaming", "exec", "query")
       .map(d => java.nio.file.Paths.get(s"src/main/scala/graft/$d")) ++
       Seq(java.nio.file.Paths.get("src/main/scala/org/apache/spark"))
-    val allowed = Set("GraftFS.scala") // the local-FS hard-link CAS, documented local-only
+    // GraftFS: the local-FS hard-link CAS, documented local-only.
+    // HttpCas: only its SERVER half touches java.nio.file — the claim
+    // service's own durable storage (the DynamoDB-analog's internal
+    // store), never a table path; the client half (HttpClaimStore /
+    // HttpCas) is pure HTTP.
+    val allowed = Set("GraftFS.scala", "HttpCas.scala")
     val offenders = dataPathDirs.filter(java.nio.file.Files.isDirectory(_)).flatMap { d =>
       val stream = java.nio.file.Files.walk(d)
       try {

@@ -160,4 +160,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"head keys must resolve via broadcast:\n$plan")
   }
+
+  test("sketch-elected head: profileHeadKeys finds the true Zipf head in one pass") {
+    // the fact's OWN skew decides, no dim-side count proxy needed
+    val fact = (1 to 40).flatMap(k => (1 to 4000 / (k * k)).map(i => (s"k$k", i.toLong)))
+      .toDF("key", "row_id")
+    val exactTop = fact.groupBy("key").count()
+      .orderBy($"count".desc, $"key").limit(5)
+      .collect().map(_.getString(0)).toSet
+    val elected = SkewJoin.profileHeadKeys(fact, "key", hotKeys = 5, capacity = 64)
+      .map(_.asInstanceOf[String]).toSet
+    assert(elected == exactTop,
+      s"MG election $elected must match the exact top-5 $exactTop " +
+        "(capacity >> head: every high-frequency key is retained)")
+  }
+
+  test("hotSplitProfiled equals the plain join and the exact-count decision") {
+    val fact = (1 to 30).flatMap(k => (1 to 3000 / k).map(i => (s"k$k", i.toLong)))
+      .toDF("key", "row_id")
+    val dim = (1 to 30).map(k => (s"k$k", k.toLong * 10)).toDF("key", "payload")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("key").agg(count(lit(1)).as("n"), sum("payload").as("p"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val expect = agg(fact.join(dim, Seq("key")))
+    for (h <- Seq(0, 5, 30, 100)) {
+      val profiled = agg(SkewJoin.hotSplitProfiled(fact, dim, "key", hotKeys = h,
+        capacity = 256))
+      assert(profiled == expect, s"profiled hotKeys=$h")
+      // the sketch-fed decision and the exact-count decision agree on
+      // RESULTS for every head size (the split is correctness-neutral)
+      val exact = agg(SkewJoin.hotSplit(fact, dim, "key",
+        hotBy = dim("payload"), hotKeys = h))
+      assert(profiled == exact, s"sketch vs exact decision, hotKeys=$h")
+    }
+    // and the elected head resolves via broadcast, like the exact head
+    val plan = SkewJoin.hotSplitProfiled(fact, dim, "key", hotKeys = 5, capacity = 256)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"elected head must resolve via broadcast:\n$plan")
+  }
 }

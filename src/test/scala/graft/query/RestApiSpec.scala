@@ -88,6 +88,57 @@ class RestApiSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("async submission: 202 + Location immediately, poll to COMPLETED") {
+    val dir = mkTableDir()
+    val server = new GraftRestServer(spark)
+    try {
+      post(s"${server.address}/tables",
+        s"""{"name":"t","tableDir":${graft.Verify.jsonEscape(dir)}}""")
+      // the sleep transform keeps the query in flight long enough that
+      // the 202 provably returns before completion
+      val t0 = System.nanoTime()
+      val sub = post(s"${server.address}/tables/t/query?mode=async",
+        """{"queryId":"rest-async","type":"Query",
+          |"regions":[{"k":{"min":1,"minInclusive":true,"max":50,"maxInclusive":true}}],
+          |"queryTimeIteratorChain":"graft.query.SleepTransform{1500}"}""".stripMargin)
+      val submitMs = (System.nanoTime() - t0) / 1e6
+      assert(sub.statusCode() == 202, sub.body())
+      assert(sub.headers().firstValue("Location").orElse("") == "/queries/rest-async")
+      assert(sub.body().contains(""""state":"QUEUED""""))
+      assert(submitMs < 1500, s"async submit must not wait for the query (${submitMs}ms)")
+
+      // the status route answers DURING execution (no 404 race, the
+      // server is not serialized behind the running query)
+      val mid = get(s"${server.address}/queries/rest-async")
+      assert(mid.statusCode() == 200, mid.body())
+
+      // poll to terminal
+      val deadline = System.currentTimeMillis() + 60000
+      var body = ""
+      while (System.currentTimeMillis() < deadline &&
+          !body.contains(""""state":"COMPLETED"""") && !body.contains(""""state":"FAILED"""")) {
+        Thread.sleep(100)
+        body = get(s"${server.address}/queries/rest-async").body()
+      }
+      assert(body.contains(""""state":"COMPLETED""""), body)
+      assert(body.contains(""""rowCount":50"""), body)
+
+      // async EXECUTION errors are accepted (202) and land as FAILED in
+      // the tracker — the client learns through the same poll route
+      val bad = post(s"${server.address}/tables/t/query?mode=async",
+        """{"queryId":"rest-async-bad","type":"Query","queryTimeIteratorChain":"no.Such"}""")
+      assert(bad.statusCode() == 202, bad.body())
+      val dl2 = System.currentTimeMillis() + 30000
+      var badBody = ""
+      while (System.currentTimeMillis() < dl2 && !badBody.contains(""""state":"FAILED""""))
+        { Thread.sleep(100); badBody = get(s"${server.address}/queries/rest-async-bad").body() }
+      assert(badBody.contains(""""state":"FAILED""""), badBody)
+      // async PARSE errors fail fast with 400, not a queued husk
+      val malformed = post(s"${server.address}/tables/t/query?mode=async", "{broken json")
+      assert(malformed.statusCode() == 400, malformed.body())
+    } finally server.close()
+  }
+
   test("failures surface as FAILED JSON, unknown tables as 404") {
     val dir = mkTableDir()
     val server = new GraftRestServer(spark)
