@@ -367,10 +367,19 @@ object Dedup {
     */
   private def bitsetMasks(sh: DataFrame): DataFrame = {
     import graft.functions.BitsetExpressions._
-    val dict = sh.select("shingle").distinct()
-      .withColumn("sid",
-        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy("shingle")) - 1)
-          .cast("int"))
+    val spark = sh.sparkSession
+    // dictionary ids via orderBy + zipWithIndex: the range sort stays
+    // PARALLEL (an unpartitioned window would funnel the whole vocab
+    // through one task) and the assignment is deterministic — sorted
+    // distinct values index identically on every evaluation
+    val base = sh.select("shingle").distinct().orderBy("shingle")
+    val dict = spark.createDataFrame(
+      base.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), i.toInt)
+      },
+      org.apache.spark.sql.types.StructType(base.schema.fields :+
+        org.apache.spark.sql.types.StructField("sid",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
     val vocab = dict.count().toInt
     val numWords = math.max((vocab + 63) / 64, 1)
     sh.join(broadcast(dict), "shingle")
