@@ -88,6 +88,22 @@ object GraftExtensions {
     },
     fn("sketch_agg", "sketch_agg(k) - aggregate: serialized quantile sketch of a key column") {
       args => QuantileSketchAgg(args(0)).toAggregateExpression()
+    },
+    fn("word_ngrams", "word_ngrams(text, n) - every word n-gram occurrence (with repeats)") {
+      args => WordNgrams(args(0), intArg(args(1), "n"))
+    },
+    fn("kmv_distinct", "kmv_distinct(k, cap) - aggregate: KMV distinct-count estimate") {
+      args => KmvDistinctAgg(args(0),
+        if (args.length > 1) intArg(args(1), "cap") else 4096).toAggregateExpression()
+    },
+    fn("kmv_sketch", "kmv_sketch(k, cap) - aggregate: serialized KMV sketch for set-op estimates") {
+      args => KmvSketchAgg(args(0),
+        if (args.length > 1) intArg(args(1), "cap") else 4096).toAggregateExpression()
+    },
+    fn("heavy_hitters",
+      "heavy_hitters(k, cap) - aggregate: Misra-Gries heavy hitters as (item, count) structs") {
+      args => HeavyHittersAgg(args(0),
+        if (args.length > 1) intArg(args(1), "cap") else 4096).toAggregateExpression()
     })
 
   /** Register into an already-built session. */

@@ -743,6 +743,35 @@ object VectorFunctions {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/lists")
   }
 
+  /** Incrementally maintain a persisted [[buildIvfPqIndex]] index — the
+    * IVF-PQ sibling of [[appendToIvfIndex]]: appended vectors assign to
+    * the EXISTING coarse centroids and residual-encode against the
+    * EXISTING codebooks, so the append is one shuffle-free codegen pass
+    * plus a parquet append into the cell directories; resident lists
+    * are untouched. Recall degrades only as far as the appended data
+    * drifts from the trained quantizer — [[ivfIndexStats]] (layout-
+    * compatible) watches the occupancy skew and `needsRetrain` calls
+    * the rebuild, exactly the FAISS serve-and-retrain-out-of-band
+    * pattern.
+    */
+  def appendToIvfPqIndex(newVectors: DataFrame, idCol: String, vecCol: String,
+      indexDir: String): Unit = {
+    val spark = newVectors.sparkSession
+    val cbRow = spark.read.parquet(s"$indexDir/codebooks").head()
+    val cb = graft.functions.PqCodebooks(
+      cbRow.getAs[scala.collection.Seq[Double]]("flat").toArray,
+      cbRow.getAs[Int]("m"), cbRow.getAs[Int]("ksub"))
+    val cents = spark.read.parquet(s"$indexDir/centroids").orderBy("cell").collect()
+      .map(_.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    require(cents.nonEmpty, s"no centroids at $indexDir — build the index first")
+    val cm = graft.functions.CentroidMatrix.normalized(cents)
+    newVectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("cell", nearest_centroid(col("vec"), cm))
+      .withColumn("codes", graft.functions.PqExpressions.pq_encode_residual(
+        col("vec"), col("cell"), cm, cb))
+      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/lists")
+  }
+
   /** Serve kNN from a persisted [[buildIvfPqIndex]] index — the IVFADC
     * query path: rank cells against the tiny centroid table (driver
     * math), scan ONLY the `nprobe` probed cell directories

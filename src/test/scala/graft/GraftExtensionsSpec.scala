@@ -46,6 +46,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sketch.getN == 1000)
   }
 
+  test("frequency sketches and word_ngrams are callable from SQL") {
+    spark.range(0, 500).selectExpr("id % 50 AS k").createOrReplaceTempView("ext_f")
+    val nd = spark.sql("SELECT kmv_distinct(k) AS nd FROM ext_f").as[Long].head()
+    assert(nd == 50, s"exact regime must report the true distinct count, got $nd")
+    val hh = spark.sql(
+      "SELECT heavy_hitters(k, 8) AS hh FROM (SELECT CASE WHEN id < 900 THEN 0 ELSE id END AS k FROM range(1000))")
+      .selectExpr("hh[0].item AS item", "hh[0].count AS cnt").as[(Long, Long)].head()
+    assert(hh._1 == 0L && hh._2 >= 900 - 1000 / 9,
+      s"the dominant key must surface with the MG bound, got $hh")
+    val sk = spark.sql("SELECT kmv_sketch(k) AS s FROM ext_f").as[Array[Byte]].head()
+    assert(graft.functions.FrequencySketches.kmvEstimate(sk) == 50)
+    val ng = spark.sql("SELECT word_ngrams('a b a b', 2) AS g").as[Seq[String]].head()
+    assert(ng == Seq("a b", "b a", "a b"))
+  }
+
   test("hyperplane_lsh and minhash/band functions work with literal params") {
     val sig = spark.sql(
       "SELECT hyperplane_lsh(array(1.0F, -1.0F), 8, 3) AS s").as[Long].head()

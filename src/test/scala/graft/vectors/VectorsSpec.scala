@@ -379,6 +379,47 @@ class VectorsSpec extends AnyFunSuite {
     assert(bytes > 0)
   }
 
+  test("IVF-PQ incremental append: recall holds without rebuild; appended ids servable") {
+    val rnd = new Random(79)
+    val dim = 64
+    val centers = Array.fill(8)(Array.fill(dim)(rnd.nextDouble() * 2 - 1))
+    def near(c: Int, id: Long) =
+      id -> centers(c).map(x => (x + rnd.nextDouble() * 0.2 - 0.1).toFloat)
+    val initial = (0 until 8).flatMap(c => (0 until 30).map(i => near(c, c * 30 + i)))
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-append").toString
+    VectorFunctions.buildIvfPqIndex(initial.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      idx, nCentroids = 8, m = 8, ksub = 16)
+
+    val appended = (0 until 8).flatMap(c => (0 until 10).map(i => near(c, 1000 + c * 10 + i)))
+    VectorFunctions.appendToIvfPqIndex(appended.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx)
+    val everything = initial ++ appended
+    assert(spark.read.parquet(s"$idx/lists").count() == everything.size)
+
+    val all = everything.toDF("vec_id", "embedding")
+    val recalls = (0 until 10).map { qi =>
+      val qv = everything(rnd.nextInt(everything.size))._2
+        .map(x => x + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      val queryDf = Seq(9999L -> qv).toDF("vec_id", "embedding")
+      val brute = VectorFunctions.knnBrute(all, "vec_id", "embedding",
+        queryDf, "embedding", k = 10).select("id").as[Long].collect().toSet
+      val served = VectorFunctions.knnIvfPqIndex(spark, idx, queryDf, "embedding",
+        k = 10, nprobe = 4, rerank = 50).select("id").as[Long].collect().toSet
+      (brute intersect served).size.toDouble / brute.size
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.9, s"mean recall@10 after append $mean; per-query: $recalls")
+    // an appended id is servable through the codes path, not just resident
+    val qNew = Seq(8888L -> everything.find(_._1 == 1000L).get._2)
+      .toDF("vec_id", "embedding")
+    assert(VectorFunctions.knnIvfPqIndex(spark, idx, qNew, "embedding",
+      k = 1, nprobe = 2, rerank = 16).select("id").as[Long].head() == 1000L)
+    // the occupancy-skew retrain gate reads this layout unchanged
+    val stats = VectorFunctions.ivfIndexStats(spark, idx)
+    assert(stats.cells == 8 && stats.totalVectors == everything.size)
+    assert(!stats.needsRetrain(), s"balanced index flagged: $stats")
+  }
+
   test("residual PQ beats flat PQ's quantization error on clustered data") {
     // The point of composing: once the coarse quantizer absorbs cluster
     // structure, the SAME code budget quantizes the (small) residuals
