@@ -663,6 +663,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Sub-document (paragraph/unit) exact dedup — the RefinedWeb/FineWeb
+    * pipeline stage that document-level dedup cannot replace: boilerplate
+    * units (headers, footers, license blocks) repeat across MILLIONS of
+    * otherwise-distinct documents, so each document is split into units,
+    * the globally FIRST occurrence of each unit (min (doc, position))
+    * survives, and every document is reassembled from its surviving
+    * units in original order. Units here are fixed `unitWords`-word
+    * chunks (this corpus carries no paragraph separators; a real crawl
+    * would split on blank lines first and chunk within).
+    *
+    * Scale shape: the dedup shuffle carries ONLY (unit-hash, encoded
+    * doc·position) — unit text never rides a shuffle; the keeper
+    * election is a hash-aggregation min, and reassembly joins the
+    * bounded keeper relation back against the per-doc units. Exactness
+    * is modulo 64-bit unit-hash collisions (≪1e-9 at any realistic
+    * corpus; a 100-TB deployment would widen to 128 bits), which is the
+    * standard pipeline trade. Output: (id, text_dedup, units_total,
+    * units_kept); documents whose every unit was seen earlier reassemble
+    * to the empty string rather than vanishing.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      unitWords: Int = 8): DataFrame = {
+    require(unitWords >= 1, "unitWords must be >= 1")
+    val words = split(col(textCol), "\\s+")
+    val nChunks = ceil(size(words).cast("double") / unitWords).cast("int")
+    val chunks = when(size(words) <= 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(words, i * unitWords + 1, lit(unitWords)))))
+    val units = docs.select(col(idCol).as("id"), posexplode(chunks).as(Seq("pos", "unit")))
+    // (id, pos) encodes into one long so the keeper election is a plain
+    // min over a primitive — no struct comparators in the shuffle
+    val encoded = units.select(xxhash64(col("unit")).as("h"),
+      (col("id") * lit(1000000L) + col("pos")).as("k"))
+    val keepers = encoded.groupBy("h").agg(min(col("k")).as("k"))
+    val kept = units
+      .join(keepers,
+        xxhash64(col("unit")) === keepers("h") &&
+          (col("id") * lit(1000000L) + col("pos")) === keepers("k"))
+      .select(col("id"), col("pos"), col("unit"))
+    val rebuilt = kept.groupBy("id")
+      .agg(
+        concat_ws(" ", transform(array_sort(collect_list(struct(col("pos"), col("unit")))),
+          s => s.getField("unit"))).as("text_dedup"),
+        count(lit(1)).as("units_kept"))
+    docs.select(col(idCol).as("id"), nChunks.cast("long").as("units_total"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("units_total"), coalesce(col("units_kept"), lit(0L)).as("units_kept"))
+  }
+
   /** Incremental exact dedup against a reference corpus (the "drop
     * everything we already trained on" shape): rows of `docs` whose text
     * does NOT appear in `ref`, with a Bloom filter doing almost all of

@@ -388,6 +388,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T18 — sub-document (paragraph/unit) exact dedup, the
+    // RefinedWeb/FineWeb stage document-level dedup cannot replace:
+    // boilerplate units repeating across otherwise-distinct documents.
+    // Units are fixed 8-word chunks (this corpus has no paragraph
+    // separators); the globally FIRST occurrence (min doc·position) of
+    // each unit survives and documents reassemble from surviving units
+    // in order. The Spark side shuffles only (unit-hash, encoded
+    // doc·position) — unit text never rides a shuffle; the oracle
+    // replays the identical chunking, election, and reassembly over the
+    // unit TEXT (they diverge only on a 64-bit hash collision, absent
+    // here and negligible by design).
+    "t18_paragraph_dedup" -> withOracle(
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents
+        |), idx AS (
+        |  SELECT doc_id, unnest(range(CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS pos FROM w
+        |), u AS (
+        |  SELECT i.doc_id, i.pos,
+        |         array_to_string(list_slice(w.ws, CAST(i.pos*8+1 AS BIGINT), CAST(i.pos*8+8 AS BIGINT)), ' ') AS unit
+        |  FROM idx i JOIN w USING (doc_id)
+        |), k AS (
+        |  SELECT unit, MIN(doc_id * 1000000 + pos) AS keep FROM u GROUP BY unit
+        |), kept AS (
+        |  SELECT u.doc_id, u.pos, u.unit
+        |  FROM u JOIN k ON u.unit = k.unit AND u.doc_id * 1000000 + u.pos = k.keep
+        |), re AS (
+        |  SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS text_dedup,
+        |         COUNT(*) AS units_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT w.doc_id AS id,
+        |       COALESCE(re.text_dedup, '') AS text_dedup,
+        |       CAST(ceil(len(w.ws) / 8.0) AS BIGINT) AS units_total,
+        |       CAST(COALESCE(re.units_kept, 0) AS BIGINT) AS units_kept
+        |FROM w LEFT JOIN re USING (doc_id)
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      Dedup.paragraphDedup(t(s, dir, "documents"), "doc_id", "text", unitWords = 8)
+        .orderBy("id")
+    },
+
     // T17 — token-BUDGET mixture sampling: each source cut to a target
     // token count in deterministic hash order (the "blend sources to a
     // mixture" recipe). The oracle is the naive per-domain running-sum

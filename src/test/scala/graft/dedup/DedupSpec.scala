@@ -143,6 +143,29 @@ class DedupSpec extends AnyFunSuite {
     assert(star == full && full.keySet == clones.map(_._1).toSet)
   }
 
+  test("paragraphDedup: first occurrence survives, order preserved, empty docs survive") {
+    // unit = 2 words; doc 1 owns "a b" and "c d"; doc 2 repeats "a b"
+    // (dropped) and contributes "e f"; doc 3 is ENTIRELY boilerplate
+    // and must reassemble to the empty string, not vanish
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b e f"),
+      (3L, "a b c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(docs, "doc_id", "text", unitWords = 2)
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a b c d", 2L, 2L)))
+    assert(out(1) == ((2L, "e f", 2L, 1L)), "repeated unit drops, own unit stays in order")
+    assert(out(2) == ((3L, "", 2L, 0L)), "fully-deduped doc reassembles empty, not missing")
+
+    // a tail shorter than the unit width is its own unit
+    val tail = Dedup.paragraphDedup(Seq((7L, "x y z")).toDF("doc_id", "text"),
+      "doc_id", "text", unitWords = 2).collect().head
+    assert(tail.getString(1) == "x y z" && tail.getLong(2) == 2)
+  }
+
   test("simhash cap drops degenerate segment buckets instead of going quadratic") {
     // identical texts -> identical fingerprints -> every segment bucket
     // holds all docs; a cap below the doc count suppresses ALL candidate
