@@ -360,6 +360,22 @@ object Superset {
         .orderBy("day_start", "event_type")
     },
 
+    // T19 — streaming EXACT dedup with keyed state
+    // (flatMapGroupsWithState): each distinct text's first micro-batch
+    // emits its min-doc_id row; the state store carries seen-ness across
+    // batches for the stream's lifetime (the continuously-running exact
+    // form of the per-batch Bloom gate). The oracle is the batch
+    // equivalent — min(doc_id) per text — which the deterministic
+    // in-group min makes exactly reproducible.
+    "t19_stream_dedup" -> withOracle(
+      """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, text
+        |FROM documents
+        |GROUP BY text
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamAnalytics.streamDedupFirstOccurrence(s, dir)
+        .orderBy("doc_id")
+    },
+
     // X2 — SELECT-only SQL post-stage over registered table views
     // (reference: rust/query_sql/src/lib.rs:35-54). Routed through the
     // engine's gated SqlStage.

@@ -61,4 +61,30 @@ object StreamAnalytics {
       .select(unix_micros(col("window.start")).as("day_start"),
         col("event_type"), col("n"), col("sum_value"))
   }
+
+  /** Streaming exact dedup over the documents stream — drains
+    * [[StreamingDedup.firstOccurrences]] (flatMapGroupsWithState keyed
+    * state) with `AvailableNow` into a memory sink: one row per distinct
+    * text, the min-doc_id representative, emitted by the key's first
+    * micro-batch. Cross-batch state semantics are spec'd in
+    * SessionStreamSpec with a two-batch MemoryStream; this entry point
+    * is the batch-verifiable harness drain.
+    */
+  def streamDedupFirstOccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    val deduped = StreamingDedup.firstOccurrences(stream, "doc_id", "text")
+      .toDF("doc_id", "text")
+    val sink = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+  }
 }

@@ -175,4 +175,42 @@ object StreamingDedup {
       .unionByName(nulls)
     graft.dedup.Dedup.bloomDedup(inBatch, table.toDF.select(col(textCol)), textCol)
   }
+
+  /** EXACT cross-batch streaming dedup with KEYED STATE — the
+    * `flatMapGroupsWithState` shape: the stream groups by text, each
+    * group keeps one boolean "seen" flag in the state store, and only a
+    * key's FIRST batch emits a row (the group's min-id row, so the
+    * emission is deterministic however the batch's rows are ordered).
+    * Unlike the per-batch Bloom gate above — probabilistic against the
+    * TABLE, rebuilt per batch — this is the continuously-running exact
+    * form: the state store carries seen-ness across every micro-batch
+    * for the stream's whole lifetime, checkpointed with the query.
+    *
+    * Scale: state is one boolean per distinct text, partitioned by the
+    * group key across executors (Spark's streaming state store);
+    * grouping here is by the text itself for exactness — a 100-TB
+    * deployment keys by a 128-bit hash so the state and shuffle carry
+    * 16 bytes a key. Output mode Append; no timeout (dedup state never
+    * expires — pair with watermark-based state TTL if the corpus is
+    * unbounded and re-emission after N days is acceptable).
+    */
+  def firstOccurrences(stream: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.Dataset[(Long, String)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .groupByKey { case (_, text) => text }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[(Long, String)],
+            state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(_._1))
+          }
+      }
+  }
 }

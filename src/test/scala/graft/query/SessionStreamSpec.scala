@@ -49,4 +49,30 @@ class SessionStreamSpec extends AnyFunSuite {
 
     assert(got.nonEmpty && got.toSeq == expect.toSeq)
   }
+
+  test("flatMapGroupsWithState dedup: keyed state suppresses duplicates ACROSS micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = graft.streaming.StreamingDedup.firstOccurrences(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text").toDF("doc_id", "text")
+    val sink = "fmgws_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      // batch 1: "a" twice (min id 1 wins), "b" once
+      input.addData((3L, "a"), (1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      val afterOne = spark.table(sink).as[(Long, String)].collect().toSet
+      assert(afterOne == Set((1L, "a"), (2L, "b")),
+        s"first batch must emit min-id firsts: $afterOne")
+      // batch 2: "a" AGAIN (state must suppress it — the cross-batch
+      // property the per-batch Bloom gate does not have) + new "c"
+      input.addData((9L, "a"), (5L, "c"))
+      q.processAllAvailable()
+      val afterTwo = spark.table(sink).as[(Long, String)].collect().toSet
+      assert(afterTwo == Set((1L, "a"), (2L, "b"), (5L, "c")),
+        s"state must suppress the cross-batch duplicate: $afterTwo")
+    } finally q.stop()
+  }
 }
