@@ -127,16 +127,18 @@ object EngineQueries {
         |GROUP BY 1
         |ORDER BY flag""".stripMargin) { (s, dir) =>
       import graft.functions.FrequencySketches._
+      // k=65536 keeps the row in the exact regime through sf0.1 (~20k
+      // distinct parts per flag); the estimator regime stays spec-gated
       val exactEstimate = udf { (sk: Array[Byte]) =>
         require(kmvIsExact(sk),
           "a8_distinct_sketch oracle is only valid in the KMV exact regime " +
-            "(per-group distinct count < k=4096); this sf exceeds capacity — " +
+            "(per-group distinct count < k=65536); this sf exceeds capacity — " +
             "raise k or check against FrequencySketchesSpec's estimator gates")
         kmvEstimate(sk)
       }
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag").as("flag"))
-        .agg(kmv_sketch(col("l_partkey")).as("sk"))
+        .agg(kmv_sketch(col("l_partkey"), k = 65536).as("sk"))
         .select(col("flag"), exactEstimate(col("sk")).as("nd"))
         .orderBy("flag")
     },
@@ -179,17 +181,21 @@ object EngineQueries {
     // in FrequencySketchesSpec.
     "a10_sketch_setops" -> withOracle(
       """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem
-        |           WHERE EXTRACT(year FROM l_shipdate) = 1994),
+        |           WHERE EXTRACT(year FROM l_shipdate) = 1996),
         |     b AS (SELECT DISTINCT l_partkey FROM lineitem
-        |           WHERE EXTRACT(year FROM l_shipdate) = 1995)
+        |           WHERE EXTRACT(year FROM l_shipdate) = 1997)
         |SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS nd_a,
         |       CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS nd_b,
         |       CAST((SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS BIGINT) AS nd_common,
         |       CAST((SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS BIGINT) AS nd_union""".stripMargin) { (s, dir) =>
       import graft.functions.FrequencySketches._
+      // 1996/1997 are populated in every generated sf (the corpus spans
+      // 1995–2001; the original 1994 side was empty — a degenerate row);
+      // k=65536 keeps both sketches AND their min(kA,kB)-capped union in
+      // the exact regime through sf0.1 (~20k distinct parts a year)
       val row = t(s, dir, "lineitem").agg(
-        kmv_sketch(when(year(col("l_shipdate")) === 1994, col("l_partkey"))).as("sa"),
-        kmv_sketch(when(year(col("l_shipdate")) === 1995, col("l_partkey"))).as("sb"))
+        kmv_sketch(when(year(col("l_shipdate")) === 1996, col("l_partkey")), k = 65536).as("sa"),
+        kmv_sketch(when(year(col("l_shipdate")) === 1997, col("l_partkey")), k = 65536).as("sb"))
         .head() // two O(k) sketch blobs — the bounded driver set
       val sa = row.getAs[Array[Byte]]("sa")
       val sb = row.getAs[Array[Byte]]("sb")
