@@ -663,6 +663,53 @@ object Dedup {
       .distinct()
   }
 
+  /** FUZZY decontamination — the near-duplicate complement of exact
+    * n-gram decontamination (t9): train documents whose n-gram Jaccard
+    * against ANY reference (benchmark/eval) document reaches
+    * `threshold`, found by CROSS MinHash-LSH banding. Paraphrased or
+    * lightly-edited eval leakage defeats exact n-gram matching; it does
+    * not defeat Jaccard at 0.5.
+    *
+    * Scale shape: the reference side is an eval suite — small by
+    * definition — so its banded signature relation BROADCASTS and the
+    * train side streams map-only through the candidate join; only
+    * candidate (doc, ref) id pairs shuffle for the exact-Jaccard
+    * verify. Recall at the default (64 bands × 2 rows): a pair at
+    * jaccard j collides with prob 1−(1−j²)^64 ≥ 1−1e-8 at j ≥ 0.5 —
+    * the d3 regime, so the exact pair set IS the expected output.
+    * Returns (id, n_matches): train docs with ≥1 contaminated match.
+    */
+  def crossContamination(docs: DataFrame, ref: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double, numHashes: Int = 128,
+      bands: Int = 64, maxBucket: Int = 10000): DataFrame = {
+    val rows = numHashes / bands
+    require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    val docSets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val refSets = ref.select(col(idCol).as("rid"), shingleSet(col(textCol), n).as("rsh"))
+      .filter(size(col("rsh")) > 0)
+    def banded(df: DataFrame, idName: String, shName: String) = df.select(col(idName),
+      posexplode(bandHashes(minhashSignature(col(shName), numHashes), bands, rows))
+        .as(Seq("band", "h")))
+    // degenerate-bucket cap on the TRAIN side only (the broadcast ref
+    // side is small); a train doc loses a pair only if every shared
+    // band bucket is oversize — the simhashPairs safety valve
+    val docBuckets = banded(docSets, "id", "sh")
+    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "h")
+    val cappedDoc = docBuckets.withColumn("__bc", count(lit(1)).over(wBucket))
+      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val candidates = cappedDoc
+      .join(broadcast(banded(refSets, "rid", "rsh")), Seq("band", "h"))
+      .select("id", "rid").distinct()
+    val inter = size(array_intersect(col("sh"), col("rsh"))).cast("double")
+    val union = (size(col("sh")) + size(col("rsh"))).cast("double") - inter
+    candidates
+      .join(docSets, "id")
+      .join(broadcast(refSets), "rid")
+      .filter(inter / union >= threshold)
+      .groupBy("id").agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Sub-document (paragraph/unit) exact dedup — the RefinedWeb/FineWeb
     * pipeline stage that document-level dedup cannot replace: boilerplate
     * units (headers, footers, license blocks) repeat across MILLIONS of

@@ -348,6 +348,42 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T20 — FUZZY decontamination: train docs whose bigram Jaccard
+    // against ANY src0 (benchmark) doc reaches 0.5, via cross
+    // MinHash-LSH banding (benchmark side broadcast) + exact-Jaccard
+    // verify. Complements t9's exact 4-gram overlap: paraphrased eval
+    // leakage defeats exact n-grams, not Jaccard. At the d3 LSH regime
+    // (64 bands × 2 rows) recall at j ≥ 0.5 is 1−1e-8, so the oracle is
+    // the exact cross-pair set.
+    "t20_fuzzy_decontaminate" -> withOracle(
+      """WITH toks AS (
+        |  SELECT doc_id, source, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        |  FROM toks WHERE len(ws) >= 2
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |bsh AS (SELECT doc_id, shingle FROM sh WHERE source = 'src0'),
+        |msh AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src0'),
+        |inter AS (
+        |  SELECT m.doc_id AS did, b.doc_id AS bid, count(*) AS i
+        |  FROM msh m JOIN bsh b USING (shingle) GROUP BY 1, 2
+        |)
+        |SELECT did AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+        |FROM inter JOIN sz sa ON did = sa.doc_id JOIN sz sb ON bid = sb.doc_id
+        |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      Dedup.crossContamination(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 2, threshold = 0.5)
+        .select(col("id").as("doc_id"), col("n_matches"))
+        .orderBy("doc_id")
+    },
+
     // T10 — PII redaction: emails and phone-shaped digit groups replaced
     // by typed placeholders, with audit counts. The corpus carries no
     // PII, so the query plants deterministic PII on every 5th doc first

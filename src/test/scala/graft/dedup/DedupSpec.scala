@@ -143,6 +143,22 @@ class DedupSpec extends AnyFunSuite {
     assert(star == full && full.keySet == clones.map(_._1).toSet)
   }
 
+  test("crossContamination flags near-dup eval leakage that exact n-grams miss") {
+    val benchText = (1 to 40).map(i => s"tok$i").mkString(" ")
+    // light paraphrase: 2 of 40 tokens changed — bigram Jaccard ~0.88,
+    // but NO shared 40-gram (exact whole-doc matching misses it)
+    val paraphrase = ((1 to 40).map(i => if (i == 7 || i == 23) s"edit$i" else s"tok$i")).mkString(" ")
+    val clean = (100 to 140).map(i => s"other$i").mkString(" ")
+    val bench = Seq((1000L, benchText)).toDF("doc_id", "text")
+    val train = Seq((1L, paraphrase), (2L, clean), (3L, benchText)).toDF("doc_id", "text")
+    val flagged = graft.dedup.Dedup.crossContamination(train, bench, "doc_id", "text",
+        n = 2, threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.keySet == Set(1L, 3L),
+      s"paraphrase and exact copy must flag, clean must not: $flagged")
+    assert(flagged(3L) == 1L)
+  }
+
   test("paragraphDedup: first occurrence survives, order preserved, empty docs survive") {
     // unit = 2 words; doc 1 owns "a b" and "c d"; doc 2 repeats "a b"
     // (dropped) and contributes "e f"; doc 3 is ENTIRELY boilerplate
