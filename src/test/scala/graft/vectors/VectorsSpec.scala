@@ -379,6 +379,24 @@ class VectorsSpec extends AnyFunSuite {
     assert(bytes > 0)
   }
 
+  test("IVF-PQ serving plan reads ONLY (id, codes) in the ADC phase") {
+    // the compression claim is physical: the approximate phase must
+    // never touch the raw vector column (parquet is columnar — reading
+    // vec would erase the m-bytes-per-vector advantage)
+    val rnd = new Random(83)
+    val points = (0L until 100L).map(id => id -> Array.fill(32)((rnd.nextDouble() * 2 - 1).toFloat))
+    val all = points.toDF("vec_id", "embedding")
+    val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-plan").toString
+    VectorFunctions.buildIvfPqIndex(all, "vec_id", "embedding", idx,
+      nCentroids = 4, m = 8, ksub = 16)
+    val q = Seq(9999L -> points.head._2).toDF("vec_id", "embedding")
+    val plan = VectorFunctions.knnIvfPqIndex(spark, idx, q, "embedding",
+      k = 5, nprobe = 2, rerank = 16).queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("vec:")),
+      s"ADC phase must scan codes without vec; read schemas: $schemas")
+  }
+
   test("IVF-PQ incremental append: recall holds without rebuild; appended ids servable") {
     val rnd = new Random(79)
     val dim = 64
