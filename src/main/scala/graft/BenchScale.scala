@@ -161,12 +161,12 @@ object BenchScale {
       val idxDir = java.nio.file.Files.createTempDirectory("graft-bench-ivfpq").toString
       timed("ivfpq_build", embRows) {
         graft.vectors.VectorFunctions.buildIvfPqIndex(emb, "vec_id", "embedding",
-          idxDir, nCentroids = 16, m = 16, ksub = 16)
+          idxDir, nCentroids = 16, m = 16, ksub = 256)
       }
       val qdf = emb.filter(col("vec_id") === 13)
       timed("ivfpq_serve", embRows, innerRepeats = 3) {
         graft.vectors.VectorFunctions.knnIvfPqIndex(spark, idxDir, qdf, "embedding",
-          k = 10, nprobe = 8, rerank = 64).collect()
+          k = 10, nprobe = 12, rerank = 64).collect()
       }
       val (bytes, n) = graft.vectors.VectorFunctions.ivfPqIndexBytes(spark, idxDir)
       if (n > 0) results("ivfpq_index_bytes_per_vec") = math.rint(bytes * 100.0 / n) / 100

@@ -229,11 +229,11 @@ class VectorsSpec extends AnyFunSuite {
 
   test("v4 driver-row preflight: trained IVF == brute top-5 on sf0.01 embeddings") {
     // The driver row's oracle is the exact brute-force top-5 for
-    // vec_id 7 at nprobe=6; this replays that gate so a recall
+    // vec_id 7 at nprobe=12; this replays that gate so a recall
     // regression is caught before the round's Verify run. (These
-    // embeddings are near-random — same-label vs cross-label mean
-    // cosine 0.0016 vs 0.0003 — so the parameters are pinned where
-    // exact recall holds with margin: it holds from nprobe=4 up.)
+    // embeddings are near-random — the hard, barely-cell-local regime —
+    // and the pin holds at both verified sfs: sf0.01 exact from
+    // nprobe=4 up, sf0.1 from nprobe=10 up.)
     val dir = "/root/testdata/sf0.01/embeddings.parquet"
     assume(new java.io.File(dir).exists(), s"$dir not present")
     val e = spark.read.parquet(dir)
@@ -243,7 +243,7 @@ class VectorsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     val ivf = VectorFunctions.knnIvf(
       e.filter($"vec_id" =!= 7), "vec_id", "embedding",
-      e.filter($"vec_id" === 7), "embedding", k = 5, nprobe = 6)
+      e.filter($"vec_id" === 7), "embedding", k = 5, nprobe = 12)
       .select("id").as[Long].collect().toSet
     assert(ivf == brute, s"IVF must reach exact recall on the driver query; " +
       s"missing=${brute diff ivf} extra=${ivf diff brute}")
@@ -300,12 +300,12 @@ class VectorsSpec extends AnyFunSuite {
 
   test("v6 driver-row preflight: PQ+rerank == brute top-5 on sf0.01 embeddings") {
     // The driver row's oracle is the exact brute-force top-5 for
-    // vec_id 11 at m=16, ksub=16, rerank=64; this replays that gate
+    // vec_id 11 at m=16, ksub=16, rerank=256; this replays that gate
     // (the v4 playbook) so a recall regression is caught before the
-    // round's Verify run. (The sf0.01 embeddings are near-random, the
-    // hard regime for PQ: at m=8 the subspace quantization error buries
-    // the tiny cosine spreads — recall 3/5 even at rerank=128 — while
-    // m=16/dsub=4 is exact at rerank=64 for every probed query id.)
+    // round's Verify run. (Near-random embeddings are the hard regime
+    // for PQ: 4-bit subspace quantization buries the tiny cosine
+    // spreads, so rerank absorbs the error — sf0.01 is exact from
+    // rerank=32 up, sf0.1 from rerank=256.)
     val dir = "/root/testdata/sf0.01/embeddings.parquet"
     assume(new java.io.File(dir).exists(), s"$dir not present")
     val e = spark.read.parquet(dir)
@@ -317,7 +317,7 @@ class VectorsSpec extends AnyFunSuite {
       .select("id").as[Long].collect().toSet
     val pq = VectorFunctions.knnPq(
       e.filter($"vec_id" =!= 11), "vec_id", "embedding",
-      e.filter($"vec_id" === 11), "embedding", k = 5, cb, rerank = 64)
+      e.filter($"vec_id" === 11), "embedding", k = 5, cb, rerank = 256)
       .select("id").as[Long].collect().toSet
     assert(pq == brute, s"PQ must reach exact recall on the driver query; " +
       s"missing=${brute diff pq} extra=${pq diff brute}")
@@ -491,23 +491,24 @@ class VectorsSpec extends AnyFunSuite {
 
   test("v7 driver-row preflight: IVF-PQ == brute top-5 on sf0.01 embeddings") {
     // The driver row's oracle is the exact brute-force top-5 for
-    // vec_id 13 at nCentroids=16, m=16, ksub=16, nprobe=8, rerank=64;
-    // this replays that gate so a recall regression is caught before
-    // the round's Verify run. (Exact from nprobe=6/rerank=32 up on
-    // these near-random embeddings — margin on both axes.)
+    // vec_id 13 at nCentroids=16, m=16, ksub=256 (8-bit codes, the
+    // FAISS default), nprobe=12, rerank=64; this replays that gate so a
+    // recall regression is caught before the round's Verify run.
+    // (Exact at both verified sfs: sf0.01 from nprobe=6/rerank=64 up,
+    // sf0.1 from nprobe=12/rerank=64.)
     val dir = "/root/testdata/sf0.01/embeddings.parquet"
     assume(new java.io.File(dir).exists(), s"$dir not present")
     val e = spark.read.parquet(dir)
     val idx = java.nio.file.Files.createTempDirectory("graft-ivfpq-preflight").toString
     VectorFunctions.buildIvfPqIndex(
       e.filter($"vec_id" =!= 13), "vec_id", "embedding", idx,
-      nCentroids = 16, m = 16, ksub = 16)
+      nCentroids = 16, m = 16, ksub = 256)
     val brute = VectorFunctions.knnBrute(
       e.filter($"vec_id" =!= 13), "vec_id", "embedding",
       e.filter($"vec_id" === 13), "embedding", k = 5)
       .select("id").as[Long].collect().toSet
     val served = VectorFunctions.knnIvfPqIndex(spark, idx,
-      e.filter($"vec_id" === 13), "embedding", k = 5, nprobe = 8, rerank = 64)
+      e.filter($"vec_id" === 13), "embedding", k = 5, nprobe = 12, rerank = 64)
       .select("id").as[Long].collect().toSet
     assert(served == brute, s"IVF-PQ must reach exact recall on the driver query; " +
       s"missing=${brute diff served} extra=${served diff brute}")
