@@ -73,6 +73,10 @@ object LifecycleQueries {
       val table = GraftTable.create(s, td, schema, splitPoints = Seq(700L))
       table.ingest(Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty")))
+      // fold any salted ingest runs to one file per occupied leaf, so
+      // the oracle's file_count/avg_refs prediction is sf-independent
+      // (one compaction suffices: saltFor caps at compactionBatchSize)
+      table.compactAll()
       td
     })
     GraftTable.load(s, tableDir)
