@@ -693,11 +693,15 @@ object Dedup {
         .as(Seq("band", "h")))
     // degenerate-bucket cap on the TRAIN side only (the broadcast ref
     // side is small); a train doc loses a pair only if every shared
-    // band bucket is oversize — the simhashPairs safety valve
+    // band bucket is oversize — the simhashPairs safety valve. Unlike
+    // the self-join pipelines there is no bucket shuffle to ride here
+    // (the candidate join is broadcast), so the cap is a map-side-
+    // combined count whose oversize list — typically empty — broadcasts
+    // into an anti-join instead of a full window sort of the buckets.
     val docBuckets = banded(docSets, "id", "sh")
-    val wBucket = org.apache.spark.sql.expressions.Window.partitionBy("band", "h")
-    val cappedDoc = docBuckets.withColumn("__bc", count(lit(1)).over(wBucket))
-      .filter(col("__bc") <= maxBucket).drop("__bc")
+    val overCap = docBuckets.groupBy("band", "h").agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") > maxBucket).select("band", "h")
+    val cappedDoc = docBuckets.join(broadcast(overCap), Seq("band", "h"), "left_anti")
     val candidates = cappedDoc
       .join(broadcast(banded(refSets, "rid", "rsh")), Seq("band", "h"))
       .select("id", "rid").distinct()
