@@ -50,6 +50,40 @@ class SessionStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.toSeq == expect.toSeq)
   }
 
+  test("flatMapGroupsWithState dedup: state survives a query RESTART from the checkpoint") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val deduped = graft.streaming.StreamingDedup.firstOccurrences(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text").toDF("doc_id", "text")
+    // the memory sink cannot recover from a checkpoint; the parquet
+    // sink can — which is also the production shape
+    val ckpt = java.nio.file.Files.createTempDirectory("fmgws-ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("fmgws-out").toString
+
+    def startQuery() = deduped.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = startQuery()
+    input.addData((1L, "a"), (2L, "b"))
+    q1.processAllAvailable()
+    assert(spark.read.parquet(out).count() == 2)
+    q1.stop()
+
+    // a NEW query over the same checkpoint restores the seen-state: the
+    // cross-restart duplicate of "a" must stay suppressed, the new key
+    // must emit — this is what makes the dedup exactly-once across
+    // stream restarts, not merely across batches of one run
+    val q2 = startQuery()
+    input.addData((9L, "a"), (5L, "c"))
+    q2.processAllAvailable()
+    val resumed = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(resumed == Set((1L, "a"), (2L, "b"), (5L, "c")),
+      s"restart must restore seen-state (suppress the duplicate 'a', emit 'c'): $resumed")
+    q2.stop()
+  }
+
   test("flatMapGroupsWithState dedup: keyed state suppresses duplicates ACROSS micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
