@@ -274,6 +274,12 @@ object BenchScale {
       timed("sf1_t16_spans", docRows10) {
         graft.text.CorpusScoring.duplicateSpans(docsSf1, "doc_id", "text").count()
       }
+      // perplexity bucketing = the t15 LM pipeline + the distributed
+      // two-phase NTILE rank (GlobalRank) — the delta over sf1_t15_lm
+      // prices the rank machinery at corpus scale
+      timed("sf1_t21_buckets", docRows10) {
+        graft.text.CorpusScoring.perplexityBuckets(docsSf1, "doc_id", "text").count()
+      }
 
       // -- d5 on the distributed component path (verdict r7 #5) --------
       // The ×10 corpus keeps exact clones, which the pre-LSH exact

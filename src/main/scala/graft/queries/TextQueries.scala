@@ -684,6 +684,103 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T21 — CCNet-shape perplexity bucketing: NTILE tiers over the t15
+    // LM score. The oracle's NTILE() OVER (ORDER BY ...) is the
+    // single-reducer translation DuckDB can afford at sf0.01; the Spark
+    // side is the distributed two-phase rank (GlobalRank.withNtile).
+    "t21_lm_buckets" -> withOracle(
+      """WITH words AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |bi AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b, ws[i] AS w1
+        |  FROM words, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2
+        |),
+        |bc AS (SELECT b, COUNT(*) AS c FROM bi GROUP BY 1),
+        |cc AS (SELECT w1, COUNT(*) AS n FROM bi GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT w) AS v FROM (
+        |  SELECT string_split(b, ' ')[1] AS w FROM bc
+        |  UNION SELECT string_split(b, ' ')[2] AS w FROM bc)),
+        |scored AS (
+        |  SELECT bi.doc_id,
+        |         ROUND(AVG(ln((bc.c + 0.5) / (cc.n + 0.5 * v.v))), 6) AS lm_score
+        |  FROM bi JOIN bc USING (b) JOIN cc USING (w1), v
+        |  GROUP BY bi.doc_id
+        |)
+        |SELECT doc_id, lm_score,
+        |       CAST(NTILE(3) OVER (ORDER BY lm_score, doc_id) AS BIGINT) AS bucket
+        |FROM scored
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      CorpusScoring.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // T23 — BM25 relevance to a fixed query-term set: the lexical
+    // retrieval scorer for topic mining / RAG. Okapi k1=1.2, b=0.75;
+    // the oracle replays the exact float expression.
+    "t23_bm25" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |pop AS (SELECT doc_id, ws, len(ws) AS dl FROM d WHERE len(ws) > 0),
+        |stats AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM pop),
+        |tf AS (
+        |  SELECT doc_id, w AS t, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM pop)
+        |  WHERE w IN ('spark', 'merge', 'window')
+        |  GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1)
+        |SELECT tf.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |       ROUND(SUM(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |             (tf.tf * 2.2 /
+        |              (tf.tf + 1.2 * (0.25 + 0.75 * pop.dl / stats.avgdl)))), 6) AS bm25
+        |FROM tf JOIN dfq USING (t) JOIN pop USING (doc_id), stats
+        |GROUP BY tf.doc_id
+        |ORDER BY tf.doc_id""".stripMargin) { (s, dir) =>
+      CorpusScoring.bm25Score(t(s, dir, "documents"), "doc_id", "text",
+          Seq("spark", "merge", "window"))
+        .orderBy("doc_id")
+    },
+
+    // T22 — reference-corpus quality classifier (the fastText-shaped
+    // linear filter): multinomial NB trained on a weak label (reference
+    // set = lang 'en' here; production = a curated corpus), every doc
+    // scored by reference log-odds. Training is counting, so DuckDB
+    // replays the learned weights and scores exactly.
+    "t22_quality_classifier" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |pop AS (SELECT * FROM d WHERE len(ws) > 0),
+        |occ AS (SELECT doc_id, y, unnest(ws) AS w FROM pop),
+        |pri AS (SELECT SUM(y) AS npos, SUM(1 - y) AS nneg FROM pop),
+        |cw AS (SELECT w, SUM(y) AS cpos, SUM(1 - y) AS cneg FROM occ GROUP BY 1),
+        |tot AS (SELECT SUM(cpos) AS tp, SUM(cneg) AS tn, COUNT(*) AS v FROM cw)
+        |SELECT occ.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       ROUND(ln((pri.npos + 1.0) / (pri.nneg + 1.0)) +
+        |             SUM(ln((cw.cpos + 1.0) / (tot.tp + tot.v)) -
+        |                 ln((cw.cneg + 1.0) / (tot.tn + tot.v))), 6) AS log_odds,
+        |       CAST(CASE WHEN ROUND(ln((pri.npos + 1.0) / (pri.nneg + 1.0)) +
+        |             SUM(ln((cw.cpos + 1.0) / (tot.tp + tot.v)) -
+        |                 ln((cw.cneg + 1.0) / (tot.tn + tot.v))), 6) > 0
+        |            THEN 1 ELSE 0 END AS BIGINT) AS predicted
+        |FROM occ JOIN cw USING (w), pri, tot
+        |GROUP BY occ.doc_id, pri.npos, pri.nneg
+        |ORDER BY occ.doc_id""".stripMargin) { (s, dir) =>
+      graft.text.QualityClassifier
+        .naiveBayesScore(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy("doc_id")
+    },
+
     "t4_fingerprint" -> withOracle(
       """SELECT doc_id,
         |       list_reduce(

@@ -213,4 +213,60 @@ object StreamingDedup {
           }
       }
   }
+
+  /** [[firstOccurrences]] with WATERMARK-DRIVEN STATE TTL — the
+    * unbounded-corpus form. Plain `firstOccurrences` never expires
+    * state: on a stream that runs forever over 100 TB+, the store
+    * grows one entry per distinct text with no ceiling — the real
+    * scale flaw of the no-timeout shape. Here each key's state carries
+    * an event-time expiry (max event time seen for the key + `ttlMs`);
+    * once the watermark passes it, Spark invokes the group with
+    * `hasTimedOut` and the state is dropped. The documented trade: a
+    * text re-arriving AFTER its state expired re-emits (dedup horizon =
+    * TTL), which is the contract every windowed-dedup deployment
+    * accepts in exchange for bounded state.
+    *
+    * Mechanics: the stream must carry an event-time column; a watermark
+    * of `watermarkDelay` bounds late data; the timeout timestamp is
+    * clamped above the current watermark (Spark rejects expiries in the
+    * past — a late straggler batch must not set one). The per-group
+    * iterator is buffered only within one key × one micro-batch
+    * (bounded by per-key batch volume, not stream history).
+    */
+  def firstOccurrencesWithTtl(stream: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, eventTimeCol: String,
+      watermarkDelay: String, ttlMs: Long): org.apache.spark.sql.Dataset[(Long, String)] = {
+    require(ttlMs > 0, "ttlMs must be positive")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    // cast BEFORE the watermark: a cast applied after withWatermark
+    // produces a new attribute without the watermark metadata, and the
+    // unsupported-operation checker then rejects the event-time timeout
+    stream.select(col(idCol).cast("long"), col(textCol),
+        col(eventTimeCol).cast("timestamp").as(eventTimeCol))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey { case (_, text, _) => text }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[(Long, String, java.sql.Timestamp)],
+            state: org.apache.spark.sql.streaming.GroupState[Boolean]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val batch = rows.toVector // one key's rows of ONE micro-batch
+            val first = !state.exists
+            state.update(true)
+            val maxTs = batch.iterator.map(_._3.getTime).max
+            val floor = state.getCurrentWatermarkMs() + 1
+            state.setTimeoutTimestamp(math.max(maxTs + ttlMs, floor))
+            if (first) {
+              val m = batch.minBy(_._1)
+              Iterator.single((m._1, m._2))
+            } else Iterator.empty
+          }
+      }
+  }
 }

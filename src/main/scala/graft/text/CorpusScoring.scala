@@ -115,6 +115,76 @@ object CorpusScoring {
     * independent engines (the DuckDB oracle) agree despite
     * summation-order float drift.
     */
+  /** BM25 relevance of every document to a fixed query-term set — the
+    * retrieval scorer (Robertson/Spärck Jones) a curation pipeline uses
+    * to mine topic-targeted subsets ("pull the science-y slice of the
+    * crawl") and the standard lexical side of RAG retrieval. Okapi form:
+    * score(d) = Σ_t ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5)) ·
+    * tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)). The population is
+    * documents with ≥1 token (they define N and avgdl); only documents
+    * matching ≥1 query term appear in the output.
+    *
+    * Scale shape: the query terms are a LITERAL in-filter, so the
+    * occurrence explode keeps only matching tokens map-side (the tf
+    * relation is O(matched docs × terms), not the corpus); doc lengths
+    * are one hash aggregation of the same scan; df and the corpus stats
+    * re-aggregate the tiny tf/length tables; idf and (N, avgdl) ride
+    * broadcasts into one final join keyed by doc id. No corpus-sized
+    * shuffle anywhere — the only big thing that moves is the pruned tf
+    * relation.
+    */
+  def bm25Score(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+    val dl = base.select(col(idCol), size(col("__ws")).cast("long").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = dl.agg(count(lit(1)).as("__n"),
+      (sum(col("dl")) * 1.0 / count(lit(1))).as("__avgdl"))
+    val tf = base.select(col(idCol), explode(col("__ws")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "t")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("__c",
+        log(lit(1.0) + (col("__n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl")))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(sum(col("__c")), 6).as("bm25"))
+  }
+
+  /** CCNet-shape perplexity bucketing: rank every document by its
+    * [[lmBigramScore]] and cut the corpus into `buckets` equal NTILE
+    * tiers (CCNet's head/middle/tail split — tier 3 of 3 is the most
+    * corpus-typical text, tier 1 the boilerplate/garbage tail a pipeline
+    * drops or down-samples). Ties in the 6-dp-rounded score break by
+    * document id, so the assignment is a pure function of the corpus and
+    * independent engines agree row-for-row.
+    *
+    * Scale shape: the ranking is [[graft.operators.GlobalRank.withNtile]]
+    * — a range-repartitioned parallel sort with O(partitions) driver
+    * offsets, NOT the single-reducer `NTILE() OVER (ORDER BY ...)` a
+    * direct translation would run; the scored relation is persisted once
+    * inside the rank (the LM pipeline is not recomputed per phase).
+    */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 3, alpha: Double = 0.5): DataFrame = {
+    // persisted: the rank's range partitioner SAMPLES its input before
+    // the shuffle materializes it — without the cache the whole LM
+    // pipeline would run twice (sampling pass + fill)
+    val scored = lmBigramScore(docs, idCol, textCol, alpha)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.GlobalRank
+      .withNtile(scored, Seq(col("lm_score"), col(idCol)), buckets, "bucket")
+      .select(col(idCol), col("lm_score"), col("bucket"))
+  }
+
   def lmBigramScore(docs: DataFrame, idCol: String, textCol: String,
       alpha: Double = 0.5): DataFrame = {
     require(alpha > 0, "alpha must be positive (unseen bigrams need mass)")

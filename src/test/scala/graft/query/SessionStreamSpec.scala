@@ -109,4 +109,44 @@ class SessionStreamSpec extends AnyFunSuite {
         s"state must suppress the cross-batch duplicate: $afterTwo")
     } finally q.stop()
   }
+
+  test("TTL dedup: watermark expires idle state, and an expired key re-emits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(1000000000000L + ms)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = graft.streaming.StreamingDedup.firstOccurrencesWithTtl(
+      input.toDF().toDF("doc_id", "text", "ts"), "doc_id", "text", "ts",
+      watermarkDelay = "0 seconds", ttlMs = 5000L)
+      .toDF("doc_id", "text")
+    val sink = "ttl_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = deduped.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    def drained(): Set[(Long, String)] = {
+      q.processAllAvailable()
+      spark.table(sink).as[(Long, String)].collect().toSet
+    }
+    try {
+      input.addData((1L, "a", ts(0)), (2L, "b", ts(0)))
+      assert(drained() == Set((1L, "a"), (2L, "b")))
+      // within the TTL horizon: suppressed, and the key's expiry slides
+      input.addData((3L, "a", ts(1000)))
+      assert(drained() == Set((1L, "a"), (2L, "b")),
+        "within-TTL duplicate must be suppressed")
+      // advance event time far past every expiry (watermark updates
+      // AFTER this batch; timeouts fire in the NEXT one)
+      input.addData((4L, "w", ts(1000000)))
+      assert(drained() == Set((1L, "a"), (2L, "b"), (4L, "w")))
+      // this batch processes timeouts at watermark=1000000: "a"
+      // (expiry 6000) and "b" (expiry 5000) drop; "w" survives
+      input.addData((5L, "x", ts(1000001)))
+      assert(drained() == Set((1L, "a"), (2L, "b"), (4L, "w"), (5L, "x")))
+      // the expired key RE-EMITS — the documented TTL trade (dedup
+      // horizon = TTL), the price of bounded state on an endless stream
+      input.addData((6L, "a", ts(1000002)))
+      assert(drained() ==
+        Set((1L, "a"), (2L, "b"), (4L, "w"), (5L, "x"), (6L, "a")),
+        "a key whose state expired must re-emit on re-arrival")
+    } finally q.stop()
+  }
 }
