@@ -293,6 +293,13 @@ object BenchScale {
       // would take (components() logs which path ran on stderr).
       // Expensive by design → once per bench run, not per pass.
       if (pass == 1) {
+        // Drop every cached block accumulated by the 92 query rows and
+        // the scale passes before this (deliberately) biggest row: the
+        // ×30 pipeline persists multi-GB relations, and with the
+        // session's storage memory already full of stale blocks the row
+        // pays eviction+GC churn instead of its own work — measured
+        // 19-37s standalone vs 64-124s late in a full bench run.
+        spark.sqlContext.clearCache()
         val NearFactor = 30
         val docs30 = (0 until NearFactor).map(i =>
             docsF.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),

@@ -764,6 +764,74 @@ object Dedup {
         col("units_total"), coalesce(col("units_kept"), lit(0L)).as("units_kept"))
   }
 
+  /** Exact substring-dedup REMOVAL (the Lee et al. '22 excision stage,
+    * span-granular): where [[graft.text.CorpusScoring.duplicateSpans]]
+    * only SCORES how duplicated a document is, this produces the
+    * scrubbed corpus — every k-word span occurrence that also appears
+    * earlier in the corpus (by (doc, position) order) has its words
+    * excised; the globally FIRST occurrence of each span value keeps
+    * its words; overlapping duplicate spans union their word ranges;
+    * documents reassemble from the surviving words in order. The output
+    * is a pure function of the corpus: (id, text_scrubbed, n_words,
+    * n_removed).
+    *
+    * Unlike [[paragraphDedup]]'s fixed non-overlapping units, spans
+    * here are OVERLAPPING k-grams, so a duplicated passage of any
+    * length ≥ k is excised wholesale wherever it recurs (each of its
+    * k-gram windows is a duplicate), while passages shorter than k
+    * never match — the sliding-window semantics of the
+    * suffix-array-based dedup, without building a distributed suffix
+    * array.
+    *
+    * Scale shape: one corpus scan explodes the (id, pos, gram)
+    * relation, persisted and reused for the keeper election and the
+    * duplicate-flag join (same contract as duplicateSpans); the
+    * election groups 8-byte gram HASHES against an encoded (id·C+pos)
+    * primitive min — gram text never rides the election shuffle; the
+    * covered-index relation is O(duplicate occurrences × k) and joins
+    * back word positions as a LEFT ANTI (no payload moves for kept
+    * words); reassembly is the same per-doc bounded
+    * array_sort(collect_list) as paragraphDedup.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 4): DataFrame = {
+    require(k >= 2, "a span needs at least 2 words")
+    val enc = lit(1000000L) // positions per doc bounded by the encoding
+    val base = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("ws"))
+    val occ = base.filter(size(col("ws")) >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("ws")) - k),
+        p => concat_ws(" ", slice(col("ws"), p + 1, lit(k))))).as(Seq("pos", "g")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // keeper election per span VALUE: min encoded (id, pos) — a span
+    // occurring once elects itself, so `encoded != first` alone marks
+    // exactly the non-first occurrences of duplicated spans
+    val firsts = occ
+      .select(xxhash64(col("g")).as("h"), (col("id") * enc + col("pos")).as("k"))
+      .groupBy("h").agg(min(col("k")).as("firstK"))
+    val dup = occ
+      .join(firsts, xxhash64(col("g")) === firsts("h") &&
+        (col("id") * enc + col("pos")) =!= col("firstK"))
+      .select(col("id"), col("pos"))
+    val covered = dup
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("i"))
+      .distinct()
+    val wordpos = base.select(col("id"), posexplode(col("ws")).as(Seq("i", "w")))
+    val kept = wordpos.join(covered, Seq("id", "i"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      concat_ws(" ", transform(array_sort(collect_list(struct(col("i"), col("w")))),
+        s => s.getField("w"))).as("txt"),
+      count(lit(1)).as("cnt"))
+    base
+      .select(col("id"),
+        when(col("ws").isNull, lit(0L)).otherwise(size(col("ws")).cast("long"))
+          .as("n_words"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("txt"), lit("")).as("text_scrubbed"),
+        col("n_words"),
+        (col("n_words") - coalesce(col("cnt"), lit(0L))).as("n_removed"))
+  }
+
   /** Incremental exact dedup against a reference corpus (the "drop
     * everything we already trained on" shape): rows of `docs` whose text
     * does NOT appear in `ref`, with a Bloom filter doing almost all of

@@ -684,6 +684,46 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T24 — exact substring-dedup REMOVAL (Lee et al. '22 excision):
+    // every k-gram span occurrence that recurs after its global first
+    // occurrence has its words excised; docs reassemble from survivors.
+    // t16 scores the duplication; this emits the scrubbed corpus.
+    "t24_substring_scrub" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents
+        |), occ AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         array_to_string(list_slice(ws, i, i + 3), ' ') AS g
+        |  FROM d, unnest(range(1, len(ws) - 2)) AS t(i)
+        |  WHERE len(ws) >= 4
+        |), firsts AS (
+        |  SELECT g, MIN(doc_id * 1000000 + pos) AS first_k FROM occ GROUP BY 1
+        |), dup AS (
+        |  SELECT o.doc_id, o.pos FROM occ o JOIN firsts f ON o.g = f.g
+        |  WHERE o.doc_id * 1000000 + o.pos <> f.first_k
+        |), covered AS (
+        |  SELECT DISTINCT doc_id, pos + j AS i FROM dup, unnest(range(0, 4)) AS t(j)
+        |), wordpos AS (
+        |  SELECT doc_id, i - 1 AS i, ws[i] AS w
+        |  FROM d, unnest(range(1, len(ws) + 1)) AS t(i)
+        |), kept AS (
+        |  SELECT wp.doc_id, wp.i, wp.w FROM wordpos wp
+        |  ANTI JOIN covered c ON wp.doc_id = c.doc_id AND wp.i = c.i
+        |), re AS (
+        |  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS txt, COUNT(*) AS cnt
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT d.doc_id AS id,
+        |       COALESCE(re.txt, '') AS text_scrubbed,
+        |       CAST(COALESCE(len(d.ws), 0) AS BIGINT) AS n_words,
+        |       CAST(COALESCE(len(d.ws), 0) - COALESCE(re.cnt, 0) AS BIGINT) AS n_removed
+        |FROM d LEFT JOIN re USING (doc_id)
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      Dedup.removeDuplicateSpans(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("id")
+    },
+
     // T21 — CCNet-shape perplexity bucketing: NTILE tiers over the t15
     // LM score. The oracle's NTILE() OVER (ORDER BY ...) is the
     // single-reducer translation DuckDB can afford at sf0.01; the Spark

@@ -182,6 +182,24 @@ class DedupSpec extends AnyFunSuite {
     assert(tail.getString(1) == "x y z" && tail.getLong(2) == 2)
   }
 
+  test("substring scrub excises recurring spans, keeps global firsts, unions overlaps") {
+    val docs = Seq(
+      (1L, "a b c d e f"),      // owns the first "a b c d": intact
+      (2L, "x a b c d y"),      // one dup span at pos 1: words 1..4 go
+      (3L, "a b c d e f"),      // exact clone: every gram is non-first
+      (4L, "p q")               // shorter than k: never matches
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", k = 4)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "a b c d e f", 6L, 0L)))
+    assert(out(1) == ((2L, "x y", 6L, 4L)),
+      "the duplicated window's four words must be excised")
+    assert(out(2) == ((3L, "", 6L, 6L)),
+      "an exact clone's overlapping dup windows must union to the whole doc")
+    assert(out(3) == ((4L, "p q", 2L, 0L)))
+  }
+
   test("simhash cap drops degenerate segment buckets instead of going quadratic") {
     // identical texts -> identical fingerprints -> every segment bucket
     // holds all docs; a cap below the doc count suppresses ALL candidate

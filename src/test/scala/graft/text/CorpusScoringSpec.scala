@@ -25,6 +25,17 @@ class CorpusScoringSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((1L, okapi(2, 2))), 2L -> ((1L, okapi(1, 3)))))
   }
 
+  test("bm25 plan: df/stats ride broadcasts, no sort-merge join anywhere") {
+    val docs = (0 until 200).map(i => (i.toLong, s"alpha x$i beta gamma"))
+      .toDF("doc_id", "text")
+    val plan = CorpusScoring.bm25Score(docs, "doc_id", "text", Seq("alpha", "beta"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"idf/stats joins must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing in the bm25 plan should need a sort-merge join:\n$plan")
+  }
+
   test("perplexity buckets are score-monotone NTILE tiers") {
     // 30 docs with varying bigram typicality; tiers must be a partition
     // of the corpus where every doc in a higher bucket scores >= (with
