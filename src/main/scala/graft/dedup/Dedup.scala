@@ -787,11 +787,14 @@ object Dedup {
     * relation, persisted and reused for the keeper election and the
     * duplicate-flag join (same contract as duplicateSpans); the
     * election groups 8-byte gram HASHES against an encoded (id·C+pos)
-    * primitive min — gram text never rides the election shuffle; the
-    * covered-index relation is O(duplicate occurrences × k) and joins
-    * back word positions as a LEFT ANTI (no payload moves for kept
-    * words); reassembly is the same per-doc bounded
-    * array_sort(collect_list) as paragraphDedup.
+    * primitive min — gram text never rides the election shuffle — and
+    * carries each hash's occurrence count so the flag join is
+    * [[graft.operators.SkewJoin.hotSplit]] (boilerplate spans ARE the
+    * Zipf head; they resolve map-side against a broadcast). Word text
+    * NEVER shuffles: removed indices aggregate to one bounded
+    * array per affected doc (collect_set, ≤ doc length), one doc-keyed
+    * join attaches it, and excision + reassembly happen map-side with
+    * an index-aware array filter over the doc's own token array.
     */
   def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 4): DataFrame = {
@@ -802,34 +805,35 @@ object Dedup {
       .select(col("id"), posexplode(transform(
         sequence(lit(0), size(col("ws")) - k),
         p => concat_ws(" ", slice(col("ws"), p + 1, lit(k))))).as(Seq("pos", "g")))
+      .select(col("id"), col("pos"), xxhash64(col("g")).as("h"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // keeper election per span VALUE: min encoded (id, pos) — a span
     // occurring once elects itself, so `encoded != first` alone marks
-    // exactly the non-first occurrences of duplicated spans
+    // exactly the non-first occurrences of duplicated spans; the
+    // occurrence count rides along as the hotSplit head statistic
     val firsts = occ
-      .select(xxhash64(col("g")).as("h"), (col("id") * enc + col("pos")).as("k"))
-      .groupBy("h").agg(min(col("k")).as("firstK"))
-    val dup = occ
-      .join(firsts, xxhash64(col("g")) === firsts("h") &&
-        (col("id") * enc + col("pos")) =!= col("firstK"))
+      .select(col("h"), (col("id") * enc + col("pos")).as("k"))
+      .groupBy("h").agg(min(col("k")).as("firstK"), count(lit(1)).as("occN"))
+    val dup = graft.operators.SkewJoin
+      .hotSplit(occ, firsts, "h", hotBy = col("occN"))
+      .filter((col("id") * enc + col("pos")) =!= col("firstK"))
       .select(col("id"), col("pos"))
-    val covered = dup
+    // one bounded array of removed word indices per AFFECTED doc —
+    // O(doc length) each, so the only doc-level state that shuffles
+    val removed = dup
       .select(col("id"), explode(sequence(col("pos"), col("pos") + (k - 1))).as("i"))
-      .distinct()
-    val wordpos = base.select(col("id"), posexplode(col("ws")).as(Seq("i", "w")))
-    val kept = wordpos.join(covered, Seq("id", "i"), "left_anti")
-    val rebuilt = kept.groupBy("id").agg(
-      concat_ws(" ", transform(array_sort(collect_list(struct(col("i"), col("w")))),
-        s => s.getField("w"))).as("txt"),
-      count(lit(1)).as("cnt"))
+      .groupBy("id").agg(collect_set(col("i")).as("rm"))
     base
+      .join(removed, Seq("id"), "left")
       .select(col("id"),
+        when(col("ws").isNull, lit(""))
+          .when(col("rm").isNull, concat_ws(" ", col("ws")))
+          .otherwise(concat_ws(" ",
+            filter(col("ws"), (_, i) => !array_contains(col("rm"), i))))
+          .as("text_scrubbed"),
         when(col("ws").isNull, lit(0L)).otherwise(size(col("ws")).cast("long"))
-          .as("n_words"))
-      .join(rebuilt, Seq("id"), "left")
-      .select(col("id"), coalesce(col("txt"), lit("")).as("text_scrubbed"),
-        col("n_words"),
-        (col("n_words") - coalesce(col("cnt"), lit(0L))).as("n_removed"))
+          .as("n_words"),
+        coalesce(size(col("rm")).cast("long"), lit(0L)).as("n_removed"))
   }
 
   /** Incremental exact dedup against a reference corpus (the "drop
