@@ -220,6 +220,22 @@ object LifecycleQueries {
       s.read.parquet(out).orderBy("l_orderkey")
     },
 
+    // M9 — Arrow FFI export (S4): every partition streams to its own
+    // Arrow IPC file via the Arrow Java API — no shuffle, no driver
+    // collect; the row reports the manifest's total (the oracle's
+    // COUNT(*)), and ArrowExportSpec proves content round-trips
+    // bit-for-bit through the IPC format, nulls included.
+    "m9_arrow_export" -> withOracle(
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem""") { (s, dir) =>
+      import s.implicits._
+      val out = java.nio.file.Files.createTempDirectory("graft-arrow").toString
+      try {
+        val manifest = graft.query.ArrowExport
+          .exportArrow(Tables(s, dir, "lineitem"), out)
+        Seq(manifest.map(_._2).sum).toDF("n_rows")
+      } finally graft.meta.GraftFS.deleteRecursive(out)
+    },
+
     // X1 — config-string transform at query time over the lifecycle
     // table: a CapValue{qty,77} transform caps the aggregated quantity,
     // reproduced in the oracle as LEAST over the same grouping. The

@@ -1,0 +1,128 @@
+package graft.query
+
+import java.nio.channels.Channels
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.ArrowStreamWriter
+import org.apache.arrow.vector.types.{FloatingPointPrecision, TimeUnit => ArrowTimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types._
+
+/** Arrow IPC export sink — the reference's Arrow results output
+  * (`java/query/query-runner/.../output/` Arrow record-batch sink)
+  * re-expressed as a distributed Spark sink: every partition writes its
+  * own Arrow IPC stream file with the Arrow Java API that ships with
+  * Spark, so results hand off zero-copy to any Arrow consumer (Python,
+  * DuckDB, another JVM) without a parquet decode in between.
+  *
+  * Scale shape: the export is mapPartitions — no shuffle, no driver
+  * `collect`; rows stream batch-wise (4096) through one reusable
+  * VectorSchemaRoot per partition, and files go through the Hadoop
+  * FileSystem API like every other data-path write (object stores
+  * included). The only driver-side data is the O(partitions) manifest
+  * of (file, rows) the call returns.
+  */
+object ArrowExport {
+
+  private val BatchRows = 4096
+
+  private[query] def arrowField(f: StructField): Field = {
+    val t = f.dataType match {
+      case LongType    => new ArrowType.Int(64, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case DoubleType  => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case StringType  => ArrowType.Utf8.INSTANCE
+      case BinaryType  => ArrowType.Binary.INSTANCE
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case TimestampType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, "UTC")
+      case TimestampNTZType => new ArrowType.Timestamp(ArrowTimeUnit.MICROSECOND, null)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Arrow export type for column ${f.name}: $other")
+    }
+    new Field(f.name, FieldType.nullable(t), null)
+  }
+
+  private def setValue(v: FieldVector, i: Int, value: Any): Unit = value match {
+    case null => setNull(v, i)
+    case x: Long => v.asInstanceOf[BigIntVector].setSafe(i, x)
+    case x: Int => v.asInstanceOf[IntVector].setSafe(i, x)
+    case x: Double => v.asInstanceOf[Float8Vector].setSafe(i, x)
+    case x: String => v.asInstanceOf[VarCharVector]
+      .setSafe(i, x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case x: Array[Byte] => v.asInstanceOf[VarBinaryVector].setSafe(i, x)
+    case x: Boolean => v.asInstanceOf[BitVector].setSafe(i, if (x) 1 else 0)
+    case x: java.sql.Timestamp =>
+      val inst = x.toInstant
+      v.asInstanceOf[TimeStampMicroTZVector]
+        .setSafe(i, inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+    case x: java.time.LocalDateTime =>
+      val inst = x.toInstant(java.time.ZoneOffset.UTC)
+      v.asInstanceOf[TimeStampMicroVector]
+        .setSafe(i, inst.getEpochSecond * 1000000L + inst.getNano / 1000L)
+    case other => throw new IllegalArgumentException(s"unsupported value: $other")
+  }
+
+  private def setNull(v: FieldVector, i: Int): Unit = v match {
+    case b: BigIntVector => b.setNull(i)
+    case b: IntVector => b.setNull(i)
+    case b: Float8Vector => b.setNull(i)
+    case b: VarCharVector => b.setNull(i)
+    case b: VarBinaryVector => b.setNull(i)
+    case b: BitVector => b.setNull(i)
+    case b: TimeStampMicroTZVector => b.setNull(i)
+    case b: TimeStampMicroVector => b.setNull(i)
+    case other => throw new IllegalArgumentException(s"unsupported vector: $other")
+  }
+
+  /** Export every partition of `df` as `outDir/part-{pid}.arrow` (Arrow
+    * IPC stream format; empty partitions write nothing). Returns the
+    * (path, rows) manifest, ordered by path.
+    */
+  def exportArrow(df: DataFrame, outDir: String): Seq[(String, Long)] = {
+    val schema = df.schema
+    schema.fields.foreach(arrowField) // validate types before launching
+    graft.meta.GraftFS.mkdirs(outDir)
+    val hconf = graft.meta.GraftFS.serializableConf
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val path = s"$outDir/part-$pid.arrow"
+        val (fs, p) = graft.meta.GraftFS.resolve(path, hconf.value)
+        val alloc = new RootAllocator(Long.MaxValue)
+        val arrowSchema = new ArrowSchema(
+          java.util.Arrays.asList(schema.fields.map(arrowField): _*))
+        val root = VectorSchemaRoot.create(arrowSchema, alloc)
+        val out = fs.create(p, true)
+        val writer = new ArrowStreamWriter(root, null, Channels.newChannel(out))
+        var total = 0L
+        try {
+          writer.start()
+          rows.grouped(BatchRows).foreach { batch =>
+            root.allocateNew()
+            var i = 0
+            batch.foreach { (row: Row) =>
+              var c = 0
+              while (c < schema.length) {
+                setValue(root.getVector(c), i, row.get(c))
+                c += 1
+              }
+              i += 1
+            }
+            root.setRowCount(i)
+            total += i
+            writer.writeBatch()
+          }
+          writer.end()
+        } finally {
+          writer.close()
+          out.close()
+          root.close()
+          alloc.close()
+        }
+        Iterator.single((path, total))
+      }
+    }.collect().toSeq.sortBy(_._1)
+  }
+}
