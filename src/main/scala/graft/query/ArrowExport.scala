@@ -125,4 +125,88 @@ object ArrowExport {
       }
     }.collect().toSeq.sortBy(_._1)
   }
+
+  private def sparkType(t: org.apache.arrow.vector.types.pojo.ArrowType): DataType = t match {
+    case i: ArrowType.Int if i.getBitWidth == 64 => LongType
+    case i: ArrowType.Int if i.getBitWidth == 32 => IntegerType
+    case f: ArrowType.FloatingPoint if f.getPrecision == FloatingPointPrecision.DOUBLE => DoubleType
+    case _: ArrowType.Utf8 => StringType
+    case _: ArrowType.Binary => BinaryType
+    case _: ArrowType.Bool => BooleanType
+    case ts: ArrowType.Timestamp if ts.getTimezone != null => TimestampType
+    case _: ArrowType.Timestamp => TimestampNTZType
+    case other => throw new IllegalArgumentException(s"unsupported Arrow type: $other")
+  }
+
+  private def getValue(v: FieldVector, i: Int): Any = {
+    if (v.isNull(i)) null
+    else v match {
+      case b: BigIntVector => b.get(i)
+      case b: IntVector => b.get(i)
+      case b: Float8Vector => b.get(i)
+      case b: VarCharVector =>
+        new String(b.get(i), java.nio.charset.StandardCharsets.UTF_8)
+      case b: VarBinaryVector => b.get(i)
+      case b: BitVector => b.get(i) == 1
+      case b: TimeStampMicroTZVector =>
+        val micros = b.get(i)
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L))
+      case b: TimeStampMicroVector =>
+        val micros = b.get(i)
+        java.time.LocalDateTime.ofInstant(java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L),
+          java.time.ZoneOffset.UTC)
+      case other => throw new IllegalArgumentException(s"unsupported vector: $other")
+    }
+  }
+
+  /** Read a directory of Arrow IPC stream files (the [[exportArrow]]
+    * layout — or any other producer's) back into a DataFrame: the Spark
+    * schema is inferred from one file's Arrow schema (an O(1) driver
+    * header read), then each file decodes in its own task — ingest-side
+    * FFI, no driver row materialization.
+    */
+  def readArrow(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val files = graft.meta.GraftFS.list(dir)
+      .filter(_.getPath.getName.endsWith(".arrow"))
+      .map(_.getPath.toString).sorted
+    require(files.nonEmpty, s"no .arrow files under $dir")
+    val hconf = graft.meta.GraftFS.serializableConf
+    def open(path: String) = {
+      val (fs, p) = graft.meta.GraftFS.resolve(path, hconf.value)
+      fs.open(p)
+    }
+    // driver-side: one file header for the schema
+    val schema = {
+      val alloc = new RootAllocator(Long.MaxValue)
+      val in = open(files.head)
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        Channels.newChannel(in), alloc)
+      try {
+        StructType(reader.getVectorSchemaRoot.getSchema.getFields
+          .toArray(Array.empty[Field])
+          .map(f => StructField(f.getName, sparkType(f.getType), nullable = true)))
+      } finally { reader.close(); in.close(); alloc.close() }
+    }
+    val rows = spark.sparkContext.parallelize(files, files.size).flatMap { path =>
+      val alloc = new RootAllocator(Long.MaxValue)
+      val in = open(path)
+      val reader = new org.apache.arrow.vector.ipc.ArrowStreamReader(
+        Channels.newChannel(in), alloc)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      try {
+        val root = reader.getVectorSchemaRoot
+        while (reader.loadNextBatch()) {
+          var i = 0
+          while (i < root.getRowCount) {
+            out += Row.fromSeq((0 until schema.length).map(c => getValue(root.getVector(c), i)))
+            i += 1
+          }
+        }
+      } finally { reader.close(); in.close(); alloc.close() }
+      out
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

@@ -79,6 +79,21 @@ class ArrowExportSpec extends AnyFunSuite {
     } finally graft.meta.GraftFS.deleteRecursive(out)
   }
 
+  test("readArrow round-trips an export (schema inferred, nulls kept)") {
+    val df = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "alpha", 1.5), (2L, null, 2.5), (3L, "gamma", null),
+      (null.asInstanceOf[java.lang.Long], "delta", 4.5)
+    ).toDF("id", "txt", "v").repartition(2)
+    val out = "/tmp/arrow-export-" + java.util.UUID.randomUUID().toString.take(8)
+    try {
+      ArrowExport.exportArrow(df, out)
+      val back = ArrowExport.readArrow(spark, out)
+      assert(back.schema == df.schema.map(f => f.copy(nullable = true))
+        .foldLeft(new org.apache.spark.sql.types.StructType())(_ add _))
+      assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    } finally graft.meta.GraftFS.deleteRecursive(out)
+  }
+
   test("NTZ timestamps export as microsecond Arrow timestamps") {
     val df = spark.sql(
       "SELECT 1L AS id, timestamp_ntz'2001-02-03 04:05:06.789012' AS ts").coalesce(1)
