@@ -92,6 +92,10 @@ object GraftExtensions {
     fn("word_ngrams", "word_ngrams(text, n) - every word n-gram occurrence (with repeats)") {
       args => WordNgrams(args(0), intArg(args(1), "n"))
     },
+    fn("gram_buckets",
+      "gram_buckets(text, n, buckets) - hashed word-n-gram feature buckets (DSIR feature map)") {
+      args => GramBuckets(args(0), intArg(args(1), "n"), intArg(args(2), "buckets"))
+    },
     fn("kmv_distinct", "kmv_distinct(k, cap) - aggregate: KMV distinct-count estimate") {
       args => KmvDistinctAgg(args(0),
         if (args.length > 1) intArg(args(1), "cap") else 4096).toAggregateExpression()

@@ -212,6 +212,32 @@ object HashOps {
     }
     new GenericArrayData(out)
   }
+
+  /** Hashed feature buckets for every word n-gram occurrence — the
+    * hashed bag-of-ngrams feature map of DSIR importance resampling
+    * (Xie et al. '23): polynomial rolling hash of the space-joined gram
+    * (the same 31 / 1e9+7 family as [[simhash]], so the SQL correctness
+    * oracle replays the exact bucket ids) reduced mod `buckets`. One
+    * pass per row; no string array escapes the kernel.
+    */
+  def gramBuckets(text: UTF8String, n: Int, buckets: Int): ArrayData = {
+    val grams = wordNgrams(text, n)
+    val m = grams.numElements()
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val bytes = grams.getUTF8String(i).getBytes
+      var h = 0L
+      var b = 0
+      while (b < bytes.length) {
+        h = (h * 31 + (bytes(b) & 0xff)) % 1000000007L
+        b += 1
+      }
+      out(i) = (h % buckets).toInt
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
 }
 
 /** `minhash_signature(shingleSet, k)`: k-long MinHash signature of a
@@ -337,9 +363,31 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `gram_buckets(text, n, buckets)`: hashed word-n-gram feature buckets
+  * (the DSIR hashed bag-of-ngrams feature map). Native codegen — see
+  * [[HashOps.gramBuckets]].
+  */
+case class GramBuckets(child: Expression, n: Int, buckets: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gram_buckets"
+
+  protected override def nullSafeEval(input: Any): Any =
+    HashOps.gramBuckets(input.asInstanceOf[UTF8String], n, buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.HashOps.gramBuckets($c, $n, $buckets);")
+
+  override protected def withNewChildInternal(newChild: Expression): GramBuckets =
+    copy(child = newChild)
+}
+
 object HashExpressions {
   def minhash_signature(set: Column, k: Int): Column =
     bridge.column(MinHashSignature(bridge.expression(set), k))
+  def gram_buckets(text: Column, n: Int, buckets: Int): Column =
+    bridge.column(GramBuckets(bridge.expression(text), n, buckets))
   def word_ngrams(text: Column, n: Int): Column =
     bridge.column(WordNgrams(bridge.expression(text), n))
   def band_hashes(sig: Column, bands: Int, rows: Int): Column =

@@ -160,6 +160,61 @@ object Multimodal {
     graft.dedup.Dedup.fingerprintPairs(
       imageDHashes(df, idCol, contentCol), maxHamming, maxBucket)
 
+  /** Audio/video metadata for a binary media column — the WAV/MP4
+    * counterpart of [[decodeMeta]]: real RIFF chunk-walk / ISO-BMFF
+    * box-walk via [[AudioCodec]], partition-batched, null metadata for
+    * unparseable payloads. `rate` is the sample rate (WAV) or movie
+    * timescale (MP4); `channels` is null where the container's top
+    * header doesn't carry it (MP4).
+    */
+  def decodeMediaMeta(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("rate", IntegerType, nullable = true),
+      StructField("channels", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true)))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        AudioCodec.parse(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(m) => Row(r.getLong(idIdx), m.format, m.rate,
+            if (m.channels < 0) null else m.channels, m.durationMs)
+          case None => Row(r.getLong(idIdx), null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Exact PCM DSP statistics (energy / zero crossings) for a binary
+    * 16-bit WAV column — a REAL sample-level decode
+    * ([[AudioCodec.pcm16Stats]]), the audio analog of [[imageDHash]]'s
+    * pixel decode: silence screens (low energy) and noise screens (high
+    * zero-crossing rate) are the standard audio curation filters. All
+    * integer arithmetic, so the correctness oracle replays it exactly.
+    * Null stats for undecodable or non-PCM16 payloads.
+    */
+  def audioStats(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sum_squares", LongType, nullable = true),
+      StructField("zero_crossings", LongType, nullable = true)))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val contentIdx = df.schema.fieldIndex(contentCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        AudioCodec.pcm16Stats(r.getAs[Array[Byte]](contentIdx)) match {
+          case Some(s) => Row(r.getLong(idIdx), s.nSamples, s.sumSquares, s.zeroCrossings)
+          case None => Row(r.getLong(idIdx), null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   /** Fixed-dim feature vectors from binary payloads (batched). */
   def extractFeatures(df: DataFrame, idCol: String, contentCol: String, dim: Int = 8): DataFrame = {
     val outSchema = StructType(Seq(

@@ -19,6 +19,10 @@ object TextQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  // one inverted index per sf dir, built once per JVM (t26)
+  private val searchIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // Shared DuckDB fragment: distinct word-bigram shingles per doc.
   private val duckShingles =
     """WITH toks AS (
@@ -754,6 +758,97 @@ object TextQueries {
         |FROM scored
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       CorpusScoring.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+
+    // T25 — DSIR importance resampling (Xie et al. '23): hashed-bigram
+    // bag models of a TARGET subset (lang 'en' as the weak target) vs
+    // the RAW corpus; every doc scored by the feature log-likelihood
+    // ratio, top-150 selected. The oracle replays the gram→bucket hash
+    // (poly 31 mod 1e9+7, mod 4096 — same family d4/t3 already pin),
+    // both smoothed models, the 6-dp weight, and the rank tiebreak; its
+    // ROW_NUMBER() OVER (ORDER BY ...) is the single-reducer translation
+    // of the distributed GlobalRank only the sf0.01 oracle can afford.
+    "t25_dsir_sample" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |g AS (
+        |  SELECT doc_id, y, ws[i] || ' ' || ws[i+1] AS gram
+        |  FROM d, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2
+        |),
+        |b AS (
+        |  SELECT doc_id, y,
+        |         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |             list_transform(string_split_regex(gram, ''),
+        |                            c -> CAST(unicode(c) AS BIGINT))),
+        |             (acc, x) -> (acc * 31 + x) % 1000000007) % 4096 AS INT) AS bkt
+        |  FROM g
+        |),
+        |counts AS (SELECT bkt, SUM(y) AS ct, COUNT(*) AS cr FROM b GROUP BY 1),
+        |tot AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
+        |w AS (
+        |  SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |         ROUND(SUM(ln((counts.ct + 1.0) / (tot.tt + 4096)) -
+        |                   ln((counts.cr + 1.0) / (tot.tr + 4096))), 6) AS log_ratio
+        |  FROM b JOIN counts USING (bkt), tot
+        |  GROUP BY b.doc_id
+        |)
+        |SELECT doc_id, n_grams, log_ratio, rank FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY log_ratio DESC, doc_id) AS rank FROM w)
+        |WHERE rank <= 150
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.ImportanceSampling
+        .dsirSelect(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en", k = 150)
+        .orderBy("doc_id")
+    },
+
+    // T26 — BM25 top-k served from a PERSISTED inverted index: the
+    // corpus is scanned once into a postings GraftTable (row key term,
+    // sort key doc_id, values tf + denormalized doc length) with an
+    // O(1) corpus-stats sidecar; the query is point-lookups on the
+    // query terms through the engine's sorted-parquet key path, df
+    // derived from the retrieved lists, Okapi sum, TakeOrdered top-20.
+    // The oracle recomputes the same BM25 directly from the raw corpus
+    // — index-served scores must be bit-equal to the direct scan.
+    "t26_index_search" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |pop AS (SELECT doc_id, ws, len(ws) AS dl FROM d WHERE len(ws) > 0),
+        |stats AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM pop),
+        |tf AS (
+        |  SELECT doc_id, w AS t, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM pop)
+        |  WHERE w IN ('spark', 'merge', 'window')
+        |  GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         CAST(COUNT(*) AS BIGINT) AS n_terms,
+        |         ROUND(SUM(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |               (tf.tf * 2.2 /
+        |                (tf.tf + 1.2 * (0.25 + 0.75 * pop.dl / stats.avgdl)))), 6) AS bm25
+        |  FROM tf JOIN dfq USING (t) JOIN pop USING (doc_id), stats
+        |  GROUP BY tf.doc_id
+        |)
+        |SELECT doc_id, n_terms, bm25 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rnk FROM scored)
+        |WHERE rnk <= 20
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val idx = searchIndexDirs.computeIfAbsent(dir, { _ =>
+        val td = java.nio.file.Files.createTempDirectory("graft-searchidx").toString
+        graft.text.SearchIndex.build(t(s, dir, "documents"), "doc_id", "text", td)
+        td
+      })
+      graft.text.SearchIndex
+        .searchBm25(s, idx, Seq("spark", "merge", "window"), k = 20)
         .orderBy("doc_id")
     },
 

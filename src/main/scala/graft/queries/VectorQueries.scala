@@ -401,6 +401,89 @@ object VectorQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // MM4 — audio/video metadata decode: each document becomes a real
+    // WAV (RIFF chunk walk) or MP4 (ISO-BMFF box walk to mvhd), or
+    // garbage for every tenth id; AudioCodec parses the actual bytes
+    // and the oracle predicts rate/channels/duration from the same
+    // integer arithmetic the encoder used — a byte-order slip (WAV is
+    // LE, MP4 BE), a chunk-alignment bug, or a wrong mvhd offset all
+    // surface as a driver mismatch.
+    "mm4_media_meta" -> withOracle(
+      """SELECT doc_id AS id,
+        |       CASE WHEN doc_id % 10 = 9 THEN NULL
+        |            WHEN doc_id % 3 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+        |       CASE WHEN doc_id % 10 = 9 THEN NULL
+        |            WHEN doc_id % 3 = 0 THEN CAST(8000 + (doc_id % 8) * 1000 AS INT)
+        |            ELSE CAST(1000 + (doc_id % 10) * 100 AS INT) END AS rate,
+        |       CASE WHEN doc_id % 10 = 9 OR doc_id % 3 <> 0 THEN NULL
+        |            ELSE CAST(1 + doc_id % 2 AS INT) END AS channels,
+        |       CASE WHEN doc_id % 10 = 9 THEN NULL
+        |            WHEN doc_id % 3 = 0
+        |              THEN (16 + doc_id % 50) * 1000 // (8000 + (doc_id % 8) * 1000)
+        |            ELSE ((doc_id * 7) % 100000) * 1000 // (1000 + (doc_id % 10) * 100)
+        |            END AS duration_ms
+        |FROM documents
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val mkMedia = udf { (id: Long) =>
+        if (id % 10 == 9) s"not media $id".getBytes("UTF-8")
+        else if (id % 3 == 0) {
+          val rate = (8000 + (id % 8) * 1000).toInt
+          val ch = (1 + id % 2).toInt
+          val frames = (16 + id % 50).toInt
+          graft.multimodal.AudioCodec.wavBytes(rate, ch,
+            Array.fill[Short](frames * ch)(0))
+        } else {
+          graft.multimodal.AudioCodec.mp4Bytes(
+            (1000 + (id % 10) * 100).toInt, (id * 7) % 100000)
+        }
+      }
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), mkMedia(col("doc_id")).as("content"))
+      Multimodal.decodeMediaMeta(docs, "doc_id", "content").orderBy("id")
+    },
+
+    // MM5 — exact PCM DSP features: every document becomes a real
+    // 16-bit mono WAV whose samples are a deterministic function of the
+    // id; audioStats runs the genuine decode (chunk walk + LE16 sample
+    // extraction) and the all-integer energy / zero-crossing math, and
+    // the oracle regenerates the samples arithmetically and replays
+    // both statistics exactly. Garbage payloads (id % 7 = 6) must
+    // yield null stats.
+    "mm5_audio_stats" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, 64 + doc_id % 64 AS n FROM documents
+        |), g AS (
+        |  SELECT doc_id, i,
+        |         (doc_id * 2654435761 + i * 1013904223) % 65536 - 32768 AS v
+        |  FROM (SELECT doc_id, unnest(range(n)) AS i FROM d WHERE doc_id % 7 <> 6)
+        |), zc AS (
+        |  SELECT a.doc_id,
+        |         SUM(CASE WHEN (a.v < 0) <> (b.v < 0) THEN 1 ELSE 0 END) AS z
+        |  FROM g a JOIN g b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        |  GROUP BY a.doc_id
+        |)
+        |SELECT d.doc_id AS id,
+        |       CASE WHEN d.doc_id % 7 = 6 THEN NULL ELSE d.n END AS n_samples,
+        |       CASE WHEN d.doc_id % 7 = 6 THEN NULL
+        |            ELSE (SELECT SUM(v * v) FROM g WHERE g.doc_id = d.doc_id)
+        |            END AS sum_squares,
+        |       CASE WHEN d.doc_id % 7 = 6 THEN NULL ELSE zc.z END AS zero_crossings
+        |FROM d LEFT JOIN zc ON zc.doc_id = d.doc_id
+        |ORDER BY id""".stripMargin) { (s, dir) =>
+      val mkWav = udf { (id: Long) =>
+        if (id % 7 == 6) s"static noise $id".getBytes("UTF-8")
+        else {
+          val n = (64 + id % 64).toInt
+          val samples = Array.tabulate[Short](n)(i =>
+            ((id * 2654435761L + i.toLong * 1013904223L) % 65536L - 32768L).toShort)
+          graft.multimodal.AudioCodec.wavBytes(16000, 1, samples)
+        }
+      }
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), mkWav(col("doc_id")).as("content"))
+      Multimodal.audioStats(docs, "doc_id", "content").orderBy("id")
+    },
+
     // MM2 — multimodal feature extraction (stubbed model, batched
     // mapPartitions). The stub accumulates per-byte integer hashes
     // position-wise (order-independent), so the oracle replays it in

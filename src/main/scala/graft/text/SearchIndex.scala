@@ -1,0 +1,106 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+import graft.core.{GraftField, GraftSchema}
+import graft.meta.GraftFS
+import graft.table.GraftTable
+
+/** Persisted inverted index served by the engine's own table machinery —
+  * the 100-TB form of lexical search: [[CorpusScoring.bm25Score]] rescans
+  * the corpus per query; here the corpus is scanned ONCE into a postings
+  * GraftTable (row key = term, sort key = doc id, values = tf and doc
+  * length), and every query is a handful of key point-lookups through
+  * the engine's sorted-parquet layout — page-pruned reads of exactly the
+  * matching postings lists, never a corpus scan.
+  *
+  * Design notes for scale:
+  *  - postings rows are (term, doc_id, tf, dl): doc length is
+  *    denormalized into the posting (classic search-engine layout) so
+  *    scoring needs no second lookup;
+  *  - df(term) is NOT stored — it is the length of the retrieved
+  *    postings list, already in hand at serve time (kept exact under
+  *    later appends for free);
+  *  - corpus constants (N, avgdl) live in a one-line sidecar read O(1);
+  *  - the index is a full GraftTable: splits, compaction, GC, time
+  *    travel, and incremental ingest of new documents all apply to the
+  *    postings like any other table (Zipf-hot terms are exactly the
+  *    big-leaf case the split/salt machinery manages);
+  *  - serving = point-lookup regions (one per query term) → df from the
+  *    retrieved lists (a tiny aggregation) broadcast → per-doc Okapi
+  *    sum → TakeOrdered top-k. Nothing corpus-sized moves.
+  *
+  * Tokenization, population (docs with ≥1 token), and the Okapi form
+  * match [[CorpusScoring.bm25Score]] exactly, so index-served scores are
+  * bit-equal to the direct scan (that equality is the driver row's
+  * oracle).
+  */
+object SearchIndex {
+
+  val indexSchema: GraftSchema = GraftSchema(
+    rowKeys = Seq(GraftField("term", StringType)),
+    sortKeys = Seq(GraftField("doc_id", LongType)),
+    values = Seq(GraftField("tf", LongType), GraftField("dl", LongType)))
+
+  private def statsPath(indexDir: String) = s"$indexDir/corpus-stats.json"
+
+  /** One corpus scan → postings table + corpus-stats sidecar.
+    * `splitPoints` pre-splits the term keyspace (pass sampled terms for
+    * a large corpus; the sketch-median splitter takes over after).
+    */
+  def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      splitPoints: Seq[String] = Nil): GraftTable = {
+    val spark = docs.sparkSession
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"), col("__ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    val table = GraftTable.create(spark, indexDir, indexSchema, splitPoints)
+    table.ingest(postings)
+    // corpus constants AFTER the ingest consumed `base` (shared persist)
+    val Array(n, sumDl) = base.agg(count(lit(1)), sum(col("dl")))
+      .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+    base.unpersist()
+    GraftFS.writeString(statsPath(indexDir), s"""{"n": $n, "sum_dl": $sumDl}""")
+    table
+  }
+
+  /** Corpus constants from the sidecar: (N, avgdl). */
+  def corpusStats(indexDir: String): (Long, Double) = {
+    val s = GraftFS.readString(statsPath(indexDir))
+    def field(name: String): Long =
+      s.split(s""""$name":""")(1).trim.takeWhile(c => c.isDigit || c == '-').toLong
+    val n = field("n")
+    (n, field("sum_dl").toDouble / n)
+  }
+
+  /** BM25 top-`k` for a query-term set, served from the index alone. */
+  def searchBm25(spark: SparkSession, indexDir: String, terms: Seq[String],
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(k > 0, "need a positive k")
+    val table = GraftTable.load(spark, indexDir)
+    val (n, avgdl) = corpusStats(indexDir)
+    val postings = table.query(
+      graft.query.GraftQuery.forKeys(table.schema, terms.distinct.map(Seq(_)): _*))
+    val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))
+    postings.join(broadcast(dfreq), "term")
+      .withColumn("__c",
+        log(lit(1.0) + (lit(n.toDouble) - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1.0) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_terms"),
+        round(sum(col("__c")), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+}
