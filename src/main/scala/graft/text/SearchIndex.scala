@@ -73,6 +73,36 @@ object SearchIndex {
     table
   }
 
+  /** Incremental index maintenance: postings for NEW documents ingest
+    * like any other table write (the LSM machinery merges them into the
+    * term-sorted runs; compaction folds), and the corpus constants
+    * accumulate in the sidecar. df needs no maintenance at all — it is
+    * derived from the retrieved lists at serve time.
+    */
+  def append(docs: DataFrame, idCol: String, textCol: String, indexDir: String): Unit = {
+    val spark = docs.sparkSession
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextFunctions.tokens(col(textCol)).as("__ws"))
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"), col("__ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val postings = base
+      .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .select("term", "doc_id", "tf", "dl")
+    GraftTable.load(spark, indexDir).ingest(postings)
+    val Array(n, sumDl) = base.agg(count(lit(1)), sum(col("dl")))
+      .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+    base.unpersist()
+    val s = GraftFS.readString(statsPath(indexDir))
+    def field(name: String): Long =
+      s.split(s""""$name":""")(1).trim.takeWhile(c => c.isDigit || c == '-').toLong
+    GraftFS.writeString(statsPath(indexDir),
+      s"""{"n": ${field("n") + n}, "sum_dl": ${field("sum_dl") + sumDl}}""")
+  }
+
   /** Corpus constants from the sidecar: (N, avgdl). */
   def corpusStats(indexDir: String): (Long, Double) = {
     val s = GraftFS.readString(statsPath(indexDir))

@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The index-served BM25 must be BIT-EQUAL to the direct corpus scan
+  * ([[CorpusScoring.bm25Score]]) — that equality is the operator's
+  * definition — and must stay equal after an incremental append.
+  */
+class SearchIndexSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(ids: Range): DataFrame =
+    ids.map { i =>
+      val topic = Seq("spark", "merge", "window", "scan", "filter", "join")
+      val filler = Seq("the", "a", "of", "data", "rows")
+      // (i+j)%3 gate with a +3 stride covers all six topic words
+      // across docs (a %4 gate would pin the index parity and starve
+      // half the vocabulary)
+      val words = (0 until (5 + i % 23)).map { j =>
+        if ((i + j) % 3 == 0) topic((i * 3 + j) % 6) else filler((i + j * 7) % 5)
+      }
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+
+  private def direct(df: DataFrame, terms: Seq[String], k: Int): Seq[(Long, Long, Double)] =
+    CorpusScoring.bm25Score(df, "doc_id", "text", terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+
+  test("index-served BM25 equals the direct corpus scan bit-for-bit") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-si").toString
+    val df = corpus(0 until 400)
+    SearchIndex.build(df, "doc_id", "text", dir)
+    val terms = Seq("spark", "merge", "window")
+    val served = SearchIndex.searchBm25(spark, dir, terms, k = 25)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(served == direct(df, terms, 25))
+    assert(served.nonEmpty)
+  }
+
+  test("append keeps served scores equal to a direct scan of the union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-si2").toString
+    SearchIndex.build(corpus(0 until 200), "doc_id", "text", dir)
+    SearchIndex.append(corpus(200 until 350), "doc_id", "text", dir)
+    val terms = Seq("scan", "join")
+    val served = SearchIndex.searchBm25(spark, dir, terms, k = 30)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(served == direct(corpus(0 until 350), terms, 30))
+    // and the appended half is actually reachable (full retrieval)
+    val all = SearchIndex.searchBm25(spark, dir, terms, k = 1000)
+      .as[(Long, Long, Double)].collect()
+    assert(all.exists(_._1 >= 200))
+  }
+
+  test("duplicate query terms do not double-count") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-si3").toString
+    val df = corpus(0 until 100)
+    SearchIndex.build(df, "doc_id", "text", dir)
+    val a = SearchIndex.searchBm25(spark, dir, Seq("spark", "spark"), k = 10)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(a == direct(df, Seq("spark"), 10))
+  }
+}
