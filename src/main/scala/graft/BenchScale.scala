@@ -280,6 +280,23 @@ object BenchScale {
       timed("sf1_t21_buckets", docRows10) {
         graft.text.CorpusScoring.perplexityBuckets(docsSf1, "doc_id", "text").count()
       }
+      // DSIR selection: two corpus scans (shared model agg + broadcast
+      // scoring) and the distributed rank
+      timed("sf1_t25_dsir", docRows10) {
+        graft.text.ImportanceSampling.dsirSelect(docsSf1, "doc_id", "text",
+          pmod(col("doc_id"), lit(3)) === 0, k = 1000).count()
+      }
+      // inverted index: build = the one-time corpus scan + postings
+      // ingest; search = key point-lookups + Okapi top-k, priced
+      // separately (corpus docs / serve-second)
+      val idxDir = s"$sf1Dir/searchidx$pass"
+      timed("sf1_t26_index_build", docRows10) {
+        graft.text.SearchIndex.build(docsSf1, "doc_id", "text", idxDir)
+      }
+      timed("sf1_t26_search", docRows10, innerRepeats = 3) {
+        graft.text.SearchIndex.searchBm25(spark, idxDir,
+          Seq("spark", "merge", "window"), k = 20).count()
+      }
 
       // -- d5 on the distributed component path (verdict r7 #5) --------
       // The ×10 corpus keeps exact clones, which the pre-LSH exact

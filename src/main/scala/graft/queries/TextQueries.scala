@@ -807,6 +807,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T27 — deterministic corpus shuffle + sharding: the training
+    // data-loader prep stage. Order = multiplicative-hash of the id
+    // (reproducible, no RNG), rank + contiguous NTILE shards via the
+    // distributed GlobalRank (one range shuffle); the oracle's window
+    // pair is the single-reducer translation only DuckDB runs.
+    "t27_shuffle_shard" -> withOracle(
+      """WITH r AS (
+        |  SELECT doc_id,
+        |         ROW_NUMBER() OVER (
+        |           ORDER BY (doc_id * 2654435761) % 1000000007, doc_id) AS position
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(position AS BIGINT) AS position,
+        |       CAST(NTILE(16) OVER (ORDER BY position) AS BIGINT) AS shard
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.ShuffleShard.shuffleShards(t(s, dir, "documents"), "doc_id", shards = 16)
+        .select(col("doc_id"), col("position"), col("shard"))
+        .orderBy("doc_id")
+    },
+
     // T26 — BM25 top-k served from a PERSISTED inverted index: the
     // corpus is scanned once into a postings GraftTable (row key term,
     // sort key doc_id, values tf + denormalized doc length) with an
