@@ -47,18 +47,26 @@ object ImportanceSampling {
       targetPred: Column, buckets: Int = 4096, n: Int = 2): DataFrame = {
     require(buckets > 0, "need a positive feature-bucket count")
     import graft.functions.HashExpressions.gram_buckets
+    val spark = docs.sparkSession
+    import spark.implicits._
     val occ = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), targetPred.cast("long").as("__y"),
         explode(gram_buckets(col(textCol), n, buckets)).as("__bkt"))
     // one aggregation builds BOTH models: target counts are the
-    // conditional sum, raw counts the plain count
+    // conditional sum, raw counts the plain count. The aggregated
+    // table is ≤ `buckets` rows, so it lands on the driver (bounded by
+    // construction) and the log-ratio model becomes a literal broadcast
+    // relation — the corpus is scanned exactly twice (model build +
+    // scoring), with no third lineage replay for the totals.
     val counts = occ.groupBy("__bkt")
       .agg(sum(col("__y")).as("__ct"), count(lit(1)).as("__cr"))
-    val totals = counts.agg(sum(col("__ct")).as("__tt"), sum(col("__cr")).as("__tr"))
-    val model = counts.crossJoin(broadcast(totals))
-      .select(col("__bkt"),
-        (log((col("__ct") + 1.0) / (col("__tt") + buckets)) -
-          log((col("__cr") + 1.0) / (col("__tr") + buckets))).as("__r"))
+      .as[(Int, Long, Long)].collect()
+    val tt = counts.map(_._2).sum
+    val tr = counts.map(_._3).sum
+    val model = counts.toSeq.map { case (bkt, ct, cr) =>
+      (bkt, math.log((ct + 1.0) / (tt.toDouble + buckets)) -
+        math.log((cr + 1.0) / (tr.toDouble + buckets)))
+    }.toDF("__bkt", "__r")
     occ.join(broadcast(model), "__bkt")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("long").as("n_grams"),
