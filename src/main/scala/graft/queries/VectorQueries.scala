@@ -29,6 +29,33 @@ object VectorQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // V8 — FILTERED kNN (metadata predicate + top-k, the RAG
+    // retrieval shape): top-10 among label=1 vectors only. The exact
+    // allowed-set count gates the strategy; at this selectivity the
+    // broadcast-semi-join + brute path runs (exact by construction,
+    // hence oracle-able); the dense-filter IVF path is recall-panel
+    // spec'd in VectorsSpec.
+    "v8_knn_filtered" -> withOracle(
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 3
+        |), scored AS (
+        |  SELECT vec_id,
+        |         list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 3 AND label = 1
+        |)
+        |SELECT vec_id, ROUND(sim, 6) AS sim_r
+        |FROM scored
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      VectorFunctions.knnFiltered(
+          e.filter(col("vec_id") =!= 3), "vec_id", "embedding",
+          e.filter(col("vec_id") =!= 3 && col("label") === 1).select("vec_id"),
+          e.filter(col("vec_id") === 3), "embedding", k = 10)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
+    },
+
     // V1 — exact brute-force cosine top-k for the vec_id=0 query vector.
     "v1_knn_brute" -> withOracle(
       """WITH q AS (

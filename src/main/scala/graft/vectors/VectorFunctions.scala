@@ -54,6 +54,69 @@ object VectorFunctions {
       .limit(k)
   }
 
+  /** FILTERED kNN — top-k among only the vectors whose id appears in
+    * `allowedIds` (one id column; typically the result of a metadata
+    * predicate on another table — the "lang = 'en' AND source = X"
+    * side of a RAG retrieval). Strategy is gated by an EXACT count of
+    * the allowed set (metadata-sized, cheap — the same
+    * exact-statistic-gates-the-plan pattern as the dedup family):
+    *
+    *  - selective filter (≤ `bruteThreshold` ids): broadcast semi-join
+    *    prunes the corpus scan map-side, then exact brute top-k — with
+    *    few survivors, ANN pruning saves nothing and costs recall;
+    *  - dense filter: the filter rides INTO the IVF path — survivors
+    *    keep their cell assignment, the query probes `nprobe` cells,
+    *    and only filtered members of probed cells are scored. Recall
+    *    semantics match unfiltered IVF because filtering before the
+    *    cell scan never changes which cells the true neighbors sit in.
+    *
+    * The selective path is exact (it is the driver row's oracle); the
+    * dense path is approximate with the usual nprobe/recall trade.
+    */
+  def knnFiltered(vectors: DataFrame, idCol: String, vecCol: String,
+      allowedIds: DataFrame, query: DataFrame, queryVecCol: String, k: Int,
+      bruteThreshold: Long = 100000, nCentroids: Int = 16, nprobe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    requireSingleQuery(query, "knnFiltered")
+    val allowed = allowedIds.select(col(allowedIds.columns.head).as(idCol))
+    val nAllowed = allowed.count()
+    if (nAllowed <= bruteThreshold) {
+      val filtered = vectors.join(broadcast(allowed), Seq(idCol), "left_semi")
+      knnBrute(filtered, idCol, vecCol, query, queryVecCol, k)
+    } else {
+      val filtered = vectors.join(allowed, Seq(idCol), "left_semi")
+      knnIvf(filtered, idCol, vecCol, query, queryVecCol, k,
+        nCentroids = nCentroids, nprobe = nprobe, seed = seed)
+    }
+  }
+
+  /** Filtered serve from a persisted [[buildIvfIndex]] index: the
+    * allowed-id set broadcast-semi-joins into the probed-cell scan, so
+    * the filter costs nothing beyond the cell read it was already
+    * doing. For filters too large to broadcast, pre-shuffle
+    * `allowedIds` and swap the semi-join to a shuffled one — the cell
+    * pruning is unchanged.
+    */
+  def knnIvfIndexFiltered(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      allowedIds: DataFrame, query: DataFrame, queryVecCol: String,
+      k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val qCells = query.select(col(queryVecCol).as("q"))
+      .crossJoin(broadcast(cents))
+      .select(col("cell"), cosine_sim(col("q"), col("centroid")).as("sim"))
+      .orderBy(col("sim").desc, col("cell"))
+      .limit(nprobe)
+      .select("cell").collect().map(_.getInt(0)).toSeq
+    val allowed = allowedIds.select(col(allowedIds.columns.head).as("id"))
+    spark.read.parquet(s"$indexDir/lists")
+      .filter(col("cell").isin(qCells: _*))
+      .join(broadcast(allowed), Seq("id"), "left_semi")
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("q"))))
+      .select(col("id"), cosine_sim(col("vec"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** LSH bucket keys for `tables` independent hash tables: per table t,
     * key = (t << bits) | hyperplane signature salted by t. Native
     * codegen; plain integer packing so the DuckDB oracle can reproduce

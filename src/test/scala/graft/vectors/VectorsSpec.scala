@@ -66,6 +66,72 @@ class VectorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low; brute=$brute lsh=$lsh")
   }
 
+  test("knnFiltered: selective path equals brute force over the filtered set") {
+    val all = randomVectors(400, 32, seed = 5).toDF("vec_id", "embedding")
+    val queryDf = Seq(9999L -> randomVectors(1, 32, seed = 6).head._2)
+      .toDF("vec_id", "embedding")
+    val allowed = all.filter(pmod($"vec_id", lit(3)) === 0).select("vec_id")
+    val got = VectorFunctions.knnFiltered(all, "vec_id", "embedding",
+        allowed, queryDf, "embedding", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    val exp = VectorFunctions.knnBrute(
+        all.filter(pmod($"vec_id", lit(3)) === 0), "vec_id", "embedding",
+        queryDf, "embedding", k = 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == exp)
+    assert(got.forall(_._1 % 3 == 0))
+  }
+
+  test("knnFiltered dense path: recall@10 >= 0.9 vs filtered brute on clustered data") {
+    val rnd = new Random(23)
+    val dim = 64
+    val q = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    // 40 near-duplicates of the query (even ids pass the filter) + noise
+    val near = (0L until 40L).map { i =>
+      (1000L + i) -> q.map(x => x + (rnd.nextDouble() * 0.2 - 0.1).toFloat)
+    }
+    val noise = randomVectors(400, dim, seed = 29)
+    val all = (near ++ noise).toDF("vec_id", "embedding")
+    val allowed = all.filter(pmod($"vec_id", lit(2)) === 0).select("vec_id")
+    val queryDf = Seq(9999L -> q).toDF("vec_id", "embedding")
+    val brute = VectorFunctions.knnBrute(
+        all.join(broadcast(allowed), Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", queryDf, "embedding", k = 10)
+      .select("id").as[Long].collect().toSet
+    // bruteThreshold=0 forces the IVF path even on this small corpus
+    val ivf = VectorFunctions.knnFiltered(all, "vec_id", "embedding",
+        allowed, queryDf, "embedding", k = 10,
+        bruteThreshold = 0, nCentroids = 16, nprobe = 6)
+      .select("id").as[Long].collect().toSet
+    assert(ivf.forall(_ % 2 == 0))
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall; brute=$brute ivf=$ivf")
+  }
+
+  test("knnIvfIndexFiltered serves the filter from the persisted lists") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-filt").toString
+    val rnd = new Random(31)
+    val dim = 32
+    val q = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val near = (0L until 30L).map { i =>
+      (500L + i) -> q.map(x => x + (rnd.nextDouble() * 0.2 - 0.1).toFloat)
+    }
+    val all = (near ++ randomVectors(300, dim, seed = 37)).toDF("vec_id", "embedding")
+    VectorFunctions.buildIvfIndex(all, "vec_id", "embedding", dir, nCentroids = 8)
+    val allowed = all.filter(pmod($"vec_id", lit(2)) === 0).select("vec_id")
+    val queryDf = Seq(9999L -> q).toDF("vec_id", "embedding")
+    val served = VectorFunctions.knnIvfIndexFiltered(spark, dir, allowed,
+        queryDf, "embedding", k = 10, nprobe = 4)
+      .select("id").as[Long].collect().toSet
+    val brute = VectorFunctions.knnBrute(
+        all.join(broadcast(allowed), Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", queryDf, "embedding", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(served.forall(_ % 2 == 0))
+    val recall = (brute intersect served).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall; brute=$brute served=$served")
+  }
+
   test("knnIvf recall vs knnBrute is high on clustered vectors") {
     val rnd = new Random(13)
     val dim = 64
