@@ -589,6 +589,16 @@ final class SketchingMergeRDD(
     val kinds = schema.rowKeys.map(f => graft.functions.KeySketch.kindOf(f.dataType)).toArray
     val types = schema.rowKeys.map(_.dataType).toArray
     val sketches = kinds.map(k => graft.functions.KeySketch.empty(k))
+    // per-file integral-column sums accumulate in the SAME pass (SUM
+    // pushdown metadata); overflow marks the field invalid — no entry
+    // is attached and pushdown declines for the file
+    val sumNames = graft.jobs.Ingest.integralFieldNames(schema)
+      .filter(spec.output.contains).toArray
+    val sumIdx = sumNames.map(spec.output.indexOf)
+    val sumTypes = sumNames.map(n => schema.field(n).dataType)
+    val sumCnt = new Array[Long](sumNames.length)
+    val sumVal = new Array[Long](sumNames.length)
+    val sumOk = Array.fill(sumNames.length)(true)
     val (inner, close) = SortedRun.open(spec, confW.value)
     context.addTaskCompletionListener[Unit](_ => close())
     var written = false
@@ -606,6 +616,21 @@ final class SketchingMergeRDD(
         try out.write(bytes) finally out.close()
         f += 1
       }
+      if (sumNames.nonEmpty) {
+        val out = new java.io.DataOutputStream(
+          fs.create(new Path(dir, s"${part.index}-sums.bin"), true))
+        try {
+          out.writeInt(sumNames.length)
+          var i = 0
+          while (i < sumNames.length) {
+            out.writeUTF(sumNames(i))
+            out.writeBoolean(sumOk(i))
+            out.writeLong(sumCnt(i))
+            out.writeLong(sumVal(i))
+            i += 1
+          }
+        } finally out.close()
+      }
     }
 
     new Iterator[InternalRow] {
@@ -621,6 +646,21 @@ final class SketchingMergeRDD(
           val v = row.get(keyIdx(f), types(f))
           if (v != null) sketches(f).update(kinds(f).toItem(v).asInstanceOf[AnyRef])
           f += 1
+        }
+        var s = 0
+        while (s < sumIdx.length) {
+          if (!row.isNullAt(sumIdx(s))) {
+            val l = sumTypes(s) match {
+              case org.apache.spark.sql.types.LongType => row.getLong(sumIdx(s))
+              case _ => row.getInt(sumIdx(s)).toLong
+            }
+            sumCnt(s) += 1
+            if (sumOk(s)) {
+              try sumVal(s) = Math.addExact(sumVal(s), l)
+              catch { case _: ArithmeticException => sumOk(s) = false }
+            }
+          }
+          s += 1
         }
         row
       }

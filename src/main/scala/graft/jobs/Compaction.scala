@@ -351,7 +351,26 @@ final class Compaction(table: GraftTable,
       val sketches = keyNames.zipWithIndex.map { case (k, f) =>
         k -> GraftFS.readBytes(s"$sketchDir/$idx-$f.sketch")
       }
-      SketchSidecar.write(path, sketches)
+      // the merge task's one-pass integral sums (absent for pre-sums
+      // side-channels; overflowed fields are skipped)
+      val sumsPath = s"$sketchDir/$idx-sums.bin"
+      val sums =
+        if (!GraftFS.exists(sumsPath)) Nil
+        else {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(GraftFS.readBytes(sumsPath)))
+          val n = in.readInt()
+          (0 until n).flatMap { _ =>
+            val name = in.readUTF()
+            val ok = in.readBoolean()
+            val cnt = in.readLong()
+            val sum = in.readLong()
+            if (ok) Seq(SketchSidecar.sumEntryName(name) ->
+              SketchSidecar.encodeSum(cnt, sum))
+            else Nil
+          }
+        }
+      SketchSidecar.write(path, sketches ++ sums)
     }
     GraftFS.deleteRecursive(sketchDir)
   }
@@ -408,17 +427,29 @@ final class Compaction(table: GraftTable,
   private def writeSketches(paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
     val keyNames = schema.rowKeyNames
+    val sumFields = Ingest.integralFieldNames(schema)
+    val aggs =
+      (keyNames.map(k => sketch_agg(col(k)).as(k)) ++
+        sumFields.flatMap(v => Seq(
+          expr(s"try_sum(`$v`)").cast("long").as(s"__s_$v"),
+          count(col(v)).as(s"__c_$v")))).toList
     val rows = spark.read.parquet(paths: _*)
       .select((col("*") +: Seq(input_file_name().as("__file"))): _*)
       .groupBy("__file")
-      .agg(sketch_agg(col(keyNames.head)).as(keyNames.head),
-        keyNames.tail.map(k => sketch_agg(col(k)).as(k)): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.foreach { r =>
       // input_file_name is a fully-qualified URI; the sidecar resolves it
       // through the same FileSystem machinery as any table path
       val file = r.getString(r.fieldIndex("__file"))
-      SketchSidecar.write(file, keyNames.map(k => k -> r.getAs[Array[Byte]](k)))
+      val sums = sumFields.flatMap { v =>
+        val cnt = r.getLong(r.fieldIndex(s"__c_$v"))
+        val sIdx = r.fieldIndex(s"__s_$v")
+        if (cnt > 0 && r.isNullAt(sIdx)) Nil // overflow: no entry
+        else Seq(SketchSidecar.sumEntryName(v) ->
+          SketchSidecar.encodeSum(cnt, if (r.isNullAt(sIdx)) 0L else r.getLong(sIdx)))
+      }
+      SketchSidecar.write(file, keyNames.map(k => k -> r.getAs[Array[Byte]](k)) ++ sums)
     }
   }
 

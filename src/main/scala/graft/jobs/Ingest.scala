@@ -122,22 +122,38 @@ final class Ingest(table: GraftTable) {
     }
   }
 
-  /** One pruned-columnar job building every new file's key sketches. */
+  /** One pruned-columnar job building every new file's key sketches,
+    * plus per-file sums of the integral columns (SUM pushdown metadata;
+    * try_sum nulls out on overflow, and an overflowed file simply gets
+    * no sum entry — pushdown declines rather than answering wrong).
+    */
   private def writeSketches(paths: Seq[String]): Unit = {
     val schema = table.schema
     val keyNames = schema.rowKeyNames
+    val sumFields = Ingest.integralFieldNames(schema)
+    val aggs =
+      (keyNames.map(k => sketch_agg(col(k)).as(k)) ++
+        sumFields.flatMap(v => Seq(
+          expr(s"try_sum(`$v`)").cast("long").as(s"__s_$v"),
+          count(col(v)).as(s"__c_$v")))).toList
     val rows = spark.read.parquet(paths: _*)
       .select((col("*") +: Seq(input_file_name().as("__file"))): _*)
       .groupBy("__file")
-      .agg(sketch_agg(col(keyNames.head)).as(keyNames.head),
-        keyNames.tail.map(k => sketch_agg(col(k)).as(k)): _*)
+      .agg(aggs.head, aggs.tail: _*)
       .collect()
     rows.foreach { r =>
       // input_file_name is a fully-qualified URI; SketchSidecar resolves
       // it through the same FileSystem machinery as any table path
       val file = r.getString(r.fieldIndex("__file"))
       val sketches = keyNames.map(k => k -> r.getAs[Array[Byte]](k))
-      SketchSidecar.write(file, sketches)
+      val sums = sumFields.flatMap { v =>
+        val cnt = r.getLong(r.fieldIndex(s"__c_$v"))
+        val sIdx = r.fieldIndex(s"__s_$v")
+        if (cnt > 0 && r.isNullAt(sIdx)) Nil // overflow: no entry
+        else Seq(SketchSidecar.sumEntryName(v) ->
+          SketchSidecar.encodeSum(cnt, if (r.isNullAt(sIdx)) 0L else r.getLong(sIdx)))
+      }
+      SketchSidecar.write(file, sketches ++ sums)
     }
   }
 
@@ -175,6 +191,15 @@ object Ingest {
     * `graft.ingest.max.salt` system property overrides for experiments
     * (the bench's salt=1 control row).
     */
+  /** Fields whose per-file sums ride the sketch sidecar (SUM pushdown
+    * metadata): every int/long column, schema order.
+    */
+  def integralFieldNames(schema: graft.core.GraftSchema): Seq[String] =
+    (schema.rowKeys ++ schema.sortKeys ++ schema.values)
+      .filter(f => f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+      .map(_.name)
+
   def saltFor(perLeafBytes: Long, cpus: Int, numLeaves: Int,
       maxSalt: Int = Int.MaxValue): Int = {
     val cap = Option(Integer.getInteger("graft.ingest.max.salt"))

@@ -44,6 +44,27 @@ object SketchSidecar {
 
   def exists(dataFile: String): Boolean = GraftFS.exists(pathFor(dataFile))
 
+  /** Reserved sidecar entry name for a per-file column sum: the sidecar
+    * map is (name → bytes), so sum entries ride the existing format
+    * under a prefix no schema field can collide with (field names never
+    * start with "__"). Payload = non-null count (8 bytes BE) + sum
+    * (8 bytes BE). Readers that don't know the prefix ignore it; files
+    * written before sums existed simply lack the entry, which makes
+    * SUM pushdown decline gracefully (never answer wrong).
+    */
+  def sumEntryName(field: String): String = "__sum:" + field
+
+  def encodeSum(nonNullCount: Long, sum: Long): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(16)
+    b.putLong(nonNullCount); b.putLong(sum)
+    b.array()
+  }
+
+  def decodeSum(bytes: Array[Byte]): (Long, Long) = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+    (b.getLong(), b.getLong())
+  }
+
   /** Merged sketch for one row-key field across data files (A5). */
   def mergedSketch(schema: GraftSchema, field: String, dataFiles: Seq[String])
       : Option[org.apache.datasketches.quantiles.ItemsSketch[AnyRef]] = {

@@ -429,6 +429,30 @@ object LifecycleQueries {
         .toDF("file_count", "row_count", "partition_count", "leaf_count", "avg_refs")
     },
 
+    // S9 — SUM aggregate pushdown: SELECT SUM(value), SUM(key), COUNT(*)
+    // over the DSv2 table answers from METADATA alone (per-file sidecar
+    // sums written at ingest AND carried one-pass through compaction +
+    // state-store footer counts) — zero data files read. The row itself
+    // asserts the plan is the metadata-only scan, so a silent fallback
+    // to a real scan fails the row rather than hiding as a perf loss.
+    "s9_sum_pushdown" -> withOracle(
+      """SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS total_key,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      val table = metricsTable(s, dir)
+      val agg = s.read.format("graft").load(table.dir)
+        .agg(sum(col("qty")).as("total_qty"),
+          sum(col("l_orderkey")).as("total_key"),
+          count(lit(1)).as("n"))
+      val scan = agg.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+      }.head
+      require(scan.isInstanceOf[graft.sources.GraftMetaAggScan],
+        s"SUM/COUNT did not push to metadata: ${scan.getClass}")
+      agg
+    },
+
     // T1 — continuous micro-batch ingest: two parquet files dropped into
     // an inbox across two batcher cycles land through the streaming sink
     // (checkpointed file source + idempotent txn commit), then the table

@@ -175,8 +175,8 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
     if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return None
     if (pushed.nonEmpty) return None
     if (store.aggregationConfig.trim.nonEmpty || store.filterConfig.trim.nonEmpty) return None
@@ -218,6 +218,39 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
       case other => other
     }
 
+    // SUM(int/long column) from the per-file sidecar sum entries: exact
+    // per-file (non-null count, sum) accumulated at write time. Any
+    // file missing the entry (pre-sums file, or an overflowed write)
+    // declines; driver-side accumulation declines on overflow too —
+    // the fallback scan then reproduces Spark's own ANSI behavior.
+    def integralFieldName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case ref: NamedReference if ref.fieldNames.length == 1 &&
+        schema.allFields.exists(f => f.name == ref.fieldNames.head &&
+          (f.dataType == LongType || f.dataType == IntegerType)) =>
+        Some(ref.fieldNames.head)
+      case _ => None
+    }
+    val sumCache = mutable.Map.empty[String, Option[Any]]
+    def sidecarSum(field: String): Option[Any] = sumCache.getOrElseUpdate(field, {
+      if (dataFiles.isEmpty) Some(null)
+      else if (!dataFiles.forall(graft.meta.SketchSidecar.exists)) None
+      else {
+        val entry = graft.meta.SketchSidecar.sumEntryName(field)
+        val parts = dataFiles.map(f => graft.meta.SketchSidecar.read(f).get(entry))
+        if (parts.exists(_.isEmpty)) None
+        else try {
+          var cnt = 0L; var tot = 0L
+          parts.flatten.foreach { bytes =>
+            val (c, s) = graft.meta.SketchSidecar.decodeSum(bytes)
+            cnt = Math.addExact(cnt, c)
+            tot = Math.addExact(tot, s)
+          }
+          Some(if (cnt == 0) null else (tot: Any))
+        } catch { case _: ArithmeticException => None }
+      }
+    })
+
     lazy val count = refs.map(_.rowCount).sum
     val vals = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some((count: Any, LongType: org.apache.spark.sql.types.DataType))
@@ -225,6 +258,8 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
         minMax(f).map(mm => (internal(mm._1), schema.field(f).dataType)))
       case m: Max => rowKeyName(m.column).flatMap(f =>
         minMax(f).map(mm => (internal(mm._2), schema.field(f).dataType)))
+      case s: Sum if !s.isDistinct => integralFieldName(s.column).flatMap(f =>
+        sidecarSum(f).map(v => (v, LongType: org.apache.spark.sql.types.DataType)))
       case _ => None
     }
     if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None

@@ -343,6 +343,54 @@ class GraftSourceSpec extends AnyFunSuite {
     }.head.isInstanceOf[GraftScan])
   }
 
+  test("SUM(integral column) pushes to sidecar sums across ingest AND compaction") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
+    table.ingest(batch(
+      ("ant", 5L, 10L, Map.empty[String, Long]), ("zebra", 1L, 20L, Map.empty[String, Long]),
+      ("mango", 2L, 30L, Map.empty[String, Long])))
+    table.ingest(batch(("yak", 3L, 40L, Map.empty[String, Long])))
+
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+      }.head
+    import org.apache.spark.sql.functions.{sum => fsum, count => fcount}
+
+    // value column AND sort-key column sums, alongside COUNT, one query
+    val df = spark.read.format("graft").load(dir)
+    val agg = df.agg(fsum("count").as("s"), fsum("ts").as("st"), fcount("*").as("n"))
+    assert(agg.as[(Long, Long, Long)].head() == ((100L, 11L, 4L)))
+    assert(scanOf(agg).isInstanceOf[GraftMetaAggScan],
+      s"SUM should push to metadata, got ${scanOf(agg).getClass}")
+
+    // compaction outputs carry one-pass sums (the merge-task side channel)
+    table.compactAll()
+    val dfc = spark.read.format("graft").load(dir)
+    val aggC = dfc.agg(fsum("count").as("s"))
+    assert(aggC.as[Long].head() == 100L)
+    assert(scanOf(aggC).isInstanceOf[GraftMetaAggScan],
+      s"post-compaction SUM should push to metadata, got ${scanOf(aggC).getClass}")
+
+    // a WHERE keeps filters residual -> normal scan, correct
+    val filtered = dfc.filter($"key" < "m").agg(fsum("count"))
+    assert(filtered.as[Long].head() == 10L)
+    assert(scanOf(filtered).isInstanceOf[GraftScan])
+
+    // a missing sum entry (pre-sums sidecar) declines, never lies:
+    // rewrite one file's sidecar without the sum entries
+    val file = table.store.fileReferences.head
+    val path = s"$dir/data/${file.physicalPartitionId}/${file.filename}"
+    val trimmed = graft.meta.SketchSidecar.read(path)
+      .filterNot(_._1.startsWith("__sum:")).toSeq
+    graft.meta.SketchSidecar.write(path, trimmed)
+    val df2 = spark.read.format("graft").load(dir)
+    val agg2 = df2.agg(fsum("count"))
+    assert(agg2.as[Long].head() == 100L)
+    assert(scanOf(agg2).isInstanceOf[GraftScan],
+      "missing sum entry must fall back to a real scan")
+  }
+
   test("COUNT(*) is served from state-store metadata when counts are exact") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))

@@ -57,6 +57,20 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(all.exists(_._1 >= 200))
   }
 
+  test("compaction folds the appended postings runs; serving is unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-si4").toString
+    SearchIndex.build(corpus(0 until 200), "doc_id", "text", dir)
+    SearchIndex.append(corpus(200 until 300), "doc_id", "text", dir)
+    val terms = Seq("window", "filter")
+    val before = SearchIndex.searchBm25(spark, dir, terms, k = 15)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    graft.table.GraftTable.load(spark, dir).compactAll()
+    val after = SearchIndex.searchBm25(spark, dir, terms, k = 15)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(after == before)
+    assert(after == direct(corpus(0 until 300), terms, 15))
+  }
+
   test("duplicate query terms do not double-count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-si3").toString
     val df = corpus(0 until 100)
