@@ -598,6 +598,8 @@ final class SketchingMergeRDD(
     val sumTypes = sumNames.map(n => schema.field(n).dataType)
     val sumCnt = new Array[Long](sumNames.length)
     val sumVal = new Array[Long](sumNames.length)
+    val sumMin = Array.fill(sumNames.length)(Long.MaxValue)
+    val sumMax = Array.fill(sumNames.length)(Long.MinValue)
     val sumOk = Array.fill(sumNames.length)(true)
     val (inner, close) = SortedRun.open(spec, confW.value)
     context.addTaskCompletionListener[Unit](_ => close())
@@ -627,6 +629,8 @@ final class SketchingMergeRDD(
             out.writeBoolean(sumOk(i))
             out.writeLong(sumCnt(i))
             out.writeLong(sumVal(i))
+            out.writeLong(if (sumCnt(i) == 0) 0L else sumMin(i))
+            out.writeLong(if (sumCnt(i) == 0) 0L else sumMax(i))
             i += 1
           }
         } finally out.close()
@@ -655,6 +659,8 @@ final class SketchingMergeRDD(
               case _ => row.getInt(sumIdx(s)).toLong
             }
             sumCnt(s) += 1
+            if (l < sumMin(s)) sumMin(s) = l
+            if (l > sumMax(s)) sumMax(s) = l
             if (sumOk(s)) {
               try sumVal(s) = Math.addExact(sumVal(s), l)
               catch { case _: ArithmeticException => sumOk(s) = false }

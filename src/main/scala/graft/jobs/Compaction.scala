@@ -365,8 +365,10 @@ final class Compaction(table: GraftTable,
             val ok = in.readBoolean()
             val cnt = in.readLong()
             val sum = in.readLong()
+            val mn = in.readLong()
+            val mx = in.readLong()
             if (ok) Seq(SketchSidecar.sumEntryName(name) ->
-              SketchSidecar.encodeSum(cnt, sum))
+              SketchSidecar.encodeSum(SketchSidecar.ColumnStats(cnt, sum, mn, mx)))
             else Nil
           }
         }
@@ -432,7 +434,9 @@ final class Compaction(table: GraftTable,
       (keyNames.map(k => sketch_agg(col(k)).as(k)) ++
         sumFields.flatMap(v => Seq(
           expr(s"try_sum(`$v`)").cast("long").as(s"__s_$v"),
-          count(col(v)).as(s"__c_$v")))).toList
+          count(col(v)).as(s"__c_$v"),
+          min(col(v)).cast("long").as(s"__mn_$v"),
+          max(col(v)).cast("long").as(s"__mx_$v")))).toList
     val rows = spark.read.parquet(paths: _*)
       .select((col("*") +: Seq(input_file_name().as("__file"))): _*)
       .groupBy("__file")
@@ -447,7 +451,10 @@ final class Compaction(table: GraftTable,
         val sIdx = r.fieldIndex(s"__s_$v")
         if (cnt > 0 && r.isNullAt(sIdx)) Nil // overflow: no entry
         else Seq(SketchSidecar.sumEntryName(v) ->
-          SketchSidecar.encodeSum(cnt, if (r.isNullAt(sIdx)) 0L else r.getLong(sIdx)))
+          SketchSidecar.encodeSum(SketchSidecar.ColumnStats(cnt,
+            if (r.isNullAt(sIdx)) 0L else r.getLong(sIdx),
+            if (cnt == 0) 0L else r.getLong(r.fieldIndex(s"__mn_$v")),
+            if (cnt == 0) 0L else r.getLong(r.fieldIndex(s"__mx_$v")))))
       }
       SketchSidecar.write(file, keyNames.map(k => k -> r.getAs[Array[Byte]](k)) ++ sums)
     }

@@ -135,7 +135,9 @@ final class Ingest(table: GraftTable) {
       (keyNames.map(k => sketch_agg(col(k)).as(k)) ++
         sumFields.flatMap(v => Seq(
           expr(s"try_sum(`$v`)").cast("long").as(s"__s_$v"),
-          count(col(v)).as(s"__c_$v")))).toList
+          count(col(v)).as(s"__c_$v"),
+          min(col(v)).cast("long").as(s"__mn_$v"),
+          max(col(v)).cast("long").as(s"__mx_$v")))).toList
     val rows = spark.read.parquet(paths: _*)
       .select((col("*") +: Seq(input_file_name().as("__file"))): _*)
       .groupBy("__file")
@@ -151,7 +153,10 @@ final class Ingest(table: GraftTable) {
         val sIdx = r.fieldIndex(s"__s_$v")
         if (cnt > 0 && r.isNullAt(sIdx)) Nil // overflow: no entry
         else Seq(SketchSidecar.sumEntryName(v) ->
-          SketchSidecar.encodeSum(cnt, if (r.isNullAt(sIdx)) 0L else r.getLong(sIdx)))
+          SketchSidecar.encodeSum(SketchSidecar.ColumnStats(cnt,
+            if (r.isNullAt(sIdx)) 0L else r.getLong(sIdx),
+            if (cnt == 0) 0L else r.getLong(r.fieldIndex(s"__mn_$v")),
+            if (cnt == 0) 0L else r.getLong(r.fieldIndex(s"__mx_$v")))))
       }
       SketchSidecar.write(file, sketches ++ sums)
     }

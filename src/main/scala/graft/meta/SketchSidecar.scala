@@ -44,25 +44,29 @@ object SketchSidecar {
 
   def exists(dataFile: String): Boolean = GraftFS.exists(pathFor(dataFile))
 
-  /** Reserved sidecar entry name for a per-file column sum: the sidecar
-    * map is (name → bytes), so sum entries ride the existing format
-    * under a prefix no schema field can collide with (field names never
-    * start with "__"). Payload = non-null count (8 bytes BE) + sum
-    * (8 bytes BE). Readers that don't know the prefix ignore it; files
-    * written before sums existed simply lack the entry, which makes
-    * SUM pushdown decline gracefully (never answer wrong).
+  /** Reserved sidecar entry name for per-file integral-column stats:
+    * the sidecar map is (name → bytes), so stats entries ride the
+    * existing format under a prefix no schema field can collide with
+    * (field names never start with "__"). Payload = non-null count,
+    * sum, min, max (8 bytes BE each; min/max meaningless when count is
+    * 0). Readers that don't know the prefix ignore it; files written
+    * before stats existed simply lack the entry, which makes
+    * SUM/MIN/MAX pushdown decline gracefully (never answer wrong).
     */
-  def sumEntryName(field: String): String = "__sum:" + field
+  def sumEntryName(field: String): String = "__stats:" + field
 
-  def encodeSum(nonNullCount: Long, sum: Long): Array[Byte] = {
-    val b = java.nio.ByteBuffer.allocate(16)
-    b.putLong(nonNullCount); b.putLong(sum)
+  final case class ColumnStats(nonNullCount: Long, sum: Long, min: Long, max: Long)
+
+  def encodeSum(stats: ColumnStats): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(32)
+    b.putLong(stats.nonNullCount); b.putLong(stats.sum)
+    b.putLong(stats.min); b.putLong(stats.max)
     b.array()
   }
 
-  def decodeSum(bytes: Array[Byte]): (Long, Long) = {
+  def decodeSum(bytes: Array[Byte]): ColumnStats = {
     val b = java.nio.ByteBuffer.wrap(bytes)
-    (b.getLong(), b.getLong())
+    ColumnStats(b.getLong(), b.getLong(), b.getLong(), b.getLong())
   }
 
   /** Merged sketch for one row-key field across data files (A5). */

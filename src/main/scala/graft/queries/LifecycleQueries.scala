@@ -438,12 +438,16 @@ object LifecycleQueries {
     "s9_sum_pushdown" -> withOracle(
       """SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty,
         |       CAST(SUM(l_orderkey) AS BIGINT) AS total_key,
+        |       CAST(MIN(CAST(l_quantity AS BIGINT)) AS BIGINT) AS min_qty,
+        |       CAST(MAX(CAST(l_quantity AS BIGINT)) AS BIGINT) AS max_qty,
         |       CAST(COUNT(*) AS BIGINT) AS n
         |FROM lineitem""".stripMargin) { (s, dir) =>
       val table = metricsTable(s, dir)
       val agg = s.read.format("graft").load(table.dir)
         .agg(sum(col("qty")).as("total_qty"),
           sum(col("l_orderkey")).as("total_key"),
+          min(col("qty")).as("min_qty"),
+          max(col("qty")).as("max_qty"),
           count(lit(1)).as("n"))
       val scan = agg.queryExecution.optimizedPlan.collect {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan

@@ -218,11 +218,12 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
       case other => other
     }
 
-    // SUM(int/long column) from the per-file sidecar sum entries: exact
-    // per-file (non-null count, sum) accumulated at write time. Any
-    // file missing the entry (pre-sums file, or an overflowed write)
-    // declines; driver-side accumulation declines on overflow too —
-    // the fallback scan then reproduces Spark's own ANSI behavior.
+    // SUM / MIN / MAX of an int/long column from the per-file sidecar
+    // stats entries: exact per-file (non-null count, sum, min, max)
+    // accumulated at write time. Any file missing the entry (pre-stats
+    // file, or an overflowed write) declines; driver-side sum
+    // accumulation declines on overflow too — the fallback scan then
+    // reproduces Spark's own ANSI behavior.
     def integralFieldName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
       case ref: NamedReference if ref.fieldNames.length == 1 &&
@@ -231,35 +232,52 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
         Some(ref.fieldNames.head)
       case _ => None
     }
-    val sumCache = mutable.Map.empty[String, Option[Any]]
-    def sidecarSum(field: String): Option[Any] = sumCache.getOrElseUpdate(field, {
-      if (dataFiles.isEmpty) Some(null)
-      else if (!dataFiles.forall(graft.meta.SketchSidecar.exists)) None
-      else {
-        val entry = graft.meta.SketchSidecar.sumEntryName(field)
-        val parts = dataFiles.map(f => graft.meta.SketchSidecar.read(f).get(entry))
-        if (parts.exists(_.isEmpty)) None
-        else try {
-          var cnt = 0L; var tot = 0L
-          parts.flatten.foreach { bytes =>
-            val (c, s) = graft.meta.SketchSidecar.decodeSum(bytes)
-            cnt = Math.addExact(cnt, c)
-            tot = Math.addExact(tot, s)
-          }
-          Some(if (cnt == 0) null else (tot: Any))
-        } catch { case _: ArithmeticException => None }
-      }
-    })
+    // (sum, min, max) per field, nulls when every row is null
+    val statsCache = mutable.Map.empty[String, Option[(Any, Any, Any)]]
+    def sidecarStats(field: String): Option[(Any, Any, Any)] =
+      statsCache.getOrElseUpdate(field, {
+        if (dataFiles.isEmpty) Some((null, null, null))
+        else if (!dataFiles.forall(graft.meta.SketchSidecar.exists)) None
+        else {
+          val entry = graft.meta.SketchSidecar.sumEntryName(field)
+          val parts = dataFiles.map(f => graft.meta.SketchSidecar.read(f).get(entry))
+          if (parts.exists(_.isEmpty)) None
+          else try {
+            var cnt = 0L; var tot = 0L
+            var mn = Long.MaxValue; var mx = Long.MinValue
+            parts.flatten.foreach { bytes =>
+              val s = graft.meta.SketchSidecar.decodeSum(bytes)
+              cnt = Math.addExact(cnt, s.nonNullCount)
+              tot = Math.addExact(tot, s.sum)
+              if (s.nonNullCount > 0) {
+                if (s.min < mn) mn = s.min
+                if (s.max > mx) mx = s.max
+              }
+            }
+            // MIN/MAX carry the column's own type; sums are LongType
+            def typed(v: Long): Any = schema.field(field).dataType match {
+              case IntegerType => v.toInt
+              case _ => v
+            }
+            Some(if (cnt == 0) (null, null, null)
+                 else ((tot: Any), typed(mn), typed(mx)))
+          } catch { case _: ArithmeticException => None }
+        }
+      })
 
     lazy val count = refs.map(_.rowCount).sum
     val vals = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some((count: Any, LongType: org.apache.spark.sql.types.DataType))
-      case m: Min => rowKeyName(m.column).flatMap(f =>
-        minMax(f).map(mm => (internal(mm._1), schema.field(f).dataType)))
-      case m: Max => rowKeyName(m.column).flatMap(f =>
-        minMax(f).map(mm => (internal(mm._2), schema.field(f).dataType)))
+      case m: Min => rowKeyName(m.column)
+        .flatMap(f => minMax(f).map(mm => (internal(mm._1), schema.field(f).dataType)))
+        .orElse(integralFieldName(m.column).flatMap(f =>
+          sidecarStats(f).map(s => (s._2, schema.field(f).dataType))))
+      case m: Max => rowKeyName(m.column)
+        .flatMap(f => minMax(f).map(mm => (internal(mm._2), schema.field(f).dataType)))
+        .orElse(integralFieldName(m.column).flatMap(f =>
+          sidecarStats(f).map(s => (s._3, schema.field(f).dataType))))
       case s: Sum if !s.isDistinct => integralFieldName(s.column).flatMap(f =>
-        sidecarSum(f).map(v => (v, LongType: org.apache.spark.sql.types.DataType)))
+        sidecarStats(f).map(v => (v._1, LongType: org.apache.spark.sql.types.DataType)))
       case _ => None
     }
     if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None

@@ -335,12 +335,14 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(scan.isInstanceOf[GraftMetaAggScan],
       s"COUNT/MIN/MAX should push to metadata, got ${scan.getClass}")
 
-    // min/max on a VALUE column has no sidecar -> normal scan, correct
-    val aggV = df.agg(fmin("count").as("lo"))
-    assert(aggV.as[Long].head() == 1L)
+    // min/max on an integral VALUE column answers from the per-file
+    // stats entries (no key sketch needed)
+    val aggV = df.agg(fmin("count").as("lo"), fmax("count").as("hi"))
+    assert(aggV.as[(Long, Long)].head() == ((1L, 4L)))
     assert(aggV.queryExecution.optimizedPlan.collect {
       case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
-    }.head.isInstanceOf[GraftScan])
+    }.head.isInstanceOf[GraftMetaAggScan])
+
   }
 
   test("SUM(integral column) pushes to sidecar sums across ingest AND compaction") {
@@ -382,7 +384,7 @@ class GraftSourceSpec extends AnyFunSuite {
     val file = table.store.fileReferences.head
     val path = s"$dir/data/${file.physicalPartitionId}/${file.filename}"
     val trimmed = graft.meta.SketchSidecar.read(path)
-      .filterNot(_._1.startsWith("__sum:")).toSeq
+      .filterNot(_._1.startsWith("__stats:")).toSeq
     graft.meta.SketchSidecar.write(path, trimmed)
     val df2 = spark.read.format("graft").load(dir)
     val agg2 = df2.agg(fsum("count"))
