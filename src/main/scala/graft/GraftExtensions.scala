@@ -96,6 +96,12 @@ object GraftExtensions {
       "gram_buckets(text, n, buckets) - hashed word-n-gram feature buckets (DSIR feature map)") {
       args => GramBuckets(args(0), intArg(args(1), "n"), intArg(args(2), "buckets"))
     },
+    fn("char_entropy", "char_entropy(text) - Shannon entropy of the byte distribution, bits/byte") {
+      args => CharEntropy(args(0))
+    },
+    fn("deflate_ratio", "deflate_ratio(text) - Deflate compressed/raw byte ratio") {
+      args => DeflateRatio(args(0))
+    },
     fn("kmv_distinct", "kmv_distinct(k, cap) - aggregate: KMV distinct-count estimate") {
       args => KmvDistinctAgg(args(0),
         if (args.length > 1) intArg(args(1), "cap") else 4096).toAggregateExpression()

@@ -213,6 +213,53 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Shannon entropy of the byte distribution, in bits per byte — the
+    * Gopher/FineWeb-family "gibberish or boilerplate" quality signal
+    * (natural prose sits ~4–4.5 bits; base64 blobs near 6; repeated
+    * padding near 0). One histogram pass; -1 for empty text (the
+    * expression maps it to null).
+    */
+  def charEntropy(text: UTF8String, hist: Array[Long]): Double = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n == 0) return -1.0
+    java.util.Arrays.fill(hist, 0L)
+    var i = 0
+    while (i < n) { hist(bytes(i) & 0xff) += 1; i += 1 }
+    var h = 0.0
+    var b = 0
+    while (b < 256) {
+      val c = hist(b)
+      if (c > 0) {
+        val p = c.toDouble / n
+        h -= p * math.log(p)
+      }
+      b += 1
+    }
+    h / math.log(2.0)
+  }
+
+  /** Deflate compression ratio (compressed / raw bytes) — the direct
+    * redundancy signal the Gopher rules approximate with n-gram
+    * fractions: heavily repeated text compresses far below 1.0 from the
+    * very redundancy a dedup/quality pass wants to catch. Real
+    * `java.util.zip.Deflater` (level 6), reset per row, scratch buffer
+    * reused per thread. Not SQL-replayable (the encoder's choices are
+    * implementation detail), so its verification surface is the spec,
+    * not the DuckDB oracle.
+    */
+  def deflateRatio(text: UTF8String, deflater: java.util.zip.Deflater,
+      buf: Array[Byte]): Double = {
+    val bytes = text.getBytes
+    if (bytes.isEmpty) return -1.0
+    deflater.reset()
+    deflater.setInput(bytes)
+    deflater.finish()
+    var compressed = 0L
+    while (!deflater.finished()) compressed += deflater.deflate(buf)
+    compressed.toDouble / bytes.length
+  }
+
   /** Hashed feature buckets for every word n-gram occurrence — the
     * hashed bag-of-ngrams feature map of DSIR importance resampling
     * (Xie et al. '23): polynomial rolling hash of the space-joined gram
@@ -363,6 +410,70 @@ case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `char_entropy(text)`: Shannon entropy of the byte distribution in
+  * bits/byte. Native codegen — see [[HashOps.charEntropy]]. Null for
+  * empty text.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_entropy"
+
+  @transient private lazy val scratch =
+    ThreadLocal.withInitial[Array[Long]](() => new Array[Long](256))
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val h = HashOps.charEntropy(input.asInstanceOf[UTF8String], scratch.get())
+    if (h < 0) null else h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val hist = ctx.addMutableState("long[]", "entropyHist", v => s"$v = new long[256];")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.HashOps.charEntropy($c, $hist);
+         |if (${ev.value} < 0) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CharEntropy =
+    copy(child = newChild)
+}
+
+/** `deflate_ratio(text)`: Deflate compressed/raw byte ratio. Native
+  * codegen — see [[HashOps.deflateRatio]]. Null for empty text.
+  */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "deflate_ratio"
+
+  @transient private lazy val deflaters =
+    ThreadLocal.withInitial[java.util.zip.Deflater](() => new java.util.zip.Deflater(6))
+  @transient private lazy val bufs =
+    ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val r = HashOps.deflateRatio(input.asInstanceOf[UTF8String],
+      deflaters.get(), bufs.get())
+    if (r < 0) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val d = ctx.addMutableState("java.util.zip.Deflater", "deflater",
+      v => s"$v = new java.util.zip.Deflater(6);")
+    val b = ctx.addMutableState("byte[]", "deflateBuf", v => s"$v = new byte[8192];")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.HashOps.deflateRatio($c, $d, $b);
+         |if (${ev.value} < 0) { ${ev.isNull} = true; ${ev.value} = 0.0; }
+         |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
 /** `gram_buckets(text, n, buckets)`: hashed word-n-gram feature buckets
   * (the DSIR hashed bag-of-ngrams feature map). Native codegen — see
   * [[HashOps.gramBuckets]].
@@ -388,6 +499,10 @@ object HashExpressions {
     bridge.column(MinHashSignature(bridge.expression(set), k))
   def gram_buckets(text: Column, n: Int, buckets: Int): Column =
     bridge.column(GramBuckets(bridge.expression(text), n, buckets))
+  def char_entropy(text: Column): Column =
+    bridge.column(CharEntropy(bridge.expression(text)))
+  def deflate_ratio(text: Column): Column =
+    bridge.column(DeflateRatio(bridge.expression(text)))
   def word_ngrams(text: Column, n: Int): Column =
     bridge.column(WordNgrams(bridge.expression(text), n))
   def band_hashes(sig: Column, bands: Int, rows: Int): Column =

@@ -807,6 +807,29 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T28 — byte-entropy quality signal (the Gopher/FineWeb gibberish
+    // screen): Shannon entropy of each doc's byte histogram, bits/byte.
+    // The companion deflate_ratio signal (real java.util.zip encoder)
+    // is spec-verified — encoder output is not SQL-expressible.
+    "t28_entropy" -> withOracle(
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+        |  FROM documents WHERE text IS NOT NULL AND len(text) > 0
+        |), hist AS (
+        |  SELECT doc_id, c, COUNT(*) AS k FROM ch WHERE c <> '' GROUP BY 1, 2
+        |), n AS (SELECT doc_id, SUM(k) AS n FROM hist GROUP BY 1)
+        |SELECT hist.doc_id,
+        |       ROUND(-SUM((k * 1.0 / n.n) * ln(k * 1.0 / n.n)) / ln(2), 6) AS entropy
+        |FROM hist JOIN n USING (doc_id)
+        |GROUP BY hist.doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.HashExpressions.char_entropy
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .select(col("doc_id"), round(char_entropy(col("text")), 6).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // T27 — deterministic corpus shuffle + sharding: the training
     // data-loader prep stage. Order = multiplicative-hash of the id
     // (reproducible, no RNG), rank + contiguous NTILE shards via the

@@ -121,6 +121,42 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 4L, 0L)))
   }
 
+  test("char_entropy matches closed-form values and a direct replay") {
+    import graft.functions.HashExpressions.char_entropy
+    val got = Seq("aaaa", "ab", "abcd", "aabb", "").toDF("t")
+      .select(char_entropy($"t")).as[Option[Double]].collect()
+    assert(got(0).get == 0.0)
+    assert(math.abs(got(1).get - 1.0) < 1e-12)
+    assert(math.abs(got(2).get - 2.0) < 1e-12)
+    assert(math.abs(got(3).get - 1.0) < 1e-12)
+    assert(got(4).isEmpty) // empty text -> null
+    // direct replay on arbitrary text
+    val s = "the quick brown fox jumps over the lazy dog 0123"
+    val hist = s.getBytes("UTF-8").groupBy(identity).view.mapValues(_.length).toMap
+    val n = s.length.toDouble
+    val expected = -hist.values.map(c => c / n * math.log(c / n)).sum / math.log(2)
+    val one = Seq(s).toDF("t").select(char_entropy($"t")).as[Double].head()
+    assert(math.abs(one - expected) < 1e-12)
+  }
+
+  test("deflate_ratio separates redundant from high-entropy text, deterministically") {
+    import graft.functions.HashExpressions.deflate_ratio
+    val redundant = "spam " * 400
+    val rnd = new scala.util.Random(42)
+    val varied = (0 until 2000).map(_ => (rnd.nextInt(93) + 33).toChar).mkString
+    val rows = Seq(("r", redundant), ("v", varied), ("e", ""))
+      .toDF("k", "t")
+      .select($"k", deflate_ratio($"t").as("r"))
+      .as[(String, Option[Double])].collect().toMap
+    assert(rows("e").isEmpty)
+    assert(rows("r").get < 0.05, s"redundant ratio ${rows("r")}")
+    assert(rows("v").get > 0.5, s"varied ratio ${rows("v")}")
+    // deterministic across partitions/runs
+    val again = Seq(redundant).toDF("t").repartition(3)
+      .select(deflate_ratio($"t")).as[Double].head()
+    assert(again == rows("r").get)
+  }
+
   test("sampling gate is deterministic and honors the rate column") {
     val docs = (1 to 400).map(i => (i, s"document number $i text")).toDF("id", "text")
     val keep100 = docs.filter(TextFunctions.sampleByRate($"text", lit(100)))
