@@ -48,9 +48,18 @@ object SearchIndex {
   /** One corpus scan → postings table + corpus-stats sidecar.
     * `splitPoints` pre-splits the term keyspace (pass sampled terms for
     * a large corpus; the sketch-median splitter takes over after).
+    *
+    * `maxDfFraction` < 1.0 elides terms occurring in more than that
+    * fraction of documents (classic stopword elision): a partition tree
+    * splits BETWEEN row-key values, so a Zipf-hot term's postings list
+    * is an unsplittable hot leaf at corpus scale — and its BM25
+    * contribution is ~0 by construction (idf = ln(1 + (N−df+0.5)/
+    * (df+0.5)) → ln(1+~0.5/N)). The trade is documented, opt-in, and
+    * exact: queries containing an elided term score as if the term
+    * matched nothing.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
-      splitPoints: Seq[String] = Nil): GraftTable = {
+      splitPoints: Seq[String] = Nil, maxDfFraction: Double = 1.0): GraftTable = {
     val spark = docs.sparkSession
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
@@ -58,11 +67,23 @@ object SearchIndex {
       .filter(size(col("__ws")) > 0)
       .select(col("doc_id"), size(col("__ws")).cast("long").as("dl"), col("__ws"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val postings = base
+    val raw = base
       .select(col("doc_id"), col("dl"), explode(col("__ws")).as("term"))
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("long").as("tf"))
       .select("term", "doc_id", "tf", "dl")
+    val postings =
+      if (maxDfFraction >= 1.0) raw
+      else {
+        val nDocs = base.count()
+        val cap = (maxDfFraction * nDocs).toLong
+        // df per term is a re-aggregation of the (already grouped)
+        // postings; the hot terms being elided are exactly the few the
+        // broadcast anti-join holds
+        val hot = raw.groupBy("term").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > cap).select("term")
+        raw.join(broadcast(hot), Seq("term"), "left_anti")
+      }
     val table = GraftTable.create(spark, indexDir, indexSchema, splitPoints)
     table.ingest(postings)
     // corpus constants AFTER the ingest consumed `base` (shared persist)

@@ -71,6 +71,22 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(after == direct(corpus(0 until 300), terms, 15))
   }
 
+  test("stopword elision drops only hot terms; cold-term scores are untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-si5").toString
+    // "the" appears in every doc; topic terms stay rare
+    val df = corpus(0 until 200)
+      .withColumn("text", concat(lit("the the "), col("text")))
+    SearchIndex.build(df, "doc_id", "text", dir, maxDfFraction = 0.5)
+    // elided term retrieves nothing
+    assert(SearchIndex.searchBm25(spark, dir, Seq("the"), k = 5).count() == 0)
+    // a cold term scores exactly as the direct scan over the SAME corpus
+    // (N/avgdl in the sidecar still describe the full corpus)
+    val served = SearchIndex.searchBm25(spark, dir, Seq("merge"), k = 10)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(served == direct(df, Seq("merge"), 10))
+    assert(served.nonEmpty)
+  }
+
   test("duplicate query terms do not double-count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-si3").toString
     val df = corpus(0 until 100)
