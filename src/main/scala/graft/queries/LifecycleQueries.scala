@@ -82,6 +82,8 @@ object LifecycleQueries {
     GraftTable.load(s, tableDir)
   }
 
+  private val jsonlDirs = new ConcurrentHashMap[String, String]()
+
   private val streamingDirs = new ConcurrentHashMap[String, String]()
 
   /** T1 fixture: drop two halves of lineitem into an inbox as separate
@@ -455,6 +457,39 @@ object LifecycleQueries {
       require(scan.isInstanceOf[graft.sources.GraftMetaAggScan],
         s"SUM/COUNT did not push to metadata: ${scan.getClass}")
       agg
+    },
+
+    // M10 — JSONL ingest (the LLM-pipeline interchange format): the
+    // documents table serializes to JSON-lines, reads back through
+    // spark.read.json with an explicit schema (no driver-side inference
+    // scan), ingests through the normal sorted-run dataflow into a
+    // keyed table, and reads back via the engine — proving the S6
+    // source seam accepts any Spark-readable format, not just parquet.
+    "m10_jsonl_ingest" -> withOracle(
+      """SELECT doc_id, text, lang FROM documents ORDER BY doc_id""") { (s, dir) =>
+      val jsonlDir = jsonlDirs.computeIfAbsent(dir, { _ =>
+        val base = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+        Tables(s, dir, "documents").select("doc_id", "text", "lang")
+          .write.mode("overwrite").json(s"$base/in")
+        val schema = GraftSchema(
+          rowKeys = Seq(GraftField("doc_id", LongType)),
+          sortKeys = Nil,
+          values = Seq(
+            GraftField("text", org.apache.spark.sql.types.StringType),
+            GraftField("lang", org.apache.spark.sql.types.StringType)))
+        val table = GraftTable.create(s, s"$base/table", schema)
+        val back = s.read.schema(org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", LongType),
+            org.apache.spark.sql.types.StructField("text",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("lang",
+              org.apache.spark.sql.types.StringType))))
+          .json(s"$base/in")
+        table.ingest(back)
+        base
+      })
+      GraftTable.load(s, s"$jsonlDir/table").toDF
+        .select("doc_id", "text", "lang").orderBy("doc_id")
     },
 
     // T1 — continuous micro-batch ingest: two parquet files dropped into
