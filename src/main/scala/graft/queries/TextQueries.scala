@@ -850,6 +850,75 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T29 — hybrid lexical+dense retrieval (RRF): BM25 top-50 from the
+    // t26 postings index fused with cosine top-50 from the embeddings
+    // (vec_id aligns with doc_id in the synthetic corpus) as
+    // RRF = Σ 1/(60+rank), final top-15. The oracle replays both
+    // rankings (6-dp BM25 order, raw cosine order, doc-id tiebreaks)
+    // and the fusion arithmetic exactly.
+    "t29_hybrid_search" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |),
+        |pop AS (SELECT doc_id, ws, len(ws) AS dl FROM d WHERE len(ws) > 0),
+        |stats AS (SELECT COUNT(*) AS n, SUM(dl) * 1.0 / COUNT(*) AS avgdl FROM pop),
+        |tf AS (
+        |  SELECT doc_id, w AS t, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS w FROM pop)
+        |  WHERE w IN ('spark', 'merge', 'window')
+        |  GROUP BY 1, 2
+        |),
+        |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         ROUND(SUM(ln(1.0 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+        |               (tf.tf * 2.2 /
+        |                (tf.tf + 1.2 * (0.25 + 0.75 * pop.dl / stats.avgdl)))), 6) AS bm25
+        |  FROM tf JOIN dfq USING (t) JOIN pop USING (doc_id), stats
+        |  GROUP BY tf.doc_id
+        |),
+        |lex AS (
+        |  SELECT doc_id, r FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r
+        |    FROM scored) WHERE r <= 50
+        |),
+        |q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 5
+        |),
+        |dense0 AS (
+        |  SELECT vec_id AS doc_id,
+        |         list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 5
+        |),
+        |den AS (
+        |  SELECT doc_id, r FROM (
+        |    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS r
+        |    FROM dense0) WHERE r <= 50
+        |),
+        |fused AS (
+        |  SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+        |         ROUND(COALESCE(1.0 / (60 + lex.r), 0) +
+        |               COALESCE(1.0 / (60 + den.r), 0), 6) AS rrf
+        |  FROM lex FULL JOIN den ON lex.doc_id = den.doc_id
+        |)
+        |SELECT doc_id, rrf FROM (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+        |WHERE rk <= 15
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val idx = searchIndexDirs.computeIfAbsent(dir, { _ =>
+        val td = java.nio.file.Files.createTempDirectory("graft-searchidx").toString
+        graft.text.SearchIndex.build(t(s, dir, "documents"), "doc_id", "text", td)
+        td
+      })
+      val e = t(s, dir, "embeddings")
+      graft.text.SearchIndex.hybridRrf(s, idx, Seq("spark", "merge", "window"),
+          e.filter(col("vec_id") =!= 5), "vec_id", "embedding",
+          e.filter(col("vec_id") === 5), "embedding", k = 15)
+        .orderBy("doc_id")
+    },
+
     // T26 — BM25 top-k served from a PERSISTED inverted index: the
     // corpus is scanned once into a postings GraftTable (row key term,
     // sort key doc_id, values tf + denormalized doc length) with an

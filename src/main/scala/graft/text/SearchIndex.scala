@@ -133,6 +133,41 @@ object SearchIndex {
     (n, field("sum_dl").toDouble / n)
   }
 
+  /** Hybrid lexical+dense retrieval with reciprocal-rank fusion — the
+    * standard RAG serving composition: BM25 top-`kEach` from the
+    * postings index, cosine top-`kEach` from the vector side, fused as
+    * RRF(d) = Σ_lists 1/(rrfK + rank_list(d)), final top-`k`.
+    *
+    * Both candidate lists are bounded (`kEach`) by construction, so the
+    * fusion itself is a driver-side merge of ≤ 2·kEach rows — exactly
+    * what a search head does; the heavy lifting (postings point-lookups,
+    * distributed kNN) happened in the two retrievals. Ranks tiebreak on
+    * doc id over the 6-dp BM25 / raw cosine orderings, and the fused
+    * score rounds to 6 dp before the final cut, so the result is a pure
+    * function of the corpus.
+    */
+  def hybridRrf(spark: SparkSession, indexDir: String, terms: Seq[String],
+      vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String,
+      k: Int, kEach: Int = 50, rrfK: Int = 60): DataFrame = {
+    import spark.implicits._
+    val lex = searchBm25(spark, indexDir, terms, kEach)
+      .select(col("doc_id"), col("bm25")).collect()
+      .sortBy(r => (-r.getDouble(1), r.getLong(0)))
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+    val den = graft.vectors.VectorFunctions
+      .knnBrute(vectors, idCol, vecCol, query, queryVecCol, kEach)
+      .collect() // already (sim desc, id) ordered by construction
+      .zipWithIndex.map { case (r, i) => r.getLong(0) -> (i + 1) }.toMap
+    val fused = (lex.keySet ++ den.keySet).toSeq.map { id =>
+      val s = lex.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+        den.get(id).map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+      (id, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    fused.sortBy { case (id, s) => (-s, id) }.take(k)
+      .toDF("doc_id", "rrf")
+  }
+
   /** BM25 top-`k` for a query-term set, served from the index alone. */
   def searchBm25(spark: SparkSession, indexDir: String, terms: Seq[String],
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -87,6 +87,38 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(served.nonEmpty)
   }
 
+  test("hybrid RRF: both-list docs outrank single-list docs at equal ranks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-si6").toString
+    val df = corpus(0 until 300)
+    SearchIndex.build(df, "doc_id", "text", dir)
+    // embeddings: doc 7's vector is the query direction; doc 7 also
+    // carries the query terms, so it must fuse to the top
+    val rnd = new scala.util.Random(7)
+    val q = Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+    val vecs = (0 until 300).map { i =>
+      val v =
+        if (i == 7) q.map(x => x + 0.01f)
+        else Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val boosted = df.withColumn("text",
+      when(col("doc_id") === 7, concat(lit("spark merge window "), col("text")))
+        .otherwise(col("text")))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-si7").toString
+    SearchIndex.build(boosted, "doc_id", "text", dir2)
+    val fused = SearchIndex.hybridRrf(spark, dir2, Seq("spark", "merge", "window"),
+        vecs.filter($"vec_id" =!= 1000L), "vec_id", "embedding",
+        Seq(1000L -> q).toDF("vec_id", "embedding"), "embedding", k = 10)
+      .as[(Long, Double)].collect()
+    assert(fused.head._1 == 7L, s"doc 7 should fuse to rank 1: ${fused.toSeq}")
+    // deterministic
+    val again = SearchIndex.hybridRrf(spark, dir2, Seq("spark", "merge", "window"),
+        vecs.filter($"vec_id" =!= 1000L), "vec_id", "embedding",
+        Seq(1000L -> q).toDF("vec_id", "embedding"), "embedding", k = 10)
+      .as[(Long, Double)].collect()
+    assert(fused.toSeq == again.toSeq)
+  }
+
   test("duplicate query terms do not double-count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-si3").toString
     val df = corpus(0 until 100)
