@@ -360,6 +360,30 @@ object Superset {
         .orderBy("day_start", "event_type")
     },
 
+    // T30 — streaming windowed DISTINCT via the mergeable KMV sketch:
+    // per-day distinct users over the event stream with O(k) state per
+    // window instead of O(distinct) — the sketch-as-streaming-state
+    // composition a 100-TB stream needs. k=65536 holds the exact
+    // regime at the verified sfs (the require trips, not lies, beyond
+    // it); oracle = exact per-day COUNT(DISTINCT).
+    "t30_stream_distinct" -> withOracle(
+      """SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_start,
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day_start""".stripMargin) { (s, dir) =>
+      import graft.functions.FrequencySketches._
+      val exactEstimate = udf { (sk: Array[Byte]) =>
+        require(kmvIsExact(sk),
+          "t30_stream_distinct oracle is only valid in the KMV exact regime " +
+            "(per-day distinct users < k=65536); raise k at bigger sfs")
+        kmvEstimate(sk)
+      }
+      graft.streaming.StreamAnalytics.dailyDistinctUsersSketch(s, dir)
+        .select(col("day_start"), exactEstimate(col("sk")).as("nd"))
+        .orderBy("day_start")
+    },
+
     // T19 — streaming EXACT dedup with keyed state
     // (flatMapGroupsWithState): each distinct text's first micro-batch
     // emits its min-doc_id row; the state store carries seen-ness across

@@ -62,6 +62,42 @@ object StreamAnalytics {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Per-day distinct users over the events STREAM via the mergeable
+    * KMV sketch aggregate — sketches ARE the streaming-state story at
+    * scale: the per-window state is O(k), not O(distinct users), the
+    * partial buffers merge map-side each micro-batch, and the same
+    * sketch bytes could publish to a serving store for cross-stream
+    * union. Output: (day_start epoch-micros, sketch bytes); callers
+    * estimate (exact below k — the driver row's guard).
+    */
+  def dailyDistinctUsersSketch(spark: SparkSession, sfDir: String,
+      k: Int = 65536): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tsm =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts DIV 1000"))
+      else col("ts").cast("timestamp")
+    val windowed = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), tsm.as("tsm"))
+      .withWatermark("tsm", "1 hour")
+      .groupBy(window(col("tsm"), "1 day"))
+      .agg(graft.functions.FrequencySketches.kmv_sketch(col("user_id"), k).as("sk"))
+    val sink = "stream_distinct_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = windowed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(unix_micros(col("window.start")).as("day_start"), col("sk"))
+  }
+
   /** Streaming exact dedup over the documents stream — drains
     * [[StreamingDedup.firstOccurrences]] (flatMapGroupsWithState keyed
     * state) with `AvailableNow` into a memory sink: one row per distinct
