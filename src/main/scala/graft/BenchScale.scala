@@ -109,12 +109,21 @@ object BenchScale {
       table.ingest(scaled.filter(col("l_linenumber") <= 2).drop("l_linenumber"))
       table.ingest(scaled.filter(col("l_linenumber") >= 3).drop("l_linenumber"))
     }
+    // the qty >= 0 residual filter blocks the metadata SUM answer, so
+    // these rows keep measuring the SCAN (merge path / vectorized path);
+    // the metadata answer itself is priced by sum_pushdown_x10 below
     timed("dsv2_merge_scan_x10", totalRows, innerRepeats = 3) {
-      spark.read.format("graft").load(dir).agg(sum("qty")).collect()
+      spark.read.format("graft").load(dir)
+        .filter(col("qty") >= 0).agg(sum("qty")).collect()
     }
     timed("compact_x10", totalRows) { table.compactAll() }
     timed("dsv2_vector_scan_x10", totalRows, innerRepeats = 3) {
-      spark.read.format("graft").load(dir).agg(sum("qty")).collect()
+      spark.read.format("graft").load(dir)
+        .filter(col("qty") >= 0).agg(sum("qty")).collect()
+    }
+    // unfiltered SUM/COUNT: zero data files read (sidecar stats)
+    timed("sum_pushdown_x10", totalRows, innerRepeats = 3) {
+      spark.read.format("graft").load(dir).agg(sum("qty"), count(lit(1))).collect()
     }
     // Point lookup on the compacted x10 table (the reference's headline
     // ~0.5s use case): leaf pruning + 8MB-row-group/128KB-page layout
@@ -142,7 +151,8 @@ object BenchScale {
         }
       } finally System.clearProperty("graft.ingest.max.salt")
       timed("dsv2_merge_scan_x10_salt1", totalRows, innerRepeats = 3) {
-        spark.read.format("graft").load(dirC).agg(sum("qty")).collect()
+        spark.read.format("graft").load(dirC)
+          .filter(col("qty") >= 0).agg(sum("qty")).collect()
       }
       timed("compact_x10_salt1", totalRows) { tableC.compactAll() }
       graft.meta.GraftFS.deleteRecursive(dirC)
