@@ -337,7 +337,10 @@ object BenchScale {
         val d30 = spark.read.parquet(s"$sf1Dir/documents30.parquet")
         // once per run and deliberately past the driver cutover: give
         // it the long-row budget rather than the per-query one
-        timed("sf1x10_d5_cluster", docRows30, timeoutMult = 3) {
+        // best-of-2: this row's single-shot numbers swung 33-92s with
+        // OS cache state across otherwise-idle runs; the min of two
+        // consecutive runs is the steady-state figure worth trending
+        timed("sf1x10_d5_cluster", docRows30, innerRepeats = 2, timeoutMult = 3) {
           graft.dedup.Dedup.neardupDedup(d30, "doc_id", "text",
             n = 2, threshold = 0.5, driverLimit = 0).count()
         }
