@@ -393,6 +393,37 @@ class GraftSourceSpec extends AnyFunSuite {
       "missing sum entry must fall back to a real scan")
   }
 
+  test("an overflowing per-file sum writes no stats entry; SUM declines") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema)
+    val big = Long.MaxValue / 2
+    table.ingest(batch(
+      ("a", 1L, big, Map.empty[String, Long]), ("b", 2L, big, Map.empty[String, Long]),
+      ("c", 3L, big, Map.empty[String, Long])))
+    val file = table.store.fileReferences.head
+    val path = s"$dir/data/${file.physicalPartitionId}/${file.filename}"
+    val entries = graft.meta.SketchSidecar.read(path)
+    assert(!entries.contains(graft.meta.SketchSidecar.sumEntryName("count")),
+      "overflowed column must have no stats entry")
+    // ts sums fine and keeps its entry
+    assert(entries.contains(graft.meta.SketchSidecar.sumEntryName("ts")))
+    val df = spark.read.format("graft").load(dir)
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val agg = df.agg(fsum("count"))
+    val scan = agg.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r.scan
+    }.head
+    assert(scan.isInstanceOf[GraftScan],
+      "SUM over the overflowed column must fall back to a real scan")
+    // compaction's one-pass accumulator makes the same decision
+    table.compactAll()
+    val file2 = GraftTable.load(spark, dir).store.fileReferences.head
+    val path2 = s"$dir/data/${file2.physicalPartitionId}/${file2.filename}"
+    val entries2 = graft.meta.SketchSidecar.read(path2)
+    assert(!entries2.contains(graft.meta.SketchSidecar.sumEntryName("count")))
+    assert(entries2.contains(graft.meta.SketchSidecar.sumEntryName("ts")))
+  }
+
   test("COUNT(*) is served from state-store metadata when counts are exact") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
