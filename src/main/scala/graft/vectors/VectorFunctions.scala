@@ -847,7 +847,25 @@ object VectorFunctions {
     */
   def knnIvfPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       query: DataFrame, queryVecCol: String, k: Int, nprobe: Int = 4,
-      rerank: Int = 64): DataFrame = {
+      rerank: Int = 64): DataFrame =
+    ivfPqServe(spark, indexDir, None, query, queryVecCol, k, nprobe, rerank)
+
+  /** Filtered IVF-PQ serve — the [[knnIvfIndexFiltered]] sibling on the
+    * compressed index: allowed ids broadcast-semi-join into the
+    * probed-cell CODES scan, so the filter rides the ~3% IO fraction
+    * the ADC phase was already reading; the rerank phase then touches
+    * only surviving candidates' full vectors.
+    */
+  def knnIvfPqIndexFiltered(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, allowedIds: DataFrame, query: DataFrame,
+      queryVecCol: String, k: Int, nprobe: Int = 4, rerank: Int = 64): DataFrame =
+    ivfPqServe(spark, indexDir,
+      Some(allowedIds.select(col(allowedIds.columns.head).as("id"))),
+      query, queryVecCol, k, nprobe, rerank)
+
+  private def ivfPqServe(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      allowed: Option[DataFrame], query: DataFrame, queryVecCol: String,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
     requireSingleQuery(query, "knnIvfPqIndex")
     import org.apache.spark.sql.Row
     import spark.implicits._
@@ -867,8 +885,12 @@ object VectorFunctions {
       .sortBy { case (c, d) => (-d, c) }.take(nprobe).toSeq
     val table = adcTable(qVec, cb)
     val constDf = probed.toDF("cell", "cconst")
-    val lists = spark.read.parquet(s"$indexDir/lists")
+    val pruned = spark.read.parquet(s"$indexDir/lists")
       .filter(col("cell").isin(probed.map(_._1): _*))
+    val lists = allowed match {
+      case Some(ids) => pruned.join(broadcast(ids), Seq("id"), "left_semi")
+      case None => pruned
+    }
     val cands = lists
       .join(broadcast(constDf), "cell")
       .select(col("id"),

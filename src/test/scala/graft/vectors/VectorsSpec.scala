@@ -132,6 +132,35 @@ class VectorsSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"recall $recall; brute=$brute served=$served")
   }
 
+  test("knnIvfPqIndexFiltered: filter rides the codes scan; recall holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-filt").toString
+    val rnd = new Random(41)
+    val dim = 32
+    val q = Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+    val near = (0L until 30L).map { i =>
+      (600L + i) -> q.map(x => x + (rnd.nextDouble() * 0.2 - 0.1).toFloat)
+    }
+    val all = (near ++ randomVectors(300, dim, seed = 43)).toDF("vec_id", "embedding")
+    VectorFunctions.buildIvfPqIndex(all, "vec_id", "embedding", dir,
+      nCentroids = 8, m = 8, ksub = 16)
+    val allowed = all.filter(pmod($"vec_id", lit(2)) === 0).select("vec_id")
+    val queryDf = Seq(9999L -> q).toDF("vec_id", "embedding")
+    val served = VectorFunctions.knnIvfPqIndexFiltered(spark, dir, allowed,
+        queryDf, "embedding", k = 10, nprobe = 4, rerank = 64)
+      .select("id").as[Long].collect().toSet
+    val brute = VectorFunctions.knnBrute(
+        all.join(broadcast(allowed), Seq("vec_id"), "left_semi"),
+        "vec_id", "embedding", queryDf, "embedding", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(served.forall(_ % 2 == 0))
+    val recall = (brute intersect served).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall; brute=$brute served=$served")
+    // unfiltered serve is unchanged by the refactor
+    val unf = VectorFunctions.knnIvfPqIndex(spark, dir, queryDf, "embedding",
+      k = 10, nprobe = 4, rerank = 64).select("id").as[Long].collect()
+    assert(unf.length == 10)
+  }
+
   test("knnIvf recall vs knnBrute is high on clustered vectors") {
     val rnd = new Random(13)
     val dim = 64
