@@ -807,6 +807,37 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T31 — temperature-mix UPsampling with fractional epochs: head
+    // domains get 2.5 epochs (2 full copies + a hash-gated half), mid
+    // domains 1.0, tail 0.4 — the deterministic replication stage of a
+    // training mix (the complement of t11's drop-only gate). The
+    // oracle replays the copy count and epoch expansion exactly.
+    "t31_epoch_upsample" -> withOracle(
+      """WITH fp AS (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(string_split_regex(text, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
+        |         CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 250
+        |              WHEN source IN ('src5','src6','src7','src8','src9') THEN 100
+        |              ELSE 40 END AS rate
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |         rate // 100 + CASE WHEN h % 100 < rate % 100 THEN 1 ELSE 0 END AS copies
+        |  FROM fp
+        |)
+        |SELECT doc_id, CAST(i + 1 AS BIGINT) AS epoch
+        |FROM (SELECT doc_id, unnest(range(copies)) AS i FROM c WHERE copies >= 1)
+        |ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      val rate = when(col("source").isin((0 to 4).map("src" + _): _*), lit(250))
+        .when(col("source").isin((5 to 9).map("src" + _): _*), lit(100))
+        .otherwise(lit(40))
+      MixtureSampling.upsampleEpochs(t(s, dir, "documents"), "text", rate)
+        .select(col("doc_id"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    },
+
     // T28 — byte-entropy quality signal (the Gopher/FineWeb gibberish
     // screen): Shannon entropy of each doc's byte histogram, bits/byte.
     // The companion deflate_ratio signal (real java.util.zip encoder)

@@ -48,6 +48,28 @@ object MixtureSampling {
   /** The hash-order position of an id within its domain. */
   def orderHash(id: Column): Column = pmod(id * lit(OrderPrime), lit(OrderMod))
 
+  /** Deterministic epoch-based UPsampling — the temperature-mixing
+    * complement of the t11 rate gate (which only drops): `ratePct` is
+    * epochs ×100 (250 = 2.5 epochs), every doc gets ⌊rate/100⌋ full
+    * copies plus one more iff its text-hash percentile falls under
+    * rate mod 100 — so a domain's expected multiplicity is exactly
+    * rate/100, each copy is tagged with its 1-based `epoch`, and the
+    * blend is a pure function of (text, rate): reproducible on any
+    * cluster, no RNG. Docs whose copies round to zero vanish. The
+    * explode is map-side (no shuffle); downstream shuffling/sharding
+    * is [[graft.text.ShuffleShard]]'s job.
+    */
+  def upsampleEpochs(docs: DataFrame, textCol: String, ratePct: Column): DataFrame = {
+    import graft.functions.RollingHash.rolling_hash
+    val whole = floor(ratePct / 100).cast("long")
+    val extra = (pmod(rolling_hash(col(textCol)), lit(100)) < pmod(ratePct, lit(100)))
+      .cast("long")
+    docs.withColumn("__copies", whole + extra)
+      .filter(col("__copies") >= 1)
+      .withColumn("epoch", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__copies")
+  }
+
   /** Keep each domain's docs (in deterministic hash order) while the
     * running `tokens` total stays within `budgets(domain)`; domains
     * absent from `budgets` are dropped. `tokens` is any integral token

@@ -70,4 +70,26 @@ class MixtureSamplingSpec extends AnyFunSuite {
       Map("dom0" -> 4000L, "dom1" -> 2000L, "dom2" -> 2000L))
     assert(viaWeights == viaBudgets)
   }
+
+  test("upsampleEpochs replicates exactly per the hash gate, tagged 1..copies") {
+    val docs = (1 to 300).map(i => (i.toLong, s"text body $i")).toDF("id", "text")
+    val out = MixtureSampling.upsampleEpochs(docs, "text", lit(250))
+      .select("id", "epoch").as[(Long, Long)].collect()
+    // per-doc replay: 2 + (hash % 100 < 50)
+    def polyHash(s: String): Long = {
+      var h = 0L
+      s.getBytes("UTF-8").foreach(b => h = (h * 31 + (b & 0xff)) % 1000000007L)
+      h
+    }
+    val expected = (1 to 300).flatMap { i =>
+      val c = 2 + (if (polyHash(s"text body $i") % 100 < 50) 1 else 0)
+      (1 to c).map(e => (i.toLong, e.toLong))
+    }.toSet
+    assert(out.toSet == expected)
+    // rate 40: only the hash-gated 40% survive, all epoch 1
+    val down = MixtureSampling.upsampleEpochs(docs, "text", lit(40))
+      .select("id", "epoch").as[(Long, Long)].collect()
+    assert(down.forall(_._2 == 1L))
+    assert(down.length == (1 to 300).count(i => polyHash(s"text body $i") % 100 < 40))
+  }
 }
