@@ -110,6 +110,10 @@ object GraftExtensions {
       args => KmvSketchAgg(args(0),
         if (args.length > 1) intArg(args(1), "cap") else 4096).toAggregateExpression()
     },
+    fn("top_k",
+      "top_k(score, id, k) - aggregate: per-group top-k (score desc, id asc) as structs") {
+      args => TopKAgg(args(0), args(1), intArg(args(2), "k")).toAggregateExpression()
+    },
     fn("heavy_hitters",
       "heavy_hitters(k, cap) - aggregate: Misra-Gries heavy hitters as (item, count) structs") {
       args => HeavyHittersAgg(args(0),

@@ -56,6 +56,36 @@ object VectorQueries {
         .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
     },
 
+    // V10 — BATCHED exact kNN: three query vectors in one corpus pass,
+    // top-8 each, via the mergeable top_k aggregate (O(queries × k)
+    // shuffle — never the queries × corpus relation a windowed
+    // translation would move; that window IS the oracle below, which
+    // only the sf-sized DuckDB run can afford).
+    "v10_knn_batch" -> withOracle(
+      """WITH q AS (
+        |  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id < 3
+        |), scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |         list_cosine_similarity(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv) AS sim
+        |  FROM embeddings e, q WHERE e.vec_id >= 3
+        |), ranked AS (
+        |  SELECT qid, vec_id, sim,
+        |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |  FROM scored
+        |)
+        |SELECT qid, vec_id, ROUND(sim, 6) AS sim_r, CAST(rank AS BIGINT) AS rank
+        |FROM ranked WHERE rank <= 8
+        |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      VectorFunctions.knnBruteBatch(
+          e.filter(col("vec_id") >= 3), "vec_id", "embedding",
+          e.filter(col("vec_id") < 3), "vec_id", "embedding", k = 8)
+        .select(col("qid"), col("id").as("vec_id"),
+          round(col("sim"), 6).as("sim_r"), col("rank"))
+        .orderBy("qid", "rank")
+    },
+
     // V1 — exact brute-force cosine top-k for the vec_id=0 query vector.
     "v1_knn_brute" -> withOracle(
       """WITH q AS (

@@ -54,6 +54,29 @@ object VectorFunctions {
       .limit(k)
   }
 
+  /** BATCHED brute-force kNN: top-k for EVERY query vector in one
+    * corpus pass — the serving shape when queries arrive in batches
+    * (rerank sets, offline eval panels, embedding joins). The query
+    * batch broadcasts; each scan task scores its slice against all
+    * queries and keeps an O(k) heap PER QUERY ([[graft.functions.TopKAgg]]
+    * map-side partials), so the only shuffle is O(queries × k) heap
+    * state — never the queries × corpus candidate relation a
+    * `row_number() OVER (PARTITION BY query)` translation would move.
+    * Output: (qid, id, sim, rank) with rank 1..k per query.
+    */
+  def knnBruteBatch(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, queryVecCol: String, k: Int): DataFrame = {
+    import graft.functions.TopKAgg.top_k
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.crossJoin(broadcast(queries.select(col(qIdCol).as("qid"), col(queryVecCol).as("q"))))
+      .select(col("qid"), col("id"), cosine_sim(col("v"), col("q")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(top_k(col("sim"), col("id"), k).as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__r", "__e")))
+      .select(col("qid"), col("__e.id").as("id"), col("__e.score").as("sim"),
+        (col("__r") + 1).cast("long").as("rank"))
+  }
+
   /** FILTERED kNN — top-k among only the vectors whose id appears in
     * `allowedIds` (one id column; typically the result of a metadata
     * predicate on another table — the "lang = 'en' AND source = X"

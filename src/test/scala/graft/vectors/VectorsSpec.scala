@@ -66,6 +66,30 @@ class VectorsSpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall $recall too low; brute=$brute lsh=$lsh")
   }
 
+  test("knnBruteBatch equals per-query knnBrute exactly, incl. tie ranks") {
+    val all = randomVectors(300, 16, seed = 51).toDF("vec_id", "embedding")
+    val queries = randomVectors(4, 16, seed = 53)
+      .map { case (i, v) => (i + 9000L, v) }.toDF("vec_id", "embedding")
+    val batch = VectorFunctions.knnBruteBatch(all, "vec_id", "embedding",
+        queries, "vec_id", "embedding", k = 7)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(batch.keySet == (9000L until 9004L).toSet)
+    (9000L until 9004L).foreach { qid =>
+      val single = VectorFunctions.knnBrute(all, "vec_id", "embedding",
+          queries.filter($"vec_id" === qid), "embedding", k = 7)
+        .as[(Long, Double)].collect().toSeq
+      assert(batch(qid) == single, s"query $qid")
+    }
+    // partitioning independence: the map-side heaps must merge identically
+    val repart = VectorFunctions.knnBruteBatch(all.repartition(7), "vec_id",
+        "embedding", queries, "vec_id", "embedding", k = 7)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(repart == VectorFunctions.knnBruteBatch(all, "vec_id", "embedding",
+      queries, "vec_id", "embedding", k = 7)
+      .as[(Long, Long, Double, Long)].collect().toSet)
+  }
+
   test("knnFiltered: selective path equals brute force over the filtered set") {
     val all = randomVectors(400, 32, seed = 5).toDF("vec_id", "embedding")
     val queryDf = Seq(9999L -> randomVectors(1, 32, seed = 6).head._2)
