@@ -855,6 +855,70 @@ object Dedup {
     * once (~1.2 GB per 1e9 reference texts at 1% fpp — partition the
     * reference and probe k filters when it outgrows a broadcast).
     */
+  /** PARTITIONED bloom dedup — the [[bloomDedup]] shape for reference
+    * corpora whose single filter outgrows a broadcast (~1.2 GB per 1e9
+    * texts: past a few billion, one bitmap per cluster node stops being
+    * free). The hash space splits into `buckets`; each bucket
+    * aggregates its OWN filter ([[graft.functions.BloomAgg]], partials
+    * OR-merging map-side), and probes co-shuffle by the same bucket to
+    * a SHUFFLE_HASH join — every task holds only its buckets' bitmaps,
+    * deserialized once per (task, bucket), never per row. Null texts
+    * and probe-misses pass through exactly as in [[bloomDedup]];
+    * probe-hits take the same confirm anti-join. Results are EXACT and
+    * identical to [[bloomDedup]] by construction (spec-pinned).
+    */
+  def bloomDedupPartitioned(docs: DataFrame, ref: DataFrame, textCol: String,
+      buckets: Int = 64, fpp: Double = 0.01): DataFrame = {
+    require(buckets > 0, "need a positive bucket count")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+    val refH = ref.filter(col(textCol).isNotNull)
+      .select(xxhash64(col(textCol)).as("__h"))
+      .withColumn("__b", pmod(col("__h"), lit(buckets)))
+    val refDistinct = refH.agg(approx_count_distinct(col("__h")).as("u")).head().getLong(0)
+    if (refDistinct == 0L) return docs
+    val expectedPer = math.max((refDistinct * 1.2 / buckets).toLong, 64L)
+    val blooms = refH.groupBy("__b")
+      .agg(graft.functions.BloomExpressions.bloom_agg(col("__h"), expectedPer, fpp)
+        .as("__bloom"))
+    val docsB = docs
+      .withColumn("__h", when(col(textCol).isNull, lit(null)).otherwise(xxhash64(col(textCol))))
+      .withColumn("__b", when(col("__h").isNull, lit(-1)).otherwise(pmod(col("__h"), lit(buckets))))
+    // SHUFFLE_HASH: broadcasting the bloom relation would re-create the
+    // single-filter problem this variant exists to avoid
+    val joined = docsB.join(blooms.hint("SHUFFLE_HASH"), Seq("__b"), "left")
+    val outSchema = org.apache.spark.sql.types.StructType(
+      joined.schema.fields.filterNot(f => f.name == "__bloom") :+
+        org.apache.spark.sql.types.StructField("__hit", org.apache.spark.sql.types.BooleanType,
+          nullable = false))
+    val enc: ExpressionEncoder[Row] = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
+    val bloomIdx = joined.schema.fieldIndex("__bloom")
+    val hIdx = joined.schema.fieldIndex("__h")
+    val bIdx = joined.schema.fieldIndex("__b")
+    val flagged = joined.mapPartitions { rows =>
+      // one deserialized filter per (task, bucket)
+      val cache = scala.collection.mutable.Map.empty[Long, org.apache.spark.util.sketch.BloomFilter]
+      rows.map { r =>
+        val hit =
+          if (r.isNullAt(hIdx) || r.isNullAt(bloomIdx)) false
+          else {
+            val f = cache.getOrElseUpdate(r.getLong(bIdx),
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](bloomIdx))))
+            f.mightContainLong(r.getLong(hIdx))
+          }
+        Row.fromSeq(r.toSeq.patch(bloomIdx, Nil, 1) :+ hit)
+      }
+    }(enc).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cleanup = (df: DataFrame) => df.drop("__h", "__b", "__hit")
+    val passThrough = cleanup(flagged.filter(!col("__hit")))
+    val maybeDup = cleanup(flagged.filter(col("__hit")))
+    val refTexts = ref.select(col(textCol)).filter(col(textCol).isNotNull).distinct()
+    val confirmedNew = maybeDup.join(refTexts, Seq(textCol), "left_anti")
+    passThrough.unionByName(confirmedNew)
+  }
+
   def bloomDedup(docs: DataFrame, ref: DataFrame, textCol: String,
       fpp: Double = 0.01): DataFrame = {
     val refHashes = ref.filter(col(textCol).isNotNull)

@@ -7,7 +7,7 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.bridge
-import org.apache.spark.sql.types.{BooleanType, DataType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** `bloom_might_contain_long(hash, filter)`: membership probe of a long
@@ -60,7 +60,64 @@ case class BloomMightContainLong(child: Expression, filterBc: Broadcast[Array[By
     copy(child = newChild)
 }
 
+/** `bloom_agg(hash, expected, fpp)`: a mergeable per-group Bloom filter
+  * over long hashes — the build side of PARTITIONED bloom dedup, where
+  * one reference filter would outgrow a broadcast: each key-bucket
+  * aggregates its own filter (partials OR-merge map-side) and probes
+  * co-shuffle to the bucket holding their filter.
+  */
+case class BloomAgg(
+    child: Expression,
+    expected: Long,
+    fpp: Double,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[BloomFilter]
+  with org.apache.spark.sql.catalyst.trees.UnaryLike[Expression] {
+
+  require(expected > 0 && fpp > 0 && fpp < 1, s"bloom_agg(expected=$expected, fpp=$fpp)")
+
+  override def createAggregationBuffer(): BloomFilter = BloomFilter.create(expected, fpp)
+
+  override def update(buf: BloomFilter, input: org.apache.spark.sql.catalyst.InternalRow)
+      : BloomFilter = {
+    val v = child.eval(input)
+    if (v != null) buf.putLong(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: BloomFilter, other: BloomFilter): BloomFilter = {
+    buf.mergeInPlace(other); buf
+  }
+
+  override def eval(buf: BloomFilter): Any = serialize(buf)
+
+  override def serialize(buf: BloomFilter): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    buf.writeTo(out)
+    out.toByteArray
+  }
+  override def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "bloom_agg"
+
+  override def withNewMutableAggBufferOffset(offset: Int): BloomAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): BloomAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): BloomAgg =
+    copy(child = newChild)
+}
+
 object BloomExpressions {
+
+  def bloom_agg(hash: Column, expected: Long, fpp: Double): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      BloomAgg(org.apache.spark.sql.graft.bridge.expression(hash), expected, fpp)
+        .toAggregateExpression())
   /** Broadcast `filter` once and return a probe column bound to the
     * broadcast handle. Call once per filter and reuse the returned
     * handle/column — `probeColumn(bc, hash)` derives further probes of

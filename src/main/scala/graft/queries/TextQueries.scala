@@ -550,6 +550,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D7 — PARTITIONED bloom dedup: the d6 shape for reference corpora
+    // whose single filter outgrows a broadcast — per-bucket filters
+    // (mergeable bloom_agg), probes co-shuffled to their bucket's
+    // filter via SHUFFLE_HASH, same exact confirm join. The oracle is
+    // the identical NOT EXISTS; results must match d6 bit-for-bit.
+    "d7_bloom_partitioned" -> withOracle(
+      """SELECT m.doc_id
+        |FROM documents m
+        |WHERE m.doc_id % 2 = 1
+        |  AND NOT EXISTS (SELECT 1 FROM documents r
+        |                  WHERE r.doc_id % 2 = 0 AND r.text = m.text)
+        |ORDER BY m.doc_id""".stripMargin) { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      val main = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      Dedup.bloomDedupPartitioned(main, ref, "text", buckets = 16)
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // T12 — TF-IDF top-3 terms per document (smoothed idf, rounded to 6
     // decimals BEFORE ranking so both engines rank identically; ties
     // break by term). The df table is the small side and broadcasts.

@@ -47,6 +47,29 @@ class DedupSpec extends AnyFunSuite {
     assert(got == (1L to 300L).toSet)
   }
 
+  test("partitioned bloom dedup equals the single-filter path exactly") {
+    val ref = (1L to 400L).map(i => (i, s"ref doc $i")).toDF("id", "text")
+    val docs = ((1000L to 1149L).map(i => (i, s"new doc $i")) ++
+      (1L to 50L).map(i => (3000L + i, s"ref doc ${i * 7}")) ++ // dups
+      Seq((4000L, null.asInstanceOf[String]), (4001L, null.asInstanceOf[String])))
+      .toDF("id", "text")
+    val single = Dedup.bloomDedup(docs, ref, "text")
+      .select("id").as[Long].collect().toSet
+    val parted = Dedup.bloomDedupPartitioned(docs, ref, "text", buckets = 8)
+      .select("id").as[Long].collect().toSet
+    assert(parted == single)
+    // null texts pass through; in-range dups dropped
+    assert(parted.contains(4000L) && parted.contains(4001L))
+    assert((1L to 50L).forall(i => !parted.contains(3000L + i)))
+    // forced false positives (tiny per-bucket filters) confirm exactly
+    val fp = Dedup.bloomDedupPartitioned(
+        (1L to 300L).map(i => (i, s"n$i")).toDF("id", "text"),
+        (1L to 500L).map(i => (i, s"r$i")).toDF("id", "text"),
+        "text", buckets = 4, fpp = 0.5)
+      .select("id").as[Long].collect().toSet
+    assert(fp == (1L to 300L).toSet)
+  }
+
   test("connected components label every node with its cluster's smallest id") {
     // chain 1-2-3, pair 5-4 (reversed), self-contained 9
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L), (9L, 9L)).toDF("id_a", "id_b")
