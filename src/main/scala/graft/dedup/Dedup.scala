@@ -604,6 +604,29 @@ object Dedup {
     docs.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Cluster dedup keeping the BEST representative — what production
+    * pipelines actually retain (FineWeb keeps the longest / highest-
+    * quality member, not the smallest id): same candidate pipeline and
+    * connected components as [[neardupDedup]], but the survivor per
+    * cluster is argmax(quality) with a min-id tiebreak, computed as a
+    * single `max(struct(quality, -id))` hash aggregation — no window,
+    * no per-cluster sort. Docs outside every near-dup cluster keep
+    * themselves (coalesce to own id).
+    */
+  def neardupDedupBest(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, quality: Column,
+      driverLimit: Long = DriverGraphLimit): DataFrame = {
+    val pairs = minhashLshEdges(docs, idCol, textCol, n, threshold)
+    val comp = components(pairs, "id_a", "id_b", driverLimit = driverLimit)
+    val withComp = docs
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("component"), col(idCol)))
+    val winners = withComp.groupBy(col("__comp"))
+      .agg(max(struct(quality.as("q"), (-col(idCol)).as("negid"))).as("w"))
+      .select((-col("w.negid")).as(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** SimHash near-dup pairs with Hamming distance <= maxHamming, using
     * the band trick: split the 64-bit fingerprint into `maxHamming + 1`
     * segments — any pair within the distance must agree exactly on at

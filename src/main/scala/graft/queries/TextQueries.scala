@@ -107,6 +107,49 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // D8 — cluster dedup keeping the BEST representative (argmax
+    // n_chars, min-id tiebreak — the FineWeb keep-the-longest rule)
+    // instead of d5's min id: survivor election is one
+    // max(struct(quality, -id)) hash aggregation, never a per-cluster
+    // sort. Oracle: d5's recursive-CTE components + a ranked window.
+    "d8_neardup_best" -> withOracle(
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        |  FROM toks WHERE len(ws) >= 2
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id
+        |), grp AS (SELECT id, MIN(lab) AS comp FROM reach GROUP BY id),
+        |win AS (
+        |  SELECT d.doc_id,
+        |         ROW_NUMBER() OVER (PARTITION BY grp.comp
+        |                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM grp JOIN documents d ON d.doc_id = grp.id
+        |)
+        |SELECT doc_id FROM win WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Dedup.neardupDedupBest(t(s, dir, "documents"), "doc_id", "text",
+          n = 2, threshold = 0.5, quality = col("n_chars").cast("double"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
     // D4 — SimHash near-dup pairs. The token hash family is a rolling
     // hash (mod 1e9+7) expanded to 64 bits by an affine map mod 2^31-1 —
     // plain integer arithmetic (HashOps.simhash scaladoc), so the oracle
