@@ -47,6 +47,36 @@ case class BpeMerges(pairs: Vector[(String, String)]) extends Serializable {
     n
   }
 
+  /** rank by merge OUTPUT string (a+b), first (lowest) rank wins —
+    * id assignment for [[BpeOps.encodeIds]]: single chars take their
+    * codepoint, merged tokens take 256 + this rank, so ids are a pure
+    * function of the merge table both engines share.
+    */
+  @transient lazy val outputRank: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](pairs.size * 2)
+    pairs.zipWithIndex.foreach { case ((a, b), i) =>
+      m.putIfAbsent(a + b, i); ()
+    }
+    m
+  }
+
+  @transient private lazy val idCache =
+    new Array[BpeMerges.CachedIds](BpeMerges.CacheSize)
+
+  def tokenId(tok: String): Int =
+    if (tok.length == 1) tok.charAt(0).toInt
+    else 256 + outputRank.get(tok).intValue()
+
+  /** Token ids of one word (cached — corpora are Zipfian). */
+  def wordIds(word: String): Array[Int] = {
+    val slot = word.hashCode & (BpeMerges.CacheSize - 1)
+    val hit = idCache(slot)
+    if (hit != null && hit.word == word) return hit.ids
+    val ids = encode(word).map(tokenId)
+    idCache(slot) = new BpeMerges.CachedIds(word, ids)
+    ids
+  }
+
   /** Tokenize one word (no whitespace inside). O(L²) rank lookups. */
   def encode(word: String): Array[String] = {
     if (word.isEmpty) return Array.empty
@@ -79,6 +109,7 @@ case class BpeMerges(pairs: Vector[(String, String)]) extends Serializable {
 object BpeMerges {
   private final val CacheSize = 1 << 14
   private final class CachedWord(val word: String, val count: Int)
+  private[functions] final class CachedIds(val word: String, val ids: Array[Int])
 }
 
 /** Static kernels callable from generated code. */
@@ -107,6 +138,29 @@ object BpeOps {
   /** BPE tokens of a single word as an array (the trainer's surface). */
   def wordTokens(word: UTF8String, m: BpeMerges): GenericArrayData =
     new GenericArrayData(m.encode(word.toString).map(UTF8String.fromString(_)))
+
+  /** Token ID sequence of a space-separated text — the actual encoder
+    * output a training pipeline ships to the model: per-word encode
+    * (cached), ids concatenated in document order. Single-char tokens
+    * take their codepoint; merged tokens 256 + merge rank.
+    */
+  def encodeIds(text: UTF8String, m: BpeMerges): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = text.toString
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    out.sizeHint(s.length / 3 + 4)
+    var start = 0
+    var i = 0
+    val n = s.length
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        if (i > start) out.addAll(m.wordIds(s.substring(start, i)))
+        start = i + 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out.result())
+  }
 }
 
 /** `bpe_token_count(text)`: total BPE tokens of a space-separated text
@@ -164,9 +218,37 @@ case class BpeWordTokens(child: Expression, m: BpeMerges) extends UnaryExpressio
     copy(child = newChild)
 }
 
+/** `bpe_encode_ids(text)`: the full token ID sequence of a document —
+  * what the training pipeline actually materializes for the model.
+  */
+case class BpeEncodeIds(child: Expression, m: BpeMerges) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_encode_ids"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(s"$prettyName needs a string column, got ${child.dataType.sql}")
+  }
+
+  protected override def nullSafeEval(input: Any): Any =
+    BpeOps.encodeIds(input.asInstanceOf[UTF8String], m)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("bpeMerges", m, classOf[BpeMerges].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeOps.encodeIds($c, $mRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeEncodeIds =
+    copy(child = newChild)
+}
+
 object BpeExpressions {
   def bpe_token_count(text: Column, m: BpeMerges): Column =
     bridge.column(BpeTokenCount(bridge.expression(text), m))
   def bpe_word_tokens(word: Column, m: BpeMerges): Column =
     bridge.column(BpeWordTokens(bridge.expression(word), m))
+  def bpe_encode_ids(text: Column, m: BpeMerges): Column =
+    bridge.column(BpeEncodeIds(bridge.expression(text), m))
 }

@@ -870,6 +870,51 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // T32 — BPE ENCODING to token ids (the artifact a training
+    // pipeline ships to the model, not just the t14 count): per-word
+    // cached encode under the pinned merge table, ids = codepoint for
+    // single chars / 256+rank for merged tokens. The oracle replays
+    // the merge recursion to the terminal token LIST per word, maps
+    // ids through the shared table, and re-concatenates in document
+    // order.
+    "t32_bpe_encode" -> withOracle(
+      s"""WITH RECURSIVE ${graft.text.Bpe.oracleCtes},
+         |bpe_terminal AS (
+         |  SELECT w, min_by(toks, len(toks)) AS toks FROM bpe_state GROUP BY w
+         |),
+         |vocab AS (SELECT a || b AS t, 256 + MIN(r) AS id FROM merges GROUP BY 1),
+         |words AS (
+         |  SELECT doc_id, i, ws[i] AS w
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents WHERE text IS NOT NULL),
+         |       unnest(range(1, len(ws) + 1)) AS t(i)
+         |  WHERE ws[i] <> ''
+         |),
+         |wtoks AS (
+         |  SELECT words.doc_id, words.i, u.j, bt.toks[u.j] AS t
+         |  FROM words JOIN bpe_terminal bt ON bt.w = words.w,
+         |       unnest(range(1, len(bt.toks) + 1)) AS u(j)
+         |),
+         |ids AS (
+         |  SELECT doc_id, i, j,
+         |         CASE WHEN length(wtoks.t) = 1 THEN unicode(wtoks.t)
+         |              ELSE v.id END AS id
+         |  FROM wtoks LEFT JOIN vocab v ON v.t = wtoks.t
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       string_agg(CAST(id AS VARCHAR), '|' ORDER BY i, j) AS ids_str
+         |FROM ids GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.BpeExpressions.bpe_encode_ids
+      t(s, dir, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), bpe_encode_ids(col("text"), Bpe.corpusMerges).as("__ids"))
+        .filter(size(col("__ids")) > 0)
+        .select(col("doc_id"),
+          size(col("__ids")).cast("long").as("n_tokens"),
+          array_join(col("__ids").cast("array<string>"), "|").as("ids_str"))
+        .orderBy("doc_id")
+    },
+
     // T31 — temperature-mix UPsampling with fractional epochs: head
     // domains get 2.5 epochs (2 full copies + a hash-gated half), mid
     // domains 1.0, tail 0.4 — the deterministic replication stage of a
