@@ -360,6 +360,27 @@ object Superset {
         .orderBy("day_start", "event_type")
     },
 
+    // T33 — SLIDING-window streaming rollup (1 day every 6 hours):
+    // every event belongs to 4 overlapping windows. The oracle expands
+    // each event into its 4 window starts arithmetically (Spark windows
+    // are epoch-aligned UTC) and aggregates per start.
+    "t33_stream_sliding" -> withOracle(
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS eu, value FROM events
+        |), w AS (
+        |  SELECT (eu - eu % 21600000000) - k * 21600000000 AS win_start, value
+        |  FROM e, unnest(range(4)) AS t(k)
+        |)
+        |SELECT win_start,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w
+        |GROUP BY 1
+        |ORDER BY win_start""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamAnalytics.slidingRollup(s, dir)
+        .orderBy("win_start")
+    },
+
     // T30 — streaming windowed DISTINCT via the mergeable KMV sketch:
     // per-day distinct users over the event stream with O(k) state per
     // window instead of O(distinct) — the sketch-as-streaming-state

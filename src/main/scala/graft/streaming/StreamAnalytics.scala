@@ -62,6 +62,42 @@ object StreamAnalytics {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** SLIDING-window rollup over the events stream — each event lands in
+    * duration/slide overlapping windows (here 1 day every 6 hours → 4),
+    * the standard trailing-window monitoring shape. Same watermark /
+    * AvailableNow drain as [[dailyTypeRollup]]; state is bounded by
+    * (windows in flight × groups).
+    */
+  def slidingRollup(spark: SparkSession, sfDir: String,
+      duration: String = "1 day", slide: String = "6 hours"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tsm =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts DIV 1000"))
+      else col("ts").cast("timestamp")
+    val windowed = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("value"), tsm.as("tsm"))
+      .withWatermark("tsm", "1 hour")
+      .groupBy(window(col("tsm"), duration, slide))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val sink = "stream_sliding_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = windowed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(unix_micros(col("window.start")).as("win_start"),
+        col("n"), col("sum_value"))
+  }
+
   /** Per-day distinct users over the events STREAM via the mergeable
     * KMV sketch aggregate — sketches ARE the streaming-state story at
     * scale: the per-window state is O(k), not O(distinct users), the
