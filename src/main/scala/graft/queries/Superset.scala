@@ -405,6 +405,31 @@ object Superset {
         .orderBy("day_start")
     },
 
+    // T34 — STREAM-STREAM interval join (attribution): views joined to
+    // the same user's conversions within the next 30 minutes, both
+    // sides watermarked with an event-time range condition so join
+    // state stays bounded on an unbounded stream. The oracle is the
+    // batch self-join with identical epoch-micros interval arithmetic.
+    "t34_stream_join" -> withOracle(
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS tu
+        |  FROM events WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS tu, value
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |)
+        |SELECT v.user_id AS user_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM v JOIN c
+        |  ON c.user_id = v.user_id
+        | AND c.tu > v.tu AND c.tu <= v.tu + 1800000000
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamAnalytics.viewConversionJoin(s, dir)
+        .orderBy("user_id")
+    },
+
     // T19 — streaming EXACT dedup with keyed state
     // (flatMapGroupsWithState): each distinct text's first micro-batch
     // emits its min-doc_id row; the state store carries seen-ness across

@@ -1178,6 +1178,46 @@ object TextQueries {
       t(s, dir, "documents")
         .select(col("doc_id"), rolling_hash(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    },
+
+    // T35 — overlapping token-window chunking (RAG / context-window
+    // prep): each document explodes into 64-token windows every 32
+    // tokens, so consecutive chunks share half their tokens and no
+    // token is orphaned. Pure map-side (tokenize → arithmetic →
+    // explode → slice), no shuffle until the final ORDER BY — at 100 TB
+    // this runs as a single scan-and-write with perfect parallelism.
+    // Chunks travel as md5 digests to keep the verified output compact;
+    // the oracle replays the identical tokenization, window arithmetic,
+    // 1-based slices, and digest.
+    "t35_chunk" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS words
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, words,
+        |         1 + (GREATEST(0, len(words) - 64) + 31) // 32 AS nchunks
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |       CAST(k AS BIGINT) AS chunk_idx,
+        |       CAST(len(words[k*32+1 : k*32+64]) AS BIGINT) AS n_tokens,
+        |       md5(array_to_string(words[k*32+1 : k*32+64], ' ')) AS chunk_md5
+        |FROM c, unnest(range(nchunks)) AS t(k)
+        |ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      val W = 64; val S = 32
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("words"))
+        .withColumn("n", size(col("words")).cast("long"))
+        .withColumn("nchunks",
+          expr(s"1L + (greatest(0L, n - $W) + ${S - 1}) DIV $S"))
+        .select(col("doc_id"), col("words"),
+          explode(sequence(lit(0L), col("nchunks") - 1)).as("chunk_idx"))
+        .withColumn("chunk",
+          slice(col("words"), (col("chunk_idx") * S + 1).cast("int"), lit(W)))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 }

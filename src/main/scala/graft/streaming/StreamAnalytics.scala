@@ -159,4 +159,57 @@ object StreamAnalytics {
     q.awaitTermination()
     spark.table(sink)
   }
+
+  /** STREAM-STREAM interval join: each `view` event joined to the same
+    * user's `click`/`purchase` events landing within the following
+    * `withinMinutes` — the attribution shape (impression → conversion).
+    * Both sides carry a watermark and the join condition carries an
+    * event-time range, so Spark bounds each side's join state to the
+    * watermark + interval horizon: on an unbounded stream the state
+    * store holds only the trailing window of each side, which is the
+    * property that lets this run forever at cluster scale. Inner-join
+    * matches emit as they are found (no watermark hold-back), so the
+    * `AvailableNow` drain sees every pair.
+    *
+    * Output (batch-aggregated from the drained pairs, which keeps the
+    * streaming stage pure join): one row per converting user —
+    * (user_id, n_pairs, sum_value over the joined conversions).
+    */
+  def viewConversionJoin(spark: SparkSession, sfDir: String,
+      withinMinutes: Int = 30): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    def tsm =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts DIV 1000"))
+      else col("ts").cast("timestamp")
+    def side(types: Seq[String], prefix: String) = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .where(col("event_type").isin(types: _*))
+      .select(col("user_id").as(s"${prefix}_user"),
+        tsm.as(s"${prefix}_ts"), col("value").as(s"${prefix}_value"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+
+    val views = side(Seq("view"), "v")
+    val convs = side(Seq("click", "purchase"), "c")
+    val joined = views.join(convs, expr(
+      s"""v_user = c_user AND
+         |c_ts > v_ts AND
+         |c_ts <= v_ts + INTERVAL $withinMinutes MINUTES""".stripMargin))
+
+    val sink = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("c_value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+  }
 }

@@ -149,4 +149,71 @@ class SessionStreamSpec extends AnyFunSuite {
         "a key whose state expired must re-emit on re-arrival")
     } finally q.stop()
   }
+
+  test("stream-stream interval join equals the batch interval join on a drained stream") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.streaming.StreamAnalytics.viewConversionJoin(spark, dir)
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    val ev = graft.Tables(spark, dir, "events")
+      .select($"user_id", $"event_type", $"value",
+        timestamp_micros(expr("ts DIV 1000")).as("tsm"))
+    val v = ev.where($"event_type" === "view")
+      .select($"user_id".as("v_user"), $"tsm".as("v_ts"))
+    val c = ev.where($"event_type".isin("click", "purchase"))
+      .select($"user_id".as("c_user"), $"tsm".as("c_ts"), $"value".as("c_value"))
+    val expect = v.join(c, expr(
+        "v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"))
+      .groupBy($"v_user".as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum($"c_value".cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+
+    assert(got.nonEmpty && got.toSeq == expect.toSeq)
+  }
+
+  test("stream-stream join state carries matches across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[(Long, Long)] // (user, epoch-micros)
+    val convs = MemoryStream[(Long, Long, Double)]
+
+    val l = views.toDF.toDF("v_user", "v_tu")
+      .select($"v_user", timestamp_micros($"v_tu").as("v_ts"))
+      .withWatermark("v_ts", "1 hour")
+    val r = convs.toDF.toDF("c_user", "c_tu", "c_value")
+      .select($"c_user", timestamp_micros($"c_tu").as("c_ts"), $"c_value")
+      .withWatermark("c_ts", "1 hour")
+    val joined = l.join(r, expr(
+      "v_user = c_user AND c_ts > v_ts AND c_ts <= v_ts + INTERVAL 30 MINUTES"))
+
+    val sink = "join_state_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = joined.writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      def drained(): Set[(Long, Double)] = {
+        q.processAllAvailable()
+        spark.table(sink).collect()
+          .map(row => (row.getLong(0), row.getDouble(4))).toSet
+      }
+      // base event time well away from epoch 0: the initial watermark
+      // is the epoch, and rows at/below it hit the late-row filter —
+      // an artifact of the fixture, not a semantics under test
+      val min = 60000000L
+      val t0 = 100000 * min
+      // batch 1: a view for user 7, no conversions yet
+      views.addData((7L, t0))
+      assert(drained() == Set.empty[(Long, Double)])
+      // batch 2: a conversion 10 min later — must match the BUFFERED
+      // view from batch 1 (the cross-batch state property)
+      convs.addData((7L, t0 + 10 * min, 1.5))
+      assert(drained() == Set((7L, 1.5)))
+      // batch 3: a conversion 40 min after the view — outside the
+      // interval, no new pair
+      convs.addData((7L, t0 + 40 * min, 9.9))
+      assert(drained() == Set((7L, 1.5)))
+    } finally q.stop()
+  }
 }
