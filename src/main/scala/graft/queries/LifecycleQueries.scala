@@ -84,6 +84,8 @@ object LifecycleQueries {
 
   private val jsonlDirs = new ConcurrentHashMap[String, String]()
 
+  private val zorderDirs = new ConcurrentHashMap[String, String]()
+
   private val streamingDirs = new ConcurrentHashMap[String, String]()
 
   /** T1 fixture: drop two halves of lineitem into an inbox as separate
@@ -457,6 +459,64 @@ object LifecycleQueries {
       require(scan.isInstanceOf[graft.sources.GraftMetaAggScan],
         s"SUM/COUNT did not push to metadata: ${scan.getClass}")
       agg
+    },
+
+    // P6 — Z-ORDER multi-dimensional layout: events keyed by the Morton
+    // interleave of (user_id, day) land in the engine's normal sorted
+    // table, and a 2-d box query decomposes into contiguous z ranges
+    // (graft.core.ZOrder.ranges) that ride the existing leaf-pruned
+    // region scan — pruning on BOTH dimensions of a key-sorted store,
+    // the layout move a 100-TB multi-dim workload needs (a box covering
+    // p% of each dimension touches ~p²-ish of the files instead of all
+    // of them). The query ASSERTS leaf pruning actually happened, so a
+    // layout regression fails correctness rather than just perf; the
+    // residual box filter makes over-cover from the range budget
+    // harmless. Oracle: the plain box filter over raw events.
+    "p6_zorder" -> withOracle(
+      """SELECT event_id, user_id,
+        |       CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |       event_type
+        |FROM events
+        |WHERE user_id >= 10 AND user_id < 100
+        |  AND epoch_us(ts) // 86400000000 >= 19730
+        |  AND epoch_us(ts) // 86400000000 < 19740
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = zorderDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+        // ts is normalized to epoch-nanos long by Tables; day = nanos/86.4e12
+        val rows = Tables(s, dir, "events").select(
+          graft.core.ZOrder.zvalue(col("user_id"), expr("ts DIV 86400000000000")).as("z"),
+          col("event_id"), col("user_id"),
+          expr("ts DIV 86400000000000").as("day"), col("event_type"))
+        // 8 leaves at exact z octiles — enough structure for the prune
+        // assertion to have teeth at every verified sf
+        val splits = rows.agg(expr(
+            "percentile(z, array(0.125,0.25,0.375,0.5,0.625,0.75,0.875))"))
+          .head().getSeq[Double](0).map(_.toLong).distinct.sorted
+        val schema = GraftSchema(
+          rowKeys = Seq(GraftField("z", LongType)),
+          sortKeys = Seq(GraftField("event_id", LongType)),
+          values = Seq(
+            GraftField("user_id", LongType),
+            GraftField("day", LongType),
+            GraftField("event_type", org.apache.spark.sql.types.StringType)))
+        val table = GraftTable.create(s, s"$b/table", schema, splitPoints = splits)
+        table.ingest(rows)
+        b
+      })
+      val table = GraftTable.load(s, s"$base/table")
+      val rs = graft.core.ZOrder.ranges(10, 99, 19730, 19739, bits = 16, maxRanges = 32)
+      val regions = rs.map { case (lo, hi) =>
+        Region(KeyRange.minMax("z", lo, hi + 1)) }
+      val tree = table.store.partitionTree
+      val touched = tree.leavesOverlapping(regions).size
+      require(touched < tree.leaves.size,
+        s"z-order stopped pruning: $touched/${tree.leaves.size} leaves touched")
+      table.query(GraftQuery(regions = regions))
+        .filter(col("user_id") >= 10 && col("user_id") < 100 &&
+          col("day") >= 19730 && col("day") < 19740)
+        .select("event_id", "user_id", "day", "event_type")
+        .orderBy("event_id")
     },
 
     // M10 — JSONL ingest (the LLM-pipeline interchange format): the
