@@ -363,6 +363,51 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // V9 — k-means-partitioned semantic dedup (the SemDeDup paper's
+    // shape): nearest-centroid assignment (codegen, shuffle-free), then
+    // near-dup pruning confined to within each cluster — the move that
+    // makes semantic dedup ~linear at corpus scale. Centroids here are
+    // the first 16 vectors (deterministic), so the oracle replays the
+    // identical argmax-cosine assignment (centroids are L2-normalized
+    // in the Spark path; cosine is norm-invariant, so argmax matches),
+    // the same smallest-id-on-tie rule, and the same within-cluster
+    // smaller-id-neighbor drop predicate. KNOWN ASSUMPTION (the
+    // v2/v3 precedent): both engines must agree on double-precision
+    // cosine comparisons; argmax/threshold flips need two values within
+    // an ulp — vanishingly unlikely and accepted.
+    "v9_semantic_dedup" -> withOracle(
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id < 16
+        |), assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cid AS cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        |             ORDER BY list_cosine_similarity(v.ev, c.cv) DESC, c.cid) AS rn
+        |    FROM v, c) WHERE rn = 1
+        |), pruned AS (
+        |  SELECT DISTINCT b.vec_id
+        |  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.3
+        |)
+        |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
+        |FROM assign a
+        |WHERE a.vec_id NOT IN (SELECT vec_id FROM pruned)
+        |ORDER BY a.vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val rows = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val m = graft.functions.CentroidMatrix.normalized(rows)
+      VectorFunctions.semanticDedup(e, "vec_id", "embedding", m, threshold = 0.3)
+        .select(col("id").as("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    },
+
     // MM1 — multimodal metadata decode: binary payload column ->
     // partition-batched decode (stubbed codec, see Multimodal scaladoc)
     // -> typed metadata; the stub's arithmetic is reproduced in SQL.

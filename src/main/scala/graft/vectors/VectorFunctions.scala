@@ -962,4 +962,38 @@ object VectorFunctions {
     val losers = comp.filter(col("component") =!= col("id")).select(col("id").as(idCol))
     vectors.join(losers, Seq(idCol), "left_anti")
   }
+
+  /** K-MEANS-PARTITIONED semantic dedup (SemDeDup, Abbas et al. 2023):
+    * assign every vector to its nearest centroid (one codegen pass, no
+    * shuffle), then prune ONLY within clusters — a row is dropped iff a
+    * smaller-id row in the SAME cluster has cosine ≥ `threshold`. The
+    * clustering is what makes semantic dedup tractable at 100 TB: the
+    * quadratic pair scan is confined to each cluster (for k ≈ √N
+    * clusters, ~N instead of N² comparisons), at the documented
+    * SemDeDup cost of missing cross-cluster near-dups near centroid
+    * boundaries. Pass [[trainCentroids]]' output for the production
+    * path, or any fixed [[CentroidMatrix]] for a deterministic gate
+    * (the driver row seeds centroids from the first k vectors so the
+    * oracle can replay the assignment).
+    *
+    * The drop rule is the pure "has a smaller-id near neighbor"
+    * predicate, not sequential-greedy: it is order-independent (exactly
+    * reproducible under any partitioning) and drops a superset of
+    * greedy — for a chain a—b—c it removes both b and c, the
+    * within-cluster analog of [[clusterDedup]]'s closure semantics.
+    * Output: surviving (id, cluster) rows.
+    */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: CentroidMatrix, threshold: Double): DataFrame = {
+    val assigned = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      nearest_centroid(col(vecCol), centroids).as("cluster"))
+    val a = assigned.toDF("id_a", "va", "cluster")
+    val b = assigned.toDF("id_b", "vb", "cluster")
+    val prunedIds = a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b") &&
+        cosine_sim(col("va"), col("vb")) >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(prunedIds, Seq("id"), "left_anti")
+      .select(col("id"), col("cluster").cast("long").as("cluster"))
+  }
 }

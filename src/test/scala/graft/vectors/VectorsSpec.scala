@@ -691,4 +691,40 @@ class VectorsSpec extends AnyFunSuite {
     val e = intercept[Exception](df.select(band_hashes($"s", 3, 3)).collect())
     assert(e.getMessage != null)
   }
+
+  test("semanticDedup with TRAINED centroids satisfies the drop predicate exactly") {
+    import graft.vectors.VectorFunctions
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = VectorFunctions.trainKmeansCentroids(e, "vec_id", "embedding", k = 8)
+    val m = graft.functions.CentroidMatrix.normalized(cents)
+    val threshold = 0.3
+    val survivors = VectorFunctions
+      .semanticDedup(e, "vec_id", "embedding", m, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    // independently recompute assignment and the smaller-id-neighbor
+    // predicate, then check survivors are EXACTLY its complement
+    val assigned = e.select($"vec_id".as("id"), $"embedding".as("v"),
+        graft.functions.VectorExpressions.nearest_centroid($"embedding", m)
+          .cast("long").as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val total = assigned.length
+    assert(total > 0)
+    var expectedSurvivors = 0
+    for ((id, v, cl) <- assigned) {
+      val hasSmallerNeighbor = assigned.exists { case (id2, v2, cl2) =>
+        cl2 == cl && id2 < id && cos(v2, v) >= threshold
+      }
+      if (!hasSmallerNeighbor) expectedSurvivors += 1
+      assert(survivors.contains(id) == !hasSmallerNeighbor, s"id=$id")
+      if (survivors.contains(id)) assert(survivors(id) == cl, s"cluster of $id")
+    }
+    // the threshold must actually bite on this corpus
+    assert(expectedSurvivors > 0 && expectedSurvivors < total)
+  }
 }
