@@ -151,6 +151,8 @@ object LifecycleQueries {
 
   private val changesDirs = new ConcurrentHashMap[String, String]()
 
+  private val incViewDirs = new ConcurrentHashMap[String, String]()
+
   /** X5 fixture: a table created, loaded, and queried through PURE SQL
     * via the TableCatalog (CREATE TABLE + INSERT INTO + SELECT) — no
     * Scala API anywhere in the path. The catalog NAME is derived from
@@ -378,6 +380,59 @@ object LifecycleQueries {
       s.read.parquet(out)
         .groupBy("l_orderkey").agg(sum(col("qty")).as("qty"))
         .orderBy("l_orderkey")
+    },
+
+    // S8 — INCREMENTAL MATERIALIZED VIEW: a derived rollup table
+    // maintained from the source table's CHANGES stream. Each
+    // micro-batch of appended rows reduces to map-side partial sums and
+    // ingests them — with the engine's idempotent (queryId, batchId)
+    // txn, so a foreachBatch replay cannot double-count — into a
+    // derived table whose continual aggregation (T3) completes the
+    // rollup at read/compaction time. The subscriber resumes from its
+    // checkpoint across maintenance runs (batch 2 arrives after the
+    // first drain finished), so the view never rescans the source: at
+    // 100 TB the maintenance cost is O(changes), not O(table). Oracle:
+    // the full GROUP BY the view must equal after both batches.
+    "s8_incremental_view" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_linenumber <= 2
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val derivedDir = incViewDirs.computeIfAbsent(dir, { _ =>
+        val td = java.nio.file.Files.createTempDirectory("graft-iv-src").toString
+        val dd = java.nio.file.Files.createTempDirectory("graft-iv-view").toString
+        val cp = java.nio.file.Files.createTempDirectory("graft-iv-cp").toString
+        val src = GraftTable.create(s, td, schema, splitPoints = Seq(7000L))
+        GraftTable.create(s, dd, schema, splitPoints = Seq(7000L),
+          config = TableConfig(aggregationConfig = "sum(qty)"))
+        val rows = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("long").as("qty"))
+        def maintain(): Unit = {
+          val q = s.readStream.format("graft").load(td)
+            .writeStream
+            .foreachBatch { (batch: DataFrame, batchId: Long) =>
+              val partial = batch.groupBy("l_orderkey")
+                .agg(sum(col("qty")).as("qty"))
+              GraftTable.load(s, dd)
+                .ingest(partial, txn = Some(("s8-view", batchId)))
+              ()
+            }
+            .option("checkpointLocation", cp)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        src.ingest(rows.filter(col("l_linenumber") === 1)
+          .select("l_orderkey", "qty"))
+        maintain()
+        src.ingest(rows.filter(col("l_linenumber") === 2)
+          .select("l_orderkey", "qty"))
+        maintain()
+        dd
+      })
+      GraftTable.load(s, derivedDir).toDF.orderBy("l_orderkey")
     },
 
     // X8 — results publishing (the reference's serving-tier S5 surface):
