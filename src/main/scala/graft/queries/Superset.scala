@@ -405,6 +405,23 @@ object Superset {
         .orderBy("day_start")
     },
 
+    // T36 — STREAM-STATIC enrichment join: the events stream broadcast-
+    // joined to the nation dim (user_id mod 25) inside each micro-batch
+    // — no join state, the canonical streaming dimension-join shape —
+    // then the watermarked per-day per-nation rollup. Oracle: the batch
+    // join + GROUP BY.
+    "t36_stream_enrich" -> withOracle(
+      """SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_start,
+        |       n.n_name,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN nation n ON e.user_id % 25 = n.n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY day_start, n_name""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamAnalytics.enrichedRollup(s, dir)
+        .orderBy("day_start", "n_name")
+    },
+
     // T34 — STREAM-STREAM interval join (attribution): views joined to
     // the same user's conversions within the next 30 minutes, both
     // sides watermarked with an event-time range condition so join

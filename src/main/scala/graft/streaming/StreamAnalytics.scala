@@ -160,6 +160,47 @@ object StreamAnalytics {
     spark.table(sink)
   }
 
+  /** STREAM-STATIC enrichment join: the events stream joined to a
+    * broadcast dimension table (nation, keyed by user_id mod 25), then
+    * windowed per-day per-nation rollup. The static side is planned as
+    * a broadcast hash join INSIDE each micro-batch — no streaming
+    * state for the join at all, which is why stream-static enrichment
+    * is the default dimension-join shape at any scale: the dim rides
+    * to executors once per batch and the stream never shuffles on the
+    * join key.
+    */
+  def enrichedRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tsm =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts DIV 1000"))
+      else col("ts").cast("timestamp")
+    val dim = broadcast(spark.read.parquet(s"$sfDir/nation.parquet")
+      .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")))
+    val windowed = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), col("value"), tsm.as("tsm"))
+      .join(dim, pmod(col("user_id"), lit(25L)) === col("n_nationkey"))
+      .withWatermark("tsm", "1 hour")
+      .groupBy(window(col("tsm"), "1 day"), col("n_name"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val sink = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = windowed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(unix_micros(col("window.start")).as("day_start"),
+        col("n_name"), col("n"), col("sum_value"))
+  }
+
   /** STREAM-STREAM interval join: each `view` event joined to the same
     * user's `click`/`purchase` events landing within the following
     * `withinMinutes` — the attribution shape (impression → conversion).
