@@ -1218,6 +1218,34 @@ object TextQueries {
           size(col("chunk")).cast("long").as("n_tokens"),
           md5(array_join(col("chunk"), " ").cast("binary")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // T37 — per-group top-k via the MERGEABLE top_k aggregate (the v10
+    // machinery on the relational surface): top-3 longest documents per
+    // language. The window translation (`row_number() OVER (PARTITION
+    // BY lang ORDER BY ...)`) shuffles EVERY row to its group's
+    // reducer; the aggregate keeps an O(k) heap per group per map task
+    // and shuffles only O(groups × k) state — the difference between a
+    // full-corpus shuffle and kilobytes at 100 TB. Oracle: the ranked
+    // window with the identical (score desc, id asc) tiebreak.
+    "t37_topk_group" -> withOracle(
+      """SELECT lang, CAST(rn AS BIGINT) AS rank, doc_id,
+        |       CAST(n_chars AS BIGINT) AS n_chars
+        |FROM (
+        |  SELECT lang, doc_id, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 3
+        |ORDER BY lang, rank""".stripMargin) { (s, dir) =>
+      import graft.functions.TopKAgg.top_k
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(top_k(col("n_chars").cast("double"), col("doc_id"), 3).as("top"))
+        .select(col("lang"), posexplode(col("top")).as(Seq("r0", "t")))
+        .select(col("lang"), (col("r0") + 1).cast("long").as("rank"),
+          col("t.id").as("doc_id"), col("t.score").cast("long").as("n_chars"))
+        .orderBy("lang", "rank")
     }
   )
 }
