@@ -405,6 +405,33 @@ object Superset {
         .orderBy("day_start")
     },
 
+    // T38 — STREAMING session windows: w4's sessionization as a
+    // continuous query — the data-dependent MERGING window (sessions
+    // extend/merge as events arrive; the watermark finalizes them).
+    // Oracle: the same gap-split window replay w4 uses.
+    "t38_stream_session" -> withOracle(
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tu, value FROM events
+        |), marks AS (
+        |  SELECT *, CASE WHEN tu - LAG(tu) OVER
+        |                   (PARTITION BY user_id ORDER BY tu, event_id) > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e
+        |), sess AS (
+        |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY tu, event_id
+        |                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marks
+        |)
+        |SELECT user_id, CAST(MIN(tu) AS BIGINT) AS session_start,
+        |       CAST(MAX(tu) + 1800000000 AS BIGINT) AS session_end,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamAnalytics.sessionRollup(s, dir)
+        .orderBy("user_id", "session_start")
+    },
+
     // T36 — STREAM-STATIC enrichment join: the events stream broadcast-
     // joined to the nation dim (user_id mod 25) inside each micro-batch
     // — no join state, the canonical streaming dimension-join shape —

@@ -160,6 +160,45 @@ object StreamAnalytics {
     spark.table(sink)
   }
 
+  /** STREAMING session windows: per-user sessions with a 30-minute
+    * inactivity gap over the events stream — the stateful MERGING
+    * window operator (unlike tumbling/sliding, a session's extent is
+    * data-dependent: windows merge as events arrive, and the watermark
+    * is what lets finalized sessions evict). `AvailableNow` drain +
+    * complete mode for the batch-verifiable harness shape, exactly the
+    * [[dailyTypeRollup]] contract.
+    */
+  def sessionRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val tsm =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts DIV 1000"))
+      else col("ts").cast("timestamp")
+    val windowed = spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), col("value"), tsm.as("tsm"))
+      .withWatermark("tsm", "1 hour")
+      .groupBy(col("user_id"), session_window(col("tsm"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val sink = "stream_session_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = windowed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sink)
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start"),
+        unix_micros(col("session_window.end")).as("session_end"),
+        col("n_events"), col("sum_value"))
+  }
+
   /** STREAM-STATIC enrichment join: the events stream joined to a
     * broadcast dimension table (nation, keyed by user_id mod 25), then
     * windowed per-day per-nation rollup. The static side is planned as
