@@ -158,6 +158,53 @@ object BenchScale {
       graft.meta.GraftFS.deleteRecursive(dirC)
     }
 
+    // -- z-order layout: pruned box query vs full-scan control ---------
+    // The p6 capability priced at scale: an x10 events table keyed by
+    // the (user_id, day) Morton code, 32 leaves at z quantiles. The box
+    // query decomposes into z ranges and rides the leaf-pruned region
+    // scan; the control answers the SAME box from the same table with
+    // an unbounded region (full scan + residual filter). The gap is the
+    // multi-dimensional pruning win — the number that grows with table
+    // size while the pruned cost tracks box volume.
+    if (pass == 1) {
+      val ev = Tables(spark, sfDir, "events")
+        .select(col("event_id"), col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      val userSpan = ev.agg(max("user_id")).head().getLong(0) + 1
+      val evScaled = (0 until EngineFactor).map(i =>
+          ev.select(col("event_id"), (col("user_id") + lit(i * userSpan)).as("user_id"),
+            col("day")))
+        .reduce(_ unionByName _)
+        .select(graft.core.ZOrder.zvalue(col("user_id"), col("day")).as("z"),
+          col("event_id"), col("user_id"), col("day"))
+      val evRows = ev.count() * EngineFactor
+      val zSchema = GraftSchema(
+        rowKeys = Seq(GraftField("z", LongType)),
+        sortKeys = Seq(GraftField("event_id", LongType)),
+        values = Seq(GraftField("user_id", LongType), GraftField("day", LongType)))
+      val zSplits = evScaled.agg(expr(
+          "percentile(z, array(" + (1 until 32).map(_ / 32.0).mkString(",") + "))"))
+        .head().getSeq[Double](0).map(_.toLong).distinct.sorted
+      val zDir = java.nio.file.Files.createTempDirectory("graft-bench-zorder").toString
+      val zTable = GraftTable.create(spark, zDir, zSchema, splitPoints = zSplits,
+        config = TableConfig(gcDelayMinutes = 0))
+      zTable.ingest(evScaled)
+      zTable.compactAll()
+      val (bx0, bx1, by0, by1) = (10L, 99L, 19730L, 19739L)
+      def residual(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("user_id") >= bx0 && col("user_id") <= bx1 &&
+          col("day") >= by0 && col("day") <= by1)
+      val zr = graft.core.ZOrder.ranges(bx0, bx1, by0, by1, bits = 16, maxRanges = 32)
+      val boxRegions = zr.map { case (lo, hi) =>
+        graft.core.Region(graft.core.KeyRange.minMax("z", lo, hi + 1)) }
+      timed("zorder_box_x10", evRows, innerRepeats = 3) {
+        residual(zTable.query(graft.query.GraftQuery(regions = boxRegions))).count()
+      }
+      timed("zorder_fullscan_x10", evRows, innerRepeats = 3) {
+        residual(zTable.query(graft.query.GraftQuery.all)).count()
+      }
+      graft.meta.GraftFS.deleteRecursive(zDir)
+    }
+
     // -- composed IVF-PQ index: build + serve + footprint --------------
     // Build is a once-per-corpus artifact (train coarse + residual
     // codebooks, one encode pass, partitioned write); serve is the
