@@ -202,6 +202,11 @@ object BenchScale {
       timed("zorder_fullscan_x10", evRows, innerRepeats = 3) {
         residual(zTable.query(graft.query.GraftQuery.all)).count()
       }
+      // the structural pruning ratio — the number that scales with the
+      // table while the timing delta at this sf is mostly fixed costs
+      val zTree = zTable.store.partitionTree
+      results("zorder_leaves_touched") = zTree.leavesOverlapping(boxRegions).size.toDouble
+      results("zorder_leaves_total") = zTree.leaves.size.toDouble
       graft.meta.GraftFS.deleteRecursive(zDir)
     }
 
