@@ -21,6 +21,21 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamAnalytics {
 
+  /** Run a streaming drain with state partitioning scoped down to `n`.
+    * Every stateful operator materializes its state stores once per
+    * shuffle partition per micro-batch (a stream-stream join: four per
+    * partition), so the session default (sized for batch scans) buys
+    * pure filesystem churn here — state for these analytics is tiny.
+    * Partitioning is a throughput knob, never a semantics one, and each
+    * entry point drains into a fresh temp checkpoint, so the scoped
+    * value bakes into nothing. The session value is always restored.
+    */
+  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Per-day, per-type event counts and value sums over the events
     * stream. Output: (day_start epoch-micros, event_type, n, sum_value).
     */
@@ -50,12 +65,14 @@ object StreamAnalytics {
     // visible at drain time (append would hold back windows newer than
     // the final watermark), and reruns in one session can't collide.
     val sink = "stream_rollup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = windowed.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = windowed.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.table(sink)
       .select(unix_micros(col("window.start")).as("day_start"),
@@ -87,12 +104,14 @@ object StreamAnalytics {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val sink = "stream_sliding_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = windowed.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = windowed.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
       .select(unix_micros(col("window.start")).as("win_start"),
         col("n"), col("sum_value"))
@@ -124,12 +143,14 @@ object StreamAnalytics {
       .groupBy(window(col("tsm"), "1 day"))
       .agg(graft.functions.FrequencySketches.kmv_sketch(col("user_id"), k).as("sk"))
     val sink = "stream_distinct_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = windowed.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = windowed.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
       .select(unix_micros(col("window.start")).as("day_start"), col("sk"))
   }
@@ -151,12 +172,14 @@ object StreamAnalytics {
     val deduped = StreamingDedup.firstOccurrences(stream, "doc_id", "text")
       .toDF("doc_id", "text")
     val sink = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = deduped.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = deduped.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
   }
 
@@ -186,12 +209,14 @@ object StreamAnalytics {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val sink = "stream_session_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = windowed.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = windowed.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start"),
@@ -229,12 +254,14 @@ object StreamAnalytics {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val sink = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = windowed.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = windowed.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
       .select(unix_micros(col("window.start")).as("day_start"),
         col("n_name"), col("n"), col("sum_value"))
@@ -281,12 +308,14 @@ object StreamAnalytics {
          |c_ts <= v_ts + INTERVAL $withinMinutes MINUTES""".stripMargin))
 
     val sink = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = joined.writeStream
-      .format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(sink)
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
