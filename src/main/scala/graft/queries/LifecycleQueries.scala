@@ -212,6 +212,41 @@ object LifecycleQueries {
         .orderBy("l_orderkey")
     },
 
+    // O6 — KEYSET PAGINATION (the serving-tier page-fetch pattern):
+    // each page is "key strictly after the previous page's last key,
+    // first 100 in key order", fetched through the DSv2 surface where
+    // the filter pushes down to a pruned key-range region and the
+    // key-ordered LIMIT caps every partition's read at page size — so
+    // page N costs the same as page 1, unlike OFFSET, which re-scans
+    // and discards N×pageSize rows (the classic deep-pagination
+    // scale-killer). Each page IS a driver fetch, as a real serving
+    // client would issue it. Oracle: the ranked window sliced into the
+    // same 3 pages.
+    "o6_keyset_pages" -> withOracle(
+      """SELECT CAST((rn - 1) // 100 + 1 AS BIGINT) AS page, l_orderkey, qty
+        |FROM (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+        |         ROW_NUMBER() OVER (ORDER BY l_orderkey) AS rn
+        |  FROM lineitem GROUP BY l_orderkey)
+        |WHERE rn <= 300
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val table = lifecycleTable(s, dir)
+      val pageSize = 100
+      val view = s.read.format("graft").load(table.dir)
+      var after: Option[Long] = None
+      val rows = (1 to 3).flatMap { p =>
+        val page = after.fold(view)(k => view.filter(col("l_orderkey") > k))
+          .orderBy("l_orderkey").limit(pageSize)
+          .collect()
+        require(page.nonEmpty, s"page $p came back empty")
+        after = Some(page.last.getLong(0))
+        page.map(r => (p.toLong, r.getLong(0), r.getLong(1)))
+      }
+      import s.implicits._
+      rows.toDF("page", "l_orderkey", "qty").orderBy("l_orderkey")
+    },
+
     // M8 — bulk export: the whole table to parquet (each leaf in
     // parallel through the same merge path queries use), read back and
     // compared against the plain GROUP BY the table materializes.
