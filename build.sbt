@@ -11,10 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as JSON; sbt's "[success] Total time: ..." epilogue was landing after the
+// bench's JSON line and broke that contract (BENCH_r09/r10 "parsed": null).
+Global / showSuccess := false
 // The Python-client round-trip spec shells out to pytest, which drives
 // the packaged jar through spark-submit — make sure it exists.
 Test / test := (Test / test).dependsOn(Compile / packageBin).value
 Test / testOnly := (Test / testOnly).dependsOn(Compile / packageBin).evaluated
+// Bench's local-cluster section launches graft.ClusterCheck from the
+// packaged jar (executor JVMs fetch app classes via spark.jars).
+Compile / run := (Compile / run).dependsOn(Compile / packageBin).evaluated
+Compile / runMain := (Compile / runMain).dependsOn(Compile / packageBin).evaluated
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -55,21 +55,22 @@ object AudioCodec {
   private[multimodal] def parseWav(b: Array[Byte]): Option[(MediaMeta, (Int, Int))] = {
     var fmt: Option[(Int, Int, Int, Int, Int)] = None // audioFormat, ch, rate, blockAlign, bits
     var data: Option[(Int, Int)] = None
-    var i = 12
+    // Long cursor: a declared chunk size near 2^31 (or the full u32 range)
+    // must not wrap the cursor negative and index out of bounds — corrupt
+    // payloads yield None/truncated parses, never a task-killing throw.
+    var i: Long = 12
     while (i + 8 <= b.length && (fmt.isEmpty || data.isEmpty)) {
-      val size = le32(b, i + 4)
-      if (size < 0 || size > Int.MaxValue - 8) return None
-      val body = i + 8
-      if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ') {
+      val ci = i.toInt // safe: i + 8 <= b.length <= Int.MaxValue
+      val size = le32(b, ci + 4) // unsigned u32 as Long
+      val body = ci + 8
+      if (b(ci) == 'f' && b(ci + 1) == 'm' && b(ci + 2) == 't' && b(ci + 3) == ' ') {
         if (body + 16 > b.length) return None
         fmt = Some((le16(b, body), le16(b, body + 2), le32(b, body + 4).toInt,
           le16(b, body + 12), le16(b, body + 14)))
-      } else if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
-        val len = math.min(size.toInt, b.length - body)
-        if (len < 0) return None
-        data = Some((body, len))
+      } else if (b(ci) == 'd' && b(ci + 1) == 'a' && b(ci + 2) == 't' && b(ci + 3) == 'a') {
+        data = Some((body, math.min(size, (b.length - body).toLong).toInt))
       }
-      i = body + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      i = body.toLong + size + (size & 1L) // chunks are word-aligned
     }
     for {
       (_, ch, rate, blockAlign, bits) <- fmt
@@ -88,19 +89,22 @@ object AudioCodec {
     */
   private def parseMp4(b: Array[Byte]): Option[MediaMeta] = {
     def walk(from: Int, to: Int, name: String): Option[Int] = {
-      var i = from
+      // Long cursor: box sizes >= 2^31 must not wrap negative (see
+      // parseWav) — advance past the end terminates the walk cleanly.
+      var i: Long = from
       while (i + 8 <= to) {
-        val size = be32(b, i)
+        val ci = i.toInt
+        val size = be32(b, ci)
         if (size < 8) return None
-        if (b(i + 4) == name(0) && b(i + 5) == name(1) &&
-            b(i + 6) == name(2) && b(i + 7) == name(3)) return Some(i)
-        i += size.toInt
+        if (b(ci + 4) == name(0) && b(ci + 5) == name(1) &&
+            b(ci + 6) == name(2) && b(ci + 7) == name(3)) return Some(ci)
+        i += size
       }
       None
     }
     for {
       moov <- walk(0, b.length, "moov")
-      moovEnd = math.min(moov + be32(b, moov).toInt, b.length)
+      moovEnd = math.min(moov.toLong + be32(b, moov), b.length.toLong).toInt
       mvhd <- walk(moov + 8, moovEnd, "mvhd")
       body = mvhd + 8
       if body + 4 <= b.length

@@ -21,19 +21,40 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object StreamAnalytics {
 
-  /** Run a streaming drain with state partitioning scoped down to `n`.
-    * Every stateful operator materializes its state stores once per
-    * shuffle partition per micro-batch (a stream-stream join: four per
-    * partition), so the session default (sized for batch scans) buys
-    * pure filesystem churn here — state for these analytics is tiny.
-    * Partitioning is a throughput knob, never a semantics one, and each
-    * entry point drains into a fresh temp checkpoint, so the scoped
-    * value bakes into nothing. The session value is always restored.
+  /** State-partition count for a drain. Every stateful operator
+    * materializes its state stores once per shuffle partition per
+    * micro-batch (a stream-stream join: four per partition), so the
+    * batch-scan default buys pure filesystem churn on small streams —
+    * but a pinned constant under-partitions a 100× stream. Adaptive:
+    * input-bytes / 128 MB, floored at 8 (the harness corpus sweet
+    * spot), capped at the session's shuffle parallelism; the explicit
+    * `graft.streaming.statePartitions` conf overrides everything.
+    * Partitioning is a throughput knob, never a semantics one.
     */
-  private def withStatePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", n.toString)
-    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  private[streaming] def statePartitionsFor(spark: SparkSession, inputBytes: Long): Int =
+    spark.conf.getOption("graft.streaming.statePartitions").map(_.toInt).getOrElse {
+      val targetBytesPerPartition = 128L << 20
+      val derived = math.ceil(inputBytes.toDouble / targetBytesPerPartition).toInt
+      val cap = spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+      math.max(8, math.min(derived, cap))
+    }
+
+  /** A drain-scoped session: `newSession()` shares the SparkContext
+    * (executors, caches) but isolates SQL conf and temp views, so the
+    * per-drain settings (state partitioning, nanos parquet reads, UTC
+    * event time) never leak into — or race with — concurrent queries
+    * on the caller's session (two nested drains previously could
+    * restore the wrong global value). Each entry point builds its
+    * stream AND reads its memory sink through this session.
+    */
+  private def drainSession(spark: SparkSession, sfDir: String, file: String): SparkSession = {
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    scoped.conf.set("spark.sql.session.timeZone", "UTC")
+    val bytes = new java.io.File(s"$sfDir/$file").length()
+    scoped.conf.set("spark.sql.shuffle.partitions",
+      statePartitionsFor(spark, bytes).toString)
+    scoped
   }
 
   /** Per-day, per-type event counts and value sums over the events
@@ -43,15 +64,14 @@ object StreamAnalytics {
     // events.ts is either parquet TIMESTAMP(NANOS) (readable only as an
     // epoch-nanos long, see Tables) or TIMESTAMP(MICROS)/NTZ, depending
     // on the generator; the stream converts either to a µs event time.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val s = drainSession(spark, sfDir, "events.parquet")
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
     val tsm =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts DIV 1000"))
       else col("ts").cast("timestamp")
 
-    val windowed = spark.readStream
+    val windowed = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -65,16 +85,14 @@ object StreamAnalytics {
     // visible at drain time (append would hold back windows newer than
     // the final watermark), and reruns in one session can't collide.
     val sink = "stream_rollup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = windowed.writeStream
-        .format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
+    windowed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
 
-    spark.table(sink)
+    s.table(sink)
       .select(unix_micros(col("window.start")).as("day_start"),
         col("event_type"), col("n"), col("sum_value"))
   }
@@ -87,14 +105,13 @@ object StreamAnalytics {
     */
   def slidingRollup(spark: SparkSession, sfDir: String,
       duration: String = "1 day", slide: String = "6 hours"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val s = drainSession(spark, sfDir, "events.parquet")
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
     val tsm =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts DIV 1000"))
       else col("ts").cast("timestamp")
-    val windowed = spark.readStream
+    val windowed = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -104,15 +121,13 @@ object StreamAnalytics {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val sink = "stream_sliding_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = windowed.writeStream
-        .format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(sink)
+    windowed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink)
       .select(unix_micros(col("window.start")).as("win_start"),
         col("n"), col("sum_value"))
   }
@@ -127,14 +142,13 @@ object StreamAnalytics {
     */
   def dailyDistinctUsersSketch(spark: SparkSession, sfDir: String,
       k: Int = 65536): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val s = drainSession(spark, sfDir, "events.parquet")
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
     val tsm =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts DIV 1000"))
       else col("ts").cast("timestamp")
-    val windowed = spark.readStream
+    val windowed = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -143,15 +157,13 @@ object StreamAnalytics {
       .groupBy(window(col("tsm"), "1 day"))
       .agg(graft.functions.FrequencySketches.kmv_sketch(col("user_id"), k).as("sk"))
     val sink = "stream_distinct_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = windowed.writeStream
-        .format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(sink)
+    windowed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink)
       .select(unix_micros(col("window.start")).as("day_start"), col("sk"))
   }
 
@@ -164,23 +176,22 @@ object StreamAnalytics {
     * is the batch-verifiable harness drain.
     */
   def streamDedupFirstOccurrence(spark: SparkSession, sfDir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
-    val stream = spark.readStream
+    val s = drainSession(spark, sfDir, "documents.parquet")
+    val schema = s.read.parquet(s"$sfDir/documents.parquet").schema
+    val stream = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "documents.parquet")
       .parquet(sfDir)
     val deduped = StreamingDedup.firstOccurrences(stream, "doc_id", "text")
       .toDF("doc_id", "text")
     val sink = "stream_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = deduped.writeStream
-        .format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(sink)
+    deduped.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink)
   }
 
   /** STREAMING session windows: per-user sessions with a 30-minute
@@ -192,14 +203,13 @@ object StreamAnalytics {
     * [[dailyTypeRollup]] contract.
     */
   def sessionRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val s = drainSession(spark, sfDir, "events.parquet")
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
     val tsm =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts DIV 1000"))
       else col("ts").cast("timestamp")
-    val windowed = spark.readStream
+    val windowed = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -209,15 +219,13 @@ object StreamAnalytics {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val sink = "stream_session_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = windowed.writeStream
-        .format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(sink)
+    windowed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink)
       .select(col("user_id"),
         unix_micros(col("session_window.start")).as("session_start"),
         unix_micros(col("session_window.end")).as("session_end"),
@@ -234,16 +242,15 @@ object StreamAnalytics {
     * join key.
     */
   def enrichedRollup(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val s = drainSession(spark, sfDir, "events.parquet")
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
     val tsm =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts DIV 1000"))
       else col("ts").cast("timestamp")
-    val dim = broadcast(spark.read.parquet(s"$sfDir/nation.parquet")
+    val dim = broadcast(s.read.parquet(s"$sfDir/nation.parquet")
       .select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name")))
-    val windowed = spark.readStream
+    val windowed = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -254,15 +261,13 @@ object StreamAnalytics {
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val sink = "stream_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = windowed.writeStream
-        .format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(sink)
+    windowed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink)
       .select(unix_micros(col("window.start")).as("day_start"),
         col("n_name"), col("n"), col("sum_value"))
   }
@@ -284,14 +289,13 @@ object StreamAnalytics {
     */
   def viewConversionJoin(spark: SparkSession, sfDir: String,
       withinMinutes: Int = 30): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val s = drainSession(spark, sfDir, "events.parquet")
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
     def tsm =
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts DIV 1000"))
       else col("ts").cast("timestamp")
-    def side(types: Seq[String], prefix: String) = spark.readStream
+    def side(types: Seq[String], prefix: String) = s.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
@@ -308,15 +312,13 @@ object StreamAnalytics {
          |c_ts <= v_ts + INTERVAL $withinMinutes MINUTES""".stripMargin))
 
     val sink = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    withStatePartitions(spark, 8) {
-      val q = joined.writeStream
-        .format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    spark.table(sink)
+    joined.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink)
       .groupBy(col("v_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("c_value").cast("decimal(18,2)")).cast("double").as("sum_value"))

@@ -50,7 +50,7 @@ object ImportanceSampling {
     val spark = docs.sparkSession
     import spark.implicits._
     val occ = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), targetPred.cast("long").as("__y"),
+      .select(col(idCol), coalesce(targetPred.cast("long"), lit(0L)).as("__y"),
         explode(gram_buckets(col(textCol), n, buckets)).as("__bkt"))
     // one aggregation builds BOTH models: target counts are the
     // conditional sum, raw counts the plain count. The aggregated

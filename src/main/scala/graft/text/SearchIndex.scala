@@ -44,6 +44,42 @@ object SearchIndex {
     values = Seq(GraftField("tf", LongType), GraftField("dl", LongType)))
 
   private def statsPath(indexDir: String) = s"$indexDir/corpus-stats.json"
+  private def pendingPath(indexDir: String) = s"$indexDir/corpus-stats.pending.json"
+  private val AppendTxnApp = "search-index-append"
+
+  private def jsonField(src: String, name: String): Long =
+    src.split(s""""$name":""")(1).trim.takeWhile(c => c.isDigit || c == '-').toLong
+
+  /** The pending-intent record, resolved against the ingest txn marker:
+    * `Some((dn, dsumDl))` iff the paired ingest committed (fold the
+    * delta in), `None` if it never did (discard the intent). A torn
+    * intent file can only mean the ingest never started — the intent is
+    * fully written before the ingest begins — so parse failures resolve
+    * to None, never to a guess.
+    */
+  private def committedPending(table: GraftTable, indexDir: String): Option[(Long, Long)] =
+    if (!GraftFS.exists(pendingPath(indexDir))) None
+    else try {
+      val p = GraftFS.readString(pendingPath(indexDir))
+      val txn = jsonField(p, "txn")
+      if (table.store.lastTxnVersion(AppendTxnApp).exists(_ >= txn))
+        Some((jsonField(p, "n"), jsonField(p, "sum_dl")))
+      else None
+    } catch { case _: Exception => None }
+
+  /** Fold any crash-abandoned intent into the durable stats (or discard
+    * an uncommitted one), then clear it. Called at the top of every
+    * append — so a crashed append's delta is settled before the next
+    * intent overwrites the file — and after a successful ingest.
+    */
+  private def settlePending(table: GraftTable, indexDir: String): Unit = {
+    committedPending(table, indexDir).foreach { case (dn, dsl) =>
+      val s = GraftFS.readString(statsPath(indexDir))
+      GraftFS.writeString(statsPath(indexDir),
+        s"""{"n": ${jsonField(s, "n") + dn}, "sum_dl": ${jsonField(s, "sum_dl") + dsl}}""")
+    }
+    GraftFS.delete(pendingPath(indexDir))
+  }
 
   /** One corpus scan → postings table + corpus-stats sidecar.
     * `splitPoints` pre-splits the term keyspace (pass sampled terms for
@@ -99,6 +135,17 @@ object SearchIndex {
     * term-sorted runs; compaction folds), and the corpus constants
     * accumulate in the sidecar. df needs no maintenance at all — it is
     * derived from the retrieved lists at serve time.
+    *
+    * Crash-safe stats protocol: the stats delta is written as an INTENT
+    * (`corpus-stats.pending.json`, carrying a txn id) BEFORE the ingest,
+    * the ingest commits under that txn id through the table's
+    * exactly-once marker, and only then is the intent folded into
+    * `corpus-stats.json`. A failure in any window leaves the sidecar
+    * resolvable against the txn marker — [[corpusStats]] folds a
+    * committed-but-unfinalized delta in at read time, and discards an
+    * uncommitted one — so serve-time N/avgdl can never silently describe
+    * a different corpus than the postings (the skew the naive
+    * write-after-commit ordering allowed).
     */
   def append(docs: DataFrame, idCol: String, textCol: String, indexDir: String): Unit = {
     val spark = docs.sparkSession
@@ -113,24 +160,32 @@ object SearchIndex {
       .groupBy(col("term"), col("doc_id"), col("dl"))
       .agg(count(lit(1)).cast("long").as("tf"))
       .select("term", "doc_id", "tf", "dl")
-    GraftTable.load(spark, indexDir).ingest(postings)
+    val table = GraftTable.load(spark, indexDir)
+    settlePending(table, indexDir) // a crashed append's delta, first
     val Array(n, sumDl) = base.agg(count(lit(1)), sum(col("dl")))
       .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+    val txn = table.store.lastTxnVersion(AppendTxnApp).getOrElse(0L) + 1
+    GraftFS.writeString(pendingPath(indexDir),
+      s"""{"txn": $txn, "n": $n, "sum_dl": $sumDl}""")
+    table.ingest(postings, txn = Some((AppendTxnApp, txn)))
     base.unpersist()
-    val s = GraftFS.readString(statsPath(indexDir))
-    def field(name: String): Long =
-      s.split(s""""$name":""")(1).trim.takeWhile(c => c.isDigit || c == '-').toLong
-    GraftFS.writeString(statsPath(indexDir),
-      s"""{"n": ${field("n") + n}, "sum_dl": ${field("sum_dl") + sumDl}}""")
+    settlePending(table, indexDir)
   }
 
-  /** Corpus constants from the sidecar: (N, avgdl). */
-  def corpusStats(indexDir: String): (Long, Double) = {
+  /** Corpus constants: (N, avgdl) — durable stats plus any
+    * committed-but-unfinalized append intent (see [[append]]), resolved
+    * in memory so serving never writes.
+    */
+  def corpusStats(spark: SparkSession, indexDir: String): (Long, Double) = {
     val s = GraftFS.readString(statsPath(indexDir))
-    def field(name: String): Long =
-      s.split(s""""$name":""")(1).trim.takeWhile(c => c.isDigit || c == '-').toLong
-    val n = field("n")
-    (n, field("sum_dl").toDouble / n)
+    var n = jsonField(s, "n")
+    var sumDl = jsonField(s, "sum_dl")
+    if (GraftFS.exists(pendingPath(indexDir))) {
+      committedPending(GraftTable.load(spark, indexDir), indexDir).foreach {
+        case (dn, dsl) => n += dn; sumDl += dsl
+      }
+    }
+    (n, sumDl.toDouble / n)
   }
 
   /** Hybrid lexical+dense retrieval with reciprocal-rank fusion — the
@@ -174,7 +229,7 @@ object SearchIndex {
     require(terms.nonEmpty, "need at least one query term")
     require(k > 0, "need a positive k")
     val table = GraftTable.load(spark, indexDir)
-    val (n, avgdl) = corpusStats(indexDir)
+    val (n, avgdl) = corpusStats(spark, indexDir)
     val postings = table.query(
       graft.query.GraftQuery.forKeys(table.schema, terms.distinct.map(Seq(_)): _*))
     val dfreq = postings.groupBy("term").agg(count(lit(1)).as("df"))

@@ -50,6 +50,44 @@ class AudioCodecSpec extends AnyFunSuite {
     assert(AudioCodec.pcm16Stats(bad).isEmpty)
   }
 
+  test("chunk/box sizes near and past 2^31 never throw (cursor must not wrap)") {
+    def le(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    // RIFF header + junk chunk declaring 0x7FFFFFF0 / 0x80000000 bytes:
+    // walk must step past the end and yield None, not wrap negative.
+    for (sz <- Seq(0x7FFFFFF0L, 0x80000000L, 0xFFFFFFFFL)) {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("RIFF".getBytes); out.write(le(1000)); out.write("WAVE".getBytes)
+      out.write("junk".getBytes); out.write(le(sz))
+      out.write(Array[Byte](1, 2, 3, 4))
+      assert(AudioCodec.parse(out.toByteArray).isEmpty)
+      assert(AudioCodec.pcm16Stats(out.toByteArray).isEmpty)
+    }
+    // a data chunk with an absurd declared size after a valid fmt still
+    // parses with the truncated actual length
+    val base = AudioCodec.wavBytes(8000, 1, Array[Short](9, -9))
+    val truncated = java.util.Arrays.copyOf(base, base.length)
+    // data size field sits 4 bytes before the 2 samples (offset len-8-4... find "data")
+    val dataAt = (0 until truncated.length - 4).find(i =>
+      truncated(i) == 'd' && truncated(i + 1) == 'a' &&
+        truncated(i + 2) == 't' && truncated(i + 3) == 'a').get
+    System.arraycopy(le(0x7FFFFFF0L), 0, truncated, dataAt + 4, 4)
+    val stats = AudioCodec.pcm16Stats(truncated)
+    assert(stats.exists(_.nSamples == 2))
+    // MP4 box with size >= 2^31 after ftyp: None, never throw
+    def be(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    for (sz <- Seq(0x7FFFFFF0L, 0x80000000L)) {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(be(16)); out.write("ftyp".getBytes); out.write("isom".getBytes); out.write(be(512))
+      out.write(be(sz)); out.write("junk".getBytes)
+      out.write(Array[Byte](0, 0, 0, 0))
+      assert(AudioCodec.parse(out.toByteArray).isEmpty)
+    }
+  }
+
   test("odd-sized chunks are word-aligned in the walk") {
     // insert a 3-byte junk chunk (padded to 4) before fmt/data
     val base = AudioCodec.wavBytes(8000, 1, Array[Short](7, -7))

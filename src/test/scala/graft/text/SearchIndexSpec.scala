@@ -119,6 +119,49 @@ class SearchIndexSpec extends AnyFunSuite {
     assert(fused.toSeq == again.toSeq)
   }
 
+  test("append stats survive a crash in every window of the intent protocol") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-si8").toString
+    def stats = graft.meta.GraftFS.readString(s"$dir/corpus-stats.json")
+    def field(src: String, name: String): Long =
+      src.split(s""""$name":""")(1).trim.takeWhile(c => c.isDigit || c == '-').toLong
+    SearchIndex.build(corpus(0 until 200), "doc_id", "text", dir)
+    val s0 = stats
+    SearchIndex.append(corpus(200 until 350), "doc_id", "text", dir)
+    val s1 = stats
+    val pending = s"$dir/corpus-stats.pending.json"
+
+    // window: intent written but the ingest never committed (txn id
+    // beyond the marker) — the bogus delta must NOT be served
+    graft.meta.GraftFS.writeString(pending, """{"txn": 999, "n": 12345, "sum_dl": 99999}""")
+    assert(SearchIndex.corpusStats(spark, dir)._1 == field(s1, "n"))
+
+    // window: torn intent file — resolves to "never started", no throw
+    graft.meta.GraftFS.writeString(pending, """{"txn": 9""")
+    assert(SearchIndex.corpusStats(spark, dir)._1 == field(s1, "n"))
+
+    // window: ingest committed (txn 1 is in the marker) but finalize
+    // never ran — reconstruct that exact state and require the delta to
+    // be folded in at read time
+    graft.meta.GraftFS.writeString(s"$dir/corpus-stats.json", s0)
+    graft.meta.GraftFS.writeString(pending,
+      s"""{"txn": 1, "n": ${field(s1, "n") - field(s0, "n")}, "sum_dl": ${field(s1, "sum_dl") - field(s0, "sum_dl")}}""")
+    val (n, avgdl) = SearchIndex.corpusStats(spark, dir)
+    assert(n == field(s1, "n"))
+    assert(math.abs(avgdl - field(s1, "sum_dl").toDouble / field(s1, "n")) < 1e-12)
+    // serving through the folded stats equals the direct scan
+    val terms = Seq("scan", "join")
+    val served = SearchIndex.searchBm25(spark, dir, terms, k = 30)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(served == direct(corpus(0 until 350), terms, 30))
+
+    // the next append settles the abandoned intent durably first
+    SearchIndex.append(corpus(350 until 400), "doc_id", "text", dir)
+    assert(!graft.meta.GraftFS.exists(pending))
+    val served2 = SearchIndex.searchBm25(spark, dir, terms, k = 30)
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    assert(served2 == direct(corpus(0 until 400), terms, 30))
+  }
+
   test("duplicate query terms do not double-count") {
     val dir = java.nio.file.Files.createTempDirectory("graft-si3").toString
     val df = corpus(0 until 100)
