@@ -15,6 +15,7 @@ run / fork := true
 // as JSON; sbt's "[success] Total time: ..." epilogue was landing after the
 // bench's JSON line and broke that contract (BENCH_r09/r10 "parsed": null).
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // The Python-client round-trip spec shells out to pytest, which drives
 // the packaged jar through spark-submit — make sure it exists.
 Test / test := (Test / test).dependsOn(Compile / packageBin).value

@@ -10,5 +10,12 @@ files (pyarrow, if installed, decodes result rows).
 
 from .query import Range, Region, Query
 from .client import GraftClient, QueryResult
+from .ingest import IngestJob, IngestJobSender
+from .bulk_export import BulkExportQuery, BulkExportResult, BulkExportSender
+from .web_socket_query import (WebSocketQueryProcessor, WebSocketResultsServer,
+                               fold_batches)
 
-__all__ = ["Range", "Region", "Query", "GraftClient", "QueryResult"]
+__all__ = ["Range", "Region", "Query", "GraftClient", "QueryResult",
+           "IngestJob", "IngestJobSender",
+           "BulkExportQuery", "BulkExportResult", "BulkExportSender",
+           "WebSocketQueryProcessor", "WebSocketResultsServer", "fold_batches"]

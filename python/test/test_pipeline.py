@@ -1,0 +1,119 @@
+"""Round-trips for the client's ingest / bulk-export / WebSocket-query
+surfaces (the reference python client's ingest.py, bulk_export.py and
+web_socket_query.py counterparts): seed a table, ingest JSONL and
+parquet through IngestJobSender (exactly-once on the job id), export
+the whole table, and consume a query's result batches over a local
+WebSocket endpoint.
+"""
+
+import glob
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), "..", ".."))
+
+
+def _find_jar():
+    jars = sorted(glob.glob(os.path.join(REPO, "target", "scala-*", "sleeperspark_*.jar")))
+    return jars[-1] if jars else None
+
+
+def _find_spark_submit():
+    home = os.environ.get("SPARK_HOME", "/opt/spark")
+    p = os.path.join(home, "bin", "spark-submit")
+    return p if os.path.exists(p) else shutil.which("spark-submit")
+
+
+JAR = _find_jar()
+SPARK_SUBMIT = _find_spark_submit()
+
+pytestmark = pytest.mark.skipif(
+    JAR is None or SPARK_SUBMIT is None,
+    reason="needs `sbt package` output and a Spark distribution")
+
+
+@pytest.fixture(scope="module")
+def client():
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "python"))
+    from graft_client import GraftClient
+
+    table_dir = tempfile.mkdtemp(prefix="graft-pytable2-")
+    tracker_dir = tempfile.mkdtemp(prefix="graft-pytracker2-")
+    c = GraftClient(table_dir, jar=JAR, spark_submit=SPARK_SUBMIT,
+                    master="local[4]", tracker_dir=tracker_dir)
+    c.seed_demo_table(rows=50, split=25)
+    yield c
+    shutil.rmtree(table_dir, ignore_errors=True)
+    shutil.rmtree(tracker_dir, ignore_errors=True)
+
+
+def test_ingest_jsonl_exactly_once(client):
+    from graft_client import IngestJob, IngestJobSender
+
+    d = tempfile.mkdtemp(prefix="graft-jsonl-")
+    path = os.path.join(d, "batch.jsonl")
+    with open(path, "w") as f:
+        for k in range(1000, 1010):
+            f.write(json.dumps({"k": k, "v": k * 10}) + "\n")
+    sender = IngestJobSender(client)
+    job = IngestJob([path], job_id="py-ingest-1", file_format="jsonl")
+    status = sender.send(job)
+    assert status["state"] == "COMMITTED", status
+    assert status["rows"] == 10
+
+    # the rows are queryable
+    res = client.exact_key_query([{"k": 1005}], query_id="py-ingested")
+    assert res.completed and res.row_count == 1
+    assert res.rows()[0]["v"] == 10050
+
+    # resubmitting the same job id is a recorded no-op
+    again = sender.send(IngestJob([path], job_id="py-ingest-1", file_format="jsonl"))
+    assert again["state"] == "DUPLICATE", again
+    res2 = client.exact_key_query([{"k": 1005}], query_id="py-ingested-2")
+    assert res2.completed and res2.row_count == 1  # no duplicate row
+
+
+def test_ingest_parquet(client):
+    pa = pytest.importorskip("pyarrow")
+    import pyarrow.parquet as pq
+    from graft_client import IngestJob, IngestJobSender
+
+    d = tempfile.mkdtemp(prefix="graft-parquet-")
+    path = os.path.join(d, "batch.parquet")
+    ks = list(range(2000, 2005))
+    pq.write_table(
+        pa.table({"k": pa.array(ks, pa.int64()),
+                  "v": pa.array([k * 10 for k in ks], pa.int64())}), path)
+    status = IngestJobSender(client).send(
+        IngestJob([path], job_id="py-ingest-2", file_format="parquet"))
+    assert status["state"] == "COMMITTED", status
+    assert status["rows"] == 5
+
+
+def test_bulk_export_whole_table(client):
+    pytest.importorskip("pyarrow")
+    from graft_client import BulkExportQuery, BulkExportSender
+
+    res = BulkExportSender(client).send(BulkExportQuery(export_id="py-export-1"))
+    assert res.completed, res
+    # 50 seeded + 10 jsonl + 5 parquet rows
+    assert res.row_count == 65
+    rows = {(r["k"], r["v"]) for r in res.rows()}
+    assert len(rows) == 65
+    assert (7, 70) in rows and (1005, 10050) in rows and (2004, 20040) in rows
+
+
+def test_web_socket_query_consumption(client):
+    from graft_client import Query, Range, Region, WebSocketQueryProcessor
+
+    q = Query(query_id="py-ws-1",
+              regions=[Region({"k": Range(min=10, max=20)})])
+    status, rows = WebSocketQueryProcessor(client).run(q)
+    assert status.completed, status
+    assert status.row_count == 10
+    assert {(r["k"], r["v"]) for r in rows} == {(k, k * 10) for k in range(10, 20)}

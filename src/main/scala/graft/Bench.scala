@@ -73,8 +73,19 @@ object Bench {
     val scale =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0") "{}"
       else BenchScale.run(spark, sfDir, timeoutSec)
+    // Real-executor check: the headline queries re-run in a fresh JVM
+    // under local-cluster[2,2,2048] (separate executor processes, real
+    // serialization + shuffle service) — the per-query secs/hashes land
+    // in the bench record. SPARK_GRAFT_CLUSTER=0 skips it.
+    val cluster =
+      if (sys.env.getOrElse("SPARK_GRAFT_CLUSTER", "1") == "0") "{}"
+      else try {
+        val (code, cjson) = ClusterCheck.runAsProcess("/root/testdata/sf0.01")
+        if (code == 0 && cjson.startsWith("{")) cjson
+        else s"""{"error":"exit $code"}"""
+      } catch { case e: Throwable => s"""{"error":"${String.valueOf(e).replaceAll("[\"\\\\]", " ").take(120)}"}""" }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"scale":$scale,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"scale":$scale,"cluster":$cluster,"sf":"$sfDir"}"""
     // durable copy first, then the JSON as the very LAST stdout line
     // (after spark.stop(), whose shutdown logging goes to stderr)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Materializes a ×`factor` scale-up of a testdata sf directory for the
+  * full-corpus oracle sweep (VERDICT r10 #3: correctness gated at
+  * sf0.01 with spot checks is not a sweep; larger corpora find real
+  * parameter pins — round 10's own sf0.1 sweep caught three).
+  *
+  * Fact tables scale by unioning key-shifted copies (orderkey shifts
+  * identically in lineitem AND orders so the join surface stays
+  * referentially consistent; doc/vec/event ids shift disjointly);
+  * dimension tables copy through unchanged. The data needs no
+  * semantic beauty — the oracle compare runs Spark and DuckDB over the
+  * SAME parquet, so any deterministic corpus exercises every operator
+  * at the target row count.
+  *
+  *   runMain graft.MakeScaledSf <srcSfDir> <destDir> [factor]
+  */
+object MakeScaledSf {
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: MakeScaledSf <srcSfDir> <destDir> [factor]")
+    val Array(src, dest) = args.take(2)
+    val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .appName("graft-make-scaled-sf")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dest, factor)
+    spark.stop()
+  }
+
+  def run(spark: SparkSession, src: String, dest: String, factor: Int): Unit = {
+    def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    def write(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+    def scaled(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+      (0 until factor).map { i =>
+        shifts.foldLeft(df) { case (d, (c, s)) => d.withColumn(c, col(c) + lit(i * s)) }
+      }.reduce(_ unionByName _)
+
+    // dims: unchanged (each scaled copy of the facts fans into them)
+    Seq("region", "nation", "customer", "supplier", "part").foreach(n => write(t(n), n))
+    val keyShift = 10000000L
+    write(scaled(t("lineitem"), Map("l_orderkey" -> keyShift)), "lineitem")
+    write(scaled(t("orders"), Map("o_orderkey" -> keyShift)), "orders")
+    write(scaled(t("events"),
+      Map("event_id" -> keyShift, "user_id" -> 1000000L)), "events")
+    write(scaled(t("documents"), Map("doc_id" -> keyShift)), "documents")
+    write(scaled(t("embeddings"), Map("vec_id" -> keyShift)), "embeddings")
+    println(s"""{"dest":"$dest","factor":$factor}""")
+  }
+}

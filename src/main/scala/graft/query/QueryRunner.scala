@@ -30,12 +30,18 @@ object QueryRunner {
   def main(args: Array[String]): Unit = sys.exit(run(args))
 
   def run(args: Array[String]): Int = {
-    if (args.length < 3 || args.length > 4) {
+    // --ws=<url>: publish result batches to a WebSocket endpoint (the
+    // reference's WebSocket query consumption shape — python clients
+    // stand up the endpoint and fold the pushed batches) instead of
+    // writing parquet. The status file still lands under <outDir>.
+    val wsUrl = args.collectFirst { case a if a.startsWith("--ws=") => a.drop(5) }
+    val positional = args.filterNot(_.startsWith("--"))
+    if (positional.length < 3 || positional.length > 4) {
       System.err.println(
-        "usage: QueryRunner <tableDir> <queryJson | @queryJsonFile> <outDir> [trackerDir]")
+        "usage: QueryRunner <tableDir> <queryJson | @queryJsonFile> <outDir> [trackerDir] [--ws=<url>]")
       return 2
     }
-    val Array(tableDir, queryArg, outDir) = args.take(3)
+    val Array(tableDir, queryArg, outDir) = positional.take(3)
     // Hadoop FS, not java.nio: both the query file and the results dir
     // may live on any scheme (file://, hdfs://, an object store)
     val json =
@@ -51,10 +57,16 @@ object QueryRunner {
     val queryId = queryIdOf(json)
 
     val tracker: QueryTrackerStore =
-      if (args.length == 4) new FileQueryTracker(args(3)) else new InMemoryQueryTracker
+      if (positional.length == 4) new FileQueryTracker(positional(3))
+      else new InMemoryQueryTracker
     val exec = new TrackedQueryExecutor(table, tracker)
+    val output: ResultsOutput = wsUrl match {
+      case Some(url) =>
+        new QueueResultsOutput(new WebSocketResultsQueue(url), kind = "WEBSOCKET")
+      case None => new FileResultsOutput(outDir)
+    }
     val info =
-      try exec.publish(queryId, q, new FileResultsOutput(outDir))
+      try exec.publish(queryId, q, output)
       catch { case scala.util.control.NonFatal(_) =>
         ResultsOutputInfo(0, Nil, None) // tracker already holds FAILED + message
       }

@@ -1,5 +1,7 @@
 package org.apache.spark.sql.execution.datasources.parquet
 
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.HadoopReadOptions
@@ -18,19 +20,58 @@ import org.apache.spark.sql.types.StructType
   * N-way merge (~2x slower for whole-table analytics) — the same
   * rationale as the reference's vectorized engine (docs/design.md:318-329).
   *
-  * Lives in Spark's parquet package because the row-group-reader seam
+  * The row-group-reader seam
   * (`SpecificParquetRecordReaderBase.ParquetRowGroupReader`) and the
-  * 4-arg `initialize` overload are package-private/protected.
+  * 4-arg `initialize` overload are JAVA package-private, so they carry
+  * real bytecode access checks — and a runtime package is (loader,
+  * name), not just name. When this library ships via `spark.jars` /
+  * `--jars` (the normal cluster deployment), executors load it in a
+  * child classloader, where a compile-time-in-package anonymous
+  * implementation dies with IllegalAccessError (caught by
+  * LocalClusterSpec under local-cluster, invisible under local[N]).
+  * The seam is therefore crossed reflectively: a `java.lang.reflect
+  * .Proxy` defined in the INTERFACE's own classloader implements the
+  * package-private interface, and the protected `initialize` is invoked
+  * via setAccessible — everything else referenced here is public, so
+  * the bridge is classloader-safe however the jar is deployed. (The
+  * Scala-side bridges — ExpressionUtils, RowToColumnConverter — need no
+  * such treatment: Scala `private[sql]` erases to public bytecode.)
   */
 object GraftVectorizedBridge {
 
-  /** Exposes the protected schema-level initialize. */
-  private final class GraftVectorizedReader(capacity: Int)
-      extends VectorizedParquetRecordReader(false, capacity) {
-    def initWith(fileSchema: MessageType, requested: MessageType,
-        r: SpecificParquetRecordReaderBase.ParquetRowGroupReader, rows: Int): Unit =
-      initialize(fileSchema, requested, r, rows)
+  private val baseClass = classOf[SpecificParquetRecordReaderBase[_]]
+
+  private lazy val rowGroupReaderIface: Class[_] =
+    baseClass.getDeclaredClasses
+      .find(_.getSimpleName == "ParquetRowGroupReader")
+      .getOrElse(throw new IllegalStateException(
+        "SpecificParquetRecordReaderBase.ParquetRowGroupReader not found — Spark internals moved"))
+
+  private lazy val initializeMethod: Method = {
+    val m = baseClass.getDeclaredMethod("initialize",
+      classOf[MessageType], classOf[MessageType], rowGroupReaderIface, java.lang.Integer.TYPE)
+    m.setAccessible(true)
+    m
   }
+
+  /** A ParquetRowGroupReader delegating to `fileReader`, defined in the
+    * interface's own classloader so package access always holds.
+    */
+  private def rowGroupReaderFor(fileReader: ParquetFileReader): AnyRef =
+    Proxy.newProxyInstance(
+      rowGroupReaderIface.getClassLoader,
+      Array(rowGroupReaderIface),
+      new InvocationHandler {
+        override def invoke(proxy: AnyRef, method: Method, args: Array[AnyRef]): AnyRef =
+          method.getName match {
+            case "readNextRowGroup" => fileReader.readNextRowGroup()
+            case "close" => fileReader.close(); null
+            case "hashCode" => Int.box(System.identityHashCode(proxy))
+            case "equals" => Boolean.box(args != null && (proxy eq args(0)))
+            case "toString" => "GraftRowGroupReader"
+            case other => throw new UnsupportedOperationException(other)
+          }
+      })
 
   /** An initialized vectorized reader over one whole parquet file,
     * projected to `columns` (batch columns come out in that order), with
@@ -54,12 +95,9 @@ object GraftVectorizedBridge {
       fileReader.setRequestedSchema(requested)
       val rows = fileReader.getRecordCount // sums only blocks surviving the filter
       require(rows <= Int.MaxValue, s"file too large for one vectorized task: $rows rows")
-      val vec = new GraftVectorizedReader(capacity)
-      val rgr = new SpecificParquetRecordReaderBase.ParquetRowGroupReader {
-        override def readNextRowGroup() = fileReader.readNextRowGroup()
-        override def close(): Unit = fileReader.close()
-      }
-      vec.initWith(fileSchema, requested, rgr, rows.toInt)
+      val vec = new VectorizedParquetRecordReader(false, capacity)
+      initializeMethod.invoke(vec, fileSchema, requested,
+        rowGroupReaderFor(fileReader), Int.box(rows.toInt))
       vec.initBatch(new StructType(), InternalRow.empty)
       vec.enableReturningBatches()
       vec
