@@ -16,6 +16,9 @@ run / fork := true
 // bench's JSON line and broke that contract (BENCH_r09/r10 "parsed": null).
 Global / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// ... and the forked run JVM's stdout must pass through RAW (no sbt
+// "[info] " prefix), or the JSON line is not valid JSON to the parser.
+run / outputStrategy := Some(StdoutOutput)
 // The Python-client round-trip spec shells out to pytest, which drives
 // the packaged jar through spark-submit — make sure it exists.
 Test / test := (Test / test).dependsOn(Compile / packageBin).value

@@ -400,6 +400,38 @@ object BenchScale {
       graft.meta.GraftFS.deleteRecursive(sf1Dir)
     }
 
+    // -- endurance: full lifecycle at ×SPARK_GRAFT_ENDURE (default 100,
+    // ~6e7 lineitem rows at sf0.1; 0 disables) — the memory/spill shape
+    // the ×10 rows never reach. One pass only; copies come from a
+    // broadcast range cross-join (single scan, flat plan — a 100-way
+    // union would blow up analysis time), keys stay disjoint per copy.
+    val endureFactor = sys.env.getOrElse("SPARK_GRAFT_ENDURE", "100").toInt
+    if (pass == 1 && endureFactor > 0) {
+      val f = endureFactor
+      val copies = li.crossJoin(broadcast(spark.range(f).toDF("__copy")))
+        .select((col("l_orderkey") + col("__copy") * shift).as("l_orderkey"),
+          col("l_linenumber"), col("qty"))
+      val rowsF = li.count() * f
+      val span = shift * f
+      val edir = java.nio.file.Files.createTempDirectory("graft-endure").toString
+      val esplits = (1 until 64).map(i => i * span / 64)
+      val etable = GraftTable.create(spark, edir, schema, splitPoints = esplits,
+        config = TableConfig(gcDelayMinutes = 0))
+      timed(s"endure_x${f}_ingest", rowsF, timeoutMult = 10) {
+        etable.ingest(copies.filter(col("l_linenumber") <= 2).drop("l_linenumber"))
+        etable.ingest(copies.filter(col("l_linenumber") >= 3).drop("l_linenumber"))
+      }
+      timed(s"endure_x${f}_compact", rowsF, timeoutMult = 10) { etable.compactAll() }
+      timed(s"endure_x${f}_scan", rowsF, timeoutMult = 10) {
+        spark.read.format("graft").load(edir)
+          .filter(col("qty") >= 0).agg(sum("qty")).collect()
+      }
+      timed(s"endure_x${f}_lookup", 1) {
+        etable.lookup(span / 2 + 1).collect()
+      }
+      graft.meta.GraftFS.deleteRecursive(edir)
+    }
+
     results
   }
 }

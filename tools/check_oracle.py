@@ -14,8 +14,11 @@ con = duckdb.connect()
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     p = os.path.join(sf, f"{t}.parquet")
-    if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    if os.path.isdir(p):  # Spark-written table: a directory of part files
+        p = os.path.join(p, "*.parquet")
+    elif not os.path.exists(p):
+        continue
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
 def canon(rel):
     cols = sorted(rel.columns)
@@ -27,8 +30,17 @@ def canon(rel):
                           for v in r))
     return cols, sorted(map(repr, rows))
 
+only = None
+if len(sys.argv) > 3 and sys.argv[3] == "--only":
+    only = set(sys.argv[4].split(","))
+if len(sys.argv) > 3 and sys.argv[3] == "--skip-until":
+    names = sorted(oracle)
+    only = set(names[names.index(sys.argv[4]):])
+
 fails = []
 for name in sorted(oracle):
+    if only is not None and name not in only:
+        continue
     qdir = os.path.join(out, name)
     if not os.path.isdir(qdir):
         print(f"{name:28s} MISSING spark output"); fails.append(name); continue
@@ -47,6 +59,6 @@ for name in sorted(oracle):
     except Exception as e:
         print(f"{name:28s} ORACLE ERROR: {e}"); fails.append(name)
 
-nq = len(oracle)
+nq = len(oracle) if only is None else len(only)
 print(f"\n{nq - len(fails)}/{nq} oracle queries pass; rows-only queries not checked here")
 sys.exit(1 if fails else 0)
