@@ -86,6 +86,8 @@ object LifecycleQueries {
 
   private val zorderDirs = new ConcurrentHashMap[String, String]()
 
+  private val statsSkipDirs = new ConcurrentHashMap[String, String]()
+
   private val streamingDirs = new ConcurrentHashMap[String, String]()
 
   /** T1 fixture: drop two halves of lineitem into an inbox as separate
@@ -615,6 +617,56 @@ object LifecycleQueries {
     // scan), ingests through the normal sorted-run dataflow into a
     // keyed table, and reads back via the engine — proving the S6
     // source seam accepts any Spark-readable format, not just parquet.
+    // P7 — file-grain data skipping on a NON-key column: events keyed
+    // by event_id ingest in four user_id-quartile batches (the sharded-
+    // upstream shape — each shard's file carries a tight user_id range
+    // in its sidecar stats), then a pushed `user_id < 3` predicate
+    // drops every file whose exact min/max excludes it BEFORE any data
+    // IO. Region pruning can't help here (the predicate is not on the
+    // key); this is the Iceberg/Delta min-max manifest move on the
+    // engine's own metadata — at 100 TB a selective non-key predicate
+    // over range-correlated ingest reads ~1/shards of the files. The
+    // query ASSERTS files were skipped, so a stats regression fails
+    // correctness, not just perf. Oracle: the plain filter over events.
+    "p7_stats_skipping" -> withOracle(
+      """SELECT event_id, user_id, event_type
+        |FROM events WHERE user_id < 3
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = statsSkipDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-statsskip").toString
+        val rows = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val Seq(q1, q2, q3) = rows
+          .agg(expr("percentile(user_id, array(0.25, 0.5, 0.75))"))
+          .head().getSeq[Double](0).map(_.toLong)
+        val schema = GraftSchema(
+          rowKeys = Seq(GraftField("event_id", LongType)),
+          sortKeys = Nil,
+          values = Seq(
+            GraftField("user_id", LongType),
+            GraftField("event_type", org.apache.spark.sql.types.StringType)))
+        val table = GraftTable.create(s, s"$b/table", schema)
+        table.ingest(rows.filter(col("user_id") <= q1))
+        table.ingest(rows.filter(col("user_id") > q1 && col("user_id") <= q2))
+        table.ingest(rows.filter(col("user_id") > q2 && col("user_id") <= q3))
+        table.ingest(rows.filter(col("user_id") > q3))
+        b
+      })
+      val df = s.read.format("graft").load(s"$base/table")
+        .filter(col("user_id") < 3)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
+      val desc = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+      val skippedFiles = "statsSkippedFiles=(\\d+)".r.findFirstMatchIn(desc)
+        .map(_.group(1).toInt).getOrElse(-1)
+      require(skippedFiles >= 2,
+        s"stats skipping stopped pruning files: $desc")
+      df
+    },
+
     "m10_jsonl_ingest" -> withOracle(
       """SELECT doc_id, text, lang FROM documents ORDER BY doc_id""") { (s, dir) =>
       val jsonlDir = jsonlDirs.computeIfAbsent(dir, { _ =>

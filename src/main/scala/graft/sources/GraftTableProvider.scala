@@ -111,6 +111,60 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
     }
 }
 
+/** A pushed comparison on an integral column, evaluable against a
+  * file's sidecar stats entry (non-null count + exact min/max written at
+  * ingest/compaction): the file-grain data-skipping predicate. Region
+  * pruning is leaf-grain and key-only; this skips individual FILES on
+  * ANY integral column — the Iceberg/Delta min-max manifest move, paid
+  * as O(candidate files) driver-side sidecar reads, never data IO.
+  */
+final case class StatsPred(field: String, op: String, values: Seq[Long]) {
+  /** Could any row of a file with these stats satisfy the predicate?
+    * `cnt == 0` (all null) fails every comparison — SQL comparisons
+    * with NULL are never true.
+    */
+  def maySatisfy(cnt: Long, min: Long, max: Long): Boolean =
+    if (cnt == 0) false
+    else op match {
+      case ">"  => max > values.head
+      case ">=" => max >= values.head
+      case "<"  => min < values.head
+      case "<=" => min <= values.head
+      case "="  => min <= values.head && values.head <= max
+      case "in" => values.exists(v => min <= v && v <= max)
+    }
+}
+
+object StatsPred {
+  private def long(v: Any): Option[Long] = v match {
+    case i: Int => Some(i.toLong)
+    case l: Long => Some(l)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Extract skippable conjuncts: simple comparisons of an integral
+    * schema field against an integral literal. Everything else is
+    * ignored (it stays a residual filter — skipping is a pure IO
+    * optimization, never a correctness dependency).
+    */
+  def fromFilters(schema: GraftSchema, filters: Array[Filter]): Seq[StatsPred] = {
+    val integral = graft.jobs.Ingest.integralFieldNames(schema).toSet
+    filters.toSeq.flatMap {
+      case sources.GreaterThan(a, v) if integral(a) => long(v).map(l => StatsPred(a, ">", Seq(l)))
+      case sources.GreaterThanOrEqual(a, v) if integral(a) => long(v).map(l => StatsPred(a, ">=", Seq(l)))
+      case sources.LessThan(a, v) if integral(a) => long(v).map(l => StatsPred(a, "<", Seq(l)))
+      case sources.LessThanOrEqual(a, v) if integral(a) => long(v).map(l => StatsPred(a, "<=", Seq(l)))
+      case sources.EqualTo(a, v) if integral(a) => long(v).map(l => StatsPred(a, "=", Seq(l)))
+      case sources.In(a, vs) if integral(a) && vs.nonEmpty =>
+        val ls = vs.toSeq.map(long)
+        if (ls.forall(_.isDefined)) Some(StatsPred(a, "in", ls.map(_.get))) else None
+      case _ => None
+    }
+  }
+}
+
 final class GraftScanBuilder(dir: String, store: JsonStateStore)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
@@ -120,6 +174,7 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
   private var regions: Seq[Region] = Seq(allKeySpace)
   private var required: StructType = schema.toStructType
   private var pushedLimit: Option[Int] = None
+  private var statsPreds: Seq[StatsPred] = Nil
 
   /** Per-partition row cap; Spark keeps the global limit above the scan
     * because the push is only partial.
@@ -319,6 +374,7 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
     val (usable, _) = filters.partition(RegionFromFilters.supported(schema, _))
     pushed = usable
     regions = RegionFromFilters.regions(schema, usable)
+    statsPreds = StatsPred.fromFilters(schema, filters)
     filters // all residual
   }
 
@@ -329,7 +385,7 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
 
   override def build(): Scan = pushedAgg match {
     case Some(values) => new GraftMetaAggScan(dir, values)
-    case None => new GraftScan(dir, store, regions, required, pushedLimit)
+    case None => new GraftScan(dir, store, regions, required, pushedLimit, statsPreds)
   }
 }
 
@@ -363,12 +419,17 @@ final class GraftMetaAggScan(dir: String,
 final case class GraftMetaAggPartition(values: Seq[Any]) extends InputPartition
 
 final class GraftScan(dir: String, store: JsonStateStore,
-    initialRegions: Seq[Region], required: StructType, limit: Option[Int] = None)
+    initialRegions: Seq[Region], required: StructType, limit: Option[Int] = None,
+    statsPreds: Seq[StatsPred] = Nil)
   extends Scan with Batch with SupportsReportOrdering with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
   private val schema = store.schema
   private var regions: Seq[Region] = initialRegions
+  // distinct data files dropped by sidecar-stats skipping in the last
+  // computeSpecs pass — surfaced through description() so tests/queries
+  // can ASSERT the skip happened (the p6 leaf-prune pattern)
+  @volatile private var statsSkippedFiles: Int = 0
 
   /** Size/row estimates from the state store's file metadata — feeds the
     * planner's broadcast decisions and the runtime-filtering benefit
@@ -434,7 +495,8 @@ final class GraftScan(dir: String, store: JsonStateStore,
   override def description(): String = {
     val leafCount = planSpecs.length
     s"GraftScan ${dir} leaves=$leafCount regions=${regions.size}" +
-      limit.map(l => s" perPartitionLimit=$l").getOrElse("")
+      limit.map(l => s" perPartitionLimit=$l").getOrElse("") +
+      (if (statsPreds.nonEmpty) s" statsSkippedFiles=$statsSkippedFiles" else "")
   }
 
   /** Runtime filtering (dynamic partition pruning): when this table is
@@ -498,10 +560,44 @@ final class GraftScan(dir: String, store: JsonStateStore,
     val tree = store.partitionTree
     val refsByPartition = store.fileReferences.groupBy(_.partitionId)
     val outputNames = required.fields.map(_.name).toSeq
-    tree.leavesOverlapping(regions).flatMap { leaf =>
+    // File-grain data skipping on pushed integral comparisons: a file
+    // whose sidecar stats prove no row can satisfy some conjunct is
+    // dropped from its leaf's merge. Sound because Spark re-applies
+    // every filter post-scan (all filters residual), persistent filters
+    // only REMOVE rows, and region clipping only removes rows — but a
+    // persistent AGGREGATION merges rows across files, whose combined
+    // value could pass a predicate its inputs fail, so skipping is
+    // disabled on such tables. Missing sidecar / entry = keep the file.
+    val statsSkippable = statsPreds.nonEmpty && store.aggregationConfig.trim.isEmpty
+    val sidecarCache = mutable.Map.empty[String, Option[Map[String, Array[Byte]]]]
+    val skipped = mutable.Set.empty[String]
+    def fileMaySatisfy(path: String): Boolean =
+      !statsSkippable || {
+        val entries = sidecarCache.getOrElseUpdate(path,
+          try {
+            if (graft.meta.SketchSidecar.exists(path))
+              Some(graft.meta.SketchSidecar.read(path))
+            else None
+          } catch { case scala.util.control.NonFatal(_) => None })
+        val keep = entries match {
+          case None => true
+          case Some(m) => statsPreds.forall { p =>
+            m.get(graft.meta.SketchSidecar.sumEntryName(p.field)) match {
+              case None => true
+              case Some(bytes) =>
+                val s = graft.meta.SketchSidecar.decodeSum(bytes)
+                p.maySatisfy(s.nonNullCount, s.min, s.max)
+            }
+          }
+        }
+        if (!keep) skipped += path
+        keep
+      }
+    val specs = tree.leavesOverlapping(regions).flatMap { leaf =>
       val refs = refsByPartition.getOrElse(leaf.id, Nil) ++
         tree.ancestors(leaf.id).flatMap(a => refsByPartition.getOrElse(a.id, Nil))
-      val paths = refs.map(r => s"$dir/data/${r.physicalPartitionId}/${r.filename}").distinct
+      val paths = refs.map(r => s"$dir/data/${r.physicalPartitionId}/${r.filename}")
+        .distinct.filter(fileMaySatisfy)
       if (paths.isEmpty) None
       else {
         val spec = RunSpec(paths, schema, outputNames, Some(leaf.region),
@@ -516,6 +612,8 @@ final class GraftScan(dir: String, store: JsonStateStore,
         Some(LeafScan(spec, singleLocal))
       }
     }.toArray
+    statsSkippedFiles = skipped.size
+    specs
   }
 
   /** The vectorized (ColumnarBatch) path activates when no persistent
