@@ -207,6 +207,35 @@ object EngineQueries {
       Seq((kmvEstimate(sa), kmvEstimate(sb),
         kmvIntersectEstimate(sa, sb), kmvUnionEstimate(sa, sb)))
         .toDF("nd_a", "nd_b", "nd_common", "nd_union")
+    },
+
+    // A11 — Count-Min point-frequency sketch: the third one-pass
+    // profiling leg next to KMV (how many distinct?) and Misra-Gries
+    // (which keys dominate?) — "how often does key x occur", for ANY x,
+    // answered after a single map pass from an O(depth × width) blob
+    // with partials merging map-side; at 100 TB that's per-key rate
+    // lookups over billions of keys without a groupBy shuffle. Below
+    // the sparse capacity the sketch holds exact per-hash counts, so
+    // the oracle is plain COUNT(*) per probed user (guarded — the
+    // require trips beyond capacity); the dense estimator regime
+    // (never underestimates, εN bound, merge == one-pass) is gated in
+    // CountMinSketchSpec.
+    "a11_countmin" -> withOracle(
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events WHERE user_id < 10
+        |GROUP BY 1
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import graft.functions.CountMinSketch._
+      val sk = t(s, dir, "events")
+        .agg(cms_sketch(col("user_id")).as("sk"))
+        .head().getAs[Array[Byte]]("sk") // one O(depth×width) blob
+      require(cmsIsExact(sk),
+        "a11_countmin oracle is only valid in the CMS exact (sparse) regime " +
+          "(distinct users < capacity=65536); raise capacity at bigger sfs " +
+          "or check against CountMinSketchSpec's estimator gates")
+      import s.implicits._
+      (0L until 10L).map(u => (u, cmsEstimateLong(sk, u)))
+        .toDF("user_id", "cnt")
     }
   )
 }

@@ -405,6 +405,43 @@ object Superset {
         .orderBy("day_start")
     },
 
+    // T40 — streaming windowed HEAVY HITTERS via the mergeable
+    // Misra-Gries sketch: per-day top-5 users over the event stream
+    // with O(capacity) state per window instead of a per-(day, user)
+    // count shuffle — the "who dominates this window" signal a
+    // 100-TB abuse/ops pipeline keeps continuously. Capacity 65536
+    // holds the exact regime at the verified sfs (guarded — the
+    // require trips, not lies, beyond it); oracle = exact per-day
+    // top-5 under the same (count desc, user asc) total order.
+    "t40_stream_heavy_hitters" -> withOracle(
+      """WITH c AS (
+        |  SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_start,
+        |         user_id, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), r AS (
+        |  SELECT day_start, user_id, cnt,
+        |         ROW_NUMBER() OVER (PARTITION BY day_start
+        |           ORDER BY cnt DESC, user_id) AS rn
+        |  FROM c
+        |)
+        |SELECT day_start, user_id, CAST(cnt AS BIGINT) AS cnt
+        |FROM r WHERE rn <= 5
+        |ORDER BY day_start, cnt DESC, user_id""".stripMargin) { (s, dir) =>
+      val guardedSize = udf { (n: Int) =>
+        require(n < 65536,
+          "t40_stream_heavy_hitters oracle is only valid in the Misra-Gries " +
+            "exact regime (per-day distinct users < capacity); raise capacity")
+        n
+      }
+      graft.streaming.StreamAnalytics.dailyTopUsersSketch(s, dir)
+        .where(guardedSize(size(col("hh"))) >= 0)
+        .select(col("day_start"), posexplode(col("hh")).as(Seq("pos", "e")))
+        .where(col("pos") < 5)
+        .select(col("day_start"), col("e.item").as("user_id"),
+          col("e.count").as("cnt"))
+        .orderBy(col("day_start"), col("cnt").desc, col("user_id"))
+    },
+
     // T38 — STREAMING session windows: w4's sessionization as a
     // continuous query — the data-dependent MERGING window (sessions
     // extend/merge as events arrive; the watermark finalizes them).

@@ -1246,6 +1246,44 @@ object TextQueries {
         .select(col("lang"), (col("r0") + 1).cast("long").as("rank"),
           col("t.id").as("doc_id"), col("t.score").cast("long").as("n_chars"))
         .orderBy("lang", "rank")
+    },
+
+    // T39 — stratified sampling with EXACT per-stratum caps: k docs per
+    // language, selected by a deterministic hash order (the
+    // reproducible-subsample shape every balanced-corpus recipe needs —
+    // rerunning the pipeline on the same corpus yields the same
+    // sample, and no stratum exceeds its cap). The hash is plain
+    // arithmetic both engines share; selection "k smallest (h, doc_id)
+    // per lang" runs as the mergeable top_k aggregate on the NEGATED
+    // hash — O(strata × k) heap state shuffles instead of the window
+    // translation's full corpus, the t37/v10 machinery. h < 2^30 and
+    // doc_id-scaled products stay far below 2^63, so ANSI mode never
+    // trips. Oracle: the ranked window under the identical total order.
+    "t39_stratified_sample" -> withOracle(
+      """WITH h AS (
+        |  SELECT lang, doc_id, (doc_id * 2654435761) % 1000000007 AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT lang, doc_id, h,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY h, doc_id) AS rn
+        |  FROM h
+        |)
+        |SELECT lang, doc_id, CAST(h AS BIGINT) AS h
+        |FROM r WHERE rn <= 50
+        |ORDER BY lang, h, doc_id""".stripMargin) { (s, dir) =>
+      import graft.functions.TopKAgg.top_k
+      t(s, dir, "documents")
+        .select(col("lang"), col("doc_id"),
+          (col("doc_id") * lit(2654435761L) % lit(1000000007L)).as("h"))
+        // top_k keeps the GREATEST scores; negate so "k smallest h"
+        // rides the same mergeable heap (h < 2^30: double-exact)
+        .groupBy("lang")
+        .agg(top_k(-col("h").cast("double"), col("doc_id"), 50).as("tk"))
+        .select(col("lang"), explode(col("tk")).as("e"))
+        .select(col("lang"), col("e.id").as("doc_id"),
+          (-col("e.score")).cast("long").as("h"))
+        .orderBy("lang", "h", "doc_id")
     }
   )
 }

@@ -167,6 +167,43 @@ object StreamAnalytics {
       .select(unix_micros(col("window.start")).as("day_start"), col("sk"))
   }
 
+  /** Per-day heavy hitters over the event stream — the Misra-Gries
+    * sketch as Structured-Streaming state: O(capacity) per window
+    * instead of O(distinct users), partials merging map-side each
+    * micro-batch; completes the streaming sketch family next to
+    * [[dailyDistinctUsersSketch]] (KMV). Below capacity the counts are
+    * exact (the driver row's guard); past it the estimator semantics
+    * are spec-gated in FrequencySketchesSpec. Output: (day_start
+    * epoch-micros, array<struct<item,count>> best-first).
+    */
+  def dailyTopUsersSketch(spark: SparkSession, sfDir: String,
+      capacity: Int = 65536): DataFrame = {
+    val s = drainSession(spark, sfDir, "events.parquet")
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
+    val tsm =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts DIV 1000"))
+      else col("ts").cast("timestamp")
+    val windowed = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(col("user_id"), tsm.as("tsm"))
+      .withWatermark("tsm", "1 hour")
+      .groupBy(window(col("tsm"), "1 day"))
+      .agg(graft.functions.FrequencySketches
+        .heavy_hitters(col("user_id"), capacity).as("hh"))
+    val sink = "stream_hh_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    windowed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink)
+      .select(unix_micros(col("window.start")).as("day_start"), col("hh"))
+  }
+
   /** Streaming exact dedup over the documents stream — drains
     * [[StreamingDedup.firstOccurrences]] (flatMapGroupsWithState keyed
     * state) with `AvailableNow` into a memory sink: one row per distinct
