@@ -92,8 +92,8 @@ object KeySketch {
     case o => throw new IllegalArgumentException(s"not a key type: ${o.sql}")
   }
 
-  def empty(kind: Kind): ItemsSketch[AnyRef] =
-    ItemsSketch.getInstance(kind.clazz, K, kind.comparator)
+  def empty(kind: Kind, k: Int = K): ItemsSketch[AnyRef] =
+    ItemsSketch.getInstance(kind.clazz, k, kind.comparator)
       .asInstanceOf[ItemsSketch[AnyRef]]
 
   def serialize(kind: Kind, sketch: ItemsSketch[AnyRef]): Array[Byte] =

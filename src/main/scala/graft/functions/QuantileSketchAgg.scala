@@ -19,13 +19,14 @@ import org.apache.spark.sql.types.{BinaryType, DataType}
   */
 case class QuantileSketchAgg(
     child: Expression,
+    k: Int = KeySketch.K,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[ItemsSketch[AnyRef]] with UnaryLike[Expression] {
 
   @transient private lazy val kind = KeySketch.kindOf(child.dataType)
 
-  override def createAggregationBuffer(): ItemsSketch[AnyRef] = KeySketch.empty(kind)
+  override def createAggregationBuffer(): ItemsSketch[AnyRef] = KeySketch.empty(kind, k)
 
   override def update(buf: ItemsSketch[AnyRef], input: InternalRow): ItemsSketch[AnyRef] = {
     val v = child.eval(input)
@@ -58,7 +59,11 @@ case class QuantileSketchAgg(
 }
 
 object QuantileSketchAgg {
-  /** Column API: serialized quantile sketch of a key column. */
-  def sketch_agg(c: Column): Column =
-    bridge.column(QuantileSketchAgg(bridge.expression(c)).toAggregateExpression())
+  /** Column API: serialized quantile sketch of a key column. The
+    * default K is the engine's sidecar parameter; callers needing a
+    * larger exact regime (estimates provably exact while every item is
+    * retained) pass their own.
+    */
+  def sketch_agg(c: Column, k: Int = KeySketch.K): Column =
+    bridge.column(QuantileSketchAgg(bridge.expression(c), k).toAggregateExpression())
 }

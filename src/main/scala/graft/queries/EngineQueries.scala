@@ -98,6 +98,14 @@ object EngineQueries {
       val medianUdf = udf { bytes: Array[Byte] =>
         val kind = KeySketch.LongKind
         val sk = KeySketch.deserialize(kind, bytes)
+        // exact regime: every item retained, so the INCLUSIVE quantile
+        // IS quantile_disc — the x10 sweep caught the K=1024 engine
+        // default leaving this regime (median 302 vs 301); the row now
+        // pins a larger K and trips loudly instead of drifting
+        require(sk.getN == sk.getNumRetained,
+          s"a4_sketch_median oracle is only valid while the sketch retains " +
+            s"every item (n=${sk.getN}, retained=${sk.getNumRetained}); " +
+            "raise k — approximate-regime error bounds are AggregatesSpec-gated")
         sk.getQuantile(0.5,
           org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
           .asInstanceOf[java.lang.Long].longValue()
@@ -105,7 +113,7 @@ object EngineQueries {
       t(s, dir, "documents")
         .select(col("lang"), col("n_chars").cast("long").as("q"))
         .groupBy("lang")
-        .agg(QuantileSketchAgg.sketch_agg(col("q")).as("sk"))
+        .agg(QuantileSketchAgg.sketch_agg(col("q"), k = 32768).as("sk"))
         .select(col("lang"), medianUdf(col("sk")).as("median_chars"))
         .orderBy("lang")
     },
