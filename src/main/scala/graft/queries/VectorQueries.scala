@@ -613,6 +613,55 @@ object VectorQueries {
         .select(col("id") +: (0 until 8).map(j =>
           expr(s"CAST(round(features[$j] * 1000) AS BIGINT)").as(s"f$j")): _*)
         .orderBy("id")
+    },
+
+    // V11 — SQ8 scalar-quantized kNN: vectors compress 4× (one double
+    // scale + dim int8 codes) and serving scores EXACT integer dot
+    // products in a compiled byte-loop — faiss's SQ8 shape, the
+    // memory-bound middle ground between full floats (v1) and PQ codes
+    // (v6). Because the quantizer is the closed form
+    // floor(x·127/max|x| + 0.5) and the code dot is integer (order-
+    // independent — no float-summation divergence), the DuckDB oracle
+    // replays the ENTIRE pipeline bit-exactly: quantization, the
+    // integer dot, and the rescaled score — a stronger check than the
+    // rounded-cosine rows. Ties break toward the smaller id on both
+    // engines.
+    "v11_knn_sq8" -> withOracle(
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), m AS (
+        |  SELECT vec_id, ev,
+        |         list_max(list_transform(ev, x -> abs(x))) AS mx
+        |  FROM v
+        |), c AS (
+        |  SELECT vec_id,
+        |         CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS s,
+        |         list_transform(ev, x ->
+        |           CAST(floor(x * (CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END) + 0.5) AS BIGINT)) AS cv
+        |  FROM m
+        |), q AS (
+        |  SELECT s AS qs, cv AS qcv FROM c WHERE vec_id = 0
+        |), scored AS (
+        |  SELECT d.vec_id,
+        |         CAST(list_sum(list_transform(range(1, len(d.cv) + 1),
+        |           i -> d.cv[i] * q.qcv[i])) AS BIGINT) AS dotq,
+        |         d.s, q.qs
+        |  FROM c d, q WHERE d.vec_id <> 0
+        |)
+        |SELECT vec_id, dotq,
+        |       ROUND(CASE WHEN s > 0 AND qs > 0
+        |                  THEN CAST(dotq AS DOUBLE) / (s * qs) ELSE 0.0 END, 6) AS score_r
+        |FROM scored
+        |ORDER BY CASE WHEN s > 0 AND qs > 0
+        |              THEN CAST(dotq AS DOUBLE) / (s * qs) ELSE 0.0 END DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      VectorFunctions.knnSq8(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding", k = 10)
+        .select(col("id").as("vec_id"), col("dotq"),
+          round(col("score"), 6).as("score_r"))
     }
   )
 }

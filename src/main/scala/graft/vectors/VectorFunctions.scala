@@ -54,6 +54,35 @@ object VectorFunctions {
       .limit(k)
   }
 
+  /** SQ8 (scalar int8) quantized kNN: each vector compresses to one
+    * double scale + dim bytes (4× smaller than float32), and serving
+    * scores EXACT integer dot products between code vectors in a
+    * compiled byte-loop ([[graft.functions.Sq8Dot]]) — the faiss-SQ8
+    * serving shape: at 100 TB the codes table is a quarter of the
+    * float scan, the quantization is one map pass, and the int
+    * accumulation is order-independent (so results are replayable,
+    * unlike float-sum scores). Approximate inner product =
+    * int_dot / (scale_v × scale_q); ties break toward the smaller id.
+    */
+  def knnSq8(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int): DataFrame = {
+    requireSingleQuery(query, "knnSq8")
+    import graft.functions.Sq8Expressions._
+    val v = vectors.select(col(idCol).as("id"),
+      sq8_encode(col(vecCol)).as("cv"), sq8_scale(col(vecCol)).as("s"))
+    val q = query.select(sq8_encode(col(queryVecCol)).as("cq"),
+      sq8_scale(col(queryVecCol)).as("qs"))
+    v.crossJoin(broadcast(q))
+      .select(col("id"), sq8_dot(col("cv"), col("cq")).as("dotq"),
+        col("s"), col("qs"))
+      .select(col("id"), col("dotq"),
+        when(col("s") > 0 && col("qs") > 0,
+          col("dotq").cast("double") / (col("s") * col("qs")))
+          .otherwise(lit(0.0)).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** BATCHED brute-force kNN: top-k for EVERY query vector in one
     * corpus pass — the serving shape when queries arrive in batches
     * (rerank sets, offline eval panels, embedding joins). The query
