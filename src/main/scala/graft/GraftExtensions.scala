@@ -118,6 +118,19 @@ object GraftExtensions {
       "heavy_hitters(k, cap) - aggregate: Misra-Gries heavy hitters as (item, count) structs") {
       args => HeavyHittersAgg(args(0),
         if (args.length > 1) intArg(args(1), "cap") else 4096).toAggregateExpression()
+    },
+    fn("cms_sketch",
+      "cms_sketch(k) - aggregate: serialized Count-Min sketch (exact below capacity)") {
+      args => CmsSketchAgg(args(0), 4, 65536, 65536).toAggregateExpression()
+    },
+    fn("sq8_encode", "sq8_encode(vec) - int8 scalar-quantized code vector (binary)") {
+      args => Sq8Encode(args(0))
+    },
+    fn("sq8_scale", "sq8_scale(vec) - per-vector SQ8 dequantization scale") {
+      args => Sq8Scale(args(0))
+    },
+    fn("sq8_dot", "sq8_dot(a, b) - exact integer dot product of two SQ8 code vectors") {
+      args => Sq8Dot(args(0), args(1))
     })
 
   /** Register into an already-built session. */

@@ -61,6 +61,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(ng == Seq("a b", "b a", "a b"))
   }
 
+  test("cms_sketch and sq8 functions are callable from SQL") {
+    val cms = spark.sql(
+      "SELECT cms_sketch(id % 10) AS s FROM range(1000)").as[Array[Byte]].head()
+    assert(graft.functions.CountMinSketch.cmsIsExact(cms))
+    assert(graft.functions.CountMinSketch.cmsEstimateLong(cms, 3L) == 100L)
+    val dot = spark.sql(
+      """SELECT sq8_dot(sq8_encode(array(1.0D, -1.0D)), sq8_encode(array(1.0D, 1.0D))) AS d,
+        |       sq8_scale(array(2.0D, 0.0D)) AS s""".stripMargin)
+      .as[(Long, Double)].head()
+    assert(dot._1 == 0L, s"(127,-127)·(127,127) must cancel, got ${dot._1}")
+    assert(dot._2 == 63.5)
+  }
+
   test("hyperplane_lsh and minhash/band functions work with literal params") {
     val sig = spark.sql(
       "SELECT hyperplane_lsh(array(1.0F, -1.0F), 8, 3) AS s").as[Long].head()
