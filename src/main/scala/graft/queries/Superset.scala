@@ -442,6 +442,35 @@ object Superset {
         .orderBy(col("day_start"), col("cnt").desc, col("user_id"))
     },
 
+    // T41 — streaming windowed QUANTILES via the mergeable quantile
+    // sketch: per-day median event value from O(k) state per window —
+    // closing the streaming sketch trio (t30 KMV distinct, t40 MG
+    // heavy hitters, t41 quantiles). Values ride as exact
+    // DECIMAL(18,2) cents; the sketch is exact while every item is
+    // retained (guarded, the a4 pattern), so the oracle is plain
+    // quantile_disc.
+    "t41_stream_quantile" -> withOracle(
+      """SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_start,
+        |       CAST(quantile_disc(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5) AS BIGINT)
+        |         AS median_cents
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day_start""".stripMargin) { (s, dir) =>
+      val medianUdf = udf { bytes: Array[Byte] =>
+        val sk = graft.functions.KeySketch.deserialize(
+          graft.functions.KeySketch.LongKind, bytes)
+        require(sk.getN == sk.getNumRetained,
+          "t41_stream_quantile oracle is only valid while the sketch retains " +
+            "every item; raise k at bigger sfs")
+        sk.getQuantile(0.5,
+          org.apache.datasketches.quantilescommon.QuantileSearchCriteria.INCLUSIVE)
+          .asInstanceOf[java.lang.Long].longValue()
+      }
+      graft.streaming.StreamAnalytics.dailyValueSketch(s, dir)
+        .select(col("day_start"), medianUdf(col("sk")).as("median_cents"))
+        .orderBy("day_start")
+    },
+
     // T38 — STREAMING session windows: w4's sessionization as a
     // continuous query — the data-dependent MERGING window (sessions
     // extend/merge as events arrive; the watermark finalizes them).

@@ -204,6 +204,43 @@ object StreamAnalytics {
       .select(unix_micros(col("window.start")).as("day_start"), col("hh"))
   }
 
+  /** Per-day value-distribution sketch over the event stream — the
+    * mergeable quantile sketch as Structured-Streaming state, closing
+    * the streaming sketch trio (KMV distinct, Misra-Gries heavy
+    * hitters, quantiles): any percentile of a day's value stream from
+    * O(k) state per window, exact while every item is retained (the
+    * driver row's guard). Values ride as exact DECIMAL(18,2) cents so
+    * float summation/compare conventions never split the engines.
+    * Output: (day_start epoch-micros, sketch bytes).
+    */
+  def dailyValueSketch(spark: SparkSession, sfDir: String,
+      k: Int = 32768): DataFrame = {
+    val s = drainSession(spark, sfDir, "events.parquet")
+    val schema = s.read.parquet(s"$sfDir/events.parquet").schema
+    val tsm =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts DIV 1000"))
+      else col("ts").cast("timestamp")
+    val windowed = s.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .select(tsm.as("tsm"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withWatermark("tsm", "1 hour")
+      .groupBy(window(col("tsm"), "1 day"))
+      .agg(graft.functions.QuantileSketchAgg.sketch_agg(col("cents"), k).as("sk"))
+    val sink = "stream_quant_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    windowed.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink)
+      .select(unix_micros(col("window.start")).as("day_start"), col("sk"))
+  }
+
   /** Streaming exact dedup over the documents stream — drains
     * [[StreamingDedup.firstOccurrences]] (flatMapGroupsWithState keyed
     * state) with `AvailableNow` into a memory sink: one row per distinct
