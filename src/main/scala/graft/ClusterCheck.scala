@@ -31,7 +31,13 @@ object ClusterCheck {
     */
   val HeadlineQueries: Seq[String] = Seq(
     "m2_lifecycle", "s2_dsv2_pushdown", "o1_sorted_merge",
-    "d3_minhash_lsh", "t7_stream_window")
+    "d3_minhash_lsh", "t7_stream_window",
+    // round 11: sidecar-stats file skipping plans on the DRIVER but its
+    // surviving-file RunSpecs must reach executors; SQ8 runs codegen'd
+    // byte-loop expressions inside executor JVMs (the classloader
+    // surface that bit the vectorized bridge); CMS TypedImperative
+    // partials serialize executor->driver.
+    "p7_stats_skipping", "v11_knn_sq8", "a11_countmin")
 
   /** Canonical content hash: columns sorted by name, every cell cast to
     * string (nulls as NUL), cells joined with SOH, row strings sorted —

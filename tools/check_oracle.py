@@ -11,6 +11,9 @@ sf, out = sys.argv[1], sys.argv[2]
 oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
 
 con = duckdb.connect()
+# Cap DuckDB so heavy oracles (the x10 near-dup self-joins) spill to
+# .tmp instead of getting OOM-killed alongside a Spark JVM.
+con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '40GB')}'")
 for t in ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split():
     p = os.path.join(sf, f"{t}.parquet")
