@@ -37,8 +37,23 @@ object MakeScaledSf {
 
   def run(spark: SparkSession, src: String, dest: String, factor: Int): Unit = {
     def t(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
-    def write(df: DataFrame, name: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dest/$name.parquet")
+    // Write each table as a single FILE named <table>.parquet, exactly
+    // like the driver's testdata layout — the streaming drains read
+    // `readStream.parquet(sfDir)` with a filename glob, so a
+    // directory-shaped table silently streams ZERO rows (caught by the
+    // x10 sweep: every streaming row returned empty).
+    def write(df: DataFrame, name: String): Unit = {
+      val tmp = s"$dest/.tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val part = fs.globStatus(new org.apache.hadoop.fs.Path(s"$tmp/part-*.parquet"))
+        .head.getPath
+      val target = new org.apache.hadoop.fs.Path(s"$dest/$name.parquet")
+      fs.delete(target, true)
+      require(fs.rename(part, target), s"rename $part -> $target failed")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
     def scaled(df: DataFrame, shifts: Map[String, Long]): DataFrame =
       (0 until factor).map { i =>
         shifts.foldLeft(df) { case (d, (c, s)) => d.withColumn(c, col(c) + lit(i * s)) }
