@@ -137,7 +137,18 @@ final case class Region(ranges: Seq[KeyRange]) {
 
 object Region {
   def apply(first: KeyRange, rest: KeyRange*): Region = Region(first +: rest)
-  /** OR of several regions as one Catalyst predicate. */
-  def anyOf(regions: Seq[Region]): Column =
-    regions.map(_.toColumn).reduceOption(_ || _).getOrElse(lit(true))
+  /** OR of several regions as one Catalyst predicate — combined as a
+    * BALANCED tree: a linear fold gives expression depth N, and a
+    * many-key point-lookup query (thousands of regions, e.g. the LSH
+    * index serve path) then blows the analyzer stack; a balanced tree
+    * is depth log N.
+    */
+  def anyOf(regions: Seq[Region]): Column = {
+    var level: Vector[Column] = regions.map(_.toColumn).toVector
+    if (level.isEmpty) return lit(true)
+    while (level.length > 1)
+      level = level.grouped(2).map(g =>
+        if (g.length == 2) g(0) || g(1) else g(0)).toVector
+    level.head
+  }
 }

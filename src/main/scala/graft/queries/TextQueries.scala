@@ -23,6 +23,10 @@ object TextQueries {
   private val searchIndexDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // one persisted LSH near-dup index per sf dir (d9)
+  private val lshIndexDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   // Shared DuckDB fragment: distinct word-bigram shingles per doc.
   private val duckShingles =
     """WITH toks AS (
@@ -1246,6 +1250,62 @@ object TextQueries {
         .select(col("lang"), (col("r0") + 1).cast("long").as("rank"),
           col("t.id").as("doc_id"), col("t.score").cast("long").as("n_chars"))
         .orderBy("lang", "rank")
+    },
+
+    // D9 — PERSISTED incremental near-dup index, engine-served: band
+    // buckets and corpus texts live as graft tables (built on the even
+    // doc ids, APPENDED with the odd ones — the continuous-crawl path),
+    // and a new batch's near-dups are found via POINT LOOKUPS into the
+    // matching buckets plus exact-Jaccard verification against only the
+    // fetched candidates — never a corpus scan or corpus-wide join: the
+    // "dedup today's crawl against the 100-TB corpus" serving shape
+    // (SearchIndex's playbook applied to near-duplication). Oracle: the
+    // exact batch-vs-corpus Jaccard pairs (the d3 precedent — at 64
+    // bands recall at j>=0.5 is 1-1e-8, and index serving reads
+    // matching buckets in full, so no cap can cost recall).
+    "d9_lsh_index" -> withOracle(
+      """WITH bw AS (
+        |  SELECT doc_id + 900000000 AS qid,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 50 AND text IS NOT NULL
+        |), bsh AS (
+        |  SELECT DISTINCT qid,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
+        |  FROM bw WHERE len(ws) >= 2
+        |), cw AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE text IS NOT NULL
+        |), csh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS s
+        |  FROM cw WHERE len(ws) >= 2
+        |), bn AS (SELECT qid, COUNT(*) AS n FROM bsh GROUP BY 1),
+        |cn AS (SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY 1),
+        |inter AS (
+        |  SELECT qid, doc_id, COUNT(*) AS i
+        |  FROM bsh JOIN csh USING (s) GROUP BY 1, 2
+        |)
+        |SELECT qid, doc_id,
+        |       ROUND(i * 1.0 / (bn.n + cn.n - i), 6) AS jaccard
+        |FROM inter JOIN bn USING (qid) JOIN cn USING (doc_id)
+        |WHERE i * 1.0 / (bn.n + cn.n - i) >= 0.5
+        |ORDER BY qid, doc_id""".stripMargin) { (s, dir) =>
+      val base = lshIndexDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-lshindex").toString
+        val docs = t(s, dir, "documents").filter(col("text").isNotNull)
+        graft.dedup.LshIndex.build(s, docs.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", s"$b/index")
+        graft.dedup.LshIndex.append(s, s"$b/index",
+          docs.filter(col("doc_id") % 2 === 1), "doc_id", "text")
+        b
+      })
+      val batch = t(s, dir, "documents")
+        .filter(col("doc_id") < 50 && col("text").isNotNull)
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+      graft.dedup.LshIndex.findNearDups(s, s"$base/index", batch,
+          "doc_id", "text", threshold = 0.5)
+        .select(col("qid"), col("doc_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("qid", "doc_id")
     },
 
     // T39 — stratified sampling with EXACT per-stratum caps: k docs per

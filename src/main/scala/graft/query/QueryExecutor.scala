@@ -1,6 +1,6 @@
 package graft.query
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.core.Region
 import graft.dsl.ConfigDsl
@@ -66,6 +66,58 @@ final class QueryExecutor(table: GraftTable) {
   private def spark = table.spark
   private def schema = table.schema
 
+  /** A canonical range that is a single point: [v, succ(v)). */
+  private def pointValue(r: graft.core.KeyRange): Option[Any] = (r.min, r.max) match {
+    case (Some(a: Int), Some(b: Int))
+      if r.minInclusive && !r.maxInclusive && b == a + 1 => Some(a)
+    case (Some(a: Long), Some(b: Long))
+      if r.minInclusive && !r.maxInclusive && b == a + 1 => Some(a)
+    case (Some(a: String), Some(b: String))
+      if r.minInclusive && !r.maxInclusive && b == a + "\u0000" => Some(a)
+    case _ => None
+  }
+
+  /** OR-of-regions as a row predicate. Many-point fast path: a batch of
+    * thousands of exact key lookups (the LSH-index / serving-tier
+    * shape) as an OR chain costs O(regions) per ROW and a giant codegen
+    * tree per QUERY; instead, encode the key tuple once per row and
+    * test membership in an InSet (O(1) hash probe), ANDed with the
+    * per-field bounding box so parquet row-group pruning still gets
+    * pushable range bounds. Exactness: the encoded form separates
+    * fields with U+0001 and int/long/string `cast("string")` equals
+    * the driver-side encoding, so membership is exact key equality.
+    */
+  private def regionPredicate(regions: Seq[Region]): Column = {
+    val points: Option[Seq[Seq[Any]]] =
+      if (regions.length < 33 || regions.isEmpty) None
+      else {
+        val fieldSeq = regions.head.ranges.map(_.field)
+        val vals = regions.map { reg =>
+          if (reg.ranges.map(_.field) != fieldSeq) None
+          else {
+            val pv = reg.ranges.map(pointValue)
+            if (pv.forall(_.isDefined)) Some(pv.map(_.get)) else None
+          }
+        }
+        if (vals.forall(_.isDefined)) Some(vals.map(_.get)) else None
+      }
+    points match {
+      case None => Region.anyOf(regions)
+      case Some(keys) =>
+        val fields = regions.head.ranges.map(_.field)
+        val enc = concat_ws("\u0001", fields.map(f => col(f).cast("string")): _*)
+        val keyStrs = keys.map(_.map(String.valueOf).mkString("\u0001"))
+        val memb = enc.isInCollection(keyStrs)
+        val bounds = fields.zipWithIndex.map { case (f, i) =>
+          val vs = keys.map(_(i))
+          val mn = vs.reduce((a, b) => if (graft.core.KeyOrdering.compare(a, b) <= 0) a else b)
+          val mx = vs.reduce((a, b) => if (graft.core.KeyOrdering.compare(a, b) >= 0) a else b)
+          col(f) >= lit(mn) && col(f) <= lit(mx)
+        }
+        bounds.reduce(_ && _) && memb
+    }
+  }
+
   def execute(q: GraftQuery): DataFrame = {
     val tree = table.store.partitionTree
     val regions =
@@ -87,7 +139,7 @@ final class QueryExecutor(table: GraftTable) {
         val files = leaves.flatMap(l => refsByPartition.getOrElse(l.id, Nil))
           .map(table.pathOf).distinct
         if (files.isEmpty) Nil
-        else Seq(spark.read.parquet(files: _*).filter(Region.anyOf(regions)))
+        else Seq(spark.read.parquet(files: _*).filter(regionPredicate(regions)))
       } else {
         // Refs still sit on ancestors (pre-split): ONE scan of every
         // selected file, clipped to rows whose leaf (computed by the
@@ -102,7 +154,7 @@ final class QueryExecutor(table: GraftTable) {
         }.map(table.pathOf).distinct
         if (files.isEmpty) Nil
         else Seq(spark.read.parquet(files: _*)
-          .filter(tree.leafIdColumn.isin(leaves.map(_.id): _*) && Region.anyOf(regions)))
+          .filter(tree.leafIdColumn.isin(leaves.map(_.id): _*) && regionPredicate(regions)))
       }
     }
 
