@@ -430,13 +430,18 @@ final class Compaction(table: GraftTable,
     if (paths.isEmpty) return
     val keyNames = schema.rowKeyNames
     val sumFields = Ingest.integralFieldNames(schema)
+    val strFields = Ingest.stringFieldNames(schema)
     val aggs =
       (keyNames.map(k => sketch_agg(col(k)).as(k)) ++
         sumFields.flatMap(v => Seq(
           expr(s"try_sum(`$v`)").cast("long").as(s"__s_$v"),
           count(col(v)).as(s"__c_$v"),
           min(col(v)).cast("long").as(s"__mn_$v"),
-          max(col(v)).cast("long").as(s"__mx_$v")))).toList
+          max(col(v)).cast("long").as(s"__mx_$v"))) ++
+        strFields.flatMap(v => Seq(
+          count(col(v)).as(s"__tc_$v"),
+          min(col(v)).as(s"__tmn_$v"),
+          max(col(v)).as(s"__tmx_$v")))).toList
     val rows = spark.read.parquet(paths: _*)
       .select((col("*") +: Seq(input_file_name().as("__file"))): _*)
       .groupBy("__file")
@@ -456,7 +461,15 @@ final class Compaction(table: GraftTable,
             if (cnt == 0) 0L else r.getLong(r.fieldIndex(s"__mn_$v")),
             if (cnt == 0) 0L else r.getLong(r.fieldIndex(s"__mx_$v")))))
       }
-      SketchSidecar.write(file, keyNames.map(k => k -> r.getAs[Array[Byte]](k)) ++ sums)
+      val strs = strFields.map { v =>
+        val cnt = r.getLong(r.fieldIndex(s"__tc_$v"))
+        SketchSidecar.strEntryName(v) ->
+          SketchSidecar.encodeStr(SketchSidecar.StringStats(cnt,
+            if (cnt == 0) "" else r.getString(r.fieldIndex(s"__tmn_$v")),
+            if (cnt == 0) "" else r.getString(r.fieldIndex(s"__tmx_$v"))))
+      }
+      SketchSidecar.write(file,
+        keyNames.map(k => k -> r.getAs[Array[Byte]](k)) ++ sums ++ strs)
     }
   }
 

@@ -69,6 +69,38 @@ object SketchSidecar {
     ColumnStats(b.getLong(), b.getLong(), b.getLong(), b.getLong())
   }
 
+  /** Per-file STRING-column stats entry: non-null count + exact min/max
+    * strings (UTF-8, length-prefixed) — the data-skipping metadata for
+    * categorical predicates (`lang = 'en'`). Same prefix/compatibility
+    * rules as [[sumEntryName]]; min/max comparisons happen in UTF-8
+    * binary order ([[graft.core.KeyOrdering.compareUtf8]]), the order
+    * Spark's UTF8String comparisons use, so skip decisions agree with
+    * executor row comparisons.
+    */
+  def strEntryName(field: String): String = "__strstats:" + field
+
+  final case class StringStats(nonNullCount: Long, min: String, max: String)
+
+  def encodeStr(stats: StringStats): Array[Byte] = {
+    val mn = Option(stats.min).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val mx = Option(stats.max).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = java.nio.ByteBuffer.allocate(8 + 4 + mn.length + 4 + mx.length)
+    b.putLong(stats.nonNullCount)
+    b.putInt(mn.length); b.put(mn)
+    b.putInt(mx.length); b.put(mx)
+    b.array()
+  }
+
+  def decodeStr(bytes: Array[Byte]): StringStats = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+    val cnt = b.getLong()
+    val mn = new Array[Byte](b.getInt()); b.get(mn)
+    val mx = new Array[Byte](b.getInt()); b.get(mx)
+    StringStats(cnt,
+      new String(mn, java.nio.charset.StandardCharsets.UTF_8),
+      new String(mx, java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** Merged sketch for one row-key field across data files (A5). */
   def mergedSketch(schema: GraftSchema, field: String, dataFiles: Seq[String])
       : Option[org.apache.datasketches.quantiles.ItemsSketch[AnyRef]] = {

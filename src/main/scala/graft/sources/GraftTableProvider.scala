@@ -118,20 +118,26 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
   * ANY integral column — the Iceberg/Delta min-max manifest move, paid
   * as O(candidate files) driver-side sidecar reads, never data IO.
   */
-final case class StatsPred(field: String, op: String, values: Seq[Long]) {
+final case class StatsPred(field: String, op: String, values: Seq[Any],
+    isString: Boolean) {
+  private def cmp(a: Any, b: Any): Int =
+    if (isString) KeyOrdering.compareUtf8(a.asInstanceOf[String], b.asInstanceOf[String])
+    else java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
   /** Could any row of a file with these stats satisfy the predicate?
     * `cnt == 0` (all null) fails every comparison — SQL comparisons
-    * with NULL are never true.
+    * with NULL are never true. String comparisons use UTF-8 binary
+    * order, the order of both Spark's UTF8String and the stats writer.
     */
-  def maySatisfy(cnt: Long, min: Long, max: Long): Boolean =
+  def maySatisfy(cnt: Long, min: Any, max: Any): Boolean =
     if (cnt == 0) false
     else op match {
-      case ">"  => max > values.head
-      case ">=" => max >= values.head
-      case "<"  => min < values.head
-      case "<=" => min <= values.head
-      case "="  => min <= values.head && values.head <= max
-      case "in" => values.exists(v => min <= v && v <= max)
+      case ">"  => cmp(max, values.head) > 0
+      case ">=" => cmp(max, values.head) >= 0
+      case "<"  => cmp(min, values.head) < 0
+      case "<=" => cmp(min, values.head) <= 0
+      case "="  => cmp(min, values.head) <= 0 && cmp(values.head, max) <= 0
+      case "in" => values.exists(v => cmp(min, v) <= 0 && cmp(v, max) <= 0)
     }
 }
 
@@ -144,22 +150,33 @@ object StatsPred {
     case _ => None
   }
 
-  /** Extract skippable conjuncts: simple comparisons of an integral
-    * schema field against an integral literal. Everything else is
+  /** Extract skippable conjuncts: simple comparisons of an integral or
+    * string schema field against a matching literal. Everything else is
     * ignored (it stays a residual filter — skipping is a pure IO
     * optimization, never a correctness dependency).
     */
   def fromFilters(schema: GraftSchema, filters: Array[Filter]): Seq[StatsPred] = {
     val integral = graft.jobs.Ingest.integralFieldNames(schema).toSet
+    val string = graft.jobs.Ingest.stringFieldNames(schema).toSet
+    def mk(a: String, op: String, v: Any): Option[StatsPred] = v match {
+      case s: String if string(a) => Some(StatsPred(a, op, Seq(s), isString = true))
+      case other if integral(a) => long(other).map(l => StatsPred(a, op, Seq(l), isString = false))
+      case _ => None
+    }
     filters.toSeq.flatMap {
-      case sources.GreaterThan(a, v) if integral(a) => long(v).map(l => StatsPred(a, ">", Seq(l)))
-      case sources.GreaterThanOrEqual(a, v) if integral(a) => long(v).map(l => StatsPred(a, ">=", Seq(l)))
-      case sources.LessThan(a, v) if integral(a) => long(v).map(l => StatsPred(a, "<", Seq(l)))
-      case sources.LessThanOrEqual(a, v) if integral(a) => long(v).map(l => StatsPred(a, "<=", Seq(l)))
-      case sources.EqualTo(a, v) if integral(a) => long(v).map(l => StatsPred(a, "=", Seq(l)))
-      case sources.In(a, vs) if integral(a) && vs.nonEmpty =>
-        val ls = vs.toSeq.map(long)
-        if (ls.forall(_.isDefined)) Some(StatsPred(a, "in", ls.map(_.get))) else None
+      case sources.GreaterThan(a, v) => mk(a, ">", v)
+      case sources.GreaterThanOrEqual(a, v) => mk(a, ">=", v)
+      case sources.LessThan(a, v) => mk(a, "<", v)
+      case sources.LessThanOrEqual(a, v) => mk(a, "<=", v)
+      case sources.EqualTo(a, v) => mk(a, "=", v)
+      case sources.In(a, vs) if vs.nonEmpty =>
+        if (string(a) && vs.forall(_.isInstanceOf[String]))
+          Some(StatsPred(a, "in", vs.toSeq, isString = true))
+        else if (integral(a)) {
+          val ls = vs.toSeq.map(long)
+          if (ls.forall(_.isDefined)) Some(StatsPred(a, "in", ls.map(_.get), isString = false))
+          else None
+        } else None
       case _ => None
     }
   }
@@ -582,8 +599,14 @@ final class GraftScan(dir: String, store: JsonStateStore,
         val keep = entries match {
           case None => true
           case Some(m) => statsPreds.forall { p =>
-            m.get(graft.meta.SketchSidecar.sumEntryName(p.field)) match {
+            val entry =
+              if (p.isString) graft.meta.SketchSidecar.strEntryName(p.field)
+              else graft.meta.SketchSidecar.sumEntryName(p.field)
+            m.get(entry) match {
               case None => true
+              case Some(bytes) if p.isString =>
+                val s = graft.meta.SketchSidecar.decodeStr(bytes)
+                p.maySatisfy(s.nonNullCount, s.min, s.max)
               case Some(bytes) =>
                 val s = graft.meta.SketchSidecar.decodeSum(bytes)
                 p.maySatisfy(s.nonNullCount, s.min, s.max)

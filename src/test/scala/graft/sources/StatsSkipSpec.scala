@@ -69,12 +69,22 @@ class StatsSkipSpec extends AnyFunSuite {
     assert(skipped(none) == 3)
   }
 
-  test("non-integral and unpushable predicates skip nothing and stay correct") {
+  test("string equality skips on the min/max string stats; unpushable predicates don't engage") {
     val (dir, _) = seeded()
+    // files hold s-prefixes a*/b*/c* — disjoint UTF-8 ranges
     val df = spark.read.format("graft").load(dir).filter($"s" === "b1")
     assert(df.select("id").as[Long].collect().toSeq == Seq(1L))
-    assert(!scanDesc(df).contains("statsSkippedFiles"),
-      "string predicate must not engage stats skipping")
+    assert(skipped(df) == 2, "a* and c* files exclude 'b1'")
+
+    val rng = spark.read.format("graft").load(dir).filter($"s" >= "c")
+    assert(rng.select("id").as[Long].collect().toSet == (2L until 30L by 3L).toSet)
+    assert(skipped(rng) == 2)
+
+    // StartsWith is not a supported comparison — no skipping engages
+    val sw = spark.read.format("graft").load(dir).filter($"s".startsWith("b"))
+    assert(sw.select("id").as[Long].collect().toSet == (1L until 30L by 3L).toSet)
+    assert(!scanDesc(sw).contains("statsSkippedFiles"),
+      "unsupported predicate shape must not engage stats skipping")
   }
 
   test("skipping composes with key-region pruning") {
