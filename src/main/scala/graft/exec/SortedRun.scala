@@ -601,6 +601,14 @@ final class SketchingMergeRDD(
     val sumMin = Array.fill(sumNames.length)(Long.MaxValue)
     val sumMax = Array.fill(sumNames.length)(Long.MinValue)
     val sumOk = Array.fill(sumNames.length)(true)
+    // per-file string min/max in the same pass (string data-skipping
+    // metadata); UTF8String binary order, clones only on new extremes
+    val strNames = graft.jobs.Ingest.stringFieldNames(schema)
+      .filter(spec.output.contains).toArray
+    val strIdx = strNames.map(spec.output.indexOf)
+    val strCnt = new Array[Long](strNames.length)
+    val strMin = new Array[org.apache.spark.unsafe.types.UTF8String](strNames.length)
+    val strMax = new Array[org.apache.spark.unsafe.types.UTF8String](strNames.length)
     val (inner, close) = SortedRun.open(spec, confW.value)
     context.addTaskCompletionListener[Unit](_ => close())
     var written = false
@@ -631,6 +639,23 @@ final class SketchingMergeRDD(
             out.writeLong(sumVal(i))
             out.writeLong(if (sumCnt(i) == 0) 0L else sumMin(i))
             out.writeLong(if (sumCnt(i) == 0) 0L else sumMax(i))
+            i += 1
+          }
+        } finally out.close()
+      }
+      if (strNames.nonEmpty) {
+        val out = new java.io.DataOutputStream(
+          fs.create(new Path(dir, s"${part.index}-strs.bin"), true))
+        try {
+          out.writeInt(strNames.length)
+          var i = 0
+          while (i < strNames.length) {
+            out.writeUTF(strNames(i))
+            out.writeLong(strCnt(i))
+            val mn = if (strCnt(i) == 0) Array.emptyByteArray else strMin(i).getBytes
+            val mx = if (strCnt(i) == 0) Array.emptyByteArray else strMax(i).getBytes
+            out.writeInt(mn.length); out.write(mn)
+            out.writeInt(mx.length); out.write(mx)
             i += 1
           }
         } finally out.close()
@@ -667,6 +692,16 @@ final class SketchingMergeRDD(
             }
           }
           s += 1
+        }
+        var t = 0
+        while (t < strIdx.length) {
+          if (!row.isNullAt(strIdx(t))) {
+            val u = row.getUTF8String(strIdx(t))
+            strCnt(t) += 1
+            if (strMin(t) == null || u.compareTo(strMin(t)) < 0) strMin(t) = u.clone()
+            if (strMax(t) == null || u.compareTo(strMax(t)) > 0) strMax(t) = u.clone()
+          }
+          t += 1
         }
         row
       }

@@ -372,7 +372,26 @@ final class Compaction(table: GraftTable,
             else Nil
           }
         }
-      SketchSidecar.write(path, sketches ++ sums)
+      // string min/max side-channel (string data-skipping metadata)
+      val strsPath = s"$sketchDir/$idx-strs.bin"
+      val strs =
+        if (!GraftFS.exists(strsPath)) Nil
+        else {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(GraftFS.readBytes(strsPath)))
+          val n = in.readInt()
+          (0 until n).map { _ =>
+            val name = in.readUTF()
+            val cnt = in.readLong()
+            val mn = new Array[Byte](in.readInt()); in.readFully(mn)
+            val mx = new Array[Byte](in.readInt()); in.readFully(mx)
+            SketchSidecar.strEntryName(name) ->
+              SketchSidecar.encodeStr(SketchSidecar.StringStats(cnt,
+                new String(mn, java.nio.charset.StandardCharsets.UTF_8),
+                new String(mx, java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        }
+      SketchSidecar.write(path, sketches ++ sums ++ strs)
     }
     GraftFS.deleteRecursive(sketchDir)
   }

@@ -110,6 +110,19 @@ class StatsSkipSpec extends AnyFunSuite {
     assert(d.contains("statsSkippedFiles=0"), s"aggregated table must not skip: $d")
   }
 
+  test("string stats survive the streaming-merge compaction path") {
+    val dir = tmp()
+    // leaves split on id; s correlates with id, so each compacted leaf
+    // file carries a tight s range written by the merge-task pass
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq(10L, 20L))
+    table.ingest((0L until 30L).map(i =>
+      (i, i, (if (i < 10) "a" else if (i < 20) "b" else "c") + i)).toDF("id", "v", "s"))
+    table.compactAll()
+    val df = spark.read.format("graft").load(dir).filter($"s" >= "c")
+    assert(df.select("id").as[Long].collect().toSet == (20L until 30L).toSet)
+    assert(skipped(df) == 2, "the a* and b* compacted leaf files must skip")
+  }
+
   test("missing sidecar entries keep the file (conservative)") {
     val (dir, table) = seeded()
     // wipe one file's sidecar: its stats are unknown, so it must be read
