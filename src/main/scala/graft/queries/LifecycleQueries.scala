@@ -88,6 +88,8 @@ object LifecycleQueries {
 
   private val statsSkipDirs = new ConcurrentHashMap[String, String]()
 
+  private val strSkipDirs = new ConcurrentHashMap[String, String]()
+
   private val streamingDirs = new ConcurrentHashMap[String, String]()
 
   /** T1 fixture: drop two halves of lineitem into an inbox as separate
@@ -664,6 +666,47 @@ object LifecycleQueries {
         .map(_.group(1).toInt).getOrElse(-1)
       require(skippedFiles >= 2,
         s"stats skipping stopped pruning files: $desc")
+      df
+    },
+
+    // P8 — the CATEGORICAL data-skipping shape: documents keyed by
+    // doc_id ingest in per-language batches (the per-source/per-shard
+    // upstream layout), so each file's sidecar carries a tight string
+    // min/max for lang; a pushed `lang = 'de'` then drops every other
+    // language's files before any data IO — `WHERE lang = 'en'` over a
+    // partition-less 100-TB corpus is THE predicate this pays for.
+    // Asserts file pruning like p6/p7; oracle = the plain filter.
+    "p8_string_skip" -> withOracle(
+      """SELECT doc_id, lang, n_chars
+        |FROM documents WHERE lang = 'de'
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = strSkipDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-strskip").toString
+        val rows = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+        val schema = GraftSchema(
+          rowKeys = Seq(GraftField("doc_id", LongType)),
+          sortKeys = Nil,
+          values = Seq(
+            GraftField("lang", org.apache.spark.sql.types.StringType),
+            GraftField("n_chars", LongType)))
+        val table = GraftTable.create(s, s"$b/table", schema)
+        Seq("de", "en", "es", "fr", "zh").foreach(l =>
+          table.ingest(rows.filter(col("lang") === l)))
+        b
+      })
+      val df = s.read.format("graft").load(s"$base/table")
+        .filter(col("lang") === "de")
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+      val desc = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+      val skippedFiles = "statsSkippedFiles=(\\d+)".r.findFirstMatchIn(desc)
+        .map(_.group(1).toInt).getOrElse(-1)
+      require(skippedFiles >= 3,
+        s"string stats skipping stopped pruning files: $desc")
       df
     },
 
