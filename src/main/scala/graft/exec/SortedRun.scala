@@ -48,7 +48,14 @@ final case class RunSpec(
       * stops after this many output rows — valid for TopN because the
       * merged stream is already in key order, so its top-n IS its first
       * n rows; Spark still applies the global limit above the scan */
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    /** DESC TopN: keep the LAST `limit` rows of the merged stream
+      * instead of the first — DESC NULLS LAST key order is exactly the
+      * reverse of the storage order (ASC NULLS FIRST), so a partition's
+      * DESC top-n IS its last n rows; they emit in storage order and
+      * Spark's global sort above finishes the job. O(limit) ring-buffer
+      * state, rows copied on buffering (readers reuse row objects). */
+    limitLast: Boolean = false)
 
 object SortedRun {
 
@@ -161,7 +168,21 @@ object SortedRun {
         }
         new GenericInternalRow(out)
       }
-    val limited = spec.limit.map(projected.take).getOrElse(projected)
+    val limited = spec.limit.map { n =>
+      if (!spec.limitLast) projected.take(n)
+      else {
+        // last-n ring buffer: emits in storage (ASC) order
+        val buf = new java.util.ArrayDeque[InternalRow](n)
+        while (projected.hasNext) {
+          if (buf.size == n) { buf.pollFirst(); () }
+          buf.addLast(projected.next().copy())
+        }
+        new Iterator[InternalRow] {
+          override def hasNext: Boolean = !buf.isEmpty
+          override def next(): InternalRow = buf.pollFirst()
+        }
+      }
+    }.getOrElse(projected)
     (limited, readers)
   }
 

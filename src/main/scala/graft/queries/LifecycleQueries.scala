@@ -88,6 +88,31 @@ object LifecycleQueries {
 
   private val statsSkipDirs = new ConcurrentHashMap[String, String]()
 
+  /** p7/o7 fixture: events keyed by event_id, ingested in four
+    * user_id-quartile batches (each file gets a tight user_id range in
+    * its sidecar stats).
+    */
+  private def statsSkipBuilder(s: SparkSession, dir: String): java.util.function.Function[String, String] = { _ =>
+    val b = java.nio.file.Files.createTempDirectory("graft-statsskip").toString
+    val rows = Tables(s, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+    val Seq(q1, q2, q3) = rows
+      .agg(expr("percentile(user_id, array(0.25, 0.5, 0.75))"))
+      .head().getSeq[Double](0).map(_.toLong)
+    val schema = GraftSchema(
+      rowKeys = Seq(GraftField("event_id", LongType)),
+      sortKeys = Nil,
+      values = Seq(
+        GraftField("user_id", LongType),
+        GraftField("event_type", org.apache.spark.sql.types.StringType)))
+    val table = GraftTable.create(s, s"$b/table", schema)
+    table.ingest(rows.filter(col("user_id") <= q1))
+    table.ingest(rows.filter(col("user_id") > q1 && col("user_id") <= q2))
+    table.ingest(rows.filter(col("user_id") > q2 && col("user_id") <= q3))
+    table.ingest(rows.filter(col("user_id") > q3))
+    b
+  }
+
   private val strSkipDirs = new ConcurrentHashMap[String, String]()
 
   private val streamingDirs = new ConcurrentHashMap[String, String]()
@@ -634,26 +659,7 @@ object LifecycleQueries {
       """SELECT event_id, user_id, event_type
         |FROM events WHERE user_id < 3
         |ORDER BY event_id""".stripMargin) { (s, dir) =>
-      val base = statsSkipDirs.computeIfAbsent(dir, { _ =>
-        val b = java.nio.file.Files.createTempDirectory("graft-statsskip").toString
-        val rows = Tables(s, dir, "events")
-          .select(col("event_id"), col("user_id"), col("event_type"))
-        val Seq(q1, q2, q3) = rows
-          .agg(expr("percentile(user_id, array(0.25, 0.5, 0.75))"))
-          .head().getSeq[Double](0).map(_.toLong)
-        val schema = GraftSchema(
-          rowKeys = Seq(GraftField("event_id", LongType)),
-          sortKeys = Nil,
-          values = Seq(
-            GraftField("user_id", LongType),
-            GraftField("event_type", org.apache.spark.sql.types.StringType)))
-        val table = GraftTable.create(s, s"$b/table", schema)
-        table.ingest(rows.filter(col("user_id") <= q1))
-        table.ingest(rows.filter(col("user_id") > q1 && col("user_id") <= q2))
-        table.ingest(rows.filter(col("user_id") > q2 && col("user_id") <= q3))
-        table.ingest(rows.filter(col("user_id") > q3))
-        b
-      })
+      val base = statsSkipDirs.computeIfAbsent(dir, statsSkipBuilder(s, dir))
       val df = s.read.format("graft").load(s"$base/table")
         .filter(col("user_id") < 3)
         .select("event_id", "user_id", "event_type")
@@ -707,6 +713,35 @@ object LifecycleQueries {
         .map(_.group(1).toInt).getOrElse(-1)
       require(skippedFiles >= 3,
         s"string stats skipping stopped pruning files: $desc")
+      df
+    },
+
+    // O7 — DESC TopN pushdown ("the latest keys"): ORDER BY key DESC
+    // LIMIT n through the DSv2 surface. DESC NULLS LAST is the exact
+    // REVERSE of the storage order, so each partition's DESC top-n is
+    // its LAST n rows — an O(n) ring buffer per leaf instead of the
+    // full-table sort a 100-TB "show me the newest" query would
+    // otherwise pay; only leaves × n candidate rows reach Spark's
+    // finishing sort. Asserts the push (the s9/p6/p7 pattern); oracle:
+    // the plain DESC LIMIT (the driver compare is order-insensitive,
+    // so top-100 SET equality is what's checked — event_id is unique,
+    // making the set deterministic).
+    "o7_last_page" -> withOracle(
+      """SELECT event_id, user_id, event_type
+        |FROM events
+        |ORDER BY event_id DESC
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val base = statsSkipDirs.computeIfAbsent(dir, statsSkipBuilder(s, dir))
+      val df = s.read.format("graft").load(s"$base/table")
+        .orderBy(col("event_id").desc)
+        .limit(100)
+        .select("event_id", "user_id", "event_type")
+      val desc = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+      require(desc.contains("perPartitionLimit=100 desc"),
+        s"DESC TopN did not push: $desc")
       df
     },
 

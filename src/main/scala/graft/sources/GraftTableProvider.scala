@@ -191,6 +191,7 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
   private var regions: Seq[Region] = Seq(allKeySpace)
   private var required: StructType = schema.toStructType
   private var pushedLimit: Option[Int] = None
+  private var pushedLimitLast: Boolean = false
   private var statsPreds: Seq[StatsPred] = Nil
 
   /** Per-partition row cap; Spark keeps the global limit above the scan
@@ -213,17 +214,25 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
     */
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
     val keyNames = schema.keyNames
-    val prefixOfKeyOrder = orders.nonEmpty && orders.length <= keyNames.length &&
-      orders.zipWithIndex.forall { case (o, i) =>
-        o.expression() match {
-          case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
-            ref.fieldNames.length == 1 && ref.fieldNames.head == keyNames(i) &&
-              o.direction() == SortDirection.ASCENDING &&
-              o.nullOrdering() == NullOrdering.NULLS_FIRST
-          case _ => false
+    def prefixOf(dir: SortDirection, nulls: NullOrdering): Boolean =
+      orders.nonEmpty && orders.length <= keyNames.length &&
+        orders.zipWithIndex.forall { case (o, i) =>
+          o.expression() match {
+            case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
+              ref.fieldNames.length == 1 && ref.fieldNames.head == keyNames(i) &&
+                o.direction() == dir && o.nullOrdering() == nulls
+            case _ => false
+          }
         }
-      }
-    if (prefixOfKeyOrder) { pushedLimit = Some(limit); true } else false
+    if (prefixOf(SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)) {
+      pushedLimit = Some(limit); true
+    } else if (prefixOf(SortDirection.DESCENDING, NullOrdering.NULLS_LAST)) {
+      // DESC NULLS LAST is the exact REVERSE of the storage order, so a
+      // partition's DESC top-n is its LAST n rows — `ORDER BY key DESC
+      // LIMIT n` ("the latest keys") reads n candidate rows per leaf
+      // instead of everything; Spark's global sort finishes above.
+      pushedLimit = Some(limit); pushedLimitLast = true; true
+    } else false
   }
   private var pushedAgg: Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = None
 
@@ -402,7 +411,8 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
 
   override def build(): Scan = pushedAgg match {
     case Some(values) => new GraftMetaAggScan(dir, values)
-    case None => new GraftScan(dir, store, regions, required, pushedLimit, statsPreds)
+    case None =>
+      new GraftScan(dir, store, regions, required, pushedLimit, statsPreds, pushedLimitLast)
   }
 }
 
@@ -437,7 +447,7 @@ final case class GraftMetaAggPartition(values: Seq[Any]) extends InputPartition
 
 final class GraftScan(dir: String, store: JsonStateStore,
     initialRegions: Seq[Region], required: StructType, limit: Option[Int] = None,
-    statsPreds: Seq[StatsPred] = Nil)
+    statsPreds: Seq[StatsPred] = Nil, limitLast: Boolean = false)
   extends Scan with Batch with SupportsReportOrdering with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -512,7 +522,7 @@ final class GraftScan(dir: String, store: JsonStateStore,
   override def description(): String = {
     val leafCount = planSpecs.length
     s"GraftScan ${dir} leaves=$leafCount regions=${regions.size}" +
-      limit.map(l => s" perPartitionLimit=$l").getOrElse("") +
+      limit.map(l => s" perPartitionLimit=$l${if (limitLast) " desc" else ""}").getOrElse("") +
       (if (statsPreds.nonEmpty) s" statsSkippedFiles=$statsSkippedFiles" else "")
   }
 
@@ -629,8 +639,10 @@ final class GraftScan(dir: String, store: JsonStateStore,
           // point lookup touches ~one page per column even inside the leaf
           queryRegions = if (regions.exists(_.ranges.forall(r => r.min.isEmpty && r.max.isEmpty)))
             Nil else regions,
-          limit = limit)
-        val singleLocal = refs.size == 1 && refs.head.partitionId == leaf.id &&
+          limit = limit, limitLast = limitLast)
+        // a DESC TopN needs the merge reader's last-n ring buffer; the
+        // native batch reader can only truncate from the FRONT
+        val singleLocal = !limitLast && refs.size == 1 && refs.head.partitionId == leaf.id &&
           refs.head.physicalPartitionId == leaf.id && refs.head.rowCount <= Int.MaxValue
         Some(LeafScan(spec, singleLocal))
       }

@@ -304,10 +304,16 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(topn.select("key").as[String].collect().toSeq == Seq("a", "b"))
     assert(scanDesc(topn).contains("perPartitionLimit=2"))
 
-    // DESC order: per-partition head would be the WRONG rows — declined
+    // DESC order: pushed as the per-partition LAST-n ring buffer (DESC
+    // NULLS LAST reverses the storage order exactly)
     val descTop = df.orderBy($"key".desc).limit(2)
     assert(descTop.select("key").as[String].collect().toSeq == Seq("z", "p"))
-    assert(!scanDesc(descTop).contains("perPartitionLimit"))
+    assert(scanDesc(descTop).contains("perPartitionLimit=2 desc"))
+
+    // mixed-direction order: per-partition head/tail are both wrong — declined
+    val mixed = df.orderBy($"key".desc, $"ts".asc).limit(2)
+    assert(mixed.select("key").as[String].collect().toSeq == Seq("z", "p"))
+    assert(!scanDesc(mixed).contains("perPartitionLimit"))
 
     // the cap also holds on the NATIVE vectorized path (compacted table)
     table.compactAll()
