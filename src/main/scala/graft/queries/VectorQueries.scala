@@ -626,6 +626,41 @@ object VectorQueries {
     // integer dot, and the rescaled score — a stronger check than the
     // rounded-cosine rows. Ties break toward the smaller id on both
     // engines.
+    // V12 — IVF-SQ8: the training-free compressed index — IVF cell
+    // partitioning (v4's trained quantizer) with SQ8 int8 codes scored
+    // by the exact-integer byte-loop inside only the probed cells, then
+    // exact rerank of the shortlist. The faiss IVF-SQ composition:
+    // probed-fraction IO bounds like v4, 4× byte compression like v11,
+    // and NO codebook training (the operational edge over PQ when
+    // distributions drift). Oracle — the v4/v6 playbook — is the exact
+    // brute-force top-k: the row passes only when the compressed probe
+    // achieves perfect recall on the pinned query (nprobe=12,
+    // rerank=256, exact at both verified sfs and ×10).
+    "v12_knn_ivfsq8" -> withOracle(
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 13
+        |), scored AS (
+        |  SELECT vec_id,
+        |         list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 13
+        |)
+        |SELECT vec_id, ROUND(sim, 6) AS sim_r
+        |FROM scored
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 5""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cents = trainedCentroids.computeIfAbsent(dir, { _ =>
+        VectorFunctions.trainKmeansCentroids(
+          e.filter(col("vec_id") =!= 7), "vec_id", "embedding", k = 16)
+      })
+      VectorFunctions.knnIvfSq8(
+          e.filter(col("vec_id") =!= 13), "vec_id", "embedding",
+          e.filter(col("vec_id") === 13), "embedding", k = 5, cents,
+          nprobe = 12, rerank = 256)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
+    },
+
     "v11_knn_sq8" -> withOracle(
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev

@@ -524,6 +524,54 @@ object VectorFunctions {
       .limit(k)
   }
 
+  /** IVF-SQ8 kNN: IVF cell partitioning (trained centroids, codegen
+    * shuffle-free assignment) with SQ8-compressed in-cell scoring —
+    * the training-free compressed index: each vector stores one double
+    * scale + dim int8 codes (4× smaller than floats, no codebook
+    * training unlike PQ), serving probes the query's nprobe nearest
+    * cells, scores ONLY those cells' code rows with the exact-integer
+    * [[graft.functions.Sq8Dot]] byte-loop, keeps the `rerank` best by
+    * approximate inner product, and exact-rescans just those. At 100 TB
+    * the probed fraction bounds IO like v4 and the codes quarter the
+    * bytes like v11 — the faiss IVF-SQ composition.
+    */
+  def knnIvfSq8(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int,
+      centroids: Array[Array[Double]], nprobe: Int, rerank: Int): DataFrame = {
+    import graft.functions.Sq8Expressions._
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    requireSingleQuery(query, "knnIvfSq8")
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val m = CentroidMatrix.normalized(centroids)
+    // the "index": cell + codes + scale per vector (one map pass)
+    val coded = v.select(col("id"), col("v"),
+      nearest_centroid(col("v"), m).as("cell"),
+      sq8_encode(col("v")).as("cv"), sq8_scale(col("v")).as("s"))
+    val centDf = centroids.indices.map(c => (c, m.row(c))).toDF("c", "cv")
+    val qCells = query.select(col(queryVecCol).as("q"))
+      .crossJoin(broadcast(centDf))
+      .select(col("c"), cosine_sim(col("q"), col("cv")).as("sim"))
+      .orderBy(col("sim").desc, col("c"))
+      .limit(nprobe)
+      .select(col("c").as("cell"))
+    val qCode = query.select(sq8_encode(col(queryVecCol)).as("cq"),
+      sq8_scale(col(queryVecCol)).as("qs"))
+    val shortlist = coded.join(broadcast(qCells), "cell")
+      .crossJoin(broadcast(qCode))
+      .select(col("id"), col("v"),
+        when(col("s") > 0 && col("qs") > 0,
+          sq8_dot(col("cv"), col("cq")).cast("double") / (col("s") * col("qs")))
+          .otherwise(lit(0.0)).as("approx"))
+      .orderBy(col("approx").desc, col("id"))
+      .limit(rerank)
+    shortlist
+      .crossJoin(broadcast(query.select(col(queryVecCol).as("q"))))
+      .select(col("id"), cosine_sim(col("v"), col("q")).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Exact all-pairs with cosine >= threshold — brute self-join.
     * O(n²): test-oracle / small-input use ONLY; the verified scale path
     * is [[nearDupPairsLsh]].

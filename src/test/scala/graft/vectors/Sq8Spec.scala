@@ -35,6 +35,23 @@ class Sq8Spec extends AnyFunSuite {
     assert(got == 64L * 127 - 127L * 64 - 32L * 127)
   }
 
+  test("knnIvfSq8 with full probe + rerank equals exact brute-force top-k") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (1L to 200L).map { i =>
+      val c = (i % 4).toInt
+      (i, Array.tabulate(8)(d => (if (d == c * 2) 1.0f else 0.1f) + rnd.nextFloat() * 0.05f))
+    }.toDF("vec_id", "emb")
+    val query = Seq((0L, Array.tabulate(8)(d => if (d == 2) 1.0f else 0.1f)))
+      .toDF("vec_id", "emb")
+    val cents = VectorFunctions.trainKmeansCentroids(corpus, "vec_id", "emb", k = 4)
+    val ivf = VectorFunctions.knnIvfSq8(corpus, "vec_id", "emb", query, "emb",
+        k = 10, cents, nprobe = 4, rerank = 64)
+      .select("id").as[Long].collect().toSeq
+    val brute = VectorFunctions.knnBrute(corpus, "vec_id", "emb", query, "emb", k = 10)
+      .select("id").as[Long].collect().toSeq
+    assert(ivf == brute, s"IVF-SQ8 full-probe must equal brute: $ivf vs $brute")
+  }
+
   test("knnSq8 ranks separable clusters like exact inner product") {
     // query near e1; cluster A along e1, cluster B along e2
     val corpus = ((1L to 10L).map(i => (i, Array(1.0f + i * 0.01f, 0.05f))) ++
