@@ -86,11 +86,31 @@ object Bench {
       } catch { case e: Throwable => s"""{"error":"${String.valueOf(e).replaceAll("[\"\\\\]", " ").take(120)}"}""" }
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"scale":$scale,"cluster":$cluster,"sf":"$sfDir"}"""
-    // durable copy first, then the JSON as the very LAST stdout line
-    // (after spark.stop(), whose shutdown logging goes to stderr)
+    // Durable full record first; then a COMPACT JSON line as the very
+    // LAST stdout line (after spark.stop(), whose shutdown logging goes
+    // to stderr). The round driver keeps only the final ~2000 chars of
+    // stdout and parses the last line within them — the full record
+    // (~10 KB once queries_cold/scale/cluster exist) gets its head, and
+    // with it the leading '{', truncated away, which is exactly what
+    // nulled every BENCH_rN.parsed through round 11. The compact line
+    // carries the totals plus the most expensive queries that fit in a
+    // 1400-char budget; bench_out.json remains the authoritative record.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
+    val failed = results.collect { case (k, v) if v < 0 => k }
+    val byCost = results.toSeq.sortBy(-_._2)
+    val picked = scala.collection.mutable.ArrayBuffer[String]()
+    var budget = 1400
+    byCost.foreach { case (k, v) =>
+      val ent = "\"" + k + "\":" + math.rint(v * 100) / 100
+      if (ent.length + 1 <= budget) { picked += ent; budget -= ent.length + 1 }
+    }
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s""""failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},""" +
+      s""""queries":${picked.mkString("{", ",", "}")},""" +
+      s""""full":"bench_out.json","sf":"$sfDir"}"""
     try spark.stop() catch { case scala.util.control.NonFatal(_) => () }
-    println(json)
+    println(compact)
   }
 }

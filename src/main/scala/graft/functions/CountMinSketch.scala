@@ -97,8 +97,10 @@ final class CmsBuffer(val depth: Int, val width: Int, val capacity: Int)
     */
   def estimate(hash: Long): Long =
     if (dense == null) {
-      val v = sparse.get(hash)
-      v
+      // Explicit absent-key => 0: sparse is a boxed-Long map, and
+      // relying on Scala's null-unboxing-to-0 would turn into an NPE
+      // under any refactor that types the result as java.lang.Long.
+      sparse.getOrDefault(hash, 0L)
     } else {
       var best = Long.MaxValue
       var r = 0
@@ -223,6 +225,16 @@ object CountMinSketch {
       .toAggregateExpression())
 
   def cmsEstimateLong(sketch: Array[Byte], key: Long): Long =
+    CmsBuffer.fromBytes(sketch)
+      .estimate(FrequencySketches.hashValue(key, Seed))
+
+  /** Probe for sketches built over an IntegerType column. Int and Long
+    * keys hash differently (XXH64.hashInt vs hashLong), so probing an
+    * int-built sketch through cmsEstimateLong would silently return 0
+    * in the sparse regime (or an unrelated bucket when dense); this
+    * mirrors the update path's hash for int inputs.
+    */
+  def cmsEstimateInt(sketch: Array[Byte], key: Int): Long =
     CmsBuffer.fromBytes(sketch)
       .estimate(FrequencySketches.hashValue(key, Seed))
 

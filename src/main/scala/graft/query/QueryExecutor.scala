@@ -83,9 +83,17 @@ final class QueryExecutor(table: GraftTable) {
     * tree per QUERY; instead, encode the key tuple once per row and
     * test membership in an InSet (O(1) hash probe), ANDed with the
     * per-field bounding box so parquet row-group pruning still gets
-    * pushable range bounds. Exactness: the encoded form separates
-    * fields with U+0001 and int/long/string `cast("string")` equals
-    * the driver-side encoding, so membership is exact key equality.
+    * pushable range bounds. Exactness: each stringified field is
+    * LENGTH-PREFIXED (`<char-count><value>`) before
+    * concatenation, which makes the encoding injective for arbitrary
+    * string contents — a bare separator would conflate e.g.
+    * ('xy','z') with ('x','yz'). The prefix counts Unicode
+    * code points on both sides (Spark `length` == UTF8String.numChars;
+    * driver `codePointCount`), and int/long/string `cast("string")`
+    * equals the driver-side `String.valueOf`, so membership is exact
+    * key equality. Row keys are non-nullable by schema contract; a
+    * null field encodes to a null (unmatchable) key, never a
+    * conflated one.
     */
   private def regionPredicate(regions: Seq[Region]): Column = {
     val points: Option[Seq[Seq[Any]]] =
@@ -105,8 +113,14 @@ final class QueryExecutor(table: GraftTable) {
       case None => Region.anyOf(regions)
       case Some(keys) =>
         val fields = regions.head.ranges.map(_.field)
-        val enc = concat_ws("\u0001", fields.map(f => col(f).cast("string")): _*)
-        val keyStrs = keys.map(_.map(String.valueOf).mkString("\u0001"))
+        val enc = concat(fields.flatMap { f =>
+          val s = col(f).cast("string")
+          Seq(length(s).cast("string"), lit("\u0001"), s)
+        }: _*)
+        val keyStrs = keys.map(_.map { v =>
+          val s = String.valueOf(v)
+          s"${s.codePointCount(0, s.length)}\u0001$s"
+        }.mkString)
         val memb = enc.isInCollection(keyStrs)
         val bounds = fields.zipWithIndex.map { case (f, i) =>
           val vs = keys.map(_(i))

@@ -30,6 +30,26 @@ class CountMinSketchSpec extends AnyFunSuite {
     exact.foreach { case (k, c) => assert(cmsEstimateString(ssk, s"k$k") == c) }
   }
 
+  test("int-keyed sketches probe through cmsEstimateInt (hash family matches the build side)") {
+    val ids = zipfIds(20000).map(_.toInt)
+    val exact = ids.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val isk = ids.toDF("id").agg(cms_sketch(col("id")).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    assert(cmsIsExact(isk))
+    exact.foreach { case (k, c) => assert(cmsEstimateInt(isk, k) == c) }
+    assert(cmsEstimateInt(isk, 99999) == 0L)
+    // the long probe hashes differently and must NOT be used for int
+    // builds — this documents the mismatch the int probe exists to avoid
+    assert(exact.exists { case (k, _) => cmsEstimateLong(isk, k.toLong) != exact(k) })
+
+    // dense regime: the int probe still lands in the build-side buckets
+    val dsk = ids.toDF("id")
+      .agg(cms_sketch(col("id"), depth = 4, width = 256, capacity = 16).as("s"))
+      .head().getAs[Array[Byte]]("s")
+    assert(!cmsIsExact(dsk))
+    exact.foreach { case (k, c) => assert(cmsEstimateInt(dsk, k) >= c) }
+  }
+
   test("dense regime: never underestimates, εN bound holds, densify preserves counts") {
     // capacity 16 forces densification; width 256 → ε = e/256
     val ids = zipfIds(20000)

@@ -358,6 +358,38 @@ class TableLifecycleSpec extends AnyFunSuite {
       .select("count").as[Long].collect().toSeq == Seq(3L))
   }
 
+  test("many-point lookup is exact for keys containing the encoding separator") {
+    // >=33 point regions trigger the InSet fast path, whose key-tuple
+    // encoding must be injective: with a bare U+0001 separator,
+    // ('x\u0001y','z') and ('x','y\u0001z') encoded identically, so a
+    // batch lookup could return rows for keys never requested. The
+    // length-prefixed form keeps them distinct; the emoji key pins the
+    // code-point (not UTF-16-unit) length contract between Spark's
+    // `length` and the driver-side prefix.
+    val s2 = GraftSchema(
+      rowKeys = Seq(GraftField("k1", StringType), GraftField("k2", StringType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("v", LongType)))
+    val table = GraftTable.create(spark, tmp(), s2)
+    val tricky = Seq(
+      ("x\u0001y", "z", 1L), ("x", "y\u0001z", 2L),
+      ("12", "", 3L), ("1", "2", 4L),
+      ("\ud83d\ude00x", "q", 5L), ("x", "\ud83d\ude00", 6L))
+    val filler = (0 until 40).map(i => (s"f$i", s"g$i", 100L + i))
+    table.ingest((tricky ++ filler).toDF("k1", "k2", "v"))
+
+    // request one of each colliding pair plus >=32 fillers
+    val wanted: Seq[Seq[Any]] =
+      Seq(Seq("x\u0001y", "z"), Seq("12", ""), Seq("\ud83d\ude00x", "q")) ++
+        (0 until 35).map(i => Seq(s"f$i", s"g$i"))
+    val got = table.query(GraftQuery.forKeys(s2, wanted: _*))
+      .select("v").as[Long].collect().toSet
+    assert(got == (Set(1L, 3L, 5L) ++ (0 until 35).map(100L + _)),
+      s"got unexpected rows: $got")
+    // the unrequested twins of each colliding pair must NOT appear
+    assert(!got.contains(2L) && !got.contains(4L) && !got.contains(6L))
+  }
+
   test("two-dimensional row keys: region clip, splitting, and DSv2 pushdown") {
     val schema2 = GraftSchema(
       rowKeys = Seq(GraftField("x", LongType), GraftField("y", StringType)),
