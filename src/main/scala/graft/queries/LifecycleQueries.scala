@@ -209,7 +209,70 @@ object LifecycleQueries {
     cat
   }
 
+  private val coJoinDirs = new ConcurrentHashMap[String, String]()
+
+  /** J7 fixture: two co-partitioned tables over the same split points —
+    * left = lineitem keyed by l_orderkey with continual sum(qty), right
+    * = 'F'-status orders keyed by o_orderkey (value o_custkey). Each
+    * side ingests two overlapping batches so every leaf pair joins
+    * genuine multi-run merge streams; the status filter leaves most
+    * left keys unmatched, exercising the outer path for real.
+    */
+  private def coJoinTables(s: SparkSession, dir: String): (GraftTable, GraftTable) = {
+    val base = coJoinDirs.computeIfAbsent(dir, { _ =>
+      val b = java.nio.file.Files.createTempDirectory("graft-cojoin").toString
+      val splits = Seq(400L, 2000L, 7000L)
+      val lTable = GraftTable.create(s, s"$b/left", schema,
+        splitPoints = splits, config = TableConfig(aggregationConfig = "sum(qty)"))
+      val src = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      lTable.ingest(src.filter(col("l_linenumber") <= 2))
+      lTable.ingest(src.filter(col("l_linenumber") >= 3))
+      val rSchema = GraftSchema(
+        rowKeys = Seq(GraftField("o_orderkey", LongType)),
+        sortKeys = Nil,
+        values = Seq(GraftField("o_custkey", LongType)))
+      val rTable = GraftTable.create(s, s"$b/right", rSchema, splitPoints = splits)
+      val osrc = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_custkey"))
+      rTable.ingest(osrc.filter(col("o_orderkey") % 2 === 0))
+      rTable.ingest(osrc.filter(col("o_orderkey") % 2 === 1))
+      b
+    })
+    (GraftTable.load(s, s"$base/left"), GraftTable.load(s, s"$base/right"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // J7 — SHUFFLE-FREE CO-PARTITIONED MERGE JOIN: two graft tables
+    // sharing a partition tree join leaf-by-leaf as streaming sorted
+    // merge joins — zero shuffle, zero sort (CoJoinSpec asserts the
+    // lineage structurally). The 100-TB shape: joining two co-designed
+    // fact tables without moving either across the network; Spark SPJ
+    // cannot express range co-partitioning, hence the engine operator.
+    "j7_colocated_join" -> withOracle(
+      """SELECT l.l_orderkey, l.qty, o.o_custkey
+        |FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |      FROM lineitem GROUP BY l_orderkey) l
+        |JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F') o
+        |  ON o.o_orderkey = l.l_orderkey
+        |ORDER BY l.l_orderkey""".stripMargin) { (s, dir) =>
+      val (lt, rt) = coJoinTables(s, dir)
+      lt.coJoin(rt, "inner").orderBy("l_orderkey")
+    },
+
+    // J7 left-outer: unmatched left keys (non-'F' orders) survive with
+    // a null right side.
+    "j7_colocated_left" -> withOracle(
+      """SELECT l.l_orderkey, l.qty, o.o_custkey
+        |FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |      FROM lineitem GROUP BY l_orderkey) l
+        |LEFT JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F') o
+        |  ON o.o_orderkey = l.l_orderkey
+        |ORDER BY l.l_orderkey""".stripMargin) { (s, dir) =>
+      val (lt, rt) = coJoinTables(s, dir)
+      lt.coJoin(rt, "left").orderBy("l_orderkey")
+    },
 
     // X5 — pure-SQL table lifecycle through the TableCatalog: DDL with
     // key/config properties, INSERT INTO running the full ingest

@@ -101,6 +101,14 @@ final class GraftTable(
   /** Bulk export: whole table to parquet at `outDir` (M8). */
   def export(outDir: String): Unit = toDF.write.mode("overwrite").parquet(outDir)
 
+  /** Shuffle-free equi-join with a co-partitioned table (identical leaf
+    * regions, position-compatible row-key types): one sorted merge-join
+    * task per leaf pair, no shuffle, no sort — see
+    * [[graft.operators.CoJoin]].
+    */
+  def coJoin(other: GraftTable, joinType: String = "inner"): DataFrame =
+    graft.operators.CoJoin.join(this, other, joinType)
+
   /** The table's append log as a streaming DataFrame — state-store
     * versions as offsets, each ingested row delivered exactly once
     * (see graft.sources.GraftMicroBatchStream for the full contract).
