@@ -131,6 +131,12 @@ object GraftExtensions {
     },
     fn("sq8_dot", "sq8_dot(a, b) - exact integer dot product of two SQ8 code vectors") {
       args => Sq8Dot(args(0), args(1))
+    },
+    fn("bq_encode", "bq_encode(vec) - packed sign-bit code (binary, ceil(dim/8) bytes)") {
+      args => BqEncode(args(0))
+    },
+    fn("bq_hamming", "bq_hamming(a, b) - Hamming distance between two sign-bit codes") {
+      args => BqHamming(args(0), args(1))
     })
 
   /** Register into an already-built session. */

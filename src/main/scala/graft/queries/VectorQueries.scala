@@ -697,6 +697,41 @@ object VectorQueries {
           e.filter(col("vec_id") === 0), "embedding", k = 10)
         .select(col("id").as("vec_id"), col("dotq"),
           round(col("score"), 6).as("score_r"))
+    },
+
+    // V13 — BINARY (sign-bit) QUANTIZED kNN: 32× compression, Hamming
+    // popcount pre-rank, exact cosine rerank of the top 100. The sign
+    // of each element is an exact per-element predicate (no summation),
+    // so the oracle replays the candidate set bit-exactly; cosine
+    // rounds at 6 like v1.
+    "v13_knn_binary" -> withOracle(
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT ev AS qv FROM v WHERE vec_id = 0
+        |), h AS (
+        |  SELECT d.vec_id, d.ev,
+        |         CAST(list_sum(list_transform(range(1, len(d.ev) + 1),
+        |           i -> CASE WHEN (d.ev[i] >= 0) <> (q.qv[i] >= 0)
+        |                     THEN 1 ELSE 0 END)) AS BIGINT) AS ham
+        |  FROM v d, q WHERE d.vec_id <> 0
+        |), cand AS (
+        |  SELECT vec_id, ev, ham FROM h ORDER BY ham, vec_id LIMIT 100
+        |), scored AS (
+        |  SELECT c.vec_id, c.ham, list_cosine_similarity(c.ev, q.qv) AS sim
+        |  FROM cand c, q
+        |)
+        |SELECT vec_id, ham, ROUND(sim, 6) AS sim_r
+        |FROM scored
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      VectorFunctions.knnBinary(
+          e.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+          e.filter(col("vec_id") === 0), "embedding", k = 10, rerank = 100)
+        .select(col("id").as("vec_id"), col("ham"),
+          round(col("sim"), 6).as("sim_r"))
     }
   )
 }

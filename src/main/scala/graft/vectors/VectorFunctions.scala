@@ -83,6 +83,36 @@ object VectorFunctions {
       .limit(k)
   }
 
+  /** Binary-quantized (sign-bit) kNN: vectors compress 32× to 1 bit per
+    * dimension and candidates pre-rank by Hamming distance (popcount
+    * over XOR, [[graft.functions.BqHamming]] — a compiled word loop);
+    * the best `rerank` candidates then rescore with the exact float
+    * cosine. Sign-bit Hamming estimates angular distance (the SimHash
+    * hyperplane identity), so modest rerank depths recover exact top-k
+    * with high recall while the scan reads 1/32nd of the float bytes —
+    * the faiss-IndexBinary serving shape. Both stages are
+    * per-partition TopN + driver merge of O(rerank) rows (no full
+    * shuffle); candidate selection and final order carry (metric, id)
+    * tiebreaks so the whole pipeline is deterministic and replayable.
+    */
+  def knnBinary(vectors: DataFrame, idCol: String, vecCol: String,
+      query: DataFrame, queryVecCol: String, k: Int, rerank: Int = 100): DataFrame = {
+    requireSingleQuery(query, "knnBinary")
+    import graft.functions.BqExpressions._
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      bq_encode(col(vecCol)).as("cb"))
+    val q = query.select(col(queryVecCol).as("qv"),
+      bq_encode(col(queryVecCol)).as("qb"))
+    val cand = v.crossJoin(broadcast(q))
+      .select(col("id"), col("v"), col("qv"),
+        bq_hamming(col("cb"), col("qb")).as("ham"))
+      .orderBy(col("ham").asc, col("id"))
+      .limit(math.max(k, rerank))
+    cand.select(col("id"), col("ham"), cosine_sim(col("v"), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** BATCHED brute-force kNN: top-k for EVERY query vector in one
     * corpus pass — the serving shape when queries arrive in batches
     * (rerank sets, offline eval panels, embedding joins). The query

@@ -72,6 +72,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[(Long, Double)].head()
     assert(dot._1 == 0L, s"(127,-127)·(127,127) must cancel, got ${dot._1}")
     assert(dot._2 == 63.5)
+    val ham = spark.sql(
+      """SELECT bq_hamming(bq_encode(array(1.0D, -1.0D, 1.0D)),
+        |                  bq_encode(array(1.0D, 1.0D, -1.0D))) AS h""".stripMargin)
+      .as[Long].head()
+    assert(ham == 2L)
   }
 
   test("hyperplane_lsh and minhash/band functions work with literal params") {
