@@ -1344,6 +1344,52 @@ object TextQueries {
         .select(col("lang"), col("e.id").as("doc_id"),
           (-col("e.score")).cast("long").as("h"))
         .orderBy("lang", "h", "doc_id")
+    },
+
+    // T42 — LEAKAGE-SAFE TRAIN/VAL/TEST SPLIT: the assignment unit is
+    // the near-dup CLUSTER (d5's closure), so no near-dup pair can
+    // cross the train/eval boundary — per-document hashing would leak a
+    // test document's near-copy into train ~80% of the time. The bucket
+    // is the repo-standard Knuth multiplicative hash of the cluster id,
+    // so the oracle replays the exact assignment. Oracle: d5's
+    // recursive-CTE components (MIN reachable label == the Spark
+    // components' min-id convention) + the same arithmetic.
+    "t42_leakage_split" -> withOracle(
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |         unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS shingle
+        |  FROM toks WHERE len(ws) >= 2
+        |), sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT id_a, id_b
+        |  FROM inter JOIN sz sa ON id_a = sa.doc_id JOIN sz sb ON id_b = sb.doc_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |), reach(id, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.lab FROM edges e JOIN reach r ON e.b = r.id
+        |), comp AS (
+        |  SELECT id AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY id
+        |)
+        |SELECT doc_id, cluster_id,
+        |       CASE WHEN (cluster_id * 2654435761) % 1000000007 % 100 < 80 THEN 'train'
+        |            WHEN (cluster_id * 2654435761) % 1000000007 % 100 < 90 THEN 'validation'
+        |            ELSE 'test' END AS split
+        |FROM comp
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.text.DatasetSplit.leakageSafeSplit(
+          t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.5)
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
     }
   )
 }
