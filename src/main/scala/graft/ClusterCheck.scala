@@ -37,7 +37,12 @@ object ClusterCheck {
     // byte-loop expressions inside executor JVMs (the classloader
     // surface that bit the vectorized bridge); CMS TypedImperative
     // partials serialize executor->driver.
-    "p7_stats_skipping", "v11_knn_sq8", "a11_countmin")
+    "p7_stats_skipping", "v11_knn_sq8", "a11_countmin",
+    // round 12: the co-partitioned merge join ships RunSpec PAIRS inside
+    // CoJoinRDD partitions to executors (a new custom-RDD serialization
+    // surface); binary-quantization kNN runs the Bq codegen expressions
+    // in executor JVMs.
+    "j7_colocated_join", "v13_knn_binary")
 
   /** Canonical content hash: columns sorted by name, every cell cast to
     * string (nulls as NUL), cells joined with SOH, row strings sorted —
