@@ -1390,6 +1390,46 @@ object TextQueries {
           t(s, dir, "documents"), "doc_id", "text", n = 2, threshold = 0.5)
         .select("doc_id", "cluster_id", "split")
         .orderBy("doc_id")
+    },
+
+    // T43 — MARKUP STRIPPING (the first transform a web-crawl corpus
+    // needs): each document rides inside a synthetic HTML shell with a
+    // style block, a script block, attribute-bearing tags, and escaped
+    // entities; stripMarkup must recover exactly `text` plus the
+    // decoded entity tail. Both engines build the same shell and
+    // compare md5+length of the stripped result, so the whole
+    // regexp/replace chain (incl. the decode-after-strip and
+    // &amp;-last ordering) is pinned cross-engine.
+    "t43_markup_strip" -> withOracle(
+      """WITH wrapped AS (
+        |  SELECT doc_id,
+        |         '<html><head><style>p{color:red}</style></head><body><p class="d">'
+        |           || text ||
+        |           '</p><script>var x=1;</script> &amp;lt;tag&amp;gt; &quot;done&#39; </body></html>' AS w
+        |  FROM documents
+        |), stripped AS (
+        |  SELECT doc_id,
+        |         trim(regexp_replace(
+        |           replace(replace(replace(replace(replace(replace(
+        |             regexp_replace(
+        |               regexp_replace(w, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |               '<[^>]*>', ' ', 'g'),
+        |             '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |           '[ \t\n\r]+', ' ', 'g')) AS s
+        |  FROM wrapped
+        |)
+        |SELECT doc_id, md5(s) AS h, CAST(length(s) AS BIGINT) AS n
+        |FROM stripped
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val wrapped = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><p class=\"d\">"),
+        col("text"),
+        lit("</p><script>var x=1;</script> &amp;lt;tag&amp;gt; &quot;done&#39; </body></html>"))
+      val stripped = TextFunctions.stripMarkup(wrapped)
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(stripped.cast("binary")).as("h"),
+          length(stripped).cast("long").as("n"))
+        .orderBy("doc_id")
     }
   )
 }

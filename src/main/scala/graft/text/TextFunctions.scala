@@ -103,6 +103,29 @@ object TextFunctions {
   private val EmailRe = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val PhoneRe = """\d{3}-\d{4}"""
 
+  /** Strip HTML/XML markup down to visible text — the first transform a
+    * web-crawl corpus needs before any quality/dedup signal: script and
+    * style blocks drop WITH their contents, remaining tags drop, the
+    * six standard entities decode (`&amp;` last, so `&amp;lt;` yields
+    * the literal text `&lt;` instead of double-decoding — and decode
+    * runs AFTER tag-stripping, so decoded angle brackets are data, not
+    * markup), and whitespace collapses. Pure regexp/replace chain: no
+    * UDF (stays inside whole-stage codegen) and every pattern is
+    * RE2-compatible, so an independent engine replays it verbatim (the
+    * whitespace class is spelled explicitly — Java's `\s` and RE2's
+    * differ on vertical tab).
+    */
+  def stripMarkup(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
   /** PII redaction: emails then phone-shaped digit groups replaced by
     * typed placeholder tokens. Both patterns are RE2-compatible so an
     * independent engine (the DuckDB oracle) replays them verbatim;

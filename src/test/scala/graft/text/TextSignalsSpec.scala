@@ -12,6 +12,25 @@ class TextSignalsSpec extends AnyFunSuite {
   private lazy val spark = graft.TestSpark.spark
   import spark.implicits._
 
+  test("stripMarkup drops script/style with contents, strips tags, decodes entities last") {
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(TextFunctions.stripMarkup(col("h"))).as[String].head()
+    assert(strip("<html><body><p class=\"x\">Hello <b>world</b></p></body></html>")
+      == "Hello world")
+    // script/style contents vanish entirely, across newlines
+    // dropped blocks leave a single space (words must not glue together)
+    assert(strip("<style>p {\n color: red }</style>before<script type=\"a\">\nvar x = '<p>';\n</script>after")
+      == "before after")
+    // decode runs after stripping: decoded angle brackets are DATA
+    assert(strip("a &lt;b&gt; c") == "a <b> c")
+    // &amp; decodes LAST: &amp;lt; is the literal text "&lt;"
+    assert(strip("x &amp;lt; y &amp; z &quot;q&#39;s&quot;") == "x &lt; y & z \"q's\"")
+    // whitespace collapses, ends trim
+    assert(strip("  <div>\n\ta\n\nb </div>  ") == "a b")
+    // mixed-case and unclosed tags
+    assert(strip("<SCRIPT>ignore()</SCRIPT><P>kept") == "kept")
+  }
+
   test("top n-gram fraction counts occurrences, not distinct n-grams") {
     // "a b a b a": bigrams = [a b, b a, a b, b a] -> top 2 of 4 = 0.5
     // "x x x x":   bigrams = [x x, x x, x x]      -> top 3 of 3 = 1.0
