@@ -158,6 +158,39 @@ object BenchScale {
       graft.meta.GraftFS.deleteRecursive(dirC)
     }
 
+    // -- co-partitioned merge join vs shuffle join (j7 at scale) -------
+    // A second table over the SAME split points (one row per distinct
+    // key), then the same join priced both ways: coJoin streams the
+    // leaf-aligned sorted merges (zero shuffle of either side), the
+    // control reads both tables through DSv2 and runs Spark's
+    // sort-merge join (both sides exchange on the key). The broadcast
+    // hint is forced OFF in the control because that is the 100-TB
+    // shape — at bench scale the right side would fit a broadcast, at
+    // target scale neither side does. Once per run.
+    if (pass == 1) {
+      val dirR = java.nio.file.Files.createTempDirectory("graft-bench-cojoin").toString
+      val rSchema = GraftSchema(
+        rowKeys = Seq(GraftField("k", LongType)),
+        sortKeys = Nil,
+        values = Seq(GraftField("rv", LongType)))
+      val rTable = GraftTable.create(spark, dirR, rSchema, splitPoints = splits,
+        config = TableConfig(gcDelayMinutes = 0))
+      rTable.ingest(scaled.select(col("l_orderkey").as("k")).distinct()
+        .withColumn("rv", col("k") % 1000))
+      rTable.compactAll()
+      timed("cojoin_x10", totalRows, innerRepeats = 3) {
+        table.coJoin(rTable)
+          .agg(sum(col("qty") * col("rv"))).collect()
+      }
+      timed("shuffle_join_x10", totalRows, innerRepeats = 3) {
+        val l = spark.read.format("graft").load(dir)
+        val r = spark.read.format("graft").load(dirR).hint("shuffle_merge")
+        l.join(r, l("l_orderkey") === r("k"))
+          .agg(sum(l("qty") * r("rv"))).collect()
+      }
+      graft.meta.GraftFS.deleteRecursive(dirR)
+    }
+
     // -- z-order layout: pruned box query vs full-scan control ---------
     // The p6 capability priced at scale: an x10 events table keyed by
     // the (user_id, day) Morton code, 32 leaves at z quantiles. The box

@@ -732,6 +732,44 @@ object VectorQueries {
           e.filter(col("vec_id") === 0), "embedding", k = 10, rerank = 100)
         .select(col("id").as("vec_id"), col("ham"),
           round(col("sim"), 6).as("sim_r"))
+    },
+
+    // V14 — CLUSTER-BALANCED SAMPLING: equal per-cluster quota (20)
+    // from each of v9's 16 fixed semantic clusters, drawn by the Knuth
+    // hash order — the topic-balancing curation step, fully
+    // deterministic. Oracle: v9's assignment CTE + the t39 ranked
+    // window under the identical (h, vec_id) total order.
+    "v14_balanced_sample" -> withOracle(
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id < 16
+        |), assign AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT v.vec_id, c.cid AS cluster,
+        |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+        |             ORDER BY list_cosine_similarity(v.ev, c.cv) DESC, c.cid) AS rn
+        |    FROM v, c) WHERE rn = 1
+        |), h AS (
+        |  SELECT vec_id, cluster, (vec_id * 2654435761) % 1000000007 AS h
+        |  FROM assign
+        |), r AS (
+        |  SELECT vec_id, cluster, h,
+        |         ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY h, vec_id) AS rn
+        |  FROM h
+        |)
+        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, CAST(h AS BIGINT) AS h
+        |FROM r WHERE rn <= 20
+        |ORDER BY cluster, h, vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val rows = e.filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      val m = graft.functions.CentroidMatrix.normalized(rows)
+      VectorFunctions.balancedSample(e, "vec_id", "embedding", m, perCluster = 20)
+        .select(col("id").as("vec_id"), col("cluster"), col("h"))
+        .orderBy("cluster", "h", "vec_id")
     }
   )
 }

@@ -1090,6 +1090,31 @@ object VectorFunctions {
     * within-cluster analog of [[clusterDedup]]'s closure semantics.
     * Output: surviving (id, cluster) rows.
     */
+  /** Cluster-balanced sampling: an equal per-cluster quota drawn
+    * deterministically from each semantic cluster — the topic-balancing
+    * curation step (a raw corpus is dominated by its head topics; a
+    * balanced subset keeps the tail represented). Assignment is the
+    * same shuffle-free codegen nearest-centroid pass semanticDedup
+    * uses; the draw inside each cluster orders by the repo-standard
+    * Knuth hash of the id (reproducible across runs/engines — no RNG)
+    * and rides the mergeable [[graft.functions.TopKAgg]] heap, so the
+    * only shuffle is O(clusters × quota) heap state, never the corpus.
+    */
+  def balancedSample(vectors: DataFrame, idCol: String, vecCol: String,
+      centroids: CentroidMatrix, perCluster: Int): DataFrame = {
+    import graft.functions.TopKAgg.top_k
+    vectors.select(col(idCol).as("id"),
+        nearest_centroid(col(vecCol), centroids).as("cluster"))
+      .withColumn("h", col("id") * lit(2654435761L) % lit(1000000007L))
+      .groupBy("cluster")
+      // negate: "quota smallest h" on the greatest-keeping heap
+      // (h < 2^30, double-exact — the t39 convention)
+      .agg(top_k(-col("h").cast("double"), col("id"), perCluster).as("tk"))
+      .select(col("cluster").cast("long").as("cluster"), explode(col("tk")).as("e"))
+      .select(col("e.id").as("id"), col("cluster"),
+        (-col("e.score")).cast("long").as("h"))
+  }
+
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
       centroids: CentroidMatrix, threshold: Double): DataFrame = {
     val assigned = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),

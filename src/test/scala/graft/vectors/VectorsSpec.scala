@@ -692,6 +692,37 @@ class VectorsSpec extends AnyFunSuite {
     assert(e.getMessage != null)
   }
 
+  test("balancedSample: per-cluster quota, hash-min membership, deterministic") {
+    import graft.vectors.VectorFunctions
+    val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = VectorFunctions.trainKmeansCentroids(e, "vec_id", "embedding", k = 8)
+    val m = graft.functions.CentroidMatrix.normalized(cents)
+    val quota = 5
+    val got = VectorFunctions.balancedSample(e, "vec_id", "embedding", m, quota)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+
+    // independent replay: assignment + knuth hash + per-cluster smallest
+    val assigned = e.select($"vec_id".as("id"),
+        graft.functions.VectorExpressions.nearest_centroid($"embedding", m)
+          .cast("long").as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expect = assigned
+      .map { case (id, cl) => (id, cl, id * 2654435761L % 1000000007L) }
+      .groupBy(_._2).values
+      .flatMap(g => g.sortBy(t => (t._3, t._1)).take(quota))
+      .toSet
+    assert(got.toSet == expect, s"got=${got.toSet} expect=$expect")
+    // quota respected; small clusters keep all members
+    got.groupBy(_._2).foreach { case (cl, rows) =>
+      val members = assigned.count(_._2 == cl)
+      assert(rows.length == math.min(quota, members), s"cluster $cl: ${rows.length}")
+    }
+    // deterministic replay
+    val again = VectorFunctions.balancedSample(e, "vec_id", "embedding", m, quota)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again == got.toSet)
+  }
+
   test("semanticDedup with TRAINED centroids satisfies the drop predicate exactly") {
     import graft.vectors.VectorFunctions
     val e = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
