@@ -591,7 +591,14 @@ final case class MergeTaskPartition(index: Int, spec: RunSpec)
 final class SketchingMergeRDD(
     @transient private val sc: org.apache.spark.SparkContext,
     specs: Seq[RunSpec],
-    sketchDir: String)
+    sketchDir: String,
+    /** columns to build per-file Bloom value indexes for in the same
+      * pass (equality data skipping, see [[graft.meta.BloomIndex]]);
+      * `bloomExpected(i)` sizes task i's filters (the driver knows each
+      * job's input row count) — absent entries use the default.
+      */
+    bloomFields: Seq[String] = Nil,
+    bloomExpected: Seq[Long] = Nil)
   extends org.apache.spark.rdd.RDD[InternalRow](sc, Nil) {
 
   // driver conf captured at construction; ships once with the RDD
@@ -630,6 +637,19 @@ final class SketchingMergeRDD(
     val strCnt = new Array[Long](strNames.length)
     val strMin = new Array[org.apache.spark.unsafe.types.UTF8String](strNames.length)
     val strMax = new Array[org.apache.spark.unsafe.types.UTF8String](strNames.length)
+    // per-file Bloom value indexes accumulate in the SAME pass; the
+    // hash family is exactly Spark's xxhash64 (BloomIndex), matching
+    // the ingest build path and the scan-side literal probes
+    val blNames = bloomFields.filter(spec.output.contains).toArray
+    val blIdx = blNames.map(spec.output.indexOf)
+    val blIsString = blNames.map(n =>
+      schema.field(n).dataType == org.apache.spark.sql.types.StringType)
+    val blExpected = math.max(1024L, math.min(
+      if (bloomExpected.isDefinedAt(part.index)) bloomExpected(part.index)
+      else graft.meta.BloomIndex.DefaultExpectedItems,
+      graft.meta.BloomIndex.MaxExpectedItems))
+    val blFilters = blNames.map(_ => org.apache.spark.util.sketch.BloomFilter
+      .create(blExpected, graft.meta.BloomIndex.Fpp))
     val (inner, close) = SortedRun.open(spec, confW.value)
     context.addTaskCompletionListener[Unit](_ => close())
     var written = false
@@ -681,6 +701,24 @@ final class SketchingMergeRDD(
           }
         } finally out.close()
       }
+      if (blNames.nonEmpty) {
+        val out = new java.io.DataOutputStream(
+          fs.create(new Path(dir, s"${part.index}-bloom.bin"), true))
+        try {
+          out.writeInt(blNames.length)
+          var i = 0
+          while (i < blNames.length) {
+            out.writeUTF(blNames(i))
+            val bytes = {
+              val bos = new java.io.ByteArrayOutputStream()
+              blFilters(i).writeTo(bos)
+              bos.toByteArray
+            }
+            out.writeInt(bytes.length); out.write(bytes)
+            i += 1
+          }
+        } finally out.close()
+      }
     }
 
     new Iterator[InternalRow] {
@@ -723,6 +761,16 @@ final class SketchingMergeRDD(
             if (strMax(t) == null || u.compareTo(strMax(t)) > 0) strMax(t) = u.clone()
           }
           t += 1
+        }
+        var b = 0
+        while (b < blIdx.length) {
+          if (!row.isNullAt(blIdx(b))) {
+            blFilters(b).putLong(
+              if (blIsString(b))
+                graft.meta.BloomIndex.hashString(row.getUTF8String(blIdx(b)))
+              else graft.meta.BloomIndex.hashLong(row.getLong(blIdx(b))))
+          }
+          b += 1
         }
         row
       }

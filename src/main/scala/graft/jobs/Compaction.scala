@@ -179,7 +179,9 @@ final class Compaction(table: GraftTable,
       // fall back to sketching the written file.
       val onePassSketches = table.config.transformConfig.trim.isEmpty
       val rdd =
-        if (onePassSketches) new graft.exec.SketchingMergeRDD(spark.sparkContext, specs, sketchDir)
+        if (onePassSketches) new graft.exec.SketchingMergeRDD(spark.sparkContext, specs, sketchDir,
+          bloomFields = graft.meta.BloomIndex.bloomFields(table.config.indexConfig),
+          bloomExpected = Seq(job.files.map(_.rowCount).sum))
         else new graft.exec.MergeRDD(spark.sparkContext, specs)
       val merged = withTableTransform(org.apache.spark.sql.graft.bridge
         .internalCreateDataFrame(spark, rdd, schema.toStructType))
@@ -263,7 +265,9 @@ final class Compaction(table: GraftTable,
     val sketchDir = s"${table.dir}/.sketch-$jobId"
     val onePassSketches = table.config.transformConfig.trim.isEmpty
     val rdd =
-      if (onePassSketches) new graft.exec.SketchingMergeRDD(spark.sparkContext, specs, sketchDir)
+      if (onePassSketches) new graft.exec.SketchingMergeRDD(spark.sparkContext, specs, sketchDir,
+        bloomFields = graft.meta.BloomIndex.bloomFields(table.config.indexConfig),
+        bloomExpected = leafIds.map(pid => needsWork(pid).map(_.rowCount).sum))
       else new graft.exec.MergeRDD(spark.sparkContext, specs)
     val merged = withTableTransform(org.apache.spark.sql.graft.bridge
       .internalCreateDataFrame(spark, rdd, schema.toStructType))
@@ -391,7 +395,21 @@ final class Compaction(table: GraftTable,
                 new String(mx, java.nio.charset.StandardCharsets.UTF_8)))
           }
         }
-      SketchSidecar.write(path, sketches ++ sums ++ strs)
+      // Bloom value-index side-channel (equality data skipping)
+      val bloomPath = s"$sketchDir/$idx-bloom.bin"
+      val blooms =
+        if (!GraftFS.exists(bloomPath)) Nil
+        else {
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(GraftFS.readBytes(bloomPath)))
+          val n = in.readInt()
+          (0 until n).map { _ =>
+            val name = in.readUTF()
+            val bytes = new Array[Byte](in.readInt()); in.readFully(bytes)
+            SketchSidecar.bloomEntryName(name) -> bytes
+          }
+        }
+      SketchSidecar.write(path, sketches ++ sums ++ strs ++ blooms)
     }
     GraftFS.deleteRecursive(sketchDir)
   }

@@ -132,6 +132,11 @@ final class Ingest(table: GraftTable) {
     val keyNames = schema.rowKeyNames
     val sumFields = Ingest.integralFieldNames(schema)
     val strFields = Ingest.stringFieldNames(schema)
+    // opt-in per-file Bloom value indexes (equality data skipping);
+    // hashed with Spark's codegen'd xxhash64 — the exact family the
+    // probe side replays on pushed literals (BloomIndex.hashValue)
+    val bloomSpecs = graft.meta.BloomIndex.parse(table.config.indexConfig)
+      .filter(b => schema.allFields.exists(_.name == b.field))
     val aggs =
       (keyNames.map(k => sketch_agg(col(k)).as(k)) ++
         sumFields.flatMap(v => Seq(
@@ -142,7 +147,10 @@ final class Ingest(table: GraftTable) {
         strFields.flatMap(v => Seq(
           count(col(v)).as(s"__tc_$v"),
           min(col(v)).as(s"__tmn_$v"),
-          max(col(v)).as(s"__tmx_$v")))).toList
+          max(col(v)).as(s"__tmx_$v"))) ++
+        bloomSpecs.map(b => graft.functions.BloomExpressions.bloom_agg(
+          when(col(b.field).isNotNull, xxhash64(col(b.field))),
+          b.expectedItems, graft.meta.BloomIndex.Fpp).as(s"__bl_${b.field}"))).toList
     val rows = spark.read.parquet(paths: _*)
       .select((col("*") +: Seq(input_file_name().as("__file"))): _*)
       .groupBy("__file")
@@ -170,7 +178,11 @@ final class Ingest(table: GraftTable) {
             if (cnt == 0) "" else r.getString(r.fieldIndex(s"__tmn_$v")),
             if (cnt == 0) "" else r.getString(r.fieldIndex(s"__tmx_$v"))))
       }
-      SketchSidecar.write(file, sketches ++ sums ++ strs)
+      val blooms = bloomSpecs.map { b =>
+        SketchSidecar.bloomEntryName(b.field) ->
+          r.getAs[Array[Byte]](r.fieldIndex(s"__bl_${b.field}"))
+      }
+      SketchSidecar.write(file, sketches ++ sums ++ strs ++ blooms)
     }
   }
 

@@ -38,7 +38,8 @@ class JsonStateStore private (
       */
     val aggregationConfig: String = "",
     val filterConfig: String = "",
-    val transformConfig: String = "")
+    val transformConfig: String = "",
+    val indexConfig: String = "")
     extends InMemoryStateStore(schema0, initialTree) {
 
   import JsonStateStore._
@@ -58,7 +59,8 @@ class JsonStateStore private (
     val body =
       if (nextV == 1L)
         JsonMethods.pretty(JsonMethods.render(toJson(schema, next.tree, next.refs,
-          next.gc, next.txns, aggregationConfig, filterConfig, transformConfig)))
+          next.gc, next.txns, aggregationConfig, filterConfig, transformConfig,
+          indexConfig)))
       else JsonMethods.compact(JsonMethods.render(txnToJson(txn)))
     writeText(tmp, body)
     if (!cas.publish(fs, tmp, target)) {
@@ -133,7 +135,7 @@ class JsonStateStore private (
   private def writeSnapshot(v: Long, s: TableState): Unit = try {
     val tmp = new Path(dir, s".state-v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     writeText(tmp, JsonMethods.pretty(JsonMethods.render(toJson(schema, s.tree, s.refs,
-      s.gc, s.txns, aggregationConfig, filterConfig, transformConfig))))
+      s.gc, s.txns, aggregationConfig, filterConfig, transformConfig, indexConfig))))
     if (!fs.rename(tmp, new Path(dir, s"state-v$v.json")))
       fs.delete(tmp, false)
   } catch { case scala.util.control.NonFatal(_) => () }
@@ -258,7 +260,8 @@ final class SnapshotStateStore(
     schema0: GraftSchema, tree0: PartitionTree,
     refs0: Vector[FileReference], gc0: Vector[GCEntry], txns0: Map[String, Long],
     val version: Long,
-    val aggregationConfig: String, val filterConfig: String, val transformConfig: String)
+    val aggregationConfig: String, val filterConfig: String, val transformConfig: String,
+    val indexConfig: String = "")
     extends InMemoryStateStore(schema0, tree0) {
   refs = refs0; gcQueue = gc0; txns = txns0
 
@@ -311,11 +314,13 @@ object JsonStateStore {
 
   def create(dirStr: String, schema: GraftSchema, tree: PartitionTree,
       aggregationConfig: String = "", filterConfig: String = "",
-      transformConfig: String = "", cas: Option[StateStoreCAS] = None): JsonStateStore = {
+      transformConfig: String = "", cas: Option[StateStoreCAS] = None,
+      indexConfig: String = ""): JsonStateStore = {
     val (fs, dir) = GraftFS.resolve(dirStr)
     fs.mkdirs(dir)
+    BloomIndex.validate(schema, indexConfig)
     val store = new JsonStateStore(fs, dir, cas.getOrElse(GraftFS.casFor(fs)),
-      schema, tree, 0L, aggregationConfig, filterConfig, transformConfig)
+      schema, tree, 0L, aggregationConfig, filterConfig, transformConfig, indexConfig)
     store.commitInitial() // writes state-v1.json
     store
   }
@@ -324,7 +329,7 @@ object JsonStateStore {
     val (fs, dir) = GraftFS.resolve(dirStr)
     val l = loadCurrent(fs, dir)
     val store = new JsonStateStore(fs, dir, cas.getOrElse(GraftFS.casFor(fs)),
-      l.schema, l.state.tree, l.version, l.agg, l.filt, l.tf)
+      l.schema, l.state.tree, l.version, l.agg, l.filt, l.tf, l.idx)
     store.setState(l.state.tree, l.state.refs, l.state.gc, l.state.txns)
     store
   }
@@ -385,7 +390,7 @@ object JsonStateStore {
     tryLoadVersion(fs, dir, version) match {
       case Some(l) =>
         new SnapshotStateStore(l.schema, l.state.tree, l.state.refs, l.state.gc,
-          l.state.txns, version, l.agg, l.filt, l.tf)
+          l.state.txns, version, l.agg, l.filt, l.tf, l.idx)
       case None =>
         throw new IllegalStateException(
           s"state version $version unavailable in $dirStr (pruned after " +
@@ -396,7 +401,7 @@ object JsonStateStore {
   // ---- reconstruction ----
 
   private final case class Loaded(version: Long, schema: GraftSchema, state: TableState,
-      agg: String, filt: String, tf: String)
+      agg: String, filt: String, tf: String, idx: String)
 
   private sealed trait FileRead
   private case object FileAbsent extends FileRead
@@ -489,7 +494,7 @@ object JsonStateStore {
     }
     val (baseV, baseJson) = base.getOrElse(return None)
     val snap = fromJson(baseJson)
-    val (agg, filt, tf) = configFromJson(baseJson)
+    val (agg, filt, tf, idx) = configFromJson(baseJson)
     // 3. replay the transaction tail (baseV, target]
     var state = TableState(snap.tree, snap.refs, snap.gc, snap.txns)
     var v = baseV + 1
@@ -507,7 +512,7 @@ object JsonStateStore {
       state = t.applyTo(state)
       v += 1
     }
-    Some(Loaded(target, snap.schema, state, agg, filt, tf))
+    Some(Loaded(target, snap.schema, state, agg, filt, tf, idx))
   }
 
   /** Newest reconstructable state. A crash in the non-hard-link commit
@@ -701,23 +706,25 @@ object JsonStateStore {
       m.get("dataChange").collect { case JBool(b) => b }.getOrElse(true))
   }
 
-  private def configFromJson(j: JValue): (String, String, String) = {
+  private def configFromJson(j: JValue): (String, String, String, String) = {
     val m = j.asInstanceOf[JObject].obj.toMap
     m.get("tableConfig") match {
       case Some(JObject(fields)) =>
         val cm = fields.toMap
         def str(k: String) = cm.get(k).collect { case JString(s) => s }.getOrElse("")
-        (str("aggregation"), str("filter"), str("transform"))
-      case _ => ("", "", "")
+        // "index" absent in pre-round-12 snapshots (migration): no index
+        (str("aggregation"), str("filter"), str("transform"), str("index"))
+      case _ => ("", "", "", "")
     }
   }
 
   private def toJson(schema: GraftSchema, tree: PartitionTree,
       refs: Vector[FileReference], gc: Vector[GCEntry], txns: Map[String, Long],
-      aggregationConfig: String, filterConfig: String, transformConfig: String): JValue = JObject(
+      aggregationConfig: String, filterConfig: String, transformConfig: String,
+      indexConfig: String): JValue = JObject(
     "tableConfig" -> JObject(
       "aggregation" -> JString(aggregationConfig), "filter" -> JString(filterConfig),
-      "transform" -> JString(transformConfig)),
+      "transform" -> JString(transformConfig), "index" -> JString(indexConfig)),
     "schema" -> JObject(
       "rowKeys" -> JArray(schema.rowKeys.map(fieldToJson).toList),
       "sortKeys" -> JArray(schema.sortKeys.map(fieldToJson).toList),

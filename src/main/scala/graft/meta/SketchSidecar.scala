@@ -79,6 +79,11 @@ object SketchSidecar {
     */
   def strEntryName(field: String): String = "__strstats:" + field
 
+  /** Per-file Bloom value-index entry (see [[BloomIndex]]); the bytes
+    * are a serialized Spark `BloomFilter`.
+    */
+  def bloomEntryName(field: String): String = "__bloom:" + field
+
   final case class StringStats(nonNullCount: Long, min: String, max: String)
 
   def encodeStr(stats: StringStats): Array[Byte] = {

@@ -115,6 +115,8 @@ object LifecycleQueries {
 
   private val strSkipDirs = new ConcurrentHashMap[String, String]()
 
+  private val bloomSkipDirs = new ConcurrentHashMap[String, String]()
+
   private val streamingDirs = new ConcurrentHashMap[String, String]()
 
   /** T1 fixture: drop two halves of lineitem into an inbox as separate
@@ -776,6 +778,51 @@ object LifecycleQueries {
         .map(_.group(1).toInt).getOrElse(-1)
       require(skippedFiles >= 3,
         s"string stats skipping stopped pruning files: $desc")
+      df
+    },
+
+    // P9 — Bloom value-index skipping: equality on a value column whose
+    // per-file min/max RANGES all straddle the probe ('purchase' sits
+    // inside [click,view] and [error,signup]) — only the per-file Bloom
+    // filter (indexConfig = "bloom(event_type)", built by BOTH write
+    // paths) can prune. The 100-TB shape: "find rows with this label"
+    // on an unsorted categorical touches the files that contain it, not
+    // every file the min/max range check keeps. Asserts the bloom prune
+    // structurally (the p7/p8 pattern); oracle: plain filter.
+    "p9_bloom_skip" -> withOracle(
+      """SELECT event_id, event_type
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val base = bloomSkipDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-bloomskip").toString
+        val rows = Tables(s, dir, "events")
+          .select(col("event_id"), col("user_id"), col("event_type"))
+        val schema = GraftSchema(
+          rowKeys = Seq(GraftField("event_id", LongType)),
+          sortKeys = Nil,
+          values = Seq(
+            GraftField("user_id", LongType),
+            GraftField("event_type", org.apache.spark.sql.types.StringType)))
+        val table = GraftTable.create(s, s"$b/table", schema,
+          config = TableConfig(indexConfig = "bloom(event_type)"))
+        // each batch's type SET is disjoint but its min/max RANGE
+        // straddles 'purchase' — min/max keeps every file
+        Seq(Seq("click", "view"), Seq("error", "signup"), Seq("purchase"))
+          .foreach(ts => table.ingest(rows.filter(col("event_type").isin(ts: _*))))
+        b
+      })
+      val df = s.read.format("graft").load(s"$base/table")
+        .filter(col("event_type") === "purchase")
+        .select("event_id", "event_type")
+        .orderBy("event_id")
+      val desc = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+      val skippedFiles = "bloomSkippedFiles=(\\d+)".r.findFirstMatchIn(desc)
+        .map(_.group(1).toInt).getOrElse(-1)
+      require(skippedFiles >= 2,
+        s"bloom value-index skipping stopped pruning files: $desc")
       df
     },
 

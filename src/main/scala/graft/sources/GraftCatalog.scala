@@ -110,15 +110,18 @@ final class GraftCatalog extends TableCatalog {
     val agg = props.getOrElse("aggregation", "")
     val filt = props.getOrElse("filter", "")
     val tf = props.getOrElse("transform", "")
+    val idx = props.getOrElse("index", "")
     graft.dsl.ConfigDsl.parseAggregation(agg, gschema)
     graft.dsl.ConfigDsl.parseFilter(filt, gschema)
     graft.transforms.TransformFactory.parse(tf, gschema)
+    graft.meta.BloomIndex.validate(gschema, idx)
 
     val dir = dirFor(ident)
     GraftFS.mkdirs(dir)
     JsonStateStore.create(s"$dir/meta", gschema,
       PartitionTree.fromSplitPoints(gschema, splitPoints),
-      aggregationConfig = agg, filterConfig = filt, transformConfig = tf)
+      aggregationConfig = agg, filterConfig = filt, transformConfig = tf,
+      indexConfig = idx)
     GraftFS.mkdirs(s"$dir/data")
     new GraftBatchTable(dir)
   }

@@ -141,6 +141,32 @@ final case class StatsPred(field: String, op: String, values: Seq[Any],
     }
 }
 
+/** Scan-side probes of the per-file Bloom value indexes: each pushed
+  * EQUALITY conjunct on an indexed column becomes (field, candidate
+  * hashes); a file whose filter rejects EVERY candidate hash of some
+  * conjunct cannot contain a qualifying row and is skipped. Hashing is
+  * BloomIndex's (= Spark's xxhash64), matching both write paths.
+  */
+object BloomPred {
+  import org.apache.spark.sql.sources.{EqualNullSafe, EqualTo, In}
+
+  def fromFilters(indexConfig: String, filters: Array[Filter]): Seq[(String, Seq[Long])] = {
+    val indexed = graft.meta.BloomIndex.bloomFields(indexConfig).toSet
+    if (indexed.isEmpty) Nil
+    else filters.toSeq.flatMap {
+      case EqualTo(a, v) if indexed(a) && v != null =>
+        graft.meta.BloomIndex.hashValue(v).map(h => a -> Seq(h))
+      case EqualNullSafe(a, v) if indexed(a) && v != null =>
+        graft.meta.BloomIndex.hashValue(v).map(h => a -> Seq(h))
+      case In(a, vs) if indexed(a) && vs.nonEmpty =>
+        // NULL list entries never match a row by themselves — drop them
+        val hs = vs.toSeq.filter(_ != null).map(graft.meta.BloomIndex.hashValue)
+        if (hs.nonEmpty && hs.forall(_.isDefined)) Some(a -> hs.map(_.get)) else None
+      case _ => None
+    }
+  }
+}
+
 object StatsPred {
   private def long(v: Any): Option[Long] = v match {
     case i: Int => Some(i.toLong)
@@ -193,6 +219,7 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
   private var pushedLimit: Option[Int] = None
   private var pushedLimitLast: Boolean = false
   private var statsPreds: Seq[StatsPred] = Nil
+  private var bloomPreds: Seq[(String, Seq[Long])] = Nil
 
   /** Per-partition row cap; Spark keeps the global limit above the scan
     * because the push is only partial.
@@ -401,6 +428,7 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
     pushed = usable
     regions = RegionFromFilters.regions(schema, usable)
     statsPreds = StatsPred.fromFilters(schema, filters)
+    bloomPreds = BloomPred.fromFilters(store.indexConfig, filters)
     filters // all residual
   }
 
@@ -412,7 +440,8 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
   override def build(): Scan = pushedAgg match {
     case Some(values) => new GraftMetaAggScan(dir, values)
     case None =>
-      new GraftScan(dir, store, regions, required, pushedLimit, statsPreds, pushedLimitLast)
+      new GraftScan(dir, store, regions, required, pushedLimit, statsPreds, pushedLimitLast,
+        bloomPreds)
   }
 }
 
@@ -447,7 +476,8 @@ final case class GraftMetaAggPartition(values: Seq[Any]) extends InputPartition
 
 final class GraftScan(dir: String, store: JsonStateStore,
     initialRegions: Seq[Region], required: StructType, limit: Option[Int] = None,
-    statsPreds: Seq[StatsPred] = Nil, limitLast: Boolean = false)
+    statsPreds: Seq[StatsPred] = Nil, limitLast: Boolean = false,
+    bloomPreds: Seq[(String, Seq[Long])] = Nil)
   extends Scan with Batch with SupportsReportOrdering with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -457,6 +487,8 @@ final class GraftScan(dir: String, store: JsonStateStore,
   // computeSpecs pass — surfaced through description() so tests/queries
   // can ASSERT the skip happened (the p6 leaf-prune pattern)
   @volatile private var statsSkippedFiles: Int = 0
+  // distinct data files dropped by per-file Bloom value-index probes
+  @volatile private var bloomSkippedFiles: Int = 0
 
   /** Size/row estimates from the state store's file metadata — feeds the
     * planner's broadcast decisions and the runtime-filtering benefit
@@ -523,7 +555,8 @@ final class GraftScan(dir: String, store: JsonStateStore,
     val leafCount = planSpecs.length
     s"GraftScan ${dir} leaves=$leafCount regions=${regions.size}" +
       limit.map(l => s" perPartitionLimit=$l${if (limitLast) " desc" else ""}").getOrElse("") +
-      (if (statsPreds.nonEmpty) s" statsSkippedFiles=$statsSkippedFiles" else "")
+      (if (statsPreds.nonEmpty) s" statsSkippedFiles=$statsSkippedFiles" else "") +
+      (if (bloomPreds.nonEmpty) s" bloomSkippedFiles=$bloomSkippedFiles" else "")
   }
 
   /** Runtime filtering (dynamic partition pruning): when this table is
@@ -596,35 +629,55 @@ final class GraftScan(dir: String, store: JsonStateStore,
     // value could pass a predicate its inputs fail, so skipping is
     // disabled on such tables. Missing sidecar / entry = keep the file.
     val statsSkippable = statsPreds.nonEmpty && store.aggregationConfig.trim.isEmpty
+    // Bloom equality skipping shares the aggregation gate: merged rows
+    // could EQUAL a probe value none of the input rows carried.
+    val bloomSkippable = bloomPreds.nonEmpty && store.aggregationConfig.trim.isEmpty
     val sidecarCache = mutable.Map.empty[String, Option[Map[String, Array[Byte]]]]
     val skipped = mutable.Set.empty[String]
+    val bloomSkipped = mutable.Set.empty[String]
     def fileMaySatisfy(path: String): Boolean =
-      !statsSkippable || {
+      (!statsSkippable && !bloomSkippable) || {
         val entries = sidecarCache.getOrElseUpdate(path,
           try {
             if (graft.meta.SketchSidecar.exists(path))
               Some(graft.meta.SketchSidecar.read(path))
             else None
           } catch { case scala.util.control.NonFatal(_) => None })
-        val keep = entries match {
+        entries match {
           case None => true
-          case Some(m) => statsPreds.forall { p =>
-            val entry =
-              if (p.isString) graft.meta.SketchSidecar.strEntryName(p.field)
-              else graft.meta.SketchSidecar.sumEntryName(p.field)
-            m.get(entry) match {
-              case None => true
-              case Some(bytes) if p.isString =>
-                val s = graft.meta.SketchSidecar.decodeStr(bytes)
-                p.maySatisfy(s.nonNullCount, s.min, s.max)
-              case Some(bytes) =>
-                val s = graft.meta.SketchSidecar.decodeSum(bytes)
-                p.maySatisfy(s.nonNullCount, s.min, s.max)
+          case Some(m) =>
+            val statsOk = !statsSkippable || statsPreds.forall { p =>
+              val entry =
+                if (p.isString) graft.meta.SketchSidecar.strEntryName(p.field)
+                else graft.meta.SketchSidecar.sumEntryName(p.field)
+              m.get(entry) match {
+                case None => true
+                case Some(bytes) if p.isString =>
+                  val s = graft.meta.SketchSidecar.decodeStr(bytes)
+                  p.maySatisfy(s.nonNullCount, s.min, s.max)
+                case Some(bytes) =>
+                  val s = graft.meta.SketchSidecar.decodeSum(bytes)
+                  p.maySatisfy(s.nonNullCount, s.min, s.max)
+              }
             }
-          }
+            if (!statsOk) skipped += path
+            // evaluated only when stats keep the file — the counters
+            // attribute each skip to the cheapest mechanism that fired
+            val bloomOk = !statsOk || !bloomSkippable || bloomPreds.forall {
+              case (field, hashes) =>
+                m.get(graft.meta.SketchSidecar.bloomEntryName(field)) match {
+                  case None => true // unindexed write path: keep
+                  case Some(bytes) =>
+                    val bf =
+                      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(
+                        new java.io.ByteArrayInputStream(bytes)))
+                      catch { case scala.util.control.NonFatal(_) => None }
+                    bf.forall(b => hashes.exists(b.mightContainLong))
+                }
+            }
+            if (statsOk && !bloomOk) bloomSkipped += path
+            statsOk && bloomOk
         }
-        if (!keep) skipped += path
-        keep
       }
     val specs = tree.leavesOverlapping(regions).flatMap { leaf =>
       val refs = refsByPartition.getOrElse(leaf.id, Nil) ++
@@ -648,6 +701,7 @@ final class GraftScan(dir: String, store: JsonStateStore,
       }
     }.toArray
     statsSkippedFiles = skipped.size
+    bloomSkippedFiles = bloomSkipped.size
     specs
   }
 

@@ -29,6 +29,10 @@ final case class TableConfig(
     userJarsDir: String = "",
     /** SizeRatio strategy ratio (Accumulo-style, default 3) */
     sizeRatio: Int = 3,
+    /** per-file Bloom value indexes for equality data skipping, e.g.
+      * "bloom(event_type),bloom(user_id,500000)" — persisted table
+      * metadata (see [[graft.meta.BloomIndex]]) */
+    indexConfig: String = "",
     /** minutes a file must be unreferenced before GC deletes it */
     gcDelayMinutes: Int = 10)
 
@@ -146,7 +150,8 @@ object GraftTable {
       splitPoints: Seq[Any] = Nil, config: TableConfig = TableConfig()): GraftTable = {
     val tree = PartitionTree.fromSplitPoints(schema, splitPoints)
     val store = JsonStateStore.create(s"$dir/meta", schema, tree,
-      config.aggregationConfig, config.filterConfig, config.transformConfig)
+      config.aggregationConfig, config.filterConfig, config.transformConfig,
+      indexConfig = config.indexConfig)
     GraftFS.mkdirs(s"$dir/data")
     new GraftTable(spark, dir, store, config)
   }
@@ -158,7 +163,7 @@ object GraftTable {
     val store = JsonStateStore.load(s"$dir/meta")
     val cfg = config.getOrElse(TableConfig(
       aggregationConfig = store.aggregationConfig, filterConfig = store.filterConfig,
-      transformConfig = store.transformConfig))
+      transformConfig = store.transformConfig, indexConfig = store.indexConfig))
     new GraftTable(spark, dir, store, cfg)
   }
 
@@ -175,7 +180,7 @@ object GraftTable {
     val store = JsonStateStore.loadAt(s"$dir/meta", version)
     val cfg = config.getOrElse(TableConfig(
       aggregationConfig = store.aggregationConfig, filterConfig = store.filterConfig,
-      transformConfig = store.transformConfig))
+      transformConfig = store.transformConfig, indexConfig = store.indexConfig))
     new GraftTable(spark, dir, store, cfg)
   }
 }
