@@ -1430,6 +1430,59 @@ object TextQueries {
         .select(col("doc_id"), md5(stripped.cast("binary")).as("h"),
           length(stripped).cast("long").as("n"))
         .orderBy("doc_id")
+    },
+
+    // T44 — Gopher-rules quality filter (Rae et al. 2021 §A1.1): the
+    // standard web-corpus pre-filter as per-rule booleans + the keep
+    // conjunction. Every signal is one pass over the doc's word/line
+    // arrays inside the scan projection — at 100 TB this runs as a
+    // map-only stage with zero shuffle, and per-rule rejection rates
+    // fall out of a follow-up groupBy.
+    "t44_gopher_filter" -> withOracle(
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |         list_filter(string_split(text, ' '), x -> x <> '') AS ws,
+        |         string_split(text, chr(10)) AS ls
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id,
+        |    len(ws) AS n,
+        |    list_sum(list_transform(ws, w -> length(w))) * 1.0 / len(ws) AS mean_len,
+        |    (length(text) - length(replace(text, '#', '')))
+        |      + (length(text) - length(replace(text, '...', ''))) / 3
+        |      + (length(text) - length(replace(text, '…', ''))) AS symbols,
+        |    len(ls) AS n_lines,
+        |    len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullet_lines,
+        |    len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ellipsis_lines,
+        |    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS alpha_words,
+        |    len(list_intersect(list_transform(ws, w -> lower(w)),
+        |        ['the','be','to','of','and','that','have','with'])) AS stop_hits
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_words,
+        |  n >= 50 AND n <= 100000 AS ok_word_count,
+        |  n > 0 AND mean_len >= 3.0 AND mean_len <= 10.0 AS ok_mean_word_len,
+        |  n > 0 AND symbols * 1.0 / n <= 0.1 AS ok_symbol_ratio,
+        |  bullet_lines * 1.0 / n_lines <= 0.9 AS ok_bullet_lines,
+        |  ellipsis_lines * 1.0 / n_lines <= 0.3 AS ok_ellipsis_lines,
+        |  n > 0 AND alpha_words * 1.0 / n >= 0.8 AS ok_alpha_words,
+        |  stop_hits >= 2 AS ok_stopwords,
+        |  (n >= 50 AND n <= 100000) AND (n > 0 AND mean_len >= 3.0 AND mean_len <= 10.0)
+        |    AND (n > 0 AND symbols * 1.0 / n <= 0.1)
+        |    AND bullet_lines * 1.0 / n_lines <= 0.9
+        |    AND ellipsis_lines * 1.0 / n_lines <= 0.3
+        |    AND (n > 0 AND alpha_words * 1.0 / n >= 0.8)
+        |    AND stop_hits >= 2 AS keep
+        |FROM m
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val rules = TextFunctions.gopherRules(col("text"))
+      val ruleCols = rules.map { case (name, c) => c.as(name) }
+      val keep = rules.collect { case (n, c) if n.startsWith("ok_") => c }
+        .reduce(_ && _)
+      t(s, dir, "documents")
+        .select((col("doc_id") +: ruleCols :+ keep.as("keep")): _*)
+        .orderBy("doc_id")
     }
   )
 }

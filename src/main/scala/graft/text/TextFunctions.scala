@@ -188,6 +188,41 @@ object TextFunctions {
       "stopword_ratio" -> (stopwordHits(text, "en").cast("double") / distinctN))
   }
 
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1, the
+    * standard web-corpus pre-filter): each rule is a boolean column, the
+    * conjunction is the keep decision. All signals are single-pass over
+    * the text/word/line arrays — no shuffle, no UDF; thresholds are the
+    * published ones. Returned in (name, column) pairs so callers can
+    * report per-rule rejection rates as well as filter.
+    */
+  def gopherRules(text: Column): Seq[(String, Column)] = {
+    val ws = tokens(text)
+    val n = size(ws)
+    val nd = n.cast("double")
+    val meanLen = aggregate(ws, lit(0L), (a, w) => a + length(w)).cast("double") / nd
+    // symbol-to-word ratio counts '#' and ellipses ('...' or '…')
+    val symbols = (length(text) - length(replace(text, lit("#"), lit("")))) +
+      (length(text) - length(replace(text, lit("..."), lit("")))) / lit(3) +
+      (length(text) - length(replace(text, lit("…"), lit(""))))
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("double")
+    val bulletLines = size(filter(lines, l => ltrim(l).rlike("^[-*•]")))
+    val ellipsisLines = size(filter(lines, l => rtrim(l).rlike("(\\.\\.\\.|…)$")))
+    val alphaWords = size(filter(ws, w => w.rlike("[A-Za-z]")))
+    val stopHits = size(array_intersect(
+      transform(ws, w => lower(w)),
+      array(Seq("the", "be", "to", "of", "and", "that", "have", "with").map(lit): _*)))
+    Seq(
+      "n_words" -> n.cast("long"),
+      "ok_word_count" -> (n >= 50 && n <= 100000),
+      "ok_mean_word_len" -> (n > 0 && meanLen >= 3.0 && meanLen <= 10.0),
+      "ok_symbol_ratio" -> (n > 0 && symbols.cast("double") / nd <= 0.1),
+      "ok_bullet_lines" -> (bulletLines.cast("double") / nLines <= 0.9),
+      "ok_ellipsis_lines" -> (ellipsisLines.cast("double") / nLines <= 0.3),
+      "ok_alpha_words" -> (n > 0 && alphaWords.cast("double") / nd >= 0.8),
+      "ok_stopwords" -> (stopHits >= 2))
+  }
+
   /** Composite quality score in [0,1]: weighted blend of bounded signals
     * (deterministic; weights are arbitrary but fixed).
     */

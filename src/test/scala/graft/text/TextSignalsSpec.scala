@@ -188,4 +188,28 @@ class TextSignalsSpec extends AnyFunSuite {
     assert(a == b) // partitioning-independent
     assert(a.size > 80 && a.size < 240) // roughly 40%, hash not degenerate
   }
+
+  test("gopherRules: each rule fires on its crafted violation") {
+    import org.apache.spark.sql.functions.col
+    def rules(text: String): Map[String, Any] = {
+      val rs = TextFunctions.gopherRules(col("t"))
+      val row = Seq(text).toDF("t")
+        .select(rs.map { case (n, c) => c.as(n) }: _*).head()
+      rs.map(_._1).zipWithIndex.map { case (n, i) => n -> row.get(i) }.toMap
+    }
+    val good = (("the data be available to all of us and that have with " * 10).trim)
+    val g = rules(good)
+    assert(g("n_words") == 120L)
+    assert(Seq("ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+      "ok_bullet_lines", "ok_ellipsis_lines", "ok_alpha_words", "ok_stopwords")
+      .forall(k => g(k) == true), s"good doc failed a rule: $g")
+
+    assert(rules("too short")("ok_word_count") == false)
+    assert(rules(("a " * 100).trim)("ok_mean_word_len") == false) // mean len 1
+    assert(rules(("word " * 99) + ("#" * 11))("ok_symbol_ratio") == false) // 11/100 > 0.1
+    assert(rules((1 to 20).map(i => s"- bullet $i").mkString("\n"))("ok_bullet_lines") == false)
+    assert(rules((1 to 20).map(i => s"line $i trails off...").mkString("\n"))("ok_ellipsis_lines") == false)
+    assert(rules(("123 456 " * 50).trim)("ok_alpha_words") == false)
+    assert(rules(("lorem ipsum dolor sit amet " * 20).trim)("ok_stopwords") == false)
+  }
 }
