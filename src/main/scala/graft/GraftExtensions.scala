@@ -123,6 +123,18 @@ object GraftExtensions {
       "cms_sketch(k) - aggregate: serialized Count-Min sketch (exact below capacity)") {
       args => CmsSketchAgg(args(0), 4, 65536, 65536).toAggregateExpression()
     },
+    fn("hll_distinct",
+      "hll_distinct(k, p) - aggregate: HyperLogLog distinct estimate, 2^p registers") {
+      args => HllDistinctAgg(args(0),
+        if (args.length > 1) intArg(args(1), "p") else 14,
+        emitSketch = false).toAggregateExpression()
+    },
+    fn("hll_sketch",
+      "hll_sketch(k, p) - aggregate: serialized HyperLogLog registers for union estimates") {
+      args => HllDistinctAgg(args(0),
+        if (args.length > 1) intArg(args(1), "p") else 14,
+        emitSketch = true).toAggregateExpression()
+    },
     fn("sq8_encode", "sq8_encode(vec) - int8 scalar-quantized code vector (binary)") {
       args => Sq8Encode(args(0))
     },

@@ -65,6 +65,29 @@ object FrequencySketches {
   def kmv_sketch(c: Column, k: Int = 4096): Column =
     bridge.column(KmvSketchAgg(bridge.expression(c), k).toAggregateExpression())
 
+  /** Mergeable HyperLogLog distinct count: fixed 2^p bytes per group at
+    * ANY cardinality (~0.81% standard error at the default p=14) — the
+    * constant-memory counterpart of [[kmv_distinct]].
+    */
+  def hll_distinct(c: Column, p: Int = 14): Column =
+    bridge.column(HllDistinctAgg(bridge.expression(c), p, emitSketch = false)
+      .toAggregateExpression())
+
+  /** The serialized HLL registers (binary), for driver-side union
+    * estimates across independently built sketches.
+    */
+  def hll_sketch(c: Column, p: Int = 14): Column =
+    bridge.column(HllDistinctAgg(bridge.expression(c), p, emitSketch = true)
+      .toAggregateExpression())
+
+  def hllEstimate(sketch: Array[Byte]): Long = HllBuffer.fromBytes(sketch).estimate
+
+  def hllUnionEstimate(a: Array[Byte], b: Array[Byte]): Long = {
+    val ba = HllBuffer.fromBytes(a)
+    ba.mergeIn(HllBuffer.fromBytes(b))
+    ba.estimate
+  }
+
   def kmvEstimate(sketch: Array[Byte]): Long = KmvBuffer.fromBytes(sketch).estimate
 
   /** True while the sketch still holds its FULL hash set (below capacity),
@@ -447,5 +470,120 @@ case class HeavyHittersAgg(
   override def withNewInputAggBufferOffset(offset: Int): HeavyHittersAgg =
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildInternal(newChild: Expression): HeavyHittersAgg =
+    copy(child = newChild)
+}
+
+/** HyperLogLog registers: `m = 2^p` one-byte registers, each holding the
+  * max leading-zero rank seen for hashes routed to it. The industry-
+  * standard constant-memory distinct sketch (Flajolet et al. 2007; the
+  * 64-bit-hash variant of HLL++, Heule et al. 2013, minus the empirical
+  * bias table — the small-range linear-counting correction covers the
+  * regime the bias table refines). 16 KB at the default p=14 for ~0.81%
+  * standard error, vs the KMV sketch's exact-below-k behavior: KMV
+  * answers set operations and exact small counts, HLL holds its error at
+  * ANY cardinality in fixed memory — the per-key distinct-count profile
+  * of a 100-TB column costs groups x 16 KB however hot the keys are.
+  */
+object HllBuffer {
+  def toBytes(buf: HllBuffer): Array[Byte] = {
+    val out = new ByteArrayOutputStream(buf.registers.length + 1)
+    out.write(buf.p)
+    out.write(buf.registers, 0, buf.registers.length)
+    out.toByteArray
+  }
+
+  def fromBytes(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bytes(0).toInt)
+    System.arraycopy(bytes, 1, buf.registers, 0, buf.registers.length)
+    buf
+  }
+}
+
+final class HllBuffer(val p: Int) extends Serializable {
+  require(p >= 4 && p <= 18, s"hll precision must be in [4,18], got $p")
+  val registers = new Array[Byte](1 << p)
+
+  def add(h: Long): Unit = {
+    val idx = (h >>> (64 - p)).toInt
+    // rank of the first set bit in the remaining 64-p bits, 1-based;
+    // all-zero remainder gets the max rank 64-p+1
+    val rest = h << p
+    val rank = (if (rest == 0L) 64 - p else java.lang.Long.numberOfLeadingZeros(rest)) + 1
+    if (rank > registers(idx)) registers(idx) = rank.toByte
+  }
+
+  def mergeIn(other: HllBuffer): Unit = {
+    require(other.p == p, s"cannot merge hll sketches of precision ${other.p} into $p")
+    var i = 0
+    while (i < registers.length) {
+      if (other.registers(i) > registers(i)) registers(i) = other.registers(i)
+      i += 1
+    }
+  }
+
+  def estimate: Long = {
+    val m = registers.length
+    var invSum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      invSum += java.lang.Math.scalb(1.0, -registers(i))
+      if (registers(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha =
+      if (m >= 128) 0.7213 / (1.0 + 1.079 / m)
+      else if (m == 64) 0.709
+      else if (m == 32) 0.697
+      else 0.673
+    val raw = alpha * m * m / invSum
+    val est =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+      else raw
+    math.round(est)
+  }
+}
+
+/** `hll_distinct(key, p)`: mergeable HyperLogLog distinct count. */
+case class HllDistinctAgg(
+    child: Expression,
+    p: Int,
+    emitSketch: Boolean,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[HllBuffer] with UnaryLike[Expression] {
+
+  private val Seed = 0xA0761D6478BD642FL // xxh64 prime, fixed across partials
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    FrequencySketches.checkKeyType(child, prettyName)
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(p)
+
+  override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.add(FrequencySketches.hashValue(v, Seed))
+    buf
+  }
+
+  override def merge(buf: HllBuffer, other: HllBuffer): HllBuffer = {
+    buf.mergeIn(other); buf
+  }
+
+  override def eval(buf: HllBuffer): Any =
+    if (emitSketch) HllBuffer.toBytes(buf) else buf.estimate
+
+  override def serialize(buf: HllBuffer): Array[Byte] = HllBuffer.toBytes(buf)
+  override def deserialize(bytes: Array[Byte]): HllBuffer = HllBuffer.fromBytes(bytes)
+
+  override def dataType: DataType = if (emitSketch) BinaryType else LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = if (emitSketch) "hll_sketch" else "hll_distinct"
+
+  override def withNewMutableAggBufferOffset(offset: Int): HllDistinctAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): HllDistinctAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildInternal(newChild: Expression): HllDistinctAgg =
     copy(child = newChild)
 }

@@ -244,6 +244,32 @@ object EngineQueries {
       import s.implicits._
       (0L until 10L).map(u => (u, cmsEstimateLong(sk, u)))
         .toDF("user_id", "cnt")
+    },
+
+    // A12 — mergeable HyperLogLog distinct count: fixed 16 KB per group
+    // at ANY cardinality (p=14, ~0.81% standard error) — the constant-
+    // memory complement of a8's KMV (exact below k, but O(k) memory).
+    // An approximate estimator has no exact oracle; the CHECKABLE
+    // property is its published error bound, so the row emits the exact
+    // count and a bound assertion at 6x the standard error (pass
+    // probability ~1 - 1e-9 per group; the estimator itself is
+    // deterministic, so the sweep re-checks the same value).
+    "a12_hll_distinct" -> withOracle(
+      """SELECT l_returnflag AS flag,
+        |       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd,
+        |       true AS within_bound
+        |FROM lineitem
+        |GROUP BY 1
+        |ORDER BY flag""".stripMargin) { (s, dir) =>
+      import graft.functions.FrequencySketches._
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(hll_distinct(col("l_partkey")).as("est"),
+          countDistinct(col("l_partkey")).as("nd"))
+        .select(col("flag"), col("nd"),
+          (abs(col("est") - col("nd")).cast("double") /
+            col("nd").cast("double") <= 0.05).as("within_bound"))
+        .orderBy("flag")
     }
   )
 }

@@ -116,4 +116,56 @@ class FrequencySketchesSpec extends AnyFunSuite {
     val mb2 = mgAgg.deserialize(mgAgg.serialize(mb))
     assert(mb2.counts.equals(mb.counts))
   }
+
+  test("hll_distinct holds its error bound across cardinality regimes") {
+    import graft.functions.FrequencySketches.hll_distinct
+    // p=14 => ~0.81% standard error; assert 5% (6+ sigma), both in the
+    // linear-counting regime (small n) and the raw-estimate regime
+    for (n <- Seq(100, 5000, 200000)) {
+      val df = (0 until n).map(i => i.toLong).toDF("k").repartition(16)
+      val est = df.agg(hll_distinct($"k")).as[Long].head()
+      assert(math.abs(est - n).toDouble / n <= 0.05,
+        s"hll estimate $est for true $n breaches the 5% gate")
+    }
+    // string keys ride the same path
+    val sdf = (0 until 20000).map(i => s"doc-${i % 9321}").toDF("k").repartition(8)
+    val sEst = sdf.agg(hll_distinct($"k")).as[Long].head()
+    assert(math.abs(sEst - 9321).toDouble / 9321 <= 0.05)
+  }
+
+  test("hll merge across partitions equals the single-partition build; unions compose") {
+    import graft.functions.FrequencySketches._
+    val df = (0 until 50000).map(i => (i % 17000).toLong).toDF("k")
+    val one = df.coalesce(1).agg(hll_distinct($"k")).as[Long].head()
+    val many = df.repartition(32).agg(hll_distinct($"k")).as[Long].head()
+    assert(one == many, "register-max merge must be partitioning-independent")
+
+    // union of two disjoint halves' sketches ~ the full build
+    val skA = df.filter($"k" < 8500).agg(hll_sketch($"k")).head().getAs[Array[Byte]](0)
+    val skB = df.filter($"k" >= 8500).agg(hll_sketch($"k")).head().getAs[Array[Byte]](0)
+    val union = hllUnionEstimate(skA, skB)
+    assert(math.abs(union - 17000).toDouble / 17000 <= 0.05)
+    assert(hllEstimate(skA) < hllEstimate(skB) * 2) // sanity: halves comparable
+
+    // serialization round-trip preserves the registers exactly
+    val hb = new HllBuffer(12)
+    (0 until 1000).foreach(i => hb.add(FrequencySketches.hashValue(i.toLong, 7L)))
+    val hb2 = HllBuffer.fromBytes(HllBuffer.toBytes(hb))
+    assert(hb2.p == hb.p && java.util.Arrays.equals(hb2.registers, hb.registers))
+  }
+
+  test("hll_distinct is callable from SQL after registration") {
+    graft.GraftExtensions.register(spark)
+    (0 until 3000).map(i => (i % 7, (i % 1234).toLong)).toDF("g", "k")
+      .createOrReplaceTempView("hll_in")
+    val rows = spark.sql(
+      "SELECT g, hll_distinct(k) AS nd FROM hll_in GROUP BY g ORDER BY g")
+      .as[(Int, Long)].collect()
+    assert(rows.length == 7)
+    rows.foreach { case (_, nd) =>
+      assert(nd > 0 && math.abs(nd - 1234.0 / 7 * 7 / 7) < 1234) // bounded sanity
+    }
+    val global = spark.sql("SELECT hll_distinct(k) FROM hll_in").as[Long].head()
+    assert(math.abs(global - 1234).toDouble / 1234 <= 0.05)
+  }
 }
