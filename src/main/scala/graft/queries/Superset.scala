@@ -540,6 +540,33 @@ object Superset {
         .orderBy("user_id")
     },
 
+    // T45 — stream-stream LEFT OUTER interval join: t34's pairing plus
+    // the null-side rows for views whose 30-minute window expired
+    // unmatched — emitted exactly once when BOTH sides' watermarks pass
+    // the window (earlier would risk a wrong null against a late match).
+    // A watermark-flush sentinel file closes the bounded drain so the
+    // outer results are total; the oracle is the batch LEFT JOIN.
+    "t45_stream_outer_join" -> withOracle(
+      """WITH v AS (
+        |  SELECT user_id, epoch_us(ts) AS tu
+        |  FROM events WHERE event_type = 'view'
+        |), c AS (
+        |  SELECT user_id, epoch_us(ts) AS tu
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |)
+        |SELECT v.user_id AS user_id,
+        |       CAST(COUNT(c.user_id) AS BIGINT) AS matched,
+        |       CAST(SUM(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS unmatched
+        |FROM v LEFT JOIN c
+        |  ON c.user_id = v.user_id
+        | AND c.tu > v.tu AND c.tu <= v.tu + 1800000000
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.streaming.StreamAnalytics.viewConversionOuterJoin(s, dir)
+        .orderBy("user_id")
+    },
+
     // T19 — streaming EXACT dedup with keyed state
     // (flatMapGroupsWithState): each distinct text's first micro-batch
     // emits its min-doc_id row; the state store carries seen-ness across

@@ -397,4 +397,100 @@ object StreamAnalytics {
       .agg(count(lit(1)).as("n_pairs"),
         sum(col("c_value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
+
+  private val outerJoinDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stream-stream LEFT OUTER interval join: every view either pairs
+    * with its conversions (like [[viewConversionJoin]]) or — once the
+    * watermark proves its 30-minute window can no longer match — emits
+    * exactly once with a NULL right side. The null-side emission is the
+    * part plain inner join state handling gets free and outer joins do
+    * not: an unmatched row may only leave state when BOTH sides'
+    * watermarks have passed its window (emitting earlier risks a
+    * late-arriving match = a wrong null).
+    *
+    * Bounded-drain determinism: a file stream ends when the files end,
+    * but rows near the stream's end would still be inside the watermark
+    * and their nulls would never flush. The fixture appends a
+    * watermark-flush file (two -1-user rows far past the data's max
+    * event time, one per join side, mtime-ordered AFTER the data so it
+    * is the LAST micro-batch) — the closing no-data batch then carries
+    * every real view past its window and the outer results are total,
+    * which is what makes the batch LEFT JOIN an exact oracle. On a real
+    * deployment the stream just keeps running and the same flush is the
+    * next hour of traffic.
+    *
+    * Output: (user_id, matched, unmatched) — conversions paired and
+    * views that expired unpaired, per user.
+    */
+  def viewConversionOuterJoin(spark: SparkSession, sfDir: String,
+      withinMinutes: Int = 30): DataFrame = {
+    val srcDir = outerJoinDirs.computeIfAbsent(sfDir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft-outerjoin").toString
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val df = spark.read.parquet(s"$sfDir/events.parquet")
+      val isLong = df.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val maxRow = df.orderBy(col("ts").desc).limit(1)
+      // one flush row per join side; the click side sits far past the
+      // view side so the pair cannot match itself
+      def flush(etype: String, hours: Int) = maxRow.select(df.columns.map {
+        case "event_id" => lit(-1L).as("event_id")
+        case "ts" => (if (isLong) col("ts") + lit(hours * 3600L * 1000000000L)
+          else col("ts") + expr(s"INTERVAL $hours HOURS")).as("ts")
+        case "user_id" => lit(-1L).as("user_id")
+        case "event_type" => lit(etype).as("event_type")
+        case other => col(other)
+      }: _*)
+      val tmp = s"$d/.flush-tmp"
+      flush("view", 10).union(flush("click", 30)).coalesce(1)
+        .write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      // mtime after events.parquet => the file source (mtime order)
+      // processes it last
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$d/zz-flush.parquet"))
+      graft.meta.GraftFS.deleteRecursive(tmp)
+      new java.io.File(s"$d/zz-flush.parquet")
+        .setLastModified(System.currentTimeMillis() + 60000)
+      d
+    })
+    val s = drainSession(spark, srcDir, "events.parquet")
+    val schema = s.read.parquet(s"$srcDir/events.parquet").schema
+    def tsm =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        timestamp_micros(expr("ts DIV 1000"))
+      else col("ts").cast("timestamp")
+    def side(types: Seq[String], prefix: String) = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1") // data batch, then the flush batch
+      .parquet(srcDir)
+      .where(col("event_type").isin(types: _*))
+      .select(col("user_id").as(s"${prefix}_user"),
+        tsm.as(s"${prefix}_ts"), col("value").as(s"${prefix}_value"))
+      .withWatermark(s"${prefix}_ts", "1 hour")
+
+    val views = side(Seq("view"), "v")
+    val convs = side(Seq("click", "purchase"), "c")
+    val joined = views.join(convs, expr(
+      s"""v_user = c_user AND
+         |c_ts > v_ts AND
+         |c_ts <= v_ts + INTERVAL $withinMinutes MINUTES""".stripMargin),
+      "leftOuter")
+
+    val sink = "stream_ojoin_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    joined.writeStream
+      .format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.table(sink)
+      .filter(col("v_user") >= 0) // drop the watermark-flush sentinel
+      .groupBy(col("v_user").as("user_id"))
+      .agg(count(col("c_user")).as("matched"),
+        sum(when(col("c_user").isNull, 1L).otherwise(0L)).as("unmatched"))
+  }
 }
