@@ -42,7 +42,11 @@ object ClusterCheck {
     // CoJoinRDD partitions to executors (a new custom-RDD serialization
     // surface); binary-quantization kNN runs the Bq codegen expressions
     // in executor JVMs.
-    "j7_colocated_join", "v13_knn_binary")
+    "j7_colocated_join", "v13_knn_binary",
+    // round-12 closers: bloom file skipping (sidecar built on executors,
+    // probed on the driver), HLL partial merge across real executors,
+    // outer-join watermark eviction across executor state stores
+    "p9_bloom_skip", "a12_hll_distinct", "t45_stream_outer_join")
 
   /** Canonical content hash: columns sorted by name, every cell cast to
     * string (nulls as NUL), cells joined with SOH, row strings sorted —
