@@ -117,6 +117,8 @@ object LifecycleQueries {
 
   private val bloomSkipDirs = new ConcurrentHashMap[String, String]()
 
+  private val leafSampleDirs = new ConcurrentHashMap[String, String]()
+
   private val streamingDirs = new ConcurrentHashMap[String, String]()
 
   /** T1 fixture: drop two halves of lineitem into an inbox as separate
@@ -824,6 +826,47 @@ object LifecycleQueries {
       require(skippedFiles >= 2,
         s"bloom value-index skipping stopped pruning files: $desc")
       df
+    },
+
+    // O8 — deterministic leaf sampling for fast estimates: read every
+    // 2nd leaf (key order) through the region-pruned query path — the
+    // scan touches only those leaves' files — and scale the sampled SUM
+    // by the metadata-exact row fraction. The 100-TB shape: "average/
+    // total to ±ε" from 1/k of the IO, repeatable (same call = same
+    // rows, no RNG), with the scale-up factor from committed footer
+    // counts instead of a COUNT(*) pass. Oracle recomputes the same
+    // fixed key ranges (split points 3000/6000/9000, leaves 0 and 2).
+    "o8_leaf_sample" -> withOracle(
+      """WITH src AS (
+        |  SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem WHERE l_orderkey < 12000
+        |), s AS (
+        |  SELECT SUM(q) AS sq, COUNT(*) AS sc
+        |  FROM src WHERE k < 3000 OR (k >= 6000 AND k < 9000)
+        |), t AS (SELECT COUNT(*) AS tc FROM src)
+        |SELECT CAST(s.sc AS BIGINT) AS sampled_rows,
+        |       CAST(t.tc AS BIGINT) AS total_rows,
+        |       s.sq * 1.0 * t.tc / s.sc AS est_sum
+        |FROM s, t""".stripMargin) { (s, dir) =>
+      val base = leafSampleDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-leafsample").toString
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L))
+        table.ingest(Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty")))
+        b
+      })
+      val table = GraftTable.load(s, s"$base/table")
+      val frac = table.leafSampleFraction(2, 0)
+      val totalRows = math.round(
+        // metadata-exact total: sampledRows / fraction
+        table.leafSample(2, 0).count() / frac)
+      table.leafSample(2, 0)
+        .agg(sum(col("qty")).as("sq"), count(lit(1)).as("sc"))
+        .select(col("sc").as("sampled_rows"),
+          lit(totalRows).as("total_rows"),
+          (col("sq").cast("double") * lit(totalRows.toDouble) /
+            col("sc").cast("double")).as("est_sum"))
     },
 
     // O7 — DESC TopN pushdown ("the latest keys"): ORDER BY key DESC

@@ -119,6 +119,61 @@ final class GraftTable(
     */
   def changes: DataFrame = spark.readStream.format("graft").load(dir)
 
+  /** Deterministic key-range sample: every `everyKth` leaf (key order,
+    * starting at `offset`) read through the normal region-pruned query
+    * path — the scan touches ONLY the sampled leaves' files. For quick
+    * estimates over a huge table, scale results by the sampled-row
+    * fraction, which the state store knows EXACTLY (committed footer
+    * counts), no data IO: est(total) = agg(sample) / fraction. Unlike
+    * row-level TABLESAMPLE this reads contiguous key ranges (IO-optimal,
+    * repeatable across runs/engines); the trade-off is key-correlated
+    * strata — fine for key-independent stats, biased if the metric
+    * tracks the key. Not a statistical RNG sample by design: the same
+    * call always reads the same rows.
+    */
+  def leafSample(everyKth: Int, offset: Int = 0): DataFrame = {
+    require(everyKth >= 1 && offset >= 0 && offset < everyKth,
+      s"need everyKth >= 1 and 0 <= offset < everyKth, got ($everyKth, $offset)")
+    query(graft.query.GraftQuery.forRegions(sampledLeafRegions(everyKth, offset): _*))
+  }
+
+  /** The sampled-row fraction of [[leafSample]] from state-store
+    * metadata alone (exact, no data IO). References on ancestor
+    * partitions (between split and reference-split) are excluded from
+    * both sides for consistency; fully-compacted tables have none.
+    */
+  def leafSampleFraction(everyKth: Int, offset: Int = 0): Double = {
+    val picked = sampledLeafRegions(everyKth, offset)
+      .flatMap(_.ranges.headOption.map(_.min)).toSet
+    val leaves = sortedLeaves
+    val byLeaf = store.fileReferences.groupBy(_.partitionId)
+    def rowsOf(ids: Seq[String]) =
+      ids.flatMap(byLeaf.getOrElse(_, Nil)).map(_.rowCount).sum
+    val total = rowsOf(leaves.map(_.id))
+    val sampled = rowsOf(leaves.filter(l =>
+      picked.contains(l.region.ranges.head.min)).map(_.id))
+    if (total == 0) 0.0 else sampled.toDouble / total
+  }
+
+  private def sampledLeafRegions(everyKth: Int, offset: Int): Seq[Region] =
+    sortedLeaves.zipWithIndex.collect {
+      case (l, i) if i % everyKth == offset => l.region
+    }
+
+  /** Leaves in key order of the first row-key dimension. */
+  private def sortedLeaves: Seq[Partition] =
+    store.partitionTree.leaves.sortWith { (x, y) =>
+      (x.region.ranges.head.min, y.region.ranges.head.min) match {
+        case (None, None) => false
+        case (None, _) => true
+        case (_, None) => false
+        case (Some(a: Long), Some(b: Long)) => a < b
+        case (Some(a: Int), Some(b: Int)) => a < b
+        case (Some(a: String), Some(b: String)) => a < b
+        case _ => false
+      }
+    }
+
   /** Table metrics from the state store alone (A6; reference
     * TableMetrics.java:39-134).
     */

@@ -441,4 +441,25 @@ class TableLifecycleSpec extends AnyFunSuite {
     // a never-committed version fails loudly
     intercept[IllegalStateException] { GraftTable.loadAsOf(spark, table.dir, 999L) }
   }
+
+  test("leafSample reads every k-th leaf deterministically; offsets cover the table") {
+    val s = GraftSchema(
+      rowKeys = Seq(GraftField("id", org.apache.spark.sql.types.LongType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("v", org.apache.spark.sql.types.LongType)))
+    val table = GraftTable.create(spark, tmp(), s, splitPoints = Seq(100L, 200L, 300L))
+    table.ingest((0L until 400L).map(i => (i, 1L)).toDF("id", "v"))
+
+    val s0 = table.leafSample(2, 0).select("id").as[Long].collect().toSet
+    val s1 = table.leafSample(2, 1).select("id").as[Long].collect().toSet
+    assert(s0 == ((0L until 100L) ++ (200L until 300L)).toSet, "leaves 0 and 2 in key order")
+    assert(s1 == ((100L until 200L) ++ (300L until 400L)).toSet, "leaves 1 and 3")
+    assert(s0.intersect(s1).isEmpty && (s0 ++ s1).size == 400)
+    // repeatable: same call, same rows
+    assert(table.leafSample(2, 0).select("id").as[Long].collect().toSet == s0)
+    // metadata fraction is exact with uniform leaves
+    assert(table.leafSampleFraction(2, 0) == 0.5)
+    assert(table.leafSampleFraction(4, 3) == 0.25)
+    assert(table.leafSample(1, 0).count() == 400L)
+  }
 }
