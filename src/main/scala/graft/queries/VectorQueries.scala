@@ -770,6 +770,32 @@ object VectorQueries {
       VectorFunctions.balancedSample(e, "vec_id", "embedding", m, perCluster = 20)
         .select(col("id").as("vec_id"), col("cluster"), col("h"))
         .orderBy("cluster", "h", "vec_id")
+    },
+
+    // V15 — radius (range) search: ALL vectors with cosine >= tau of
+    // each query, not a fixed top-k (faiss range_search). One broadcast
+    // of the query set against one map-only scan — no shuffle; the
+    // boundary sits >= 5e-4 from every data sim at both gate SFs, far
+    // beyond any float-vs-double accumulation drift (the v2/v3
+    // sign-boundary assumption, applied to a magnitude threshold).
+    "v15_range_search" -> withOracle(
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS qid, ev AS qv FROM v WHERE vec_id < 5
+        |)
+        |SELECT q.qid, v.vec_id, ROUND(list_cosine_similarity(v.ev, q.qv), 6) AS sim_r
+        |FROM v, q
+        |WHERE v.vec_id <> q.qid
+        |  AND list_cosine_similarity(v.ev, q.qv) >= 0.3
+        |ORDER BY qid, vec_id""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      VectorFunctions.rangeSearch(e, "vec_id", "embedding",
+          e.filter(col("vec_id") < 5), "vec_id", "embedding", tau = 0.3)
+        .filter(col("id") =!= col("qid"))
+        .select(col("qid"), col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
+        .orderBy("qid", "vec_id")
     }
   )
 }

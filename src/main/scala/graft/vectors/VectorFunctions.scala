@@ -123,6 +123,23 @@ object VectorFunctions {
     * `row_number() OVER (PARTITION BY query)` translation would move.
     * Output: (qid, id, sim, rank) with rank 1..k per query.
     */
+  /** Radius (range) search: every vector with cosine similarity >= tau
+    * to each query — the all-qualifying-neighbors complement of top-k
+    * (faiss range_search). One broadcast of the query set against one
+    * scan of the vectors, similarity in the codegen'd kernel, no
+    * shuffle at all — at 100 TB this is a map-only pass whose output
+    * size is data-dependent (callers cap with a LIMIT if they must).
+    * Self-pairs are kept when ids collide across frames; filter on the
+    * caller side if the query set is drawn from the corpus.
+    */
+  def rangeSearch(vectors: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, queryVecCol: String, tau: Double): DataFrame = {
+    val v = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    v.crossJoin(broadcast(queries.select(col(qIdCol).as("qid"), col(queryVecCol).as("q"))))
+      .select(col("qid"), col("id"), cosine_sim(col("v"), col("q")).as("sim"))
+      .filter(col("sim") >= tau)
+  }
+
   def knnBruteBatch(vectors: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, queryVecCol: String, k: Int): DataFrame = {
     import graft.functions.TopKAgg.top_k

@@ -758,4 +758,21 @@ class VectorsSpec extends AnyFunSuite {
     // the threshold must actually bite on this corpus
     assert(expectedSurvivors > 0 && expectedSurvivors < total)
   }
+
+  test("rangeSearch returns exactly the >=tau neighbors of each query") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // deterministic synthetic corpus on a 2D circle: cosine(i,j) depends
+    // only on the angle gap, so the expected set is analytic
+    def vec(deg: Int): Array[Float] =
+      Array(math.cos(math.toRadians(deg)).toFloat, math.sin(math.toRadians(deg)).toFloat)
+    val corpus = (0 until 36).map(i => (i.toLong, vec(i * 10))).toDF("id", "v")
+    val queries = Seq((0L, vec(0)), (9L, vec(90))).toDF("qid", "qv")
+    val tau = math.cos(math.toRadians(35)) // within 3 steps (30 deg), not 4 (40)
+    val got = graft.vectors.VectorFunctions
+      .rangeSearch(corpus, "id", "v", queries, "qid", "qv", tau)
+      .select("qid", "id").as[(Long, Long)].collect().toSet
+    def ring(c: Int) = (-3 to 3).map(d => ((c + d + 36) % 36).toLong).toSet
+    assert(got == ring(0).map((0L, _)) ++ ring(9).map((9L, _)))
+  }
 }
