@@ -119,6 +119,33 @@ object LifecycleQueries {
 
   private val leafSampleDirs = new ConcurrentHashMap[String, String]()
 
+  private val reportDirs = new ConcurrentHashMap[String, String]()
+
+  /** x10/x11 fixture: fixed 4-leaf table, two interleaved ingest batches
+    * folded by compactAll (one file per leaf however the ingest salted),
+    * GC'd — so every report number is derivable from the source rows.
+    */
+  private def reportTable(s: SparkSession, dir: String): GraftTable = {
+    val base = reportDirs.computeIfAbsent(dir, { _ =>
+      val b = java.nio.file.Files.createTempDirectory("graft-report").toString
+      val table = GraftTable.create(s, s"$b/table", schema,
+        splitPoints = Seq(3000L, 6000L, 9000L),
+        config = TableConfig(splitThreshold = 2000L))
+      val raw = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+      def batch(f: org.apache.spark.sql.Column) = raw.filter(f)
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      table.ingest(batch(col("l_linenumber") <= 2))
+      table.ingest(batch(col("l_linenumber") >= 3))
+      table.compactAll()
+      table.collectGarbage(nowMs = System.currentTimeMillis() + 11L * 60 * 1000)
+      b
+    })
+    // splitThreshold is deployment config (not state-store metadata,
+    // like the reference's table properties) — reapply it on load
+    GraftTable.load(s, s"$base/table",
+      config = Some(TableConfig(splitThreshold = 2000L)))
+  }
+
   private val streamingDirs = new ConcurrentHashMap[String, String]()
 
   /** T1 fixture: drop two halves of lineitem into an inbox as separate
@@ -867,6 +894,45 @@ object LifecycleQueries {
           lit(totalRows).as("total_rows"),
           (col("sq").cast("double") * lit(totalRows.toDouble) /
             col("sc").cast("double")).as("est_sum"))
+    },
+
+    // X10 — partitions status report as a queryable relation (reference:
+    // PartitionsStatusReport): per-leaf key range, file/row counts and
+    // the needs-split flag, read from state-store METADATA only — no
+    // data IO, the property that makes it safe against a 100-TB table.
+    // The oracle recomputes every number from the source rows (leaf
+    // ranges fixed by the create-time split points; n_files=1 because
+    // compactAll folds each leaf; rows/threshold from COUNT).
+    "x10_partitions_report" -> withOracle(
+      """SELECT CASE WHEN l_orderkey < 3000 THEN '-inf'
+        |            WHEN l_orderkey < 6000 THEN '3000'
+        |            WHEN l_orderkey < 9000 THEN '6000'
+        |            ELSE '9000' END AS leaf_key,
+        |       CAST(1 AS BIGINT) AS n_files,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       COUNT(*) > 2000 AS needs_split
+        |FROM lineitem WHERE l_orderkey < 12000
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      graft.reports.StatusReports.partitionsStatusDF(reportTable(s, dir))
+        .orderBy("leaf_key")
+    },
+
+    // X11 — files status report as a one-row relation (reference:
+    // FilesStatusReport / StandardFileStatusReporter's header numbers):
+    // partition/file/reference/row totals plus the GC backlog, all from
+    // metadata. After compactAll+GC the fixture's numbers are exactly
+    // derivable: 4 leaves, 3 internal nodes, one file per leaf, empty
+    // GC queue, rows = COUNT of the source rows.
+    "x11_files_report" -> withOracle(
+      """SELECT CAST(4 AS BIGINT) AS leaf_partitions,
+        |       CAST(3 AS BIGINT) AS nonleaf_partitions,
+        |       CAST(4 AS BIGINT) AS files_referenced,
+        |       CAST(0 AS BIGINT) AS files_awaiting_gc,
+        |       CAST(4 AS BIGINT) AS n_references,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_orderkey < 12000""".stripMargin) { (s, dir) =>
+      graft.reports.StatusReports.filesStatusDF(reportTable(s, dir))
     },
 
     // O7 — DESC TopN pushdown ("the latest keys"): ORDER BY key DESC

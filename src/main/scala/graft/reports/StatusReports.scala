@@ -178,4 +178,49 @@ object StatusReports {
       queryStore: QueryTrackerStore): String =
     Seq(filesStatus(table), partitionsStatus(table), ingest(table),
       compactionJobs(compactions), queries(queryStore)).mkString("\n")
+
+  // -- DataFrame-shaped variants: the same metadata-only numbers as
+  //    queryable relations, so reports compose with SQL (and the driver
+  //    oracle can gate them against ground truth recomputed from data).
+
+  /** One row per LEAF partition in key order of the first row-key
+    * dimension: (leaf_key = inclusive lower bound as a string, "-inf"
+    * for the unbounded first leaf; n_files; n_rows from committed footer
+    * counts; needs_split vs the table's split threshold).
+    */
+  def partitionsStatusDF(table: GraftTable): org.apache.spark.sql.DataFrame = {
+    val spark = table.spark
+    import spark.implicits._
+    val refs = table.store.fileReferences.groupBy(_.partitionId)
+    val threshold = table.config.splitThreshold
+    def loKey(p: Partition): Option[Any] = p.region.ranges.head.min
+    val rows = table.store.partitionTree.leaves
+      .map { l =>
+        val rs = refs.getOrElse(l.id, Nil)
+        (loKey(l).map(_.toString).getOrElse("-inf"),
+          rs.size.toLong, rs.map(_.rowCount).sum)
+      }
+      .sortBy(_._1)
+      .map { case (lo, files, n) => (lo, files, n, n > threshold) }
+    rows.toDF("leaf_key", "n_files", "n_rows", "needs_split")
+  }
+
+  /** One summary row: partition/file/reference/row totals plus the GC
+    * backlog — the numbers the text [[filesStatus]] header prints.
+    */
+  def filesStatusDF(table: GraftTable): org.apache.spark.sql.DataFrame = {
+    val spark = table.spark
+    import spark.implicits._
+    val refs = table.store.fileReferences
+    val tree = table.store.partitionTree
+    Seq((
+      tree.leaves.size.toLong,
+      (tree.partitions.size - tree.leaves.size).toLong,
+      refs.map(_.filename).distinct.size.toLong,
+      table.store.unreferencedFiles.size.toLong,
+      refs.size.toLong,
+      refs.map(_.rowCount).sum))
+      .toDF("leaf_partitions", "nonleaf_partitions", "files_referenced",
+        "files_awaiting_gc", "n_references", "n_rows")
+  }
 }

@@ -43,6 +43,14 @@ class StatusReportsSpec extends AnyFunSuite {
     assert(parts.contains("There are 3 partitions (2 leaf partitions)"))
     assert(parts.contains("Split threshold is 10 rows"))
     assert(parts.contains("There are 2 leaf partitions that need splitting"))
+
+    // DataFrame variants carry the same numbers as queryable relations
+    val pdf = StatusReports.partitionsStatusDF(table)
+      .as[(String, Long, Long, Boolean)].collect().toSeq
+    assert(pdf == Seq(("-inf", 2L, 50L, true), ("50", 2L, 50L, true)))
+    val fdf = StatusReports.filesStatusDF(table)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    assert(fdf == ((2L, 1L, 4L, 0L, 4L, 100L)))
     assert(parts.contains("NEEDS SPLITTING"))
 
     // pre-compaction: all 100 rows are ingest backlog
