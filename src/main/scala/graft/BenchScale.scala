@@ -191,6 +191,57 @@ object BenchScale {
       graft.meta.GraftFS.deleteRecursive(dirR)
     }
 
+    // -- bloom value-index skipping priced at scale (p9) ---------------
+    // x10 rows in 8 ingest batches, each batch carrying a 2-tag set
+    // whose RANGE straddles the probe tag (min/max stats keep every
+    // file) while the SET discriminates (the bloom prunes 7/8 of each
+    // leaf's files). The control runs the SAME equality on an identical
+    // unindexed column of the same table, so the delta is purely the
+    // per-file bloom probe. Once per run.
+    if (pass == 1) {
+      val dirB = java.nio.file.Files.createTempDirectory("graft-bench-bloom").toString
+      val bSchema = GraftSchema(
+        rowKeys = Seq(GraftField("l_orderkey", LongType)),
+        sortKeys = Nil,
+        values = Seq(
+          GraftField("tag", org.apache.spark.sql.types.StringType),
+          GraftField("tag2", org.apache.spark.sql.types.StringType)))
+      val bTable = GraftTable.create(spark, dirB, bSchema, splitPoints = splits,
+        config = TableConfig(gcDelayMinutes = 0, indexConfig = "bloom(tag)"))
+      val groups = 8
+      (0 until groups).foreach { g =>
+        val lo = f"tag$g%02d"
+        val hi = f"tag${63 - g}%02d"
+        bTable.ingest(scaled.filter(col("l_orderkey") % groups === g)
+          .select(col("l_orderkey"),
+            when(col("l_orderkey") % 2 === 0, lo).otherwise(hi).as("tag"))
+          .withColumn("tag2", col("tag")))
+      }
+      timed("bloom_skip_x10", totalRows, innerRepeats = 3) {
+        spark.read.format("graft").load(dirB)
+          .filter(col("tag") === "tag07").agg(count(lit(1))).collect()
+      }
+      timed("bloom_skip_x10_control", totalRows, innerRepeats = 3) {
+        spark.read.format("graft").load(dirB)
+          .filter(col("tag2") === "tag07").agg(count(lit(1))).collect()
+      }
+      // at bench scale both rows are fixed-overhead-bound (the corpus
+      // fits the page cache), so record the IO-side evidence too: files
+      // pruned of files total — the ratio that becomes the win at 100 TB
+      val bdf = spark.read.format("graft").load(dirB).filter(col("tag") === "tag07")
+      bdf.agg(count(lit(1))).collect()
+      val bdesc = bdf.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.scan.description()
+      }.headOption.getOrElse("")
+      results("bloom_skip_x10_files_pruned") =
+        "bloomSkippedFiles=(\\d+)".r.findFirstMatchIn(bdesc)
+          .map(_.group(1).toDouble).getOrElse(-1.0)
+      results("bloom_skip_x10_files_total") =
+        bTable.store.fileReferences.size.toDouble
+      graft.meta.GraftFS.deleteRecursive(dirB)
+    }
+
     // -- z-order layout: pruned box query vs full-scan control ---------
     // The p6 capability priced at scale: an x10 events table keyed by
     // the (user_id, day) Morton code, 32 leaves at z quantiles. The box

@@ -105,7 +105,7 @@ final class Ingest(table: GraftTable) {
       FileReference(new Path(path).getName, pid, footerRowCount(path))
     }.toSeq
 
-    writeSketches(moved.map(_._2).toSeq)
+    writeSketches(moved.map(_._2).toSeq, refs.map(_.rowCount).max)
     txn match {
       case None => table.store.addFiles(refs); refs
       case Some((app, version)) =>
@@ -127,16 +127,24 @@ final class Ingest(table: GraftTable) {
     * try_sum nulls out on overflow, and an overflowed file simply gets
     * no sum entry — pushdown declines rather than answering wrong).
     */
-  private def writeSketches(paths: Seq[String]): Unit = {
+  private def writeSketches(paths: Seq[String], maxFileRows: Long = 0L): Unit = {
     val schema = table.schema
     val keyNames = schema.rowKeyNames
     val sumFields = Ingest.integralFieldNames(schema)
     val strFields = Ingest.stringFieldNames(schema)
-    // opt-in per-file Bloom value indexes (equality data skipping);
+    // Opt-in per-file Bloom value indexes (equality data skipping);
     // hashed with Spark's codegen'd xxhash64 — the exact family the
-    // probe side replays on pushed literals (BloomIndex.hashValue)
+    // probe side replays on pushed literals (BloomIndex.hashValue).
+    // A filter's byte size is set by `expected` REGARDLESS of actual
+    // content, so default-sized specs auto-size to the batch's largest
+    // file instead of carrying ~1.2 MB of default-1M bits per file —
+    // at many files that sidecar bulk is what the query planner reads.
+    val autoExpected = math.max(1024L,
+      math.min(maxFileRows, graft.meta.BloomIndex.MaxExpectedItems))
     val bloomSpecs = graft.meta.BloomIndex.parse(table.config.indexConfig)
       .filter(b => schema.allFields.exists(_.name == b.field))
+      .map(b => if (b.expectedItems == graft.meta.BloomIndex.DefaultExpectedItems
+        && maxFileRows > 0) b.copy(expectedItems = autoExpected) else b)
     val aggs =
       (keyNames.map(k => sketch_agg(col(k)).as(k)) ++
         sumFields.flatMap(v => Seq(

@@ -44,6 +44,45 @@ object SketchSidecar {
 
   def exists(dataFile: String): Boolean = GraftFS.exists(pathFor(dataFile))
 
+  /** Process-wide LRU cache of sidecar contents, byte-budgeted
+    * (`graft.sidecar.cache.bytes`, default 256 MB). Data files are
+    * immutable and never rewritten under the same uuid filename, so a
+    * cached entry can never go stale; a miss (file absent at read time)
+    * is cached too — sidecars are written BEFORE the state-store commit
+    * that makes their data file visible, so an absent sidecar stays
+    * absent. Shields the query planner from re-reading file-skipping
+    * metadata (stats + blooms) on every query over the same files.
+    */
+  private val cacheBudget: Long =
+    java.lang.Long.getLong("graft.sidecar.cache.bytes", 256L * 1024 * 1024)
+  private val cache =
+    new java.util.LinkedHashMap[String, (Option[Map[String, Array[Byte]]], Long)](
+      128, 0.75f, true)
+  private var cachedBytes = 0L
+
+  def readCachedOpt(dataFile: String): Option[Map[String, Array[Byte]]] =
+    cache.synchronized {
+      val hit = cache.get(dataFile)
+      if (hit != null) hit._1
+      else {
+        val loaded =
+          try { if (exists(dataFile)) Some(read(dataFile)) else None }
+          catch { case scala.util.control.NonFatal(_) => None }
+        val bytes = 256L + loaded.map(_.valuesIterator.map(_.length.toLong).sum).getOrElse(0L)
+        cache.put(dataFile, (loaded, bytes))
+        cachedBytes += bytes
+        // evict eldest-first; access-order guarantees the entry just
+        // added is last, so the size>1 guard can never evict it
+        val it = cache.entrySet().iterator()
+        while (cachedBytes > cacheBudget && cache.size > 1 && it.hasNext) {
+          val e = it.next()
+          cachedBytes -= e.getValue._2
+          it.remove()
+        }
+        loaded
+      }
+    }
+
   /** Reserved sidecar entry name for per-file integral-column stats:
     * the sidecar map is (name → bytes), so stats entries ride the
     * existing format under a prefix no schema field can collide with

@@ -638,11 +638,7 @@ final class GraftScan(dir: String, store: JsonStateStore,
     def fileMaySatisfy(path: String): Boolean =
       (!statsSkippable && !bloomSkippable) || {
         val entries = sidecarCache.getOrElseUpdate(path,
-          try {
-            if (graft.meta.SketchSidecar.exists(path))
-              Some(graft.meta.SketchSidecar.read(path))
-            else None
-          } catch { case scala.util.control.NonFatal(_) => None })
+          graft.meta.SketchSidecar.readCachedOpt(path))
         entries match {
           case None => true
           case Some(m) =>
