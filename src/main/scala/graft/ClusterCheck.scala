@@ -46,7 +46,9 @@ object ClusterCheck {
     // round-12 closers: bloom file skipping (sidecar built on executors,
     // probed on the driver), HLL partial merge across real executors,
     // outer-join watermark eviction across executor state stores
-    "p9_bloom_skip", "a12_hll_distinct", "t45_stream_outer_join")
+    "p9_bloom_skip", "a12_hll_distinct", "t45_stream_outer_join",
+    // schema evolution: evolved-read through executor-side readers
+    "m11_add_column")
 
   /** Canonical content hash: columns sorted by name, every cell cast to
     * string (nulls as NUL), cells joined with SOH, row strings sorted —

@@ -31,8 +31,13 @@ private[exec] final class RowReadSupport(fields: Seq[GraftField])
     val wanted = fields.map(_.name).toSet
     val kept = full.getFields.stream().filter(f => wanted.contains(f.getName))
       .toArray(n => new Array[org.apache.parquet.schema.Type](n))
-    require(kept.length == fields.size,
-      s"parquet file missing fields: ${wanted -- kept.map(_.getName)}")
+    // Schema evolution: columns appended after this file was written are
+    // absent from it — they must be nullable (AddColumn enforces that)
+    // and their slots stay null (start() pre-nulls every slot).
+    val present = kept.map(_.getName).toSet
+    val missing = fields.filterNot(f => present(f.name))
+    require(missing.forall(_.nullable),
+      s"parquet file missing non-nullable fields: ${missing.filterNot(_.nullable).map(_.name).mkString(",")}")
     new ReadContext(new MessageType(full.getName, kept: _*))
   }
 

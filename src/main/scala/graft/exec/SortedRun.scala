@@ -503,17 +503,26 @@ private[graft] final class VectorizedRowIterator(path: String, fields: Seq[Graft
     conf: Configuration = graft.meta.GraftFS.conf)
   extends RowSource {
 
-  private val reader = org.apache.spark.sql.execution.datasources.parquet
-    .GraftVectorizedBridge.open(path, fields.map(_.name), filter, capacity = 4096, conf)
+  private val (reader, perm) = org.apache.spark.sql.execution.datasources.parquet
+    .GraftVectorizedBridge.open(path,
+      org.apache.spark.sql.types.StructType(fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable))),
+      filter, capacity = 4096, conf)
   private var batchRows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
   private var done = false
 
   private def advance(): Unit = {
     while (!done && !batchRows.hasNext) {
       if (reader.nextKeyValue()) {
-        batchRows = reader.getCurrentValue
+        val raw = reader.getCurrentValue
           .asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
-          .rowIterator()
+        // restore caller column order when evolved columns were appended
+        val b = perm match {
+          case None => raw
+          case Some(p) => new org.apache.spark.sql.vectorized.ColumnarBatch(
+            p.map(i => raw.column(i)), raw.numRows())
+        }
+        batchRows = b.rowIterator()
       } else { done = true; close() }
     }
   }

@@ -580,6 +580,9 @@ object JsonStateStore {
     case StateTransaction.RemoveGCFiles(files) => JObject(
       "txn" -> JString("removeGC"),
       "filenames" -> JArray(files.map(JString(_)).toList))
+    case StateTransaction.AddColumn(field) => JObject(
+      "txn" -> JString("addColumn"),
+      "field" -> fieldToJson(field))
     case StateTransaction.Init =>
       throw new IllegalStateException("Init commits as a full snapshot, never a log entry")
   }
@@ -609,6 +612,7 @@ object JsonStateStore {
       case "assignJob" =>
         StateTransaction.AssignJob(str("jobId"), str("partitionId"), strs("filenames"))
       case "removeGC" => StateTransaction.RemoveGCFiles(strs("filenames"))
+      case "addColumn" => StateTransaction.AddColumn(fieldFromJson(m("field")))
       case other => throw new IllegalArgumentException(s"unknown transaction type '$other'")
     }
   }

@@ -119,6 +119,11 @@ trait StateStore {
 
   /** Remove GC'd files from the queue after physical deletion. */
   def removeGCFiles(filenames: Seq[String]): Unit
+
+  /** AddColumnTransaction — append one nullable value column (schema
+    * evolution; see [[StateTransaction.AddColumn]]).
+    */
+  def addColumn(field: graft.core.GraftField): Unit
 }
 
 /** In-memory single-writer implementation; also the base for the
@@ -131,10 +136,15 @@ trait StateStore {
   * subclass can persist the O(changes) transaction instead of the
   * O(table) snapshot, and replay it deterministically.
   */
-class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
+class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
     extends StateStore {
 
   protected var tree: PartitionTree = initialTree
+
+  /** The CURRENT schema lives in the partition tree, so schema-evolution
+    * transactions (AddColumn) version it with everything else.
+    */
+  override def schema: GraftSchema = synchronized(tree.schema)
   protected var refs: Vector[FileReference] = Vector.empty
   protected var gcQueue: Vector[GCEntry] = Vector.empty
   protected var txns: Map[String, Long] = Map.empty
@@ -241,5 +251,9 @@ class InMemoryStateStore(val schema: GraftSchema, initialTree: PartitionTree)
 
   override def removeGCFiles(filenames: Seq[String]): Unit = withRetry { synchronized {
     runTxn(StateTransaction.RemoveGCFiles(filenames.toVector))
+  }}
+
+  override def addColumn(field: graft.core.GraftField): Unit = withRetry { synchronized {
+    runTxn(StateTransaction.AddColumn(field))
   }}
 }

@@ -137,4 +137,24 @@ object StateTransaction {
     override def applyTo(s: TableState): TableState =
       s.copy(gc = s.gc.filterNot(e => filenames.contains(e.filename)))
   }
+
+  /** AddColumnTransaction — schema evolution: append one NULLABLE value
+    * column (the table schema rides in the partition tree, so this is an
+    * O(1) metadata change). Files written before the change simply lack
+    * the column; every reader fills it with nulls, and compaction
+    * converges files to the widened schema as it rewrites them. Append-
+    * only by design: keys, sort order and existing columns never change,
+    * so file sort order, split points, and sketches all stay valid —
+    * the widening the reference's fixed-schema tables cannot do.
+    */
+  final case class AddColumn(field: graft.core.GraftField) extends StateTransaction {
+    override def applyTo(s: TableState): TableState = {
+      val sch = s.tree.schema
+      require(!sch.allFields.exists(_.name == field.name),
+        s"column ${field.name} already exists")
+      require(field.nullable,
+        s"added column ${field.name} must be nullable (existing files have no values for it)")
+      s.copy(tree = s.tree.copy(schema = sch.copy(values = sch.values :+ field)))
+    }
+  }
 }

@@ -121,6 +121,8 @@ object LifecycleQueries {
 
   private val reportDirs = new ConcurrentHashMap[String, String]()
 
+  private val evolveDirs = new ConcurrentHashMap[String, String]()
+
   /** x10/x11 fixture: fixed 4-leaf table, two interleaved ingest batches
     * folded by compactAll (one file per leaf however the ingest salted),
     * GC'd — so every report number is derivable from the source rows.
@@ -924,6 +926,36 @@ object LifecycleQueries {
     // metadata. After compactAll+GC the fixture's numbers are exactly
     // derivable: 4 leaves, 3 internal nodes, one file per leaf, empty
     // GC queue, rows = COUNT of the source rows.
+    "m11_add_column" -> withOracle(
+      // M11 — schema evolution: a nullable value column appended between
+      // two ingest batches (O(1) metadata — no data rewrite; the schema
+      // versions THROUGH the transaction log with everything else).
+      // Batch-1 files lack the column and every reader fills nulls;
+      // batch-2 files carry values — the widening the reference's
+      // fixed-schema tables cannot do, and the thing a year-old 100-TB
+      // table inevitably needs. NULLS FIRST pinned on both sides (the
+      // engines' ASC defaults differ).
+      """SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty,
+        |       CASE WHEN l_linenumber >= 3 THEN l_partkey % 7 END AS extra
+        |FROM lineitem WHERE l_orderkey < 12000
+        |ORDER BY 1, 2, 3 NULLS FIRST""".stripMargin) { (s, dir) =>
+      val base = evolveDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-evolve-q").toString
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L))
+        val raw = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+        table.ingest(raw.filter(col("l_linenumber") <= 2)
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty")))
+        table.addColumn(GraftField("extra", LongType, nullable = true))
+        table.ingest(raw.filter(col("l_linenumber") >= 3)
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"),
+            (col("l_partkey") % 7).cast("long").as("extra")))
+        b
+      })
+      s.read.format("graft").load(s"$base/table")
+        .orderBy(col("l_orderkey"), col("qty"), col("extra").asc_nulls_first)
+    },
+
     "x11_files_report" -> withOracle(
       """SELECT CAST(4 AS BIGINT) AS leaf_partitions,
         |       CAST(3 AS BIGINT) AS nonleaf_partitions,

@@ -153,7 +153,11 @@ final class QueryExecutor(table: GraftTable) {
         val files = leaves.flatMap(l => refsByPartition.getOrElse(l.id, Nil))
           .map(table.pathOf).distinct
         if (files.isEmpty) Nil
-        else Seq(spark.read.parquet(files: _*).filter(regionPredicate(regions)))
+        // the declared read schema makes columns ADDED after a file was
+        // written (schema evolution) decode as nulls instead of failing
+        // resolution against that file's narrower footer schema
+        else Seq(spark.read.schema(org.apache.spark.sql.types.StructType(schema.toStructType.fields.map(_.copy(nullable = true))))
+          .parquet(files: _*).filter(regionPredicate(regions)))
       } else {
         // Refs still sit on ancestors (pre-split): ONE scan of every
         // selected file, clipped to rows whose leaf (computed by the
@@ -167,7 +171,7 @@ final class QueryExecutor(table: GraftTable) {
             tree.ancestors(leaf.id).flatMap(a => refsByPartition.getOrElse(a.id, Nil)))
         }.map(table.pathOf).distinct
         if (files.isEmpty) Nil
-        else Seq(spark.read.parquet(files: _*)
+        else Seq(spark.read.schema(org.apache.spark.sql.types.StructType(schema.toStructType.fields.map(_.copy(nullable = true)))).parquet(files: _*)
           .filter(tree.leafIdColumn.isin(leaves.map(_.id): _*) && regionPredicate(regions)))
       }
     }

@@ -788,8 +788,13 @@ final class GraftReaderFactory(confW: graft.meta.SerializableHadoopConf)
   private def nativeColumnarReader(spec: RunSpec)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val pred = SortedRun.queryPredicate(spec.queryRegions, spec.schema.keyFields)
-    val vec = org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedBridge
-      .open(spec.paths.head, spec.output, pred, capacity = 4096, conf = confW.value)
+    val (vec, perm) = org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedBridge
+      .open(spec.paths.head,
+        StructType(spec.output.map { n =>
+          val f = spec.schema.field(n)
+          org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)
+        }),
+        pred, capacity = 4096, conf = confW.value)
     new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
       // honor the pushed per-partition LIMIT/TopN cap here too — without
       // it, exactly the advertised steady state (compacted leaves) would
@@ -797,7 +802,14 @@ final class GraftReaderFactory(confW: graft.meta.SerializableHadoopConf)
       private var remaining: Long = spec.limit.map(_.toLong).getOrElse(Long.MaxValue)
       override def next(): Boolean = remaining > 0 && vec.nextKeyValue()
       override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
-        val b = vec.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+        val raw = vec.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+        // restore the requested column order when evolved columns were
+        // appended by the reader's partition-column seam
+        val b = perm match {
+          case None => raw
+          case Some(p) => new org.apache.spark.sql.vectorized.ColumnarBatch(
+            p.map(i => raw.column(i)), raw.numRows())
+        }
         if (b.numRows > remaining) b.setNumRows(remaining.toInt)
         remaining -= b.numRows
         b

@@ -426,10 +426,14 @@ object StreamAnalytics {
   def viewConversionOuterJoin(spark: SparkSession, sfDir: String,
       withinMinutes: Int = 30): DataFrame = {
     val srcDir = outerJoinDirs.computeIfAbsent(sfDir, { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft-outerjoin").toString
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$sfDir/events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+      val d = s"${System.getProperty("java.io.tmpdir")}/graft-outerjoin-" +
+        java.util.UUID.randomUUID().toString.take(8)
+      graft.meta.GraftFS.mkdirs(d)
+      val (fs, _) = graft.meta.GraftFS.resolve(d)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$sfDir/events.parquet"),
+        fs, new org.apache.hadoop.fs.Path(s"$d/events.parquet"),
+        false, spark.sparkContext.hadoopConfiguration)
       val df = spark.read.parquet(s"$sfDir/events.parquet")
       val isLong = df.schema("ts").dataType == org.apache.spark.sql.types.LongType
       val maxRow = df.orderBy(col("ts").desc).limit(1)
@@ -446,15 +450,14 @@ object StreamAnalytics {
       val tmp = s"$d/.flush-tmp"
       flush("view", 10).union(flush("click", 30)).coalesce(1)
         .write.parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
+      val part = graft.meta.GraftFS.list(tmp)
+        .find(_.getPath.getName.endsWith(".parquet")).get
       // mtime after events.parquet => the file source (mtime order)
       // processes it last
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(s"$d/zz-flush.parquet"))
+      val flushPath = new org.apache.hadoop.fs.Path(s"$d/zz-flush.parquet")
+      graft.meta.GraftFS.rename(part.getPath, flushPath, fs)
       graft.meta.GraftFS.deleteRecursive(tmp)
-      new java.io.File(s"$d/zz-flush.parquet")
-        .setLastModified(System.currentTimeMillis() + 60000)
+      fs.setTimes(flushPath, System.currentTimeMillis() + 60000, -1)
       d
     })
     val s = drainSession(spark, srcDir, "events.parquet")

@@ -119,6 +119,23 @@ final class GraftTable(
     */
   def changes: DataFrame = spark.readStream.format("graft").load(dir)
 
+  /** Schema evolution: append one NULLABLE value column. O(1) metadata
+    * — no data rewrite. Files written before the change lack the column
+    * and every reader (query, DSv2, compaction merge) fills it with
+    * nulls; compaction converges files to the widened schema as it
+    * rewrites them. Keys/sort order never change, so sort order, split
+    * points and sketches stay valid. Refused on aggregation-configured
+    * tables: the persisted agg config must cover every value column,
+    * and it cannot be updated atomically with the schema here.
+    */
+  def addColumn(field: GraftField): Unit = {
+    store.assertWritable()
+    require(config.aggregationConfig.trim.isEmpty,
+      "cannot add a column to an aggregation-configured table " +
+        s"(agg config '${config.aggregationConfig}' must cover every value column)")
+    store.addColumn(field)
+  }
+
   /** Deterministic key-range sample: every `everyKth` leaf (key order,
     * starting at `offset`) read through the normal region-pruned query
     * path — the scan touches ONLY the sampled leaves' files. For quick

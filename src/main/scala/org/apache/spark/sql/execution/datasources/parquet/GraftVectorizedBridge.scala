@@ -74,15 +74,22 @@ object GraftVectorizedBridge {
       })
 
   /** An initialized vectorized reader over one whole parquet file,
-    * projected to `columns` (batch columns come out in that order), with
-    * optional row-group statistics filtering (stats granularity only —
-    * page-level column-index filtering is disabled because the batch
-    * reader's row accounting assumes whole row groups). The caller loops
-    * `nextKeyValue()` / `getCurrentValue` (a ColumnarBatch) and must
-    * `close()`.
+    * projected to `columns`, with optional row-group statistics
+    * filtering (stats granularity only — page-level column-index
+    * filtering is disabled because the batch reader's row accounting
+    * assumes whole row groups). The caller loops `nextKeyValue()` /
+    * `getCurrentValue` (a ColumnarBatch) and must `close()`.
+    *
+    * Schema evolution: columns absent from the file (appended by
+    * AddColumn after it was written; necessarily nullable) ride as
+    * constant-null vectors via the reader's partition-column seam, which
+    * appends them AFTER the parquet columns — so the returned
+    * permutation (caller column i -> batch column perm(i)) restores the
+    * caller's order; None when the batch order already matches.
     */
-  def open(path: String, columns: Seq[String], rowGroupFilter: Option[FilterPredicate],
-      capacity: Int, conf: Configuration = new Configuration()): VectorizedParquetRecordReader = {
+  def open(path: String, columns: StructType, rowGroupFilter: Option[FilterPredicate],
+      capacity: Int, conf: Configuration = new Configuration())
+      : (VectorizedParquetRecordReader, Option[Array[Int]]) = {
     val hPath = new Path(path)
     val optsB = HadoopReadOptions.builder(conf, hPath)
     rowGroupFilter.foreach(p => optsB.withRecordFilter(FilterCompat.get(p)))
@@ -90,17 +97,33 @@ object GraftVectorizedBridge {
     val fileReader = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf), optsB.build())
     try {
       val fileSchema = fileReader.getFooter.getFileMetaData.getSchema
+      val inFile = (0 until fileSchema.getFieldCount)
+        .map(i => fileSchema.getFields.get(i).getName).toSet
+      val present = columns.fields.filter(f => inFile(f.name))
+      val missing = columns.fields.filterNot(f => inFile(f.name))
+      require(missing.forall(_.nullable),
+        s"parquet file missing non-nullable columns: " +
+          missing.filterNot(_.nullable).map(_.name).mkString(","))
       val requested = new MessageType(fileSchema.getName,
-        columns.map(c => fileSchema.getFields.get(fileSchema.getFieldIndex(c))): _*)
+        present.map(f => fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))): _*)
       fileReader.setRequestedSchema(requested)
       val rows = fileReader.getRecordCount // sums only blocks surviving the filter
       require(rows <= Int.MaxValue, s"file too large for one vectorized task: $rows rows")
       val vec = new VectorizedParquetRecordReader(false, capacity)
       initializeMethod.invoke(vec, fileSchema, requested,
         rowGroupReaderFor(fileReader), Int.box(rows.toInt))
-      vec.initBatch(new StructType(), InternalRow.empty)
+      vec.initBatch(StructType(missing),
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(missing.length))
       vec.enableReturningBatches()
-      vec
+      val perm =
+        if (missing.isEmpty) None
+        else {
+          val presentIdx = present.map(_.name).zipWithIndex.toMap
+          val missingIdx = missing.map(_.name).zipWithIndex.toMap
+          Some(columns.fields.map(f => presentIdx.getOrElse(f.name,
+            present.length + missingIdx(f.name))).toArray)
+        }
+      (vec, perm)
     } catch {
       case e: Throwable => fileReader.close(); throw e
     }
