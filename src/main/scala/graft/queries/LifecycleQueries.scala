@@ -386,6 +386,45 @@ object LifecycleQueries {
       s.read.parquet(out).orderBy("l_orderkey")
     },
 
+    // M12 — JSONL shard export: the training-data handoff format (one
+    // JSON object per line, fixed shard count, key-hash shard
+    // assignment so re-exports are deterministic). The oracle reads the
+    // exported shards back against the table schema — a row survives
+    // the JSON round trip only if types and values do.
+    "m12_jsonl_export" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val table = lifecycleTable(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      table.exportJsonl(out, shards = 8)
+      s.read.schema(table.schema.toStructType).json(s"$out/*.json")
+        .orderBy("l_orderkey")
+    },
+
+    // X12 — version-keyed query result cache: the same query against an
+    // unchanged table is served from the cache directory (results at a
+    // state version are immutable; any mutation bumps the version and
+    // invalidates naturally). Asserts the second call IS a cache hit;
+    // the oracle checks the served result against ground truth.
+    "x12_cached_query" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey >= 5000 AND l_orderkey < 9000
+        |GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val table = lifecycleTable(s, dir)
+      val cacheDir = java.nio.file.Files.createTempDirectory("graft-qcache").toString
+      val q = GraftQuery.forRegions(
+        Region(KeyRange.minMax("l_orderkey", 5000L, 9000L)))
+      val (_, hit1) = table.queryCached(q, cacheDir)
+      val (df, hit2) = table.queryCached(q, cacheDir)
+      require(!hit1 && hit2,
+        s"expected miss-then-hit from the version-keyed cache, got ($hit1, $hit2)")
+      df.orderBy("l_orderkey")
+    },
+
     // M9 — Arrow FFI export (S4): every partition streams to its own
     // Arrow IPC file via the Arrow Java API — no shuffle, no driver
     // collect; the row reports the manifest's total (the oracle's

@@ -105,6 +105,51 @@ final class GraftTable(
   /** Bulk export: whole table to parquet at `outDir` (M8). */
   def export(outDir: String): Unit = toDF.write.mode("overwrite").parquet(outDir)
 
+  /** Bulk export to `shards` JSONL files — the training-data handoff
+    * format (one JSON object per line, a fixed shard count for
+    * downstream loaders). Shard assignment hashes the row keys, so the
+    * same table state always produces the same shard contents —
+    * re-exports are diffable.
+    */
+  def exportJsonl(outDir: String, shards: Int): Unit =
+    toDF.repartition(shards, schema.rowKeyNames.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").json(outDir)
+
+  /** Version-keyed query result cache: a result computed against state
+    * version V is immutable (files never change under a version), so it
+    * caches under md5(queryJson @ V) forever — any table mutation bumps
+    * the version and naturally invalidates. The repeated-dashboard
+    * shape: the second identical query against an unchanged 100-TB
+    * table costs a cache-dir read, zero planning and zero data IO.
+    * Returns (result, servedFromCache). Snapshot (time-travel) loads
+    * cache under their historical version; stores without a version
+    * chain always recompute.
+    */
+  def queryCached(q: graft.query.GraftQuery, cacheDir: String)
+      : (DataFrame, Boolean) = {
+    val version = store match {
+      case j: JsonStateStore => j.currentVersion
+      case s: SnapshotStateStore => s.version
+      case _ => -1L
+    }
+    val key = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val json = graft.query.QuerySerDe.toJson(q, schema)
+      md.digest(s"$json@$version".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val hitDir = s"$cacheDir/$key"
+    if (version >= 0 && GraftFS.exists(s"$hitDir/_SUCCESS"))
+      (spark.read.parquet(hitDir), true)
+    else {
+      val df = query(q)
+      if (version < 0) (df, false)
+      else {
+        df.write.mode("overwrite").parquet(hitDir)
+        (spark.read.parquet(hitDir), false)
+      }
+    }
+  }
+
   /** Shuffle-free equi-join with a co-partitioned table (identical leaf
     * regions, position-compatible row-key types): one sorted merge-join
     * task per leaf pair, no shuffle, no sort — see
