@@ -212,9 +212,14 @@ object BenchScale {
       (0 until groups).foreach { g =>
         val lo = f"tag$g%02d"
         val hi = f"tag${63 - g}%02d"
+        // the lo/hi choice must NOT correlate with the batch's key
+        // residue (k % groups == g), or each file would carry a single
+        // tag and min/max stats would prune instead of the bloom —
+        // alternate on (k DIV groups) so every file holds both tags
         bTable.ingest(scaled.filter(col("l_orderkey") % groups === g)
           .select(col("l_orderkey"),
-            when(col("l_orderkey") % 2 === 0, lo).otherwise(hi).as("tag"))
+            expr(s"CASE WHEN (l_orderkey DIV $groups) % 2 = 0 " +
+              s"THEN '$lo' ELSE '$hi' END").as("tag"))
           .withColumn("tag2", col("tag")))
       }
       timed("bloom_skip_x10", totalRows, innerRepeats = 3) {

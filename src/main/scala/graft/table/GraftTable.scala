@@ -128,6 +128,11 @@ final class GraftTable(
   def queryCached(q: graft.query.GraftQuery, cacheDir: String)
       : (DataFrame, Boolean) = {
     val version = store match {
+      // function transforms and the SQL post-stage are NOT part of the
+      // serialized query (the JSON interchange form cannot carry a
+      // closure, and postSql is graft-specific) — caching them would
+      // silently collide distinct queries under one key; bypass instead
+      case _ if q.queryTimeTransform.isDefined || q.postSql.isDefined => -1L
       case j: JsonStateStore => j.currentVersion
       case s: SnapshotStateStore => s.version
       case _ => -1L

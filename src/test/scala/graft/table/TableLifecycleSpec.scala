@@ -462,4 +462,34 @@ class TableLifecycleSpec extends AnyFunSuite {
     assert(table.leafSampleFraction(4, 3) == 0.25)
     assert(table.leafSample(1, 0).count() == 400L)
   }
+
+  test("queryCached: version-keyed hit/miss, invalidation, uncacheable bypass") {
+    val s = GraftSchema(
+      rowKeys = Seq(GraftField("id", org.apache.spark.sql.types.LongType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("v", org.apache.spark.sql.types.LongType)))
+    val table = GraftTable.create(spark, tmp(), s)
+    table.ingest((0L until 100L).map(i => (i, i)).toDF("id", "v"))
+    val cache = tmp()
+    val q = graft.query.GraftQuery.forRegions(
+      graft.core.Region(graft.core.KeyRange.minMax("id", 10L, 20L)))
+
+    val (r1, hit1) = table.queryCached(q, cache)
+    val (r2, hit2) = table.queryCached(q, cache)
+    assert(!hit1 && hit2)
+    assert(r1.select("id").as[Long].collect().toSet ==
+      r2.select("id").as[Long].collect().toSet)
+
+    // a mutation bumps the version: the old entry no longer serves
+    table.ingest(Seq((15L, 999L)).toDF("id", "v"))
+    val (r3, hit3) = table.queryCached(q, cache)
+    assert(!hit3, "post-mutation query must recompute")
+    assert(r3.count() == r1.count() + 1)
+
+    // unserializable query parts bypass the cache entirely
+    val qSql = q.copy(postSql = Some("SELECT COUNT(*) AS n FROM query_results"))
+    val (_, h1) = table.queryCached(qSql, cache)
+    val (_, h2) = table.queryCached(qSql, cache)
+    assert(!h1 && !h2, "postSql queries must never be served from cache")
+  }
 }
