@@ -55,7 +55,12 @@ final case class RunSpec(
       * DESC top-n IS its last n rows; they emit in storage order and
       * Spark's global sort above finishes the job. O(limit) ring-buffer
       * state, rows copied on buffering (readers reuse row objects). */
-    limitLast: Boolean = false)
+    limitLast: Boolean = false,
+    /** pending row-key tombstone files for this leaf (sorted key-only
+      * parquet): rows whose ROW KEY appears in any of them are dropped
+      * by a streaming merge-anti-join before filters/aggregation —
+      * O(1) memory, both sides already key-sorted. */
+    tombstonePaths: Seq[String] = Nil)
 
 object SortedRun {
 
@@ -142,12 +147,25 @@ object SortedRun {
           (regionTests.isEmpty || regionTests.exists(_.forall(_(row))))
       }
 
+    // Row-key tombstones (deleteKeys): drop any row whose row key
+    // appears in a pending tombstone — BEFORE aggregation, so deleted
+    // rows never contribute to merged values. Both streams are sorted
+    // (data by rowKeys++sortKeys => ascending in the rowKey prefix;
+    // tombstones by rowKeys), so this is a streaming merge-anti-join.
+    val tombReaders: Seq[RowSource] =
+      spec.tombstonePaths.map(p => new GroupRowIterator(p, schema.rowKeys, None, conf))
+    val tombstoned =
+      if (tombReaders.isEmpty) clipped
+      else new AntiKeyIterator(clipped,
+        mergeSorted(tombReaders, schema.rowKeys),
+        schema.rowKeys.map(_.dataType).toArray)
+
     val filtered = filterSpec match {
       case Some(ConfigDsl.AgeOff(field, maxAgeMs)) =>
         val i = readIndex(field)
         val cutoff = spec.nowMs - maxAgeMs
-        clipped.filter(row => !row.isNullAt(i) && row.getLong(i) > cutoff)
-      case None => clipped
+        tombstoned.filter(row => !row.isNullAt(i) && row.getLong(i) > cutoff)
+      case None => tombstoned
     }
 
     val aggregated =
@@ -183,7 +201,55 @@ object SortedRun {
         }
       }
     }.getOrElse(projected)
-    (limited, readers)
+    (limited, readers ++ tombReaders)
+  }
+
+  /** Streaming merge-anti-join on the ROW-KEY prefix: `rows` ascending
+    * in positions [0, keyTypes.length) (data sort order), `tombs`
+    * ascending whole-row (tombstone files are key-only). A row is
+    * dropped iff its row key equals a tombstone key; duplicate
+    * tombstone keys are harmless (the cursor just lingers).
+    */
+  private final class AntiKeyIterator(
+      rows: Iterator[InternalRow],
+      tombs: Iterator[InternalRow],
+      keyTypes: Array[DataType]) extends Iterator[InternalRow] {
+
+    private var curTomb: InternalRow = if (tombs.hasNext) tombs.next() else null
+    private var pending: InternalRow = null
+
+    private def cmpKey(r: InternalRow, t: InternalRow): Int = {
+      var i = 0
+      while (i < keyTypes.length) {
+        val c = compareInternal(keyTypes(i), r.get(i, keyTypes(i)), t.get(i, keyTypes(i)))
+        if (c != 0) return c
+        i += 1
+      }
+      0
+    }
+
+    private def advance(): Unit = {
+      while (pending == null && rows.hasNext) {
+        val r = rows.next()
+        var dropped = false
+        var decided = false
+        while (!decided) {
+          if (curTomb == null) decided = true
+          else {
+            val c = cmpKey(r, curTomb)
+            if (c > 0) curTomb = if (tombs.hasNext) tombs.next() else null
+            else { dropped = c == 0; decided = true }
+          }
+        }
+        if (!dropped) pending = r
+      }
+    }
+
+    override def hasNext: Boolean = { advance(); pending != null }
+    override def next(): InternalRow = {
+      advance()
+      val r = pending; pending = null; r
+    }
   }
 
   /** Query regions (ORed) as one parquet row-group predicate. OR

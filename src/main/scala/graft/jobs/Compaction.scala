@@ -143,7 +143,7 @@ final class Compaction(table: GraftTable,
     * one sorted, filtered, aggregated stream (graft.exec.SortedRun).
     */
   private def specFor(partitionId: String, refs: Seq[FileReference],
-      nowMs: Long): graft.exec.RunSpec = {
+      nowMs: Long, tombstones: Seq[FileReference] = Nil): graft.exec.RunSpec = {
     val partition = table.store.partitionTree(partitionId)
     graft.exec.RunSpec(
       refs.map(table.pathOf).distinct,
@@ -152,8 +152,18 @@ final class Compaction(table: GraftTable,
       Some(partition.region),
       table.config.aggregationConfig,
       table.config.filterConfig,
-      nowMs)
+      nowMs,
+      // pending deletes purge physically in this merge; the commit
+      // retires EXACTLY this captured set (a tombstone landing after
+      // this point applies at read and survives for the next round)
+      tombstonePaths = tombstones.map(table.pathOf).distinct)
   }
+
+  /** This partition's pending row-key tombstones (captured once per job:
+    * the commit retires exactly the set the merge applied).
+    */
+  private def tombstonesFor(partitionId: String): Seq[FileReference] =
+    table.store.tombstones.filter(_.partitionId == partitionId)
 
   /** Merge one partition's files into a single sorted file and commit.
     * The task is a streaming N-way merge with in-order key-equal
@@ -173,7 +183,16 @@ final class Compaction(table: GraftTable,
       table.store.assignJob(jobId, job.partitionId, job.files.map(_.filename))
       track(jobId, job.partitionId, job.files.size, CompactionJobState.Started)
       val sketchDir = s"${table.dir}/.sketch-$jobId"
-      val specs = Seq(specFor(job.partitionId, job.files, System.currentTimeMillis()))
+      // Tombstones may only be applied+retired by a job covering the
+      // WHOLE leaf: purging them from a subset while sibling files still
+      // carry the keys, then retiring, would resurrect those rows.
+      // Partial jobs leave them pending (the read side keeps applying).
+      val leafFilenames = table.store.fileReferences
+        .filter(_.partitionId == job.partitionId).map(_.filename).toSet
+      val tombs =
+        if (job.files.map(_.filename).toSet == leafFilenames) tombstonesFor(job.partitionId)
+        else Nil
+      val specs = Seq(specFor(job.partitionId, job.files, System.currentTimeMillis(), tombs))
       // With a custom transform, rows can change between merge and write,
       // so the one-pass merge sketch would describe the wrong row set —
       // fall back to sketching the written file.
@@ -201,7 +220,8 @@ final class Compaction(table: GraftTable,
       track(jobId, job.partitionId, job.files.size, CompactionJobState.Finished,
         rows = Some(rowCount))
       val output = FileReference(filename, job.partitionId, rowCount)
-      table.store.replaceFiles(job.partitionId, job.files.map(_.filename), output)
+      table.store.replaceFiles(job.partitionId, job.files.map(_.filename), output,
+        consumedTombstones = tombs.map(_.filename))
       track(jobId, job.partitionId, job.files.size, CompactionJobState.Committed,
         rows = Some(rowCount))
       output
@@ -241,17 +261,27 @@ final class Compaction(table: GraftTable,
     // work.
     val convergedPrefix = s"compact-$configTag-"
     val needsRewrite = aggSpecs.nonEmpty || table.config.transformConfig.trim.nonEmpty
-    val needsWork = byLeaf.filter { case (_, refs) =>
+    // captured ONCE: commits retire exactly the tombstones their merge
+    // applied; tombstones landing after this point wait for the next run
+    val tombsByLeaf = table.store.tombstones.groupBy(_.partitionId)
+    val needsWork = byLeaf.filter { case (pid, refs) =>
       refs.size > 1 || refs.exists(r => sharedFiles(r.filename)) ||
-        filterSpec.nonEmpty ||
+        filterSpec.nonEmpty || tombsByLeaf.contains(pid) ||
         (needsRewrite && refs.exists(r => !r.filename.startsWith(convergedPrefix)))
+    }
+    // a tombstoned leaf with NO live data files has nothing to purge —
+    // retire its tombstones with an empty-removal commit
+    (tombsByLeaf.keySet -- byLeaf.keySet).toSeq.sorted.foreach { pid =>
+      table.store.removeFiles(pid, Nil,
+        consumedTombstones = tombsByLeaf(pid).map(_.filename))
     }
     if (needsWork.isEmpty) return
 
     val jobId = UUID.randomUUID().toString.take(8)
     val nowMs = System.currentTimeMillis()
     val leafIds = needsWork.keys.toSeq.sorted
-    val specs = leafIds.map(pid => specFor(pid, needsWork(pid), nowMs))
+    val specs = leafIds.map(pid =>
+      specFor(pid, needsWork(pid), nowMs, tombsByLeaf.getOrElse(pid, Nil)))
     // one tracked job per leaf, sharing the run id — the whole-table
     // path is one Spark job, so leaves go CREATED→STARTED together and
     // COMMITTED individually as their replace/removal lands
@@ -302,7 +332,8 @@ final class Compaction(table: GraftTable,
       val filename = new Path(path).getName
       val rowCount = footerRowCount(path)
       table.store.replaceFiles(pid, needsWork(pid).map(_.filename),
-        FileReference(filename, pid, rowCount))
+        FileReference(filename, pid, rowCount),
+        consumedTombstones = tombsByLeaf.getOrElse(pid, Nil).map(_.filename))
       track(s"$jobId:$pid", pid, needsWork(pid).size, CompactionJobState.Committed,
         rows = Some(rowCount))
       committed += pid
@@ -312,7 +343,8 @@ final class Compaction(table: GraftTable,
     // inputs don't stay live and get re-merged by every later compaction.
     val produced = written.map(_._2).toSet
     (needsWork.keySet -- produced).toSeq.sorted.foreach { pid =>
-      table.store.removeFiles(pid, needsWork(pid).map(_.filename))
+      table.store.removeFiles(pid, needsWork(pid).map(_.filename),
+        consumedTombstones = tombsByLeaf.getOrElse(pid, Nil).map(_.filename))
       track(s"$jobId:$pid", pid, needsWork(pid).size, CompactionJobState.Committed,
         rows = Some(0L))
       committed += pid

@@ -60,7 +60,7 @@ class JsonStateStore private (
       if (nextV == 1L)
         JsonMethods.pretty(JsonMethods.render(toJson(schema, next.tree, next.refs,
           next.gc, next.txns, aggregationConfig, filterConfig, transformConfig,
-          indexConfig)))
+          indexConfig, next.tombstones)))
       else JsonMethods.compact(JsonMethods.render(txnToJson(txn)))
     writeText(tmp, body)
     if (!cas.publish(fs, tmp, target)) {
@@ -98,7 +98,7 @@ class JsonStateStore private (
   private def addedRefs(txn: StateTransaction): Vector[FileReference] = txn match {
     case StateTransaction.AddFiles(rs, _) => rs
     // the committed output carries dataChange=false (see ReplaceFiles.applyTo)
-    case StateTransaction.ReplaceFiles(_, _, out, _) =>
+    case StateTransaction.ReplaceFiles(_, _, out, _, _) =>
       out.map(_.copy(dataChange = false)).toVector
     case _ => Vector.empty
   }
@@ -135,7 +135,8 @@ class JsonStateStore private (
   private def writeSnapshot(v: Long, s: TableState): Unit = try {
     val tmp = new Path(dir, s".state-v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     writeText(tmp, JsonMethods.pretty(JsonMethods.render(toJson(schema, s.tree, s.refs,
-      s.gc, s.txns, aggregationConfig, filterConfig, transformConfig, indexConfig))))
+      s.gc, s.txns, aggregationConfig, filterConfig, transformConfig, indexConfig,
+      s.tombstones))))
     if (!fs.rename(tmp, new Path(dir, s"state-v$v.json")))
       fs.delete(tmp, false)
   } catch { case scala.util.control.NonFatal(_) => () }
@@ -216,7 +217,7 @@ class JsonStateStore private (
   def reloadLatest(): Unit = synchronized {
     if (version == 0) { // pre-initial-commit loser (create race): cold load
       val l = loadCurrent(fs, dir)
-      setState(l.state.tree, l.state.refs, l.state.gc, l.state.txns)
+      setState(l.state.tree, l.state.refs, l.state.gc, l.state.txns, l.state.tombstones)
       version = l.version
       return
     }
@@ -236,13 +237,16 @@ class JsonStateStore private (
       }
     }
     if (advanced) {
-      setState(state.tree, state.refs, state.gc, state.txns)
+      setState(state.tree, state.refs, state.gc, state.txns, state.tombstones)
       version = v - 1
     }
   }
 
   private[meta] def setState(t: PartitionTree, r: Vector[FileReference],
-      g: Vector[GCEntry], x: Map[String, Long]): Unit = { tree = t; refs = r; gcQueue = g; txns = x }
+      g: Vector[GCEntry], x: Map[String, Long],
+      tm: Vector[FileReference] = Vector.empty): Unit = {
+    tree = t; refs = r; gcQueue = g; txns = x; tombstoneRefs = tm
+  }
 
   def currentVersion: Long = version
 
@@ -261,9 +265,10 @@ final class SnapshotStateStore(
     refs0: Vector[FileReference], gc0: Vector[GCEntry], txns0: Map[String, Long],
     val version: Long,
     val aggregationConfig: String, val filterConfig: String, val transformConfig: String,
-    val indexConfig: String = "")
+    val indexConfig: String = "",
+    tombstones0: Vector[FileReference] = Vector.empty)
     extends InMemoryStateStore(schema0, tree0) {
-  refs = refs0; gcQueue = gc0; txns = txns0
+  refs = refs0; gcQueue = gc0; txns = txns0; tombstoneRefs = tombstones0
 
   override def readOnly: Boolean = true
 
@@ -330,7 +335,8 @@ object JsonStateStore {
     val l = loadCurrent(fs, dir)
     val store = new JsonStateStore(fs, dir, cas.getOrElse(GraftFS.casFor(fs)),
       l.schema, l.state.tree, l.version, l.agg, l.filt, l.tf, l.idx)
-    store.setState(l.state.tree, l.state.refs, l.state.gc, l.state.txns)
+    store.setState(l.state.tree, l.state.refs, l.state.gc, l.state.txns,
+      l.state.tombstones)
     store
   }
 
@@ -390,7 +396,7 @@ object JsonStateStore {
     tryLoadVersion(fs, dir, version) match {
       case Some(l) =>
         new SnapshotStateStore(l.schema, l.state.tree, l.state.refs, l.state.gc,
-          l.state.txns, version, l.agg, l.filt, l.tf, l.idx)
+          l.state.txns, version, l.agg, l.filt, l.tf, l.idx, l.state.tombstones)
       case None =>
         throw new IllegalStateException(
           s"state version $version unavailable in $dirStr (pruned after " +
@@ -496,7 +502,7 @@ object JsonStateStore {
     val snap = fromJson(baseJson)
     val (agg, filt, tf, idx) = configFromJson(baseJson)
     // 3. replay the transaction tail (baseV, target]
-    var state = TableState(snap.tree, snap.refs, snap.gc, snap.txns)
+    var state = TableState(snap.tree, snap.refs, snap.gc, snap.txns, snap.tombstones)
     var v = baseV + 1
     while (v <= target) {
       val t: StateTransaction =
@@ -561,12 +567,14 @@ object JsonStateStore {
       "refs" -> JArray(rs.map(refToJson).toList),
       "app" -> wm.map(w => JString(w._1)).getOrElse(JNothing),
       "appVersion" -> wm.map(w => JInt(w._2)).getOrElse(JNothing))
-    case StateTransaction.ReplaceFiles(pid, inputs, out, nowMs) => JObject(
+    case StateTransaction.ReplaceFiles(pid, inputs, out, nowMs, consumed) => JObject(
       "txn" -> JString("replaceFiles"),
       "partitionId" -> JString(pid),
       "inputs" -> JArray(inputs.map(JString(_)).toList),
       "output" -> out.map(refToJson).getOrElse(JNothing),
-      "nowMs" -> JInt(nowMs))
+      "nowMs" -> JInt(nowMs),
+      "consumedTombstones" ->
+        (if (consumed.isEmpty) JNothing else JArray(consumed.map(JString(_)).toList)))
     case StateTransaction.SplitPartition(parent, dim, point, l, r) => JObject(
       "txn" -> JString("splitPartition"),
       "parentId" -> JString(parent), "dimension" -> JInt(dim),
@@ -583,6 +591,9 @@ object JsonStateStore {
     case StateTransaction.AddColumn(field) => JObject(
       "txn" -> JString("addColumn"),
       "field" -> fieldToJson(field))
+    case StateTransaction.AddTombstones(refs) => JObject(
+      "txn" -> JString("addTombstones"),
+      "refs" -> JArray(refs.map(refToJson).toList))
     case StateTransaction.Init =>
       throw new IllegalStateException("Init commits as a full snapshot, never a log entry")
   }
@@ -603,7 +614,11 @@ object JsonStateStore {
       case "replaceFiles" =>
         val out = m.get("output").collect { case o: JObject => refFromJson(o) }
         val JInt(now) = m("nowMs"): @unchecked
-        StateTransaction.ReplaceFiles(str("partitionId"), strs("inputs"), out, now.toLong)
+        val consumed = m.get("consumedTombstones").collect {
+          case JArray(xs) => xs.collect { case JString(s) => s }.toVector
+        }.getOrElse(Vector.empty)
+        StateTransaction.ReplaceFiles(str("partitionId"), strs("inputs"), out, now.toLong,
+          consumed)
       case "splitPartition" =>
         val JInt(dim) = m("dimension"): @unchecked
         StateTransaction.SplitPartition(str("parentId"), dim.toInt,
@@ -613,6 +628,9 @@ object JsonStateStore {
         StateTransaction.AssignJob(str("jobId"), str("partitionId"), strs("filenames"))
       case "removeGC" => StateTransaction.RemoveGCFiles(strs("filenames"))
       case "addColumn" => StateTransaction.AddColumn(fieldFromJson(m("field")))
+      case "addTombstones" =>
+        StateTransaction.AddTombstones(
+          m("refs").asInstanceOf[JArray].arr.map(refFromJson).toVector)
       case other => throw new IllegalArgumentException(s"unknown transaction type '$other'")
     }
   }
@@ -725,7 +743,7 @@ object JsonStateStore {
   private def toJson(schema: GraftSchema, tree: PartitionTree,
       refs: Vector[FileReference], gc: Vector[GCEntry], txns: Map[String, Long],
       aggregationConfig: String, filterConfig: String, transformConfig: String,
-      indexConfig: String): JValue = JObject(
+      indexConfig: String, tombstones: Vector[FileReference] = Vector.empty): JValue = JObject(
     "tableConfig" -> JObject(
       "aggregation" -> JString(aggregationConfig), "filter" -> JString(filterConfig),
       "transform" -> JString(transformConfig), "index" -> JString(indexConfig)),
@@ -735,13 +753,16 @@ object JsonStateStore {
       "values" -> JArray(schema.values.map(fieldToJson).toList)),
     "partitions" -> JArray(tree.partitions.map(partitionToJson).toList),
     "files" -> JArray(refs.map(refToJson).toList),
+    "tombstones" ->
+      (if (tombstones.isEmpty) JNothing else JArray(tombstones.map(refToJson).toList)),
     "gc" -> JArray(gc.map { e =>
       JObject("filename" -> JString(e.filename), "sinceMs" -> JInt(e.sinceMs),
         "homeId" -> e.homeId.map(JString(_)).getOrElse(JNothing)) }.toList),
     "txns" -> JObject(txns.toList.sortBy(_._1).map { case (app, v) => app -> JInt(v) }))
 
   private final case class Snapshot(schema: GraftSchema, tree: PartitionTree,
-      refs: Vector[FileReference], gc: Vector[GCEntry], txns: Map[String, Long])
+      refs: Vector[FileReference], gc: Vector[GCEntry], txns: Map[String, Long],
+      tombstones: Vector[FileReference])
 
   private def fromJson(j: JValue): Snapshot = {
     val m = j.asInstanceOf[JObject].obj.toMap
@@ -763,6 +784,10 @@ object JsonStateStore {
     val txns = m.get("txns").collect {
       case JObject(fields) => fields.collect { case (app, JInt(v)) => app -> v.toLong }.toMap
     }.getOrElse(Map.empty[String, Long])
-    Snapshot(schema, tree, fs.map(refFromJson).toVector, gc.toVector, txns)
+    // "tombstones" absent before round-12 deletes existed (migration)
+    val tombstones = m.get("tombstones").collect {
+      case JArray(ts) => ts.map(refFromJson).toVector
+    }.getOrElse(Vector.empty)
+    Snapshot(schema, tree, fs.map(refFromJson).toVector, gc.toVector, txns, tombstones)
   }
 }

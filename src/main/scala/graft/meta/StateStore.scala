@@ -88,7 +88,8 @@ trait StateStore {
     * Inputs that end up with zero references anywhere move to the GC queue.
     */
   def replaceFiles(partitionId: String, inputs: Seq[String], output: FileReference,
-      nowMs: Long = System.currentTimeMillis()): Unit
+      nowMs: Long = System.currentTimeMillis(),
+      consumedTombstones: Seq[String] = Nil): Unit
 
   /** Pure-removal ReplaceFileReferences variant: a compaction whose
     * filter/transform dropped every row commits by removing its inputs
@@ -97,7 +98,8 @@ trait StateStore {
     * compaction re-merges them forever.
     */
   def removeFiles(partitionId: String, inputs: Seq[String],
-      nowMs: Long = System.currentTimeMillis()): Unit
+      nowMs: Long = System.currentTimeMillis(),
+      consumedTombstones: Seq[String] = Nil): Unit
 
   /** SplitPartitionTransaction — split a leaf at a point (metadata only;
     * data files untouched).
@@ -124,6 +126,12 @@ trait StateStore {
     * evolution; see [[StateTransaction.AddColumn]]).
     */
   def addColumn(field: graft.core.GraftField): Unit
+
+  /** Pending row-key tombstones (see [[StateTransaction.AddTombstones]]). */
+  def tombstones: Seq[FileReference]
+
+  /** AddTombstonesTransaction — register row-key delete files. */
+  def addTombstones(refs: Seq[FileReference]): Unit
 }
 
 /** In-memory single-writer implementation; also the base for the
@@ -140,11 +148,14 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
     extends StateStore {
 
   protected var tree: PartitionTree = initialTree
+  protected var tombstoneRefs: Vector[FileReference] = Vector.empty
 
   /** The CURRENT schema lives in the partition tree, so schema-evolution
     * transactions (AddColumn) version it with everything else.
     */
   override def schema: GraftSchema = synchronized(tree.schema)
+
+  override def tombstones: Seq[FileReference] = synchronized(tombstoneRefs)
   protected var refs: Vector[FileReference] = Vector.empty
   protected var gcQueue: Vector[GCEntry] = Vector.empty
   protected var txns: Map[String, Long] = Map.empty
@@ -155,7 +166,8 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
   override def lastTxnVersion(appId: String): Option[Long] = synchronized(txns.get(appId))
 
   /** The current state as one immutable value (callers hold the lock). */
-  protected final def currentState: TableState = TableState(tree, refs, gcQueue, txns)
+  protected final def currentState: TableState =
+    TableState(tree, refs, gcQueue, txns, tombstoneRefs)
 
   /** Apply a transaction and commit the result (callers hold the lock). */
   protected final def runTxn(txn: StateTransaction): Unit =
@@ -169,6 +181,7 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
     */
   protected def commit(txn: StateTransaction, next: TableState): Unit = {
     tree = next.tree; refs = next.refs; gcQueue = next.gc; txns = next.txns
+    tombstoneRefs = next.tombstones
   }
 
   /** Lost-CAS auto-retry, the reference's transaction-log model: a losing
@@ -224,13 +237,16 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
     }}
 
   override def replaceFiles(partitionId: String, inputs: Seq[String], output: FileReference,
-      nowMs: Long): Unit = withRetry { synchronized {
-    runTxn(StateTransaction.ReplaceFiles(partitionId, inputs.toVector, Some(output), nowMs))
+      nowMs: Long, consumedTombstones: Seq[String]): Unit = withRetry { synchronized {
+    runTxn(StateTransaction.ReplaceFiles(partitionId, inputs.toVector, Some(output), nowMs,
+      consumedTombstones.toVector))
   }}
 
-  override def removeFiles(partitionId: String, inputs: Seq[String], nowMs: Long): Unit =
+  override def removeFiles(partitionId: String, inputs: Seq[String], nowMs: Long,
+      consumedTombstones: Seq[String]): Unit =
     withRetry { synchronized {
-      runTxn(StateTransaction.ReplaceFiles(partitionId, inputs.toVector, None, nowMs))
+      runTxn(StateTransaction.ReplaceFiles(partitionId, inputs.toVector, None, nowMs,
+        consumedTombstones.toVector))
     }}
 
   override def splitPartition(parentId: String, dimension: Int, splitPoint: Any,
@@ -255,5 +271,9 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
 
   override def addColumn(field: graft.core.GraftField): Unit = withRetry { synchronized {
     runTxn(StateTransaction.AddColumn(field))
+  }}
+
+  override def addTombstones(refs: Seq[FileReference]): Unit = withRetry { synchronized {
+    runTxn(StateTransaction.AddTombstones(refs.toVector))
   }}
 }

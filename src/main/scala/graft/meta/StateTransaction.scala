@@ -9,7 +9,13 @@ final case class TableState(
     tree: PartitionTree,
     refs: Vector[FileReference],
     gc: Vector[GCEntry],
-    txns: Map[String, Long])
+    txns: Map[String, Long],
+    /** pending row-key tombstones (sorted key-only files, one per leaf):
+      * rows with these row keys are suppressed by every reader until a
+      * compaction physically purges them and retires the tombstone (see
+      * [[StateTransaction.AddTombstones]]).
+      */
+    tombstones: Vector[FileReference] = Vector.empty)
 
 /** One state-store commit as a small, replayable CHANGE description —
   * the reference's transaction-log model (reference:
@@ -65,13 +71,22 @@ object StateTransaction {
     * identical GC eligibility times.
     */
   final case class ReplaceFiles(partitionId: String, inputs: Vector[String],
-      output: Option[FileReference], nowMs: Long) extends StateTransaction {
+      output: Option[FileReference], nowMs: Long,
+      /** tombstone files this compaction PHYSICALLY APPLIED (their keys
+        * are absent from the output): retired to the GC queue in the
+        * same atomic commit, so readers never double-apply them.
+        */
+      consumedTombstones: Vector[String] = Vector.empty) extends StateTransaction {
     override def applyTo(s: TableState): TableState = {
       output.foreach(o => require(o.partitionId == partitionId,
         "output must belong to the compacted partition"))
       inputs.foreach { f =>
         require(s.refs.exists(r => r.filename == f && r.partitionId == partitionId),
           s"input $f not referenced in $partitionId")
+      }
+      consumedTombstones.foreach { f =>
+        require(s.tombstones.exists(t => t.filename == f && t.partitionId == partitionId),
+          s"tombstone $f not pending in $partitionId")
       }
       // capture each orphaned file's physical home BEFORE dropping its
       // refs, so GC later deletes by direct path (no directory scan)
@@ -80,11 +95,17 @@ object StateTransaction {
       val remaining =
         s.refs.filterNot(r => r.partitionId == partitionId && inputs.contains(r.filename))
       val orphaned = inputs.filterNot(f => remaining.exists(_.filename == f))
+      val tombHomes: Map[String, String] = s.tombstones
+        .filter(t => consumedTombstones.contains(t.filename))
+        .map(t => t.filename -> t.physicalPartitionId).toMap
       // a compaction output rearranges rows the log already carries —
       // dataChange=false keeps the table-changes stream from re-emitting
       s.copy(
         refs = remaining ++ output.map(_.copy(dataChange = false)),
-        gc = s.gc ++ orphaned.map(f => GCEntry(f, nowMs, homes.get(f))))
+        tombstones = s.tombstones.filterNot(t =>
+          t.partitionId == partitionId && consumedTombstones.contains(t.filename)),
+        gc = s.gc ++ orphaned.map(f => GCEntry(f, nowMs, homes.get(f))) ++
+          consumedTombstones.map(f => GCEntry(f, nowMs, tombHomes.get(f))))
     }
   }
 
@@ -111,7 +132,19 @@ object StateTransaction {
           FileReference(r.filename, c.id, half, r.jobId, Some(r.physicalPartitionId),
             r.dataChange))
       }
-      s.copy(refs = next)
+      // tombstones parked on a split parent move down the same way, so
+      // each child's compaction can consume ITS entry (the shared
+      // physical file is GC'd once; a second GC entry for the same name
+      // is a tolerated no-op delete)
+      var tombs = s.tombstones
+      s.tombstones.filter(t => !s.tree(t.partitionId).isLeaf).foreach { t =>
+        val children = s.tree(t.partitionId).childIds.map(s.tree(_))
+        val half = math.max(t.rowCount / 2, 1)
+        tombs = tombs.filterNot(_ == t) ++ children.map(c =>
+          FileReference(t.filename, c.id, half, t.jobId, Some(t.physicalPartitionId),
+            t.dataChange))
+      }
+      s.copy(refs = next, tombstones = tombs)
     }
   }
 
@@ -136,6 +169,32 @@ object StateTransaction {
   final case class RemoveGCFiles(filenames: Vector[String]) extends StateTransaction {
     override def applyTo(s: TableState): TableState =
       s.copy(gc = s.gc.filterNot(e => filenames.contains(e.filename)))
+  }
+
+  /** AddTombstonesTransaction — row-key deletes: each ref is a SORTED
+    * key-only parquet file scoped to one leaf; readers suppress any row
+    * whose row key appears in a pending tombstone of its leaf (a
+    * streaming merge-anti-join — both sides are key-sorted, O(1)
+    * memory), and compaction physically purges the keys then retires
+    * the tombstone atomically (ReplaceFiles.consumedTombstones). The
+    * takedown-request capability the reference lacks entirely (its only
+    * removal is ageOff). LEVELLESS semantics by design: a pending
+    * tombstone suppresses its key in EVERY current file of the leaf —
+    * re-ingesting a deleted key before compaction retires the tombstone
+    * would suppress the new rows too; `GraftTable.deleteKeys(purge =
+    * true)` closes that window by compacting the affected leaves in the
+    * same call.
+    */
+  final case class AddTombstones(refs: Vector[FileReference]) extends StateTransaction {
+    override def applyTo(s: TableState): TableState = {
+      refs.foreach { r =>
+        require(s.tree.partitions.exists(p => p.id == r.partitionId && p.isLeaf),
+          s"tombstone partition ${r.partitionId} is not a leaf")
+        require(!s.tombstones.exists(t => t.filename == r.filename),
+          s"tombstone ${r.filename} already pending")
+      }
+      s.copy(tombstones = s.tombstones ++ refs)
+    }
   }
 
   /** AddColumnTransaction — schema evolution: append one NULLABLE value

@@ -123,6 +123,8 @@ object LifecycleQueries {
 
   private val evolveDirs = new ConcurrentHashMap[String, String]()
 
+  private val deleteDirs = new ConcurrentHashMap[String, String]()
+
   /** x10/x11 fixture: fixed 4-leaf table, two interleaved ingest batches
     * folded by compactAll (one file per leaf however the ingest salted),
     * GC'd — so every report number is derivable from the source rows.
@@ -965,6 +967,42 @@ object LifecycleQueries {
     // metadata. After compactAll+GC the fixture's numbers are exactly
     // derivable: 4 leaves, 3 internal nodes, one file per leaf, empty
     // GC queue, rows = COUNT of the source rows.
+    // M13 — row-key deletes (takedown requests): keys divisible by 7
+    // tombstoned AFTER ingest — O(keys) metadata, no data rewrite. The
+    // fixture checks BOTH phases against the same expectation: the
+    // pending-tombstone read (streaming merge-anti-join in every
+    // reader) must equal the post-compactAll read (physical purge +
+    // atomic tombstone retirement); the emitted frame is the purged
+    // table. The reference has no delete at all (ageOff only).
+    "m13_delete_keys" -> withOracle(
+      """SELECT l_orderkey, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem
+        |WHERE l_orderkey < 12000 AND l_orderkey % 7 <> 0
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      val base = deleteDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-delete-q").toString
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L))
+        val raw = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+        def batch(f: org.apache.spark.sql.Column) = raw.filter(f)
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        table.ingest(batch(col("l_linenumber") <= 2))
+        table.ingest(batch(col("l_linenumber") >= 3))
+        table.deleteKeys(raw.select(col("l_orderkey"))
+          .filter(col("l_orderkey") % 7 === 0).distinct())
+        val pending = s.read.format("graft").load(s"$b/table").count()
+        table.compactAll()
+        require(table.store.tombstones.isEmpty,
+          "compactAll must retire the applied tombstones")
+        val purged = s.read.format("graft").load(s"$b/table").count()
+        require(pending == purged,
+          s"pending-tombstone read ($pending) != purged read ($purged)")
+        b
+      })
+      s.read.format("graft").load(s"$base/table")
+        .orderBy("l_orderkey", "qty")
+    },
+
     "m11_add_column" -> withOracle(
       // M11 — schema evolution: a nullable value column appended between
       // two ingest batches (O(1) metadata — no data rewrite; the schema

@@ -176,9 +176,30 @@ final class QueryExecutor(table: GraftTable) {
       }
     }
 
-    val base = scans.reduceOption(_ unionByName _)
+    val scanned = scans.reduceOption(_ unionByName _)
       .getOrElse(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), schema.toStructType))
+
+    // Row-key tombstones (deleteKeys): LEFT ANTI against the pending
+    // delete keys of the selected leaves. Leaf regions partition the key
+    // space, so scoping to selected leaves is exact; the join is
+    // broadcastable whenever the pending delete set is small (the usual
+    // takedown shape) and Catalyst decides from the tombstone files'
+    // size statistics.
+    val base = {
+      val selected = leaves.map(_.id).toSet ++
+        leaves.flatMap(l => tree.ancestors(l.id).map(_.id))
+      val tombs = table.store.tombstones.filter(t => selected.contains(t.partitionId))
+      if (tombs.isEmpty) scanned
+      else {
+        val tdf = spark.read
+          .schema(org.apache.spark.sql.types.StructType(
+            schema.rowKeys.map(f => org.apache.spark.sql.types.StructField(
+              f.name, f.dataType, nullable = true))))
+          .parquet(tombs.map(table.pathOf).distinct: _*)
+        scanned.join(tdf, schema.rowKeyNames, "left_anti")
+      }
+    }
 
     val tableTransform = graft.transforms.TransformFactory.parse(
       table.config.transformConfig, schema, table.config.userJarsDir)

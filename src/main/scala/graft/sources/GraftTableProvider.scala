@@ -288,6 +288,9 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
     if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return None
     if (pushed.nonEmpty) return None
     if (store.aggregationConfig.trim.nonEmpty || store.filterConfig.trim.nonEmpty) return None
+    // pending row-key deletes: footer counts and sidecar stats still
+    // include the tombstoned rows — metadata answers would overcount
+    if (store.tombstones.nonEmpty) return None
     val tree = store.partitionTree
     val refs = store.fileReferences
     val exact = refs.forall(r =>
@@ -675,11 +678,16 @@ final class GraftScan(dir: String, store: JsonStateStore,
             statsOk && bloomOk
         }
       }
+    val tombsByPartition = store.tombstones.groupBy(_.partitionId)
     val specs = tree.leavesOverlapping(regions).flatMap { leaf =>
       val refs = refsByPartition.getOrElse(leaf.id, Nil) ++
         tree.ancestors(leaf.id).flatMap(a => refsByPartition.getOrElse(a.id, Nil))
       val paths = refs.map(r => s"$dir/data/${r.physicalPartitionId}/${r.filename}")
         .distinct.filter(fileMaySatisfy)
+      // pending row-key deletes for this leaf (and any split ancestor)
+      val tombPaths = (tombsByPartition.getOrElse(leaf.id, Nil) ++
+        tree.ancestors(leaf.id).flatMap(a => tombsByPartition.getOrElse(a.id, Nil)))
+        .map(t => s"$dir/data/${t.physicalPartitionId}/${t.filename}").distinct
       if (paths.isEmpty) None
       else {
         val spec = RunSpec(paths, schema, outputNames, Some(leaf.region),
@@ -688,10 +696,13 @@ final class GraftScan(dir: String, store: JsonStateStore,
           // point lookup touches ~one page per column even inside the leaf
           queryRegions = if (regions.exists(_.ranges.forall(r => r.min.isEmpty && r.max.isEmpty)))
             Nil else regions,
-          limit = limit, limitLast = limitLast)
+          limit = limit, limitLast = limitLast,
+          tombstonePaths = tombPaths)
         // a DESC TopN needs the merge reader's last-n ring buffer; the
-        // native batch reader can only truncate from the FRONT
-        val singleLocal = !limitLast && refs.size == 1 && refs.head.partitionId == leaf.id &&
+        // native batch reader can only truncate from the FRONT. Pending
+        // tombstones force the merge reader too (the anti-join runs there).
+        val singleLocal = !limitLast && tombPaths.isEmpty &&
+          refs.size == 1 && refs.head.partitionId == leaf.id &&
           refs.head.physicalPartitionId == leaf.id && refs.head.rowCount <= Int.MaxValue
         Some(LeafScan(spec, singleLocal))
       }

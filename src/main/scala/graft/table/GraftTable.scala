@@ -88,6 +88,24 @@ final class GraftTable(
   /** Whole table as a DataFrame (sorted within partitions). */
   def toDF: DataFrame = query(graft.query.GraftQuery.all)
 
+  /** Row-key delete (the takedown-request capability; the reference's
+    * only removal is ageOff): registers the key set as sorted per-leaf
+    * tombstone files in one atomic commit — O(keys) IO, NO data
+    * rewrite. Every read path suppresses tombstoned keys via a
+    * streaming merge-anti-join; compaction physically purges them and
+    * retires the tombstone in the same commit. LEVELLESS caveat: a
+    * pending tombstone suppresses its key in every CURRENT and FUTURE
+    * file of the leaf until retired — re-ingesting a deleted key before
+    * then would suppress the new rows too; `purge = true` closes that
+    * window by compacting the affected leaves before returning.
+    */
+  def deleteKeys(keys: DataFrame, purge: Boolean = false): Seq[FileReference] = {
+    store.assertWritable()
+    val refs = graft.jobs.Tombstones.write(this, keys)
+    if (purge && refs.nonEmpty) compactAll()
+    refs
+  }
+
   def compactAll(tracker: graft.jobs.CompactionJobTracker =
       graft.jobs.CompactionJobTracker.Noop): Unit =
     new graft.jobs.Compaction(this, tracker).compactAll()

@@ -1,0 +1,111 @@
+package graft.table
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+
+/** Row-key deletes (tombstones): suppression through every read path,
+  * physical purge + atomic retirement at compaction, partial-job
+  * safety, persistence, and time travel.
+  */
+class DeleteKeysSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val schema = GraftSchema(
+    rowKeys = Seq(GraftField("id", LongType)),
+    sortKeys = Nil,
+    values = Seq(GraftField("v", LongType)))
+
+  private def tmp() = Files.createTempDirectory("graft-delete").toString
+
+  test("deleteKeys suppresses rows in query and DSv2 reads; compaction purges and retires") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq(50L))
+    table.ingest((0L until 100L by 2).map(i => (i, i)).toDF("id", "v"))
+    table.ingest((1L until 100L by 2).map(i => (i, i)).toDF("id", "v"))
+
+    val refs = table.deleteKeys(Seq(7L, 8L, 63L).toDF("id"))
+    assert(refs.nonEmpty && table.store.tombstones.size == refs.size)
+    val expect = (0L until 100L).toSet -- Set(7L, 8L, 63L)
+
+    assert(table.toDF.select("id").as[Long].collect().toSet == expect)
+    assert(spark.read.format("graft").load(dir)
+      .select("id").as[Long].collect().toSet == expect)
+    // point lookup of a deleted key: empty
+    assert(table.lookup(7L).count() == 0)
+
+    table.compactAll()
+    assert(table.store.tombstones.isEmpty, "compaction must retire applied tombstones")
+    assert(table.toDF.select("id").as[Long].collect().toSet == expect)
+    assert(spark.read.format("graft").load(dir)
+      .select("id").as[Long].collect().toSet == expect)
+    // purge is PHYSICAL: the surviving files do not contain the keys
+    val physical = table.store.fileReferences
+      .flatMap(r => spark.read.parquet(table.pathOf(r)).select("id").as[Long].collect())
+    assert(physical.toSet == expect)
+    // tombstone files queued for GC
+    assert(table.store.unreferencedFiles.exists(_.filename.startsWith("tombstone-")))
+  }
+
+  test("deletes on an aggregated table remove the key entirely (pre-agg anti-join)") {
+    val dir = tmp()
+    val aggSchema = GraftSchema(Seq(GraftField("id", LongType)), Nil,
+      Seq(GraftField("v", LongType, nullable = false)))
+    val table = GraftTable.create(spark, dir, aggSchema,
+      config = TableConfig(aggregationConfig = "sum(v)"))
+    table.ingest((0L until 10L).map(i => (i, 1L)).toDF("id", "v"))
+    table.ingest((0L until 10L).map(i => (i, 1L)).toDF("id", "v"))
+    table.deleteKeys(Seq(3L).toDF("id"))
+    val rows = table.toDF.as[(Long, Long)].collect().toMap
+    assert(!rows.contains(3L) && rows(4L) == 2L)
+  }
+
+  test("a partial strategy job never retires tombstones it could not fully apply") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema)
+    (0 until 3).foreach(b =>
+      table.ingest((0L until 30L).filter(_ % 3 == b).map(i => (i, i)).toDF("id", "v")))
+    table.deleteKeys(Seq(4L).toDF("id"))
+    // ONE job over 2 of the leaf's 3 files: a genuinely partial merge
+    val leaf = table.store.fileReferences.head.partitionId
+    val twoFiles = table.store.fileReferences.filter(_.partitionId == leaf).take(2)
+    new graft.jobs.Compaction(table).run(graft.jobs.CompactionJob(leaf, twoFiles))
+    assert(table.store.tombstones.nonEmpty,
+      "a partial job must leave the tombstone pending")
+    assert(table.toDF.select("id").as[Long].collect().toSet ==
+      (0L until 30L).toSet - 4L)
+    // the follow-up whole-leaf compaction retires it
+    table.compactAll()
+    assert(table.store.tombstones.isEmpty)
+    assert(table.toDF.select("id").as[Long].collect().toSet ==
+      (0L until 30L).toSet - 4L)
+  }
+
+  test("purge=true closes the re-ingest window in one call") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema)
+    table.ingest((0L until 10L).map(i => (i, i)).toDF("id", "v"))
+    table.deleteKeys(Seq(5L).toDF("id"), purge = true)
+    assert(table.store.tombstones.isEmpty)
+    // re-ingesting the key is now safe
+    table.ingest(Seq((5L, 555L)).toDF("id", "v"))
+    assert(table.toDF.filter($"id" === 5L).select("v").as[Long].head() == 555L)
+  }
+
+  test("tombstones persist through the log; time travel shows pre-delete rows") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema)
+    table.ingest((0L until 10L).map(i => (i, i)).toDF("id", "v"))
+    val vBefore = graft.meta.JsonStateStore.load(s"$dir/meta").currentVersion
+    table.deleteKeys(Seq(2L).toDF("id"))
+
+    val reloaded = GraftTable.load(spark, dir)
+    assert(reloaded.store.tombstones.size == 1)
+    assert(reloaded.toDF.select("id").as[Long].collect().toSet == (0L until 10L).toSet - 2L)
+    val old = GraftTable.loadAsOf(spark, dir, vBefore)
+    assert(old.toDF.select("id").as[Long].collect().toSet == (0L until 10L).toSet)
+  }
+}
