@@ -48,7 +48,9 @@ object ClusterCheck {
     // outer-join watermark eviction across executor state stores
     "p9_bloom_skip", "a12_hll_distinct", "t45_stream_outer_join",
     // schema evolution: evolved-read through executor-side readers
-    "m11_add_column")
+    "m11_add_column",
+    // row-key deletes: tombstone anti-merge inside executor-side RunSpecs
+    "m13_delete_keys")
 
   /** Canonical content hash: columns sorted by name, every cell cast to
     * string (nulls as NUL), cells joined with SOH, row strings sorted —
