@@ -247,6 +247,27 @@ object BenchScale {
       graft.meta.GraftFS.deleteRecursive(dirB)
     }
 
+    // -- row-key deletes priced at scale (m13) -------------------------
+    // A 1000-key takedown against the compacted x10 table: the
+    // tombstone registration (delete_x10: O(keys) — one key shuffle +
+    // state commit, NO data IO), a read with the anti-merge applied
+    // (delete_read_x10), and the physical purge (delete_purge_x10: the
+    // whole-table compaction that also retires the tombstones). Prices
+    // the claim that a takedown costs metadata now and one normal
+    // compaction later. Once per run, LAST (it rewrites `table`).
+    if (pass == 1) {
+      val delKeys = spark.range(1000)
+        .select((col("id") * (keySpan / 1000)).as("l_orderkey"))
+      timed("delete_x10", 1000) {
+        table.deleteKeys(delKeys)
+      }
+      timed("delete_read_x10", totalRows) {
+        spark.read.format("graft").load(dir)
+          .filter(col("qty") >= 0).agg(sum("qty")).collect()
+      }
+      timed("delete_purge_x10", totalRows) { table.compactAll() }
+    }
+
     // -- z-order layout: pruned box query vs full-scan control ---------
     // The p6 capability priced at scale: an x10 events table keyed by
     // the (user_id, day) Morton code, 32 leaves at z quantiles. The box

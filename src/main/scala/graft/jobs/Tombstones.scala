@@ -59,8 +59,12 @@ object Tombstones {
     GraftFS.deleteRecursive(tmpDir)
     if (moved.isEmpty) return Nil
 
+    // key counts from parquet footers — no Spark job per file
     val refs = moved.map { case (pid, path) =>
-      val cnt = spark.read.parquet(path).count()
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(path), spark.sparkContext.hadoopConfiguration)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val cnt = try reader.getRecordCount finally reader.close()
       FileReference(new Path(path).getName, pid, cnt)
     }.toSeq
     table.store.addTombstones(refs)

@@ -549,6 +549,16 @@ final class GraftScan(dir: String, store: JsonStateStore,
       s"table at $dir has a persistent filter (${store.filterConfig}); " +
         "the table-changes stream delivers the raw append log and cannot " +
         "apply it — read the table in batch via GraftTable.query/toDF")
+    // Same contract for row-key deletes: the append log has no retract
+    // records, so a subscriber would keep rows a batch read suppresses.
+    // Refuse while tombstones are pending; compaction (or deleteKeys
+    // purge=true) retires them and the stream becomes startable again.
+    // Deletes issued AFTER stream start are a documented gap (the
+    // stream is append-only CDC, like any system without retractions).
+    require(store.tombstones.isEmpty,
+      s"table at $dir has ${store.tombstones.size} pending delete tombstone(s); " +
+        "the append-log stream cannot retract rows — compact first " +
+        "(deleteKeys(purge = true) or compactAll)")
     new GraftMicroBatchStream(dir,
       required.fields.map(f => graft.core.GraftField(f.name, f.dataType, f.nullable)).toSeq,
       schema.rowKeys.head)
