@@ -344,6 +344,52 @@ object Superset {
         .orderBy("user_id", "session_start")
     },
 
+    // W5 — progressive funnel (view → click → purchase, each step
+    // strictly after the previous one for the same user): the classic
+    // sequential-pattern analysis over an event stream. Each stage is a
+    // conditional min-aggregate on user_id, and every stage re-shuffles
+    // on the SAME key, so the per-step exchanges line up; the aggregated
+    // step outputs are one-row-per-converted-user (≤ distinct users),
+    // which AQE broadcasts into the next stage's join at any realistic
+    // scale — the 100-TB cost is the per-step event-type filter scans,
+    // not the joins. Strictly-after semantics (ts >, not >=) pin the
+    // ordering contract against the oracle.
+    "w5_funnel" -> withOracle(
+      """WITH s1 AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+        |)
+        |SELECT CAST(1 AS INT) AS step, 'view' AS event_type,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS users
+        |UNION ALL
+        |SELECT CAST(2 AS INT), 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)
+        |UNION ALL
+        |SELECT CAST(3 AS INT), 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s3)
+        |ORDER BY step""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "events").select(col("user_id"), col("event_type"), col("ts"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = e.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      def cnt(df: DataFrame, step: Int, ev: String) = df
+        .agg(count(lit(1)).as("users"))
+        .select(lit(step).as("step"), lit(ev).as("event_type"), col("users"))
+      cnt(s1, 1, "view").unionAll(cnt(s2, 2, "click")).unionAll(cnt(s3, 3, "purchase"))
+        .orderBy("step")
+    },
+
     // T7 — streaming event-time windowed aggregation (watermark + 1-day
     // tumbling windows, complete mode, AvailableNow drain). The oracle is
     // the equivalent batch rollup: on a drained bounded stream the two
