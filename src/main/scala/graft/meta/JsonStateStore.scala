@@ -87,20 +87,27 @@ class JsonStateStore private (
     val prevNames = refs.map(_.filename).toSet
     version = nextV
     super.commit(txn, next)
-    writeDelta(nextV, addedRefs(txn).filterNot(r => prevNames.contains(r.filename)))
+    val (dataAdded, tombAdded) = addedRefs(txn)
+    writeDelta(nextV, dataAdded.filterNot(r => prevNames.contains(r.filename)), tombAdded)
     if (nextV % SnapshotInterval == 0) {
       writeSnapshot(nextV, next)
       pruneOldVersions(nextV)
     }
   }
 
-  /** The refs a transaction ADDS (for the delta manifest). */
-  private def addedRefs(txn: StateTransaction): Vector[FileReference] = txn match {
-    case StateTransaction.AddFiles(rs, _) => rs
+  /** The refs a transaction ADDS (for the delta manifest): (data files,
+    * tombstone files) — tombstones are recorded so the batch change feed
+    * (GraftTable.deletedKeysBetween) can report deletes that were added
+    * AND retired inside one window without replaying snapshots.
+    */
+  private def addedRefs(txn: StateTransaction)
+      : (Vector[FileReference], Vector[FileReference]) = txn match {
+    case StateTransaction.AddFiles(rs, _) => (rs, Vector.empty)
     // the committed output carries dataChange=false (see ReplaceFiles.applyTo)
     case StateTransaction.ReplaceFiles(_, _, out, _, _) =>
-      out.map(_.copy(dataChange = false)).toVector
-    case _ => Vector.empty
+      (out.map(_.copy(dataChange = false)).toVector, Vector.empty)
+    case StateTransaction.AddTombstones(rs) => (Vector.empty, rs)
+    case _ => (Vector.empty, Vector.empty)
   }
 
   /** Write `delta-v{N}.json` — the files ADDED at version N, the tiny
@@ -111,16 +118,26 @@ class JsonStateStore private (
     * or crashed writer never writes one, and a missing delta just routes
     * the stream to its state-walk fallback. Best-effort by design.
     */
-  private def writeDelta(v: Long, added: Vector[FileReference]): Unit = try {
+  private def writeDelta(v: Long, added: Vector[FileReference],
+      tombstones: Vector[FileReference] = Vector.empty): Unit = try {
     // one entry per physical file (a pre-split can reference one file
     // from several partitions; the flags agree by construction)
     val byFile = added.groupBy(_.filename).toSeq.sortBy(_._1).map(_._2.head)
+    val byTomb = tombstones.groupBy(_.filename).toSeq.sortBy(_._1).map(_._2.head)
     val json = JObject(
       "version" -> JInt(v),
       "added" -> JArray(byFile.map(ref => JObject(
         "filename" -> JString(ref.filename),
         "home" -> JString(ref.physicalPartitionId),
-        "dataChange" -> JBool(ref.dataChange))).toList))
+        "dataChange" -> JBool(ref.dataChange))).toList ++
+        byTomb.map(ref => JObject(
+          "filename" -> JString(ref.filename),
+          "home" -> JString(ref.physicalPartitionId),
+          // a tombstone is not table data: the table-changes stream and
+          // the insert feed must both skip it (dataChange=false), while
+          // the delete feed selects exactly the tombstone entries
+          "dataChange" -> JBool(false),
+          "tombstone" -> JBool(true))).toList))
     val tmp = new Path(dir, s".delta-v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     writeText(tmp, JsonMethods.compact(JsonMethods.render(json)))
     if (!fs.rename(tmp, new Path(dir, s"delta-v$v.json")))
@@ -349,6 +366,12 @@ object JsonStateStore {
     latestVersion(fs, dir)
   }
 
+  /** One delta-manifest entry: a file committed at a version. Tombstone
+    * entries describe row-key delete files (not table data).
+    */
+  final case class DeltaEntry(filename: String, home: String,
+      dataChange: Boolean, tombstone: Boolean)
+
   /** The files added at `version`, from its delta manifest:
     * (filename, home partition dir, dataChange). `None` when the
     * manifest is absent or unreadable — history from before deltas
@@ -356,7 +379,7 @@ object JsonStateStore {
     * torn write — in which case callers fall back to diffing the
     * consecutive states (which the manifest merely memoizes).
     */
-  def deltaAddedAt(dirStr: String, version: Long): Option[Seq[(String, String, Boolean)]] = {
+  def deltaAddedAt(dirStr: String, version: Long): Option[Seq[DeltaEntry]] = {
     val (fs, dir) = GraftFS.resolve(dirStr)
     val p = new Path(dir, s"delta-v$version.json")
     try {
@@ -374,7 +397,9 @@ object JsonStateStore {
               val f = item.asInstanceOf[JObject].obj.toMap
               def str(k: String) = f(k).asInstanceOf[JString].s
               val dc = f.get("dataChange").collect { case JBool(b) => b }.getOrElse(true)
-              (str("filename"), str("home"), dc)
+              // absent in pre-round-12 manifests (none carried tombstones)
+              val tomb = f.get("tombstone").collect { case JBool(b) => b }.getOrElse(false)
+              DeltaEntry(str("filename"), str("home"), dc, tomb)
             }
           }
         case _ => None

@@ -125,6 +125,9 @@ object LifecycleQueries {
 
   private val deleteDirs = new ConcurrentHashMap[String, String]()
 
+  /** S10 fixture: (table dir, window start version, window end version). */
+  private val cdcDirs = new ConcurrentHashMap[String, (String, Long, Long)]()
+
   /** x10/x11 fixture: fixed 4-leaf table, two interleaved ingest batches
     * folded by compactAll (one file per leaf however the ingest salted),
     * GC'd — so every report number is derivable from the source rows.
@@ -1001,6 +1004,50 @@ object LifecycleQueries {
       })
       s.read.format("graft").load(s"$base/table")
         .orderBy("l_orderkey", "qty")
+    },
+
+    // S10 — batch CDC between two table versions: batch 1 lands BEFORE
+    // the captured window, then inside it batch 2 is ingested, keys
+    // divisible by 11 are deleted, and compactAll runs. The feed must
+    // report exactly batch 2 as inserts (the in-window compaction
+    // output is dataChange=false and must NOT appear — its rows were
+    // batch 1's) and the deleted keys as deletes EVEN THOUGH the same
+    // compaction already retired the tombstones (the per-version
+    // manifest walk catches adds that no endpoint snapshot holds). An
+    // endpoint-diff implementation fails this row twice over.
+    "s10_version_diff" -> withOracle(
+      """SELECT 'insert' AS change_type, l_orderkey, CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem WHERE l_orderkey < 12000 AND l_linenumber >= 3
+        |UNION ALL
+        |SELECT 'delete' AS change_type, l_orderkey, CAST(NULL AS BIGINT) AS qty
+        |FROM (SELECT DISTINCT l_orderkey FROM lineitem
+        |      WHERE l_orderkey < 12000 AND l_orderkey % 11 = 0)
+        |ORDER BY change_type, l_orderkey, qty NULLS FIRST""".stripMargin) { (s, dir) =>
+      val (base, v1, v2) = cdcDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-cdc-q").toString
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L))
+        val raw = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+        def batch(f: org.apache.spark.sql.Column) = raw.filter(f)
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        table.ingest(batch(col("l_linenumber") <= 2))
+        table.compactAll()
+        val from = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+        table.ingest(batch(col("l_linenumber") >= 3))
+        table.deleteKeys(raw.select(col("l_orderkey"))
+          .filter(col("l_orderkey") % 11 === 0).distinct())
+        table.compactAll()
+        val to = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+        (s"$b/table", from, to)
+      })
+      val table = GraftTable.load(s, base)
+      val ins = table.changesBetween(v1, v2)
+        .select(lit("insert").as("change_type"), col("l_orderkey"), col("qty"))
+      val del = table.deletedKeysBetween(v1, v2)
+        .select(lit("delete").as("change_type"), col("l_orderkey"),
+          lit(null).cast("long").as("qty"))
+      ins.unionAll(del)
+        .orderBy(col("change_type"), col("l_orderkey"), col("qty").asc_nulls_first)
     },
 
     "m11_add_column" -> withOracle(

@@ -140,8 +140,10 @@ final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField],
     while (v <= ev) {
       JsonStateStore.deltaAddedAt(meta, v) match {
         case Some(added) =>
-          added.foreach { case (name, home, dataChange) =>
-            if (dataChange) parts += GraftStreamFilePartition(s"$dir/data/$home/$name")
+          added.foreach { e =>
+            // tombstone entries carry dataChange=false, so delete files
+            // never enter the stream
+            if (e.dataChange) parts += GraftStreamFilePartition(s"$dir/data/${e.home}/${e.filename}")
           }
         case None =>
           val prev = snapshotAt(v - 1)

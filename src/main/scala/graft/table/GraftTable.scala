@@ -187,6 +187,76 @@ final class GraftTable(
     */
   def changes: DataFrame = spark.readStream.format("graft").load(dir)
 
+  /** Batch CDC, insert feed: the rows INGESTED into the table in the
+    * state-version window `(fromVersion, toVersion]`, each tagged with
+    * the commit version that added it (`_commit_version`). Compaction
+    * outputs are excluded (dataChange=false — their rows were already
+    * reported from the files they merged), so each ingested row appears
+    * exactly once; `fromVersion = 0` means snapshot semantics (all live
+    * rows at `toVersion`, the initial-load contract the table-changes
+    * stream uses). Rows are reported AS INGESTED — before
+    * compaction-time continual aggregation and before any tombstone
+    * suppression; pair with [[deletedKeysBetween]] for the delete side.
+    * Readable while the snapshot chain retains the window AND garbage
+    * collection has not deleted files committed inside it — the
+    * bounded-history contract shared with the stream. At 100 TB this is
+    * O(changed files) metadata + a scan of only the changed files — the
+    * incremental-consumer path that avoids re-reading the table.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val (stTo, _) = feedWindow(fromVersion, toVersion)
+    val files =
+      if (fromVersion == 0L)
+        stTo.fileReferences.map(r => (toVersion, r.filename, r.physicalPartitionId)).distinct
+      else ChangeFeed.walk(s"$dir/meta", fromVersion, toVersion)
+        .collect { case (v, name, home, false) => (v, name, home) }
+    readFeedFiles(files, stTo.schema.toStructType)
+  }
+
+  /** Batch CDC, delete feed: the row keys DELETED (tombstoned) in
+    * `(fromVersion, toVersion]`, tagged with the commit version. The
+    * walk reads per-version manifests, so a tombstone added and retired
+    * by a compaction inside the window is still reported — an endpoint
+    * snapshot diff would lose it. `fromVersion = 0` reports the
+    * tombstones still pending at `toVersion` (already-purged deletes are
+    * physically absent from the snapshot the insert feed reads).
+    */
+  def deletedKeysBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val (stTo, _) = feedWindow(fromVersion, toVersion)
+    val keySt = org.apache.spark.sql.types.StructType(stTo.schema.rowKeys.map(f =>
+      org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
+    val files =
+      if (fromVersion == 0L)
+        stTo.tombstones.map(r => (toVersion, r.filename, r.physicalPartitionId)).distinct
+      else ChangeFeed.walk(s"$dir/meta", fromVersion, toVersion)
+        .collect { case (v, name, home, true) => (v, name, home) }
+    readFeedFiles(files, keySt)
+  }
+
+  private def feedWindow(from: Long, to: Long): (StateStore, Long) = {
+    require(from >= 0 && to >= from, s"bad version window ($from, $to]")
+    val meta = s"$dir/meta"
+    require(JsonStateStore.latestVersionIn(meta).isDefined,
+      s"change feed needs a persisted version chain at $meta")
+    (JsonStateStore.loadAt(meta, to), to)
+  }
+
+  /** Read a set of (version, filename, home) files with an explicit
+    * schema (older files null-fill evolved columns), appending the
+    * commit version column. One read per distinct version.
+    */
+  private def readFeedFiles(files: Seq[(Long, String, String)],
+      st: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val out = st.add("_commit_version", org.apache.spark.sql.types.LongType, false)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
+    else files.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, fs) =>
+      spark.read.schema(st).parquet(fs.map(f => filePath(f._3, f._2)): _*)
+        .withColumn("_commit_version", lit(v))
+    }.reduce(_.unionAll(_))
+  }
+
   /** Schema evolution: append one NULLABLE value column. O(1) metadata
     * — no data rewrite. Files written before the change lack the column
     * and every reader (query, DSv2, compaction merge) fills it with
