@@ -18,7 +18,13 @@ object ConfigDsl {
 
   private val call = """\s*(\w+)\s*\(\s*([^()]*?)\s*\)\s*""".r
 
-  val aggOps: Set[String] = Set("sum", "min", "max", "map_sum", "map_min", "map_max")
+  /** `last` is the last-write-wins (upsert) op: the value from the
+    * newest write generation wins. Order-sensitive — every read path
+    * resolves it by the file sequence (FileReference.seq); within one
+    * ingest batch duplicate keys resolve arbitrarily (supply at most
+    * one row per key per batch for deterministic results).
+    */
+  val aggOps: Set[String] = Set("sum", "min", "max", "last", "map_sum", "map_min", "map_max")
 
   /** Parse + validate an aggregation config against a schema. Enforced
     * exactly as the reference does: ops must target value fields (never
@@ -40,7 +46,7 @@ object ConfigDsl {
       val f = schema.field(s.field)
       require(!f.nullable, s"cannot aggregate nullable field ${s.field}")
       val isMap = f.dataType.isInstanceOf[MapType]
-      require(isMap == s.op.startsWith("map_"),
+      require(isMap == s.op.startsWith("map_") || s.op == "last",
         s"op ${s.op} does not match type ${f.dataType.sql} of ${s.field}")
     }
     val dup = specs.groupBy(_.field).collect { case (f, ss) if ss.size > 1 => f }
@@ -55,7 +61,18 @@ object ConfigDsl {
     * widens sum(int) to long; the reference restores declared types the
     * same way, datafusion.rs add_numeric_casts:294).
     */
-  def aggColumns(specs: Seq[AggSpec], schema: GraftSchema): Seq[Column] = specs.map { s =>
+  def aggColumns(specs: Seq[AggSpec], schema: GraftSchema): Seq[Column] =
+    aggColumnsOrdered(specs, schema, None)
+
+  /** Aggregation columns with an optional write-order column for the
+    * order-sensitive `last` op: with `seqCol` (the per-row file sequence
+    * the query path derives from input_file_name), `last` becomes
+    * max_by(value, seq) — the newest write generation wins exactly as in
+    * the seq-ordered streaming merge. Without it (single-generation
+    * contexts), plain `last` over the group.
+    */
+  def aggColumnsOrdered(specs: Seq[AggSpec], schema: GraftSchema,
+      seqCol: Option[Column]): Seq[Column] = specs.map { s =>
     val f = schema.field(s.field)
     val c = col(s.field)
     val agg = (s.op, f.dataType) match {
@@ -63,6 +80,10 @@ object ConfigDsl {
       case ("sum", _) => sum(c).cast(f.dataType)
       case ("min", _) => min(c)
       case ("max", _) => max(c)
+      case ("last", _) => seqCol match {
+        case Some(sq) => max_by(c, sq)
+        case None => last(c)
+      }
       case ("map_sum", _) => MapMergeAgg.map_sum(c)
       case ("map_min", _) => MapMergeAgg.map_min(c)
       case ("map_max", _) => MapMergeAgg.map_max(c)

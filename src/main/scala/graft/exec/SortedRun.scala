@@ -327,6 +327,13 @@ object SortedRun {
 
   /** PriorityQueue N-way merge of per-file sorted iterators
     * (reference: MergingIterator.java — same (head, iterator) heap).
+    *
+    * Key ties break by READER POSITION: spec builders order a leaf's
+    * files by write-generation sequence (FileReference.seq) ascending,
+    * so equal keys emit oldest-generation first and the order-sensitive
+    * `last` aggregation deterministically keeps the newest write —
+    * last-write-wins. (A bare PriorityQueue's tie order is unspecified;
+    * commutative ops never notice, `last` would.)
     */
   private def mergeSorted(readers: Seq[RowSource],
       keyFields: Seq[GraftField]): Iterator[InternalRow] = {
@@ -334,26 +341,26 @@ object SortedRun {
     if (readers.size == 1) return readers.head
 
     val keyTypes = keyFields.map(_.dataType).toArray
-    val cmp = new java.util.Comparator[(InternalRow, RowSource)] {
-      override def compare(a: (InternalRow, RowSource),
-          b: (InternalRow, RowSource)): Int = {
+    val cmp = new java.util.Comparator[(InternalRow, RowSource, Int)] {
+      override def compare(a: (InternalRow, RowSource, Int),
+          b: (InternalRow, RowSource, Int)): Int = {
         var i = 0
         while (i < keyTypes.length) {
           val c = compareInternal(keyTypes(i), a._1.get(i, keyTypes(i)), b._1.get(i, keyTypes(i)))
           if (c != 0) return c
           i += 1
         }
-        0
+        Integer.compare(a._3, b._3)
       }
     }
-    val pq = new PriorityQueue[(InternalRow, RowSource)](readers.size, cmp)
-    readers.foreach(r => if (r.hasNext) pq.add((r.next(), r)))
+    val pq = new PriorityQueue[(InternalRow, RowSource, Int)](readers.size, cmp)
+    readers.zipWithIndex.foreach { case (r, i) => if (r.hasNext) pq.add((r.next(), r, i)) }
 
     new Iterator[InternalRow] {
       override def hasNext: Boolean = !pq.isEmpty
       override def next(): InternalRow = {
-        val (row, it) = pq.poll()
-        if (it.hasNext) pq.add((it.next(), it)) else it.close()
+        val (row, it, i) = pq.poll()
+        if (it.hasNext) pq.add((it.next(), it, i)) else it.close()
         row
       }
     }

@@ -26,7 +26,9 @@ trait CompactionStrategy {
 final case class BasicCompactionStrategy(batchSize: Int = 11) extends CompactionStrategy {
   def plan(partitionFiles: Map[String, Seq[FileReference]]): Seq[CompactionJob] =
     partitionFiles.toSeq.sortBy(_._1).flatMap { case (pid, refs) =>
-      refs.filter(_.jobId.isEmpty).sortBy(_.filename)
+      // seq order (oldest generation first): batches are then
+      // seq-contiguous, which order-sensitive (`last`) tables require
+      refs.filter(_.jobId.isEmpty).sortBy(r => (r.seq, r.filename))
         .grouped(batchSize)
         .filter(_.size > 1)
         .map(g => CompactionJob(pid, g))
@@ -146,7 +148,9 @@ final class Compaction(table: GraftTable,
       nowMs: Long, tombstones: Seq[FileReference] = Nil): graft.exec.RunSpec = {
     val partition = table.store.partitionTree(partitionId)
     graft.exec.RunSpec(
-      refs.map(table.pathOf).distinct,
+      // write-generation order: the merge breaks key ties by reader
+      // position, so seq-ascending paths make `last` keep the newest row
+      refs.sortBy(r => (r.seq, r.filename)).map(table.pathOf).distinct,
       schema,
       schema.allFields.map(_.name),
       Some(partition.region),
@@ -174,6 +178,23 @@ final class Compaction(table: GraftTable,
     * spill-prone full sort of data that was already sorted.
     */
   def run(job: CompactionJob): FileReference = {
+    // Order-sensitive aggregation (`last`, LWW): a partial job may only
+    // merge a seq-CONTIGUOUS run of the leaf's files. Merging {oldest,
+    // newest} around a skipped middle generation would stamp the output
+    // with the newest seq and make the skipped file's updates lose to
+    // the resurrected older values — the classic LSM partial-compaction
+    // hazard. BasicCompactionStrategy batches in seq order (contiguous
+    // by construction); size-picked sets must pass this gate.
+    if (aggSpecs.exists(_.op == "last")) {
+      val leafBySeq = table.store.fileReferences
+        .filter(_.partitionId == job.partitionId)
+        .sortBy(r => (r.seq, r.filename)).map(_.filename)
+      val mine = job.files.map(_.filename).toSet
+      val positions = leafBySeq.zipWithIndex.collect { case (f, i) if mine(f) => i }
+      require(positions.nonEmpty && positions.max - positions.min + 1 == positions.size,
+        s"order-sensitive aggregation (last) requires seq-contiguous compaction " +
+          s"inputs in ${job.partitionId}; got a gapped selection")
+    }
     val jobId = UUID.randomUUID().toString.take(8)
     // CREATED is recorded before file assignment so a job whose
     // assignment loses to a rival still surfaces as CREATED→FAILED in
@@ -219,7 +240,9 @@ final class Compaction(table: GraftTable,
       // FINISHED-before-COMMITTED distinction
       track(jobId, job.partitionId, job.files.size, CompactionJobState.Finished,
         rows = Some(rowCount))
-      val output = FileReference(filename, job.partitionId, rowCount)
+      // the output represents data up through its newest input generation
+      val output = FileReference(filename, job.partitionId, rowCount,
+        seq = job.files.map(_.seq).max)
       table.store.replaceFiles(job.partitionId, job.files.map(_.filename), output,
         consumedTombstones = tombs.map(_.filename))
       track(jobId, job.partitionId, job.files.size, CompactionJobState.Committed,
@@ -332,7 +355,7 @@ final class Compaction(table: GraftTable,
       val filename = new Path(path).getName
       val rowCount = footerRowCount(path)
       table.store.replaceFiles(pid, needsWork(pid).map(_.filename),
-        FileReference(filename, pid, rowCount),
+        FileReference(filename, pid, rowCount, seq = needsWork(pid).map(_.seq).max),
         consumedTombstones = tombsByLeaf.getOrElse(pid, Nil).map(_.filename))
       track(s"$jobId:$pid", pid, needsWork(pid).size, CompactionJobState.Committed,
         rows = Some(rowCount))

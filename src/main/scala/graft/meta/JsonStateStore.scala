@@ -738,7 +738,8 @@ object JsonStateStore {
     "filename" -> JString(r.filename), "partitionId" -> JString(r.partitionId),
     "rowCount" -> JInt(r.rowCount), "jobId" -> r.jobId.map(JString(_)).getOrElse(JNothing),
     "homeId" -> r.homeId.map(JString(_)).getOrElse(JNothing),
-    "dataChange" -> JBool(r.dataChange))
+    "dataChange" -> JBool(r.dataChange),
+    "seq" -> (if (r.seq == 0L) JNothing else JInt(r.seq)))
 
   private def refFromJson(j: JValue): FileReference = {
     val m = j.asInstanceOf[JObject].obj.toMap
@@ -750,7 +751,9 @@ object JsonStateStore {
       // absent in pre-round-6 snapshots (migration): conservatively true —
       // a stream starting from such history may re-emit compacted rows,
       // but never silently drops ingested ones
-      m.get("dataChange").collect { case JBool(b) => b }.getOrElse(true))
+      m.get("dataChange").collect { case JBool(b) => b }.getOrElse(true),
+      // absent in pre-round-12 snapshots (no order-sensitive aggregation then)
+      m.get("seq").collect { case JInt(n) => n.toLong }.getOrElse(0L))
   }
 
   private def configFromJson(j: JValue): (String, String, String, String) = {

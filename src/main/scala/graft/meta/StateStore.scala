@@ -22,7 +22,18 @@ final case class FileReference(
       * subscriber sees each ingested row exactly once — Delta's
       * dataChange flag, the same contract.
       */
-    dataChange: Boolean = true) {
+    dataChange: Boolean = true,
+    /** Write-generation sequence: stamped monotonically per AddFiles
+      * commit (StateTransaction.AddFiles.applyTo), so files of one leaf
+      * are totally ordered by ingest recency; a compaction output
+      * carries max(inputs) — it represents data up through that
+      * generation. Drives last-write-wins resolution (the `last`
+      * aggregation op): readers order a leaf's sorted runs by seq so the
+      * newest generation's row wins deterministically. 0 = legacy refs
+      * from before the field existed (ordering among them is arbitrary,
+      * which only matters on order-sensitive tables — all created after).
+      */
+    seq: Long = 0L) {
   /** Physical partition directory holding the file. */
   def physicalPartitionId: String = homeId.getOrElse(partitionId)
 }

@@ -58,7 +58,14 @@ object StateTransaction {
         require(!s.refs.exists(e => e.filename == r.filename && e.partitionId == r.partitionId),
           s"${r.filename} already referenced in ${r.partitionId}")
       }
-      s.copy(refs = s.refs ++ newRefs,
+      // Stamp the write-generation sequence: one commit = one generation
+      // (deterministic on replay — derived purely from the prior state).
+      // max(live seqs)+1 stays correct through compaction because a
+      // ReplaceFiles output carries max(inputs): the leaf-local maximum
+      // can never regress while any row of that generation is live.
+      val nextSeq = s.refs.foldLeft(0L)((m, r) => math.max(m, r.seq)) + 1
+      val stamped = newRefs.map(r => if (r.seq == 0L) r.copy(seq = nextSeq) else r)
+      s.copy(refs = s.refs ++ stamped,
         txns = watermark.fold(s.txns) { case (app, v) => s.txns + (app -> v) })
     }
   }
@@ -130,7 +137,7 @@ object StateTransaction {
         val half = math.max(r.rowCount / 2, 1)
         next = next.filterNot(_ == r) ++ children.map(c =>
           FileReference(r.filename, c.id, half, r.jobId, Some(r.physicalPartitionId),
-            r.dataChange))
+            r.dataChange, r.seq))
       }
       // tombstones parked on a split parent move down the same way, so
       // each child's compaction can consume ITS entry (the shared
@@ -142,7 +149,7 @@ object StateTransaction {
         val half = math.max(t.rowCount / 2, 1)
         tombs = tombs.filterNot(_ == t) ++ children.map(c =>
           FileReference(t.filename, c.id, half, t.jobId, Some(t.physicalPartitionId),
-            t.dataChange))
+            t.dataChange, t.seq))
       }
       s.copy(refs = next, tombstones = tombs)
     }

@@ -128,6 +128,8 @@ object LifecycleQueries {
   /** S10 fixture: (table dir, window start version, window end version). */
   private val cdcDirs = new ConcurrentHashMap[String, (String, Long, Long)]()
 
+  private val upsertDirs = new ConcurrentHashMap[String, String]()
+
   /** x10/x11 fixture: fixed 4-leaf table, two interleaved ingest batches
     * folded by compactAll (one file per leaf however the ingest salted),
     * GC'd — so every report number is derivable from the source rows.
@@ -1004,6 +1006,53 @@ object LifecycleQueries {
       })
       s.read.format("graft").load(s"$base/table")
         .orderBy("l_orderkey", "qty")
+    },
+
+    // M14 — last-write-wins upsert: aggregationConfig `last(qty)` with
+    // write-generation sequencing (FileReference.seq). Batch 1 loads a
+    // value per key; batch 2 re-ingests the keys that have linenumber>=3
+    // rows with NEW values — the read must return batch 2's value for
+    // those keys and batch 1's for the rest, on BOTH read paths (the
+    // Catalyst agg path via max_by(v, seq) and the DSv2 streaming merge
+    // via seq-ordered key-tie breaking), before AND after compaction.
+    // This is the mutable-row-store semantics (HBase/Bigtable put) the
+    // reference's commutative-agg tables can't express.
+    "m14_upsert_lww" -> withOracle(
+      """WITH b1 AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |            FROM lineitem WHERE l_orderkey < 12000 AND l_linenumber <= 2
+        |            GROUP BY 1),
+        |     b2 AS (SELECT l_orderkey, CAST(2000000 + SUM(l_quantity) AS BIGINT) AS qty
+        |            FROM lineitem WHERE l_orderkey < 12000 AND l_linenumber >= 3
+        |            GROUP BY 1)
+        |SELECT COALESCE(b1.l_orderkey, b2.l_orderkey) AS l_orderkey,
+        |       COALESCE(b2.qty, b1.qty) AS qty
+        |FROM b1 FULL JOIN b2 ON b1.l_orderkey = b2.l_orderkey
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = upsertDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-upsert-q").toString
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L),
+          config = TableConfig(aggregationConfig = "last(qty)"))
+        val raw = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+        // one row per key per batch (deterministic LWW within a batch)
+        def gen(f: org.apache.spark.sql.Column, bump: Long) = raw.filter(f)
+          .groupBy("l_orderkey")
+          .agg((lit(bump) + sum(col("l_quantity").cast("long"))).as("qty"))
+        table.ingest(gen(col("l_linenumber") <= 2, 0L))
+        table.ingest(gen(col("l_linenumber") >= 3, 2000000L))
+        // pre-compaction (two live generations) must equal post-compaction
+        val pending = s.read.format("graft").load(s"$b/table")
+          .agg(sum(col("qty"))).as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        table.compactAll()
+        val folded = s.read.format("graft").load(s"$b/table")
+          .agg(sum(col("qty"))).as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(pending == folded,
+          s"LWW pending read ($pending) != compacted read ($folded)")
+        b
+      })
+      // DSv2 merge path reads the compacted table; the Catalyst agg path
+      // (GraftQuery) resolved identically pre-compaction (UpsertSpec)
+      s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")
     },
 
     // S10 — batch CDC between two table versions: batch 1 lands BEFORE

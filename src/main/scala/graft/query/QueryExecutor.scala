@@ -141,6 +141,23 @@ final class QueryExecutor(table: GraftTable) {
     val leaves = tree.leavesOverlapping(regions)
     val refsByPartition = table.store.fileReferences.groupBy(_.partitionId)
 
+    // Order-sensitive aggregation (`last`, LWW) on this Catalyst path:
+    // each row needs its file's write-generation sequence so the agg can
+    // resolve max_by(value, seq). Derived from input_file_name at the
+    // scan (before any join invalidates it) via a broadcast of the
+    // O(#files) filename→seq map — ~100k rows even at 100 TB.
+    val hasLast = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
+      .exists(_.op == "last")
+    def withSeq(df: DataFrame): DataFrame =
+      if (!hasLast) df
+      else {
+        val seqDf = spark.createDataFrame(
+          table.store.fileReferences.map(r => (r.filename, r.seq)).distinct)
+          .toDF("__file", "__seq")
+        df.withColumn("__file", regexp_extract(input_file_name(), "[^/]+$", 0))
+          .join(broadcast(seqDf), Seq("__file")).drop("__file")
+      }
+
     val scans: Seq[DataFrame] = {
       // Fast-path decision is scoped to the SELECTED leaves: only an
       // ancestor of a selected leaf can contribute shared (pre-split)
@@ -156,8 +173,8 @@ final class QueryExecutor(table: GraftTable) {
         // the declared read schema makes columns ADDED after a file was
         // written (schema evolution) decode as nulls instead of failing
         // resolution against that file's narrower footer schema
-        else Seq(spark.read.schema(org.apache.spark.sql.types.StructType(schema.toStructType.fields.map(_.copy(nullable = true))))
-          .parquet(files: _*).filter(regionPredicate(regions)))
+        else Seq(withSeq(spark.read.schema(org.apache.spark.sql.types.StructType(schema.toStructType.fields.map(_.copy(nullable = true))))
+          .parquet(files: _*)).filter(regionPredicate(regions)))
       } else {
         // Refs still sit on ancestors (pre-split): ONE scan of every
         // selected file, clipped to rows whose leaf (computed by the
@@ -171,14 +188,18 @@ final class QueryExecutor(table: GraftTable) {
             tree.ancestors(leaf.id).flatMap(a => refsByPartition.getOrElse(a.id, Nil)))
         }.map(table.pathOf).distinct
         if (files.isEmpty) Nil
-        else Seq(spark.read.schema(org.apache.spark.sql.types.StructType(schema.toStructType.fields.map(_.copy(nullable = true)))).parquet(files: _*)
+        else Seq(withSeq(spark.read.schema(org.apache.spark.sql.types.StructType(schema.toStructType.fields.map(_.copy(nullable = true)))).parquet(files: _*))
           .filter(tree.leafIdColumn.isin(leaves.map(_.id): _*) && regionPredicate(regions)))
       }
     }
 
-    val scanned = scans.reduceOption(_ unionByName _)
-      .getOrElse(spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), schema.toStructType))
+    val scanned = {
+      val s0 = scans.reduceOption(_ unionByName _)
+        .getOrElse(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), schema.toStructType))
+      // empty-table fallback: keep the __seq column the agg expects
+      if (hasLast && !s0.columns.contains("__seq")) s0.withColumn("__seq", lit(0L)) else s0
+    }
 
     // Row-key tombstones (deleteKeys): LEFT ANTI against the pending
     // delete keys of the selected leaves. Leaf regions partition the key
@@ -220,7 +241,8 @@ final class QueryExecutor(table: GraftTable) {
           queryTransform.toSeq.flatMap(_.requiredValueFields) ++
           filterSpec.toSeq.map { case ConfigDsl.AgeOff(f, _) => f } ++
           (if (aggSpecs.nonEmpty) schema.valueNames else Nil)
-        base.select((schema.keyNames ++ schema.valueNames.filter(need.contains)).map(col): _*)
+        base.select((schema.keyNames ++ schema.valueNames.filter(need.contains) ++
+          (if (hasLast) Seq("__seq") else Nil)).map(col): _*)
       case None => base
     }
 
@@ -232,7 +254,8 @@ final class QueryExecutor(table: GraftTable) {
     val aggregated =
       if (aggSpecs.isEmpty) filtered
       else {
-        val cols = ConfigDsl.aggColumns(aggSpecs, schema)
+        val cols = ConfigDsl.aggColumnsOrdered(aggSpecs, schema,
+          if (hasLast) Some(col("__seq")) else None)
         filtered.groupBy(schema.keyNames.map(col): _*)
           .agg(cols.head, cols.tail: _*)
           .select((schema.keyNames ++

@@ -692,7 +692,10 @@ final class GraftScan(dir: String, store: JsonStateStore,
     val specs = tree.leavesOverlapping(regions).flatMap { leaf =>
       val refs = refsByPartition.getOrElse(leaf.id, Nil) ++
         tree.ancestors(leaf.id).flatMap(a => refsByPartition.getOrElse(a.id, Nil))
-      val paths = refs.map(r => s"$dir/data/${r.physicalPartitionId}/${r.filename}")
+      // seq-ascending: the merge's key-tie order makes `last` (LWW) keep
+      // the newest generation's row
+      val paths = refs.sortBy(r => (r.seq, r.filename))
+        .map(r => s"$dir/data/${r.physicalPartitionId}/${r.filename}")
         .distinct.filter(fileMaySatisfy)
       // pending row-key deletes for this leaf (and any split ancestor)
       val tombPaths = (tombsByPartition.getOrElse(leaf.id, Nil) ++

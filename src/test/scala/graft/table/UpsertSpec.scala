@@ -1,0 +1,140 @@
+package graft.table
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.jobs.{Compaction, CompactionJob, BasicCompactionStrategy, SizeRatioCompactionStrategy}
+
+/** Last-write-wins (upsert) tables: aggregationConfig `last(col)` with
+  * write-generation sequencing (FileReference.seq). Both read paths must
+  * resolve to the newest write, compaction must converge to the same
+  * rows, and partial compactions must be seq-contiguous.
+  */
+class UpsertSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val schema = GraftSchema(
+    rowKeys = Seq(GraftField("id", LongType)),
+    sortKeys = Nil,
+    values = Seq(GraftField("v", LongType, nullable = false)))
+
+  private def tmp() = Files.createTempDirectory("graft-upsert").toString
+
+  private def lwwTable(dir: String, splitPoints: Seq[Any] = Seq(50L)): GraftTable =
+    GraftTable.create(spark, dir, schema, splitPoints,
+      config = TableConfig(aggregationConfig = "last(v)"))
+
+  private def readBoth(table: GraftTable, dir: String): (Map[Long, Long], Map[Long, Long]) = {
+    val q = table.toDF.select("id", "v").as[(Long, Long)].collect().toMap
+    val d = spark.read.format("graft").load(dir)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    (q, d)
+  }
+
+  test("newest ingest wins on both read paths; compaction converges to the same rows") {
+    val dir = tmp()
+    val table = lwwTable(dir)
+    table.ingest((0L until 100L).map(i => (i, i)).toDF("id", "v"))
+    // second generation updates the even keys
+    table.ingest((0L until 100L by 2).map(i => (i, i + 1000L)).toDF("id", "v"))
+    val expect = (0L until 100L).map(i => i -> (if (i % 2 == 0) i + 1000L else i)).toMap
+
+    val (q, d) = readBoth(table, dir)
+    assert(q == expect, "query path")
+    assert(d == expect, "DSv2 merge path")
+
+    table.compactAll()
+    val (q2, d2) = readBoth(table, dir)
+    assert(q2 == expect && d2 == expect, "post-compaction")
+    // converged: one file per occupied leaf, carrying max input seq
+    assert(table.store.fileReferences.forall(_.seq > 0L))
+  }
+
+  test("an update ingested AFTER a compaction still wins (output seq = max inputs)") {
+    val dir = tmp()
+    val table = lwwTable(dir)
+    table.ingest((0L until 10L).map(i => (i, 1L)).toDF("id", "v"))
+    table.ingest((0L until 10L).map(i => (i, 2L)).toDF("id", "v"))
+    table.compactAll()
+    table.ingest((0L until 10L).map(i => (i, 3L)).toDF("id", "v"))
+    val (q, d) = readBoth(table, dir)
+    assert(q.values.toSet == Set(3L) && d.values.toSet == Set(3L))
+    table.compactAll()
+    val (q2, d2) = readBoth(table, dir)
+    assert(q2.values.toSet == Set(3L) && d2.values.toSet == Set(3L))
+  }
+
+  test("LWW survives reload and time travel reads historic values") {
+    val dir = tmp()
+    val t0 = lwwTable(dir)
+    t0.ingest((0L until 5L).map(i => (i, 10L)).toDF("id", "v"))
+    val v1 = t0.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+    t0.ingest((0L until 5L).map(i => (i, 20L)).toDF("id", "v"))
+
+    val reloaded = GraftTable.load(spark, dir)
+    assert(reloaded.toDF.select("v").as[Long].collect().toSet == Set(20L))
+    assert(reloaded.store.fileReferences.map(_.seq).toSet == Set(1L, 2L))
+
+    val asOf = GraftTable.loadAsOf(spark, dir, v1)
+    assert(asOf.toDF.select("v").as[Long].collect().toSet == Set(10L))
+  }
+
+  test("BasicCompactionStrategy batches are seq-contiguous; gapped jobs are refused") {
+    val dir = tmp()
+    val table = lwwTable(dir, splitPoints = Nil)
+    (1 to 4).foreach(g =>
+      table.ingest((0L until 10L).map(i => (i, g.toLong)).toDF("id", "v")))
+    val refs = table.store.fileReferences.sortBy(_.seq)
+    assert(refs.map(_.seq) == Seq(1L, 2L, 3L, 4L))
+
+    // a gapped selection (1st and 3rd generation) must be refused
+    val gapped = CompactionJob(refs.head.partitionId, Seq(refs(0), refs(2)))
+    val ex = intercept[IllegalArgumentException] {
+      new Compaction(table).run(gapped)
+    }
+    assert(ex.getMessage.contains("seq-contiguous"))
+
+    // a contiguous prefix is fine and preserves LWW
+    new Compaction(table).run(CompactionJob(refs.head.partitionId, Seq(refs(0), refs(1))))
+    assert(table.toDF.select("v").as[Long].collect().toSet == Set(4L))
+    // strategy-planned batches (seq order) work end to end
+    table.compact(BasicCompactionStrategy(batchSize = 2))
+    assert(table.toDF.select("v").as[Long].collect().toSet == Set(4L))
+  }
+
+  test("deletes compose with LWW: tombstone suppresses every generation") {
+    val dir = tmp()
+    val table = lwwTable(dir)
+    table.ingest((0L until 10L).map(i => (i, 1L)).toDF("id", "v"))
+    table.ingest((0L until 10L).map(i => (i, 2L)).toDF("id", "v"))
+    table.deleteKeys(Seq(3L, 4L).toDF("id"))
+    val (q, d) = readBoth(table, dir)
+    assert(q.keySet == ((0L until 10L).toSet -- Set(3L, 4L)) && q == d)
+    table.compactAll()
+    val (q2, _) = readBoth(table, dir)
+    assert(q2.keySet == ((0L until 10L).toSet -- Set(3L, 4L)))
+  }
+
+  test("mixed config: sum column accumulates while last column upserts") {
+    val dir = tmp()
+    val mixed = GraftSchema(
+      rowKeys = Seq(GraftField("id", LongType)), sortKeys = Nil,
+      values = Seq(GraftField("n", LongType, nullable = false),
+        GraftField("status", StringType, nullable = false)))
+    val table = GraftTable.create(spark, dir, mixed,
+      config = TableConfig(aggregationConfig = "sum(n),last(status)"))
+    table.ingest((0L until 10L).map(i => (i, 1L, "open")).toDF("id", "n", "status"))
+    table.ingest((0L until 10L).map(i => (i, 1L, "closed")).toDF("id", "n", "status"))
+    val q = table.toDF.select("id", "n", "status").as[(Long, Long, String)].collect()
+    assert(q.forall { case (_, n, s) => n == 2L && s == "closed" })
+    val d = spark.read.format("graft").load(dir)
+      .select("n", "status").as[(Long, String)].collect()
+    assert(d.forall { case (n, s) => n == 2L && s == "closed" })
+    table.compactAll()
+    assert(table.toDF.select("n", "status").as[(Long, String)].collect()
+      .forall { case (n, s) => n == 2L && s == "closed" })
+  }
+}
