@@ -50,7 +50,11 @@ object ClusterCheck {
     // schema evolution: evolved-read through executor-side readers
     "m11_add_column",
     // row-key deletes: tombstone anti-merge inside executor-side RunSpecs
-    "m13_delete_keys")
+    "m13_delete_keys",
+    // LWW upsert + MERGE INTO: seq-ordered merge ties and the
+    // generation-aware (per-reader) anti-join run inside executor
+    // RunSpecs; the Catalyst path's filename->seq broadcast must ship
+    "m14_upsert_lww", "m16_merge_into")
 
   /** Canonical content hash: columns sorted by name, every cell cast to
     * string (nulls as NUL), cells joined with SOH, row strings sorted —

@@ -60,7 +60,17 @@ final case class RunSpec(
       * parquet): rows whose ROW KEY appears in any of them are dropped
       * by a streaming merge-anti-join before filters/aggregation —
       * O(1) memory, both sides already key-sorted. */
-    tombstonePaths: Seq[String] = Nil)
+    tombstonePaths: Seq[String] = Nil,
+    /** write-generation seq per entry of `paths` (parallel; empty = all
+      * 0). Drives generation-aware delete suppression and documents the
+      * merge's key-tie order (callers pass paths seq-ascending). */
+    pathSeqs: Seq[Long] = Nil,
+    /** write-generation seq per entry of `tombstonePaths` (parallel;
+      * empty = Long.MaxValue, i.e. the tombstone suppresses every
+      * generation — the legacy levelless behavior). A tombstone applies
+      * only to data files with seq <= its own: LSM delete-marker
+      * semantics, so a re-ingest after a delete survives. */
+    tombstoneSeqs: Seq[Long] = Nil)
 
 object SortedRun {
 
@@ -129,9 +139,37 @@ object SortedRun {
       case _: ArrayType | _: MapType | _: StructType => false
       case _ => true
     })
-    val readers: Seq[RowSource] = spec.paths.map { p =>
-      if (vectorizable) new VectorizedRowIterator(p, readFields, pushed, conf)
-      else new GroupRowIterator(p, readFields, pushed, conf)
+    // Row-key tombstones (deleteKeys), applied PER SOURCE FILE before
+    // the merge: a tombstone suppresses a key only in data files of
+    // generations <= its own (file.seq <= tomb.seq) — LSM delete-marker
+    // semantics, so a key re-ingested after the delete survives. Legacy
+    // specs without seqs degrade to suppress-everywhere (0 <= MaxValue).
+    // Tombstone files are small sorted key-only parquet; re-opening one
+    // per applicable data file keeps the anti-join a streaming merge
+    // (O(1) memory) at the cost of O(#files) re-reads of the key list.
+    val pathSeqs: Seq[Long] =
+      if (spec.pathSeqs.size == spec.paths.size) spec.pathSeqs
+      else spec.paths.map(_ => 0L)
+    val tombSeqs: Seq[Long] =
+      if (spec.tombstoneSeqs.size == spec.tombstonePaths.size) spec.tombstoneSeqs
+      else spec.tombstonePaths.map(_ => Long.MaxValue)
+    val rowKeyTypes = schema.rowKeys.map(_.dataType).toArray
+    val tombReaders = scala.collection.mutable.ArrayBuffer.empty[RowSource]
+    def withTombstones(r: RowSource, fileSeq: Long): RowSource = {
+      val applicable = spec.tombstonePaths.zip(tombSeqs)
+        .collect { case (p, ts) if fileSeq <= ts => p }
+      if (applicable.isEmpty) r
+      else {
+        val trs = applicable.map(p => new GroupRowIterator(p, schema.rowKeys, None, conf))
+        tombReaders ++= trs
+        new AntiRowSource(r, trs, mergeSorted(trs, schema.rowKeys), rowKeyTypes)
+      }
+    }
+    val readers: Seq[RowSource] = spec.paths.zip(pathSeqs).map { case (p, fileSeq) =>
+      val base: RowSource =
+        if (vectorizable) new VectorizedRowIterator(p, readFields, pushed, conf)
+        else new GroupRowIterator(p, readFields, pushed, conf)
+      withTombstones(base, fileSeq)
     }.filter { r =>
       if (r.hasNext) true else { r.close(); false }
     }
@@ -147,25 +185,12 @@ object SortedRun {
           (regionTests.isEmpty || regionTests.exists(_.forall(_(row))))
       }
 
-    // Row-key tombstones (deleteKeys): drop any row whose row key
-    // appears in a pending tombstone — BEFORE aggregation, so deleted
-    // rows never contribute to merged values. Both streams are sorted
-    // (data by rowKeys++sortKeys => ascending in the rowKey prefix;
-    // tombstones by rowKeys), so this is a streaming merge-anti-join.
-    val tombReaders: Seq[RowSource] =
-      spec.tombstonePaths.map(p => new GroupRowIterator(p, schema.rowKeys, None, conf))
-    val tombstoned =
-      if (tombReaders.isEmpty) clipped
-      else new AntiKeyIterator(clipped,
-        mergeSorted(tombReaders, schema.rowKeys),
-        schema.rowKeys.map(_.dataType).toArray)
-
     val filtered = filterSpec match {
       case Some(ConfigDsl.AgeOff(field, maxAgeMs)) =>
         val i = readIndex(field)
         val cutoff = spec.nowMs - maxAgeMs
-        tombstoned.filter(row => !row.isNullAt(i) && row.getLong(i) > cutoff)
-      case None => tombstoned
+        clipped.filter(row => !row.isNullAt(i) && row.getLong(i) > cutoff)
+      case None => clipped
     }
 
     val aggregated =
@@ -201,7 +226,26 @@ object SortedRun {
         }
       }
     }.getOrElse(projected)
-    (limited, readers ++ tombReaders)
+    (limited, readers ++ tombReaders.toSeq)
+  }
+
+  /** A data reader with its applicable delete markers anti-joined in:
+    * delegates the row stream to an [[AntiKeyIterator]] over the (still
+    * key-sorted) source, and close() releases the source and every
+    * tombstone reader it was given.
+    */
+  private final class AntiRowSource(
+      source: RowSource,
+      tombSources: Seq[RowSource],
+      tombs: Iterator[InternalRow],
+      rowKeyTypes: Array[DataType]) extends RowSource {
+    private val it = new AntiKeyIterator(source, tombs, rowKeyTypes)
+    override def hasNext: Boolean = it.hasNext
+    override def next(): InternalRow = it.next()
+    override def close(): Unit = {
+      source.close()
+      tombSources.foreach(t => try t.close() catch { case _: Exception => () })
+    }
   }
 
   /** Streaming merge-anti-join on the ROW-KEY prefix: `rows` ascending

@@ -147,20 +147,28 @@ final class Compaction(table: GraftTable,
   private def specFor(partitionId: String, refs: Seq[FileReference],
       nowMs: Long, tombstones: Seq[FileReference] = Nil): graft.exec.RunSpec = {
     val partition = table.store.partitionTree(partitionId)
+    // write-generation order: the merge breaks key ties by reader
+    // position, so seq-ascending paths make `last` keep the newest row.
+    // (path, seq) dedup by path: a file split across parents yields one
+    // physical path under multiple refs sharing one seq.
+    val pathsWithSeq = refs.sortBy(r => (r.seq, r.filename))
+      .map(r => (table.pathOf(r), r.seq)).distinctBy(_._1)
+    val tombsWithSeq = tombstones.map(t => (table.pathOf(t), t.seq)).distinctBy(_._1)
     graft.exec.RunSpec(
-      // write-generation order: the merge breaks key ties by reader
-      // position, so seq-ascending paths make `last` keep the newest row
-      refs.sortBy(r => (r.seq, r.filename)).map(table.pathOf).distinct,
+      pathsWithSeq.map(_._1),
       schema,
       schema.allFields.map(_.name),
       Some(partition.region),
       table.config.aggregationConfig,
       table.config.filterConfig,
       nowMs,
-      // pending deletes purge physically in this merge; the commit
-      // retires EXACTLY this captured set (a tombstone landing after
-      // this point applies at read and survives for the next round)
-      tombstonePaths = tombstones.map(table.pathOf).distinct)
+      // pending deletes purge physically in this merge — but only from
+      // input generations <= each tombstone's (LSM semantics); the
+      // commit retires EXACTLY this captured set (a tombstone landing
+      // after this point applies at read and survives the next round)
+      tombstonePaths = tombsWithSeq.map(_._1),
+      pathSeqs = pathsWithSeq.map(_._2),
+      tombstoneSeqs = tombsWithSeq.map(_._2))
   }
 
   /** This partition's pending row-key tombstones (captured once per job:

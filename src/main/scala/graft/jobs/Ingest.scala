@@ -32,7 +32,9 @@ final class Ingest(table: GraftTable) {
     * version writes nothing and returns Nil — the basis of the streaming
     * sink's exactly-once guarantee.
     */
-  def run(input: DataFrame, txn: Option[(String, Long)] = None): Seq[FileReference] = {
+  def run(input: DataFrame, txn: Option[(String, Long)] = None,
+      commit: Boolean = true): Seq[FileReference] = {
+    require(commit || txn.isEmpty, "write-only ingest cannot carry a txn watermark")
     table.store.assertWritable() // BEFORE any data file lands in the table dir
     val schema = table.schema
     val tree = table.store.partitionTree
@@ -106,6 +108,9 @@ final class Ingest(table: GraftTable) {
     }.toSeq
 
     writeSketches(moved.map(_._2).toSeq, refs.map(_.rowCount).max)
+    // write-only mode (MERGE INTO): the caller owns the commit, so the
+    // data files + tombstones of one merge land in a single version
+    if (!commit) return refs
     txn match {
       case None => table.store.addFiles(refs); refs
       case Some((app, version)) =>

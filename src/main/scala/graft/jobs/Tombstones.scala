@@ -20,7 +20,8 @@ import graft.table.GraftTable
   */
 object Tombstones {
 
-  def write(table: GraftTable, keys: DataFrame): Seq[FileReference] = {
+  def write(table: GraftTable, keys: DataFrame,
+      commit: Boolean = true): Seq[FileReference] = {
     val spark = table.spark
     val schema = table.schema
     val keyFields = schema.rowKeys
@@ -67,7 +68,8 @@ object Tombstones {
       val cnt = try reader.getRecordCount finally reader.close()
       FileReference(new Path(path).getName, pid, cnt)
     }.toSeq
-    table.store.addTombstones(refs)
+    // write-only mode (MERGE INTO): the caller owns the commit
+    if (commit) table.store.addTombstones(refs)
     refs
   }
 }

@@ -619,6 +619,10 @@ object JsonStateStore {
     case StateTransaction.AddTombstones(refs) => JObject(
       "txn" -> JString("addTombstones"),
       "refs" -> JArray(refs.map(refToJson).toList))
+    case StateTransaction.Merge(adds, tombs) => JObject(
+      "txn" -> JString("merge"),
+      "adds" -> JArray(adds.map(refToJson).toList),
+      "tombs" -> JArray(tombs.map(refToJson).toList))
     case StateTransaction.Init =>
       throw new IllegalStateException("Init commits as a full snapshot, never a log entry")
   }
@@ -656,6 +660,10 @@ object JsonStateStore {
       case "addTombstones" =>
         StateTransaction.AddTombstones(
           m("refs").asInstanceOf[JArray].arr.map(refFromJson).toVector)
+      case "merge" =>
+        StateTransaction.Merge(
+          m("adds").asInstanceOf[JArray].arr.map(refFromJson).toVector,
+          m("tombs").asInstanceOf[JArray].arr.map(refFromJson).toVector)
       case other => throw new IllegalArgumentException(s"unknown transaction type '$other'")
     }
   }

@@ -143,6 +143,13 @@ trait StateStore {
 
   /** AddTombstonesTransaction — register row-key delete files. */
   def addTombstones(refs: Seq[FileReference]): Unit
+
+  /** MergeTransaction — MERGE INTO: `adds` (new data files) and `tombs`
+    * (row-key delete markers) land in one atomic version; the markers
+    * stamp one generation below the data, so the merge's puts shadow
+    * its own deletes and a reader never sees half a merge.
+    */
+  def commitMerge(adds: Seq[FileReference], tombs: Seq[FileReference]): Unit
 }
 
 /** In-memory single-writer implementation; also the base for the
@@ -286,5 +293,10 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
 
   override def addTombstones(refs: Seq[FileReference]): Unit = withRetry { synchronized {
     runTxn(StateTransaction.AddTombstones(refs.toVector))
+  }}
+
+  override def commitMerge(adds: Seq[FileReference],
+      tombs: Seq[FileReference]): Unit = withRetry { synchronized {
+    runTxn(StateTransaction.Merge(adds.toVector, tombs.toVector))
   }}
 }

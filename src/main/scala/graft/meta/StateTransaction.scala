@@ -44,6 +44,17 @@ object StateTransaction {
     override def applyTo(s: TableState): TableState = s
   }
 
+  /** Next write-generation sequence for a commit: one past the maximum
+    * over LIVE refs and pending tombstones. Tombstones count so that a
+    * data generation is never stamped equal to a pending delete marker
+    * in a sibling leaf (file.seq <= tombstone.seq would wrongly suppress
+    * the brand-new rows).
+    */
+  private[meta] def nextSeq(s: TableState): Long = {
+    val m0 = s.refs.foldLeft(0L)((m, r) => math.max(m, r.seq))
+    s.tombstones.foldLeft(m0)((m, r) => math.max(m, r.seq)) + 1
+  }
+
   /** AddFilesTransaction — new files from ingest / bulk import.
     * `watermark` carries the Delta-style idempotent-txn version for
     * streaming appends ([[StateStore.addFilesIfAbsent]]); the watermark
@@ -63,7 +74,7 @@ object StateTransaction {
       // max(live seqs)+1 stays correct through compaction because a
       // ReplaceFiles output carries max(inputs): the leaf-local maximum
       // can never regress while any row of that generation is live.
-      val nextSeq = s.refs.foldLeft(0L)((m, r) => math.max(m, r.seq)) + 1
+      val nextSeq = StateTransaction.nextSeq(s)
       val stamped = newRefs.map(r => if (r.seq == 0L) r.copy(seq = nextSeq) else r)
       s.copy(refs = s.refs ++ stamped,
         txns = watermark.fold(s.txns) { case (app, v) => s.txns + (app -> v) })
@@ -185,12 +196,13 @@ object StateTransaction {
     * memory), and compaction physically purges the keys then retires
     * the tombstone atomically (ReplaceFiles.consumedTombstones). The
     * takedown-request capability the reference lacks entirely (its only
-    * removal is ageOff). LEVELLESS semantics by design: a pending
-    * tombstone suppresses its key in EVERY current file of the leaf —
-    * re-ingesting a deleted key before compaction retires the tombstone
-    * would suppress the new rows too; `GraftTable.deleteKeys(purge =
-    * true)` closes that window by compacting the affected leaves in the
-    * same call.
+    * removal is ageOff). GENERATION-AWARE (LSM delete-marker) semantics:
+    * the tombstone is stamped with the commit's write-generation seq and
+    * suppresses its key only in files of OLDER generations (file.seq <=
+    * tombstone.seq) — a re-ingest of a deleted key lands in a newer
+    * generation and survives, exactly like a put shadowing a delete
+    * marker in an LSM tree. Legacy seq=0 files are suppressed by every
+    * tombstone (they predate generation tracking).
     */
   final case class AddTombstones(refs: Vector[FileReference]) extends StateTransaction {
     override def applyTo(s: TableState): TableState = {
@@ -200,8 +212,28 @@ object StateTransaction {
         require(!s.tombstones.exists(t => t.filename == r.filename),
           s"tombstone ${r.filename} already pending")
       }
-      s.copy(tombstones = s.tombstones ++ refs)
+      // one deleteKeys commit = one generation, shared by its per-leaf
+      // files; deterministic on replay (derived purely from prior state)
+      val seq = StateTransaction.nextSeq(s)
+      s.copy(tombstones = s.tombstones ++ refs.map(r =>
+        if (r.seq == 0L) r.copy(seq = seq) else r))
     }
+  }
+
+  /** MergeTransaction — MERGE INTO commit: new data files and row-key
+    * delete markers land in ONE atomic version. Composition of the two
+    * building blocks, which also fixes the generation order: the
+    * tombstones stamp first (generation N) and the data files after
+    * (N+1, because pending tombstones count into nextSeq) — so a source
+    * that both deletes and puts a key resolves to the put, and a reader
+    * can never observe the merge's deletes without its puts or vice
+    * versa. (Delta/Iceberg MERGE INTO atomicity, expressed over the
+    * LSM delete-marker machinery instead of file rewrites.)
+    */
+  final case class Merge(adds: Vector[FileReference],
+      tombs: Vector[FileReference]) extends StateTransaction {
+    override def applyTo(s: TableState): TableState =
+      AddFiles(adds).applyTo(AddTombstones(tombs).applyTo(s))
   }
 
   /** AddColumnTransaction — schema evolution: append one NULLABLE value

@@ -130,6 +130,10 @@ object LifecycleQueries {
 
   private val upsertDirs = new ConcurrentHashMap[String, String]()
 
+  private val reinsertDirs = new ConcurrentHashMap[String, String]()
+
+  private val mergeDirs = new ConcurrentHashMap[String, String]()
+
   /** x10/x11 fixture: fixed 4-leaf table, two interleaved ingest batches
     * folded by compactAll (one file per leaf however the ingest salted),
     * GC'd — so every report number is derivable from the source rows.
@@ -1052,6 +1056,98 @@ object LifecycleQueries {
       })
       // DSv2 merge path reads the compacted table; the Catalyst agg path
       // (GraftQuery) resolved identically pre-compaction (UpsertSpec)
+      s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")
+    },
+
+    // M15 — generation-aware deletes (LSM delete-marker semantics):
+    // gen 1 loads a value per key, gen 2 deletes keys divisible by 7,
+    // gen 3 RE-INGESTS the keys divisible by 14 with new values — while
+    // the tombstone is still pending. The marker must suppress only
+    // generations <= its own: %14 keys come back with gen-3 values, %7
+    // (but not %14) keys stay deleted, everything else keeps gen 1.
+    // Checked pending AND post-compaction (compaction applies the marker
+    // per input generation, then retires it). The resurrect-after-delete
+    // contract no other read path piece can fake.
+    "m15_delete_reinsert" -> withOracle(
+      """WITH b1 AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |            FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey,
+        |       CASE WHEN l_orderkey % 14 = 0 THEN 4000000 + qty ELSE qty END AS qty
+        |FROM b1
+        |WHERE l_orderkey % 7 <> 0 OR l_orderkey % 14 = 0
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = reinsertDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-reinsert-q").toString
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L),
+          config = TableConfig(aggregationConfig = "last(qty)"))
+        val raw = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+        val gen1 = raw.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        table.ingest(gen1)
+        table.deleteKeys(gen1.select("l_orderkey")
+          .filter(col("l_orderkey") % 7 === 0))
+        table.ingest(gen1.filter(col("l_orderkey") % 14 === 0)
+          .select(col("l_orderkey"), (col("qty") + 4000000L).as("qty")))
+        // the pending-marker read must equal the post-compaction read
+        val pending = s.read.format("graft").load(s"$b/table")
+          .agg(sum(col("qty"))).as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        table.compactAll()
+        require(table.store.tombstones.isEmpty, "compactAll must retire the marker")
+        val folded = s.read.format("graft").load(s"$b/table")
+          .agg(sum(col("qty"))).as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(pending == folded,
+          s"pending-marker read ($pending) != compacted read ($folded)")
+        b
+      })
+      s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")
+    },
+
+    // M16 — MERGE INTO (one atomic commit): a CDC-shaped source with an
+    // _op column outside the table schema updates keys divisible by 3
+    // and deletes keys divisible by 5 against a last-write-wins base —
+    // Delta/Iceberg MERGE semantics at O(source) cost (one sorted put
+    // write + one key-only marker write, ZERO rewrite of existing data:
+    // the LSM advantage over copy-on-write MERGE). The fixture asserts
+    // the commit is exactly one state-store version and that the
+    // pending-marker read equals the post-compaction read.
+    "m16_merge_into" -> withOracle(
+      """WITH b1 AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |            FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey,
+        |       CASE WHEN l_orderkey % 3 = 0 THEN 5000000 + qty ELSE qty END AS qty
+        |FROM b1
+        |WHERE l_orderkey % 5 <> 0
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = mergeDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-merge-q").toString
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L),
+          config = TableConfig(aggregationConfig = "last(qty)"))
+        val raw = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+        val gen1 = raw.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        table.ingest(gen1)
+        val v0 = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+        // one CDC batch: updates for %3 keys, deletes for %5 keys
+        // (deleteWhen wins for keys divisible by 15 — they are deleted)
+        val source = gen1
+          .filter(col("l_orderkey") % 3 === 0 || col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey"), (col("qty") + 5000000L).as("qty"),
+            when(col("l_orderkey") % 5 === 0, "delete").otherwise("put").as("_op"))
+        table.merge(source, col("_op") === "delete")
+        require(table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion == v0 + 1,
+          "MERGE must commit exactly one version")
+        val pending = s.read.format("graft").load(s"$b/table")
+          .agg(sum(col("qty"))).as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        table.compactAll()
+        require(table.store.tombstones.isEmpty, "compactAll must retire the markers")
+        val folded = s.read.format("graft").load(s"$b/table")
+          .agg(sum(col("qty"))).as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(pending == folded,
+          s"pending-marker read ($pending) != compacted read ($folded)")
+        b
+      })
       s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")
     },
 

@@ -145,11 +145,17 @@ final class QueryExecutor(table: GraftTable) {
     // each row needs its file's write-generation sequence so the agg can
     // resolve max_by(value, seq). Derived from input_file_name at the
     // scan (before any join invalidates it) via a broadcast of the
-    // O(#files) filename→seq map — ~100k rows even at 100 TB.
+    // O(#files) filename→seq map — ~100k rows even at 100 TB. The
+    // generation-aware delete anti-join needs the same column, so it is
+    // attached whenever this query sees pending tombstones too.
     val hasLast = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
       .exists(_.op == "last")
+    val selectedIds = leaves.map(_.id).toSet ++
+      leaves.flatMap(l => tree.ancestors(l.id).map(_.id))
+    val pendingTombs = table.store.tombstones.filter(t => selectedIds.contains(t.partitionId))
+    val needSeq = hasLast || pendingTombs.nonEmpty
     def withSeq(df: DataFrame): DataFrame =
-      if (!hasLast) df
+      if (!needSeq) df
       else {
         val seqDf = spark.createDataFrame(
           table.store.fileReferences.map(r => (r.filename, r.seq)).distinct)
@@ -197,28 +203,38 @@ final class QueryExecutor(table: GraftTable) {
       val s0 = scans.reduceOption(_ unionByName _)
         .getOrElse(spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), schema.toStructType))
-      // empty-table fallback: keep the __seq column the agg expects
-      if (hasLast && !s0.columns.contains("__seq")) s0.withColumn("__seq", lit(0L)) else s0
+      // empty-table fallback: keep the __seq column downstream expects
+      if (needSeq && !s0.columns.contains("__seq")) s0.withColumn("__seq", lit(0L)) else s0
     }
 
     // Row-key tombstones (deleteKeys): LEFT ANTI against the pending
-    // delete keys of the selected leaves. Leaf regions partition the key
-    // space, so scoping to selected leaves is exact; the join is
-    // broadcastable whenever the pending delete set is small (the usual
-    // takedown shape) and Catalyst decides from the tombstone files'
-    // size statistics.
+    // delete keys of the selected leaves, generation-aware — a row is
+    // suppressed only when some tombstone of its key is at least as new
+    // as the row's file (row.__seq <= max tombstone seq per key), so a
+    // key re-ingested after the delete survives (LSM delete-marker
+    // semantics). Leaf regions partition the key space, so scoping to
+    // selected leaves is exact; the equi-key part keeps the join
+    // hash/SMJ-able and Catalyst broadcasts when the pending delete set
+    // is small (the usual takedown shape).
     val base = {
-      val selected = leaves.map(_.id).toSet ++
-        leaves.flatMap(l => tree.ancestors(l.id).map(_.id))
-      val tombs = table.store.tombstones.filter(t => selected.contains(t.partitionId))
-      if (tombs.isEmpty) scanned
+      if (pendingTombs.isEmpty) scanned
       else {
+        val tseqDf = spark.createDataFrame(
+          pendingTombs.map(t => (t.filename, t.seq)).distinct).toDF("__tfile", "__tseq")
         val tdf = spark.read
           .schema(org.apache.spark.sql.types.StructType(
             schema.rowKeys.map(f => org.apache.spark.sql.types.StructField(
               f.name, f.dataType, nullable = true))))
-          .parquet(tombs.map(table.pathOf).distinct: _*)
-        scanned.join(tdf, schema.rowKeyNames, "left_anti")
+          .parquet(pendingTombs.map(table.pathOf).distinct: _*)
+          .withColumn("__tfile", regexp_extract(input_file_name(), "[^/]+$", 0))
+          .join(broadcast(tseqDf), Seq("__tfile"))
+          .groupBy(schema.rowKeyNames.map(col): _*)
+          .agg(max(col("__tseq")).as("__tseq"))
+        val cond = schema.rowKeyNames.map(k => scanned(k) === tdf(k)).reduce(_ && _) &&
+          scanned("__seq") <= tdf("__tseq")
+        val anti = scanned.join(tdf, cond, "left_anti")
+        // the seq column was only for the anti-join unless LWW needs it
+        if (hasLast) anti else anti.drop("__seq")
       }
     }
 

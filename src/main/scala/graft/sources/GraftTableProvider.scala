@@ -694,13 +694,18 @@ final class GraftScan(dir: String, store: JsonStateStore,
         tree.ancestors(leaf.id).flatMap(a => refsByPartition.getOrElse(a.id, Nil))
       // seq-ascending: the merge's key-tie order makes `last` (LWW) keep
       // the newest generation's row
-      val paths = refs.sortBy(r => (r.seq, r.filename))
-        .map(r => s"$dir/data/${r.physicalPartitionId}/${r.filename}")
-        .distinct.filter(fileMaySatisfy)
-      // pending row-key deletes for this leaf (and any split ancestor)
-      val tombPaths = (tombsByPartition.getOrElse(leaf.id, Nil) ++
+      val pathsWithSeq = refs.sortBy(r => (r.seq, r.filename))
+        .map(r => (s"$dir/data/${r.physicalPartitionId}/${r.filename}", r.seq))
+        .distinctBy(_._1).filter(p => fileMaySatisfy(p._1))
+      val paths = pathsWithSeq.map(_._1)
+      // pending row-key deletes for this leaf (and any split ancestor);
+      // each carries its generation seq — it suppresses only files of
+      // generations <= its own (LSM delete-marker semantics)
+      val tombsWithSeq = (tombsByPartition.getOrElse(leaf.id, Nil) ++
         tree.ancestors(leaf.id).flatMap(a => tombsByPartition.getOrElse(a.id, Nil)))
-        .map(t => s"$dir/data/${t.physicalPartitionId}/${t.filename}").distinct
+        .map(t => (s"$dir/data/${t.physicalPartitionId}/${t.filename}", t.seq))
+        .distinctBy(_._1)
+      val tombPaths = tombsWithSeq.map(_._1)
       if (paths.isEmpty) None
       else {
         val spec = RunSpec(paths, schema, outputNames, Some(leaf.region),
@@ -710,7 +715,9 @@ final class GraftScan(dir: String, store: JsonStateStore,
           queryRegions = if (regions.exists(_.ranges.forall(r => r.min.isEmpty && r.max.isEmpty)))
             Nil else regions,
           limit = limit, limitLast = limitLast,
-          tombstonePaths = tombPaths)
+          tombstonePaths = tombPaths,
+          pathSeqs = pathsWithSeq.map(_._2),
+          tombstoneSeqs = tombsWithSeq.map(_._2))
         // a DESC TopN needs the merge reader's last-n ring buffer; the
         // native batch reader can only truncate from the FRONT. Pending
         // tombstones force the merge reader too (the anti-join runs there).

@@ -106,6 +106,35 @@ final class GraftTable(
     refs
   }
 
+  /** MERGE INTO (one atomic commit): source rows where `deleteWhen`
+    * holds become row-key delete markers; the rest are put as one new
+    * write generation. On a last-write-wins table (`last(...)`
+    * aggregation) this is exactly Delta/Iceberg MERGE semantics —
+    * matched keys take the source values, unmatched keys insert, marked
+    * keys delete; on other aggregated tables the puts combine per the
+    * aggregation config. The markers stamp one generation below the
+    * puts, so a source that both deletes and puts a key resolves to the
+    * put, and no reader ever observes half a merge. `deleteWhen` may use
+    * columns outside the table schema (e.g. a CDC `_op` column); they
+    * are dropped before the write. Cost: O(source) — one sorted write of
+    * the puts, one key-only write of the deletes, zero rewrite of
+    * existing data (the LSM advantage over copy-on-write MERGE).
+    */
+  def merge(source: DataFrame, deleteWhen: org.apache.spark.sql.Column)
+      : (Seq[FileReference], Seq[FileReference]) = {
+    store.assertWritable()
+    val del = org.apache.spark.sql.functions.coalesce(
+      deleteWhen, org.apache.spark.sql.functions.lit(false))
+    val dels = source.filter(del)
+      .select(schema.rowKeyNames.map(source(_)): _*)
+    val puts = source.filter(!del)
+      .select(schema.allFields.map(f => source(f.name)): _*)
+    val tombRefs = graft.jobs.Tombstones.write(this, dels, commit = false)
+    val putRefs = new graft.jobs.Ingest(this).run(puts, commit = false)
+    if (tombRefs.nonEmpty || putRefs.nonEmpty) store.commitMerge(putRefs, tombRefs)
+    (putRefs, tombRefs)
+  }
+
   def compactAll(tracker: graft.jobs.CompactionJobTracker =
       graft.jobs.CompactionJobTracker.Noop): Unit =
     new graft.jobs.Compaction(this, tracker).compactAll()

@@ -84,6 +84,33 @@ class DeleteKeysSpec extends AnyFunSuite {
       (0L until 30L).toSet - 4L)
   }
 
+  test("a key re-ingested after a delete survives the pending tombstone (LSM semantics)") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq(50L))
+    table.ingest((0L until 100L).map(i => (i, i)).toDF("id", "v"))          // gen 1
+    table.deleteKeys(Seq(5L, 6L, 77L).toDF("id"))                           // gen 2
+    table.ingest(Seq((5L, 555L), (77L, 777L)).toDF("id", "v"))              // gen 3
+    assert(table.store.tombstones.forall(_.seq == 2L), "tombstone carries its generation")
+
+    val expect = ((0L until 100L).toSet -- Set(5L, 6L, 77L)).map(i => i -> i).toMap +
+      (5L -> 555L) + (77L -> 777L)
+    // pending window: the newer generation shadows the delete marker
+    assert(table.toDF.select("id", "v").as[(Long, Long)].collect().toMap == expect,
+      "query path while the tombstone is pending")
+    assert(spark.read.format("graft").load(dir)
+      .select("id", "v").as[(Long, Long)].collect().toMap == expect,
+      "DSv2 merge path while the tombstone is pending")
+    assert(table.lookup(5L).count() == 1 && table.lookup(6L).count() == 0)
+
+    // compaction applies the marker only to generations <= its own,
+    // retires it, and converges to the same rows
+    table.compactAll()
+    assert(table.store.tombstones.isEmpty)
+    assert(table.toDF.select("id", "v").as[(Long, Long)].collect().toMap == expect)
+    assert(spark.read.format("graft").load(dir)
+      .select("id", "v").as[(Long, Long)].collect().toMap == expect)
+  }
+
   test("purge=true closes the re-ingest window in one call") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema)

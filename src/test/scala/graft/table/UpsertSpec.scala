@@ -118,6 +118,55 @@ class UpsertSpec extends AnyFunSuite {
     assert(q2.keySet == ((0L until 10L).toSet -- Set(3L, 4L)))
   }
 
+  test("delete then re-upsert: the newer generation shadows the delete marker") {
+    val dir = tmp()
+    val table = lwwTable(dir)
+    table.ingest((0L until 10L).map(i => (i, 1L)).toDF("id", "v"))   // gen 1
+    table.deleteKeys(Seq(3L, 4L).toDF("id"))                         // gen 2 (marker)
+    table.ingest(Seq((3L, 33L)).toDF("id", "v"))                     // gen 3
+    val expect = (0L until 10L).filterNot(_ == 4L)
+      .map(i => i -> (if (i == 3L) 33L else 1L)).toMap
+    val (q, d) = readBoth(table, dir)
+    assert(q == expect, "query path (pending marker)")
+    assert(d == expect, "DSv2 merge path (pending marker)")
+    table.compactAll()
+    assert(table.store.tombstones.isEmpty)
+    val (q2, d2) = readBoth(table, dir)
+    assert(q2 == expect && d2 == expect, "post-compaction")
+  }
+
+  test("streaming micro-batches are write generations: later batches win") {
+    val dir = tmp()
+    val table = lwwTable(dir)
+    val inbox = Files.createTempDirectory("graft-upsert-inbox").toString
+    val cp = Files.createTempDirectory("graft-upsert-cp").toString
+    val ingest = new graft.streaming.StreamingIngest(table, inbox, cp)
+
+    def drop(name: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = Files.createTempDirectory("graft-upsert-stage")
+      batch.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val it = Files.list(stage).iterator()
+      var part: java.nio.file.Path = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) part = p
+      }
+      Files.move(part, java.nio.file.Paths.get(inbox, name))
+    }
+
+    drop("b1.parquet", (0L until 10L).map(i => (i, 1L)).toDF("id", "v"))
+    assert(ingest.runOnce() == 1)
+    drop("b2.parquet", (0L until 10L by 2).map(i => (i, 2L)).toDF("id", "v"))
+    assert(ingest.runOnce() == 1)
+
+    val expect = (0L until 10L).map(i => i -> (if (i % 2 == 0) 2L else 1L)).toMap
+    val (q, d) = readBoth(table, dir)
+    assert(q == expect && d == expect,
+      "micro-batch commit order must define last-write-wins order")
+    // each micro-batch commit got its own generation
+    assert(table.store.fileReferences.map(_.seq).toSet == Set(1L, 2L))
+  }
+
   test("mixed config: sum column accumulates while last column upserts") {
     val dir = tmp()
     val mixed = GraftSchema(
