@@ -107,6 +107,8 @@ class JsonStateStore private (
     case StateTransaction.ReplaceFiles(_, _, out, _, _) =>
       (out.map(_.copy(dataChange = false)).toVector, Vector.empty)
     case StateTransaction.AddTombstones(rs) => (Vector.empty, rs)
+    // MERGE INTO: one version adds data files AND delete markers
+    case StateTransaction.Merge(adds, tombs, _) => (adds, tombs)
     case _ => (Vector.empty, Vector.empty)
   }
 
@@ -619,10 +621,12 @@ object JsonStateStore {
     case StateTransaction.AddTombstones(refs) => JObject(
       "txn" -> JString("addTombstones"),
       "refs" -> JArray(refs.map(refToJson).toList))
-    case StateTransaction.Merge(adds, tombs) => JObject(
+    case StateTransaction.Merge(adds, tombs, wm) => JObject(
       "txn" -> JString("merge"),
       "adds" -> JArray(adds.map(refToJson).toList),
-      "tombs" -> JArray(tombs.map(refToJson).toList))
+      "tombs" -> JArray(tombs.map(refToJson).toList),
+      "app" -> wm.map(w => JString(w._1)).getOrElse(JNothing),
+      "appVersion" -> wm.map(w => JInt(w._2)).getOrElse(JNothing))
     case StateTransaction.Init =>
       throw new IllegalStateException("Init commits as a full snapshot, never a log entry")
   }
@@ -661,9 +665,14 @@ object JsonStateStore {
         StateTransaction.AddTombstones(
           m("refs").asInstanceOf[JArray].arr.map(refFromJson).toVector)
       case "merge" =>
+        val wm = (m.get("app"), m.get("appVersion")) match {
+          case (Some(JString(a)), Some(JInt(v))) => Some(a -> v.toLong)
+          case _ => None
+        }
         StateTransaction.Merge(
           m("adds").asInstanceOf[JArray].arr.map(refFromJson).toVector,
-          m("tombs").asInstanceOf[JArray].arr.map(refFromJson).toVector)
+          m("tombs").asInstanceOf[JArray].arr.map(refFromJson).toVector,
+          wm)
       case other => throw new IllegalArgumentException(s"unknown transaction type '$other'")
     }
   }

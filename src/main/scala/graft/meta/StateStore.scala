@@ -150,6 +150,13 @@ trait StateStore {
     * its own deletes and a reader never sees half a merge.
     */
   def commitMerge(adds: Seq[FileReference], tombs: Seq[FileReference]): Unit
+
+  /** Idempotent MergeTransaction (streaming CDC apply): same watermark
+    * contract as [[addFilesIfAbsent]] — the adds, markers, and watermark
+    * land in one atomic version; a replay returns false, changes nothing.
+    */
+  def commitMergeIfAbsent(appId: String, version: Long,
+      adds: Seq[FileReference], tombs: Seq[FileReference]): Boolean
 }
 
 /** In-memory single-writer implementation; also the base for the
@@ -299,4 +306,16 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
       tombs: Seq[FileReference]): Unit = withRetry { synchronized {
     runTxn(StateTransaction.Merge(adds.toVector, tombs.toVector))
   }}
+
+  override def commitMergeIfAbsent(appId: String, version: Long,
+      adds: Seq[FileReference], tombs: Seq[FileReference]): Boolean =
+    withRetry { synchronized {
+      // same mutator-side watermark gate as addFilesIfAbsent
+      if (txns.get(appId).exists(_ >= version)) false
+      else {
+        runTxn(StateTransaction.Merge(adds.toVector, tombs.toVector,
+          Some(appId -> version)))
+        true
+      }
+    }}
 }

@@ -231,9 +231,13 @@ object StateTransaction {
     * LSM delete-marker machinery instead of file rewrites.)
     */
   final case class Merge(adds: Vector[FileReference],
-      tombs: Vector[FileReference]) extends StateTransaction {
+      tombs: Vector[FileReference],
+      /** Delta-style idempotent-txn watermark (streaming CDC apply):
+        * lands in the same atomic commit, exactly as AddFiles.watermark.
+        */
+      watermark: Option[(String, Long)] = None) extends StateTransaction {
     override def applyTo(s: TableState): TableState =
-      AddFiles(adds).applyTo(AddTombstones(tombs).applyTo(s))
+      AddFiles(adds, watermark).applyTo(AddTombstones(tombs).applyTo(s))
   }
 
   /** AddColumnTransaction — schema evolution: append one NULLABLE value

@@ -134,6 +134,8 @@ object LifecycleQueries {
 
   private val mergeDirs = new ConcurrentHashMap[String, String]()
 
+  private val cdcApplyDirs = new ConcurrentHashMap[String, String]()
+
   /** x10/x11 fixture: fixed 4-leaf table, two interleaved ingest batches
     * folded by compactAll (one file per leaf however the ingest salted),
     * GC'd — so every report number is derivable from the source rows.
@@ -1146,6 +1148,61 @@ object LifecycleQueries {
           .agg(sum(col("qty"))).as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
         require(pending == folded,
           s"pending-marker read ($pending) != compacted read ($folded)")
+        b
+      })
+      s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")
+    },
+
+    // T46 — streaming CDC apply: a continuously-consumed change feed
+    // (table schema + _op column) lands through StreamingMerge — each
+    // micro-batch is ONE atomic Merge commit (puts + delete markers)
+    // under the idempotent txn watermark, i.e. the Delta foreachBatch +
+    // MERGE INTO idiom with the atomicity inside the engine. Batch 1
+    // seeds every key; batch 2 deletes %7 keys and updates %3 keys in
+    // the SAME feed file (delete wins for %21). Exactly-once is
+    // asserted by the version count; LWW resolves the rest.
+    "t46_stream_cdc" -> withOracle(
+      """WITH b1 AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |            FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey,
+        |       CASE WHEN l_orderkey % 3 = 0 THEN 7000000 + qty ELSE qty END AS qty
+        |FROM b1
+        |WHERE l_orderkey % 7 <> 0
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = cdcApplyDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-cdc-apply-q").toString
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L),
+          config = TableConfig(aggregationConfig = "last(qty)"))
+        val inbox = s"$b/inbox"; val cp = s"$b/cp"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(inbox))
+        val applyStream = new graft.streaming.StreamingMerge(table, inbox, cp)
+        val gen1 = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+
+        def drop(name: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+          val stage = java.nio.file.Files.createTempDirectory("graft-cdc-stage")
+          batch.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+          val it = java.nio.file.Files.list(stage).iterator()
+          var part: java.nio.file.Path = null
+          while (it.hasNext) {
+            val p = it.next()
+            if (p.getFileName.toString.endsWith(".parquet")) part = p
+          }
+          java.nio.file.Files.move(part, java.nio.file.Paths.get(inbox, name))
+        }
+
+        drop("b1.parquet", gen1.select(col("l_orderkey"), col("qty"), lit("put").as("_op")))
+        require(applyStream.runOnce() == 1, "first CDC cycle should dispatch one file")
+        val v1 = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+        drop("b2.parquet", gen1
+          .filter(col("l_orderkey") % 3 === 0 || col("l_orderkey") % 7 === 0)
+          .select(col("l_orderkey"), (col("qty") + 7000000L).as("qty"),
+            when(col("l_orderkey") % 7 === 0, "delete").otherwise("put").as("_op")))
+        require(applyStream.runOnce() == 1, "second CDC cycle should dispatch one file")
+        require(table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion == v1 + 1,
+          "a CDC micro-batch must land as exactly one atomic version")
+        require(applyStream.runOnce() == 0, "drained inbox must not re-dispatch")
         b
       })
       s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")

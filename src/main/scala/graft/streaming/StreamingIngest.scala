@@ -48,7 +48,72 @@ final class StreamingIngest(
       * though a deterministic hook keeps replay logs comprehensible.
       */
     batchTransform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
-      identity) {
+      identity)
+  extends InboxMicroBatcher(table, inboxDir, checkpointDir, minBatchFiles, maxBatchAgeMs) {
+
+  protected def sourceSchema: org.apache.spark.sql.types.StructType =
+    table.schema.toStructType
+
+  protected def applyBatch(batch: org.apache.spark.sql.DataFrame,
+      appId: String, batchId: Long): Unit = {
+    val schema = table.schema
+    val shaped = batchTransform(batch)
+    if (!shaped.isEmpty) {
+      table.ingest(shaped.select(schema.allFields.map(f => shaped(f.name)): _*),
+        txn = Some((appId, batchId)))
+    }
+  }
+}
+
+/** Continuous micro-batch CDC apply: the streaming form of
+  * [[graft.table.GraftTable.merge]]. Inbox files carry the table schema
+  * plus an `opColumn` (e.g. `_op`); each micro-batch lands as ONE atomic
+  * Merge commit — puts as a new write generation, `deleteOp` rows as
+  * row-key delete markers one generation below — under the same
+  * idempotent txn watermark as streaming ingest, so a crash-replayed
+  * batch neither re-puts nor re-deletes. On a last-write-wins table this
+  * is a continuously-applied CDC feed (the Delta `foreachBatch` + MERGE
+  * INTO idiom, with the atomicity inside the engine instead of the
+  * user's batch function).
+  */
+final class StreamingMerge(
+    table: GraftTable,
+    inboxDir: String,
+    checkpointDir: String,
+    opColumn: String = "_op",
+    deleteOp: String = "delete",
+    minBatchFiles: Int = 1,
+    maxBatchAgeMs: Long = 0L)
+  extends InboxMicroBatcher(table, inboxDir, checkpointDir, minBatchFiles, maxBatchAgeMs) {
+
+  protected def sourceSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      table.schema.toStructType.fields :+
+        org.apache.spark.sql.types.StructField(
+          opColumn, org.apache.spark.sql.types.StringType, nullable = true))
+
+  protected def applyBatch(batch: org.apache.spark.sql.DataFrame,
+      appId: String, batchId: Long): Unit = {
+    table.merge(batch, org.apache.spark.sql.functions.col(opColumn) === deleteOp,
+      txn = Some((appId, batchId)))
+    ()
+  }
+}
+
+/** Shared inbox micro-batch machinery: the file-source checkpoint
+  * decides which inbox files feed which micro-batch; subclasses define
+  * the batch schema and the (idempotent, watermarked) table commit.
+  */
+abstract class InboxMicroBatcher(
+    table: GraftTable,
+    inboxDir: String,
+    checkpointDir: String,
+    minBatchFiles: Int,
+    maxBatchAgeMs: Long) {
+
+  protected def sourceSchema: org.apache.spark.sql.types.StructType
+  protected def applyBatch(batch: org.apache.spark.sql.DataFrame,
+      appId: String, batchId: Long): Unit
 
   private def markerPath: String = s"$checkpointDir/batched-files.txt"
   private def streamIdPath: String = s"$checkpointDir/stream-id"
@@ -113,21 +178,14 @@ final class StreamingIngest(
 
     val appId = s"stream:${streamId()}"
     val spark = table.spark
-    val schema = table.schema
     val stream = spark.readStream
-      .schema(schema.toStructType)
+      .schema(sourceSchema)
       .parquet(inboxDir)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val shaped = batchTransform(batch)
-          if (!shaped.isEmpty) {
-            table.ingest(shaped.select(schema.allFields.map(f => shaped(f.name)): _*),
-              txn = Some((appId, batchId)))
-          }
-        }
+        if (!batch.isEmpty) applyBatch(batch, appId, batchId)
         ()
       }
       .start()

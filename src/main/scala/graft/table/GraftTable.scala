@@ -120,9 +120,14 @@ final class GraftTable(
     * the puts, one key-only write of the deletes, zero rewrite of
     * existing data (the LSM advantage over copy-on-write MERGE).
     */
-  def merge(source: DataFrame, deleteWhen: org.apache.spark.sql.Column)
+  def merge(source: DataFrame, deleteWhen: org.apache.spark.sql.Column,
+      txn: Option[(String, Long)] = None)
       : (Seq[FileReference], Seq[FileReference]) = {
     store.assertWritable()
+    // cheap replay pre-check (streaming CDC apply); the authoritative
+    // gate is the atomic commitMergeIfAbsent below
+    if (txn.exists { case (app, v) => store.lastTxnVersion(app).exists(_ >= v) })
+      return (Nil, Nil)
     val del = org.apache.spark.sql.functions.coalesce(
       deleteWhen, org.apache.spark.sql.functions.lit(false))
     val dels = source.filter(del)
@@ -131,8 +136,22 @@ final class GraftTable(
       .select(schema.allFields.map(f => source(f.name)): _*)
     val tombRefs = graft.jobs.Tombstones.write(this, dels, commit = false)
     val putRefs = new graft.jobs.Ingest(this).run(puts, commit = false)
-    if (tombRefs.nonEmpty || putRefs.nonEmpty) store.commitMerge(putRefs, tombRefs)
-    (putRefs, tombRefs)
+    if (tombRefs.isEmpty && putRefs.isEmpty) return (Nil, Nil)
+    txn match {
+      case None => store.commitMerge(putRefs, tombRefs); (putRefs, tombRefs)
+      case Some((app, version)) =>
+        if (store.commitMergeIfAbsent(app, version, putRefs, tombRefs))
+          (putRefs, tombRefs)
+        else {
+          // lost to a concurrent/prior commit of the same txn: the data
+          // is already in the table — remove this attempt's orphan files
+          (putRefs ++ tombRefs).foreach { r =>
+            graft.meta.GraftFS.delete(pathOf(r))
+            graft.meta.GraftFS.delete(pathOf(r) + ".sketches")
+          }
+          (Nil, Nil)
+        }
+    }
   }
 
   def compactAll(tracker: graft.jobs.CompactionJobTracker =

@@ -179,10 +179,20 @@ class StateStoreSpec extends AnyFunSuite {
       s.removeFiles("b-b", Seq("f1"), nowMs = 456L)                          // v11 f1 orphaned -> GC
       s.removeGCFiles(Seq("f1"))                                             // v12 RemoveGCFiles
       assert(s.currentVersion == 12)
+      s.addTombstones(Seq(FileReference("t1", "b-a", 2)))                    // v13 AddTombstones
+      assert(s.commitMergeIfAbsent("cdc-y", 1L,                              // v14 Merge + watermark
+        Seq(FileReference("f4", "b-a", 3)), Seq(FileReference("t2", "b-a", 1))))
+      s.commitMerge(Seq(FileReference("f5", "b-b", 4)), Nil)                 // v15 Merge (plain)
+      assert(s.currentVersion == 15)
+      // generation stamps: marker one below its merge's data files
+      assert(s.tombstones.find(_.filename == "t2").get.seq + 1 ==
+        s.fileReferences.find(_.filename == "f4").get.seq)
 
-      // cold load replays v8..v12 from the v7 snapshot
+      // cold load replays from the latest snapshot
       val loaded = JsonStateStore.load(dir)
-      assert(loaded.currentVersion == 12)
+      assert(loaded.currentVersion == 15)
+      assert(loaded.tombstones.toSet == s.tombstones.toSet)
+      assert(loaded.lastTxnVersion("cdc-y").contains(1L))
       assert(loaded.schema == schema2)
       // byte-array split points compare by identity — normalize for equality
       def norm(p: graft.core.Partition) = (p.id, p.parentId, p.childIds, p.splitDimension,
@@ -237,6 +247,25 @@ class StateStoreSpec extends AnyFunSuite {
     assert(!reloaded.addFilesIfAbsent("stream-a", 1L, Seq(FileReference("f3", l, 5))))
     // an independent app has its own watermark
     assert(reloaded.addFilesIfAbsent("stream-b", 1L, Seq(FileReference("g1", l, 7))))
+  }
+
+  test("commitMergeIfAbsent shares the watermark contract with addFilesIfAbsent") {
+    val dir = Files.createTempDirectory("graft-merge-wm").toString
+    val s = JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+    val Seq(l, _) = s.partitionTree.leaves.map(_.id).sorted
+    assert(s.commitMergeIfAbsent("cdc-a", 1L,
+      Seq(FileReference("f1", l, 10)), Seq(FileReference("t1", l, 2))))
+    // replay: nothing changes — no duplicate puts, no duplicate markers
+    assert(!s.commitMergeIfAbsent("cdc-a", 1L,
+      Seq(FileReference("f1-retry", l, 10)), Seq(FileReference("t1-retry", l, 2))))
+    assert(s.fileReferences.map(_.filename) == Seq("f1"))
+    assert(s.tombstones.map(_.filename) == Seq("t1"))
+    // the SAME watermark namespace as streaming ingest: a stream that
+    // switched commit shapes mid-life still deduplicates
+    assert(!s.addFilesIfAbsent("cdc-a", 1L, Seq(FileReference("f2", l, 5))))
+    val reloaded = JsonStateStore.load(dir)
+    assert(reloaded.lastTxnVersion("cdc-a").contains(1L))
+    assert(reloaded.commitMergeIfAbsent("cdc-a", 2L, Seq(FileReference("f3", l, 5)), Nil))
   }
 
   test("load falls back past a corrupt latest snapshot with conservative quarantine") {

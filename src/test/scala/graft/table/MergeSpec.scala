@@ -113,6 +113,64 @@ class MergeSpec extends AnyFunSuite {
     assert(readBoth(table, dir)._1 == Map(1L -> 10L, 5L -> 5L))
   }
 
+  test("the CDC feed reports a merge version's puts AND delete markers") {
+    val dir = tmp()
+    val table = lwwTable(dir)
+    table.ingest((0L until 10L).map(i => (i, 1L)).toDF("id", "v"))
+    val v0 = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+    table.merge(
+      Seq((3L, 0L, true), (5L, 55L, false), (100L, 100L, false)).toDF("id", "v", "del"),
+      col("del"))
+    val v1 = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+
+    val ins = table.changesBetween(v0, v1).select("id", "v").as[(Long, Long)].collect().toMap
+    assert(ins == Map(5L -> 55L, 100L -> 100L), "insert feed must carry the merge's puts")
+    val dels = table.deletedKeysBetween(v0, v1).select("id").as[Long].collect().toSet
+    assert(dels == Set(3L), "delete feed must carry the merge's markers")
+  }
+
+  test("streaming CDC apply: micro-batches land as atomic merges, exactly once") {
+    val dir = tmp()
+    val table = lwwTable(dir)
+    val inbox = Files.createTempDirectory("graft-cdc-inbox").toString
+    val cp = Files.createTempDirectory("graft-cdc-cp").toString
+    val apply = new graft.streaming.StreamingMerge(table, inbox, cp)
+
+    def drop(name: String, batch: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = Files.createTempDirectory("graft-cdc-stage")
+      batch.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val it = Files.list(stage).iterator()
+      var part: java.nio.file.Path = null
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet")) part = p
+      }
+      Files.move(part, java.nio.file.Paths.get(inbox, name))
+    }
+
+    drop("b1.parquet",
+      (0L until 10L).map(i => (i, i, "put")).toDF("id", "v", "_op"))
+    assert(apply.runOnce() == 1)
+    drop("b2.parquet",
+      Seq((3L, 0L, "delete"), (5L, 55L, "put"), (20L, 20L, "put"))
+        .toDF("id", "v", "_op"))
+    val v1 = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+    assert(apply.runOnce() == 1)
+    // the CDC batch is ONE atomic version
+    assert(table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion == v1 + 1)
+
+    val expect = ((0L until 10L).toSet - 3L).map(i => i -> (if (i == 5L) 55L else i)).toMap +
+      (20L -> 20L)
+    val (q, d) = readBoth(table, dir)
+    assert(q == expect && d == expect)
+
+    // nothing pending => no further cycle; state unchanged
+    assert(apply.runOnce() == 0)
+    assert(readBoth(table, dir)._1 == expect)
+    table.compactAll()
+    assert(readBoth(table, dir)._1 == expect, "post-compaction convergence")
+  }
+
   test("merge on a sum-aggregated table combines puts per the agg config") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema,
