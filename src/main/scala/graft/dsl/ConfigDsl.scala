@@ -44,7 +44,11 @@ object ConfigDsl {
     specs.foreach { s =>
       require(!keyNames.contains(s.field), s"cannot aggregate key field ${s.field}")
       val f = schema.field(s.field)
-      require(!f.nullable, s"cannot aggregate nullable field ${s.field}")
+      // `last` admits nullable fields: an upsert's explicit null is a
+      // legitimate newest value (it overwrites on both read paths);
+      // commutative ops keep the reference's non-nullable rule
+      require(!f.nullable || s.op == "last",
+        s"cannot aggregate nullable field ${s.field}")
       val isMap = f.dataType.isInstanceOf[MapType]
       require(isMap == s.op.startsWith("map_") || s.op == "last",
         s"op ${s.op} does not match type ${f.dataType.sql} of ${s.field}")

@@ -167,6 +167,31 @@ class UpsertSpec extends AnyFunSuite {
     assert(table.store.fileReferences.map(_.seq).toSet == Set(1L, 2L))
   }
 
+  test("nullable last column: a newer explicit null overwrites on both paths") {
+    val dir = tmp()
+    val nullableSchema = GraftSchema(
+      rowKeys = Seq(GraftField("id", LongType)), sortKeys = Nil,
+      values = Seq(GraftField("v", StringType, nullable = true)))
+    val table = GraftTable.create(spark, dir, nullableSchema, splitPoints = Seq(5L),
+      config = TableConfig(aggregationConfig = "last(v)"))
+    table.ingest((0L until 10L).map(i => (i, s"v$i")).toDF("id", "v"))
+    // gen 2: null out the even keys, update key 1
+    table.ingest(
+      ((0L until 10L by 2).map(i => (i, null: String)) :+ (1L, "one"))
+        .toDF("id", "v"))
+    val expect = (0L until 10L).map(i =>
+      i -> (if (i % 2 == 0) null else if (i == 1L) "one" else s"v$i")).toMap
+
+    def read(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      df.select("id", "v").collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(read(table.toDF) == expect, "query path (max_by keeps the null winner)")
+    assert(read(spark.read.format("graft").load(dir)) == expect,
+      "merge path (newer null overwrites, no resurrect)")
+    table.compactAll()
+    assert(read(table.toDF) == expect && read(spark.read.format("graft").load(dir)) == expect)
+  }
+
   test("mixed config: sum column accumulates while last column upserts") {
     val dir = tmp()
     val mixed = GraftSchema(
