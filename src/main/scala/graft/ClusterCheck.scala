@@ -54,7 +54,10 @@ object ClusterCheck {
     // LWW upsert + MERGE INTO: seq-ordered merge ties and the
     // generation-aware (per-reader) anti-join run inside executor
     // RunSpecs; the Catalyst path's filename->seq broadcast must ship
-    "m14_upsert_lww", "m16_merge_into")
+    "m14_upsert_lww", "m16_merge_into",
+    // deep clone: the executor-parallel file copy ships the serializable
+    // Hadoop conf + GraftFS closure into executor JVMs
+    "x13_clone")
 
   /** Canonical content hash: columns sorted by name, every cell cast to
     * string (nulls as NUL), cells joined with SOH, row strings sorted —

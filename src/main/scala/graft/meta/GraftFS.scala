@@ -65,6 +65,25 @@ object GraftFS {
     fs.exists(p)
   }
 
+  /** Byte copy src → dst (overwrite), each path's filesystem resolved
+    * from `c` — executor-safe when the driver conf ships via
+    * [[SerializableHadoopConf]]. Used by the deep-clone data copy.
+    */
+  def copyFile(srcStr: String, dstStr: String, c: Configuration): Unit = {
+    val src = new Path(srcStr); val dst = new Path(dstStr)
+    val sfs = src.getFileSystem(c); val dfs = dst.getFileSystem(c)
+    dfs.mkdirs(dst.getParent)
+    val in = sfs.open(src)
+    try {
+      val out = dfs.create(dst, true)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally out.close()
+    } finally in.close()
+  }
+
   def mkdirs(path: String): Unit = {
     val (fs, p) = resolve(path)
     fs.mkdirs(p)

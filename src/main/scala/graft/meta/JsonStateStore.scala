@@ -359,6 +359,31 @@ object JsonStateStore {
     store
   }
 
+  /** Bootstrap a store whose INITIAL snapshot already carries table
+    * state — the deep-clone path (GraftTable.cloneAt): v1 is a full
+    * snapshot of the cloned refs/tombstones/watermarks under the cloned
+    * tree and config. Write-generation seqs ride in the refs unchanged,
+    * so order-sensitive (`last`) semantics survive the clone; the GC
+    * queue starts empty (the clone owns only live files).
+    */
+  def createFrom(dirStr: String, schema: GraftSchema, tree: PartitionTree,
+      refs: Vector[FileReference], tombstones: Vector[FileReference],
+      txns: Map[String, Long],
+      aggregationConfig: String = "", filterConfig: String = "",
+      transformConfig: String = "", indexConfig: String = "",
+      cas: Option[StateStoreCAS] = None): JsonStateStore = {
+    val (fs, dir) = GraftFS.resolve(dirStr)
+    require(!fs.exists(new Path(dir, "state-v1.json")),
+      s"refusing to clone onto an existing table at $dirStr")
+    fs.mkdirs(dir)
+    BloomIndex.validate(schema, indexConfig)
+    val store = new JsonStateStore(fs, dir, cas.getOrElse(GraftFS.casFor(fs)),
+      schema, tree, 0L, aggregationConfig, filterConfig, transformConfig, indexConfig)
+    store.setState(tree, refs, Vector.empty, txns, tombstones)
+    store.commitInitial() // v1 = full snapshot with the cloned state
+    store
+  }
+
   /** Newest committed version number from the directory listing alone —
     * no record content is read or parsed. The cheap poll for offset
     * discovery (the table-changes stream calls this every trigger).

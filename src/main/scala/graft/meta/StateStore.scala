@@ -190,6 +190,12 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
   override def unreferencedFiles: Seq[GCEntry] = synchronized(gcQueue)
   override def lastTxnVersion(appId: String): Option[Long] = synchronized(txns.get(appId))
 
+  /** Every idempotent-txn watermark (appId → last committed version) —
+    * cloned verbatim by deep clone so a streaming writer resuming
+    * against the clone still deduplicates its replayed batches.
+    */
+  def txnWatermarks: Map[String, Long] = synchronized(txns)
+
   /** The current state as one immutable value (callers hold the lock). */
   protected final def currentState: TableState =
     TableState(tree, refs, gcQueue, txns, tombstoneRefs)

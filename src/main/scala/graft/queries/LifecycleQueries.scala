@@ -136,6 +136,8 @@ object LifecycleQueries {
 
   private val cdcApplyDirs = new ConcurrentHashMap[String, String]()
 
+  private val cloneDirs = new ConcurrentHashMap[String, String]()
+
   /** x10/x11 fixture: fixed 4-leaf table, two interleaved ingest batches
     * folded by compactAll (one file per leaf however the ingest salted),
     * GC'd — so every report number is derivable from the source rows.
@@ -1206,6 +1208,58 @@ object LifecycleQueries {
         b
       })
       s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")
+    },
+
+    // X13 — deep clone at a version (branch-for-experiments): an LWW
+    // table with two write generations and a PENDING delete marker is
+    // cloned at that version; the source then takes a third generation,
+    // more deletes, compaction and GC — none of which may leak into the
+    // clone (physical independence), while the clone's own compaction
+    // must still apply and retire the cloned pending marker. The copy
+    // preserves layout/sort/sketches and the generation seqs, so zero
+    // shuffle, re-sort, or sketch rebuild. Emitted: the clone, read
+    // through DSv2 after ITS compaction.
+    "x13_clone" -> withOracle(
+      """WITH b1 AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |            FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey,
+        |       CASE WHEN l_orderkey % 2 = 0 THEN 1000000 + qty ELSE qty END AS qty
+        |FROM b1
+        |WHERE l_orderkey % 9 <> 0
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = cloneDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-clone-q").toString
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L),
+          config = TableConfig(aggregationConfig = "last(qty)"))
+        val raw = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+        val gen1 = raw.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        table.ingest(gen1)
+        table.ingest(gen1.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey"), (col("qty") + 1000000L).as("qty")))
+        table.deleteKeys(gen1.select("l_orderkey").filter(col("l_orderkey") % 9 === 0))
+        val v = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+        val clone = table.cloneAt(s"$b/clone", v)
+        // the source moves on — generation, delete, compaction, GC
+        table.ingest(gen1.filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey"), (col("qty") + 9000000L).as("qty")))
+        table.deleteKeys(gen1.select("l_orderkey").filter(col("l_orderkey") % 4 === 0))
+        table.compactAll()
+        table.collectGarbage(nowMs = System.currentTimeMillis() + 11L * 60 * 1000)
+        // the clone's pending marker still applies, then retires in ITS
+        // compaction; pre/post reads must agree
+        val pending = s.read.format("graft").load(s"$b/clone")
+          .agg(sum(col("qty"))).as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        clone.compactAll()
+        require(clone.store.tombstones.isEmpty, "clone compaction retires its markers")
+        val folded = s.read.format("graft").load(s"$b/clone")
+          .agg(sum(col("qty"))).as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(pending == folded,
+          s"clone pending read ($pending) != clone compacted read ($folded)")
+        b
+      })
+      s.read.format("graft").load(s"$base/clone").orderBy("l_orderkey")
     },
 
     // S10 — batch CDC between two table versions: batch 1 lands BEFORE

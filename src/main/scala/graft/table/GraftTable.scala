@@ -322,6 +322,53 @@ final class GraftTable(
     store.addColumn(field)
   }
 
+  /** Deep clone AS OF a state version: a fully independent table at
+    * `destDir` whose initial snapshot carries the source's partition
+    * tree, file references (write-generation seqs included — LWW
+    * semantics survive), pending delete markers, streaming txn
+    * watermarks, and table config. Data files and their sketch sidecars
+    * are byte-copied in ONE executor-parallel pass — layout, sort order,
+    * and per-file metadata are preserved, so the clone needs NO shuffle,
+    * NO re-sort, and NO sketch rebuild (`export`+re-ingest pays all
+    * three). The copy makes the clone's lifecycle (ingest, compaction,
+    * GC) physically unable to touch the source and vice versa — the
+    * branch-for-experiments path: clone a production table at a pinned
+    * version, mutate freely, throw away. O(data) copy bandwidth but
+    * O(1) driver work per file; at 100 TB the copy is the storage
+    * fabric's problem (distcp-shaped), not a compute job.
+    */
+  def cloneAt(destDir: String, version: Long): GraftTable = {
+    val snap = graft.meta.JsonStateStore.loadAt(s"$dir/meta", version)
+    val files = (snap.fileReferences ++ snap.tombstones)
+      .map(r => (r.physicalPartitionId, r.filename)).distinct
+    GraftFS.mkdirs(s"$destDir/data")
+    val srcData = s"$dir/data"; val dstData = s"$destDir/data"
+    val sconf = GraftFS.serializableConf
+    if (files.nonEmpty) {
+      spark.sparkContext
+        .parallelize(files, math.min(files.size, 64))
+        .foreach { case (pid, fn) =>
+          val c = sconf.value
+          GraftFS.copyFile(s"$srcData/$pid/$fn", s"$dstData/$pid/$fn", c)
+          val sk = s"$srcData/$pid/$fn.sketches"
+          if (new org.apache.hadoop.fs.Path(sk).getFileSystem(c)
+              .exists(new org.apache.hadoop.fs.Path(sk)))
+            GraftFS.copyFile(sk, s"$dstData/$pid/$fn.sketches", c)
+        }
+    }
+    // clone refs point at their own copies: the physical home IS the
+    // (possibly pre-split) partition id, preserved verbatim above
+    val store = graft.meta.JsonStateStore.createFrom(s"$destDir/meta",
+      snap.schema, snap.partitionTree,
+      snap.fileReferences.toVector, snap.tombstones.toVector,
+      snap.txnWatermarks,
+      aggregationConfig = snap.aggregationConfig, filterConfig = snap.filterConfig,
+      transformConfig = snap.transformConfig, indexConfig = snap.indexConfig)
+    new GraftTable(spark, destDir, store, TableConfig(
+      aggregationConfig = snap.aggregationConfig, filterConfig = snap.filterConfig,
+      transformConfig = snap.transformConfig, indexConfig = snap.indexConfig))
+  }
+
   /** Deterministic key-range sample: every `everyKth` leaf (key order,
     * starting at `offset`) read through the normal region-pruned query
     * path — the scan touches ONLY the sampled leaves' files. For quick
