@@ -132,11 +132,15 @@ class GraftClient:
                 latest = rec  # files sort in commit order: last wins
         return latest
 
-    def seed_demo_table(self, rows=50, split=25):
+    def seed_demo_table(self, rows=50, split=25, agg_config=None):
         """Create + ingest the demo (k, v) table via TableSeeder —
-        test/demo convenience, not a data path."""
-        proc = self._submit("graft.query.TableSeeder",
-                            [self.table_dir, str(rows), str(split)])
+        test/demo convenience, not a data path. `agg_config` sets the
+        table's aggregationConfig (e.g. "last(v)" for a last-write-wins
+        table the merge surface targets)."""
+        args = [self.table_dir, str(rows), str(split)]
+        if agg_config:
+            args.append(agg_config)
+        proc = self._submit("graft.query.TableSeeder", args)
         if proc.returncode != 0:
             raise RuntimeError(f"TableSeeder failed:\n{proc.stderr[-2000:]}")
         return self

@@ -117,3 +117,50 @@ def test_web_socket_query_consumption(client):
     assert status.completed, status
     assert status.row_count == 10
     assert {(r["k"], r["v"]) for r in rows} == {(k, k * 10) for k in range(10, 20)}
+
+
+@pytest.fixture(scope="module")
+def lww_client():
+    import sys
+    sys.path.insert(0, os.path.join(REPO, "python"))
+    from graft_client import GraftClient
+
+    table_dir = tempfile.mkdtemp(prefix="graft-pylww-")
+    tracker_dir = tempfile.mkdtemp(prefix="graft-pylwwtrk-")
+    c = GraftClient(table_dir, jar=JAR, spark_submit=SPARK_SUBMIT,
+                    master="local[4]", tracker_dir=tracker_dir)
+    c.seed_demo_table(rows=30, split=15, agg_config="last(v)")
+    yield c
+    shutil.rmtree(table_dir, ignore_errors=True)
+    shutil.rmtree(tracker_dir, ignore_errors=True)
+
+
+def test_merge_cdc_batch_exactly_once(lww_client):
+    """MERGE INTO through spark-submit: one CDC batch updates a matched
+    key, inserts an unmatched one, and deletes a marked one — ONE atomic
+    commit; resubmitting the job id is a recorded no-op."""
+    from graft_client import MergeJob, MergeJobSender
+
+    d = tempfile.mkdtemp(prefix="graft-merge-")
+    path = os.path.join(d, "cdc.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps({"k": 7, "v": 777, "_op": "put"}) + "\n")      # update
+        f.write(json.dumps({"k": 1000, "v": 1, "_op": "put"}) + "\n")     # insert
+        f.write(json.dumps({"k": 9, "v": 0, "_op": "delete"}) + "\n")     # delete
+
+    sender = MergeJobSender(lww_client)
+    status = sender.send(MergeJob([path], job_id="py-merge-1", file_format="jsonl"))
+    assert status["state"] == "COMMITTED", status
+    assert status["putRows"] == 2 and status["deleteKeys"] == 1
+
+    res = lww_client.exact_key_query(
+        [{"k": 7}, {"k": 9}, {"k": 1000}, {"k": 8}], query_id="py-merged")
+    assert res.completed, res
+    got = {r["k"]: r["v"] for r in res.rows()}
+    assert got == {7: 777, 1000: 1, 8: 80}  # 9 deleted, 8 untouched
+
+    # exactly-once: the same job id neither re-puts nor re-deletes
+    again = sender.send(MergeJob([path], job_id="py-merge-1", file_format="jsonl"))
+    assert again["state"] == "DUPLICATE", again
+    res2 = lww_client.exact_key_query([{"k": 7}], query_id="py-merged-2")
+    assert res2.completed and res2.row_count == 1

@@ -33,6 +33,14 @@ class StateStoreFuzzSpec extends AnyFunSuite {
     // no duplicate (filename, partition) references
     assert(refs.map(r => (r.filename, r.partitionId)).distinct.size == refs.size,
       s"$label: duplicate references")
+    // tombstones: known partitions, no (filename, partition) dups, and
+    // every store-stamped delete marker carries its write generation
+    val tombs = s.tombstones
+    tombs.foreach(t => assert(tree.partitions.exists(_.id == t.partitionId),
+      s"$label: tombstone ${t.filename} on unknown partition ${t.partitionId}"))
+    assert(tombs.map(t => (t.filename, t.partitionId)).distinct.size == tombs.size,
+      s"$label: duplicate tombstones")
+    tombs.foreach(t => assert(t.seq >= 1L, s"$label: unstamped tombstone ${t.filename}"))
   }
 
   test("random op sequences uphold invariants and survive the JSON round-trip") {
@@ -48,7 +56,7 @@ class StateStoreFuzzSpec extends AnyFunSuite {
       for (op <- 0 until 60) {
         val label = s"seed=$seed op=$op"
         val leaves = store.partitionTree.leaves.map(_.id)
-        rnd.nextInt(6) match {
+        rnd.nextInt(8) match {
           case 0 | 1 => // ingest-style addFiles to random leaves
             val n = 1 + rnd.nextInt(3)
             val refs = (0 until n).map { _ =>
@@ -90,6 +98,28 @@ class StateStoreFuzzSpec extends AnyFunSuite {
             assert(store.addFilesIfAbsent("fuzz-app", appVersion, Seq(ref)), label)
             assert(!store.addFilesIfAbsent("fuzz-app", appVersion,
               Seq(ref.copy(filename = s"f$fileCounter-dup"))), label)
+          case 6 => // row-key delete markers on a random leaf
+            fileCounter += 1
+            store.addTombstones(Seq(FileReference(
+              s"t$fileCounter", leaves(rnd.nextInt(leaves.size)), 1 + rnd.nextInt(5))))
+          case 7 => // atomic MERGE commit (puts + markers), half watermarked
+            fileCounter += 2
+            val put = FileReference(s"f${fileCounter - 1}",
+              leaves(rnd.nextInt(leaves.size)), 5)
+            val tomb = FileReference(s"t$fileCounter",
+              leaves(rnd.nextInt(leaves.size)), 1)
+            if (rnd.nextBoolean()) store.commitMerge(Seq(put), Seq(tomb))
+            else {
+              appVersion += 1
+              assert(store.commitMergeIfAbsent("fuzz-app", appVersion,
+                Seq(put), Seq(tomb)), label)
+              assert(!store.commitMergeIfAbsent("fuzz-app", appVersion,
+                Seq(put.copy(filename = s"f$fileCounter-dup")), Nil), label)
+            }
+            // the merge's marker stamps one generation below its puts
+            val pSeq = store.fileReferences.find(_.filename == put.filename).get.seq
+            val tSeq = store.tombstones.find(_.filename == tomb.filename).get.seq
+            assert(tSeq + 1 == pSeq, s"$label: merge generations $tSeq/$pSeq")
         }
         invariants(store, label)
       }
@@ -104,6 +134,7 @@ class StateStoreFuzzSpec extends AnyFunSuite {
         s"seed=$seed tree")
       assert(reloaded.lastTxnVersion("fuzz-app") == store.lastTxnVersion("fuzz-app"),
         s"seed=$seed txns")
+      assert(reloaded.tombstones.toSet == store.tombstones.toSet, s"seed=$seed tombstones")
     }
   }
 }
