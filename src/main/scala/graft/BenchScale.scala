@@ -266,6 +266,15 @@ object BenchScale {
           .filter(col("qty") >= 0).agg(sum("qty")).collect()
       }
       timed("delete_purge_x10", totalRows) { table.compactAll() }
+      // deep clone of the compacted x10 table: one executor-parallel
+      // byte-copy pass + an O(1) initial snapshot — prices the
+      // branch-for-experiments path (no shuffle, no re-sort, no sketch
+      // rebuild; the cost IS storage bandwidth)
+      val cloneDir = java.nio.file.Files.createTempDirectory("graft-bench-clone").toString
+      timed("clone_x10", totalRows) {
+        val v = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+        table.cloneAt(s"$cloneDir/t", v)
+      }
     }
 
     // -- z-order layout: pruned box query vs full-scan control ---------
