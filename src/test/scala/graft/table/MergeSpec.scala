@@ -171,6 +171,40 @@ class MergeSpec extends AnyFunSuite {
     assert(readBoth(table, dir)._1 == expect, "post-compaction convergence")
   }
 
+  test("concurrent merges on one table all land; generations stay distinct") {
+    val dir = tmp()
+    val table = lwwTable(dir)
+    table.ingest((0L until 40L).map(i => (i, 0L)).toDF("id", "v"))
+    // 4 writers, disjoint key slices, each an upsert + a delete — the
+    // store's CAS retry must serialize the Merge commits like any other
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (0 until 4).map { w =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            // each writer needs its own store handle: one store instance
+            // serializes its own commits under `synchronized` anyway
+            val t = GraftTable.load(spark, dir)
+            val base = w * 10L
+            val src = ((base until base + 9).map(i => (i, i + 100L, false)) :+
+              ((base + 9, 0L, true): (Long, Long, Boolean))).toDF("id", "v", "del")
+            t.merge(src, col("del"))
+          }
+        })
+      }
+      futures.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+
+    val fresh = GraftTable.load(spark, dir)
+    val expect = (0L until 40L).filterNot(_ % 10 == 9L)
+      .map(i => i -> (if (i % 10 == 9) 0L else i + 100L)).toMap
+    assert(fresh.toDF.select("id", "v").as[(Long, Long)].collect().toMap == expect)
+    // every writer got its own pair of generations (marker below puts)
+    assert(fresh.store.fileReferences.map(_.seq).distinct.size >= 4)
+    fresh.compactAll()
+    assert(fresh.toDF.select("id", "v").as[(Long, Long)].collect().toMap == expect)
+  }
+
   test("merge on a sum-aggregated table combines puts per the agg config") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema,
