@@ -1,0 +1,112 @@
+package graft.jobs
+
+import org.apache.spark.sql.functions._
+import graft.table.GraftTable
+
+/** Continuous table→table replication, composed from the engine's own
+  * primitives: the batch CDC feeds (`changesBetween` insert rows +
+  * `deletedKeysBetween` delete keys, both tagged with their commit
+  * version) applied to the replica as ONE atomic MERGE per cycle, with
+  * the replica's idempotent txn watermark carrying the last replicated
+  * SOURCE version — so a crash-replayed cycle is a recorded no-op and
+  * the replica is exactly-once by construction (no external offset
+  * store: the watermark commits atomically WITH the data).
+  *
+  * Cycle semantics:
+  *  - first cycle (watermark 0) is a LOGICAL snapshot: `source.toDF` —
+  *    aggregation applied, pending delete markers suppressed — so an
+  *    order-sensitive (LWW) source replicates its resolved state, not
+  *    its raw generations (whose per-file order a snapshot read cannot
+  *    tag with versions);
+  *  - incremental cycles walk the per-version manifests: puts and
+  *    deletes are resolved PER KEY by commit version (a key deleted at
+  *    v5 and re-ingested at v7 stays; ingested v5, deleted v7 goes) —
+  *    the same shadowing rule the source's own LSM markers implement;
+  *  - on an order-sensitive replica the window's puts collapse to each
+  *    key's newest version (one merge = one write generation, so the
+  *    order must fold in); commutative replicas keep every row (a sum
+  *    replica re-accumulates exactly).
+  *
+  * At 100 TB a cycle costs O(changed files) metadata + a scan of only
+  * the changed files + one merge write — never a re-read of the table.
+  */
+final class Replication(source: GraftTable, replica: GraftTable) {
+
+  require(source.schema.rowKeyNames == replica.schema.rowKeyNames,
+    "replication requires identical row keys")
+
+  /** Watermark identity: one per (source dir, replica dir) pair. */
+  val appId = s"replica:${source.dir}"
+
+  def lastReplicatedVersion: Long =
+    replica.store.lastTxnVersion(appId).getOrElse(0L)
+
+  /** Replicate everything committed since the last cycle; returns the
+    * number of source versions applied (0 = already caught up).
+    */
+  def runOnce(): Long = {
+    val from = lastReplicatedVersion
+    val to = source.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+    if (to <= from) return 0L
+
+    val keys = replica.schema.rowKeyNames
+    val valueFields = replica.schema.values
+    val lwwReplica = {
+      val specs = graft.dsl.ConfigDsl.parseAggregation(
+        replica.config.aggregationConfig, replica.schema)
+      specs.nonEmpty && specs.forall(_.op == "last")
+    }
+
+    val cdc =
+      if (from == 0L) {
+        // initial load: the source's RESOLVED state, one put per key
+        source.toDF
+          .select((keys ++ valueFields.map(_.name)).map(col): _*)
+          .withColumn("_op", lit("put"))
+      } else {
+        val puts = source.changesBetween(from, to)
+        val dels = source.deletedKeysBetween(from, to)
+        val delMax = dels.groupBy(keys.map(col): _*)
+          .agg(max(col("_commit_version")).as("__delv"))
+        // a put at the marker's own version is a MERGE's put (markers
+        // stamp one generation below) — it survives, hence >=
+        val putsLive = puts.join(delMax, keys, "left")
+          .filter(col("__delv").isNull || col("_commit_version") >= col("__delv"))
+          .drop("__delv")
+        val putsFinal =
+          if (!lwwReplica) putsLive
+          else {
+            // order-sensitive target: fold the window's order in — keep
+            // each key's newest version (ties within one version follow
+            // the LWW within-batch contract: at most one row per key
+            // per source commit for determinism)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keys.map(col): _*)
+              .orderBy(col("_commit_version").desc)
+            putsLive.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+          }
+        val putMax = puts.groupBy(keys.map(col): _*)
+          .agg(max(col("_commit_version")).as("__putv"))
+        val delsLive = delMax.join(putMax, keys, "left")
+          .filter(col("__putv").isNull || col("__delv") > col("__putv"))
+        putsFinal
+          .select((keys ++ valueFields.map(_.name)).map(col): _*)
+          .withColumn("_op", lit("put"))
+          .unionByName(delsLive.select(
+            (keys.map(col) ++
+              valueFields.map(f => lit(null).cast(f.dataType).as(f.name)) :+
+              lit("delete").as("_op")): _*))
+      }
+
+    val (puts, tombs) = replica.merge(cdc, col("_op") === "delete",
+      txn = Some((appId, to)))
+    // a window of pure compactions/GC carries no rows: merge writes
+    // nothing and therefore commits nothing — advance the watermark
+    // with an empty (but watermarked) merge so the next cycle doesn't
+    // re-walk the same versions
+    if (puts.isEmpty && tombs.isEmpty)
+      replica.store.commitMergeIfAbsent(appId, to, Nil, Nil)
+    to - from
+  }
+}

@@ -138,6 +138,8 @@ object LifecycleQueries {
 
   private val cloneDirs = new ConcurrentHashMap[String, String]()
 
+  private val replicaDirs = new ConcurrentHashMap[String, String]()
+
   /** x10/x11 fixture: fixed 4-leaf table, two interleaved ingest batches
     * folded by compactAll (one file per leaf however the ingest salted),
     * GC'd — so every report number is derivable from the source rows.
@@ -1260,6 +1262,54 @@ object LifecycleQueries {
         b
       })
       s.read.format("graft").load(s"$base/clone").orderBy("l_orderkey")
+    },
+
+    // S11 — continuous table→table replication, composed from the
+    // engine's own primitives: first cycle = logical snapshot (LWW
+    // resolved, pending markers suppressed — keys %9 stay deleted);
+    // second cycle walks the manifests and resolves per key by commit
+    // version: %7 keys update (re-inserting the %63 keys the snapshot
+    // had deleted — LSM shadowing propagates), %5 keys delete. The
+    // replica's txn watermark carries the last replicated SOURCE
+    // version inside the merge commit itself — exactly-once with no
+    // external offset store. The replica, not the source, is emitted.
+    "s11_replication" -> withOracle(
+      """WITH b1 AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |            FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey,
+        |       CASE WHEN l_orderkey % 7 = 0 THEN 7000000 + qty
+        |            WHEN l_orderkey % 2 = 0 THEN 1000000 + qty
+        |            ELSE qty END AS qty
+        |FROM b1
+        |WHERE l_orderkey % 5 <> 0 AND (l_orderkey % 9 <> 0 OR l_orderkey % 7 = 0)
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = replicaDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-repl-q").toString
+        def mk(d: String) = GraftTable.create(s, d, schema,
+          splitPoints = Seq(3000L, 6000L, 9000L),
+          config = TableConfig(aggregationConfig = "last(qty)"))
+        val src = mk(s"$b/src"); val dst = mk(s"$b/replica")
+        val raw = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+        val gen1 = raw.groupBy("l_orderkey")
+          .agg(sum(col("l_quantity").cast("long")).as("qty"))
+        src.ingest(gen1)
+        src.ingest(gen1.filter(col("l_orderkey") % 2 === 0)
+          .select(col("l_orderkey"), (col("qty") + 1000000L).as("qty")))
+        src.deleteKeys(gen1.select("l_orderkey").filter(col("l_orderkey") % 9 === 0))
+        val repl = new graft.jobs.Replication(src, dst)
+        require(repl.runOnce() > 0, "snapshot cycle must apply")
+        src.ingest(gen1.filter(col("l_orderkey") % 7 === 0)
+          .select(col("l_orderkey"), (col("qty") + 7000000L).as("qty")))
+        src.deleteKeys(gen1.select("l_orderkey").filter(col("l_orderkey") % 5 === 0))
+        require(repl.runOnce() == 2L, "incremental cycle must apply 2 versions")
+        require(repl.runOnce() == 0L, "caught up: replay is a no-op")
+        // the replica must equal the source's resolved state exactly
+        val sSum = src.toDF.agg(sum(col("qty")), count(lit(1))).head()
+        val dSum = dst.toDF.agg(sum(col("qty")), count(lit(1))).head()
+        require(sSum == dSum, s"replica diverged: src=$sSum dst=$dSum")
+        b
+      })
+      s.read.format("graft").load(s"$base/replica").orderBy("l_orderkey")
     },
 
     // S10 — batch CDC between two table versions: batch 1 lands BEFORE

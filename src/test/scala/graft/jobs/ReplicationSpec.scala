@@ -1,0 +1,89 @@
+package graft.jobs
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.table.{GraftTable, TableConfig}
+
+/** Table→table replication: initial logical snapshot, incremental
+  * version windows with per-key put/delete resolution, exactly-once
+  * via the replica's txn watermark.
+  */
+class ReplicationSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val schema = GraftSchema(
+    rowKeys = Seq(GraftField("id", LongType)),
+    sortKeys = Nil,
+    values = Seq(GraftField("v", LongType, nullable = false)))
+
+  private def tmp() = Files.createTempDirectory("graft-repl").toString
+
+  private def lww(dir: String): GraftTable =
+    GraftTable.create(spark, dir, schema, splitPoints = Seq(50L),
+      config = TableConfig(aggregationConfig = "last(v)"))
+
+  private def readMap(t: GraftTable): Map[Long, Long] =
+    t.toDF.select("id", "v").as[(Long, Long)].collect().toMap
+
+  test("LWW source replicates exactly: snapshot, increments, deletes, re-inserts") {
+    val src = lww(tmp()); val dst = lww(tmp())
+    src.ingest((0L until 60L).map(i => (i, i)).toDF("id", "v"))
+    src.ingest((0L until 60L by 2).map(i => (i, i + 100L)).toDF("id", "v"))
+    src.deleteKeys(Seq(5L, 6L).toDF("id"))
+
+    val repl = new Replication(src, dst)
+    assert(repl.runOnce() > 0)
+    assert(readMap(dst) == readMap(src), "initial logical snapshot")
+    assert(repl.runOnce() == 0L, "caught up: no-op cycle")
+
+    // incremental window: update, delete, and delete-then-reinsert
+    src.ingest(Seq((1L, 111L)).toDF("id", "v"))      // update
+    src.deleteKeys(Seq(2L).toDF("id"))               // delete
+    src.deleteKeys(Seq(3L).toDF("id"))               // delete...
+    src.ingest(Seq((3L, 333L)).toDF("id", "v"))      // ...then re-insert
+    assert(repl.runOnce() == 4L)
+    assert(readMap(dst) == readMap(src), "incremental window")
+
+    // the source compacts: dataChange=false outputs must not re-feed
+    src.compactAll()
+    assert(repl.runOnce() > 0L)
+    assert(readMap(dst) == readMap(src), "post-compaction window is empty of rows")
+
+    // a MERGE on the source replicates as its puts + deletes
+    src.merge(Seq((7L, 777L, false), (8L, 0L, true)).toDF("id", "v", "del"), col("del"))
+    assert(repl.runOnce() == 1L)
+    assert(readMap(dst) == readMap(src), "merge window")
+  }
+
+  test("exactly-once: the watermark commits atomically with the merge") {
+    val src = lww(tmp()); val dst = lww(tmp())
+    src.ingest((0L until 10L).map(i => (i, 1L)).toDF("id", "v"))
+    val repl = new Replication(src, dst)
+    repl.runOnce()
+    val v = repl.lastReplicatedVersion
+    assert(v == src.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion)
+    // a replayed cycle against the same window is a recorded no-op
+    assert(repl.runOnce() == 0L)
+    assert(dst.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion ==
+      2L, "exactly one replica commit (create + merge)")
+  }
+
+  test("commutative (sum) replica re-accumulates every window row") {
+    val mk = (d: String) => GraftTable.create(spark, d, schema,
+      config = TableConfig(aggregationConfig = "sum(v)"))
+    val src = mk(tmp()); val dst = mk(tmp())
+    src.ingest((0L until 10L).map(i => (i, 1L)).toDF("id", "v"))
+    val repl = new Replication(src, dst)
+    repl.runOnce()
+    src.ingest((0L until 10L).map(i => (i, 2L)).toDF("id", "v"))
+    src.ingest((0L until 10L).map(i => (i, 3L)).toDF("id", "v"))
+    repl.runOnce()
+    assert(readMap(dst) == (0L until 10L).map(i => i -> 6L).toMap)
+    assert(readMap(dst) == readMap(src))
+  }
+}
