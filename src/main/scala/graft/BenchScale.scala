@@ -275,6 +275,19 @@ object BenchScale {
         val v = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
         table.cloneAt(s"$cloneDir/t", v)
       }
+      // replication: the initial logical-snapshot cycle moves the whole
+      // x10 table (CDC read + one merge write), then an incremental
+      // cycle moves only a 1/32nd update window — the O(changed files)
+      // claim, priced
+      val replDir = java.nio.file.Files.createTempDirectory("graft-bench-repl").toString
+      val replica = GraftTable.create(spark, s"$replDir/t", schema,
+        splitPoints = splits, config = TableConfig(gcDelayMinutes = 0))
+      val repl = new graft.jobs.Replication(table, replica)
+      timed("replicate_x10", totalRows) { repl.runOnce() }
+      val window = totalRows / 32
+      table.ingest(scaled.filter(col("l_linenumber") === 1)
+        .drop("l_linenumber").limit(window.toInt))
+      timed("replicate_inc_x10", window) { repl.runOnce() }
     }
 
     // -- z-order layout: pruned box query vs full-scan control ---------

@@ -66,13 +66,22 @@ final class Replication(source: GraftTable, replica: GraftTable) {
       } else {
         val puts = source.changesBetween(from, to)
         val dels = source.deletedKeysBetween(from, to)
-        val delMax = dels.groupBy(keys.map(col): _*)
-          .agg(max(col("_commit_version")).as("__delv"))
+        // append-only window (the common case): no delete markers were
+        // committed, so skip the per-key delete-resolution shuffles
+        // entirely — the emptiness probe reads only the window's (empty)
+        // tombstone manifest list, not data
+        val hasDeletes = !dels.isEmpty
+        val delMax =
+          if (!hasDeletes) null
+          else dels.groupBy(keys.map(col): _*)
+            .agg(max(col("_commit_version")).as("__delv"))
         // a put at the marker's own version is a MERGE's put (markers
         // stamp one generation below) — it survives, hence >=
-        val putsLive = puts.join(delMax, keys, "left")
-          .filter(col("__delv").isNull || col("_commit_version") >= col("__delv"))
-          .drop("__delv")
+        val putsLive =
+          if (!hasDeletes) puts
+          else puts.join(delMax, keys, "left")
+            .filter(col("__delv").isNull || col("_commit_version") >= col("__delv"))
+            .drop("__delv")
         val putsFinal =
           if (!lwwReplica) putsLive
           else {
@@ -86,17 +95,20 @@ final class Replication(source: GraftTable, replica: GraftTable) {
             putsLive.withColumn("__rn", row_number().over(w))
               .filter(col("__rn") === 1).drop("__rn")
           }
-        val putMax = puts.groupBy(keys.map(col): _*)
-          .agg(max(col("_commit_version")).as("__putv"))
-        val delsLive = delMax.join(putMax, keys, "left")
-          .filter(col("__putv").isNull || col("__delv") > col("__putv"))
-        putsFinal
+        val putsOnly = putsFinal
           .select((keys ++ valueFields.map(_.name)).map(col): _*)
           .withColumn("_op", lit("put"))
-          .unionByName(delsLive.select(
+        if (!hasDeletes) putsOnly
+        else {
+          val putMax = puts.groupBy(keys.map(col): _*)
+            .agg(max(col("_commit_version")).as("__putv"))
+          val delsLive = delMax.join(putMax, keys, "left")
+            .filter(col("__putv").isNull || col("__delv") > col("__putv"))
+          putsOnly.unionByName(delsLive.select(
             (keys.map(col) ++
               valueFields.map(f => lit(null).cast(f.dataType).as(f.name)) :+
               lit("delete").as("_op")): _*))
+        }
       }
 
     val (puts, tombs) = replica.merge(cdc, col("_op") === "delete",
