@@ -54,13 +54,26 @@ final class Replication(source: GraftTable, replica: GraftTable) {
     val lwwReplica = {
       val specs = graft.dsl.ConfigDsl.parseAggregation(
         replica.config.aggregationConfig, replica.schema)
+      // a mixed config (e.g. last(a),sum(b)) cannot be replicated: the
+      // window lands as ONE write generation, so keeping every row makes
+      // the order-sensitive columns resolve arbitrarily among a key's
+      // multiple source versions, while collapsing to the newest version
+      // would under-accumulate the commutative columns — refuse rather
+      // than silently diverge from the source
+      require(specs.isEmpty || specs.forall(_.op == "last") ||
+          !specs.exists(_.op == "last"),
+        "cannot replicate to a table mixing order-sensitive (last) and " +
+          s"commutative aggregation ops: '${replica.config.aggregationConfig}'")
       specs.nonEmpty && specs.forall(_.op == "last")
     }
 
     val cdc =
       if (from == 0L) {
-        // initial load: the source's RESOLVED state, one put per key
-        source.toDF
+        // initial load: the source's RESOLVED state, one put per key —
+        // pinned to the captured version `to` (a commit landing between
+        // the version capture and this read must NOT be in the snapshot,
+        // or the next cycle's (to, to'] window would deliver it twice)
+        GraftTable.loadAsOf(source.spark, source.dir, to).toDF
           .select((keys ++ valueFields.map(_.name)).map(col): _*)
           .withColumn("_op", lit("put"))
       } else {
@@ -100,11 +113,15 @@ final class Replication(source: GraftTable, replica: GraftTable) {
           .withColumn("_op", lit("put"))
         if (!hasDeletes) putsOnly
         else {
-          val putMax = puts.groupBy(keys.map(col): _*)
-            .agg(max(col("_commit_version")).as("__putv"))
-          val delsLive = delMax.join(putMax, keys, "left")
-            .filter(col("__putv").isNull || col("__delv") > col("__putv"))
-          putsOnly.unionByName(delsLive.select(
+          // ALWAYS emit the window's delete keys, even when a newer put
+          // for the same key exists in the window: on a commutative
+          // (e.g. sum) replica the delete must still clear contributions
+          // replicated in EARLIER windows (source deleteKeys(K) then
+          // re-ingest(K,5) in one window must leave the replica at 5,
+          // not old+5). replica.merge stamps the tombstones one
+          // generation below the same commit's puts, so the surviving
+          // post-delete puts land above the marker and are kept.
+          putsOnly.unionByName(delMax.select(
             (keys.map(col) ++
               valueFields.map(f => lit(null).cast(f.dataType).as(f.name)) :+
               lit("delete").as("_op")): _*))

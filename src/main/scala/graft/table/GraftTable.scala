@@ -91,13 +91,16 @@ final class GraftTable(
   /** Row-key delete (the takedown-request capability; the reference's
     * only removal is ageOff): registers the key set as sorted per-leaf
     * tombstone files in one atomic commit — O(keys) IO, NO data
-    * rewrite. Every read path suppresses tombstoned keys via a
-    * streaming merge-anti-join; compaction physically purges them and
-    * retires the tombstone in the same commit. LEVELLESS caveat: a
-    * pending tombstone suppresses its key in every CURRENT and FUTURE
-    * file of the leaf until retired — re-ingesting a deleted key before
-    * then would suppress the new rows too; `purge = true` closes that
-    * window by compacting the affected leaves before returning.
+    * rewrite. Markers are GENERATION-AWARE (LSM delete markers): a
+    * tombstone stamps its write-generation seq and suppresses a key
+    * only in files with seq <= its own, so rows re-ingested AFTER the
+    * delete survive, pending or compacted. Every read path applies the
+    * markers via a streaming merge-anti-join; compaction physically
+    * purges the marked rows and retires the tombstone in the same
+    * commit. `purge = true` is a physical-removal convenience — it
+    * compacts the affected leaves before returning so the deleted bytes
+    * are gone from disk immediately (compliance-shaped), not a
+    * correctness workaround.
     */
   def deleteKeys(keys: DataFrame, purge: Boolean = false): Seq[FileReference] = {
     store.assertWritable()
@@ -206,7 +209,10 @@ final class GraftTable(
     val key = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val json = graft.query.QuerySerDe.toJson(q, schema)
-      md.digest(s"$json@$version".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      // table identity (dir) is part of the key: two tables sharing one
+      // cacheDir at the same version with the same query shape must not
+      // serve each other's results
+      md.digest(s"$dir|$json@$version".getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
     val hitDir = s"$cacheDir/$key"
     if (version >= 0 && GraftFS.exists(s"$hitDir/_SUCCESS"))

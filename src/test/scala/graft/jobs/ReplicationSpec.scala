@@ -73,6 +73,41 @@ class ReplicationSpec extends AnyFunSuite {
       2L, "exactly one replica commit (create + merge)")
   }
 
+  test("sum replica: delete-then-reinsert in one window clears prior contributions") {
+    val mk = (d: String) => GraftTable.create(spark, d, schema,
+      config = TableConfig(aggregationConfig = "sum(v)"))
+    val src = mk(tmp()); val dst = mk(tmp())
+    src.ingest((0L until 10L).map(i => (i, 10L)).toDF("id", "v"))
+    val repl = new Replication(src, dst)
+    repl.runOnce()
+    // one window: delete key 3, then re-ingest it with 5 — the source
+    // resolves to 5; the replica must NOT keep old+5 (the delete has to
+    // clear the 10 replicated in the earlier window even though a newer
+    // put exists in this window)
+    src.deleteKeys(Seq(3L).toDF("id"))
+    src.ingest(Seq((3L, 5L)).toDF("id", "v"))
+    // and a plain delete with no re-insert
+    src.deleteKeys(Seq(4L).toDF("id"))
+    repl.runOnce()
+    assert(readMap(src) == readMap(dst))
+    assert(readMap(dst)(3L) == 5L)
+    assert(!readMap(dst).contains(4L))
+  }
+
+  test("refuses a replica mixing order-sensitive and commutative agg ops") {
+    val mixedSchema = GraftSchema(
+      rowKeys = Seq(GraftField("id", LongType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("v", LongType, nullable = false),
+        GraftField("n", LongType, nullable = false)))
+    val src = GraftTable.create(spark, tmp(), mixedSchema,
+      config = TableConfig(aggregationConfig = "last(v),sum(n)"))
+    val dst = GraftTable.create(spark, tmp(), mixedSchema,
+      config = TableConfig(aggregationConfig = "last(v),sum(n)"))
+    src.ingest(Seq((1L, 1L, 1L)).toDF("id", "v", "n"))
+    intercept[IllegalArgumentException] { new Replication(src, dst).runOnce() }
+  }
+
   test("commutative (sum) replica re-accumulates every window row") {
     val mk = (d: String) => GraftTable.create(spark, d, schema,
       config = TableConfig(aggregationConfig = "sum(v)"))
