@@ -8,6 +8,61 @@ import org.apache.spark.sql.SparkSession
   * -1 so the driver can see exactly which ones died.
   */
 object Bench {
+
+  /** Fraction of the machine's CPU consumed by OTHER processes over a
+    * `ms` sampling window (`/proc/stat` busy jiffies minus our own
+    * `/proc/self/stat` utime+stime). This — not `/proc/loadavg`, whose
+    * 1-minute EMA is dominated by OUR just-finished queries — is the
+    * signal that invalidated BENCH_r12: the scale/endurance section was
+    * recorded while an unrelated workload held the box and every number
+    * came out 6-9x worse than the engine's idle reality. Returns -1 when
+    * /proc isn't readable (non-Linux).
+    */
+  def foreignCpuShare(ms: Long): Double = {
+    def slurp(p: String): String = {
+      val s = scala.io.Source.fromFile(p)
+      try s.mkString finally s.close()
+    }
+    def totals(): (Long, Long) = {
+      val cpu = slurp("/proc/stat").linesIterator.next()
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      val idle = cpu(3) + (if (cpu.length > 4) cpu(4) else 0L)
+      (cpu.sum, idle)
+    }
+    def selfJiffies(): Long = {
+      // field 2 (comm) may contain spaces; split after the closing paren
+      val f = slurp("/proc/self/stat")
+      val rest = f.substring(f.lastIndexOf(')') + 2).split(" ")
+      rest(11).toLong + rest(12).toLong // utime, stime (fields 14,15)
+    }
+    try {
+      val (t0, i0) = totals(); val s0 = selfJiffies()
+      Thread.sleep(ms)
+      val (t1, i1) = totals(); val s1 = selfJiffies()
+      val busy = (t1 - t0) - (i1 - i0)
+      val foreign = busy - (s1 - s0)
+      if (t1 > t0) math.max(0.0, foreign.toDouble / (t1 - t0)) else 0.0
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+  }
+
+  /** Load guard: refuse to start a measured section while other
+    * processes hold more than `threshold` of the box — wait (up to
+    * `maxWaitSec`, re-sampling) for them to drain, and report what was
+    * seen so a contaminated recording is self-describing instead of a
+    * silent lie. Returns (foreignShareAtStart, waitedSec, stillBusy).
+    */
+  def awaitIdle(threshold: Double, maxWaitSec: Int): (Double, Int, Boolean) = {
+    val first = foreignCpuShare(1000)
+    if (first < 0 || first <= threshold) return (first, 0, false)
+    var waited = 0
+    var share = first
+    while (share > threshold && waited < maxWaitSec) {
+      Thread.sleep(5000); waited += 5
+      share = foreignCpuShare(1000); waited += 1
+    }
+    (share, waited, share > threshold)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -46,6 +101,18 @@ object Bench {
     // trend round-over-round), `queries_cold` the first run — so one-off
     // costs a warm run hides (JVM warm-up, the lifecycle queries'
     // memoized table build) stay visible instead of silently vanishing.
+    // Load guard (BENCH_r12 lesson): never start a measured section on a
+    // busy box; if it stays busy past the wait budget, run anyway but
+    // stamp busy=true into the record so nobody tunes against it.
+    val loadThreshold = sys.env.getOrElse("SPARK_GRAFT_LOAD_THRESHOLD", "0.10").toDouble
+    val loadWaitSec = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT", "300").toInt
+    def loadJson(tag: String): String = {
+      val (share, waited, busy) = awaitIdle(loadThreshold, loadWaitSec)
+      if (busy || waited > 0)
+        System.err.println(s"[bench] load guard ($tag): foreign_cpu=$share waited=${waited}s busy=$busy")
+      s""""$tag":{"foreign_cpu":${math.rint(share * 1000) / 1000},"waited_sec":$waited,"busy":$busy}"""
+    }
+    val loadQ = loadJson("queries")
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val first = timeOnce(name, fn)
@@ -70,9 +137,10 @@ object Bench {
     // Scale-stress section (x10 engine dataflows, x3 dedup corpora) in
     // rows/s — BASELINE-comparable numbers where fixed overhead doesn't
     // dominate. SPARK_GRAFT_SCALE=0 skips it.
-    val scale =
-      if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0") "{}"
-      else BenchScale.run(spark, sfDir, timeoutSec)
+    val (loadS, scale) =
+      if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0")
+        ("\"scale\":{\"skipped\":true}", "{}")
+      else (loadJson("scale"), BenchScale.run(spark, sfDir, timeoutSec))
     // Real-executor check: the headline queries re-run in a fresh JVM
     // under local-cluster[2,2,2048] (separate executor processes, real
     // serialization + shuffle service) — the per-query secs/hashes land
@@ -85,7 +153,7 @@ object Bench {
         else s"""{"error":"exit $code"}"""
       } catch { case e: Throwable => s"""{"error":"${String.valueOf(e).replaceAll("[\"\\\\]", " ").take(120)}"}""" }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_cold":$qsCold,"scale":$scale,"cluster":$cluster,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load":{$loadQ,$loadS},"queries":$qs,"queries_cold":$qsCold,"scale":$scale,"cluster":$cluster,"sf":"$sfDir"}"""
     // Durable full record first; then a COMPACT JSON line as the very
     // LAST stdout line (after spark.stop(), whose shutdown logging goes
     // to stderr). The round driver keeps only the final ~2000 chars of
@@ -105,8 +173,9 @@ object Bench {
       val ent = "\"" + k + "\":" + math.rint(v * 100) / 100
       if (ent.length + 1 <= budget) { picked += ent; budget -= ent.length + 1 }
     }
+    val anyBusy = (loadQ + loadS).contains("\"busy\":true")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"busy":$anyBusy,""" +
       s""""failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},""" +
       s""""queries":${picked.mkString("{", ",", "}")},""" +
       s""""full":"bench_out.json","sf":"$sfDir"}"""

@@ -70,7 +70,17 @@ final case class RunSpec(
       * generation — the legacy levelless behavior). A tombstone applies
       * only to data files with seq <= its own: LSM delete-marker
       * semantics, so a re-ingest after a delete survives. */
-    tombstoneSeqs: Seq[Long] = Nil)
+    tombstoneSeqs: Seq[Long] = Nil,
+    /** MIXED-direction TopN (`ORDER BY k1 ASC, k2 DESC LIMIT n`): one
+      * entry per requested order column over the key prefix, true = ASC.
+      * The merged ASC stream is walked group-wise on the leading ASC
+      * run; each group keeps a bounded top-`limit` heap under the tail
+      * comparator, and the walk STOPS once `limit` rows have
+      * accumulated from closed groups (later groups are strictly worse
+      * on the ASC prefix) — O(limit) memory, early-exit, a candidate
+      * superset Spark's global TopN finishes. Empty = not mixed (the
+      * plain first-n / last-n paths apply). */
+    mixedDirs: Seq[Boolean] = Nil)
 
 object SortedRun {
 
@@ -197,11 +207,20 @@ object SortedRun {
       if (aggSpecs.isEmpty) filtered
       else new StreamingKeyAggIterator(filtered, readFields, keyFields.size, aggSpecs, schema)
 
+    // Mixed-direction TopN runs BEFORE projection: the key columns it
+    // groups/compares on are the leading read fields whether or not the
+    // output keeps them.
+    val topped = spec.limit match {
+      case Some(n) if spec.mixedDirs.nonEmpty =>
+        mixedTopN(aggregated, keyFields.map(_.dataType).toArray, spec.mixedDirs, n)
+      case _ => aggregated
+    }
+
     // Projection to the requested output columns.
     val outIdx = spec.output.map(readIndex).toArray
     val projected =
-      if (outIdx.toSeq == readFields.indices.toSeq) aggregated
-      else aggregated.map { row =>
+      if (outIdx.toSeq == readFields.indices.toSeq) topped
+      else topped.map { row =>
         val out = new Array[Any](outIdx.length)
         var i = 0
         while (i < outIdx.length) {
@@ -212,7 +231,8 @@ object SortedRun {
         new GenericInternalRow(out)
       }
     val limited = spec.limit.map { n =>
-      if (!spec.limitLast) projected.take(n)
+      if (spec.mixedDirs.nonEmpty) projected // mixedTopN already capped
+      else if (!spec.limitLast) projected.take(n)
       else {
         // last-n ring buffer: emits in storage (ASC) order
         val buf = new java.util.ArrayDeque[InternalRow](n)
@@ -407,6 +427,92 @@ object SortedRun {
         if (it.hasNext) pq.add((it.next(), it, i)) else it.close()
         row
       }
+    }
+  }
+
+  /** Mixed-direction TopN over the merged ASC stream (`ORDER BY k1 ASC,
+    * k2 DESC LIMIT n` and friends): rows arrive sorted by the full key
+    * ASC; group on the requested order's leading ASC run, keep each
+    * group's top-n under the tail comparator in a bounded heap, and STOP
+    * once n rows have accumulated from CLOSED groups — every later group
+    * is strictly worse on the ASC prefix than all closed ones. O(n)
+    * memory, early exit after ~n qualifying rows' worth of groups, a
+    * candidate superset (≤ 2n rows, any order) that Spark's global TopN
+    * finishes. Requires dirs.head == ASC (caller-gated).
+    */
+  private def mixedTopN(in: Iterator[InternalRow], keyTypes: Array[DataType],
+      dirs: Seq[Boolean], n: Int): Iterator[InternalRow] = {
+    val m = dirs.length
+    val asc = dirs.takeWhile(identity).length
+    def cmpTail(a: InternalRow, b: InternalRow): Int = {
+      var i = asc
+      while (i < m) {
+        val c = compareInternal(keyTypes(i), a.get(i, keyTypes(i)), b.get(i, keyTypes(i)))
+        if (c != 0) return if (dirs(i)) c else -c
+        i += 1
+      }
+      0
+    }
+    new Iterator[InternalRow] {
+      private var out: Iterator[InternalRow] = _
+      private def build(): Unit = {
+        if (out != null) return
+        val res = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+        // max-heap by the tail order: the WORST candidate on top
+        val heap = new PriorityQueue[InternalRow](math.max(1, math.min(n, 1024)),
+          new java.util.Comparator[InternalRow] {
+            override def compare(a: InternalRow, b: InternalRow): Int = cmpTail(b, a)
+          })
+        var group: InternalRow = null
+        def sameGroup(r: InternalRow): Boolean = {
+          var i = 0
+          while (i < asc) {
+            if (compareInternal(keyTypes(i),
+                r.get(i, keyTypes(i)), group.get(i, keyTypes(i))) != 0) return false
+            i += 1
+          }
+          true
+        }
+        var done = false
+        while (!done && in.hasNext) {
+          val r = in.next()
+          if (group == null || !sameGroup(r)) {
+            while (!heap.isEmpty) res += heap.poll()
+            if (res.size >= n) done = true else group = r.copy()
+          }
+          if (!done) {
+            if (heap.size < n) heap.add(r.copy())
+            else if (cmpTail(r, heap.peek()) < 0) { heap.poll(); heap.add(r.copy()) }
+          }
+        }
+        if (!done) while (!heap.isEmpty) res += heap.poll()
+        out = res.iterator
+      }
+      override def hasNext: Boolean = { build(); out.hasNext }
+      override def next(): InternalRow = { build(); out.next() }
+    }
+  }
+
+  /** Merged, key-ascending iterator over the spec's pending delete
+    * markers applicable to a data file of generation `fileSeq` (a marker
+    * applies iff fileSeq <= markerSeq), plus a close callback — the
+    * columnar fast path's anti-join input (the row path builds its own
+    * per-reader [[AntiRowSource]] instead). None when no marker applies.
+    */
+  private[graft] def tombstoneKeyIterator(spec: RunSpec, fileSeq: Long,
+      conf: org.apache.hadoop.conf.Configuration)
+      : Option[(Iterator[InternalRow], () => Unit)] = {
+    val tombSeqs: Seq[Long] =
+      if (spec.tombstoneSeqs.size == spec.tombstonePaths.size) spec.tombstoneSeqs
+      else spec.tombstonePaths.map(_ => Long.MaxValue)
+    val applicable = spec.tombstonePaths.zip(tombSeqs)
+      .collect { case (p, ts) if fileSeq <= ts => p }
+    if (applicable.isEmpty) None
+    else {
+      val readers = applicable.map(p =>
+        new GroupRowIterator(p, spec.schema.rowKeys, None, conf))
+      Some((mergeSorted(readers, spec.schema.rowKeys),
+        () => readers.foreach(r => try r.close() catch { case _: Exception => () })))
     }
   }
 }

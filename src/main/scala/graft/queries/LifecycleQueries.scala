@@ -115,6 +115,25 @@ object LifecycleQueries {
 
   private val strSkipDirs = new ConcurrentHashMap[String, String]()
 
+  /** p8/p10 fixture: documents ingested per language, so every file's
+    * sidecar carries a tight string min/max for lang.
+    */
+  private def strSkipBuilder(s: SparkSession, dir: String): java.util.function.Function[String, String] = { _ =>
+    val b = java.nio.file.Files.createTempDirectory("graft-strskip").toString
+    val rows = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    val schema = GraftSchema(
+      rowKeys = Seq(GraftField("doc_id", LongType)),
+      sortKeys = Nil,
+      values = Seq(
+        GraftField("lang", org.apache.spark.sql.types.StringType),
+        GraftField("n_chars", LongType)))
+    val table = GraftTable.create(s, s"$b/table", schema)
+    Seq("de", "en", "es", "fr", "zh").foreach(l =>
+      table.ingest(rows.filter(col("lang") === l)))
+    b
+  }
+
   private val bloomSkipDirs = new ConcurrentHashMap[String, String]()
 
   private val leafSampleDirs = new ConcurrentHashMap[String, String]()
@@ -133,6 +152,10 @@ object LifecycleQueries {
   private val reinsertDirs = new ConcurrentHashMap[String, String]()
 
   private val mergeDirs = new ConcurrentHashMap[String, String]()
+
+  private val sqlDmlRoots = new ConcurrentHashMap[String, String]()
+
+  private val mixedTopDirs = new ConcurrentHashMap[String, String]()
 
   private val cdcApplyDirs = new ConcurrentHashMap[String, String]()
 
@@ -838,21 +861,7 @@ object LifecycleQueries {
       """SELECT doc_id, lang, n_chars
         |FROM documents WHERE lang = 'de'
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val base = strSkipDirs.computeIfAbsent(dir, { _ =>
-        val b = java.nio.file.Files.createTempDirectory("graft-strskip").toString
-        val rows = Tables(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
-        val schema = GraftSchema(
-          rowKeys = Seq(GraftField("doc_id", LongType)),
-          sortKeys = Nil,
-          values = Seq(
-            GraftField("lang", org.apache.spark.sql.types.StringType),
-            GraftField("n_chars", LongType)))
-        val table = GraftTable.create(s, s"$b/table", schema)
-        Seq("de", "en", "es", "fr", "zh").foreach(l =>
-          table.ingest(rows.filter(col("lang") === l)))
-        b
-      })
+      val base = strSkipDirs.computeIfAbsent(dir, strSkipBuilder(s, dir))
       val df = s.read.format("graft").load(s"$base/table")
         .filter(col("lang") === "de")
         .select("doc_id", "lang", "n_chars")
@@ -865,6 +874,33 @@ object LifecycleQueries {
         .map(_.group(1).toInt).getOrElse(-1)
       require(skippedFiles >= 3,
         s"string stats skipping stopped pruning files: $desc")
+      df
+    },
+
+    // P10 — PREFIX file-skipping: a pushed `lang LIKE 'e%'` maps to the
+    // byte range [prefix, succ(prefix)) against each file's string
+    // min/max sidecar stats — the categorical-prefix shape users
+    // actually write ("en*" locales, "img/" keys, date-string prefixes)
+    // — so over the per-language files only en/es survive and de/fr/zh
+    // are dropped before any data IO. Same fixture as p8; asserts the
+    // prune structurally; oracle: the plain LIKE filter.
+    "p10_prefix_skip" -> withOracle(
+      """SELECT doc_id, lang, n_chars
+        |FROM documents WHERE lang LIKE 'e%'
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val base = strSkipDirs.computeIfAbsent(dir, strSkipBuilder(s, dir))
+      val df = s.read.format("graft").load(s"$base/table")
+        .filter(col("lang").startsWith("e"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+      val desc = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+      val skippedFiles = "statsSkippedFiles=(\\d+)".r.findFirstMatchIn(desc)
+        .map(_.group(1).toInt).getOrElse(-1)
+      require(skippedFiles >= 3,
+        s"prefix stats skipping stopped pruning files: $desc")
       df
     },
 
@@ -1157,6 +1193,79 @@ object LifecycleQueries {
       s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")
     },
 
+    // X14 — SQL row-level DML end to end through the TableCatalog: a
+    // last-write-wins table mutated by pure SQL — exact-key DELETE
+    // (optimized to metadata-only tombstones: the fixture asserts zero
+    // new data files), predicate DELETE and UPDATE through the
+    // merge-on-read row-level path (delete markers + one-generation-up
+    // puts, one atomic commit per statement), and a three-clause MERGE
+    // INTO (matched-delete / matched-update / not-matched-insert). The
+    // oracle replays the same statement sequence as relational algebra.
+    "x14_sql_dml" -> withOracle(
+      """WITH b1 AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |            FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1),
+        |d0 AS (SELECT * FROM b1 WHERE l_orderkey NOT IN (35, 70, 105)),
+        |d1 AS (SELECT * FROM d0 WHERE l_orderkey % 11 <> 0),
+        |u1 AS (SELECT l_orderkey,
+        |              CASE WHEN l_orderkey % 4 = 0 THEN qty + 1000000 ELSE qty END AS qty
+        |       FROM d1),
+        |m1 AS (SELECT l_orderkey,
+        |              CASE WHEN l_orderkey % 6 = 0 THEN qty + 7000000 ELSE qty END AS qty
+        |       FROM u1 WHERE l_orderkey % 9 <> 0),
+        |ins AS (SELECT l_orderkey, CAST(7000000 AS BIGINT) AS qty FROM b1
+        |        WHERE l_orderkey % 6 = 0 AND l_orderkey % 9 <> 0
+        |          AND l_orderkey NOT IN (SELECT l_orderkey FROM u1))
+        |SELECT * FROM (SELECT * FROM m1 UNION ALL SELECT * FROM ins)
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val cat = s"graft_dml_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
+      sqlDmlRoots.computeIfAbsent(dir, { _ =>
+        val root = java.nio.file.Files.createTempDirectory("graft-dml-root").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(
+          s"""CREATE TABLE $cat.t (l_orderkey BIGINT, qty BIGINT NOT NULL)
+             |USING graft
+             |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000',
+             |              'aggregation'='last(qty)')""".stripMargin)
+        Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .createOrReplaceTempView("dml_src_x14")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM dml_src_x14")
+        val filesBefore = graft.meta.JsonStateStore.load(s"$root/t/meta").fileReferences.size
+        // metadata-only path: exact keys → tombstones, no scan, no files
+        s.sql(s"DELETE FROM $cat.t WHERE l_orderkey IN (35, 70, 105)")
+        val st = graft.meta.JsonStateStore.load(s"$root/t/meta")
+        require(st.fileReferences.size == filesBefore,
+          "exact-key SQL DELETE must not write data files")
+        require(st.tombstones.nonEmpty, "exact-key SQL DELETE must land as tombstones")
+        // scan-based row-level path
+        s.sql(s"DELETE FROM $cat.t WHERE l_orderkey % 11 = 0")
+        s.sql(s"UPDATE $cat.t SET qty = qty + 1000000 WHERE l_orderkey % 4 = 0")
+        s.sql(
+          s"""MERGE INTO $cat.t AS tgt
+             |USING (SELECT l_orderkey,
+             |              CASE WHEN l_orderkey % 9 = 0 THEN 'del' ELSE 'put' END AS op
+             |       FROM dml_src_x14
+             |       WHERE l_orderkey % 6 = 0 OR l_orderkey % 9 = 0) AS src
+             |ON tgt.l_orderkey = src.l_orderkey
+             |WHEN MATCHED AND src.op = 'del' THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET qty = tgt.qty + 7000000
+             |WHEN NOT MATCHED AND src.op = 'put' THEN
+             |  INSERT (l_orderkey, qty) VALUES (src.l_orderkey, 7000000)
+             |""".stripMargin)
+        // the mutated state must read identically pending and compacted
+        val pending = s.sql(s"SELECT CAST(SUM(qty) AS BIGINT) FROM $cat.t")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        graft.table.GraftTable.load(s, s"$root/t").compactAll()
+        val folded = s.sql(s"SELECT CAST(SUM(qty) AS BIGINT) FROM $cat.t")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(pending == folded,
+          s"pending-marker read ($pending) != compacted read ($folded)")
+        root
+      })
+      s.sql(s"SELECT l_orderkey, qty FROM $cat.t ORDER BY l_orderkey")
+    },
+
     // T46 — streaming CDC apply: a continuously-consumed change feed
     // (table schema + _op column) lands through StreamingMerge — each
     // micro-batch is ONE atomic Merge commit (puts + delete markers)
@@ -1423,6 +1532,51 @@ object LifecycleQueries {
       }.head
       require(desc.contains("perPartitionLimit=100 desc"),
         s"DESC TopN did not push: $desc")
+      df
+    },
+
+    // O9 — MIXED-direction TopN pushdown: ORDER BY key ASC, sortkey
+    // DESC LIMIT n. The storage order is full-ASC, so each leaf's merge
+    // walks ASC-prefix groups keeping a bounded per-group heap under
+    // the DESC tail and stops once n rows closed — O(n) memory, ~n rows
+    // read per leaf, candidates finished by Spark's global sort. The
+    // "per key, newest/biggest first" page shape (latest line items per
+    // order, top score per user) that previously declined the push and
+    // read everything. Asserts the push; oracle: the plain mixed ORDER
+    // BY LIMIT ((l_orderkey, l_linenumber) is unique → deterministic).
+    "o9_mixed_topn" -> withOracle(
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem
+        |ORDER BY l_orderkey ASC, l_linenumber DESC
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val base = mixedTopDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-mixedtop").toString
+        val rows = Tables(s, dir, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+        val schema = GraftSchema(
+          rowKeys = Seq(GraftField("l_orderkey", LongType)),
+          sortKeys = Seq(GraftField("l_linenumber", LongType)),
+          values = Seq(GraftField("qty", LongType)))
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(30000L))
+        // two overlapping batches: the TopN walk crosses a real merge
+        table.ingest(rows.filter(col("l_linenumber") % 2 === 0))
+        table.ingest(rows.filter(col("l_linenumber") % 2 === 1))
+        b
+      })
+      val df = s.read.format("graft").load(s"$base/table")
+        .orderBy(col("l_orderkey").asc, col("l_linenumber").desc)
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "qty")
+      val desc = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+      require(desc.contains("perPartitionLimit=100 mixed=asc,desc"),
+        s"mixed-direction TopN did not push: $desc")
       df
     },
 

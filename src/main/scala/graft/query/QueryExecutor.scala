@@ -143,26 +143,46 @@ final class QueryExecutor(table: GraftTable) {
 
     // Order-sensitive aggregation (`last`, LWW) on this Catalyst path:
     // each row needs its file's write-generation sequence so the agg can
-    // resolve max_by(value, seq). Derived from input_file_name at the
-    // scan (before any join invalidates it) via a broadcast of the
-    // O(#files) filename→seq map — ~100k rows even at 100 TB. The
-    // generation-aware delete anti-join needs the same column, so it is
-    // attached whenever this query sees pending tombstones too.
+    // resolve max_by(value, seq); the generation-aware delete anti-join
+    // needs the same column, so it is attached whenever this query sees
+    // pending tombstones too (see scanWithSeq below for how).
     val hasLast = ConfigDsl.parseAggregation(table.config.aggregationConfig, schema)
       .exists(_.op == "last")
     val selectedIds = leaves.map(_.id).toSet ++
       leaves.flatMap(l => tree.ancestors(l.id).map(_.id))
     val pendingTombs = table.store.tombstones.filter(t => selectedIds.contains(t.partitionId))
     val needSeq = hasLast || pendingTombs.nonEmpty
-    def withSeq(df: DataFrame): DataFrame =
-      if (!needSeq) df
+    val readSchema = org.apache.spark.sql.types.StructType(
+      schema.toStructType.fields.map(_.copy(nullable = true)))
+    // Attach each row's write-generation seq as a FILE-CONSTANT column:
+    // group the selected files by generation and scan each group with
+    // lit(seq) — zero join, zero broadcast, and the constant folds into
+    // codegen. Steady state (compacted) tables span a handful of
+    // generations, so the union stays small; a heavily fragmented table
+    // (many pending generations) falls back to a broadcast filename→seq
+    // map scoped to the SELECTED refs only — never the whole table's
+    // file index, so a point lookup broadcasts O(its files), not
+    // O(100k+) rows.
+    def scanWithSeq(pathSeqs: Seq[(String, Long)]): DataFrame = {
+      val paths = pathSeqs.map(_._1)
+      if (!needSeq) spark.read.schema(readSchema).parquet(paths: _*)
       else {
-        val seqDf = spark.createDataFrame(
-          table.store.fileReferences.map(r => (r.filename, r.seq)).distinct)
-          .toDF("__file", "__seq")
-        df.withColumn("__file", regexp_extract(input_file_name(), "[^/]+$", 0))
-          .join(broadcast(seqDf), Seq("__file")).drop("__file")
+        val bySeq = pathSeqs.distinct.groupBy(_._2)
+        if (bySeq.size <= 32)
+          bySeq.toSeq.sortBy(_._1).map { case (s, ps) =>
+            spark.read.schema(readSchema).parquet(ps.map(_._1): _*)
+              .withColumn("__seq", lit(s))
+          }.reduce(_ unionByName _)
+        else {
+          val seqDf = spark.createDataFrame(
+            pathSeqs.map { case (p, s) => (p.substring(p.lastIndexOf('/') + 1), s) }.distinct)
+            .toDF("__file", "__seq")
+          spark.read.schema(readSchema).parquet(paths: _*)
+            .withColumn("__file", regexp_extract(input_file_name(), "[^/]+$", 0))
+            .join(broadcast(seqDf), Seq("__file")).drop("__file")
+        }
       }
+    }
 
     val scans: Seq[DataFrame] = {
       // Fast-path decision is scoped to the SELECTED leaves: only an
@@ -174,13 +194,12 @@ final class QueryExecutor(table: GraftTable) {
         tree.ancestors(l.id).forall(a => !refsByPartition.contains(a.id)))
       if (allOnLeaves) {
         val files = leaves.flatMap(l => refsByPartition.getOrElse(l.id, Nil))
-          .map(table.pathOf).distinct
+          .map(r => (table.pathOf(r), r.seq)).distinct
         if (files.isEmpty) Nil
         // the declared read schema makes columns ADDED after a file was
         // written (schema evolution) decode as nulls instead of failing
         // resolution against that file's narrower footer schema
-        else Seq(withSeq(spark.read.schema(org.apache.spark.sql.types.StructType(schema.toStructType.fields.map(_.copy(nullable = true))))
-          .parquet(files: _*)).filter(regionPredicate(regions)))
+        else Seq(scanWithSeq(files).filter(regionPredicate(regions)))
       } else {
         // Refs still sit on ancestors (pre-split): ONE scan of every
         // selected file, clipped to rows whose leaf (computed by the
@@ -192,9 +211,9 @@ final class QueryExecutor(table: GraftTable) {
         val files = leaves.flatMap { leaf =>
           (refsByPartition.getOrElse(leaf.id, Nil) ++
             tree.ancestors(leaf.id).flatMap(a => refsByPartition.getOrElse(a.id, Nil)))
-        }.map(table.pathOf).distinct
+        }.map(r => (table.pathOf(r), r.seq)).distinct
         if (files.isEmpty) Nil
-        else Seq(withSeq(spark.read.schema(org.apache.spark.sql.types.StructType(schema.toStructType.fields.map(_.copy(nullable = true)))).parquet(files: _*))
+        else Seq(scanWithSeq(files)
           .filter(tree.leafIdColumn.isin(leaves.map(_.id): _*) && regionPredicate(regions)))
       }
     }

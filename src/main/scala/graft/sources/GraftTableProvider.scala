@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, V1Write, WriteBuilder}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter, InsertableRelation}
@@ -63,7 +63,9 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 }
 
-final class GraftBatchTable(dir: String) extends Table with SupportsRead with SupportsWrite {
+final class GraftBatchTable(dir: String) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   // Snapshot the state store once per table resolution.
   private[sources] val store = JsonStateStore.load(s"$dir/meta")
@@ -109,6 +111,41 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
           }
       }
     }
+
+  /** Metadata-only SQL DELETE: an exact-key WHERE (`k = v`, `k IN
+    * (...)`, OR of key conjunctions) becomes row-key tombstones directly
+    * — m13 semantics, zero scan, zero data rewrite, on ANY table
+    * (deleting by key is exactly what such a WHERE asks for).
+    */
+  override def canDeleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Boolean =
+    GraftRowLevelOps.keyTuples(store.schema, predicates).isDefined
+
+  override def deleteWhere(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    val tuples = GraftRowLevelOps.keyTuples(store.schema, predicates).getOrElse(
+      throw new UnsupportedOperationException(
+        s"DELETE predicates ${predicates.mkString(", ")} are not an exact-key shape"))
+    val spark = org.apache.spark.sql.SparkSession.active
+    val keySt = GraftRowLevelOps.keyStruct(store.schema)
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](tuples.size)
+    tuples.foreach(t => rows.add(org.apache.spark.sql.Row.fromSeq(t)))
+    graft.table.GraftTable.load(spark, dir).deleteKeys(spark.createDataFrame(rows, keySt))
+  }
+
+  /** Scan-based SQL DELETE / UPDATE / MERGE INTO — merge-on-read
+    * deltas landing as one atomic tombstones+puts commit (see
+    * [[GraftRowLevelOps]]). Requires one-row-per-key tables.
+    */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    // NO capability gate here: Spark rewrites every DELETE through this
+    // builder at analysis time and only later optimizes exact-key
+    // shapes into the metadata-only path; the one-row-per-key gate
+    // fires in newWriteBuilder, reached only by genuinely scan-based DML
+    val fresh = JsonStateStore.load(s"$dir/meta")
+    () => new GraftRowLevelOperation(dir, fresh.schema, fresh.aggregationConfig, info.command)
+  }
 }
 
 /** A pushed comparison on an integral column, evaluable against a
@@ -124,10 +161,30 @@ final case class StatsPred(field: String, op: String, values: Seq[Any],
     if (isString) KeyOrdering.compareUtf8(a.asInstanceOf[String], b.asInstanceOf[String])
     else java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
 
+  private def utf8(s: Any): Array[Byte] =
+    s.asInstanceOf[String].getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def cmpBytes(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Could any row of a file with these stats satisfy the predicate?
     * `cnt == 0` (all null) fails every comparison — SQL comparisons
     * with NULL are never true. String comparisons use UTF-8 binary
     * order, the order of both Spark's UTF8String and the stats writer.
+    *
+    * `prefix` (a pushed `col LIKE 'x%'`): strings starting with p form
+    * the range [p, succ(p)) in byte order, so the file may qualify iff
+    * max >= p and min < succ(p); the succ comparison is done without
+    * materializing succ (which need not be valid UTF-8) — min < succ(p)
+    * ⟺ min's first |p| bytes compare <= p.
     */
   def maySatisfy(cnt: Long, min: Any, max: Any): Boolean =
     if (cnt == 0) false
@@ -138,6 +195,11 @@ final case class StatsPred(field: String, op: String, values: Seq[Any],
       case "<=" => cmp(min, values.head) <= 0
       case "="  => cmp(min, values.head) <= 0 && cmp(values.head, max) <= 0
       case "in" => values.exists(v => cmp(min, v) <= 0 && cmp(v, max) <= 0)
+      case "prefix" =>
+        val p = utf8(values.head)
+        val mn = utf8(min)
+        cmpBytes(utf8(max), p) >= 0 &&
+          cmpBytes(java.util.Arrays.copyOf(mn, math.min(mn.length, p.length)), p) <= 0
     }
 }
 
@@ -203,6 +265,8 @@ object StatsPred {
           if (ls.forall(_.isDefined)) Some(StatsPred(a, "in", ls.map(_.get), isString = false))
           else None
         } else None
+      case sources.StringStartsWith(a, p) if string(a) && p.nonEmpty =>
+        Some(StatsPred(a, "prefix", Seq(p), isString = true))
       case _ => None
     }
   }
@@ -218,6 +282,7 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
   private var required: StructType = schema.toStructType
   private var pushedLimit: Option[Int] = None
   private var pushedLimitLast: Boolean = false
+  private var pushedMixedDirs: Seq[Boolean] = Nil
   private var statsPreds: Seq[StatsPred] = Nil
   private var bloomPreds: Seq[(String, Seq[Long])] = Nil
 
@@ -237,29 +302,44 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
     * (row keys, sort keys) ASC NULLS FIRST, so when the requested order
     * is a prefix of that, a partition's top-n is literally its first n
     * rows — `ORDER BY key LIMIT n` on a 100-TB table reads n rows per
-    * leaf instead of everything. Any other ordering declines the push.
+    * leaf instead of everything; all-DESC is the exact reverse (last n
+    * rows, the ring buffer). MIXED directions over the key prefix
+    * (`ORDER BY k1 ASC, k2 DESC LIMIT n`) push too when the leading
+    * column is ASC: the merge reader walks ASC-prefix groups with a
+    * bounded per-group heap and stops once n rows closed — see
+    * RunSpec.mixedDirs. Anything else declines.
     */
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
     val keyNames = schema.keyNames
-    def prefixOf(dir: SortDirection, nulls: NullOrdering): Boolean =
-      orders.nonEmpty && orders.length <= keyNames.length &&
-        orders.zipWithIndex.forall { case (o, i) =>
+    // per-column direction matched to the key prefix; Some(true)=ASC
+    // NULLS FIRST (storage order), Some(false)=DESC NULLS LAST (its
+    // exact reverse) — Spark's defaults; anything else unsupported
+    val parsed: Option[Seq[Boolean]] =
+      if (orders.isEmpty || orders.length > keyNames.length) None
+      else {
+        val ds = orders.toSeq.zipWithIndex.map { case (o, i) =>
           o.expression() match {
-            case ref: org.apache.spark.sql.connector.expressions.NamedReference =>
-              ref.fieldNames.length == 1 && ref.fieldNames.head == keyNames(i) &&
-                o.direction() == dir && o.nullOrdering() == nulls
-            case _ => false
+            case ref: org.apache.spark.sql.connector.expressions.NamedReference
+                if ref.fieldNames.length == 1 && ref.fieldNames.head == keyNames(i) =>
+              if (o.direction() == SortDirection.ASCENDING &&
+                  o.nullOrdering() == NullOrdering.NULLS_FIRST) Some(true)
+              else if (o.direction() == SortDirection.DESCENDING &&
+                  o.nullOrdering() == NullOrdering.NULLS_LAST) Some(false)
+              else None
+            case _ => None
           }
         }
-    if (prefixOf(SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)) {
-      pushedLimit = Some(limit); true
-    } else if (prefixOf(SortDirection.DESCENDING, NullOrdering.NULLS_LAST)) {
-      // DESC NULLS LAST is the exact REVERSE of the storage order, so a
-      // partition's DESC top-n is its LAST n rows — `ORDER BY key DESC
-      // LIMIT n` ("the latest keys") reads n candidate rows per leaf
-      // instead of everything; Spark's global sort finishes above.
-      pushedLimit = Some(limit); pushedLimitLast = true; true
-    } else false
+        if (ds.forall(_.isDefined)) Some(ds.map(_.get)) else None
+      }
+    parsed match {
+      case Some(ds) if ds.forall(identity) =>
+        pushedLimit = Some(limit); true
+      case Some(ds) if !ds.exists(identity) =>
+        pushedLimit = Some(limit); pushedLimitLast = true; true
+      case Some(ds) if ds.head =>
+        pushedLimit = Some(limit); pushedMixedDirs = ds; true
+      case _ => false // leading-DESC mixed: groups would arrive in the wrong order
+    }
   }
   private var pushedAgg: Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = None
 
@@ -444,7 +524,7 @@ final class GraftScanBuilder(dir: String, store: JsonStateStore)
     case Some(values) => new GraftMetaAggScan(dir, values)
     case None =>
       new GraftScan(dir, store, regions, required, pushedLimit, statsPreds, pushedLimitLast,
-        bloomPreds)
+        bloomPreds, pushedMixedDirs)
   }
 }
 
@@ -480,7 +560,8 @@ final case class GraftMetaAggPartition(values: Seq[Any]) extends InputPartition
 final class GraftScan(dir: String, store: JsonStateStore,
     initialRegions: Seq[Region], required: StructType, limit: Option[Int] = None,
     statsPreds: Seq[StatsPred] = Nil, limitLast: Boolean = false,
-    bloomPreds: Seq[(String, Seq[Long])] = Nil)
+    bloomPreds: Seq[(String, Seq[Long])] = Nil,
+    mixedDirs: Seq[Boolean] = Nil)
   extends Scan with Batch with SupportsReportOrdering with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -567,7 +648,9 @@ final class GraftScan(dir: String, store: JsonStateStore,
   override def description(): String = {
     val leafCount = planSpecs.length
     s"GraftScan ${dir} leaves=$leafCount regions=${regions.size}" +
-      limit.map(l => s" perPartitionLimit=$l${if (limitLast) " desc" else ""}").getOrElse("") +
+      limit.map(l => s" perPartitionLimit=$l${if (limitLast) " desc"
+        else if (mixedDirs.nonEmpty) mixedDirs.map(d => if (d) "asc" else "desc")
+          .mkString(" mixed=", ",", "") else ""}").getOrElse("") +
       (if (statsPreds.nonEmpty) s" statsSkippedFiles=$statsSkippedFiles" else "") +
       (if (bloomPreds.nonEmpty) s" bloomSkippedFiles=$bloomSkippedFiles" else "")
   }
@@ -717,11 +800,17 @@ final class GraftScan(dir: String, store: JsonStateStore,
           limit = limit, limitLast = limitLast,
           tombstonePaths = tombPaths,
           pathSeqs = pathsWithSeq.map(_._2),
-          tombstoneSeqs = tombsWithSeq.map(_._2))
+          tombstoneSeqs = tombsWithSeq.map(_._2),
+          mixedDirs = mixedDirs)
         // a DESC TopN needs the merge reader's last-n ring buffer; the
         // native batch reader can only truncate from the FRONT. Pending
-        // tombstones force the merge reader too (the anti-join runs there).
-        val singleLocal = !limitLast && tombPaths.isEmpty &&
+        // tombstones are fine — the columnar reader applies the sorted
+        // marker anti-join batch-wise (pass-through when a batch's key
+        // range holds no marker) — but only when the projection carries
+        // every row key; otherwise the row merge reader (which reads
+        // keys internally) takes over.
+        val singleLocal = !limitLast && mixedDirs.isEmpty &&
+          (tombPaths.isEmpty || schema.rowKeyNames.forall(outputNames.contains)) &&
           refs.size == 1 && refs.head.partitionId == leaf.id &&
           refs.head.physicalPartitionId == leaf.id && refs.head.rowCount <= Int.MaxValue
         Some(LeafScan(spec, singleLocal))
@@ -766,6 +855,9 @@ final class GraftScan(dir: String, store: JsonStateStore,
   override def outputOrdering(): Array[SortOrder] = {
     val outNames = required.fields.map(_.name)
     val keyNames = schema.keyNames
+    // mixed-TopN candidates emit in group/heap order, NOT storage order
+    // — declaring an ordering would let Spark elide the finishing sort
+    if (mixedDirs.nonEmpty) return Array.empty
     if (keyNames.forall(outNames.contains))
       keyNames.map(k => Expressions.sort(Expressions.column(k),
         SortDirection.ASCENDING, NullOrdering.NULLS_FIRST)).toArray
@@ -818,6 +910,7 @@ final class GraftReaderFactory(confW: graft.meta.SerializableHadoopConf)
 
   private def nativeColumnarReader(spec: RunSpec)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    import org.apache.spark.sql.vectorized.ColumnarBatch
     val pred = SortedRun.queryPredicate(spec.queryRegions, spec.schema.keyFields)
     val (vec, perm) = org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedBridge
       .open(spec.paths.head,
@@ -826,26 +919,99 @@ final class GraftReaderFactory(confW: graft.meta.SerializableHadoopConf)
           org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)
         }),
         pred, capacity = 4096, conf = confW.value)
-    new PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+    val fileSeq =
+      if (spec.pathSeqs.size == spec.paths.size) spec.pathSeqs.head else 0L
+    val tombOpt = SortedRun.tombstoneKeyIterator(spec, fileSeq, confW.value)
+    new PartitionReader[ColumnarBatch] {
       // honor the pushed per-partition LIMIT/TopN cap here too — without
       // it, exactly the advertised steady state (compacted leaves) would
       // read whole files; the last batch is truncated via setNumRows
       private var remaining: Long = spec.limit.map(_.toLong).getOrElse(Long.MaxValue)
+
+      // ---- sorted-marker anti-join state (pending deleteKeys) ----
+      // Rows in every batch and the merged marker stream are both key-
+      // ascending, so the join is a cursor walk: a batch whose key range
+      // holds no marker passes through UNTOUCHED (zero copy — the
+      // common case: markers are a takedown-sized set), and only
+      // marker-overlapping batches repack their surviving rows.
+      private val tombs = tombOpt.map(_._1).orNull
+      private val keyOrds = spec.schema.rowKeys
+        .map(f => spec.output.indexOf(f.name)).toArray
+      private val keyTypes = spec.schema.rowKeys.map(_.dataType).toArray
+      private var curTomb: org.apache.spark.sql.catalyst.InternalRow =
+        if (tombs != null && tombs.hasNext) tombs.next() else null
+      private def cmpRowTomb(r: org.apache.spark.sql.catalyst.InternalRow,
+          t: org.apache.spark.sql.catalyst.InternalRow): Int = {
+        var i = 0
+        while (i < keyTypes.length) {
+          val c = graft.exec.SortedRunAccess.compareInternal(keyTypes(i),
+            r.get(keyOrds(i), keyTypes(i)), t.get(i, keyTypes(i)))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+      private lazy val packSchema = StructType(spec.output.map { n =>
+        val f = spec.schema.field(n)
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)
+      })
+      private lazy val packer = new org.apache.spark.sql.execution.GraftRowPacker(packSchema)
+      private lazy val packVectors = org.apache.spark.sql.execution.vectorized
+        .OnHeapColumnVector.allocateColumns(4096, packSchema)
+      private lazy val packBatch = new ColumnarBatch(
+        packVectors.map(v => v: org.apache.spark.sql.vectorized.ColumnVector), 0)
+
+      private def antiJoin(b: ColumnarBatch): ColumnarBatch = {
+        if (curTomb == null || b.numRows == 0) return b
+        // markers entirely below this batch can never match again
+        val first = b.getRow(0)
+        while (curTomb != null && cmpRowTomb(first, curTomb) > 0)
+          curTomb = if (tombs.hasNext) tombs.next() else null
+        if (curTomb == null || cmpRowTomb(b.getRow(b.numRows - 1), curTomb) < 0)
+          return b // whole batch below the next marker: pass through
+        packVectors.foreach(_.reset())
+        var n = 0
+        val it = b.rowIterator()
+        while (it.hasNext) {
+          val r = it.next()
+          var dropped = false
+          var decided = false
+          while (!decided) {
+            if (curTomb == null) decided = true
+            else {
+              val c = cmpRowTomb(r, curTomb)
+              if (c > 0) curTomb = if (tombs.hasNext) tombs.next() else null
+              else { dropped = c == 0; decided = true }
+            }
+          }
+          if (!dropped) {
+            packer.pack(r, packVectors.asInstanceOf[Array[
+              org.apache.spark.sql.execution.vectorized.WritableColumnVector]])
+            n += 1
+          }
+        }
+        packBatch.setNumRows(n)
+        packBatch
+      }
+
       override def next(): Boolean = remaining > 0 && vec.nextKeyValue()
-      override def get(): org.apache.spark.sql.vectorized.ColumnarBatch = {
-        val raw = vec.getCurrentValue.asInstanceOf[org.apache.spark.sql.vectorized.ColumnarBatch]
+      override def get(): ColumnarBatch = {
+        val raw = vec.getCurrentValue.asInstanceOf[ColumnarBatch]
         // restore the requested column order when evolved columns were
         // appended by the reader's partition-column seam
-        val b = perm match {
+        val ordered = perm match {
           case None => raw
-          case Some(p) => new org.apache.spark.sql.vectorized.ColumnarBatch(
-            p.map(i => raw.column(i)), raw.numRows())
+          case Some(p) => new ColumnarBatch(p.map(i => raw.column(i)), raw.numRows())
         }
+        val b = antiJoin(ordered)
         if (b.numRows > remaining) b.setNumRows(remaining.toInt)
         remaining -= b.numRows
         b
       }
-      override def close(): Unit = vec.close()
+      override def close(): Unit = {
+        vec.close()
+        tombOpt.foreach(_._2())
+      }
     }
   }
 

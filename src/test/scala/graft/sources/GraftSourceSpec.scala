@@ -323,6 +323,34 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(topnC.select("key").as[String].collect().toSeq == Seq("a", "b"))
   }
 
+  test("mixed ASC,DESC TopN pushes the bounded per-group walk") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
+    table.ingest(batch(
+      ("a", 1L, 10L, Map.empty[String, Long]), ("a", 3L, 30L, Map.empty[String, Long]),
+      ("b", 1L, 1L, Map.empty[String, Long]), ("n", 2L, 2L, Map.empty[String, Long])))
+    table.ingest(batch(
+      ("a", 2L, 20L, Map.empty[String, Long]), ("b", 5L, 5L, Map.empty[String, Long]),
+      ("z", 9L, 9L, Map.empty[String, Long])))
+    val df = spark.read.format("graft").load(dir)
+    def scanDesc(d: org.apache.spark.sql.DataFrame): String =
+      d.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+    val m3 = df.orderBy($"key".asc, $"ts".desc).limit(3)
+    assert(scanDesc(m3).contains("perPartitionLimit=3 mixed=asc,desc"),
+      s"mixed TopN must push: ${scanDesc(m3)}")
+    assert(m3.select("key", "ts").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 3L), ("a", 2L), ("a", 1L)), "newest-first within the first key")
+    // crossing a group boundary pulls the next key's newest rows
+    val m5 = df.orderBy($"key".asc, $"ts".desc).limit(5)
+    assert(m5.select("key", "ts").as[(String, Long)].collect().toSeq ==
+      Seq(("a", 3L), ("a", 2L), ("a", 1L), ("b", 5L), ("b", 1L)))
+    // and the full-table read is unaffected
+    assert(df.count() == 7)
+  }
+
   test("COUNT/MIN/MAX push to metadata (sketch sidecars) in one query") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))

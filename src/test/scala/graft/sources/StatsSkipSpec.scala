@@ -80,11 +80,48 @@ class StatsSkipSpec extends AnyFunSuite {
     assert(rng.select("id").as[Long].collect().toSet == (2L until 30L by 3L).toSet)
     assert(skipped(rng) == 2)
 
-    // StartsWith is not a supported comparison — no skipping engages
-    val sw = spark.read.format("graft").load(dir).filter($"s".startsWith("b"))
-    assert(sw.select("id").as[Long].collect().toSet == (1L until 30L by 3L).toSet)
-    assert(!scanDesc(sw).contains("statsSkippedFiles"),
+    // EndsWith cannot map to a min/max range — no skipping engages
+    val ew = spark.read.format("graft").load(dir).filter($"s".endsWith("1"))
+    assert(ew.select("id").as[Long].collect().toSet ==
+      (0L until 30L).filter(i => i.toString.endsWith("1")).toSet)
+    assert(!scanDesc(ew).contains("statsSkippedFiles"),
       "unsupported predicate shape must not engage stats skipping")
+  }
+
+  test("pushed startsWith skips via the [prefix, succ(prefix)) range") {
+    val (dir, _) = seeded()
+    // files carry s ranges [a0,a9...], [b1,...], [c2,...]
+    val df = spark.read.format("graft").load(dir).filter($"s".startsWith("b"))
+    assert(df.select("id").as[Long].collect().toSet == (1L until 30L by 3L).toSet)
+    assert(skipped(df) == 2, "the a* and c* files must skip on prefix 'b'")
+    // a prefix between two files' ranges skips everything
+    val none = spark.read.format("graft").load(dir).filter($"s".startsWith("bz"))
+    assert(none.count() == 0)
+    assert(skipped(none) == 3)
+    // a prefix that is a prefix OF the min still keeps the file
+    val keep = spark.read.format("graft").load(dir).filter($"s".startsWith("a"))
+    assert(keep.select("id").as[Long].collect().toSet == (0L until 30L by 3L).toSet)
+    assert(skipped(keep) == 2)
+  }
+
+  test("prefix maySatisfy handles multi-byte UTF-8 and boundary cases") {
+    def p(prefix: String) = StatsPred("s", "prefix", Seq(prefix), isString = true)
+    // range entirely below the prefix
+    assert(!p("b").maySatisfy(5, "a0", "a9"))
+    // range entirely above (min's first byte > prefix byte)
+    assert(!p("b").maySatisfy(5, "c0", "c9"))
+    // straddling range keeps
+    assert(p("b").maySatisfy(5, "a0", "c9"))
+    // min IS a prefix of the probe: min < succ, keep
+    assert(p("ab").maySatisfy(5, "a", "zz"))
+    // exact bounds: file [b, b] matches prefix "b"
+    assert(p("b").maySatisfy(5, "b", "b"))
+    // multi-byte: CJK range vs ASCII prefix and vice versa
+    assert(!p("z").maySatisfy(5, "一", "鿿"))
+    assert(p("中").maySatisfy(5, "中文", "中文z"))
+    assert(!p("中").maySatisfy(5, "丮", "丯"))
+    // all-null file never qualifies
+    assert(!p("b").maySatisfy(0, "a", "z"))
   }
 
   test("skipping composes with key-region pruning") {

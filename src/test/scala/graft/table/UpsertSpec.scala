@@ -53,6 +53,31 @@ class UpsertSpec extends AnyFunSuite {
     assert(table.store.fileReferences.forall(_.seq > 0L))
   }
 
+  test("LWW read attaches seq as a file-constant column: no join in the plan") {
+    val dir = tmp()
+    val table = lwwTable(dir)
+    table.ingest((0L until 100L).map(i => (i, i)).toDF("id", "v"))
+    table.ingest((0L until 100L by 2).map(i => (i, i + 1000L)).toDF("id", "v"))
+    val plan = table.toDF.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"),
+      s"few-generation LWW scan must not join a filename→seq map:\n$plan")
+    // and the result is still LWW-correct
+    val got = table.toDF.select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got == (0L until 100L).map(i =>
+      i -> (if (i % 2 == 0) i + 1000L else i)).toMap)
+  }
+
+  test("many pending generations fall back to the scoped broadcast map, same answer") {
+    val dir = tmp()
+    val table = lwwTable(dir, splitPoints = Nil)
+    (1L to 35L).foreach(g => table.ingest(Seq((1L, g), (2L, g * 10)).toDF("id", "v")))
+    val plan = table.toDF.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("broadcast"),
+      s">32 generations should take the broadcast fallback:\n$plan")
+    val got = table.toDF.select("id", "v").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 35L, 2L -> 350L))
+  }
+
   test("an update ingested AFTER a compaction still wins (output seq = max inputs)") {
     val dir = tmp()
     val table = lwwTable(dir)
