@@ -13,12 +13,13 @@ from .client import GraftClient, QueryResult
 from .ingest import IngestJob, IngestJobSender
 from .ingest_batcher import IngestBatcher
 from .merge import MergeJob, MergeJobSender
+from .admin import DeleteJob, AdminClient
 from .bulk_export import BulkExportQuery, BulkExportResult, BulkExportSender
 from .web_socket_query import (WebSocketQueryProcessor, WebSocketResultsServer,
                                fold_batches)
 
 __all__ = ["Range", "Region", "Query", "GraftClient", "QueryResult",
            "IngestJob", "IngestJobSender", "IngestBatcher",
-           "MergeJob", "MergeJobSender",
+           "MergeJob", "MergeJobSender", "DeleteJob", "AdminClient",
            "BulkExportQuery", "BulkExportResult", "BulkExportSender",
            "WebSocketQueryProcessor", "WebSocketResultsServer", "fold_batches"]

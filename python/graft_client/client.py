@@ -82,9 +82,11 @@ class GraftClient:
         cmd += [self.jar] + list(args)
         return subprocess.run(cmd, capture_output=True, text=True)
 
-    def run_query(self, query: Query, out_dir=None):
+    def run_query(self, query: Query, out_dir=None, as_of_version=None):
         """Execute a query; returns a QueryResult (parquet under
-        `<out_dir>/<queryId>/`, status from `<queryId>.status.json`)."""
+        `<out_dir>/<queryId>/`, status from `<queryId>.status.json`).
+        `as_of_version` time-travels the read to a captured state-store
+        version (see AdminClient.table_version)."""
         out_dir = out_dir or tempfile.mkdtemp(prefix="graft-query-")
         qfile = os.path.join(out_dir, f".{query.query_id}.query.json")
         with open(qfile, "w") as f:
@@ -92,6 +94,8 @@ class GraftClient:
         args = [self.table_dir, "@" + qfile, out_dir]
         if self.tracker_dir:
             args.append(self.tracker_dir)
+        if as_of_version is not None:
+            args.append(f"--as-of={int(as_of_version)}")
         proc = self._submit("graft.query.QueryRunner", args)
         status_file = os.path.join(out_dir, f"{query.query_id}.status.json")
         if os.path.exists(status_file):
@@ -103,10 +107,17 @@ class GraftClient:
                       "error": (proc.stderr or "")[-2000:]}
         return QueryResult(status, os.path.join(out_dir, query.query_id))
 
-    def exact_key_query(self, keys, query_id=None, requested_value_fields=None):
+    def exact_key_query(self, keys, query_id=None, requested_value_fields=None,
+                        as_of_version=None):
         """keys: list of {field: value} dicts, e.g. [{"k": 7}, {"k": 33}]."""
         return self.run_query(Query(query_id=query_id, keys=keys,
-                                    requested_value_fields=requested_value_fields))
+                                    requested_value_fields=requested_value_fields),
+                              as_of_version=as_of_version)
+
+    def admin(self):
+        """Admin surface: delete_keys / table_version / clone_at."""
+        from .admin import AdminClient
+        return AdminClient(self)
 
     def range_key_query(self, regions, query_id=None, requested_value_fields=None):
         """regions: list of Region (or raw {field: {min/max...}} dicts)."""

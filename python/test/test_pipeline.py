@@ -164,3 +164,51 @@ def test_merge_cdc_batch_exactly_once(lww_client):
     assert again["state"] == "DUPLICATE", again
     res2 = lww_client.exact_key_query([{"k": 7}], query_id="py-merged-2")
     assert res2.completed and res2.row_count == 1
+
+
+def test_admin_delete_time_travel_clone(lww_client):
+    """Admin surface round-trip: capture a version, delete keys
+    (exactly-once tombstones), time-travel a query to the pre-delete
+    version, and clone the table at that version into an independent
+    directory."""
+    from graft_client import DeleteJob, GraftClient
+
+    admin = lww_client.admin()
+    v_before = admin.table_version()
+    assert isinstance(v_before, int) and v_before >= 1
+
+    # inline-key delete: generation-aware tombstones, no data rewrite
+    status = admin.delete_keys(DeleteJob(keys=[2, 3], job_id="py-del-1"))
+    assert status["state"] == "COMMITTED", status
+    assert status["deleteKeys"] == 2
+
+    res = lww_client.exact_key_query(
+        [{"k": 2}, {"k": 3}, {"k": 4}], query_id="py-del-check")
+    assert res.completed, res
+    got = {r["k"]: r["v"] for r in res.rows()}
+    assert got == {4: 40}, got  # 2 and 3 gone, 4 untouched
+
+    # exactly-once: resubmitting the job id is a recorded no-op
+    again = admin.delete_keys(DeleteJob(keys=[2, 3], job_id="py-del-1"))
+    assert again["state"] == "DUPLICATE", again
+
+    # time travel: the pre-delete version still shows the keys
+    old = lww_client.exact_key_query(
+        [{"k": 2}, {"k": 3}], query_id="py-asof", as_of_version=v_before)
+    assert old.completed, old
+    assert {r["k"]: r["v"] for r in old.rows()} == {2: 20, 3: 30}
+
+    # clone at the pre-delete version: an independent table with the keys
+    clone_dir = tempfile.mkdtemp(prefix="graft-pyclone-") + "/t"
+    st = admin.clone_at(clone_dir, v_before)
+    assert st["state"] == "OK", st
+    clone = GraftClient(clone_dir, jar=JAR, spark_submit=SPARK_SUBMIT,
+                        master="local[4]")
+    cres = clone.exact_key_query([{"k": 2}, {"k": 3}], query_id="py-clone-q")
+    assert cres.completed, cres
+    assert {r["k"]: r["v"] for r in cres.rows()} == {2: 20, 3: 30}
+    # and the clone is independent: deleting there leaves the source alone
+    cstatus = clone.admin().delete_keys(DeleteJob(keys=[4], job_id="py-del-clone"))
+    assert cstatus["state"] == "COMMITTED", cstatus
+    src4 = lww_client.exact_key_query([{"k": 4}], query_id="py-src-4")
+    assert src4.completed and src4.row_count == 1

@@ -54,9 +54,28 @@ object MakeScaledSf {
       require(fs.rename(part, target), s"rename $part -> $target failed")
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
-    def scaled(df: DataFrame, shifts: Map[String, Long]): DataFrame =
+    def scaled(df: DataFrame, shifts: Map[String, Long],
+        perturbText: Boolean = false): DataFrame =
       (0 until factor).map { i =>
-        shifts.foldLeft(df) { case (d, (c, s)) => d.withColumn(c, col(c) + lit(i * s)) }
+        val shifted = shifts.foldLeft(df) { case (d, (c, s)) =>
+          d.withColumn(c, col(c) + lit(i * s)) }
+        // Text perturbation for the near-dup family (VERDICT r12 #8):
+        // an exact key-shifted COPY of every document makes each base
+        // document near-identical to its N-1 copies, so all-pairs
+        // oracles (n-gram Jaccard, minhash verify) go quadratic in the
+        // factor (DuckDB needed >78 GB for d3 at x10). Prefixing every
+        // word with a copy tag is an INJECTIVE per-copy transform:
+        // within a copy, every pairwise shingle/Jaccard/minhash
+        // relation of the base corpus is preserved EXACTLY (word sets
+        // map 1:1), while across copies word sets are disjoint — zero
+        // similarity. Cluster sizes stay at base-corpus scale (linear
+        // in factor, never x-factor cliques), and the base corpus's own
+        // planted near-dup pairs replicate into each copy as the
+        // bounded known-pair set.
+        if (!perturbText || i == 0) shifted
+        else shifted.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            w => concat(lit(s"c${i}_"), w)), " "))
       }.reduce(_ unionByName _)
 
     // dims: unchanged (each scaled copy of the facts fans into them)
@@ -66,7 +85,8 @@ object MakeScaledSf {
     write(scaled(t("orders"), Map("o_orderkey" -> keyShift)), "orders")
     write(scaled(t("events"),
       Map("event_id" -> keyShift, "user_id" -> 1000000L)), "events")
-    write(scaled(t("documents"), Map("doc_id" -> keyShift)), "documents")
+    write(scaled(t("documents"), Map("doc_id" -> keyShift), perturbText = true),
+      "documents")
     write(scaled(t("embeddings"), Map("vec_id" -> keyShift)), "embeddings")
     println(s"""{"dest":"$dest","factor":$factor}""")
   }

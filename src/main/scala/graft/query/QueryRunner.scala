@@ -35,10 +35,16 @@ object QueryRunner {
     // stand up the endpoint and fold the pushed batches) instead of
     // writing parquet. The status file still lands under <outDir>.
     val wsUrl = args.collectFirst { case a if a.startsWith("--ws=") => a.drop(5) }
+    // --as-of=<version>: run the query against the table AS OF a
+    // state-store version (time travel; capture versions via
+    // `AdminRunner version`). Readable while the snapshot chain retains
+    // the version and GC has not deleted its files.
+    val asOf = args.collectFirst { case a if a.startsWith("--as-of=") => a.drop(8).toLong }
     val positional = args.filterNot(_.startsWith("--"))
     if (positional.length < 3 || positional.length > 4) {
       System.err.println(
-        "usage: QueryRunner <tableDir> <queryJson | @queryJsonFile> <outDir> [trackerDir] [--ws=<url>]")
+        "usage: QueryRunner <tableDir> <queryJson | @queryJsonFile> <outDir> " +
+          "[trackerDir] [--ws=<url>] [--as-of=<version>]")
       return 2
     }
     val Array(tableDir, queryArg, outDir) = positional.take(3)
@@ -52,7 +58,10 @@ object QueryRunner {
       .appName("graft-query-runner")
       .getOrCreate() // master/conf come from spark-submit (or the test session)
 
-    val table = GraftTable.load(spark, tableDir)
+    val table = asOf match {
+      case Some(v) => GraftTable.loadAsOf(spark, tableDir, v)
+      case None => GraftTable.load(spark, tableDir)
+    }
     val q = GraftQuery.fromJson(json, table.schema)
     val queryId = queryIdOf(json)
 
