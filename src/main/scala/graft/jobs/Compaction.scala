@@ -113,31 +113,45 @@ final class Compaction(table: GraftTable,
     * the state store serializes commits via its CAS retry, so
     * concurrency is safe by construction.
     */
-  def runStrategy(strategy: CompactionStrategy, parallelism: Int = 4): Int = {
+  def runStrategy(strategy: CompactionStrategy, parallelism: Int = 4,
+      batchCommits: Boolean = false): Int = {
     table.store.assertWritable()
     val live = table.store.fileReferences
     val jobs = strategy.plan(live.groupBy(_.partitionId))
-    if (jobs.size <= 1 || parallelism <= 1) jobs.foreach(run)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(parallelism, jobs.size))
-      try {
-        val futures = jobs.map(j => pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = { run(j); () }
-        }))
-        // Await EVERY job — jobs touch disjoint file sets, so siblings of
-        // a failed job complete and commit normally (interrupting them
-        // would discard finished merges and strand their temp dirs) —
-        // then propagate the first failure with its ORIGINAL type
-        // (precondition IllegalArgumentExceptions are part of the API
-        // surface).
-        val failures = futures.flatMap { f =>
-          try { f.get(); None }
-          catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) }
-        }
-        failures.headOption.foreach(throw _)
-      } finally pool.shutdown()
-    }
+    // Batched commits (the reference's async committer model): all the
+    // concurrent jobs' AssignJob/ReplaceFiles commits funnel through one
+    // drain thread that folds them into composite log versions — the
+    // CAS round-trip (the bottleneck at high job rates against an
+    // object-store log) is paid per BATCH, not per job.
+    val committer =
+      if (!batchCommits || jobs.size <= 1 || parallelism <= 1) None
+      else table.store match {
+        case s: graft.meta.InMemoryStateStore => Some(new graft.meta.CommitterQueue(s))
+        case _ => None
+      }
+    try {
+      if (jobs.size <= 1 || parallelism <= 1) jobs.foreach(j => run(j, None))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(parallelism, jobs.size))
+        try {
+          val futures = jobs.map(j => pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = { run(j, committer); () }
+          }))
+          // Await EVERY job — jobs touch disjoint file sets, so siblings of
+          // a failed job complete and commit normally (interrupting them
+          // would discard finished merges and strand their temp dirs) —
+          // then propagate the first failure with its ORIGINAL type
+          // (precondition IllegalArgumentExceptions are part of the API
+          // surface).
+          val failures = futures.flatMap { f =>
+            try { f.get(); None }
+            catch { case e: java.util.concurrent.ExecutionException => Some(e.getCause) }
+          }
+          failures.headOption.foreach(throw _)
+        } finally pool.shutdown()
+      }
+    } finally committer.foreach(_.close())
     jobs.size
   }
 
@@ -185,7 +199,10 @@ final class Compaction(table: GraftTable,
     * shape was read → coalesce(1) → sortWithinPartitions — a
     * spill-prone full sort of data that was already sorted.
     */
-  def run(job: CompactionJob): FileReference = {
+  def run(job: CompactionJob): FileReference = run(job, None)
+
+  private def run(job: CompactionJob,
+      committer: Option[graft.meta.CommitterQueue]): FileReference = {
     // Order-sensitive aggregation (`last`, LWW): a partial job may only
     // merge a seq-CONTIGUOUS run of the leaf's files. Merging {oldest,
     // newest} around a skipped middle generation would stamp the output
@@ -209,7 +226,17 @@ final class Compaction(table: GraftTable,
     // the tracker (the reference tracks created jobs that cannot start).
     track(jobId, job.partitionId, job.files.size, CompactionJobState.Created)
     try {
-      table.store.assignJob(jobId, job.partitionId, job.files.map(_.filename))
+      // With a batched committer active (runStrategy's batchCommits),
+      // assignment and commit ride ONE CAS round-trip per batch of
+      // concurrent jobs instead of one per job; individual outcomes
+      // (precondition failures) are preserved, so per-job semantics
+      // don't change.
+      committer match {
+        case Some(q) => q.commit(graft.meta.StateTransaction.AssignJob(
+          jobId, job.partitionId, job.files.map(_.filename).toVector))
+        case None =>
+          table.store.assignJob(jobId, job.partitionId, job.files.map(_.filename))
+      }
       track(jobId, job.partitionId, job.files.size, CompactionJobState.Started)
       val sketchDir = s"${table.dir}/.sketch-$jobId"
       // Tombstones may only be applied+retired by a job covering the
@@ -251,8 +278,13 @@ final class Compaction(table: GraftTable,
       // the output represents data up through its newest input generation
       val output = FileReference(filename, job.partitionId, rowCount,
         seq = job.files.map(_.seq).max)
-      table.store.replaceFiles(job.partitionId, job.files.map(_.filename), output,
-        consumedTombstones = tombs.map(_.filename))
+      committer match {
+        case Some(q) => q.commit(graft.meta.StateTransaction.ReplaceFiles(
+          job.partitionId, job.files.map(_.filename).toVector, Some(output),
+          System.currentTimeMillis(), tombs.map(_.filename).toVector))
+        case None => table.store.replaceFiles(job.partitionId,
+          job.files.map(_.filename), output, consumedTombstones = tombs.map(_.filename))
+      }
       track(jobId, job.partitionId, job.files.size, CompactionJobState.Committed,
         rows = Some(rowCount))
       output

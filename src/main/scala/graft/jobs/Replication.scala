@@ -84,17 +84,23 @@ final class Replication(source: GraftTable, replica: GraftTable) {
         // entirely — the emptiness probe reads only the window's (empty)
         // tombstone manifest list, not data
         val hasDeletes = !dels.isEmpty
+        // order by (version, seq): a batched-committer version can carry
+        // several logical commits; their within-version order rides in
+        // the write-generation seq the manifest records
         val delMax =
           if (!hasDeletes) null
           else dels.groupBy(keys.map(col): _*)
-            .agg(max(col("_commit_version")).as("__delv"))
-        // a put at the marker's own version is a MERGE's put (markers
-        // stamp one generation below) — it survives, hence >=
+            .agg(max(struct(col("_commit_version"), col("_commit_seq"))).as("__del"))
+        // a put at the marker's own (version, seq) is pre-seq-manifest
+        // history (unknown order: keep the put, the old contract); a
+        // MERGE's put stamps one generation ABOVE its markers and a
+        // batch's later commit a higher seq, so both resolve strictly
         val putsLive =
           if (!hasDeletes) puts
           else puts.join(delMax, keys, "left")
-            .filter(col("__delv").isNull || col("_commit_version") >= col("__delv"))
-            .drop("__delv")
+            .filter(col("__del").isNull ||
+              struct(col("_commit_version"), col("_commit_seq")) >= col("__del"))
+            .drop("__del")
         val putsFinal =
           if (!lwwReplica) putsLive
           else {

@@ -88,7 +88,14 @@ class JsonStateStore private (
     version = nextV
     super.commit(txn, next)
     val (dataAdded, tombAdded) = addedRefs(txn)
-    writeDelta(nextV, dataAdded.filterNot(r => prevNames.contains(r.filename)), tombAdded)
+    // the manifest records the seqs AS STAMPED by applyTo (the txn's own
+    // refs may still carry seq=0): resolve against the committed state
+    val seqOf: Map[String, Long] =
+      (next.refs ++ next.tombstones).map(r => r.filename -> r.seq).toMap
+    def stamped(rs: Vector[FileReference]) =
+      rs.map(r => seqOf.get(r.filename).fold(r)(s => r.copy(seq = s)))
+    writeDelta(nextV, stamped(dataAdded.filterNot(r => prevNames.contains(r.filename))),
+      stamped(tombAdded))
     if (nextV % SnapshotInterval == 0) {
       writeSnapshot(nextV, next)
       pruneOldVersions(nextV)
@@ -109,6 +116,12 @@ class JsonStateStore private (
     case StateTransaction.AddTombstones(rs) => (Vector.empty, rs)
     // MERGE INTO: one version adds data files AND delete markers
     case StateTransaction.Merge(adds, tombs, _) => (adds, tombs)
+    // a batched version's manifest is the union of its children's, in
+    // commit order (the refs' seqs keep the within-version ordering)
+    case StateTransaction.Batch(txns) =>
+      txns.map(addedRefs).foldLeft((Vector.empty[FileReference], Vector.empty[FileReference])) {
+        case ((a, t), (a2, t2)) => (a ++ a2, t ++ t2)
+      }
     case _ => (Vector.empty, Vector.empty)
   }
 
@@ -131,7 +144,8 @@ class JsonStateStore private (
       "added" -> JArray(byFile.map(ref => JObject(
         "filename" -> JString(ref.filename),
         "home" -> JString(ref.physicalPartitionId),
-        "dataChange" -> JBool(ref.dataChange))).toList ++
+        "dataChange" -> JBool(ref.dataChange),
+        "seq" -> JInt(ref.seq))).toList ++
         byTomb.map(ref => JObject(
           "filename" -> JString(ref.filename),
           "home" -> JString(ref.physicalPartitionId),
@@ -139,7 +153,8 @@ class JsonStateStore private (
           // the insert feed must both skip it (dataChange=false), while
           // the delete feed selects exactly the tombstone entries
           "dataChange" -> JBool(false),
-          "tombstone" -> JBool(true))).toList))
+          "tombstone" -> JBool(true),
+          "seq" -> JInt(ref.seq))).toList))
     val tmp = new Path(dir, s".delta-v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     writeText(tmp, JsonMethods.compact(JsonMethods.render(json)))
     if (!fs.rename(tmp, new Path(dir, s"delta-v$v.json")))
@@ -397,7 +412,13 @@ object JsonStateStore {
     * entries describe row-key delete files (not table data).
     */
   final case class DeltaEntry(filename: String, home: String,
-      dataChange: Boolean, tombstone: Boolean)
+      dataChange: Boolean, tombstone: Boolean,
+      /** the file's write-generation seq as committed (0 in manifests
+        * from before seqs were recorded): the WITHIN-version commit
+        * order, needed by CDC consumers once batched commits can land
+        * several logical generations in one log version.
+        */
+      seq: Long = 0L)
 
   /** The files added at `version`, from its delta manifest:
     * (filename, home partition dir, dataChange). `None` when the
@@ -426,7 +447,8 @@ object JsonStateStore {
               val dc = f.get("dataChange").collect { case JBool(b) => b }.getOrElse(true)
               // absent in pre-round-12 manifests (none carried tombstones)
               val tomb = f.get("tombstone").collect { case JBool(b) => b }.getOrElse(false)
-              DeltaEntry(str("filename"), str("home"), dc, tomb)
+              val seq = f.get("seq").collect { case JInt(n) => n.toLong }.getOrElse(0L)
+              DeltaEntry(str("filename"), str("home"), dc, tomb, seq)
             }
           }
         case _ => None
@@ -652,12 +674,18 @@ object JsonStateStore {
       "tombs" -> JArray(tombs.map(refToJson).toList),
       "app" -> wm.map(w => JString(w._1)).getOrElse(JNothing),
       "appVersion" -> wm.map(w => JInt(w._2)).getOrElse(JNothing))
+    case StateTransaction.Batch(txns) => JObject(
+      "txn" -> JString("batch"),
+      "txns" -> JArray(txns.map(txnToJson).toList))
     case StateTransaction.Init =>
       throw new IllegalStateException("Init commits as a full snapshot, never a log entry")
   }
 
-  private[meta] def txnFromJson(text: String): StateTransaction = {
-    val m = JsonMethods.parse(text).asInstanceOf[JObject].obj.toMap
+  private[meta] def txnFromJson(text: String): StateTransaction =
+    txnFromJValue(JsonMethods.parse(text))
+
+  private def txnFromJValue(j: JValue): StateTransaction = {
+    val m = j.asInstanceOf[JObject].obj.toMap
     def str(k: String): String = m(k).asInstanceOf[JString].s
     def strs(k: String): Vector[String] =
       m(k).asInstanceOf[JArray].arr.map(_.asInstanceOf[JString].s).toVector
@@ -698,6 +726,9 @@ object JsonStateStore {
           m("adds").asInstanceOf[JArray].arr.map(refFromJson).toVector,
           m("tombs").asInstanceOf[JArray].arr.map(refFromJson).toVector,
           wm)
+      case "batch" =>
+        StateTransaction.Batch(
+          m("txns").asInstanceOf[JArray].arr.map(txnFromJValue).toVector)
       case other => throw new IllegalArgumentException(s"unknown transaction type '$other'")
     }
   }

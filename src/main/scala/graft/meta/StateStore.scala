@@ -250,6 +250,44 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
     Thread.sleep(1L + java.util.concurrent.ThreadLocalRandom.current().nextInt(ceiling))
   }
 
+  /** Validate-and-commit N prepared transactions in ONE log version —
+    * the seam under [[CommitterQueue]] (the reference's batched async
+    * state-store committer). Each transaction validates against the
+    * EVOLVING state in submission order: one that fails its
+    * preconditions (or whose idempotent-txn watermark is already
+    * recorded) is excluded with its individual outcome — exactly the
+    * error it would have gotten serially — and the survivors commit as
+    * a single [[StateTransaction.Batch]], so one CAS round-trip carries
+    * the whole batch. On a lost CAS the store reloads disk truth and
+    * the WHOLE validation re-runs against the rival's state (the serial
+    * retry semantics, amortized over the batch).
+    */
+  private[graft] def commitValidated(reqs: Seq[StateTransaction]): Seq[CommitOutcome] =
+    withRetry { synchronized {
+      assertWritable()
+      var st = currentState
+      val outcomes = new Array[CommitOutcome](reqs.size)
+      val ok = Vector.newBuilder[StateTransaction]
+      reqs.zipWithIndex.foreach { case (t, i) =>
+        val wm = t match {
+          case StateTransaction.AddFiles(_, w) => w
+          case StateTransaction.Merge(_, _, w) => w
+          case _ => None
+        }
+        if (wm.exists { case (app, v) => st.txns.get(app).exists(_ >= v) })
+          outcomes(i) = CommitOutcome.Duplicate
+        else try {
+          st = t.applyTo(st); ok += t; outcomes(i) = CommitOutcome.Committed
+        } catch {
+          case scala.util.control.NonFatal(e) => outcomes(i) = CommitOutcome.Failed(e)
+        }
+      }
+      val batch = ok.result()
+      if (batch.size == 1) runTxn(batch.head)
+      else if (batch.nonEmpty) runTxn(StateTransaction.Batch(batch))
+      outcomes.toSeq
+    }}
+
   override def addFiles(newRefs: Seq[FileReference]): Unit = withRetry { synchronized {
     runTxn(StateTransaction.AddFiles(newRefs.toVector))
   }}

@@ -240,6 +240,29 @@ object StateTransaction {
       AddFiles(adds, watermark).applyTo(AddTombstones(tombs).applyTo(s))
   }
 
+  /** Batch — N independent commits folded into ONE log version (the
+    * reference's batched async state-store committer, reference:
+    * java/statestore-committer-core/src/main/java/sleeper/statestore/committer/StateStoreCommitter.java:
+    * high commit rates are amortized by applying many queued commits
+    * per round-trip to the durable log). `applyTo` folds the children
+    * in submission order over the evolving state, so (a) every child's
+    * preconditions are checked against its true predecessor — a child
+    * conflicting with an earlier sibling fails exactly as it would have
+    * serially — and (b) generation stamping stays correct: each
+    * seq-stamping child (AddFiles/AddTombstones/Merge) draws nextSeq
+    * from the state its predecessors produced, so within-version commit
+    * order is preserved in the refs' seqs. Children are validated
+    * individually BEFORE batching ([[InMemoryStateStore.commitValidated]]);
+    * the composite itself therefore never fails on replay.
+    */
+  final case class Batch(txns: Vector[StateTransaction]) extends StateTransaction {
+    require(txns.nonEmpty, "empty commit batch")
+    require(!txns.exists(t => t.isInstanceOf[Batch] || t == Init),
+      "a batch carries only simple transactions")
+    override def applyTo(s: TableState): TableState =
+      txns.foldLeft(s)((st, t) => t.applyTo(st))
+  }
+
   /** AddColumnTransaction — schema evolution: append one NULLABLE value
     * column (the table schema rides in the partition tree, so this is an
     * O(1) metadata change). Files written before the change simply lack

@@ -21,11 +21,18 @@ import graft.meta.JsonStateStore
   */
 private[table] object ChangeFeed {
 
-  /** (version, filename, home partition dir, isTombstone) for every data
-    * file ingested (dataChange) or tombstone registered in `(from, to]`.
+  /** One changed file in the window: a data file ingested (dataChange)
+    * or a tombstone registered. `seq` is the file's write-generation as
+    * committed — the WITHIN-version commit order, which distinguishes
+    * the logical commits of a batched-committer version (several
+    * generations can share one log version; the version alone cannot
+    * order them).
     */
-  def walk(meta: String, from: Long, to: Long): Seq[(Long, String, String, Boolean)] = {
-    val out = Seq.newBuilder[(Long, String, String, Boolean)]
+  final case class Entry(version: Long, filename: String, home: String,
+      isTombstone: Boolean, seq: Long)
+
+  def walk(meta: String, from: Long, to: Long): Seq[Entry] = {
+    val out = Seq.newBuilder[Entry]
     // fallback snapshot cache: consecutive fallbacks reuse the previous
     // iteration's endpoint
     var cached: (Long, Snap) = null
@@ -38,18 +45,19 @@ private[table] object ChangeFeed {
       JsonStateStore.deltaAddedAt(meta, v) match {
         case Some(entries) =>
           entries.foreach { e =>
-            if (e.tombstone) out += ((v, e.filename, e.home, true))
-            else if (e.dataChange) out += ((v, e.filename, e.home, false))
+            if (e.tombstone) out += Entry(v, e.filename, e.home, true, e.seq)
+            else if (e.dataChange) out += Entry(v, e.filename, e.home, false, e.seq)
           }
         case None =>
           val prev = snapAt(v - 1)
           val cur = loadSnap(meta, v, (from, to))
           cached = (v, cur)
-          cur.files.foreach { case (name, (home, dataChange)) =>
-            if (dataChange && !prev.files.contains(name)) out += ((v, name, home, false))
+          cur.files.foreach { case (name, (home, dataChange, seq)) =>
+            if (dataChange && !prev.files.contains(name))
+              out += Entry(v, name, home, false, seq)
           }
-          cur.tombs.foreach { case (name, home) =>
-            if (!prev.tombs.contains(name)) out += ((v, name, home, true))
+          cur.tombs.foreach { case (name, (home, seq)) =>
+            if (!prev.tombs.contains(name)) out += Entry(v, name, home, true, seq)
           }
       }
       v += 1
@@ -58,16 +66,17 @@ private[table] object ChangeFeed {
   }
 
   private final case class Snap(
-      files: Map[String, (String, Boolean)],
-      tombs: Map[String, String])
+      files: Map[String, (String, Boolean, Long)],
+      tombs: Map[String, (String, Long)])
 
   private def loadSnap(meta: String, v: Long, window: (Long, Long)): Snap =
     if (v <= 0L) Snap(Map.empty, Map.empty)
     else try {
       val st = JsonStateStore.loadAt(meta, v)
       Snap(
-        st.fileReferences.map(r => r.filename -> (r.physicalPartitionId, r.dataChange)).toMap,
-        st.tombstones.map(r => r.filename -> r.physicalPartitionId).toMap)
+        st.fileReferences
+          .map(r => r.filename -> (r.physicalPartitionId, r.dataChange, r.seq)).toMap,
+        st.tombstones.map(r => r.filename -> (r.physicalPartitionId, r.seq)).toMap)
     } catch {
       case e: IllegalStateException => throw new IllegalStateException(
         s"change feed cannot recover: version $v inside the window " +

@@ -261,9 +261,10 @@ final class GraftTable(
     val (stTo, _) = feedWindow(fromVersion, toVersion)
     val files =
       if (fromVersion == 0L)
-        stTo.fileReferences.map(r => (toVersion, r.filename, r.physicalPartitionId)).distinct
+        stTo.fileReferences
+          .map(r => (toVersion, r.filename, r.physicalPartitionId, r.seq)).distinct
       else ChangeFeed.walk(s"$dir/meta", fromVersion, toVersion)
-        .collect { case (v, name, home, false) => (v, name, home) }
+        .collect { case e if !e.isTombstone => (e.version, e.filename, e.home, e.seq) }
     readFeedFiles(files, stTo.schema.toStructType)
   }
 
@@ -281,9 +282,10 @@ final class GraftTable(
       org.apache.spark.sql.types.StructField(f.name, f.dataType, nullable = true)))
     val files =
       if (fromVersion == 0L)
-        stTo.tombstones.map(r => (toVersion, r.filename, r.physicalPartitionId)).distinct
+        stTo.tombstones
+          .map(r => (toVersion, r.filename, r.physicalPartitionId, r.seq)).distinct
       else ChangeFeed.walk(s"$dir/meta", fromVersion, toVersion)
-        .collect { case (v, name, home, true) => (v, name, home) }
+        .collect { case e if e.isTombstone => (e.version, e.filename, e.home, e.seq) }
     readFeedFiles(files, keySt)
   }
 
@@ -295,19 +297,25 @@ final class GraftTable(
     (JsonStateStore.loadAt(meta, to), to)
   }
 
-  /** Read a set of (version, filename, home) files with an explicit
+  /** Read a set of (version, filename, home, seq) files with an explicit
     * schema (older files null-fill evolved columns), appending the
-    * commit version column. One read per distinct version.
+    * commit version and write-generation seq columns — `_commit_seq`
+    * orders the logical commits WITHIN a batched-committer version
+    * (several generations can share one log version). One read per
+    * distinct (version, seq).
     */
-  private def readFeedFiles(files: Seq[(Long, String, String)],
+  private def readFeedFiles(files: Seq[(Long, String, String, Long)],
       st: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.functions.lit
-    val out = st.add("_commit_version", org.apache.spark.sql.types.LongType, false)
+    val out = st
+      .add("_commit_version", org.apache.spark.sql.types.LongType, false)
+      .add("_commit_seq", org.apache.spark.sql.types.LongType, false)
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out)
-    else files.groupBy(_._1).toSeq.sortBy(_._1).map { case (v, fs) =>
+    else files.groupBy(f => (f._1, f._4)).toSeq.sortBy(_._1).map { case ((v, seq), fs) =>
       spark.read.schema(st).parquet(fs.map(f => filePath(f._3, f._2)): _*)
         .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_seq", lit(seq))
     }.reduce(_.unionAll(_))
   }
 

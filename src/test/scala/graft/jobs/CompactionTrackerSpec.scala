@@ -75,4 +75,35 @@ class CompactionTrackerSpec extends AnyFunSuite {
     assert(tracker.all.head.state == CompactionJobState.Failed)
     assert(tracker.all.head.errorMessage.nonEmpty)
   }
+
+  test("batched commits: same table contents, FEWER log versions than jobs") {
+    def mk(): GraftTable = {
+      val t = GraftTable.create(spark, tmp(), schema,
+        splitPoints = (1L until 8L).map(_ * 10L))
+      (0 until 3).foreach { g =>
+        t.ingest((1L to 80L).map(i => (i, i + g)).toDF("k", "v"))
+      }
+      t
+    }
+    def versionOf(t: GraftTable) =
+      t.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+
+    val serial = mk(); val batched = mk()
+    val vS = versionOf(serial); val vB = versionOf(batched)
+    val tracker = new InMemoryCompactionJobTracker
+    val nS = new Compaction(serial, tracker)
+      .runStrategy(BasicCompactionStrategy(), parallelism = 8)
+    val nB = new Compaction(batched, tracker)
+      .runStrategy(BasicCompactionStrategy(), parallelism = 8, batchCommits = true)
+    assert(nS == 8 && nB == 8, "one job per leaf on both paths")
+    // identical results…
+    assert(batched.toDF.orderBy("k").collect().toSeq ==
+      serial.toDF.orderBy("k").collect().toSeq)
+    assert(batched.store.fileReferences.size == 8)
+    // …but the batched run folded its 16 commits (8 assign + 8 replace)
+    // into fewer log versions; serial paid one version per commit
+    assert(versionOf(serial) - vS == 16L)
+    assert(versionOf(batched) - vB < 16L,
+      s"expected batching to fold commits, got ${versionOf(batched) - vB} versions")
+  }
 }

@@ -108,6 +108,29 @@ class ReplicationSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { new Replication(src, dst).runOnce() }
   }
 
+  test("a batched-committer version replicates in within-version commit order") {
+    val src = lww(tmp()); val dst = lww(tmp())
+    src.ingest(Seq((1L, 10L), (2L, 20L)).toDF("id", "v"))
+    new Replication(src, dst).runOnce()
+
+    // three logical commits folded into ONE log version by the batched
+    // committer: put k1=11, THEN delete k1, THEN put k2=22. Version-only
+    // resolution would keep the k1 put (same version as its delete);
+    // the manifest's per-commit seq must order them.
+    val puts1 = new Ingest(src).run(Seq((1L, 11L)).toDF("id", "v"), commit = false)
+    val dels = Tombstones.write(src, Seq(1L).toDF("id"), commit = false)
+    val puts2 = new Ingest(src).run(Seq((2L, 22L)).toDF("id", "v"), commit = false)
+    val out = src.store.asInstanceOf[graft.meta.InMemoryStateStore].commitValidated(Seq(
+      graft.meta.StateTransaction.AddFiles(puts1.toVector),
+      graft.meta.StateTransaction.AddTombstones(dels.toVector),
+      graft.meta.StateTransaction.AddFiles(puts2.toVector)))
+    assert(out.forall(_ == graft.meta.CommitOutcome.Committed))
+    assert(readMap(src) == Map(2L -> 22L), "source resolves the batch by generation")
+
+    assert(new Replication(src, dst).runOnce() == 1L)
+    assert(readMap(dst) == Map(2L -> 22L), "replica applies within-version order")
+  }
+
   test("commutative (sum) replica re-accumulates every window row") {
     val mk = (d: String) => GraftTable.create(spark, d, schema,
       config = TableConfig(aggregationConfig = "sum(v)"))

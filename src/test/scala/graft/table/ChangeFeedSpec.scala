@@ -97,6 +97,30 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(table.deletedKeysBetween(0L, v).count() == 0)
   }
 
+  test("a batched version tags each logical commit's rows with its _commit_seq") {
+    val dir = tmp()
+    val table = GraftTable.create(spark, dir, schema)
+    val v0 = version(table)
+    // two logical ingest commits folded into ONE log version (the
+    // batched committer): the version alone cannot order them — the
+    // manifest's per-file seq must ride into the feed
+    val r1 = new graft.jobs.Ingest(table)
+      .run(Seq((1L, 10L)).toDF("id", "v"), commit = false)
+    val r2 = new graft.jobs.Ingest(table)
+      .run(Seq((2L, 20L)).toDF("id", "v"), commit = false)
+    val out = table.store.asInstanceOf[graft.meta.InMemoryStateStore].commitValidated(Seq(
+      graft.meta.StateTransaction.AddFiles(r1.toVector),
+      graft.meta.StateTransaction.AddFiles(r2.toVector)))
+    assert(out.forall(_ == graft.meta.CommitOutcome.Committed))
+    val v1 = version(table)
+    assert(v1 == v0 + 1)
+    val feed = table.changesBetween(v0, v1)
+      .select("id", "_commit_version", "_commit_seq").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(feed.map(_._2).distinct.toSeq == Seq(v1), "one shared log version")
+    assert(feed(0)._3 < feed(1)._3, "within-version commit order rides in _commit_seq")
+  }
+
   test("files ingested before an addColumn null-fill the evolved column in the feed") {
     val dir = tmp()
     val table = GraftTable.create(spark, dir, schema)
@@ -106,7 +130,8 @@ class ChangeFeedSpec extends AnyFunSuite {
     table.ingest((10L until 20L).map(i => (i, i, i * 2)).toDF("id", "v", "extra"))
     val v2 = version(table)
     val feed = table.changesBetween(v0, v2)
-    assert(feed.columns.toSeq == Seq("id", "v", "extra", "_commit_version"))
+    assert(feed.columns.toSeq ==
+      Seq("id", "v", "extra", "_commit_version", "_commit_seq"))
     assert(feed.filter($"id" < 10L && $"extra".isNull).count() == 10)
     assert(feed.filter($"id" >= 10L).select("extra").as[Long].collect().toSet ==
       (10L until 20L).map(_ * 2).toSet)
