@@ -10,28 +10,67 @@ package graft.meta
   * object-store CAS (the reference's DynamoDB log is inherently
   * multi-writer; this proves the filesystem CAS gives the same guarantee).
   *
-  * Prints "DONE <n>" on success; any lost update surfaces as a missing
-  * reference in the parent's final assertion.
+  * Modes:
+  *  - serial (default): one thread, one CAS round-trip per commit;
+  *  - `--batch=<threads>`: the batched-committer shape — T in-process
+  *    submitters funneling through one [[CommitterQueue]], so each CAS
+  *    round-trip carries a whole batch. Cross-JVM contention still
+  *    arbitrates through the CAS; batching is what keeps the lost-CAS
+  *    retry storms amortized.
+  *
+  * Prints "DONE <n> ELAPSED <ms>" on success; any lost update surfaces
+  * as a missing reference in the parent's final assertion.
   */
 object CasHammer {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val writerId = args(1)
     val commits = args(2).toInt
-    // optional 4th arg: an HTTP claim-service URL — arbitrate through the
-    // remote conditional-put store instead of the filesystem primitive
-    val cas = args.lift(3).map(url => new HttpCas(url))
+    val batchThreads = args.collectFirst {
+      case a if a.startsWith("--batch=") => a.drop(8).toInt
+    }
+    // optional positional 4th arg: an HTTP claim-service URL — arbitrate
+    // through the remote conditional-put store instead of the filesystem
+    val cas = args.drop(3).filterNot(_.startsWith("--")).headOption
+      .map(url => new HttpCas(url))
     val store = JsonStateStore.load(dir, cas = cas)
     val leaf = store.partitionTree.leaves.map(_.id).min
-    var landed = 0
-    while (landed < commits) {
-      try {
-        store.addFiles(Seq(FileReference(s"$writerId-f$landed", leaf, 1)))
-        landed += 1
-      } catch {
-        case _: ConcurrentStateException => () // exhausted one retry budget; go again
-      }
+    val t0 = System.nanoTime()
+    batchThreads match {
+      case None =>
+        var landed = 0
+        while (landed < commits) {
+          try {
+            store.addFiles(Seq(FileReference(s"$writerId-f$landed", leaf, 1)))
+            landed += 1
+          } catch {
+            case _: ConcurrentStateException => () // exhausted one retry budget; go again
+          }
+        }
+      case Some(threads) =>
+        val q = new CommitterQueue(store, maxBatch = 64)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        try {
+          val futures = (0 until commits).map { i =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = {
+                var done = false
+                while (!done) {
+                  q.submit(StateTransaction.AddFiles(
+                      Vector(FileReference(s"$writerId-f$i", leaf, 1)))) match {
+                    case CommitOutcome.Committed => done = true
+                    case CommitOutcome.Failed(_: ConcurrentStateException) => ()
+                    case CommitOutcome.Failed(e) => throw e
+                    case CommitOutcome.Duplicate => done = true // not reachable here
+                  }
+                }
+              }
+            })
+          }
+          futures.foreach(_.get())
+        } finally { pool.shutdown(); q.close() }
     }
-    println(s"DONE $landed")
+    val ms = (System.nanoTime() - t0) / 1000000
+    println(s"DONE $commits ELAPSED $ms")
   }
 }

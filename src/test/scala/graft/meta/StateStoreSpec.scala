@@ -356,6 +356,40 @@ class StateStoreSpec extends AnyFunSuite {
     assert(finalStore.currentVersion == 1 + 3 * perWriter)
   }
 
+  test("cross-process batched committers: three JVMs, zero lost updates, folded versions") {
+    // The reference funnels high commit rates through a batching
+    // committer (statestore-committer-core). Here each of three rival
+    // JVMs batches 8 in-process submitters through its CommitterQueue;
+    // the CAS still arbitrates across processes, but each round-trip
+    // carries a whole batch — versions written must come out well below
+    // one per commit, with every commit durable.
+    val dir = Files.createTempDirectory("graft-xproc-batch").toString
+    JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+    val javaBin = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val perWriter = 170
+    val procs = (0 until 3).map { w =>
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.meta.CasHammer",
+          dir, s"b$w", perWriter.toString, "--batch=8")
+        .redirectErrorStream(true).start()
+    }
+    procs.zipWithIndex.foreach { case (p, w) =>
+      val out = new String(p.getInputStream.readAllBytes())
+      assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), s"writer $w did not finish")
+      assert(p.exitValue() == 0, s"writer $w failed:\n$out")
+      assert(out.contains(s"DONE $perWriter"), s"writer $w incomplete:\n$out")
+    }
+    val finalStore = JsonStateStore.load(dir)
+    val names = finalStore.fileReferences.map(_.filename).toSet
+    val expected = (for (w <- 0 until 3; i <- 0 until perWriter) yield s"b$w-f$i").toSet
+    assert(names == expected, s"lost updates: ${(expected -- names).take(5)}...")
+    val versions = finalStore.currentVersion - 1
+    assert(versions < 3 * perWriter / 2,
+      s"expected batching to fold commits: $versions versions for ${3 * perWriter} commits")
+    // every commit is its own generation even inside a batched version
+    assert(finalStore.fileReferences.map(_.seq).distinct.size == 3 * perWriter)
+  }
+
   test("readers are not blocked while a writer waits out an unreadable rival snapshot") {
     // Reserve the next version name with an EMPTY file (a crashed
     // fallback writer's husk). The next commit loses its CAS and must
