@@ -564,6 +564,60 @@ object BenchScale {
       graft.meta.GraftFS.deleteRecursive(edir)
     }
 
+    // -- state-store commit throughput: serial vs batched committer ----
+    // Metadata-only (no data files): 8 concurrent writers landing 800
+    // commits against one durable log. The serial path pays one CAS
+    // publish per commit; the batched committer folds whole queues into
+    // composite versions. On local fs the publish is ~ms, so the local
+    // ratio UNDERSTATES the object-store gain (where a conditional put
+    // is ~10ms and serial tops out near 100 commits/s regardless of
+    // writer count).
+    if (pass == 1) {
+      import graft.meta.{CommitterQueue, CommitOutcome, ConcurrentStateException,
+        FileReference, JsonStateStore, StateTransaction}
+      val nCommits = 800
+      val threads = 8
+      def commitStore() = JsonStateStore.create(
+        java.nio.file.Files.createTempDirectory("graft-bench-commit").toString,
+        schema, graft.core.PartitionTree.fromSplitPoints(schema, Nil))
+      def hammer(body: Int => Unit): Unit = {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+        try {
+          val fs = (0 until nCommits).map(i =>
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = body(i)
+            }))
+          fs.foreach(_.get())
+        } finally pool.shutdown()
+      }
+      val s1 = commitStore()
+      val leaf1 = s1.partitionTree.leaves.head.id
+      timed("commit_serial", nCommits) {
+        hammer { i =>
+          var done = false
+          while (!done) {
+            try { s1.addFiles(Seq(FileReference(s"s-$i", leaf1, 1))); done = true }
+            catch { case _: ConcurrentStateException => () }
+          }
+        }
+      }
+      val s2 = commitStore()
+      val leaf2 = s2.partitionTree.leaves.head.id
+      timed("commit_batched", nCommits) {
+        val q = new CommitterQueue(s2, maxBatch = 64)
+        try hammer { i =>
+          var done = false
+          while (!done) q.submit(StateTransaction.AddFiles(
+              Vector(FileReference(s"b-$i", leaf2, 1)))) match {
+            case CommitOutcome.Failed(_: ConcurrentStateException) => ()
+            case CommitOutcome.Failed(e) => throw e
+            case _ => done = true
+          }
+        } finally q.close()
+      }
+      results("commit_batched_versions") = s2.currentVersion.toDouble
+    }
+
     results
   }
 }

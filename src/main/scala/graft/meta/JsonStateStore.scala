@@ -40,7 +40,7 @@ class JsonStateStore private (
     val filterConfig: String = "",
     val transformConfig: String = "",
     val indexConfig: String = "")
-    extends InMemoryStateStore(schema0, initialTree) {
+    extends InMemoryStateStore(schema0, initialTree) with ConfiguredState {
 
   import JsonStateStore._
 
@@ -301,8 +301,10 @@ final class SnapshotStateStore(
     val aggregationConfig: String, val filterConfig: String, val transformConfig: String,
     val indexConfig: String = "",
     tombstones0: Vector[FileReference] = Vector.empty)
-    extends InMemoryStateStore(schema0, tree0) {
+    extends InMemoryStateStore(schema0, tree0) with ConfiguredState {
   refs = refs0; gcQueue = gc0; txns = txns0; tombstoneRefs = tombstones0
+
+  override def currentVersion: Long = version
 
   override def readOnly: Boolean = true
 
@@ -406,6 +408,33 @@ object JsonStateStore {
   def latestVersionIn(dirStr: String): Option[Long] = {
     val (fs, dir) = GraftFS.resolve(dirStr)
     latestVersion(fs, dir)
+  }
+
+  /** The newest state version whose commit landed at or before
+    * `epochMs` — SQL `TIMESTAMP AS OF` resolution. Commit time is the
+    * arbiter file's filesystem modification time (set once at the CAS
+    * publish; arbiter files are never rewritten), so the mapping is
+    * monotone over the retained log. None when the oldest retained
+    * commit is already newer than `epochMs`.
+    */
+  def versionAtOrBefore(dirStr: String, epochMs: Long): Option[Long] =
+    retainedVersionsIn(dirStr).filter(_._2 <= epochMs).map(_._1).maxOption
+
+  /** Retained (version, commit epoch-ms) pairs, ascending by version —
+    * the arbiter/snapshot files still on disk. The commit time is the
+    * file's modification time; a periodic snapshot (state-v{N}) is
+    * written AFTER its version's arbiter and may be newer, so the
+    * EARLIEST time seen per version (the arbiter's) wins.
+    */
+  def retainedVersionsIn(dirStr: String): Seq[(Long, Long)] = {
+    val (fs, dir) = GraftFS.resolve(dirStr)
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case SnapName(v) => Some(v.toLong -> st.getModificationTime)
+        case TxnName(v) => Some(v.toLong -> st.getModificationTime)
+        case _ => None
+      }
+    }.groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._1)
   }
 
   /** One delta-manifest entry: a file committed at a version. Tombstone

@@ -169,6 +169,20 @@ trait StateStore {
   * subclass can persist the O(changes) transaction instead of the
   * O(table) snapshot, and replay it deterministically.
   */
+/** Read surface shared by the live durable store and historical
+  * snapshots: the table's persistent config and the state version, on
+  * top of the [[StateStore]] read API. Query-path consumers (the DSv2
+  * scan builder, QueryExecutor, metrics) type against this, so a
+  * time-travel snapshot drops in wherever a live store is read.
+  */
+trait ConfiguredState extends StateStore {
+  def aggregationConfig: String
+  def filterConfig: String
+  def transformConfig: String
+  def indexConfig: String
+  def currentVersion: Long
+}
+
 class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
     extends StateStore {
 

@@ -155,6 +155,12 @@ object LifecycleQueries {
 
   private val sqlDmlRoots = new ConcurrentHashMap[String, String]()
 
+  private val sqlTravelRoots = new ConcurrentHashMap[String, (String, Long)]()
+
+  private val sqlMetaRoots = new ConcurrentHashMap[String, String]()
+
+  private val sqlEvolveRoots = new ConcurrentHashMap[String, String]()
+
   private val mixedTopDirs = new ConcurrentHashMap[String, String]()
 
   private val cdcApplyDirs = new ConcurrentHashMap[String, String]()
@@ -1264,6 +1270,128 @@ object LifecycleQueries {
         root
       })
       s.sql(s"SELECT l_orderkey, qty FROM $cat.t ORDER BY l_orderkey")
+    },
+
+    // X15 — SQL time travel through the TableCatalog: `VERSION AS OF`
+    // pins a read-only view at a captured state version, served from the
+    // retained log/snapshot chain — the table is then mutated (UPDATE +
+    // DELETE) and the pinned view must still read the ORIGINAL state
+    // (the oracle replays only the base load). TIMESTAMP AS OF is
+    // asserted fixture-side (resolves to the newest commit <= t).
+    "x15_sql_time_travel" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val cat = s"graft_tt_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
+      val (_, v1) = sqlTravelRoots.computeIfAbsent(dir, { _ =>
+        val root = java.nio.file.Files.createTempDirectory("graft-tt-root").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(
+          s"""CREATE TABLE $cat.t (l_orderkey BIGINT, qty BIGINT NOT NULL)
+             |USING graft
+             |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000',
+             |              'aggregation'='last(qty)')""".stripMargin)
+        Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .createOrReplaceTempView("tt_src_x15")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM tt_src_x15")
+        val v = graft.meta.JsonStateStore.load(s"$root/t/meta").currentVersion
+        // mutate AFTER the capture: the pinned view must not see these
+        s.sql(s"UPDATE $cat.t SET qty = qty + 5000000 WHERE l_orderkey % 5 = 0")
+        s.sql(s"DELETE FROM $cat.t WHERE l_orderkey % 13 = 0")
+        val liveRows = s.sql(s"SELECT count(*) FROM $cat.t")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        val pinnedRows = s.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF $v")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(pinnedRows > liveRows,
+          s"pinned view must keep the deleted keys ($pinnedRows vs $liveRows)")
+        // TIMESTAMP AS OF now = the full current state
+        val ts = new java.sql.Timestamp(System.currentTimeMillis() + 1000)
+        val atNow = s.sql(s"SELECT count(*) FROM $cat.t TIMESTAMP AS OF '$ts'")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(atNow == liveRows, s"TIMESTAMP AS OF now ($atNow) != live ($liveRows)")
+        (root, v)
+      })
+      s.sql(s"SELECT l_orderkey, qty FROM $cat.t VERSION AS OF $v1 ORDER BY l_orderkey")
+    },
+
+    // X16 — SQL metadata tables (Iceberg-style `$files` / `$partitions`
+    // / `$tombstones` / `$history`): metadata-only relations over the
+    // state store, oracle-checked against ground truth recomputed from
+    // the source rows (file/leaf/version counts are deterministic:
+    // one ingest writes one sorted file per touched leaf, one exact-key
+    // DELETE lands one tombstone file per affected leaf).
+    "x16_sql_metadata" -> withOracle(
+      """SELECT CAST(3 AS BIGINT) AS data_files,
+        |       (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        |        WHERE l_orderkey < 12000) AS total_rows,
+        |       CAST(3 AS BIGINT) AS leaves,
+        |       CAST(1 AS BIGINT) AS tomb_files,
+        |       CAST(3 AS BIGINT) AS tomb_keys,
+        |       CAST(3 AS BIGINT) AS versions""".stripMargin) { (s, dir) =>
+      val cat = s"graft_meta_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
+      sqlMetaRoots.computeIfAbsent(dir, { _ =>
+        val root = java.nio.file.Files.createTempDirectory("graft-meta-root").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(
+          s"""CREATE TABLE $cat.t (l_orderkey BIGINT, qty BIGINT NOT NULL)
+             |USING graft
+             |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000')""".stripMargin)
+        Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .createOrReplaceTempView("meta_src_x16")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM meta_src_x16")
+        // keys 35/70/105 share the first leaf: exactly one tombstone file
+        s.sql(s"DELETE FROM $cat.t WHERE l_orderkey IN (35, 70, 105)")
+        root
+      })
+      s.sql(
+        s"""SELECT
+           |  (SELECT count(*) FROM $cat.`t$$files`) AS data_files,
+           |  (SELECT CAST(sum(row_count) AS BIGINT) FROM $cat.`t$$files`) AS total_rows,
+           |  (SELECT count(*) FROM $cat.`t$$partitions` WHERE is_leaf) AS leaves,
+           |  (SELECT count(*) FROM $cat.`t$$tombstones`) AS tomb_files,
+           |  (SELECT CAST(sum(row_count) AS BIGINT) FROM $cat.`t$$tombstones`) AS tomb_keys,
+           |  (SELECT count(*) FROM $cat.`t$$history`) AS versions""".stripMargin)
+    },
+
+    // X17 — SQL schema evolution: ALTER TABLE ADD COLUMN runs the m11
+    // O(1) AddColumn transaction from pure SQL; rows ingested before the
+    // change null-fill, rows after carry values, and a VERSION AS OF
+    // read from before the change still shows the OLD schema
+    // (fixture-side require).
+    "x17_sql_add_column" -> withOracle(
+      """WITH b AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |           FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey, qty,
+        |       CASE WHEN l_orderkey >= 6000 THEN qty * 2 ELSE NULL END AS extra
+        |FROM b ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val cat = s"graft_evolve_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
+      sqlEvolveRoots.computeIfAbsent(dir, { _ =>
+        val root = java.nio.file.Files.createTempDirectory("graft-evolve-root").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(
+          s"""CREATE TABLE $cat.t (l_orderkey BIGINT, qty BIGINT NOT NULL)
+             |USING graft
+             |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000')""".stripMargin)
+        Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .createOrReplaceTempView("evolve_src_x17")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM evolve_src_x17 WHERE l_orderkey < 6000")
+        val preAlter = graft.meta.JsonStateStore.load(s"$root/t/meta").currentVersion
+        s.sql(s"ALTER TABLE $cat.t ADD COLUMN extra BIGINT")
+        s.sql(s"INSERT INTO $cat.t SELECT l_orderkey, qty, qty * 2 " +
+          s"FROM evolve_src_x17 WHERE l_orderkey >= 6000")
+        // the pre-change version still reads with the OLD schema
+        val oldCols = s.sql(s"SELECT * FROM $cat.t VERSION AS OF $preAlter").columns.toSeq
+        require(oldCols == Seq("l_orderkey", "qty"),
+          s"pre-alter time travel must show the old schema, got $oldCols")
+        root
+      })
+      s.sql(s"SELECT l_orderkey, qty, extra FROM $cat.t ORDER BY l_orderkey")
     },
 
     // T46 — streaming CDC apply: a continuously-consumed change feed

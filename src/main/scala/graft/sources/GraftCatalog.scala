@@ -61,8 +61,46 @@ final class GraftCatalog extends TableCatalog {
   }
 
   override def loadTable(ident: Identifier): Table = {
+    // Iceberg-style metadata tables: `name$files` / `$partitions` /
+    // `$tombstones` / `$history` (quote the identifier in SQL:
+    // SELECT * FROM g.`events$files`). Metadata-only — zero data IO.
+    val name = ident.name
+    val dollar = name.lastIndexOf('$')
+    if (dollar > 0 && GraftMetadataTable.Kinds.contains(name.substring(dollar + 1))) {
+      val base = Identifier.of(ident.namespace, name.substring(0, dollar))
+      if (!tableExists(base)) throw new NoSuchTableException(base)
+      return new GraftMetadataTable(dirFor(base), name.substring(dollar + 1))
+    }
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     new GraftBatchTable(dirFor(ident))
+  }
+
+  /** SQL `VERSION AS OF <v>`: a read-only table pinned to state version
+    * v — served from the retained log/snapshot chain, mutations refused.
+    * Versions are the numeric state-store versions surfaced by the
+    * `$history` metadata table and `GraftTable.loadAsOf`.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft table versions are numeric state versions (see `${ident.name}$$history`); " +
+          s"got '$version'")
+    }
+    new GraftBatchTable(dirFor(ident), asOf = Some(v))
+  }
+
+  /** SQL `TIMESTAMP AS OF <t>`: resolves to the newest version committed
+    * at or before t (Spark passes microseconds since the epoch).
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val ms = timestamp / 1000L
+    val v = JsonStateStore.versionAtOrBefore(s"${dirFor(ident)}/meta", ms).getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained commit of ${ident.name} at or before " +
+          s"${java.time.Instant.ofEpochMilli(ms)}"))
+    new GraftBatchTable(dirFor(ident), asOf = Some(v))
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -126,9 +164,32 @@ final class GraftCatalog extends TableCatalog {
     new GraftBatchTable(dir)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "ALTER TABLE is not supported — graft schemas are fixed at creation")
+  /** `ALTER TABLE g.t ADD COLUMN x BIGINT` — the SQL surface over m11
+    * schema evolution: one O(1) AddColumn transaction, no data rewrite
+    * (readers null-fill; compaction converges files lazily). Everything
+    * else is refused with the engine's own reasoning.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dirFor(ident)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames.length == 1,
+          s"nested columns are not supported: ${add.fieldNames.mkString(".")}")
+        require(add.isNullable,
+          s"added column ${add.fieldNames.head} must be nullable " +
+            "(existing files have no values for it)")
+        val store = JsonStateStore.load(s"$dir/meta")
+        require(store.aggregationConfig.trim.isEmpty,
+          "cannot add a column to an aggregation-configured table " +
+            s"(agg config '${store.aggregationConfig}' must cover every value column)")
+        store.addColumn(GraftField(add.fieldNames.head, add.dataType, nullable = true))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other — graft supports ADD COLUMN " +
+          "(nullable value columns) only; keys, sort order and existing columns are fixed")
+    }
+    new GraftBatchTable(dir)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false

@@ -63,25 +63,35 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = false
 }
 
-final class GraftBatchTable(dir: String) extends Table with SupportsRead with SupportsWrite
+final class GraftBatchTable(dir: String, asOf: Option[Long] = None)
+    extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
-  // Snapshot the state store once per table resolution.
-  private[sources] val store = JsonStateStore.load(s"$dir/meta")
+  // Snapshot the state store once per table resolution. `asOf` pins the
+  // resolution to a historical state version (SQL `VERSION AS OF` /
+  // `TIMESTAMP AS OF` through GraftCatalog): reads serve exactly that
+  // version's files/tombstones/schema, and every mutation is refused.
+  private[sources] val store: graft.meta.ConfiguredState = asOf match {
+    case Some(v) => JsonStateStore.loadAt(s"$dir/meta", v)
+    case None => JsonStateStore.load(s"$dir/meta")
+  }
 
-  override def name(): String = s"graft.`$dir`"
+  override def name(): String =
+    asOf.fold(s"graft.`$dir`")(v => s"graft.`$dir` VERSION AS OF $v")
   override def schema(): StructType = store.schema.toStructType
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ,
+    if (asOf.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
 
   // Re-load the snapshot per scan build (a small JSON read), so a view
   // created once still sees later ingests/compactions — read-your-writes
-  // per query rather than per table resolution.
+  // per query rather than per table resolution. A pinned (time-travel)
+  // table never refreshes: its version IS the contract.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val fresh = JsonStateStore.load(s"$dir/meta")
+    val fresh = if (asOf.isDefined) store else JsonStateStore.load(s"$dir/meta")
     // A table-level transform is a DataFrame-level hook the row reader
     // cannot run; silently skipping it would change read semantics (for
     // a SecurityFilter, leak rows). Refuse rather than diverge.
@@ -99,7 +109,11 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
     * The table is an LSM log — overwrite is not a meaningful operation
     * and is rejected.
     */
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+  private def assertMutable(): Unit = require(asOf.isEmpty,
+    s"table at $dir pinned to version ${asOf.get} is a read-only time-travel view")
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    assertMutable()
     new WriteBuilder {
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
@@ -111,6 +125,7 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
           }
       }
     }
+  }
 
   /** Metadata-only SQL DELETE: an exact-key WHERE (`k = v`, `k IN
     * (...)`, OR of key conjunctions) becomes row-key tombstones directly
@@ -123,6 +138,7 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
 
   override def deleteWhere(
       predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    assertMutable()
     val tuples = GraftRowLevelOps.keyTuples(store.schema, predicates).getOrElse(
       throw new UnsupportedOperationException(
         s"DELETE predicates ${predicates.mkString(", ")} are not an exact-key shape"))
@@ -139,6 +155,7 @@ final class GraftBatchTable(dir: String) extends Table with SupportsRead with Su
     */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
+    assertMutable()
     // NO capability gate here: Spark rewrites every DELETE through this
     // builder at analysis time and only later optimizes exact-key
     // shapes into the metadata-only path; the one-row-per-key gate
@@ -272,7 +289,7 @@ object StatsPred {
   }
 }
 
-final class GraftScanBuilder(dir: String, store: JsonStateStore)
+final class GraftScanBuilder(dir: String, store: graft.meta.ConfiguredState)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -557,7 +574,7 @@ final class GraftMetaAggScan(dir: String,
 
 final case class GraftMetaAggPartition(values: Seq[Any]) extends InputPartition
 
-final class GraftScan(dir: String, store: JsonStateStore,
+final class GraftScan(dir: String, store: graft.meta.ConfiguredState,
     initialRegions: Seq[Region], required: StructType, limit: Option[Int] = None,
     statsPreds: Seq[StatsPred] = Nil, limitLast: Boolean = false,
     bloomPreds: Seq[(String, Seq[Long])] = Nil,

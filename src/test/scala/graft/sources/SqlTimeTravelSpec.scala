@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL time travel + metadata tables + ALTER TABLE through the catalog:
+  * `VERSION AS OF` / `TIMESTAMP AS OF` pin a read-only historical view;
+  * `$files` / `$partitions` / `$tombstones` / `$history` expose the
+  * state store as queryable relations; ADD COLUMN runs m11 schema
+  * evolution from SQL.
+  */
+class SqlTimeTravelSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private lazy val root = {
+    val r = Files.createTempDirectory("graft-sqltt").toString
+    spark.conf.set("spark.sql.catalog.gt", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gt.root", r)
+    r
+  }
+
+  private var n = 0
+  private def mk(agg: String = ""): String = {
+    root; n += 1
+    val t = s"tt$n"
+    val aggProp = if (agg.isEmpty) "" else s", 'aggregation'='$agg'"
+    spark.sql(
+      s"""CREATE TABLE gt.$t (id BIGINT, v BIGINT NOT NULL) USING graft
+         |TBLPROPERTIES('rowKeys'='id', 'splitPoints'='50'$aggProp)""".stripMargin)
+    t
+  }
+
+  private def version(t: String): Long =
+    graft.meta.JsonStateStore.load(s"$root/$t/meta").currentVersion
+
+  test("VERSION AS OF serves the pinned state; the live table moves on") {
+    val t = mk("last(v)")
+    spark.sql(s"INSERT INTO gt.$t SELECT id, id FROM range(0, 100)")
+    val v1 = version(t)
+    spark.sql(s"INSERT INTO gt.$t SELECT id, id + 1000 FROM range(0, 50)")
+    spark.sql(s"DELETE FROM gt.$t WHERE id = 99")
+
+    val old = spark.sql(s"SELECT id, v FROM gt.$t VERSION AS OF $v1")
+      .as[(Long, Long)].collect().toMap
+    assert(old == (0L until 100L).map(i => i -> i).toMap, "pinned view: pre-update state")
+
+    val now = spark.sql(s"SELECT id, v FROM gt.$t").as[(Long, Long)].collect().toMap
+    assert(now.size == 99 && now(0L) == 1000L && !now.contains(99L), "live view moved on")
+
+    // pinned views are read-only
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO gt.$t VERSION AS OF $v1 VALUES (7, 7)")
+    }
+    assert(e.getMessage != null)
+  }
+
+  test("TIMESTAMP AS OF resolves to the newest commit at or before t") {
+    val t = mk()
+    spark.sql(s"INSERT INTO gt.$t SELECT id, id FROM range(0, 10)")
+    val afterFirst = System.currentTimeMillis()
+    Thread.sleep(1100) // fs mtime granularity can be a full second
+    spark.sql(s"INSERT INTO gt.$t SELECT id, id FROM range(10, 20)")
+
+    val ts = new java.sql.Timestamp(afterFirst)
+    val cnt = spark.sql(
+      s"SELECT count(*) FROM gt.$t TIMESTAMP AS OF '$ts'").as[Long].head()
+    assert(cnt == 10L, s"expected the first commit's 10 rows, got $cnt")
+    // a timestamp before the table existed is refused
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM gt.$t TIMESTAMP AS OF '1999-01-01 00:00:00'").collect()
+    }
+  }
+
+  test("metadata tables: $files, $partitions, $tombstones, $history") {
+    val t = mk()
+    spark.sql(s"INSERT INTO gt.$t SELECT id, id FROM range(0, 100)")
+    spark.sql(s"INSERT INTO gt.$t SELECT id, id FROM range(100, 120)")
+    spark.sql(s"DELETE FROM gt.$t WHERE id = 5")
+
+    val files = spark.sql(
+      s"SELECT partition_id, row_count, seq FROM gt.`$t$$files`")
+    // two ingests over two leaves (split at 50): first spans both, the
+    // second (100..119) lands in the upper leaf only
+    assert(files.count() == 3)
+    assert(files.agg(org.apache.spark.sql.functions.sum("row_count"))
+      .head().getLong(0) == 120L)
+    assert(files.select("seq").as[Long].collect().toSet == Set(1L, 2L))
+
+    val parts = spark.sql(
+      s"SELECT id, is_leaf, file_count, row_estimate, tombstone_count " +
+        s"FROM gt.`$t$$partitions` WHERE is_leaf").collect()
+    assert(parts.length == 2)
+    assert(parts.map(_.getLong(3)).sum == 120L)
+    assert(parts.map(_.getLong(4)).sum == 1L, "one pending tombstone")
+
+    val tombs = spark.sql(s"SELECT row_count FROM gt.`$t$$tombstones`").as[Long].collect()
+    assert(tombs.toSeq == Seq(1L))
+
+    val hist = spark.sql(
+      s"SELECT version, committed_at FROM gt.`$t$$history` ORDER BY version")
+      .collect()
+    assert(hist.map(_.getLong(0)).toSeq == (1L to version(t)).toSeq)
+    assert(hist.forall(_.getTimestamp(1) != null))
+
+    // history versions round-trip through VERSION AS OF
+    val v2 = hist(1).getLong(0) // after the first insert
+    assert(spark.sql(s"SELECT count(*) FROM gt.$t VERSION AS OF $v2")
+      .as[Long].head() == 100L)
+  }
+
+  test("ALTER TABLE ADD COLUMN: SQL schema evolution, old rows null-fill") {
+    val t = mk()
+    spark.sql(s"INSERT INTO gt.$t SELECT id, id FROM range(0, 10)")
+    spark.sql(s"ALTER TABLE gt.$t ADD COLUMN extra BIGINT")
+    spark.sql(s"INSERT INTO gt.$t SELECT id, id, id * 2 FROM range(10, 20)")
+
+    val got = spark.sql(s"SELECT id, v, extra FROM gt.$t ORDER BY id")
+      .as[(Long, Long, Option[Long])].collect()
+    assert(got.length == 20)
+    assert(got.take(10).forall(_._3.isEmpty), "pre-evolution rows null-fill")
+    assert(got.drop(10).forall(r => r._3.contains(r._1 * 2)))
+
+    // time travel to before the change shows the OLD schema
+    val hist = spark.sql(s"SELECT version FROM gt.`$t$$history` ORDER BY version")
+      .as[Long].collect()
+    val preAlter = hist(1) // v1 create, v2 first insert, v3 alter
+    assert(spark.sql(s"SELECT * FROM gt.$t VERSION AS OF $preAlter").columns.toSeq ==
+      Seq("id", "v"))
+
+    // guards: non-nullable and key-conflicting changes are refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE gt.$t ADD COLUMN bad BIGINT NOT NULL")
+    }
+    intercept[Exception] { spark.sql(s"ALTER TABLE gt.$t DROP COLUMN v") }
+    // aggregation-configured tables refuse (config must cover all values)
+    val ta = mk("sum(v)")
+    spark.sql(s"INSERT INTO gt.$ta SELECT id, id FROM range(0, 5)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE gt.$ta ADD COLUMN extra BIGINT")
+    }
+  }
+}
