@@ -74,6 +74,20 @@ class AdminClient:
             raise RuntimeError(f"version probe failed: {st.get('error')}")
         return st["version"]
 
+    def set_properties(self, updates):
+        """Versioned table-property edits (aggregation / filter /
+        transform / index): one metadata transaction, validated against
+        the schema; aggregation may only change while the table is
+        empty. E.g. set_properties({"filter": "ageOff(ts,86400000)"})."""
+        status_dir = tempfile.mkdtemp(prefix="graft-admin-status-")
+        jfile = os.path.join(status_dir, ".props.job.json")
+        with open(jfile, "w") as f:
+            f.write(json.dumps({"updates": dict(updates)}))
+        proc = self.client._submit(
+            "graft.jobs.AdminRunner",
+            ["set-properties", self.client.table_dir, "@" + jfile, status_dir])
+        return self._status(status_dir, "set-properties", proc)
+
     def clone_at(self, dest_dir, version):
         """Deep clone the table AS OF `version` into `dest_dir` — a
         fully independent table (data + sketches byte-copied, state

@@ -212,3 +212,32 @@ def test_admin_delete_time_travel_clone(lww_client):
     assert cstatus["state"] == "COMMITTED", cstatus
     src4 = lww_client.exact_key_query([{"k": 4}], query_id="py-src-4")
     assert src4.completed and src4.row_count == 1
+
+
+def test_admin_set_properties():
+    """Versioned property edits through spark-submit: an ageOff filter
+    set on a live table ages out every (ancient-epoch) row, and
+    clearing it brings them back — the reference's admin property
+    editor as one validated metadata transaction."""
+    from graft_client import GraftClient
+
+    table_dir = tempfile.mkdtemp(prefix="graft-pyprops-")
+    c = GraftClient(table_dir, jar=JAR, spark_submit=SPARK_SUBMIT,
+                    master="local[4]")
+    c.seed_demo_table(rows=10, split=5)
+    admin = c.admin()
+
+    # v values (10..100) read as ~1970 epoch-ms: any bounded maxAge ages them
+    st = admin.set_properties({"filter": "ageOff(v,1000000)"})
+    assert st["state"] == "OK" and st["applied"] == 1, st
+    res = c.exact_key_query([{"k": 1}, {"k": 2}], query_id="py-props-aged")
+    assert res.completed and res.row_count == 0, res
+
+    st2 = admin.set_properties({"filter": ""})
+    assert st2["state"] == "OK", st2
+    res2 = c.exact_key_query([{"k": 1}, {"k": 2}], query_id="py-props-back")
+    assert res2.completed and res2.row_count == 2, res2
+
+    # validation errors surface: unknown column in the filter
+    bad = admin.set_properties({"filter": "ageOff(zzz,1)"})
+    assert bad["state"] == "FAILED" and bad["error"], bad

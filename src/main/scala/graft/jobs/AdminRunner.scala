@@ -59,10 +59,45 @@ object AdminRunner {
       case "delete" if args.length >= 3 => runDelete(args)
       case "version" if args.length >= 2 => runVersion(args)
       case "clone" if args.length >= 4 => runClone(args)
+      case "set-properties" if args.length >= 3 => runSetProperties(args)
       case other =>
         System.err.println(s"unknown/short admin command: $other")
         2
     }
+  }
+
+  /** `set-properties <tableDir> <json|@file> [statusDir]` — the
+    * reference's admin-console property editor as one versioned
+    * transaction. JSON: `{"updates": {"filter": "ageOff(ts,86400000)",
+    * "index": "bloom(domain)", ...}}`; keys aggregation / filter /
+    * transform / index, validated against the schema (aggregation only
+    * while the table is empty — see StateTransaction.SetProperties).
+    */
+  private def runSetProperties(args: Array[String]): Int = {
+    val tableDir = args(1)
+    val json =
+      if (args(2).startsWith("@")) graft.meta.GraftFS.readString(args(2).drop(1))
+      else args(2)
+    val statusDir = if (args.length > 3) Some(args(3)) else None
+    val spark = SparkSession.builder().appName("graft-admin-runner").getOrCreate()
+    var state = "FAILED"
+    var applied = 0
+    var error: Option[String] = None
+    try {
+      val m = JsonMethods.parse(json).asInstanceOf[JObject].obj.toMap
+      val updates = m.get("updates").collect { case JObject(fields) =>
+        fields.collect { case (k, JString(v)) => k -> v }.toMap
+      }.getOrElse(sys.error("set-properties JSON needs an \"updates\" object"))
+      GraftTable.load(spark, tableDir).setProperties(updates)
+      applied = updates.size
+      state = "OK"
+    } catch {
+      case scala.util.control.NonFatal(e) => error = Some(String.valueOf(e.getMessage))
+    }
+    finish(statusDir, "set-properties",
+      s"""{"op":"set-properties","id":"set-properties","state":"$state",""" +
+        s""""applied":$applied,"error":${error.map(graft.Verify.jsonEscape)
+          .getOrElse("null")}}""", state)
   }
 
   private def runDelete(args: Array[String]): Int = {

@@ -34,13 +34,22 @@ class JsonStateStore private (
     /** table-level continual aggregation / persistent filter config —
       * table metadata in the reference; persisted so any consumer (e.g.
       * the DSv2 provider) applies the same read semantics from the path
-      * alone.
+      * alone. Initial values only: the live config rides in the STATE
+      * (TableState.props) so SetProperties edits version through the
+      * log like everything else.
       */
-    val aggregationConfig: String = "",
-    val filterConfig: String = "",
-    val transformConfig: String = "",
-    val indexConfig: String = "")
+    aggregationConfig0: String = "",
+    filterConfig0: String = "",
+    transformConfig0: String = "",
+    indexConfig0: String = "")
     extends InMemoryStateStore(schema0, initialTree) with ConfiguredState {
+
+  props = TableProps(aggregationConfig0, filterConfig0, transformConfig0, indexConfig0)
+
+  override def aggregationConfig: String = tableProps.aggregation
+  override def filterConfig: String = tableProps.filter
+  override def transformConfig: String = tableProps.transform
+  override def indexConfig: String = tableProps.index
 
   import JsonStateStore._
 
@@ -59,8 +68,8 @@ class JsonStateStore private (
     val body =
       if (nextV == 1L)
         JsonMethods.pretty(JsonMethods.render(toJson(schema, next.tree, next.refs,
-          next.gc, next.txns, aggregationConfig, filterConfig, transformConfig,
-          indexConfig, next.tombstones)))
+          next.gc, next.txns, next.props.aggregation, next.props.filter,
+          next.props.transform, next.props.index, next.tombstones)))
       else JsonMethods.compact(JsonMethods.render(txnToJson(txn)))
     writeText(tmp, body)
     if (!cas.publish(fs, tmp, target)) {
@@ -169,8 +178,8 @@ class JsonStateStore private (
   private def writeSnapshot(v: Long, s: TableState): Unit = try {
     val tmp = new Path(dir, s".state-v$v.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     writeText(tmp, JsonMethods.pretty(JsonMethods.render(toJson(schema, s.tree, s.refs,
-      s.gc, s.txns, aggregationConfig, filterConfig, transformConfig, indexConfig,
-      s.tombstones))))
+      s.gc, s.txns, s.props.aggregation, s.props.filter, s.props.transform,
+      s.props.index, s.tombstones))))
     if (!fs.rename(tmp, new Path(dir, s"state-v$v.json")))
       fs.delete(tmp, false)
   } catch { case scala.util.control.NonFatal(_) => () }
@@ -251,7 +260,8 @@ class JsonStateStore private (
   def reloadLatest(): Unit = synchronized {
     if (version == 0) { // pre-initial-commit loser (create race): cold load
       val l = loadCurrent(fs, dir)
-      setState(l.state.tree, l.state.refs, l.state.gc, l.state.txns, l.state.tombstones)
+      setState(l.state.tree, l.state.refs, l.state.gc, l.state.txns, l.state.tombstones,
+        l.state.props)
       version = l.version
       return
     }
@@ -271,15 +281,18 @@ class JsonStateStore private (
       }
     }
     if (advanced) {
-      setState(state.tree, state.refs, state.gc, state.txns, state.tombstones)
+      setState(state.tree, state.refs, state.gc, state.txns, state.tombstones,
+        state.props)
       version = v - 1
     }
   }
 
   private[meta] def setState(t: PartitionTree, r: Vector[FileReference],
       g: Vector[GCEntry], x: Map[String, Long],
-      tm: Vector[FileReference] = Vector.empty): Unit = {
+      tm: Vector[FileReference] = Vector.empty,
+      p: TableProps = null): Unit = {
     tree = t; refs = r; gcQueue = g; txns = x; tombstoneRefs = tm
+    if (p != null) props = p
   }
 
   def currentVersion: Long = version
@@ -303,6 +316,7 @@ final class SnapshotStateStore(
     tombstones0: Vector[FileReference] = Vector.empty)
     extends InMemoryStateStore(schema0, tree0) with ConfiguredState {
   refs = refs0; gcQueue = gc0; txns = txns0; tombstoneRefs = tombstones0
+  props = TableProps(aggregationConfig, filterConfig, transformConfig, indexConfig)
 
   override def currentVersion: Long = version
 
@@ -604,8 +618,11 @@ object JsonStateStore {
     val (baseV, baseJson) = base.getOrElse(return None)
     val snap = fromJson(baseJson)
     val (agg, filt, tf, idx) = configFromJson(baseJson)
-    // 3. replay the transaction tail (baseV, target]
-    var state = TableState(snap.tree, snap.refs, snap.gc, snap.txns, snap.tombstones)
+    // 3. replay the transaction tail (baseV, target]. Config rides in
+    //    the state (SetProperties edits it mid-tail), seeded from the
+    //    base snapshot's persisted values.
+    var state = TableState(snap.tree, snap.refs, snap.gc, snap.txns, snap.tombstones,
+      TableProps(agg, filt, tf, idx))
     var v = baseV + 1
     while (v <= target) {
       val t: StateTransaction =
@@ -621,7 +638,9 @@ object JsonStateStore {
       state = t.applyTo(state)
       v += 1
     }
-    Some(Loaded(target, snap.schema, state, agg, filt, tf, idx))
+    Some(Loaded(target, snap.schema, state,
+      state.props.aggregation, state.props.filter, state.props.transform,
+      state.props.index))
   }
 
   /** Newest reconstructable state. A crash in the non-hard-link commit
@@ -703,6 +722,11 @@ object JsonStateStore {
       "tombs" -> JArray(tombs.map(refToJson).toList),
       "app" -> wm.map(w => JString(w._1)).getOrElse(JNothing),
       "appVersion" -> wm.map(w => JInt(w._2)).getOrElse(JNothing))
+    case StateTransaction.SetProperties(updates) => JObject(
+      "txn" -> JString("setProps"),
+      "updates" -> JObject(updates.toList.sortBy(_._1).map { case (k, v) =>
+        k -> (JString(v): JValue)
+      }))
     case StateTransaction.Batch(txns) => JObject(
       "txn" -> JString("batch"),
       "txns" -> JArray(txns.map(txnToJson).toList))
@@ -755,6 +779,13 @@ object JsonStateStore {
           m("adds").asInstanceOf[JArray].arr.map(refFromJson).toVector,
           m("tombs").asInstanceOf[JArray].arr.map(refFromJson).toVector,
           wm)
+      case "setProps" =>
+        StateTransaction.SetProperties(
+          m("updates").asInstanceOf[JObject].obj.map {
+            case (k, JString(v)) => k -> v
+            case (k, other) => throw new IllegalArgumentException(
+              s"bad property value for '$k': $other")
+          }.toMap)
       case "batch" =>
         StateTransaction.Batch(
           m("txns").asInstanceOf[JArray].arr.map(txnFromJValue).toVector)

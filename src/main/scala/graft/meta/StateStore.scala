@@ -141,6 +141,15 @@ trait StateStore {
   /** Pending row-key tombstones (see [[StateTransaction.AddTombstones]]). */
   def tombstones: Seq[FileReference]
 
+  /** SetPropertiesTransaction — versioned edits to the persisted table
+    * config (aggregation/filter/transform/index); mutability rules live
+    * in [[StateTransaction.SetProperties]].
+    */
+  def setProperties(updates: Map[String, String]): Unit
+
+  /** The persisted table configuration at the current version. */
+  def tableProps: TableProps
+
   /** AddTombstonesTransaction — register row-key delete files. */
   def addTombstones(refs: Seq[FileReference]): Unit
 
@@ -198,6 +207,9 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
   protected var refs: Vector[FileReference] = Vector.empty
   protected var gcQueue: Vector[GCEntry] = Vector.empty
   protected var txns: Map[String, Long] = Map.empty
+  protected var props: TableProps = TableProps()
+
+  override def tableProps: TableProps = synchronized(props)
 
   override def partitionTree: PartitionTree = synchronized(tree)
   override def fileReferences: Seq[FileReference] = synchronized(refs)
@@ -212,7 +224,7 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
 
   /** The current state as one immutable value (callers hold the lock). */
   protected final def currentState: TableState =
-    TableState(tree, refs, gcQueue, txns, tombstoneRefs)
+    TableState(tree, refs, gcQueue, txns, tombstoneRefs, props)
 
   /** Apply a transaction and commit the result (callers hold the lock). */
   protected final def runTxn(txn: StateTransaction): Unit =
@@ -226,7 +238,7 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
     */
   protected def commit(txn: StateTransaction, next: TableState): Unit = {
     tree = next.tree; refs = next.refs; gcQueue = next.gc; txns = next.txns
-    tombstoneRefs = next.tombstones
+    tombstoneRefs = next.tombstones; props = next.props
   }
 
   /** Lost-CAS auto-retry, the reference's transaction-log model: a losing
@@ -359,6 +371,11 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
   override def addTombstones(refs: Seq[FileReference]): Unit = withRetry { synchronized {
     runTxn(StateTransaction.AddTombstones(refs.toVector))
   }}
+
+  override def setProperties(updates: Map[String, String]): Unit =
+    withRetry { synchronized {
+      runTxn(StateTransaction.SetProperties(updates))
+    }}
 
   override def commitMerge(adds: Seq[FileReference],
       tombs: Seq[FileReference]): Unit = withRetry { synchronized {

@@ -2,6 +2,33 @@ package graft.meta
 
 import graft.core.PartitionTree
 
+/** The table's persisted, versioned configuration — aggregation /
+  * filter / transform / index strings (the reference's table
+  * properties). Part of [[TableState]] so property edits version
+  * through the log, replay, snapshots and time travel exactly like
+  * schema evolution.
+  */
+final case class TableProps(
+    aggregation: String = "",
+    filter: String = "",
+    transform: String = "",
+    index: String = "") {
+  def get(key: String): String = key match {
+    case "aggregation" => aggregation
+    case "filter" => filter
+    case "transform" => transform
+    case "index" => index
+    case other => throw new IllegalArgumentException(s"unknown table property '$other'")
+  }
+  def set(key: String, value: String): TableProps = key match {
+    case "aggregation" => copy(aggregation = value)
+    case "filter" => copy(filter = value)
+    case "transform" => copy(transform = value)
+    case "index" => copy(index = value)
+    case other => throw new IllegalArgumentException(s"unknown table property '$other'")
+  }
+}
+
 /** The table's complete metadata state as one immutable value — what a
   * [[StateTransaction]] maps to the next version.
   */
@@ -15,7 +42,9 @@ final case class TableState(
       * compaction physically purges them and retires the tombstone (see
       * [[StateTransaction.AddTombstones]]).
       */
-    tombstones: Vector[FileReference] = Vector.empty)
+    tombstones: Vector[FileReference] = Vector.empty,
+    /** persisted table configuration, versioned with everything else */
+    props: TableProps = TableProps())
 
 /** One state-store commit as a small, replayable CHANGE description —
   * the reference's transaction-log model (reference:
@@ -238,6 +267,54 @@ object StateTransaction {
       watermark: Option[(String, Long)] = None) extends StateTransaction {
     override def applyTo(s: TableState): TableState =
       AddFiles(adds, watermark).applyTo(AddTombstones(tombs).applyTo(s))
+  }
+
+  /** SetProperties — versioned edits to the persisted table config (the
+    * reference's admin-console property editor, reference:
+    * java/clients/src/main/java/sleeper/clients/admin/properties/UpdatePropertiesWithTextEditor.java
+    * + docs/usage/properties — there an interactive editor writing
+    * validated table properties; here ONE O(1) transaction, so property
+    * changes version through the log, replay, snapshots and time
+    * travel). Validation is deterministic on the prior state, so a
+    * replayed edit re-validates identically:
+    *  - `filter` / `index` parse against the CURRENT schema and apply
+    *    forward (reads, compactions and new writes see them; existing
+    *    files are unaffected — a file without a bloom sidecar simply
+    *    never skips);
+    *  - `aggregation` may only change while the table holds NO data and
+    *    NO pending tombstones: existing files were written under the old
+    *    semantics, and re-aggregating them retroactively would change
+    *    committed reads;
+    *  - `transform` is set as an opaque string here (class resolution
+    *    needs deployment-level jars, which replay cannot see) — callers
+    *    validate loadability mutator-side.
+    */
+  final case class SetProperties(updates: Map[String, String]) extends StateTransaction {
+    require(updates.nonEmpty, "empty property update")
+    override def applyTo(s: TableState): TableState = {
+      val schema = s.tree.schema
+      var props = s.props
+      updates.foreach { case (k, v) =>
+        k match {
+          case "aggregation" =>
+            require(s.refs.isEmpty && s.tombstones.isEmpty,
+              "aggregation config may only change while the table is empty " +
+                s"(${s.refs.size} live files, ${s.tombstones.size} pending tombstones): " +
+                "existing files were written under the old semantics")
+            graft.dsl.ConfigDsl.parseAggregation(v, schema) // validates
+          case "filter" =>
+            graft.dsl.ConfigDsl.parseFilter(v, schema) // validates
+          case "index" =>
+            BloomIndex.validate(schema, v)
+          case "transform" => // opaque (jars are deployment-level)
+          case other =>
+            throw new IllegalArgumentException(
+              s"unknown table property '$other' (expected aggregation/filter/transform/index)")
+        }
+        props = props.set(k, v)
+      }
+      s.copy(props = props)
+    }
   }
 
   /** Batch — N independent commits folded into ONE log version (the

@@ -161,6 +161,10 @@ object LifecycleQueries {
 
   private val sqlEvolveRoots = new ConcurrentHashMap[String, String]()
 
+  private val sqlPropsRoots = new ConcurrentHashMap[String, String]()
+
+  private val cdfFeedDirs = new ConcurrentHashMap[String, String]()
+
   private val mixedTopDirs = new ConcurrentHashMap[String, String]()
 
   private val cdcApplyDirs = new ConcurrentHashMap[String, String]()
@@ -1394,6 +1398,56 @@ object LifecycleQueries {
       s.sql(s"SELECT l_orderkey, qty, extra FROM $cat.t ORDER BY l_orderkey")
     },
 
+    // X18 — versioned table-property edits from SQL (the reference's
+    // interactive admin property editor, as ONE validated metadata
+    // transaction): ALTER TABLE SET TBLPROPERTIES installs an ageOff
+    // filter on a LIVE table — reads apply it forward immediately
+    // (rows with ancient timestamps vanish; year-2100 rows stay) — and
+    // the edit versions through the log (fixture asserts a VERSION AS OF
+    // read from before the edit still sees every row, and UNSET brings
+    // the live rows back then re-sets for the oracle read).
+    "x18_sql_set_properties" -> withOracle(
+      """WITH b AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |           FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey, qty FROM b WHERE l_orderkey % 2 = 0
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val cat = s"graft_props_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
+      sqlPropsRoots.computeIfAbsent(dir, { _ =>
+        val root = java.nio.file.Files.createTempDirectory("graft-props-root").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(
+          s"""CREATE TABLE $cat.t (l_orderkey BIGINT, ts BIGINT, qty BIGINT NOT NULL)
+             |USING graft
+             |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000')""".stripMargin)
+        // odd keys: epoch 0 (always aged); even keys: year 2100 (kept)
+        Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .select(col("l_orderkey"),
+            when(col("l_orderkey") % 2 === 0, lit(4102444800000L))
+              .otherwise(lit(0L)).as("ts"),
+            col("qty"))
+          .createOrReplaceTempView("props_src_x18")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM props_src_x18")
+        val vBefore = graft.meta.JsonStateStore.load(s"$root/t/meta").currentVersion
+        val all = s.sql(s"SELECT count(*) FROM $cat.t")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('filter'='ageOff(ts,1000000)')")
+        // the edit versions through the log: pre-edit version reads ALL rows
+        val pinned = s.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF $vBefore")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(pinned == all, s"pre-edit version must see all rows ($pinned vs $all)")
+        // UNSET restores; re-set for the oracle read
+        s.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES('filter')")
+        val unset = s.sql(s"SELECT count(*) FROM $cat.t")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(unset == all, s"UNSET must restore the aged rows ($unset vs $all)")
+        s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('filter'='ageOff(ts,1000000)')")
+        root
+      })
+      s.sql(s"SELECT l_orderkey, qty FROM $cat.t ORDER BY l_orderkey")
+    },
+
     // T46 — streaming CDC apply: a continuously-consumed change feed
     // (table schema + _op column) lands through StreamingMerge — each
     // micro-batch is ONE atomic Merge commit (puts + delete markers)
@@ -1447,6 +1501,70 @@ object LifecycleQueries {
         b
       })
       s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")
+    },
+
+    // T47 — streaming change-data-feed (readChangeFeed): puts AND
+    // row-key deletes as a stream with (_op, _commit_version,
+    // _commit_seq) — the streaming form of the batch CDC feeds, and the
+    // lift of the insert-only stream's documented no-retractions gap.
+    // The fixture mutates an LWW table (update, delete,
+    // delete-then-reingest), drains the feed exactly-once (AvailableNow
+    // + checkpoint, two windows: snapshot then incremental), and the
+    // QUERY resolves the raw feed per key by (version, seq) — the
+    // resolution matching the table's own reads is exactly what the
+    // oracle checks.
+    "t47_stream_cdf" -> withOracle(
+      """WITH b AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |           FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey,
+        |       CASE WHEN l_orderkey % 21 = 0 THEN 9000000
+        |            WHEN l_orderkey % 3 = 0 THEN qty + 7000000
+        |            ELSE qty END AS qty
+        |FROM b
+        |WHERE l_orderkey % 7 <> 0 OR l_orderkey % 21 = 0
+        |ORDER BY 1""".stripMargin) { (s, dir) =>
+      val base = cdfFeedDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-cdf-q").toString
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L),
+          config = TableConfig(aggregationConfig = "last(qty)"))
+        val gen1 = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+
+        def drain(): Unit = {
+          val q = s.readStream.format("graft").option("readChangeFeed", "true")
+            .load(s"$b/table")
+            .writeStream.format("parquet")
+            .option("path", s"$b/feed").option("checkpointLocation", s"$b/cp")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+
+        table.ingest(gen1)
+        drain() // window 1: initial snapshot, all puts
+        table.ingest(gen1.filter(col("l_orderkey") % 3 === 0)
+          .select(col("l_orderkey"), (col("qty") + 7000000L).as("qty")))
+        table.deleteKeys(gen1.filter(col("l_orderkey") % 7 === 0).select("l_orderkey"))
+        table.ingest(gen1.filter(col("l_orderkey") % 21 === 0)
+          .select(col("l_orderkey"), lit(9000000L).as("qty")))
+        table.compactAll() // rewrites must not re-feed
+        drain() // window 2: update + deletes + reingest, exactly once
+        val feed = s.read.parquet(s"$b/feed")
+        require(feed.filter(col("_op") === "delete").count() > 0,
+          "the feed must deliver the delete markers")
+        b
+      })
+      // resolve the raw feed: newest (version, seq) wins per key; a
+      // surviving 'put' is a live row — must equal the table's own read
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_orderkey")
+        .orderBy(col("_commit_version").desc, col("_commit_seq").desc)
+      s.read.parquet(s"$base/feed")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("_op") === "put")
+        .select("l_orderkey", "qty")
+        .orderBy("l_orderkey")
     },
 
     // X13 — deep clone at a version (branch-for-experiments): an LWW

@@ -164,14 +164,20 @@ final class GraftCatalog extends TableCatalog {
     new GraftBatchTable(dir)
   }
 
-  /** `ALTER TABLE g.t ADD COLUMN x BIGINT` — the SQL surface over m11
-    * schema evolution: one O(1) AddColumn transaction, no data rewrite
-    * (readers null-fill; compaction converges files lazily). Everything
-    * else is refused with the engine's own reasoning.
+  /** ALTER TABLE over the engine's versioned metadata transactions:
+    *  - `ADD COLUMN x BIGINT` — m11 schema evolution: one O(1)
+    *    AddColumn transaction, no data rewrite (readers null-fill;
+    *    compaction converges files lazily);
+    *  - `SET TBLPROPERTIES('filter'='ageOff(ts,...)', 'index'='bloom(c)',
+    *    'aggregation'=..., 'transform'=...)` / `UNSET TBLPROPERTIES` —
+    *    versioned property edits (SetProperties transaction; validation
+    *    and mutability rules live there — aggregation only while empty).
+    * Everything else is refused with the engine's own reasoning.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirFor(ident)
+    val propUpdates = scala.collection.mutable.LinkedHashMap[String, String]()
     changes.foreach {
       case add: TableChange.AddColumn =>
         require(add.fieldNames.length == 1,
@@ -184,9 +190,19 @@ final class GraftCatalog extends TableCatalog {
           "cannot add a column to an aggregation-configured table " +
             s"(agg config '${store.aggregationConfig}' must cover every value column)")
         store.addColumn(GraftField(add.fieldNames.head, add.dataType, nullable = true))
+      case set: TableChange.SetProperty =>
+        propUpdates += set.property -> set.value
+      case unset: TableChange.RemoveProperty =>
+        propUpdates += unset.property -> ""
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $other — graft supports ADD COLUMN " +
-          "(nullable value columns) only; keys, sort order and existing columns are fixed")
+          "(nullable value columns) and SET/UNSET TBLPROPERTIES " +
+          "(aggregation/filter/transform/index); keys, sort order and " +
+          "existing columns are fixed")
+    }
+    if (propUpdates.nonEmpty) {
+      val spark = org.apache.spark.sql.SparkSession.active
+      graft.table.GraftTable.load(spark, dir).setProperties(propUpdates.toMap)
     }
     new GraftBatchTable(dir)
   }

@@ -102,6 +102,33 @@ final class GraftTable(
     * are gone from disk immediately (compliance-shaped), not a
     * correctness workaround.
     */
+  /** Versioned table-property edits — the admin/ALTER-TABLE surface over
+    * [[graft.meta.StateTransaction.SetProperties]] (keys: aggregation /
+    * filter / transform / index; aggregation only while the table is
+    * empty). One O(1) transaction; the change versions through the log,
+    * replay, snapshots and time travel. Returns a RELOADED handle —
+    * this handle's captured `config` is stale after the commit.
+    */
+  def setProperties(updates: Map[String, String]): GraftTable = {
+    store.assertWritable()
+    // transform classes resolve against deployment-level jars, which a
+    // replayed transaction cannot see — validate loadability HERE
+    updates.get("transform").filter(_.trim.nonEmpty).foreach { t =>
+      graft.transforms.TransformFactory.parse(t, schema, config.userJarsDir)
+    }
+    store.setProperties(updates)
+    GraftTable.load(spark, dir, config = Some(TableConfig(
+      aggregationConfig = store.tableProps.aggregation,
+      filterConfig = store.tableProps.filter,
+      transformConfig = store.tableProps.transform,
+      indexConfig = store.tableProps.index,
+      splitThreshold = config.splitThreshold,
+      compactionBatchSize = config.compactionBatchSize,
+      userJarsDir = config.userJarsDir,
+      sizeRatio = config.sizeRatio,
+      gcDelayMinutes = config.gcDelayMinutes)))
+  }
+
   def deleteKeys(keys: DataFrame, purge: Boolean = false): Seq[FileReference] = {
     store.assertWritable()
     val refs = graft.jobs.Tombstones.write(this, keys)
