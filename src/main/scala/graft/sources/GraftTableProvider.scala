@@ -53,17 +53,35 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    JsonStateStore.load(s"${path(options)}/meta").schema.toStructType
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = JsonStateStore.load(s"${path(options)}/meta").schema.toStructType
+    if (options.getBoolean("readChangeFeed", false)) GraftBatchTable.cdfSchema(base)
+    else base
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GraftBatchTable(properties.get("path"))
+    new GraftBatchTable(properties.get("path"),
+      cdf = "true".equalsIgnoreCase(properties.get("readChangeFeed")))
 
   override def supportsExternalMetadata(): Boolean = false
 }
 
-final class GraftBatchTable(dir: String, asOf: Option[Long] = None)
+object GraftBatchTable {
+  /** CDF schema: the table's columns (values forced nullable — delete
+    * rows carry NULL values) + the change metadata.
+    */
+  def cdfSchema(base: StructType): StructType = {
+    val nullable = StructType(base.fields.map(f => f.copy(nullable = true)))
+    nullable
+      .add("_op", org.apache.spark.sql.types.StringType, nullable = false)
+      .add("_commit_version", org.apache.spark.sql.types.LongType, nullable = false)
+      .add("_commit_seq", org.apache.spark.sql.types.LongType, nullable = false)
+  }
+}
+
+final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
+    cdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
@@ -79,9 +97,12 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None)
 
   override def name(): String =
     asOf.fold(s"graft.`$dir`")(v => s"graft.`$dir` VERSION AS OF $v")
-  override def schema(): StructType = store.schema.toStructType
+  override def schema(): StructType =
+    if (cdf) GraftBatchTable.cdfSchema(store.schema.toStructType)
+    else store.schema.toStructType
   override def capabilities(): java.util.Set[TableCapability] =
-    if (asOf.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (cdf) java.util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    else if (asOf.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
@@ -91,6 +112,7 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None)
   // per query rather than per table resolution. A pinned (time-travel)
   // table never refreshes: its version IS the contract.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    if (cdf) return cdfScanBuilder()
     val fresh = if (asOf.isDefined) store else JsonStateStore.load(s"$dir/meta")
     // A table-level transform is a DataFrame-level hook the row reader
     // cannot run; silently skipping it would change read semantics (for
@@ -109,8 +131,33 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None)
     * The table is an LSM log — overwrite is not a meaningful operation
     * and is rejected.
     */
-  private def assertMutable(): Unit = require(asOf.isEmpty,
-    s"table at $dir pinned to version ${asOf.get} is a read-only time-travel view")
+  private def assertMutable(): Unit = {
+    require(asOf.isEmpty,
+      s"table at $dir pinned to version ${asOf.get} is a read-only time-travel view")
+    require(!cdf, s"the change-data-feed view of $dir is read-only")
+  }
+
+  /** Streaming change-data-feed scan (see [[GraftCdfMicroBatchStream]]):
+    * fixed schema (table columns + _op/_commit_version/_commit_seq), no
+    * pushdown, stream-only (batch consumers use `changesBetween`).
+    */
+  private def cdfScanBuilder(): ScanBuilder = () => new Scan {
+    override def readSchema(): StructType = schema()
+    override def description(): String = s"graft CDF $dir"
+    override def toMicroBatchStream(checkpointLocation: String)
+        : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+      val fresh = JsonStateStore.load(s"$dir/meta")
+      // raw-change contract: a persistent filter/transform rewrites rows
+      // at read time; the change feed cannot apply them — refuse rather
+      // than leak rows a batch read would suppress. (Pending tombstones
+      // are FINE here — delivering them is the point.)
+      require(fresh.filterConfig.trim.isEmpty && fresh.transformConfig.trim.isEmpty,
+        s"table at $dir has a persistent filter/transform; the change feed " +
+          "delivers raw committed changes and cannot apply them")
+      val fields = fresh.schema.allFields
+      new GraftCdfMicroBatchStream(dir, fields, fresh.schema.rowKeys)
+    }
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     assertMutable()

@@ -19,7 +19,7 @@ import graft.meta.JsonStateStore
   * parses each snapshot once). Filenames are UUIDs (never reused), so
   * per-version added sets are pairwise disjoint.
   */
-private[table] object ChangeFeed {
+private[graft] object ChangeFeed {
 
   /** One changed file in the window: a data file ingested (dataChange)
     * or a tombstone registered. `seq` is the file's write-generation as
