@@ -57,7 +57,12 @@ object ClusterCheck {
     "m14_upsert_lww", "m16_merge_into",
     // deep clone: the executor-parallel file copy ships the serializable
     // Hadoop conf + GraftFS closure into executor JVMs
-    "x13_clone")
+    "x13_clone",
+    // round 13: the CDF stream's reader factory (key-only delete files,
+    // null-padded value slots, per-partition op/version/seq constants)
+    // deserializes inside executor JVMs; the SQL time-travel pinned scan
+    // ships historical RunSpecs the same way the live scan does
+    "t47_stream_cdf", "x15_sql_time_travel")
 
   /** Canonical content hash: columns sorted by name, every cell cast to
     * string (nulls as NUL), cells joined with SOH, row strings sorted —

@@ -722,6 +722,8 @@ object JsonStateStore {
       "tombs" -> JArray(tombs.map(refToJson).toList),
       "app" -> wm.map(w => JString(w._1)).getOrElse(JNothing),
       "appVersion" -> wm.map(w => JInt(w._2)).getOrElse(JNothing))
+    case StateTransaction.Truncate(nowMs) => JObject(
+      "txn" -> JString("truncate"), "nowMs" -> JInt(nowMs))
     case StateTransaction.SetProperties(updates) => JObject(
       "txn" -> JString("setProps"),
       "updates" -> JObject(updates.toList.sortBy(_._1).map { case (k, v) =>
@@ -779,6 +781,9 @@ object JsonStateStore {
           m("adds").asInstanceOf[JArray].arr.map(refFromJson).toVector,
           m("tombs").asInstanceOf[JArray].arr.map(refFromJson).toVector,
           wm)
+      case "truncate" =>
+        val JInt(now) = m("nowMs"): @unchecked
+        StateTransaction.Truncate(now.toLong)
       case "setProps" =>
         StateTransaction.SetProperties(
           m("updates").asInstanceOf[JObject].obj.map {

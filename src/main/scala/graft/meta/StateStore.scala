@@ -147,6 +147,19 @@ trait StateStore {
     */
   def setProperties(updates: Map[String, String]): Unit
 
+  /** TruncateTransaction — drop every live ref and pending tombstone to
+    * the GC queue (SQL TRUNCATE TABLE); O(1) metadata, files collected
+    * by GC after the configured delay.
+    */
+  def truncate(nowMs: Long = System.currentTimeMillis()): Unit
+
+  /** Atomic INSERT OVERWRITE: ONE version that truncates and adds the
+    * replacement files — all-or-nothing (a reader sees the old contents
+    * or the new, never empty-in-between, never both).
+    */
+  def overwriteFiles(newRefs: Seq[FileReference],
+      nowMs: Long = System.currentTimeMillis()): Unit
+
   /** The persisted table configuration at the current version. */
   def tableProps: TableProps
 
@@ -375,6 +388,21 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
   override def setProperties(updates: Map[String, String]): Unit =
     withRetry { synchronized {
       runTxn(StateTransaction.SetProperties(updates))
+    }}
+
+  override def truncate(nowMs: Long): Unit = withRetry { synchronized {
+    runTxn(StateTransaction.Truncate(nowMs))
+  }}
+
+  override def overwriteFiles(newRefs: Seq[FileReference], nowMs: Long): Unit =
+    withRetry { synchronized {
+      // one composite version: all-or-nothing by Batch.applyTo (a child
+      // precondition failure aborts the whole commit — unlike the
+      // committer's per-request validation, which is NOT wanted here)
+      if (newRefs.isEmpty) runTxn(StateTransaction.Truncate(nowMs))
+      else runTxn(StateTransaction.Batch(Vector(
+        StateTransaction.Truncate(nowMs),
+        StateTransaction.AddFiles(newRefs.toVector))))
     }}
 
   override def commitMerge(adds: Seq[FileReference],

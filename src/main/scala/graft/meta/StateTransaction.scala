@@ -269,6 +269,26 @@ object StateTransaction {
       AddFiles(adds, watermark).applyTo(AddTombstones(tombs).applyTo(s))
   }
 
+  /** Truncate — drop EVERY live file reference and pending tombstone to
+    * the GC queue in one O(1) metadata version (SQL TRUNCATE TABLE, and
+    * the clearing half of atomic INSERT OVERWRITE via
+    * [[StateStore.overwriteFiles]]). Data files are not touched here:
+    * pre-truncate versions stay time-travel-readable until GC collects
+    * the orphans after the configured delay — the same contract as
+    * compaction orphans. `nowMs` rides IN the transaction so replay
+    * reconstructs identical GC eligibility times.
+    */
+  final case class Truncate(nowMs: Long) extends StateTransaction {
+    override def applyTo(s: TableState): TableState = {
+      val orphans = s.refs.map(r => r.filename -> r.physicalPartitionId).distinct
+        .map { case (f, home) => GCEntry(f, nowMs, Some(home)) }
+      val tombOrphans = s.tombstones.map(t => t.filename -> t.physicalPartitionId)
+        .distinct.map { case (f, home) => GCEntry(f, nowMs, Some(home)) }
+      s.copy(refs = Vector.empty, tombstones = Vector.empty,
+        gc = s.gc ++ orphans ++ tombOrphans)
+    }
+  }
+
   /** SetProperties — versioned edits to the persisted table config (the
     * reference's admin-console property editor, reference:
     * java/clients/src/main/java/sleeper/clients/admin/properties/UpdatePropertiesWithTextEditor.java

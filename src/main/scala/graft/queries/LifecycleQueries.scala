@@ -165,6 +165,8 @@ object LifecycleQueries {
 
   private val cdfFeedDirs = new ConcurrentHashMap[String, String]()
 
+  private val sqlOverwriteRoots = new ConcurrentHashMap[String, String]()
+
   private val mixedTopDirs = new ConcurrentHashMap[String, String]()
 
   private val cdcApplyDirs = new ConcurrentHashMap[String, String]()
@@ -1501,6 +1503,57 @@ object LifecycleQueries {
         b
       })
       s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")
+    },
+
+    // X19 — atomic INSERT OVERWRITE + TRUNCATE TABLE: overwrite lands
+    // as ONE composite version (Truncate + AddFiles via the Batch
+    // transaction) — a reader sees old contents or new, never
+    // empty-in-between (fixture asserts the version delta is exactly 1
+    // and a pre-overwrite VERSION AS OF still reads the old rows);
+    // TRUNCATE on a sibling table is O(1) metadata with the files left
+    // to GC. The oracle replays the overwrite as relational algebra.
+    "x19_sql_overwrite" -> withOracle(
+      """WITH b AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |           FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey, qty * 3 AS qty FROM b
+        |WHERE l_orderkey >= 2000 AND l_orderkey < 5000
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val cat = s"graft_ow_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
+      sqlOverwriteRoots.computeIfAbsent(dir, { _ =>
+        val root = java.nio.file.Files.createTempDirectory("graft-ow-root").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(
+          s"""CREATE TABLE $cat.t (l_orderkey BIGINT, qty BIGINT NOT NULL)
+             |USING graft
+             |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000')""".stripMargin)
+        Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .createOrReplaceTempView("ow_src_x19")
+        s.sql(s"INSERT INTO $cat.t SELECT * FROM ow_src_x19")
+        val all = s.sql(s"SELECT count(*) FROM $cat.t")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        val v1 = graft.meta.JsonStateStore.load(s"$root/t/meta").currentVersion
+        s.sql(s"INSERT OVERWRITE $cat.t " +
+          s"SELECT l_orderkey, qty * 3 FROM ow_src_x19 " +
+          s"WHERE l_orderkey >= 2000 AND l_orderkey < 5000")
+        val st = graft.meta.JsonStateStore.load(s"$root/t/meta")
+        require(st.currentVersion == v1 + 1,
+          s"INSERT OVERWRITE must be ONE atomic version (${st.currentVersion} vs ${v1 + 1})")
+        val pinned = s.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF $v1")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(pinned == all, s"pre-overwrite version must read old rows ($pinned/$all)")
+        // TRUNCATE on a sibling: O(1) metadata, table stays usable
+        s.sql(s"CREATE TABLE $cat.scratch (l_orderkey BIGINT, qty BIGINT NOT NULL) " +
+          "USING graft TBLPROPERTIES('rowKeys'='l_orderkey')")
+        s.sql(s"INSERT INTO $cat.scratch SELECT * FROM ow_src_x19 WHERE l_orderkey < 100")
+        s.sql(s"TRUNCATE TABLE $cat.scratch")
+        val empty = s.sql(s"SELECT count(*) FROM $cat.scratch")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(empty == 0L, s"TRUNCATE must empty the table ($empty rows)")
+        root
+      })
+      s.sql(s"SELECT l_orderkey, qty FROM $cat.t ORDER BY l_orderkey")
     },
 
     // T47 — streaming change-data-feed (readChangeFeed): puts AND

@@ -84,7 +84,8 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
     cdf: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.TruncatableTable {
 
   // Snapshot the state store once per table resolution. `asOf` pins the
   // resolution to a historical state version (SQL `VERSION AS OF` /
@@ -105,7 +106,8 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
     else if (asOf.isDefined) java.util.EnumSet.of(TableCapability.BATCH_READ)
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
 
   // Re-load the snapshot per scan build (a small JSON read), so a view
   // created once still sees later ingests/compactions — read-your-writes
@@ -161,17 +163,31 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     assertMutable()
-    new WriteBuilder {
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var replaceAll = false
+      // SQL INSERT OVERWRITE / df overwrite mode: Spark requests a
+      // truncating write — served ATOMICALLY (one composite version:
+      // Truncate + AddFiles), never as separate truncate-then-append
+      override def truncate(): WriteBuilder = { replaceAll = true; this }
       override def build(): V1Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           (data: org.apache.spark.sql.DataFrame, overwrite: Boolean) => {
-            require(!overwrite,
-              "graft tables are append-only (LSM); use compaction/GC to rewrite data")
-            graft.table.GraftTable.load(data.sparkSession, dir).ingest(data)
+            val table = graft.table.GraftTable.load(data.sparkSession, dir)
+            if (replaceAll || overwrite) table.overwrite(data)
+            else table.ingest(data)
             ()
           }
       }
     }
+  }
+
+  /** SQL TRUNCATE TABLE: one O(1) metadata version — refs and pending
+    * tombstones to the GC queue; pre-truncate versions stay readable.
+    */
+  override def truncateTable(): Boolean = {
+    assertMutable()
+    JsonStateStore.load(s"$dir/meta").truncate()
+    true
   }
 
   /** Metadata-only SQL DELETE: an exact-key WHERE (`k = v`, `k IN

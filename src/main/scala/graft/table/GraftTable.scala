@@ -136,6 +136,28 @@ final class GraftTable(
     refs
   }
 
+  /** TRUNCATE: drop every row in one O(1) metadata version — refs and
+    * pending tombstones move to the GC queue; data files survive until
+    * GC, so pre-truncate versions stay time-travel-readable. Streams
+    * are NOT retracted (the feeds are append/change logs): a truncate
+    * is an admin reset, and stream consumers restart their checkpoints.
+    */
+  def truncate(): Unit = {
+    store.assertWritable()
+    store.truncate()
+  }
+
+  /** Atomic INSERT OVERWRITE: write `data` as a fresh generation, then
+    * ONE composite commit truncates and adds it — a reader sees the old
+    * contents or the new, never empty-in-between, never both. Cost:
+    * one ingest of `data` + O(1) metadata.
+    */
+  def overwrite(data: DataFrame): Unit = {
+    store.assertWritable()
+    val refs = new graft.jobs.Ingest(this).run(data, commit = false)
+    store.overwriteFiles(refs)
+  }
+
   /** MERGE INTO (one atomic commit): source rows where `deleteWhen`
     * holds become row-key delete markers; the rest are put as one new
     * write generation. On a last-write-wins table (`last(...)`
