@@ -88,6 +88,16 @@ class AdminClient:
             ["set-properties", self.client.table_dir, "@" + jfile, status_dir])
         return self._status(status_dir, "set-properties", proc)
 
+    def restore_to(self, version):
+        """Roll the table's data back to `version`'s contents (one
+        metadata commit, no data IO). Refused when the target's files
+        were already garbage-collected."""
+        status_dir = tempfile.mkdtemp(prefix="graft-admin-status-")
+        proc = self.client._submit(
+            "graft.jobs.AdminRunner",
+            ["restore", self.client.table_dir, str(int(version)), status_dir])
+        return self._status(status_dir, "restore", proc)
+
     def clone_at(self, dest_dir, version):
         """Deep clone the table AS OF `version` into `dest_dir` — a
         fully independent table (data + sketches byte-copied, state

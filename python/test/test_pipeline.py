@@ -241,3 +241,36 @@ def test_admin_set_properties():
     # validation errors surface: unknown column in the filter
     bad = admin.set_properties({"filter": "ageOff(zzz,1)"})
     assert bad["state"] == "FAILED" and bad["error"], bad
+
+
+def test_admin_restore():
+    """RESTORE to a captured version through spark-submit: one metadata
+    commit rolls the table back; the table keeps accepting writes."""
+    from graft_client import GraftClient, IngestJob, IngestJobSender
+
+    table_dir = tempfile.mkdtemp(prefix="graft-pyrestore-")
+    c = GraftClient(table_dir, jar=JAR, spark_submit=SPARK_SUBMIT,
+                    master="local[4]")
+    c.seed_demo_table(rows=10, split=5, agg_config="last(v)")
+    admin = c.admin()
+    v1 = admin.table_version()
+
+    # mutate: overwrite k=1 via an ingest batch, then roll back
+    d = tempfile.mkdtemp(prefix="graft-restore-batch-")
+    path = os.path.join(d, "b.jsonl")
+    with open(path, "w") as f:
+        f.write(json.dumps({"k": 1, "v": 999}) + "\n")
+    sender = IngestJobSender(c)
+    st = sender.send(IngestJob(files=[path], file_format="jsonl"))
+    assert st["state"] == "COMMITTED", st
+    r = c.exact_key_query([{"k": 1}], query_id="py-restore-pre")
+    assert {x["v"] for x in r.rows()} == {999}
+
+    rs = admin.restore_to(v1)
+    assert rs["state"] == "OK", rs
+    r2 = c.exact_key_query([{"k": 1}], query_id="py-restore-post")
+    assert {x["v"] for x in r2.rows()} == {10}, r2.rows()
+
+    # restoring to a bogus version fails loudly
+    bad = admin.restore_to(99999)
+    assert bad["state"] == "FAILED" and bad["error"], bad

@@ -60,6 +60,7 @@ object AdminRunner {
       case "version" if args.length >= 2 => runVersion(args)
       case "clone" if args.length >= 4 => runClone(args)
       case "set-properties" if args.length >= 3 => runSetProperties(args)
+      case "restore" if args.length >= 3 => runRestore(args)
       case other =>
         System.err.println(s"unknown/short admin command: $other")
         2
@@ -173,6 +174,27 @@ object AdminRunner {
       s"""{"op":"delete","id":${graft.Verify.jsonEscape(id)},"state":"$state",""" +
         s""""deleteKeys":$deleted,"error":${error.map(graft.Verify.jsonEscape)
           .getOrElse("null")}}""", state)
+  }
+
+  /** `restore <tableDir> <version> [statusDir]` — roll the table's data
+    * back to a historical version's contents (one metadata commit, no
+    * data IO; refused when the target's files were already GC'd).
+    */
+  private def runRestore(args: Array[String]): Int = {
+    val tableDir = args(1)
+    val statusDir = if (args.length > 3) Some(args(3)) else None
+    val spark = SparkSession.builder().appName("graft-admin-runner").getOrCreate()
+    var state = "FAILED"
+    var error: Option[String] = None
+    try {
+      GraftTable.load(spark, tableDir).restoreTo(args(2).toLong)
+      state = "OK"
+    } catch {
+      case scala.util.control.NonFatal(e) => error = Some(String.valueOf(e.getMessage))
+    }
+    finish(statusDir, "restore",
+      s"""{"op":"restore","id":"restore","state":"$state","version":${args(2)},""" +
+        s""""error":${error.map(graft.Verify.jsonEscape).getOrElse("null")}}""", state)
   }
 
   private def runVersion(args: Array[String]): Int = {

@@ -724,6 +724,11 @@ object JsonStateStore {
       "appVersion" -> wm.map(w => JInt(w._2)).getOrElse(JNothing))
     case StateTransaction.Truncate(nowMs) => JObject(
       "txn" -> JString("truncate"), "nowMs" -> JInt(nowMs))
+    case StateTransaction.Restore(refs, tombs, nowMs) => JObject(
+      "txn" -> JString("restore"),
+      "refs" -> JArray(refs.map(refToJson).toList),
+      "tombs" -> JArray(tombs.map(refToJson).toList),
+      "nowMs" -> JInt(nowMs))
     case StateTransaction.SetProperties(updates) => JObject(
       "txn" -> JString("setProps"),
       "updates" -> JObject(updates.toList.sortBy(_._1).map { case (k, v) =>
@@ -784,6 +789,12 @@ object JsonStateStore {
       case "truncate" =>
         val JInt(now) = m("nowMs"): @unchecked
         StateTransaction.Truncate(now.toLong)
+      case "restore" =>
+        val JInt(now) = m("nowMs"): @unchecked
+        StateTransaction.Restore(
+          m("refs").asInstanceOf[JArray].arr.map(refFromJson).toVector,
+          m("tombs").asInstanceOf[JArray].arr.map(refFromJson).toVector,
+          now.toLong)
       case "setProps" =>
         StateTransaction.SetProperties(
           m("updates").asInstanceOf[JObject].obj.map {

@@ -160,6 +160,13 @@ trait StateStore {
   def overwriteFiles(newRefs: Seq[FileReference],
       nowMs: Long = System.currentTimeMillis()): Unit
 
+  /** RestoreTransaction — roll the data back to a historical version's
+    * refs/tombstones (caller verifies the files still exist); see
+    * [[StateTransaction.Restore]].
+    */
+  def restore(refs: Seq[FileReference], tombstones: Seq[FileReference],
+      nowMs: Long = System.currentTimeMillis()): Unit
+
   /** The persisted table configuration at the current version. */
   def tableProps: TableProps
 
@@ -392,6 +399,11 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
 
   override def truncate(nowMs: Long): Unit = withRetry { synchronized {
     runTxn(StateTransaction.Truncate(nowMs))
+  }}
+
+  override def restore(refs: Seq[FileReference], tombstones: Seq[FileReference],
+      nowMs: Long): Unit = withRetry { synchronized {
+    runTxn(StateTransaction.Restore(refs.toVector, tombstones.toVector, nowMs))
   }}
 
   override def overwriteFiles(newRefs: Seq[FileReference], nowMs: Long): Unit =

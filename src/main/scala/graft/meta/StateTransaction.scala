@@ -289,6 +289,38 @@ object StateTransaction {
     }
   }
 
+  /** Restore — roll the table's DATA back to a historical version's
+    * contents (Delta RESTORE): the target refs and pending tombstones
+    * ride INLINE in the transaction (replay must not depend on reading
+    * history), files visible now but absent from the target move to
+    * the GC queue, and target files still pending in the GC queue are
+    * resurrected. The mutator ([[graft.table.GraftTable.restoreTo]])
+    * verifies every target file still physically exists BEFORE
+    * committing — a target older than GC retention is refused there
+    * (filesystem checks cannot live in applyTo). The partition tree,
+    * schema and properties stay CURRENT (the tree only ever gains
+    * splits, so historical partition ids remain valid; restored files
+    * on now-split parents push down like any pre-split ref). Restore is
+    * an admin reset outside the CDC contract — like TRUNCATE, change
+    * feeds are not retracted and stream consumers restart checkpoints.
+    */
+  final case class Restore(refs: Vector[FileReference],
+      tombstones: Vector[FileReference], nowMs: Long) extends StateTransaction {
+    override def applyTo(s: TableState): TableState = {
+      (refs ++ tombstones).foreach { r =>
+        require(s.tree.partitions.exists(_.id == r.partitionId),
+          s"restored reference ${r.filename} names unknown partition ${r.partitionId}")
+      }
+      val keep = (refs ++ tombstones).map(_.filename).toSet
+      val dropped = (s.refs ++ s.tombstones)
+        .filterNot(r => keep(r.filename))
+        .map(r => r.filename -> r.physicalPartitionId).distinct
+        .map { case (f, home) => GCEntry(f, nowMs, Some(home)) }
+      s.copy(refs = refs, tombstones = tombstones,
+        gc = s.gc.filterNot(e => keep(e.filename)) ++ dropped)
+    }
+  }
+
   /** SetProperties — versioned edits to the persisted table config (the
     * reference's admin-console property editor, reference:
     * java/clients/src/main/java/sleeper/clients/admin/properties/UpdatePropertiesWithTextEditor.java

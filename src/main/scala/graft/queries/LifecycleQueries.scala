@@ -167,6 +167,8 @@ object LifecycleQueries {
 
   private val sqlOverwriteRoots = new ConcurrentHashMap[String, String]()
 
+  private val restoreDirs = new ConcurrentHashMap[String, String]()
+
   private val mixedTopDirs = new ConcurrentHashMap[String, String]()
 
   private val cdcApplyDirs = new ConcurrentHashMap[String, String]()
@@ -1503,6 +1505,49 @@ object LifecycleQueries {
         b
       })
       s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")
+    },
+
+    // X20 — RESTORE to a version (Delta RESTORE): an LWW table takes
+    // updates and a delete, is rolled back to the pre-mutation version
+    // in ONE metadata commit (no data IO — the dropped generations move
+    // to the GC queue), and keeps working: a post-restore update lands
+    // as a new generation above the restored state. The oracle replays
+    // base-then-post-restore-update; the fixture asserts the
+    // mutated-state read differed and the restore cost exactly one
+    // version.
+    "x20_restore" -> withOracle(
+      """WITH b AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |           FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey,
+        |       CASE WHEN l_orderkey % 100 = 0 THEN qty + 333 ELSE qty END AS qty
+        |FROM b ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val base = restoreDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-restore-q").toString
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L),
+          config = TableConfig(aggregationConfig = "last(qty)"))
+        val src = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+        table.ingest(src)
+        val v1 = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+        val baseCount = table.toDF.count()
+        // mutate: updates + a delete…
+        table.ingest(src.filter(col("l_orderkey") % 4 === 0)
+          .select(col("l_orderkey"), (col("qty") + 1000000L).as("qty")))
+        table.deleteKeys(src.filter(col("l_orderkey") % 10 === 0).select("l_orderkey"))
+        require(table.toDF.count() < baseCount, "mutations must be visible pre-restore")
+        // …then roll back in ONE commit and keep writing
+        val vPre = table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+        table.restoreTo(v1)
+        require(table.store.asInstanceOf[graft.meta.JsonStateStore].currentVersion
+          == vPre + 1, "restore must cost exactly one metadata version")
+        require(table.toDF.count() == baseCount, "restored contents")
+        table.ingest(src.filter(col("l_orderkey") % 100 === 0)
+          .select(col("l_orderkey"), (col("qty") + 333L).as("qty")))
+        b
+      })
+      GraftTable.load(s, s"$base/table").toDF
+        .select("l_orderkey", "qty").orderBy("l_orderkey")
     },
 
     // X19 — atomic INSERT OVERWRITE + TRUNCATE TABLE: overwrite lands

@@ -136,6 +136,29 @@ final class GraftTable(
     refs
   }
 
+  /** RESTORE (Delta RESTORE TABLE ... TO VERSION AS OF): roll the DATA
+    * back to version `v`'s contents in ONE metadata commit — the target
+    * refs and pending markers (generation seqs included) become
+    * current, files added since move to the GC queue, and target files
+    * still pending GC are resurrected. No data IO: restore is O(refs)
+    * metadata. Refused if any target file was already garbage-collected
+    * (restorable history = GC retention, same bound as time-travel
+    * reads). The partition tree, schema, and properties stay current;
+    * like TRUNCATE, change feeds are not retracted (admin reset).
+    */
+  def restoreTo(v: Long): Unit = {
+    store.assertWritable()
+    val target = JsonStateStore.loadAt(s"$dir/meta", v)
+    val all = (target.fileReferences ++ target.tombstones)
+      .map(r => r.filename -> r.physicalPartitionId).distinct
+    val missing = all.filterNot { case (f, home) => GraftFS.exists(filePath(home, f)) }
+    require(missing.isEmpty,
+      s"cannot restore to version $v: ${missing.size} file(s) already " +
+        s"garbage-collected (e.g. ${missing.take(3).map(_._1).mkString(", ")}) — " +
+        "restorable history is bounded by the GC delay")
+    store.restore(target.fileReferences, target.tombstones)
+  }
+
   /** TRUNCATE: drop every row in one O(1) metadata version — refs and
     * pending tombstones move to the GC queue; data files survive until
     * GC, so pre-truncate versions stay time-travel-readable. Streams

@@ -132,7 +132,7 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(sorted.count() == 2)
   }
 
-  test("DSv2 append write runs the ingest dataflow; overwrite is rejected") {
+  test("DSv2 append write runs the ingest dataflow; overwrite replaces atomically") {
     val dir = tmp()
     GraftTable.create(spark, dir, schema, splitPoints = Seq("m"))
     batch(("ant", 1L, 1L, Map("a" -> 1L)), ("yak", 1L, 2L, Map.empty[String, Long]))
@@ -148,10 +148,15 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(GraftTable.load(spark, dir).toDF.count() == 3)
     assert(spark.sql("SELECT count(*) FROM w_t").head().getLong(0) == 3)
 
-    intercept[Exception] {
-      batch(("x", 1L, 1L, Map.empty[String, Long]))
-        .write.format("graft").mode("overwrite").save(dir)
-    }
+    // overwrite mode = atomic replace (ONE composite Truncate+AddFiles
+    // version — see TruncateSpec for the SQL INSERT OVERWRITE path)
+    val vBefore = graft.meta.JsonStateStore.load(s"$dir/meta").currentVersion
+    batch(("x", 1L, 1L, Map.empty[String, Long]))
+      .write.format("graft").mode("overwrite").save(dir)
+    val st = graft.meta.JsonStateStore.load(s"$dir/meta")
+    assert(st.currentVersion == vBefore + 1, "overwrite is one atomic version")
+    assert(GraftTable.load(spark, dir).toDF.select("key").as[String]
+      .collect().toSeq == Seq("x"))
   }
 
   test("runtime filtering prunes leaves when joined to a filtered dim (DPP analog)") {
