@@ -389,17 +389,37 @@ final class Compaction(table: GraftTable,
       }
     if (onePassSketches) attachSketches(sketchDir, written.map { case (idx, _, path) => idx -> path })
     else writeSketches(written.map(_._3))
-    written.foreach { case (_, pid, path) =>
-      require(needsWork.contains(pid),
-        s"transform produced rows in untouched leaf $pid — transforms must not rewrite key columns")
-      val filename = new Path(path).getName
-      val rowCount = footerRowCount(path)
-      table.store.replaceFiles(pid, needsWork(pid).map(_.filename),
-        FileReference(filename, pid, rowCount, seq = needsWork(pid).map(_.seq).max),
-        consumedTombstones = tombsByLeaf.getOrElse(pid, Nil).map(_.filename))
-      track(s"$jobId:$pid", pid, needsWork(pid).size, CompactionJobState.Committed,
-        rows = Some(rowCount))
-      committed += pid
+    // Commit the leaves' replacements BATCHED: each chunk of 64 rides
+    // ONE composite log version (commitValidated) instead of one CAS
+    // round-trip per leaf — on a 1000-leaf whole-table compaction the
+    // driver-side commit loop otherwise becomes the tail of the job.
+    // Per-leaf semantics are unchanged: outcomes are individual, and a
+    // failing leaf throws its own precondition error.
+    val commitNowMs = System.currentTimeMillis()
+    val replacements: Seq[(String, Long, graft.meta.StateTransaction)] =
+      written.map { case (_, pid, path) =>
+        require(needsWork.contains(pid),
+          s"transform produced rows in untouched leaf $pid — transforms must not rewrite key columns")
+        val filename = new Path(path).getName
+        val rowCount = footerRowCount(path)
+        (pid, rowCount, graft.meta.StateTransaction.ReplaceFiles(
+          pid, needsWork(pid).map(_.filename).toVector,
+          Some(FileReference(filename, pid, rowCount, seq = needsWork(pid).map(_.seq).max)),
+          commitNowMs,
+          tombsByLeaf.getOrElse(pid, Nil).map(_.filename).toVector))
+      }
+    val batchingStore = table.store.asInstanceOf[graft.meta.InMemoryStateStore]
+    replacements.grouped(64).foreach { chunk =>
+      val outcomes = batchingStore.commitValidated(chunk.map(_._3))
+      chunk.lazyZip(outcomes).foreach { case ((pid, rowCount, _), outcome) =>
+        outcome match {
+          case graft.meta.CommitOutcome.Failed(e) => throw e
+          case _ =>
+            track(s"$jobId:$pid", pid, needsWork(pid).size, CompactionJobState.Committed,
+              rows = Some(rowCount))
+            committed += pid
+        }
+      }
     }
     // A leaf whose rows were ALL dropped (filter/transform) produces no
     // output file on the partitionBy path — commit a pure removal so its

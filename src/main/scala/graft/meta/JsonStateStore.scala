@@ -434,6 +434,36 @@ object JsonStateStore {
   def versionAtOrBefore(dirStr: String, epochMs: Long): Option[Long] =
     retainedVersionsIn(dirStr).filter(_._2 <= epochMs).map(_._1).maxOption
 
+  /** The transaction type committed at a retained version — "create"
+    * for v1, the codec tag ("addFiles", "replaceFiles", "merge",
+    * "batch[n]", …) otherwise, "unknown" when the record is absent or
+    * unreadable. DESCRIBE-HISTORY-style labeling for the `$history`
+    * metadata table; one tiny JSON read per version, bounded by
+    * retention.
+    */
+  def operationAt(dirStr: String, version: Long): String = {
+    if (version == 1L) return "create"
+    val (fs, dir) = GraftFS.resolve(dirStr)
+    try {
+      val p = new Path(dir, s"txn-v$version.json")
+      val in = fs.open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      JsonMethods.parse(text) match {
+        case o: JObject =>
+          val m = o.obj.toMap
+          m.get("txn") match {
+            case Some(JString("batch")) =>
+              val n = m.get("txns").collect { case JArray(xs) => xs.size }.getOrElse(0)
+              s"batch[$n]"
+            case Some(JString(t)) => t
+            case _ => "unknown"
+          }
+        case _ => "unknown"
+      }
+    } catch { case scala.util.control.NonFatal(_) => "unknown" }
+  }
+
   /** Retained (version, commit epoch-ms) pairs, ascending by version —
     * the arbiter/snapshot files still on disk. The commit time is the
     * file's modification time; a periodic snapshot (state-v{N}) is

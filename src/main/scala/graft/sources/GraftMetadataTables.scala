@@ -53,6 +53,7 @@ final class GraftMetadataTable(dir: String, kind: String)
     case "history" => new StructType()
       .add("version", LongType, nullable = false)
       .add("committed_at", TimestampType, nullable = false)
+      .add("operation", StringType, nullable = false)
   }
 
   override def capabilities(): java.util.Set[TableCapability] =
@@ -97,7 +98,8 @@ object GraftMetadataTable {
         }.toArray
       case "history" =>
         JsonStateStore.retainedVersionsIn(meta).map { case (v, ms) =>
-          new GenericInternalRow(Array[Any](v, ms * 1000L)) // micros
+          new GenericInternalRow(Array[Any](v, ms * 1000L, // micros
+            utf8(JsonStateStore.operationAt(meta, v))))
         }.toArray
     }
   }

@@ -99,10 +99,12 @@ class SqlTimeTravelSpec extends AnyFunSuite {
     assert(tombs.toSeq == Seq(1L))
 
     val hist = spark.sql(
-      s"SELECT version, committed_at FROM gt.`$t$$history` ORDER BY version")
+      s"SELECT version, committed_at, operation FROM gt.`$t$$history` ORDER BY version")
       .collect()
     assert(hist.map(_.getLong(0)).toSeq == (1L to version(t)).toSeq)
     assert(hist.forall(_.getTimestamp(1) != null))
+    assert(hist.map(_.getString(2)).toSeq ==
+      Seq("create", "addFiles", "addFiles", "addTombstones"))
 
     // history versions round-trip through VERSION AS OF
     val v2 = hist(1).getLong(0) // after the first insert
