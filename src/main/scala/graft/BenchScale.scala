@@ -564,6 +564,31 @@ object BenchScale {
       graft.meta.GraftFS.deleteRecursive(edir)
     }
 
+    // -- micro-batch ingest on a many-leaf table (small-files guard) ---
+    // 20 tiny batches, each spanning all 128 leaves: the per-leaf layout
+    // would write ~128 near-empty files PER BATCH; the small-batch path
+    // writes ONE shared root-homed file per batch (files_per_batch = 1).
+    if (pass == 1) {
+      val mdir = java.nio.file.Files.createTempDirectory("graft-bench-micro").toString
+      val msplits = (1 until 128).map(i => i * keySpan / 128)
+      val mtable = GraftTable.create(spark, mdir, schema, splitPoints = msplits,
+        config = TableConfig(gcDelayMinutes = 0))
+      val batches = 20
+      val rowsPer = 500
+      timed("micro_ingest_x20", batches.toLong * rowsPer) {
+        var b = 0
+        while (b < batches) {
+          mtable.ingest(spark.range(0, rowsPer)
+            .select((col("id") * lit(keySpan / rowsPer) + lit(b)).as("l_orderkey"),
+              col("id").as("qty")))
+          b += 1
+        }
+      }
+      results("micro_ingest_files_per_batch") =
+        mtable.store.fileReferences.map(_.filename).distinct.size.toDouble / batches
+      graft.meta.GraftFS.deleteRecursive(mdir)
+    }
+
     // -- state-store commit throughput: serial vs batched committer ----
     // Metadata-only (no data files): 8 concurrent writers landing 800
     // commits against one durable log. The serial path pays one CAS

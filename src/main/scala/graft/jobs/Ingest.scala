@@ -55,6 +55,37 @@ final class Ingest(table: GraftTable) {
     val keyCols = schema.keyNames.map(col)
     val tagged = projected.withColumn("__gpart", tree.leafIdColumn)
     val numLeaves = tree.leaves.size
+    val totalBytes = (projected.queryExecution.optimizedPlan.stats.sizeInBytes
+      .min(BigInt(Long.MaxValue))).toLong
+    // Small-batch path: a tiny batch (streaming micro-batches are the
+    // common case) on a many-leaf table would otherwise write one
+    // near-empty file PER TOUCHED LEAF — at 1000 leaves that is 1000
+    // files + sidecars per micro-batch, the classic small-files
+    // explosion. Instead write ONE key-sorted file homed at the tree
+    // root and register one ref per touched leaf sharing it (the same
+    // shared-file mechanics every reader/compactor already handles for
+    // post-split files: reads clip to the leaf region — a contiguous
+    // slice of a key-sorted file is key-sorted — and the next
+    // compaction localizes it). Unknown-size plans (stats default to
+    // Long.MaxValue) take the normal path, so the gate can only engage
+    // when the batch is KNOWN small — and only on genuinely many-leaf
+    // tables (>= 64), where the per-leaf amplification dominates; small
+    // trees keep the one-file-per-leaf layout (it IS the steady state
+    // compaction converges to, and file-grain skipping prefers it).
+    if (totalBytes <= Ingest.SmallBatchBytes && numLeaves >= 64) {
+      val refs = writeSmallBatch(projected, tagged, keyCols)
+      if (refs.isEmpty) return Nil
+      if (!commit) return refs
+      txn match {
+        case None => table.store.addFiles(refs); return refs
+        case Some((app, version)) =>
+          if (table.store.addFilesIfAbsent(app, version, refs)) return refs
+          val home = refs.head.physicalPartitionId
+          GraftFS.delete(table.filePath(home, refs.head.filename))
+          GraftFS.delete(table.filePath(home, refs.head.filename) + ".sketches")
+          return Nil
+      }
+    }
     // One sorted run per leaf caps BOTH parallelism (numLeaves tasks
     // total — a 4-leaf table ingests on 4 of 32 cores) and sort memory
     // (a 100 GB leaf must spill-sort inside one task). The LSM already
@@ -125,6 +156,38 @@ final class Ingest(table: GraftTable) {
           Nil
         }
     }
+  }
+
+  /** Small-batch write: ONE key-sorted file homed at the tree ROOT,
+    * registered on each touched leaf as a shared reference (homeId) —
+    * readers clip it to the leaf region (a contiguous slice of a
+    * key-sorted file stays key-sorted) and the next compaction
+    * localizes it, exactly like a post-split shared file.
+    */
+  private def writeSmallBatch(projected: DataFrame, tagged: DataFrame,
+      keyCols: Seq[org.apache.spark.sql.Column]): Seq[FileReference] = {
+    val tree = table.store.partitionTree
+    val counts: Seq[(String, Long)] = tagged.groupBy("__gpart").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    if (counts.isEmpty) return Nil
+    val jobId = UUID.randomUUID().toString.take(8)
+    val tmpDir = s"${table.dir}/.ingest-$jobId"
+    ParquetLayout.configure(
+      projected.coalesce(1).sortWithinPartitions(keyCols: _*).write,
+      table.schema).parquet(tmpDir)
+    val (fs, _) = GraftFS.resolve(tmpDir)
+    val part = GraftFS.list(tmpDir).map(_.getPath)
+      .find(_.getName.endsWith(".parquet"))
+    if (part.isEmpty) { GraftFS.deleteRecursive(tmpDir); return Nil }
+    val home = tree.root.id
+    val destDir = new Path(s"${table.dataDir}/$home")
+    fs.mkdirs(destDir)
+    val name = s"ingest-$jobId-${UUID.randomUUID().toString.take(8)}.parquet"
+    GraftFS.rename(part.get, new Path(destDir, name), fs)
+    GraftFS.deleteRecursive(tmpDir)
+    val path = s"${table.dataDir}/$home/$name"
+    writeSketches(Seq(path), counts.map(_._2).sum)
+    counts.map { case (pid, n) => FileReference(name, pid, n, homeId = Some(home)) }
   }
 
   /** One pruned-columnar job building every new file's key sketches,
@@ -208,6 +271,18 @@ final class Ingest(table: GraftTable) {
 }
 
 object Ingest {
+  /** Batches whose estimated TOTAL size (Catalyst stats, compressed) is
+    * at or below this — on a table of >= 64 leaves — write ONE shared
+    * root-homed file instead of one file per touched leaf: the
+    * small-files guard for streaming micro-batches on many-leaf tables
+    * (1000 leaves × a 100-row batch must not mean 1000 near-empty
+    * files + sidecars). Unknown-size plans report Long.MaxValue and
+    * never take this path. Overridable via
+    * -Dgraft.ingest.smallBatchBytes (0 disables).
+    */
+  val SmallBatchBytes: Long =
+    sys.props.get("graft.ingest.smallBatchBytes").map(_.toLong).getOrElse(4L * 1024 * 1024)
+
   /** Leaves whose estimated share of the input is below this stay one
     * sorted run — salting a small ingest would litter the LSM with tiny
     * files that compaction then has to fold for no parallelism gain.
