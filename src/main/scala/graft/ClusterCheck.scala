@@ -61,8 +61,10 @@ object ClusterCheck {
     // round 13: the CDF stream's reader factory (key-only delete files,
     // null-padded value slots, per-partition op/version/seq constants)
     // deserializes inside executor JVMs; the SQL time-travel pinned scan
-    // ships historical RunSpecs the same way the live scan does
-    "t47_stream_cdf", "x15_sql_time_travel")
+    // ships historical RunSpecs the same way the live scan does; the
+    // streaming SINK's writer factory ships the partition tree + key
+    // ordering into executor DataWriters (leaf counting, sorted writes)
+    "t47_stream_cdf", "x15_sql_time_travel", "t48_stream_sink")
 
   /** Canonical content hash: columns sorted by name, every cell cast to
     * string (nulls as NUL), cells joined with SOH, row strings sorted —

@@ -195,7 +195,7 @@ final class Ingest(table: GraftTable) {
     * try_sum nulls out on overflow, and an overflowed file simply gets
     * no sum entry — pushdown declines rather than answering wrong).
     */
-  private def writeSketches(paths: Seq[String], maxFileRows: Long = 0L): Unit = {
+  private[graft] def writeSketches(paths: Seq[String], maxFileRows: Long = 0L): Unit = {
     val schema = table.schema
     val keyNames = schema.rowKeyNames
     val sumFields = Ingest.integralFieldNames(schema)

@@ -169,6 +169,8 @@ object LifecycleQueries {
 
   private val restoreDirs = new ConcurrentHashMap[String, String]()
 
+  private val sinkDirs = new ConcurrentHashMap[String, String]()
+
   private val mixedTopDirs = new ConcurrentHashMap[String, String]()
 
   private val cdcApplyDirs = new ConcurrentHashMap[String, String]()
@@ -1505,6 +1507,64 @@ object LifecycleQueries {
         b
       })
       s.read.format("graft").load(s"$base/table").orderBy("l_orderkey")
+    },
+
+    // T48 — native structured-streaming SINK: an arbitrary streaming
+    // pipeline (here a parquet file feed) lands in a graft table via
+    // df.writeStream.format("graft") — each epoch is one atomic write
+    // generation under the (sink:queryId, epochId) watermark, so the
+    // two AvailableNow windows land exactly-once and LWW resolves the
+    // second window's updates above the first. Writers emit per-task
+    // root-homed shared files (never per-leaf micro-files). Unlike
+    // t1_streaming (the inbox-ingest main), this is the DSv2 sink any
+    // readStream source can feed.
+    "t48_stream_sink" -> withOracle(
+      """WITH b AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |           FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey,
+        |       CASE WHEN l_orderkey % 5 = 0 THEN qty + 7000000 ELSE qty END AS qty
+        |FROM b ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val base = sinkDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-sink-q").toString
+        GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(3000L, 6000L, 9000L),
+          config = TableConfig(aggregationConfig = "last(qty)"))
+        val src = Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+        val inbox = s"$b/inbox"
+        def drain(): Unit = {
+          val q = s.readStream
+            .schema(org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("l_orderkey",
+                org.apache.spark.sql.types.LongType, nullable = false),
+              org.apache.spark.sql.types.StructField("qty",
+                org.apache.spark.sql.types.LongType, nullable = false))))
+            .parquet(inbox)
+            .writeStream.format("graft")
+            .option("path", s"$b/table")
+            .option("checkpointLocation", s"$b/cp")
+            .outputMode("append")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        src.coalesce(1).write.mode("append").parquet(inbox)
+        drain() // window 1: the base corpus
+        src.filter(col("l_orderkey") % 5 === 0)
+          .select(col("l_orderkey"), (col("qty") + 7000000L).as("qty"))
+          .coalesce(1).write.mode("append").parquet(inbox)
+        drain() // window 2: LWW updates, a newer generation
+        val table = GraftTable.load(s, s"$b/table")
+        val wm = table.store.asInstanceOf[graft.meta.JsonStateStore].txnWatermarks
+        require(wm.keys.exists(_.startsWith("sink:")),
+          "epoch watermark must be recorded for exactly-once")
+        require(table.store.fileReferences.forall(r =>
+          r.physicalPartitionId == table.store.partitionTree.root.id),
+          "sink writers must emit root-homed shared files")
+        b
+      })
+      GraftTable.load(s, s"$base/table").toDF
+        .select("l_orderkey", "qty").orderBy("l_orderkey")
     },
 
     // X20 — RESTORE to a version (Delta RESTORE): an LWW table takes

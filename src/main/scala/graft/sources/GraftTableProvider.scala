@@ -107,7 +107,7 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
     else java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE, TableCapability.STREAMING_WRITE)
 
   // Re-load the snapshot per scan build (a small JSON read), so a view
   // created once still sees later ingests/compactions — read-your-writes
@@ -177,6 +177,29 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
             else table.ingest(data)
             ()
           }
+        // df.writeStream.format("graft"): exactly-once epochs via the
+        // (sink:queryId, epochId) txn watermark — see GraftStreamingWrite
+        override def toStreaming
+            : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+          require(!replaceAll, "the graft streaming sink is append-only")
+          val fresh = JsonStateStore.load(s"$dir/meta")
+          val sch = fresh.schema
+          info.schema().fields.foreach { f =>
+            val t = sch.allFields.find(_.name == f.name).getOrElse(
+              throw new IllegalArgumentException(
+                s"streaming sink input field ${f.name} not in the table schema"))
+            require(org.apache.spark.sql.types.DataType
+              .equalsIgnoreNullability(f.dataType, t.dataType),
+              s"field ${f.name}: stream ${f.dataType.sql} != table ${t.dataType.sql}")
+          }
+          // Spark's output resolution aligns the stream to the TABLE
+          // schema; the writer indexes positionally, so assert the order
+          require(info.schema().fieldNames.toSeq == sch.allFields.map(_.name),
+            s"streaming sink input must carry every table column in order " +
+              s"(${info.schema().fieldNames.mkString(",")} vs ${sch.allFields.map(_.name).mkString(",")})")
+          new GraftStreamingWrite(dir, info.queryId(),
+            sch.allFields, sch.keyNames, sch.rowKeyNames, fresh.partitionTree)
+        }
       }
     }
   }
