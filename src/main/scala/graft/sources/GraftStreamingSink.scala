@@ -65,7 +65,9 @@ final class GraftStreamingWrite(dir: String, queryId: String,
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.foreach {
-      case m: GraftSinkFile =>
+      // empty-writer messages carry no file — guard, or the path would
+      // name the partition directory itself
+      case m: GraftSinkFile if m.name.nonEmpty =>
         GraftFS.delete(s"$dir/data/${m.home}/${m.name}")
         GraftFS.delete(s"$dir/data/${m.home}/${m.name}.sketches")
       case _ => ()
