@@ -118,4 +118,51 @@ class HttpCasSpec extends AnyFunSuite {
       assert(fin.currentVersion == 1 + 3 * perWriter)
     } finally server.close()
   }
+
+  test("batched committer arbitrating through the HTTP CAS: folded versions, no losses") {
+    // The production shape: commit latency is a REMOTE conditional put,
+    // so batching is what keeps commit throughput off the round-trip
+    // floor — here a committer store races a serial rival through the
+    // same claim service, both durable, every commit present.
+    val data = Files.createTempDirectory("graft-httpcas-cq").toString
+    val server = new HttpCasServer(data)
+    try {
+      val dir = Files.createTempDirectory("graft-httpcas-cqdir").toString
+      val s1 = JsonStateStore.create(dir, schema,
+        PartitionTree.fromSplitPoints(schema, Seq("m")),
+        cas = Some(new HttpCas(server.address)))
+      val s2 = JsonStateStore.load(dir, cas = Some(new HttpCas(server.address)))
+      val leaf = s1.partitionTree.leaves.map(_.id).min
+      val q = new CommitterQueue(s1, maxBatch = 32)
+      val rival = new Thread(() => (0 until 20).foreach { i =>
+        var done = false
+        while (!done) {
+          try { s2.addFiles(Seq(FileReference(s"rival-$i", leaf, 1))); done = true }
+          catch { case _: ConcurrentStateException => () }
+        }
+      })
+      rival.start()
+      try {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+        try {
+          val futures = (0 until 6).map { t =>
+            pool.submit(new java.util.concurrent.Callable[Boolean] {
+              def call(): Boolean = (0 until 10).forall { i =>
+                q.commit(StateTransaction.AddFiles(
+                  Vector(FileReference(s"q$t-f$i", leaf, 1)))) == CommitOutcome.Committed
+              }
+            })
+          }
+          assert(futures.forall(_.get()))
+        } finally pool.shutdown()
+      } finally { rival.join(); q.close() }
+      val fin = JsonStateStore.load(dir, cas = Some(new HttpCas(server.address)))
+      val names = fin.fileReferences.map(_.filename).toSet
+      assert((0 until 20).forall(i => names(s"rival-$i")))
+      assert((0 until 6).forall(t => (0 until 10).forall(i => names(s"q$t-f$i"))))
+      assert(names.size == 80)
+      assert(fin.currentVersion - 1 < 80,
+        s"expected folded versions, got ${fin.currentVersion - 1} for 80 commits")
+    } finally server.close()
+  }
 }
