@@ -53,10 +53,14 @@ final class Ingest(table: GraftTable) {
     val projected = input.select(schema.allFields.map(f => col(f.name)): _*)
 
     val keyCols = schema.keyNames.map(col)
-    val tagged = projected.withColumn("__gpart", tree.leafIdColumn)
     val numLeaves = tree.leaves.size
     val totalBytes = (projected.queryExecution.optimizedPlan.stats.sizeInBytes
       .min(BigInt(Long.MaxValue))).toLong
+    // When the small-batch gate misfires (Catalyst stats can grossly
+    // underestimate after filters/joins), the spooled single file is the
+    // hard evidence: the per-leaf path below re-reads it as its source —
+    // deterministic even when the original plan was not.
+    var spooledDir: Option[String] = None
     // Small-batch path: a tiny batch (streaming micro-batches are the
     // common case) on a many-leaf table would otherwise write one
     // near-empty file PER TOUCHED LEAF — at 1000 leaves that is 1000
@@ -73,19 +77,27 @@ final class Ingest(table: GraftTable) {
     // trees keep the one-file-per-leaf layout (it IS the steady state
     // compaction converges to, and file-grain skipping prefers it).
     if (totalBytes <= Ingest.SmallBatchBytes && numLeaves >= 64) {
-      val refs = writeSmallBatch(projected, tagged, keyCols)
-      if (refs.isEmpty) return Nil
-      if (!commit) return refs
-      txn match {
-        case None => table.store.addFiles(refs); return refs
-        case Some((app, version)) =>
-          if (table.store.addFilesIfAbsent(app, version, refs)) return refs
-          val home = refs.head.physicalPartitionId
-          GraftFS.delete(table.filePath(home, refs.head.filename))
-          GraftFS.delete(table.filePath(home, refs.head.filename) + ".sketches")
-          return Nil
+      writeSmallBatch(projected, keyCols) match {
+        case Right(refs) =>
+          if (refs.isEmpty) return Nil
+          if (!commit) return refs
+          txn match {
+            case None => table.store.addFiles(refs); return refs
+            case Some((app, version)) =>
+              if (table.store.addFilesIfAbsent(app, version, refs)) return refs
+              val home = refs.head.physicalPartitionId
+              GraftFS.delete(table.filePath(home, refs.head.filename))
+              GraftFS.delete(table.filePath(home, refs.head.filename) + ".sketches")
+              return Nil
+          }
+        case Left(spool) => spooledDir = Some(spool)
       }
     }
+    // per-leaf source: the validated input, or the spooled small-batch
+    // file when the size gate misfired (its byte length is now exact)
+    val source = spooledDir.map(spark.read.schema(projected.schema).parquet(_))
+      .getOrElse(projected)
+    val tagged = source.withColumn("__gpart", tree.leafIdColumn)
     // One sorted run per leaf caps BOTH parallelism (numLeaves tasks
     // total — a 4-leaf table ingests on 4 of 32 cores) and sort memory
     // (a 100 GB leaf must spill-sort inside one task). The LSM already
@@ -95,8 +107,13 @@ final class Ingest(table: GraftTable) {
     // per-run size target so small ingests keep one file per leaf
     // (correctness-scale plans unchanged) and a many-leaf table at
     // cluster scale salts only when leaves outgrow the sort budget.
-    val perLeafBytes = (projected.queryExecution.optimizedPlan.stats.sizeInBytes
-      / math.max(numLeaves, 1)).min(BigInt(Long.MaxValue)).toLong
+    val perLeafBytes = spooledDir match {
+      case Some(spool) => // exact: the spooled parquet's on-disk bytes
+        GraftFS.list(spool).filter(_.getPath.getName.endsWith(".parquet"))
+          .map(_.getLen).sum / math.max(numLeaves, 1)
+      case None => (projected.queryExecution.optimizedPlan.stats.sizeInBytes
+        / math.max(numLeaves, 1)).min(BigInt(Long.MaxValue)).toLong
+    }
     val salt = Ingest.saltFor(perLeafBytes,
       spark.sparkContext.defaultParallelism, numLeaves,
       maxSalt = table.config.compactionBatchSize)
@@ -130,6 +147,7 @@ final class Ingest(table: GraftTable) {
         }
     }
     GraftFS.deleteRecursive(tmpDir)
+    spooledDir.foreach(GraftFS.deleteRecursive)
 
     if (moved.isEmpty) return Nil
 
@@ -164,21 +182,36 @@ final class Ingest(table: GraftTable) {
     * key-sorted file stays key-sorted) and the next compaction
     * localizes it, exactly like a post-split shared file.
     */
-  private def writeSmallBatch(projected: DataFrame, tagged: DataFrame,
-      keyCols: Seq[org.apache.spark.sql.Column]): Seq[FileReference] = {
+  private def writeSmallBatch(projected: DataFrame,
+      keyCols: Seq[org.apache.spark.sql.Column]): Either[String, Seq[FileReference]] = {
     val tree = table.store.partitionTree
-    val counts: Seq[(String, Long)] = tagged.groupBy("__gpart").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
-    if (counts.isEmpty) return Nil
     val jobId = UUID.randomUUID().toString.take(8)
     val tmpDir = s"${table.dir}/.ingest-$jobId"
+    // ONE Spark action evaluates the source: the write itself. Per-leaf
+    // counts are then derived from the WRITTEN file, so a
+    // non-deterministic source (rand(), input files changing between
+    // jobs) can never leave FileReference rowCounts inconsistent with
+    // the file's real contents.
     ParquetLayout.configure(
       projected.coalesce(1).sortWithinPartitions(keyCols: _*).write,
       table.schema).parquet(tmpDir)
     val (fs, _) = GraftFS.resolve(tmpDir)
     val part = GraftFS.list(tmpDir).map(_.getPath)
       .find(_.getName.endsWith(".parquet"))
-    if (part.isEmpty) { GraftFS.deleteRecursive(tmpDir); return Nil }
+    if (part.isEmpty) { GraftFS.deleteRecursive(tmpDir); return Right(Nil) }
+    // Size backstop: the gate trusted Catalyst stats, which can grossly
+    // underestimate after filters/joins. The written bytes are ground
+    // truth — a batch that proves large is handed back (still spooled)
+    // for the salted per-leaf path, rather than landing one oversized
+    // shared file every reader then pays to clip.
+    if (fs.getFileStatus(part.get).getLen >
+        Ingest.SmallBatchFallbackMultiple * Ingest.SmallBatchBytes)
+      return Left(tmpDir)
+    val counts: Seq[(String, Long)] =
+      spark.read.parquet(tmpDir)
+        .groupBy(tree.leafIdColumn.as("__gpart")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+    if (counts.isEmpty) { GraftFS.deleteRecursive(tmpDir); return Right(Nil) }
     val home = tree.root.id
     val destDir = new Path(s"${table.dataDir}/$home")
     fs.mkdirs(destDir)
@@ -187,7 +220,7 @@ final class Ingest(table: GraftTable) {
     GraftFS.deleteRecursive(tmpDir)
     val path = s"${table.dataDir}/$home/$name"
     writeSketches(Seq(path), counts.map(_._2).sum)
-    counts.map { case (pid, n) => FileReference(name, pid, n, homeId = Some(home)) }
+    Right(counts.map { case (pid, n) => FileReference(name, pid, n, homeId = Some(home)) })
   }
 
   /** One pruned-columnar job building every new file's key sketches,
@@ -282,6 +315,17 @@ object Ingest {
     */
   val SmallBatchBytes: Long =
     sys.props.get("graft.ingest.smallBatchBytes").map(_.toLong).getOrElse(4L * 1024 * 1024)
+
+  /** Hard backstop on the small-batch gate: if the spooled single file's
+    * ACTUAL bytes exceed this multiple of [[SmallBatchBytes]], the
+    * Catalyst size estimate was wrong — the batch re-routes through the
+    * salted per-leaf path (reading the spool, so the misestimated plan
+    * is never evaluated twice). Read per call so tests can drive the
+    * fallback deterministically.
+    */
+  def SmallBatchFallbackMultiple: Double =
+    sys.props.get("graft.ingest.smallBatchFallbackMultiple")
+      .map(_.toDouble).getOrElse(4.0)
 
   /** Leaves whose estimated share of the input is below this stay one
     * sorted run — salting a small ingest would litter the LSM with tiny

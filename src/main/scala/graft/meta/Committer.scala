@@ -67,6 +67,15 @@ final class CommitterQueue(store: InMemoryStateStore, maxBatch: Int = 64)
     if (!open) throw new IllegalStateException("committer is closed")
     val r = new Req(txn)
     queue.put(r)
+    // close() (or a dying drain thread) may have flipped `open` between
+    // the check and the put, after the closing sweep already ran — a
+    // request stranded that way would block its submitter forever. If we
+    // can still pull it back out, nobody owns it: answer it ourselves.
+    // If remove fails, the drain or the closing sweep has it (complete
+    // is idempotent, so a double answer is harmless).
+    if (!open && queue.remove(r))
+      r.done.complete(CommitOutcome.Failed(
+        new IllegalStateException("committer is closed")))
     r.done.join()
   }
 
@@ -86,24 +95,37 @@ final class CommitterQueue(store: InMemoryStateStore, maxBatch: Int = 64)
 
   private def loop(): Unit = {
     val buf = new java.util.ArrayList[Req](maxBatch)
-    while (open || !queue.isEmpty) {
-      buf.clear()
-      val first = queue.poll(25, TimeUnit.MILLISECONDS)
-      if (first != null) {
-        buf.add(first)
-        if (maxBatch > 1) queue.drainTo(buf, maxBatch - 1)
-        val reqs = buf.asScala.toVector
-        val outcomes: Seq[CommitOutcome] =
-          try store.commitValidated(reqs.map(_.txn))
-          catch {
-            // retry budget exhausted / store closed: the whole batch
-            // failed as a unit — report it to every waiter
-            case NonFatal(e) => Vector.fill(reqs.size)(CommitOutcome.Failed(e))
-          }
-        batches += 1
-        committed += outcomes.count(_ == CommitOutcome.Committed)
-        reqs.lazyZip(outcomes).foreach((r, o) => r.done.complete(o))
+    try {
+      while (open || !queue.isEmpty) {
+        buf.clear()
+        val first = queue.poll(25, TimeUnit.MILLISECONDS)
+        if (first != null) {
+          buf.add(first)
+          if (maxBatch > 1) queue.drainTo(buf, maxBatch - 1)
+          val reqs = buf.asScala.toVector
+          val outcomes: Seq[CommitOutcome] =
+            try store.commitValidated(reqs.map(_.txn))
+            catch {
+              // retry budget exhausted / store closed: the whole batch
+              // failed as a unit — report it to every waiter
+              case NonFatal(e) => Vector.fill(reqs.size)(CommitOutcome.Failed(e))
+            }
+          batches += 1
+          committed += outcomes.count(_ == CommitOutcome.Committed)
+          reqs.lazyZip(outcomes).foreach((r, o) => r.done.complete(o))
+        }
       }
+    } catch {
+      // a throw commitValidated's NonFatal guard misses (fatal error,
+      // interrupt) kills this thread — without this, every current and
+      // future submitter would block forever on a committer that still
+      // reads as open. Mark closed, answer everything in flight, rethrow.
+      case t: Throwable =>
+        open = false
+        val err = new IllegalStateException("committer drain thread died", t)
+        buf.asScala.foreach(_.done.complete(CommitOutcome.Failed(err)))
+        queue.asScala.foreach(_.done.complete(CommitOutcome.Failed(err)))
+        throw t
     }
   }
 

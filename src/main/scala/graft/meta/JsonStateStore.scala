@@ -65,12 +65,20 @@ class JsonStateStore private (
     // version 1 is always a FULL snapshot (it must carry schema + table
     // config so `load` can bootstrap); every later commit appends only
     // the O(changes) transaction entry
+    // Commit wall-clock is PERSISTED in the arbiter record: filesystem
+    // mtimes do not survive cp/rsync/backup-restore and differ across
+    // stores, so TIMESTAMP AS OF / $history resolve from this field
+    // (mtime is only the fallback for logs written before it existed).
+    val stamp = "ts" -> (JInt(System.currentTimeMillis()): JValue)
     val body =
       if (nextV == 1L)
-        JsonMethods.pretty(JsonMethods.render(toJson(schema, next.tree, next.refs,
-          next.gc, next.txns, next.props.aggregation, next.props.filter,
-          next.props.transform, next.props.index, next.tombstones)))
-      else JsonMethods.compact(JsonMethods.render(txnToJson(txn)))
+        JsonMethods.pretty(JsonMethods.render(JObject(stamp ::
+          toJson(schema, next.tree, next.refs,
+            next.gc, next.txns, next.props.aggregation, next.props.filter,
+            next.props.transform, next.props.index, next.tombstones)
+            .asInstanceOf[JObject].obj)))
+      else JsonMethods.compact(JsonMethods.render(JObject(stamp ::
+        txnToJson(txn).asInstanceOf[JObject].obj)))
     writeText(tmp, body)
     if (!cas.publish(fs, tmp, target)) {
       try fs.delete(tmp, false) catch { case scala.util.control.NonFatal(_) => () }
@@ -426,9 +434,9 @@ object JsonStateStore {
 
   /** The newest state version whose commit landed at or before
     * `epochMs` — SQL `TIMESTAMP AS OF` resolution. Commit time is the
-    * arbiter file's filesystem modification time (set once at the CAS
-    * publish; arbiter files are never rewritten), so the mapping is
-    * monotone over the retained log. None when the oldest retained
+    * `ts` field persisted in the arbiter record at publish (stable
+    * across copies/migrations; see retainedVersionsIn), so the mapping
+    * is monotone over the retained log. None when the oldest retained
     * commit is already newer than `epochMs`.
     */
   def versionAtOrBefore(dirStr: String, epochMs: Long): Option[Long] =
@@ -466,9 +474,12 @@ object JsonStateStore {
 
   /** Retained (version, commit epoch-ms) pairs, ascending by version —
     * the arbiter/snapshot files still on disk. The commit time is the
-    * file's modification time; a periodic snapshot (state-v{N}) is
+    * `ts` field PERSISTED in the version's arbiter record at publish —
+    * stable across file copies, rsync, and backup/restore, unlike
+    * mtimes. For logs written before the field existed, the fallback is
+    * the file's modification time (a periodic snapshot state-v{N} is
     * written AFTER its version's arbiter and may be newer, so the
-    * EARLIEST time seen per version (the arbiter's) wins.
+    * EARLIEST mtime seen per version wins).
     */
   def retainedVersionsIn(dirStr: String): Seq[(Long, Long)] = {
     val (fs, dir) = GraftFS.resolve(dirStr)
@@ -479,7 +490,23 @@ object JsonStateStore {
         case _ => None
       }
     }.groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq.sortBy(_._1)
+      .map { case (v, mtime) => v -> commitTs(fs, dir, v).getOrElse(mtime) }
   }
+
+  /** The commit wall-clock persisted in version `v`'s arbiter record
+    * ("ts", stamped at CAS publish). None for pre-field logs, absent or
+    * unreadable arbiters.
+    */
+  private def commitTs(fs: FileSystem, dir: Path, v: Long): Option[Long] = try {
+    val p = arbiterPath(dir, v)
+    val in = fs.open(p)
+    val text = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    JsonMethods.parse(text) match {
+      case o: JObject => o.obj.toMap.get("ts").collect { case JInt(t) => t.toLong }
+      case _ => None
+    }
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** One delta-manifest entry: a file committed at a version. Tombstone
     * entries describe row-key delete files (not table data).

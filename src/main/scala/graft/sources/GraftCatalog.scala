@@ -177,6 +177,11 @@ final class GraftCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = dirFor(ident)
+    // Phase 1 — classify and validate EVERY change before mutating
+    // anything: a mixed statement carrying one unsupported or invalid
+    // change must fail as a whole, never leave an earlier AddColumn
+    // committed while the rest of the statement is refused.
+    val adds = scala.collection.mutable.ArrayBuffer[GraftField]()
     val propUpdates = scala.collection.mutable.LinkedHashMap[String, String]()
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -185,11 +190,7 @@ final class GraftCatalog extends TableCatalog {
         require(add.isNullable,
           s"added column ${add.fieldNames.head} must be nullable " +
             "(existing files have no values for it)")
-        val store = JsonStateStore.load(s"$dir/meta")
-        require(store.aggregationConfig.trim.isEmpty,
-          "cannot add a column to an aggregation-configured table " +
-            s"(agg config '${store.aggregationConfig}' must cover every value column)")
-        store.addColumn(GraftField(add.fieldNames.head, add.dataType, nullable = true))
+        adds += GraftField(add.fieldNames.head, add.dataType, nullable = true)
       case set: TableChange.SetProperty =>
         propUpdates += set.property -> set.value
       case unset: TableChange.RemoveProperty =>
@@ -200,6 +201,29 @@ final class GraftCatalog extends TableCatalog {
           "(aggregation/filter/transform/index); keys, sort order and " +
           "existing columns are fixed")
     }
+    val store = JsonStateStore.load(s"$dir/meta")
+    if (adds.nonEmpty) require(store.aggregationConfig.trim.isEmpty,
+      "cannot add a column to an aggregation-configured table " +
+        s"(agg config '${store.aggregationConfig}' must cover every value column)")
+    // Pre-validate property edits against the POST-add schema with the
+    // same parsers the SetProperties transaction runs, so an invalid
+    // property cannot fail the statement after the columns landed.
+    if (propUpdates.nonEmpty) {
+      val futureSchema = store.schema.copy(values = store.schema.values ++ adds)
+      propUpdates.foreach {
+        case ("aggregation", v) =>
+          require(store.fileReferences.isEmpty && store.tombstones.isEmpty,
+            "aggregation config may only change while the table is empty")
+          graft.dsl.ConfigDsl.parseAggregation(v, futureSchema)
+        case ("filter", v) => graft.dsl.ConfigDsl.parseFilter(v, futureSchema)
+        case ("index", v) => graft.meta.BloomIndex.validate(futureSchema, v)
+        case ("transform", _) => // opaque (validated loadability mutator-side)
+        case (other, _) => throw new IllegalArgumentException(
+          s"unknown table property '$other' (expected aggregation/filter/transform/index)")
+      }
+    }
+    // Phase 2 — the whole statement is known good: apply.
+    adds.foreach(store.addColumn)
     if (propUpdates.nonEmpty) {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.table.GraftTable.load(spark, dir).setProperties(propUpdates.toMap)

@@ -77,6 +77,50 @@ class SmallBatchIngestSpec extends AnyFunSuite {
     assert(viaSql == got)
   }
 
+  test("non-deterministic source: rowCounts always match the written file") {
+    val dir = Files.createTempDirectory("graft-smallb-nondet").toString
+    val table = manyLeafTable(dir)
+    // rand() makes the plan non-deterministic: a second evaluation would
+    // select a different subset — counts must come from the single
+    // evaluated pass (the written file), never a re-run of the plan
+    import org.apache.spark.sql.functions.rand
+    table.ingest((0L until 1000L).map(i => (i, i)).toDF("k", "v")
+      .filter(rand(seed = System.nanoTime()) < 0.5))
+    val refs = table.store.fileReferences
+    val metaCount = refs.map(_.rowCount).sum
+    assert(metaCount == table.toDF.count(),
+      "FileReference rowCounts must equal the file's real contents")
+    // per-leaf counts individually consistent with a clipped read
+    refs.foreach { r =>
+      val leaf = table.store.partitionTree.partitions.find(_.id == r.partitionId).get
+      val rg = leaf.region.ranges.head
+      val lo = rg.min.map(_.asInstanceOf[Long]).getOrElse(Long.MinValue)
+      val hi = rg.max.map(_.asInstanceOf[Long]).getOrElse(Long.MaxValue)
+      val got = table.toDF.filter($"k" >= lo && $"k" < hi).count()
+      assert(got == r.rowCount, s"leaf ${r.partitionId}: $got != ${r.rowCount}")
+    }
+  }
+
+  test("size-gate backstop: an underestimated batch falls back to per-leaf") {
+    val dir = Files.createTempDirectory("graft-smallb-backstop").toString
+    val table = manyLeafTable(dir)
+    // force the backstop: any written spool exceeds 0 × SmallBatchBytes
+    System.setProperty("graft.ingest.smallBatchFallbackMultiple", "0")
+    try table.ingest((0L until 1000L by 10L).map(i => (i, i)).toDF("k", "v"))
+    finally System.clearProperty("graft.ingest.smallBatchFallbackMultiple")
+    val refs = table.store.fileReferences
+    // per-leaf layout, not one shared root-homed file
+    assert(refs.forall(r => r.physicalPartitionId == r.partitionId),
+      "backstop routes through the per-leaf path")
+    assert(refs.map(_.filename).distinct.size > 1)
+    assert(refs.map(_.rowCount).sum == 100L)
+    assert(table.toDF.count() == 100)
+    // the spool directory was cleaned up
+    val leftovers = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith(".ingest-"))
+    assert(leftovers.isEmpty, s"spool dirs left behind: ${leftovers.mkString(",")}")
+  }
+
   test("small trees never take the shared-file path (per-leaf layout kept)") {
     val dir = Files.createTempDirectory("graft-smallb-small").toString
     val table = GraftTable.create(spark, dir, schema, splitPoints = Seq(50L))

@@ -146,6 +146,58 @@ class CommitterSpec extends AnyFunSuite {
     assert(names.size == 30 + 60)
   }
 
+  test("submit racing close never hangs; a dead drain thread fails submitters") {
+    // (a) submits racing close(): every submitter gets AN answer — either
+    // its outcome or a committer-closed failure — within the timeout
+    val s = newStore()
+    val Seq(l, _) = leaves(s)
+    val q = new CommitterQueue(s, maxBatch = 4)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    try {
+      val futures = (0 until 64).map { i =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            val r = try {
+              q.submit(StateTransaction.AddFiles(
+                Vector(FileReference(s"race-$i", l, 1)))) match {
+                case CommitOutcome.Committed => "committed"
+                case CommitOutcome.Failed(_) => "failed"
+                case CommitOutcome.Duplicate => "duplicate"
+              }
+            } catch { case _: IllegalStateException => "closed" }
+            results.add(r)
+          }
+        })
+      }
+      Thread.sleep(5) // let some submits land before the close
+      q.close()
+      futures.foreach(f => f.get(10, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    assert(results.size == 64, "every submitter answered — none hung")
+    // committed requests really are in the store
+    val names = s.fileReferences.map(_.filename).toSet
+    import scala.jdk.CollectionConverters._
+    val committedCount = results.asScala.count(_ == "committed")
+    assert(names.count(_.startsWith("race-")) == committedCount)
+
+    // (b) a drain thread killed by a fatal error answers everyone and
+    // marks the committer closed instead of hanging future submitters
+    val dying = new InMemoryStateStore(schema,
+      PartitionTree.fromSplitPoints(schema, Seq("m"))) {
+      override private[graft] def commitValidated(
+          txns: Seq[StateTransaction]): Seq[CommitOutcome] =
+        throw new InterruptedException("fatal: NonFatal misses this")
+    }
+    val q2 = new CommitterQueue(dying, maxBatch = 4)
+    val out = q2.submit(StateTransaction.AddFiles(Vector(FileReference("x", l, 1))))
+    assert(out.isInstanceOf[CommitOutcome.Failed], s"got $out")
+    // the committer is now closed — a late submit fails fast, never hangs
+    intercept[IllegalStateException] {
+      q2.submit(StateTransaction.AddFiles(Vector(FileReference("y", l, 1))))
+    }
+  }
+
   test("nested batches and empty batches are rejected") {
     intercept[IllegalArgumentException](StateTransaction.Batch(Vector.empty))
     intercept[IllegalArgumentException](StateTransaction.Batch(Vector(

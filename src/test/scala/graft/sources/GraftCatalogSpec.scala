@@ -47,6 +47,51 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!Files.exists(java.nio.file.Paths.get(root, "events")))
   }
 
+  test("a mixed ALTER TABLE is atomic: one bad change commits nothing") {
+    root
+    spark.sql(
+      """CREATE TABLE gcat.alt (key STRING, v BIGINT) USING graft
+        |TBLPROPERTIES('rowKeys'='key')""".stripMargin)
+    val cat = new GraftCatalog()
+    cat.initialize("gcat", new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("root", root)))
+    val ident = org.apache.spark.sql.connector.catalog.Identifier.of(
+      Array.empty[String], "alt")
+    import org.apache.spark.sql.connector.catalog.TableChange
+    def schemaNow(): Seq[String] =
+      graft.meta.JsonStateStore.load(s"$root/alt/meta").schema.allFields.map(_.name)
+
+    // AddColumn followed by an UNSUPPORTED change: nothing may land
+    intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("extra"), org.apache.spark.sql.types.LongType),
+        TableChange.deleteColumn(Array("v"), false))
+    }
+    assert(schemaNow() == Seq("key", "v"), "partial ALTER must not commit the add")
+
+    // AddColumn followed by an INVALID property: nothing may land
+    intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("extra"), org.apache.spark.sql.types.LongType),
+        TableChange.setProperty("bogus", "x"))
+    }
+    assert(schemaNow() == Seq("key", "v"))
+    intercept[Exception] {
+      cat.alterTable(ident,
+        TableChange.addColumn(Array("extra"), org.apache.spark.sql.types.LongType),
+        TableChange.setProperty("filter", "ageOff(nosuchcol,1)"))
+    }
+    assert(schemaNow() == Seq("key", "v"))
+
+    // a property referencing the ADDED column validates against the
+    // post-add schema and the whole statement lands
+    cat.alterTable(ident,
+      TableChange.addColumn(Array("extra"), org.apache.spark.sql.types.LongType),
+      TableChange.setProperty("index", "bloom(extra)"))
+    assert(schemaNow() == Seq("key", "v", "extra"))
+    assert(graft.meta.JsonStateStore.load(s"$root/alt/meta").indexConfig == "bloom(extra)")
+  }
+
   test("CREATE TABLE validates key properties and configs at DDL time") {
     root
     intercept[Exception](spark.sql(

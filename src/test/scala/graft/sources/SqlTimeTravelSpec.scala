@@ -73,6 +73,39 @@ class SqlTimeTravelSpec extends AnyFunSuite {
     }
   }
 
+  test("TIMESTAMP AS OF survives a file copy (mtimes destroyed)") {
+    val t = mk()
+    spark.sql(s"INSERT INTO gt.$t SELECT id, id FROM range(0, 10)")
+    val afterFirst = System.currentTimeMillis()
+    Thread.sleep(50) // commit ts is persisted in the record — no mtime granularity wait
+    spark.sql(s"INSERT INTO gt.$t SELECT id, id FROM range(10, 20)")
+
+    // copy the whole table to a new directory and SCRAMBLE every mtime:
+    // commit times must come from the persisted ts field, not the fs
+    val src = java.nio.file.Paths.get(s"$root/$t")
+    val dst = Files.createTempDirectory("graft-ttcopy").resolve("t")
+    import scala.jdk.CollectionConverters._
+    Files.walk(src).iterator().asScala.foreach { p =>
+      val q = dst.resolve(src.relativize(p))
+      if (Files.isDirectory(p)) Files.createDirectories(q)
+      else Files.copy(p, q)
+    }
+    // reverse the mtime order entirely (newest commit gets the oldest mtime)
+    val metaFiles = new java.io.File(s"$dst/meta").listFiles().sortBy(_.getName)
+    metaFiles.zipWithIndex.foreach { case (f, i) =>
+      f.setLastModified(1000000000000L - i * 60000L)
+    }
+
+    val v = graft.meta.JsonStateStore.versionAtOrBefore(s"$dst/meta", afterFirst)
+    assert(v.isDefined, "timestamp must resolve on the copied table")
+    val pinned = graft.meta.JsonStateStore.loadAt(s"$dst/meta", v.get)
+    assert(pinned.fileReferences.map(_.rowCount).sum == 10L,
+      s"copied-table TIMESTAMP AS OF must see the first commit only (v=$v)")
+    // and $history-style commit times stay monotone on the copy
+    val times = graft.meta.JsonStateStore.retainedVersionsIn(s"$dst/meta").map(_._2)
+    assert(times == times.sorted, s"persisted commit times must be monotone: $times")
+  }
+
   test("metadata tables: $files, $partitions, $tombstones, $history") {
     val t = mk()
     spark.sql(s"INSERT INTO gt.$t SELECT id, id FROM range(0, 100)")
