@@ -82,6 +82,47 @@ final class HttpClaimStore(baseUrl: String) extends ClaimStore {
 final class HttpCas(baseUrl: String)
   extends ClaimArbitratedCAS(new HttpClaimStore(baseUrl))
 
+/** Remote-commit client for the committer-as-a-service endpoint
+  * ([[HttpCasServer]] `/commit`): POSTs ONE serialized transaction and
+  * blocks until the service's batched committer has durably landed (or
+  * individually rejected) it. N client PROCESSES funneling through one
+  * service fold into shared composite log versions (reference:
+  * java/statestore-committer-core/src/main/java/sleeper/statestore/committer/StateStoreCommitter.java
+  * — the reference routes all commits through a dedicated committer for
+  * exactly this amortization), so cross-process commit cost drops from
+  * one CAS round-trip EACH to one per shared batch.
+  */
+final class HttpCommitterClient(commitUrl: String) {
+  private val base = commitUrl.stripSuffix("/")
+  private val client = HttpClient.newBuilder()
+    .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+
+  /** Submit one transaction against the table whose state store lives at
+    * `tableMetaDir` (a path the SERVICE can reach — shared fs/object
+    * store). Returns the transaction's individual outcome, exactly as a
+    * local [[CommitterQueue.submit]] would.
+    */
+  def commit(tableMetaDir: String, txn: StateTransaction): CommitOutcome = {
+    val uri = URI.create(s"$base?dir=${URLEncoder.encode(tableMetaDir, UTF_8)}")
+    val r = client.send(HttpRequest.newBuilder(uri)
+      .POST(HttpRequest.BodyPublishers.ofString(
+        JsonStateStore.txnToJsonString(txn), UTF_8))
+      // the submit blocks server-side until its batch lands
+      .timeout(java.time.Duration.ofMinutes(2)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body()) match {
+      case (200, "committed") => CommitOutcome.Committed
+      case (200, "duplicate") => CommitOutcome.Duplicate
+      case (409, msg) =>
+        val m = msg.stripPrefix("failed:")
+        if (m.startsWith(classOf[ConcurrentStateException].getName))
+          CommitOutcome.Failed(new ConcurrentStateException(m, null))
+        else CommitOutcome.Failed(new IllegalArgumentException(m))
+      case (c, msg) => throw new java.io.IOException(s"commit POST → HTTP $c: $msg")
+    }
+  }
+}
+
 /** Single-node claim service — the in-repo stand-in for the managed
   * conditional-put store (DynamoDB in the reference's deployment).
   * Claims are DURABLE: each is a file in `dataDir` published via
@@ -100,10 +141,49 @@ final class HttpCasServer(dataDir: String, port: Int = 0) extends AutoCloseable 
   private val pool = java.util.concurrent.Executors.newCachedThreadPool()
 
   server.createContext("/claims", (ex: HttpExchange) => handle(ex))
+  server.createContext("/commit", (ex: HttpExchange) => handleCommit(ex))
   server.setExecutor(pool) // concurrent writers must not serialize on one thread
   server.start()
 
   val address: String = s"http://127.0.0.1:${server.getAddress.getPort}/claims"
+
+  /** The committer-as-a-service endpoint (POST one txn per request,
+    * `?dir=` = the table's meta dir) — see [[HttpCommitterClient]].
+    */
+  val commitAddress: String = s"http://127.0.0.1:${server.getAddress.getPort}/commit"
+
+  // one batched committer per table: concurrent client POSTs (the pool
+  // runs handlers concurrently) block in submit and fold into shared
+  // composite log versions — cross-process commits pay one CAS
+  // round-trip per BATCH, not per commit
+  private val committers =
+    new java.util.concurrent.ConcurrentHashMap[String, CommitterQueue]()
+
+  private def committerFor(metaDir: String): CommitterQueue =
+    committers.computeIfAbsent(metaDir,
+      d => new CommitterQueue(JsonStateStore.load(d), maxBatch = 64))
+
+  private def handleCommit(ex: HttpExchange): Unit = {
+    try {
+      if (ex.getRequestMethod != "POST") { respond(ex, 405, "method not allowed"); return }
+      val dir = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+        .split("&").collectFirst {
+          case p if p.startsWith("dir=") => URLDecoder.decode(p.drop(4), UTF_8)
+        }.getOrElse { respond(ex, 400, "missing dir parameter"); return }
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val txn = JsonStateStore.txnFromJson(body)
+      committerFor(dir).submit(txn) match {
+        case CommitOutcome.Committed => respond(ex, 200, "committed")
+        case CommitOutcome.Duplicate => respond(ex, 200, "duplicate")
+        case CommitOutcome.Failed(e) =>
+          respond(ex, 409, s"failed:${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        try respond(ex, 500, String.valueOf(e.getMessage))
+        catch { case scala.util.control.NonFatal(_) => () }
+    } finally ex.close()
+  }
 
   private def fileFor(encName: String) = {
     // claim names arrive URL-encoded; keep them encoded on disk so the
@@ -159,5 +239,10 @@ final class HttpCasServer(dataDir: String, port: Int = 0) extends AutoCloseable 
     if (bytes.length > 0 && code != 204) ex.getResponseBody.write(bytes)
   }
 
-  override def close(): Unit = { server.stop(0); pool.shutdownNow() }
+  override def close(): Unit = {
+    server.stop(0)
+    committers.forEach((_, q) =>
+      try q.close() catch { case scala.util.control.NonFatal(_) => () })
+    pool.shutdownNow()
+  }
 }

@@ -798,6 +798,10 @@ object JsonStateStore {
       throw new IllegalStateException("Init commits as a full snapshot, never a log entry")
   }
 
+  /** Wire form of one transaction (the `/commit` endpoint's body). */
+  private[meta] def txnToJsonString(txn: StateTransaction): String =
+    JsonMethods.compact(JsonMethods.render(txnToJson(txn)))
+
   private[meta] def txnFromJson(text: String): StateTransaction =
     txnFromJValue(JsonMethods.parse(text))
 

@@ -86,12 +86,27 @@ final case class GraftSinkWriterFactory(dir: String, tableFields: Seq[GraftField
     new GraftSinkWriter(dir, tableFields, keyNames, rowKeyNames, tree, conf.value)
 }
 
-/** Buffers one task's micro-batch partition, sorts by key order, writes
+object GraftSinkWriter {
+  /** Heap budget per writer task: a partition buffering past this many
+    * bytes spills its sorted run to local disk and keeps going, so a
+    * large backfill pointed at `writeStream.format("graft")` degrades to
+    * an external merge sort instead of an executor OOM. Read per writer
+    * so tests can drive the spill path (`-Dgraft.sink.spillBytes`).
+    */
+  def spillBytes: Long = sys.props.get("graft.sink.spillBytes")
+    .map(_.toLong).getOrElse(256L * 1024 * 1024)
+}
+
+/** Buffers one task's micro-batch partition (bounded — see
+  * [[GraftSinkWriter.spillBytes]]; overflow spills key-sorted runs to
+  * local disk), merges buffer + runs in key order at commit, and writes
   * one root-homed shared file with exact per-leaf counts.
   */
 final class GraftSinkWriter(dir: String, tableFields: Seq[GraftField],
     keyNames: Seq[String], rowKeyNames: Seq[String], tree: PartitionTree,
     conf: org.apache.hadoop.conf.Configuration) extends DataWriter[InternalRow] {
+
+  import org.apache.spark.sql.catalyst.expressions.{UnsafeProjection, UnsafeRow}
 
   private val rows = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
   private val st = StructType(tableFields.map(f =>
@@ -99,7 +114,75 @@ final class GraftSinkWriter(dir: String, tableFields: Seq[GraftField],
   private val keyIdx = keyNames.map(n => tableFields.indexWhere(_.name == n)).toArray
   private val rowKeyIdx = rowKeyNames.map(n => tableFields.indexWhere(_.name == n)).toArray
 
-  override def write(record: InternalRow): Unit = rows += record.copy()
+  private val proj = UnsafeProjection.create(st)
+  private val spillThreshold = GraftSinkWriter.spillBytes
+  private var bufferedBytes = 0L
+  private val spills = scala.collection.mutable.ArrayBuffer.empty[java.io.File]
+
+  override def write(record: InternalRow): Unit = {
+    val u = proj(record).copy()
+    rows += u
+    bufferedBytes += u.getSizeInBytes
+    if (bufferedBytes >= spillThreshold) spill()
+  }
+
+  /** Spill the buffer as one key-sorted run of length-prefixed
+    * UnsafeRows on local disk; commit() merges every run back.
+    */
+  private def spill(): Unit = {
+    val sorted = rows.sorted(keyOrd)
+    val f = java.io.File.createTempFile("graft-sink-spill-", ".run")
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(f), 1 << 16))
+    val writeBuffer = new Array[Byte](4096)
+    try sorted.foreach { r =>
+      val u = r.asInstanceOf[UnsafeRow]
+      out.writeInt(u.getSizeInBytes)
+      u.writeToStream(out, writeBuffer)
+    } finally out.close()
+    spills += f
+    rows.clear()
+    bufferedBytes = 0L
+  }
+
+  private def readSpill(f: java.io.File): Iterator[InternalRow] = {
+    val in = new java.io.DataInputStream(new java.io.BufferedInputStream(
+      new java.io.FileInputStream(f), 1 << 16))
+    new Iterator[InternalRow] {
+      private var nextLen = readLen()
+      private def readLen(): Int =
+        try in.readInt()
+        catch { case _: java.io.EOFException => in.close(); -1 }
+      override def hasNext: Boolean = nextLen >= 0
+      override def next(): InternalRow = {
+        val bytes = new Array[Byte](nextLen)
+        in.readFully(bytes)
+        val u = new UnsafeRow(st.length)
+        u.pointTo(bytes, nextLen)
+        nextLen = readLen()
+        u
+      }
+    }
+  }
+
+  /** N-way merge of key-sorted iterators (the buffer + the spilled
+    * runs) — O(#runs) heap, streaming.
+    */
+  private def mergeSorted(iters: Seq[Iterator[InternalRow]]): Iterator[InternalRow] = {
+    val pq = new java.util.PriorityQueue[(InternalRow, Iterator[InternalRow])](
+      math.max(iters.size, 1),
+      (a: (InternalRow, Iterator[InternalRow]), b: (InternalRow, Iterator[InternalRow])) =>
+        keyOrd.compare(a._1, b._1))
+    iters.foreach(it => if (it.hasNext) pq.add((it.next(), it)))
+    new Iterator[InternalRow] {
+      override def hasNext: Boolean = !pq.isEmpty
+      override def next(): InternalRow = {
+        val (r, it) = pq.poll()
+        if (it.hasNext) pq.add((it.next(), it))
+        r
+      }
+    }
+  }
 
   /** Key value in driver-comparable form (UTF8String → String, so
     * KeyOrdering and PartitionTree.leafFor see the split-point types).
@@ -123,21 +206,31 @@ final class GraftSinkWriter(dir: String, tableFields: Seq[GraftField],
   }
 
   override def commit(): WriterCommitMessage = {
-    if (rows.isEmpty) return GraftSinkFile("", "", Map.empty)
-    val sorted = rows.sorted(keyOrd)
+    if (rows.isEmpty && spills.isEmpty) return GraftSinkFile("", "", Map.empty)
+    val merged: Iterator[InternalRow] =
+      if (spills.isEmpty) rows.sorted(keyOrd).iterator
+      else mergeSorted(rows.sorted(keyOrd).iterator +: spills.toSeq.map(readSpill))
     val home = tree.root.id
     val name = s"stream-${java.util.UUID.randomUUID().toString.take(12)}.parquet"
     val path = s"$dir/data/$home/$name"
     val counts = scala.collection.mutable.HashMap.empty[String, Long]
     val writer = DeltaSpool.open(path, st, conf)
-    try sorted.foreach { r =>
+    try merged.foreach { r =>
       writer.write(r)
       val leaf = tree.leafFor(rowKeyIdx.map(i => keyVal(r, i)).toSeq).id
       counts(leaf) = counts.getOrElse(leaf, 0L) + 1L
-    } finally writer.close()
+    } finally {
+      writer.close()
+      dropSpills()
+    }
     GraftSinkFile(name, home, counts.toMap)
   }
 
-  override def abort(): Unit = ()
-  override def close(): Unit = rows.clear()
+  private def dropSpills(): Unit = {
+    spills.foreach(f => try f.delete() catch { case scala.util.control.NonFatal(_) => () })
+    spills.clear()
+  }
+
+  override def abort(): Unit = dropSpills()
+  override def close(): Unit = { rows.clear(); dropSpills() }
 }

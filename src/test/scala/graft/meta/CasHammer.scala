@@ -17,6 +17,10 @@ package graft.meta
   *    round-trip carries a whole batch. Cross-JVM contention still
   *    arbitrates through the CAS; batching is what keeps the lost-CAS
   *    retry storms amortized.
+  *  - `--remote=<commitUrl>`: the committer-as-a-SERVICE shape — every
+  *    commit POSTs to the shared [[HttpCasServer]] `/commit` endpoint,
+  *    so commits from DIFFERENT processes fold into shared composite
+  *    log versions (in-process batching only amortizes within one JVM).
   *
   * Prints "DONE <n> ELAPSED <ms>" on success; any lost update surfaces
   * as a missing reference in the parent's final assertion.
@@ -28,6 +32,40 @@ object CasHammer {
     val commits = args(2).toInt
     val batchThreads = args.collectFirst {
       case a if a.startsWith("--batch=") => a.drop(8).toInt
+    }
+    val remote = args.collectFirst {
+      case a if a.startsWith("--remote=") => a.drop(9)
+    }
+    remote.foreach { url =>
+      // remote mode: no local store at all — the service owns the log.
+      // A few submitter threads per process give its batches something
+      // to fold; the cross-PROCESS folding happens server-side.
+      val clientThreads = batchThreads.getOrElse(4)
+      val client = new HttpCommitterClient(url)
+      val leaf = JsonStateStore.load(dir).partitionTree.leaves.map(_.id).min
+      val t0 = System.nanoTime()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(clientThreads)
+      try {
+        val futures = (0 until commits).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              var done = false
+              while (!done) {
+                client.commit(dir, StateTransaction.AddFiles(
+                    Vector(FileReference(s"$writerId-f$i", leaf, 1)))) match {
+                  case CommitOutcome.Committed => done = true
+                  case CommitOutcome.Failed(_: ConcurrentStateException) => ()
+                  case CommitOutcome.Failed(e) => throw e
+                  case CommitOutcome.Duplicate => done = true
+                }
+              }
+            }
+          })
+        }
+        futures.foreach(_.get())
+      } finally pool.shutdown()
+      println(s"DONE $commits ELAPSED ${(System.nanoTime() - t0) / 1000000}")
+      return
     }
     // optional positional 4th arg: an HTTP claim-service URL — arbitrate
     // through the remote conditional-put store instead of the filesystem

@@ -119,6 +119,46 @@ class HttpCasSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("committer service: three JVMs' commits fold into shared versions, none lost") {
+    // VERDICT r13 #4 — in-process batching amortizes within one JVM; N
+    // processes each still paid N CAS round-trips. Routing every commit
+    // through the server's /commit endpoint folds commits from DIFFERENT
+    // processes into composite versions: materially fewer log versions
+    // than commits, zero lost updates.
+    val data = Files.createTempDirectory("graft-httpcas-svc").toString
+    val server = new HttpCasServer(data)
+    try {
+      val dir = Files.createTempDirectory("graft-httpcas-svcdir").toString
+      JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val perWriter = 80
+      val procs = (0 until 3).map { w =>
+        new ProcessBuilder(javaBin, "-cp", cp, "graft.meta.CasHammer",
+            dir, s"w$w", perWriter.toString, s"--remote=${server.commitAddress}",
+            "--batch=8")
+          .redirectErrorStream(true).start()
+      }
+      procs.zipWithIndex.foreach { case (p, w) =>
+        val out = new String(p.getInputStream.readAllBytes())
+        assert(p.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), s"writer $w did not finish")
+        assert(p.exitValue() == 0, s"writer $w failed:\n$out")
+        assert(out.contains(s"DONE $perWriter"), s"writer $w incomplete:\n$out")
+      }
+      val fin = JsonStateStore.load(dir)
+      val names = fin.fileReferences.map(_.filename).toSet
+      val expected = (for (w <- 0 until 3; i <- 0 until perWriter) yield s"w$w-f$i").toSet
+      assert(names == expected, s"lost updates: ${(expected -- names).take(5)}...")
+      val versions = fin.currentVersion - 1 // minus the create
+      assert(versions < 3 * perWriter / 2,
+        s"cross-process folding: expected far fewer versions than ${3 * perWriter} " +
+          s"commits, got $versions")
+      // the folded versions carry correct within-version generation order
+      assert(fin.fileReferences.map(_.seq).distinct.size == 3 * perWriter,
+        "every commit drew its own generation seq")
+    } finally server.close()
+  }
+
   test("batched committer arbitrating through the HTTP CAS: folded versions, no losses") {
     // The production shape: commit latency is a REMOTE conditional put,
     // so batching is what keeps commit throughput off the round-trip

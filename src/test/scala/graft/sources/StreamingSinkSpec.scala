@@ -74,6 +74,45 @@ class StreamingSinkSpec extends AnyFunSuite {
       .filter($"k" === 1L).select("v").as[Long].head() == 1001L)
   }
 
+  test("an epoch past the writer heap budget spills sorted runs and stays correct") {
+    val dir = Files.createTempDirectory("graft-sink-spill").toString
+    val cp = Files.createTempDirectory("graft-sink-spill-cp").toString
+    GraftTable.create(spark, dir, schema, splitPoints = Seq(5000L),
+      config = TableConfig(aggregationConfig = "last(v)"))
+    // a few KB of heap per writer: one 10k-row epoch forces MANY spills
+    System.setProperty("graft.sink.spillBytes", "4096")
+    try {
+      implicit val sq = spark.sqlContext
+      val mem = MemoryStream[(Long, Long)]
+      val q = mem.toDF().toDF("k", "v")
+        .writeStream.format("graft")
+        .option("path", dir)
+        .option("checkpointLocation", cp)
+        .outputMode("append")
+        .start()
+      try {
+        // descending input: the merged output must still be key-sorted
+        mem.addData((10000L to 1L by -1L).map(i => (i, i * 2)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally System.clearProperty("graft.sink.spillBytes")
+
+    val table = GraftTable.load(spark, dir)
+    assert(table.toDF.count() == 10000)
+    val refs = table.store.fileReferences
+    assert(refs.map(_.rowCount).sum == 10000L, "exact per-leaf counts across spills")
+    // the written shared files are genuinely key-sorted: a merge-path
+    // compaction (which asserts sorted input) succeeds and values survive
+    table.compactAll()
+    val got = table.toDF.select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got.size == 10000 && got(1L) == 2L && got(9999L) == 19998L)
+    // no spill files left behind
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    assert(!tmp.listFiles().exists(f =>
+      f.getName.startsWith("graft-sink-spill-") && f.getName.endsWith(".run")),
+      "spill runs must be deleted after commit")
+  }
+
   test("schema mismatch is refused at stream start") {
     val dir = Files.createTempDirectory("graft-sink2").toString
     val cp = Files.createTempDirectory("graft-sink2-cp").toString
