@@ -17,9 +17,11 @@ from .admin import DeleteJob, AdminClient
 from .bulk_export import BulkExportQuery, BulkExportResult, BulkExportSender
 from .web_socket_query import (WebSocketQueryProcessor, WebSocketResultsServer,
                                fold_batches)
+from .streaming import ChangeFeedReader, StreamingSinkWriter
 
 __all__ = ["Range", "Region", "Query", "GraftClient", "QueryResult",
            "IngestJob", "IngestJobSender", "IngestBatcher",
            "MergeJob", "MergeJobSender", "DeleteJob", "AdminClient",
            "BulkExportQuery", "BulkExportResult", "BulkExportSender",
-           "WebSocketQueryProcessor", "WebSocketResultsServer", "fold_batches"]
+           "WebSocketQueryProcessor", "WebSocketResultsServer", "fold_batches",
+           "ChangeFeedReader", "StreamingSinkWriter"]

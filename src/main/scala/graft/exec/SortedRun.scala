@@ -443,9 +443,13 @@ object SortedRun {
   private def mixedTopN(in: Iterator[InternalRow], keyTypes: Array[DataType],
       dirs: Seq[Boolean], n: Int): Iterator[InternalRow] = {
     val m = dirs.length
-    val asc = dirs.takeWhile(identity).length
+    // group prefix = the maximal leading run of SAME-direction columns;
+    // storage order walks those groups forward (leading ASC) or in
+    // reverse of the requested order (leading DESC)
+    val lead = dirs.head
+    val prefix = dirs.takeWhile(_ == lead).length
     def cmpTail(a: InternalRow, b: InternalRow): Int = {
-      var i = asc
+      var i = prefix
       while (i < m) {
         val c = compareInternal(keyTypes(i), a.get(i, keyTypes(i)), b.get(i, keyTypes(i)))
         if (c != 0) return if (dirs(i)) c else -c
@@ -457,7 +461,6 @@ object SortedRun {
       private var out: Iterator[InternalRow] = _
       private def build(): Unit = {
         if (out != null) return
-        val res = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
         // max-heap by the tail order: the WORST candidate on top
         val heap = new PriorityQueue[InternalRow](math.max(1, math.min(n, 1024)),
           new java.util.Comparator[InternalRow] {
@@ -466,27 +469,63 @@ object SortedRun {
         var group: InternalRow = null
         def sameGroup(r: InternalRow): Boolean = {
           var i = 0
-          while (i < asc) {
+          while (i < prefix) {
             if (compareInternal(keyTypes(i),
                 r.get(i, keyTypes(i)), group.get(i, keyTypes(i))) != 0) return false
             i += 1
           }
           true
         }
-        var done = false
-        while (!done && in.hasNext) {
-          val r = in.next()
-          if (group == null || !sameGroup(r)) {
-            while (!heap.isEmpty) res += heap.poll()
-            if (res.size >= n) done = true else group = r.copy()
+        def offer(r: InternalRow): Unit =
+          if (heap.size < n) heap.add(r.copy())
+          else if (cmpTail(r, heap.peek()) < 0) { heap.poll(); heap.add(r.copy()) }
+        if (lead) {
+          // leading ASC: groups arrive in requested order — emit each
+          // closed group's top-n and STOP once n rows are closed
+          val res = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          var done = false
+          while (!done && in.hasNext) {
+            val r = in.next()
+            if (group == null || !sameGroup(r)) {
+              while (!heap.isEmpty) res += heap.poll()
+              if (res.size >= n) done = true else group = r.copy()
+            }
+            if (!done) offer(r)
           }
-          if (!done) {
-            if (heap.size < n) heap.add(r.copy())
-            else if (cmpTail(r, heap.peek()) < 0) { heap.poll(); heap.add(r.copy()) }
+          if (!done) while (!heap.isEmpty) res += heap.poll()
+          out = res.iterator
+        } else {
+          // leading DESC: groups arrive in REVERSE of the requested
+          // order, so the answer lives in the LAST groups — keep a
+          // deque of closed groups' top-n candidates, trimming the
+          // oldest while the newer groups alone already cover n.
+          // O(n) memory (≤ ~2n rows + the live heap); the whole leaf is
+          // walked (no early stop — files only read forward), exactly
+          // like the all-DESC last-n ring buffer.
+          val deque = new java.util.ArrayDeque[scala.collection.mutable.ArrayBuffer[InternalRow]]()
+          var total = 0
+          def closeGroup(): Unit = {
+            if (heap.isEmpty) return
+            val g = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+            while (!heap.isEmpty) g += heap.poll()
+            deque.addLast(g)
+            total += g.size
+            while (deque.size > 1 && total - deque.peekFirst().size >= n)
+              total -= deque.pollFirst().size
           }
+          while (in.hasNext) {
+            val r = in.next()
+            if (group == null || !sameGroup(r)) { closeGroup(); group = r.copy() }
+            offer(r)
+          }
+          closeGroup()
+          // newest group first = the requested leading-DESC group order;
+          // Spark's finishing sort above orders within and across leaves
+          val res = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          val it = deque.descendingIterator()
+          while (it.hasNext) res ++= it.next()
+          out = res.iterator
         }
-        if (!done) while (!heap.isEmpty) res += heap.poll()
-        out = res.iterator
       }
       override def hasNext: Boolean = { build(); out.hasNext }
       override def next(): InternalRow = { build(); out.next() }

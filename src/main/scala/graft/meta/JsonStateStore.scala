@@ -112,7 +112,8 @@ class JsonStateStore private (
     def stamped(rs: Vector[FileReference]) =
       rs.map(r => seqOf.get(r.filename).fold(r)(s => r.copy(seq = s)))
     writeDelta(nextV, stamped(dataAdded.filterNot(r => prevNames.contains(r.filename))),
-      stamped(tombAdded))
+      stamped(tombAdded),
+      isRestore = txn.isInstanceOf[StateTransaction.Restore])
     if (nextV % SnapshotInterval == 0) {
       writeSnapshot(nextV, next)
       pruneOldVersions(nextV)
@@ -151,13 +152,18 @@ class JsonStateStore private (
     * the stream to its state-walk fallback. Best-effort by design.
     */
   private def writeDelta(v: Long, added: Vector[FileReference],
-      tombstones: Vector[FileReference] = Vector.empty): Unit = try {
+      tombstones: Vector[FileReference] = Vector.empty,
+      isRestore: Boolean = false): Unit = try {
     // one entry per physical file (a pre-split can reference one file
     // from several partitions; the flags agree by construction)
     val byFile = added.groupBy(_.filename).toSeq.sortBy(_._1).map(_._2.head)
     val byTomb = tombstones.groupBy(_.filename).toSeq.sortBy(_._1).map(_._2.head)
     val json = JObject(
       "version" -> JInt(v),
+      // RESTORE marker: the change feed plans this version as a reset
+      // diff (retract pre-state, re-deliver the restored state) instead
+      // of an added-files list — see graft.table.ChangeFeed
+      "restore" -> (if (isRestore) JBool(true) else JNothing),
       "added" -> JArray(byFile.map(ref => JObject(
         "filename" -> JString(ref.filename),
         "home" -> JString(ref.physicalPartitionId),
@@ -554,6 +560,30 @@ object JsonStateStore {
         case _ => None
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Whether `version` committed a RESTORE — preferred source is the
+    * delta manifest's marker (one read the change feed already pays);
+    * the fallback parses the version's txn record (manifests are
+    * best-effort). The change feed plans restore versions as reset
+    * diffs, never as added-files lists.
+    */
+  def isRestoreAt(dirStr: String, version: Long): Boolean = {
+    val (fs, dir) = GraftFS.resolve(dirStr)
+    val p = new Path(dir, s"delta-v$version.json")
+    try {
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        JsonMethods.parse(text) match {
+          case o: JObject =>
+            return o.obj.toMap.get("restore").contains(JBool(true))
+          case _ => ()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    operationAt(dirStr, version) == "restore"
   }
 
   /** Time travel: the state EXACTLY as of a historical version,

@@ -300,9 +300,11 @@ object StateTransaction {
     * (filesystem checks cannot live in applyTo). The partition tree,
     * schema and properties stay CURRENT (the tree only ever gains
     * splits, so historical partition ids remain valid; restored files
-    * on now-split parents push down like any pre-split ref). Restore is
-    * an admin reset outside the CDC contract — like TRUNCATE, change
-    * feeds are not retracted and stream consumers restart checkpoints.
+    * on now-split parents push down like any pre-split ref). Change
+    * feeds DELIVER a restore as a reset diff (retract rolled-back keys,
+    * re-assert the restored state above them) — see
+    * graft.table.ChangeFeed.restoreEvents — so subscribers converge to
+    * the restored table instead of silently diverging.
     */
   final case class Restore(refs: Vector[FileReference],
       tombstones: Vector[FileReference], nowMs: Long) extends StateTransaction {
@@ -388,6 +390,10 @@ object StateTransaction {
     require(txns.nonEmpty, "empty commit batch")
     require(!txns.exists(t => t.isInstanceOf[Batch] || t == Init),
       "a batch carries only simple transactions")
+    // the change feed plans a restore version as a reset diff from the
+    // version's manifest marker, which a composite version cannot carry
+    require(!txns.exists(_.isInstanceOf[Restore]),
+      "RESTORE commits its own version (change-feed reset semantics)")
     override def applyTo(s: TableState): TableState =
       txns.foldLeft(s)((st, t) => t.applyTo(st))
   }

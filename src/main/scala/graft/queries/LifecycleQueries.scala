@@ -60,6 +60,8 @@ object LifecycleQueries {
 
   private val metricsDirs = new ConcurrentHashMap[String, String]()
 
+  private val metricsExportDirs = new ConcurrentHashMap[String, String]()
+
   /** A6 fixture: one ingest into a 2-leaf table (no agg config), so every
     * state-store number the metrics read is exactly derivable from the
     * source rows.
@@ -728,6 +730,43 @@ object LifecycleQueries {
     // non-empty leaf with exact footer row counts, so fileCount /
     // rowCount / partitionCount(=2*leaves-1) / leafCount / avg refs are
     // all data-derivable.
+    // M17 — metrics export seam (the reference's CloudWatch TableMetrics
+    // publisher as a graft-native time series): two published snapshots
+    // of a source table land in a metrics TABLE keyed by (table_name,
+    // ts), queryable like any other data. The source's layout is made
+    // oracle-predictable the same way as a6: split at 700, compactAll
+    // after each ingest folds each occupied leaf to one file.
+    "m17_metrics_export" -> withOracle(
+      """WITH base AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(COUNT(DISTINCT CASE WHEN l_orderkey < 700 THEN 0 ELSE 1 END) AS BIGINT) AS nb
+        |  FROM lineitem)
+        |SELECT 'src' AS table_name, CAST(1000 AS BIGINT) AS ts,
+        |       nb AS file_count, n AS row_count,
+        |       CAST(2 * nb - 1 AS BIGINT) AS partition_count,
+        |       nb AS leaf_partition_count,
+        |       nb AS file_references, nb AS partitions_with_files
+        |FROM base
+        |UNION ALL
+        |SELECT 'src', CAST(2000 AS BIGINT),
+        |       nb, CAST(2 * n AS BIGINT), CAST(2 * nb - 1 AS BIGINT), nb, nb, nb
+        |FROM base
+        |ORDER BY ts""".stripMargin) { (s, dir) =>
+      val base = metricsExportDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-metricsx").toString
+        val src = GraftTable.create(s, s"$b/src", schema, splitPoints = Seq(700L))
+        val sink = graft.jobs.MetricsPublisher.createTable(s, s"$b/metrics")
+        val rows = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+        src.ingest(rows); src.compactAll()
+        graft.jobs.MetricsPublisher.publish(src, sink, "src", nowMs = 1000L)
+        src.ingest(rows); src.compactAll()
+        graft.jobs.MetricsPublisher.publish(src, sink, "src", nowMs = 2000L)
+        b
+      })
+      GraftTable.load(s, s"$base/metrics").toDF.orderBy("ts")
+    },
+
     "a6_metrics" -> withOracle(
       """SELECT CAST(COUNT(DISTINCT CASE WHEN l_orderkey < 700 THEN 0 ELSE 1 END) AS BIGINT) AS file_count,
         |       CAST(COUNT(*) AS BIGINT) AS row_count,
@@ -1981,6 +2020,50 @@ object LifecycleQueries {
       }.head
       require(desc.contains("perPartitionLimit=100 mixed=asc,desc"),
         s"mixed-direction TopN did not push: $desc")
+      df
+    },
+
+    // O10 — LEADING-DESC mixed TopN pushdown: ORDER BY key DESC,
+    // sortkey ASC LIMIT n — the "newest keys first, each key's rows in
+    // order" pagination shape. Storage order delivers key groups in
+    // REVERSE of the requested order, so each leaf's merge keeps the
+    // LAST groups' per-group heaps in an O(n) deque (the mixed analog
+    // of the all-DESC ring buffer); only ~2n candidates per leaf reach
+    // Spark's finishing sort. Previously declined (read everything).
+    // Asserts the push; (l_orderkey, l_linenumber) unique → the LIMIT
+    // set is deterministic.
+    "o10_mixed_topn_desc" -> withOracle(
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |       CAST(l_quantity AS BIGINT) AS qty
+        |FROM lineitem
+        |ORDER BY l_orderkey DESC, l_linenumber ASC
+        |LIMIT 100""".stripMargin) { (s, dir) =>
+      val base = mixedTopDirs.computeIfAbsent(dir, { _ =>
+        val b = java.nio.file.Files.createTempDirectory("graft-mixedtop").toString
+        val rows = Tables(s, dir, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"))
+        val schema = GraftSchema(
+          rowKeys = Seq(GraftField("l_orderkey", LongType)),
+          sortKeys = Seq(GraftField("l_linenumber", LongType)),
+          values = Seq(GraftField("qty", LongType)))
+        val table = GraftTable.create(s, s"$b/table", schema,
+          splitPoints = Seq(30000L))
+        table.ingest(rows.filter(col("l_linenumber") % 2 === 0))
+        table.ingest(rows.filter(col("l_linenumber") % 2 === 1))
+        b
+      })
+      val df = s.read.format("graft").load(s"$base/table")
+        .orderBy(col("l_orderkey").desc, col("l_linenumber").asc)
+        .limit(100)
+        .select("l_orderkey", "l_linenumber", "qty")
+      val desc = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.scan.description()
+      }.head
+      require(desc.contains("perPartitionLimit=100 mixed=desc,asc"),
+        s"leading-DESC mixed TopN did not push: $desc")
       df
     },
 

@@ -406,11 +406,14 @@ final class GraftScanBuilder(dir: String, store: graft.meta.ConfiguredState)
     * is a prefix of that, a partition's top-n is literally its first n
     * rows — `ORDER BY key LIMIT n` on a 100-TB table reads n rows per
     * leaf instead of everything; all-DESC is the exact reverse (last n
-    * rows, the ring buffer). MIXED directions over the key prefix
-    * (`ORDER BY k1 ASC, k2 DESC LIMIT n`) push too when the leading
-    * column is ASC: the merge reader walks ASC-prefix groups with a
-    * bounded per-group heap and stops once n rows closed — see
-    * RunSpec.mixedDirs. Anything else declines.
+    * rows, the ring buffer). MIXED directions over the key prefix push
+    * too: leading-ASC (`ORDER BY k1 ASC, k2 DESC LIMIT n`) walks
+    * ASC-prefix groups with a bounded per-group heap and stops once n
+    * rows closed; leading-DESC (`ORDER BY k1 DESC, k2 ASC LIMIT n`, the
+    * newest-first pagination shape) walks the same groups keeping the
+    * LAST groups' candidates in an O(n) deque — see RunSpec.mixedDirs
+    * and SortedRun.mixedTopN. Anything else (non-prefix columns,
+    * non-default null ordering) declines.
     */
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
     val keyNames = schema.keyNames
@@ -439,9 +442,9 @@ final class GraftScanBuilder(dir: String, store: graft.meta.ConfiguredState)
         pushedLimit = Some(limit); true
       case Some(ds) if !ds.exists(identity) =>
         pushedLimit = Some(limit); pushedLimitLast = true; true
-      case Some(ds) if ds.head =>
+      case Some(ds) => // mixed, leading ASC or DESC
         pushedLimit = Some(limit); pushedMixedDirs = ds; true
-      case _ => false // leading-DESC mixed: groups would arrive in the wrong order
+      case _ => false
     }
   }
   private var pushedAgg: Option[Seq[(Any, org.apache.spark.sql.types.DataType)]] = None

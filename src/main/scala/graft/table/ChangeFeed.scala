@@ -42,7 +42,16 @@ private[graft] object ChangeFeed {
     }
     var v = from + 1
     while (v <= to) {
-      JsonStateStore.deltaAddedAt(meta, v) match {
+      val delta = JsonStateStore.deltaAddedAt(meta, v)
+      // a RESTORE version is a reset diff, never an added-files list;
+      // its manifest is empty, so the marker check only runs for the
+      // (rare) empty-manifest versions and the manifest-less fallback
+      val isRestore = delta.forall(_.isEmpty) && JsonStateStore.isRestoreAt(meta, v)
+      if (isRestore) {
+        out ++= restoreEvents(meta, v, (from, to), snapAt)
+        // subsequent fallback diffs start from the restored state
+        cached = (v, loadSnap(meta, v, (from, to)))
+      } else delta match {
         case Some(entries) =>
           entries.foreach { e =>
             if (e.tombstone) out += Entry(v, e.filename, e.home, true, e.seq)
@@ -63,6 +72,49 @@ private[graft] object ChangeFeed {
       v += 1
     }
     out.result()
+  }
+
+  /** A RESTORE version as CDC: subscribers materializing the feed per
+    * key by (version, seq) must converge to the RESTORED table, so the
+    * version delivers a reset diff —
+    *
+    *  1. RETRACTIONS: every data file live at v-1 but absent from the
+    *     restored state is re-delivered as a delete (its keys), stamped
+    *     one seq above every generation seen so far — keys that were
+    *     only added after the restore target end absent;
+    *  2. RE-PUTS: every file AND pending marker of the restored state is
+    *     re-delivered above the retraction with fresh seqs PRESERVING
+    *     their relative order, so per-key resolution inside the
+    *     re-delivered set equals the restored table's own reads (stale
+    *     post-target generations in the subscriber lose to the higher
+    *     (version, seq), and delete-then-reingest inside the restored
+    *     state still resolves by its original generation order).
+    *
+    * O(pre-state ∪ restored-state files) events — a restore is an admin
+    * reset; completeness over manifest-sized increments. Same
+    * bounded-history contract as the rest of the feed: the rolled-back
+    * files sit in the GC queue, so a subscriber must drain the window
+    * within the GC delay.
+    */
+  private def restoreEvents(meta: String, v: Long, window: (Long, Long),
+      snapAt: Long => Snap): Seq[Entry] = {
+    val pre = snapAt(v - 1)
+    val post = loadSnap(meta, v, window)
+    val maxSeen = (pre.files.values.map(_._3) ++ pre.tombs.values.map(_._2) ++
+      post.files.values.map(_._3) ++ post.tombs.values.map(_._2))
+      .maxOption.getOrElse(0L)
+    val retractSeq = maxSeen + 1
+    val retractions = pre.files.toSeq
+      .filterNot { case (name, _) => post.files.contains(name) }
+      .sortBy(_._1)
+      .map { case (name, (home, _, _)) => Entry(v, name, home, true, retractSeq) }
+    val items = post.files.toSeq.map { case (n, (h, _, s)) => (n, h, false, s) } ++
+      post.tombs.toSeq.map { case (n, (h, s)) => (n, h, true, s) }
+    val rank = items.map(_._4).distinct.sorted.zipWithIndex.toMap
+    val reputs = items.sortBy(_._4).map { case (n, h, tomb, s) =>
+      Entry(v, n, h, tomb, retractSeq + 1 + rank(s))
+    }
+    retractions ++ reputs
   }
 
   private final case class Snap(

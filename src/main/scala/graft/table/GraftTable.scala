@@ -143,8 +143,12 @@ final class GraftTable(
     * still pending GC are resurrected. No data IO: restore is O(refs)
     * metadata. Refused if any target file was already garbage-collected
     * (restorable history = GC retention, same bound as time-travel
-    * reads). The partition tree, schema, and properties stay current;
-    * like TRUNCATE, change feeds are not retracted (admin reset).
+    * reads). The partition tree, schema, and properties stay current.
+    * Change feeds deliver the restore as a reset diff (retractions for
+    * rolled-back keys, the restored state re-asserted above) so
+    * subscribers converge to the restored table — see
+    * [[graft.table.ChangeFeed]]; subscribers must drain the window
+    * within the GC delay (the rolled-back files are pending GC).
     */
   def restoreTo(v: Long): Unit = {
     store.assertWritable()

@@ -113,6 +113,49 @@ class CdfStreamSpec extends AnyFunSuite {
       "delete-then-reingest resolves by generation, not arrival order")
   }
 
+  test("a window containing RESTORE resolves to the restored table (reset diff)") {
+    val dir = Files.createTempDirectory("graft-cdf-restore").toString
+    val cp = Files.createTempDirectory("graft-cdf-restore-cp").toString
+    val out = Files.createTempDirectory("graft-cdf-restore-out").toString
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq(50L),
+      config = TableConfig(aggregationConfig = "last(v)"))
+    // target state: 1..10, with a delete-then-reingest INSIDE it (6)
+    table.ingest((1L to 10L).map(i => (i, i)).toDF("k", "v"))
+    table.deleteKeys(Seq(6L).toDF("k"))
+    table.ingest(Seq((6L, 66L)).toDF("k", "v"))
+    val target = graft.meta.JsonStateStore.load(s"$dir/meta").currentVersion
+
+    drainCdf(dir, cp, out) // subscriber caught up BEFORE the rolled-back work
+
+    // rolled-back work: an update, a fresh insert, and a delete
+    table.ingest(Seq((1L, 111L)).toDF("k", "v"))   // update k=1
+    table.ingest(Seq((99L, 999L)).toDF("k", "v"))  // insert k=99
+    table.deleteKeys(Seq(2L).toDF("k"))            // delete k=2
+    table.restoreTo(target)
+    // post-restore work lands as a new generation above the restored state
+    table.ingest(Seq((3L, 333L)).toDF("k", "v"))
+
+    drainCdf(dir, cp, out) // drains the window CONTAINING the restore
+    val feed = spark.read.parquet(out)
+    val resolved = resolve(feed)
+    val direct = table.toDF.select("k", "v").as[(Long, Long)].collect().toMap
+    assert(resolved == direct,
+      s"subscriber must converge to the restored table: $resolved vs $direct")
+    assert(resolved(1L) == 1L, "rolled-back update retracted to the restored value")
+    assert(!resolved.contains(99L), "rolled-back insert ends absent")
+    assert(resolved(2L) == 2L, "rolled-back delete: the key is visible again")
+    assert(resolved(6L) == 66L,
+      "delete-then-reingest INSIDE the restored state keeps its generation order")
+    assert(resolved(3L) == 333L, "post-restore writes land above the reset")
+
+    // RESTORE refuses to ride a composite commit (the manifest marker
+    // cannot represent it)
+    intercept[IllegalArgumentException] {
+      graft.meta.StateTransaction.Batch(Vector(
+        graft.meta.StateTransaction.Restore(Vector.empty, Vector.empty, 0L)))
+    }
+  }
+
   test("CDF is read-only and refuses filtered/transformed tables") {
     val dir = Files.createTempDirectory("graft-cdf3").toString
     val table = GraftTable.create(spark, dir, schema,

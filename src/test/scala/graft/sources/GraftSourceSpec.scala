@@ -315,10 +315,10 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(descTop.select("key").as[String].collect().toSeq == Seq("z", "p"))
     assert(scanDesc(descTop).contains("perPartitionLimit=2 desc"))
 
-    // mixed-direction order: per-partition head/tail are both wrong — declined
+    // mixed leading-DESC order: pushed as the last-groups deque walk
     val mixed = df.orderBy($"key".desc, $"ts".asc).limit(2)
     assert(mixed.select("key").as[String].collect().toSeq == Seq("z", "p"))
-    assert(!scanDesc(mixed).contains("perPartitionLimit"))
+    assert(scanDesc(mixed).contains("perPartitionLimit=2 mixed=desc,asc"))
 
     // the cap also holds on the NATIVE vectorized path (compacted table)
     table.compactAll()
@@ -352,6 +352,17 @@ class GraftSourceSpec extends AnyFunSuite {
     val m5 = df.orderBy($"key".asc, $"ts".desc).limit(5)
     assert(m5.select("key", "ts").as[(String, Long)].collect().toSeq ==
       Seq(("a", 3L), ("a", 2L), ("a", 1L), ("b", 5L), ("b", 1L)))
+    // LEADING-DESC mixed (newest keys first, each key's rows ASC):
+    // pushed via the last-groups deque — the o10 pagination shape
+    val d3 = df.orderBy($"key".desc, $"ts".asc).limit(3)
+    assert(scanDesc(d3).contains("perPartitionLimit=3 mixed=desc,asc"),
+      s"leading-DESC mixed TopN must push: ${scanDesc(d3)}")
+    assert(d3.select("key", "ts").as[(String, Long)].collect().toSeq ==
+      Seq(("z", 9L), ("n", 2L), ("b", 1L)))
+    // crossing group boundaries backwards keeps within-group ASC order
+    val d5 = df.orderBy($"key".desc, $"ts".asc).limit(5)
+    assert(d5.select("key", "ts").as[(String, Long)].collect().toSeq ==
+      Seq(("z", 9L), ("n", 2L), ("b", 1L), ("b", 5L), ("a", 1L)))
     // and the full-table read is unaffected
     assert(df.count() == 7)
   }
