@@ -171,6 +171,8 @@ object LifecycleQueries {
 
   private val restoreDirs = new ConcurrentHashMap[String, String]()
 
+  private val sqlCallRoots = new ConcurrentHashMap[String, String]()
+
   private val sinkDirs = new ConcurrentHashMap[String, String]()
 
   private val mixedTopDirs = new ConcurrentHashMap[String, String]()
@@ -1647,6 +1649,52 @@ object LifecycleQueries {
       })
       GraftTable.load(s, s"$base/table").toDF
         .select("l_orderkey", "qty").orderBy("l_orderkey")
+    },
+
+    // X21 — SQL stored procedures (Spark 4 ProcedureCatalog): the whole
+    // maintenance loop — compact, gc, metrics snapshot — driven through
+    // CALL statements against the catalog, no Scala API in the path
+    // (reference: java/clients/src/main/java/sleeper/clients/admin/ —
+    // its console commands become SQL procedures here). The fixture
+    // asserts the CALL results themselves (3 files/leaf -> 1, a second
+    // compact plans zero jobs, the snapshot row counts match), then the
+    // oracle re-checks the post-maintenance table contents.
+    "x21_sql_call" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val cat = s"graft_call_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
+      sqlCallRoots.computeIfAbsent(dir, { _ =>
+        val root = java.nio.file.Files.createTempDirectory("graft-call-root").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(
+          s"""CREATE TABLE $cat.t (l_orderkey BIGINT, qty BIGINT NOT NULL)
+             |USING graft
+             |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000')""".stripMargin)
+        Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .createOrReplaceTempView("call_src_x21")
+        // three ingests -> 3 files per leaf; CALL compact merges each leaf
+        (0 until 3).foreach { i =>
+          s.sql(s"INSERT INTO $cat.t SELECT * FROM call_src_x21 WHERE l_orderkey % 3 = $i")
+        }
+        val r = s.sql(s"CALL $cat.system.compact('t')").collect().head
+        require(r.getInt(0) == 3 && r.getInt(1) >= 9 && r.getInt(2) == 3,
+          s"expected 3 leaf jobs merging >=9 file refs to 3, got $r")
+        val again = s.sql(s"CALL $cat.system.compact('t', strategy => 'size_ratio')")
+          .collect().head
+        require(again.getInt(0) == 0, s"second compact must plan zero jobs, got $again")
+        val snap = s.sql(s"CALL $cat.system.snapshot_metrics('t', 'ops_metrics')")
+          .collect().head
+        require(snap.getString(0) == "t" && snap.getLong(2) == 3L,
+          s"snapshot must report 3 post-compaction files, got $snap")
+        require(s.sql(s"SELECT count(*) FROM $cat.ops_metrics")
+          .collect().head.getLong(0) == 1L, "snapshot must land in the metrics table")
+        s.sql(s"CALL $cat.system.gc('t')").collect() // retired inputs -> GC queue
+        root
+      })
+      s.sql(s"SELECT l_orderkey, qty FROM $cat.t ORDER BY l_orderkey")
     },
 
     // X19 — atomic INSERT OVERWRITE + TRUNCATE TABLE: overwrite lands

@@ -3,7 +3,8 @@ package graft.sources
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -31,7 +32,7 @@ import graft.meta.{GraftFS, JsonStateStore}
   * (typed by the first row key); 'aggregation'/'filter'/'transform' set
   * the persistent table config.
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -44,6 +45,16 @@ final class GraftCatalog extends TableCatalog {
   }
 
   override def name(): String = catalogName
+
+  // Stored procedures (CALL cat.system.compact('t'), ...) — see
+  // GraftProcedures for the set and their result schemas.
+  override def loadProcedure(ident: Identifier): UnboundProcedure =
+    GraftProcedures.load(root, ident)
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.toSeq == Seq("system"))
+      GraftProcedures.Names.map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
 
   private def dirFor(ident: Identifier): String =
     (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
