@@ -98,6 +98,22 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
 
   override def name(): String =
     asOf.fold(s"graft.`$dir`")(v => s"graft.`$dir` VERSION AS OF $v")
+
+  // SHOW TBLPROPERTIES: mirror the CREATE TABLE property surface back
+  // out (keys + the versioned config), so `SHOW` round-trips what
+  // `SET/UNSET TBLPROPERTIES` edits.
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    m.put("provider", "graft")
+    m.put("rowKeys", store.schema.rowKeys.map(_.name).mkString(","))
+    if (store.schema.sortKeys.nonEmpty)
+      m.put("sortKeys", store.schema.sortKeys.map(_.name).mkString(","))
+    if (store.aggregationConfig.nonEmpty) m.put("aggregation", store.aggregationConfig)
+    if (store.filterConfig.nonEmpty) m.put("filter", store.filterConfig)
+    if (store.transformConfig.nonEmpty) m.put("transform", store.transformConfig)
+    if (store.indexConfig.nonEmpty) m.put("index", store.indexConfig)
+    m
+  }
   override def schema(): StructType =
     if (cdf) GraftBatchTable.cdfSchema(store.schema.toStructType)
     else store.schema.toStructType
