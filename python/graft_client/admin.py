@@ -98,14 +98,18 @@ class AdminClient:
             ["restore", self.client.table_dir, str(int(version)), status_dir])
         return self._status(status_dir, "restore", proc)
 
-    def clone_at(self, dest_dir, version):
-        """Deep clone the table AS OF `version` into `dest_dir` — a
-        fully independent table (data + sketches byte-copied, state
-        carried over). Returns the status dict."""
+    def clone_at(self, dest_dir, version, shallow=False):
+        """Clone the table AS OF `version` into `dest_dir`. Deep by
+        default (data + sketches byte-copied — fully independent);
+        `shallow=True` branches zero-copy: the clone references the
+        source's files by absolute path, so branching any size of table
+        is one metadata write (keep the source's GC retention pinned
+        while shallow clones live). Returns the status dict."""
         status_dir = tempfile.mkdtemp(prefix="graft-admin-status-")
-        proc = self.client._submit(
-            "graft.jobs.AdminRunner",
-            ["clone", self.client.table_dir, dest_dir, str(int(version)), status_dir])
+        args = ["clone", self.client.table_dir, dest_dir, str(int(version)), status_dir]
+        if shallow:
+            args.append("--shallow")
+        proc = self.client._submit("graft.jobs.AdminRunner", args)
         return self._status(status_dir, "clone", proc)
 
     @staticmethod

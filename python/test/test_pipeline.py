@@ -213,6 +213,21 @@ def test_admin_delete_time_travel_clone(lww_client):
     src4 = lww_client.exact_key_query([{"k": 4}], query_id="py-src-4")
     assert src4.completed and src4.row_count == 1
 
+    # shallow clone: zero-copy branch — no parquet under the branch's
+    # data dir, but the pinned read resolves through the source's files
+    sclone_dir = tempfile.mkdtemp(prefix="graft-pysclone-") + "/t"
+    sst = admin.clone_at(sclone_dir, v_before, shallow=True)
+    assert sst["state"] == "OK" and sst.get("shallow") is True, sst
+    branch_parquets = [
+        p for p in glob.glob(os.path.join(sclone_dir, "data", "**", "*.parquet"),
+                             recursive=True)]
+    assert branch_parquets == [], branch_parquets
+    sclone = GraftClient(sclone_dir, jar=JAR, spark_submit=SPARK_SUBMIT,
+                         master="local[4]")
+    sres = sclone.exact_key_query([{"k": 2}, {"k": 3}], query_id="py-sclone-q")
+    assert sres.completed, sres
+    assert {r["k"]: r["v"] for r in sres.rows()} == {2: 20, 3: 30}
+
 
 def test_admin_set_properties():
     """Versioned property edits through spark-submit: an ageOff filter

@@ -80,7 +80,12 @@ final case class RunSpec(
       * on the ASC prefix) — O(limit) memory, early-exit, a candidate
       * superset Spark's global TopN finishes. Empty = not mixed (the
       * plain first-n / last-n paths apply). */
-    mixedDirs: Seq[Boolean] = Nil)
+    mixedDirs: Seq[Boolean] = Nil,
+    /** true when the planner knows every file is leaf-homed, i.e. the
+      * clip cannot drop any row (it only guards ancestor-homed
+      * pre-split files). Lets row-drop-sensitive fast paths (the last-n
+      * trailing-row-group prune) engage on fully-compacted leaves. */
+    clipNoop: Boolean = false)
 
 object SortedRun {
 
@@ -175,10 +180,26 @@ object SortedRun {
         new AntiRowSource(r, trs, mergeSorted(trs, schema.rowKeys), rowKeyTypes)
       }
     }
+    // Trailing-row-group prune for last-n scans (DESC TopN / newest-page
+    // pagination): when only the LAST n merged rows are wanted and no
+    // downstream step can drop rows (no agg/filter/clip/region/
+    // tombstones), the rows a run contributes to the final window are a
+    // suffix of that run of length <= n — so each file's read may start
+    // at the minimal row-group suffix holding >= n rows. The last page
+    // of a billion-row leaf then reads ~one row group per file instead
+    // of streaming the whole leaf through the ring buffer.
+    val lastNStarts: Map[String, Long] = (spec.limit, spec.limitLast) match {
+      case (Some(n), true) if spec.mixedDirs.isEmpty && aggSpecs.isEmpty &&
+          filterSpec.isEmpty && spec.queryRegions.isEmpty &&
+          (spec.clip.isEmpty || spec.clipNoop) && spec.tombstonePaths.isEmpty =>
+        spec.paths.map(p => p -> lastRowGroupsStart(p, n.toLong, conf)).toMap
+      case _ => Map.empty
+    }
     val readers: Seq[RowSource] = spec.paths.zip(pathSeqs).map { case (p, fileSeq) =>
+      val range = lastNStarts.get(p).filter(_ > 0L).map(s => (s, Long.MaxValue))
       val base: RowSource =
-        if (vectorizable) new VectorizedRowIterator(p, readFields, pushed, conf)
-        else new GroupRowIterator(p, readFields, pushed, conf)
+        if (vectorizable) new VectorizedRowIterator(p, readFields, pushed, conf, range)
+        else new GroupRowIterator(p, readFields, pushed, conf, range)
       withTombstones(base, fileSeq)
     }.filter { r =>
       if (r.hasNext) true else { r.close(); false }
@@ -338,6 +359,27 @@ object SortedRun {
     * docs/design.md:73-82). The row-level clip below still applies —
     * this is purely an IO eliminator.
     */
+  /** Byte offset of the first row group in the minimal trailing suffix
+    * of `path`'s row groups that holds at least n rows (0 = the whole
+    * file is needed). One footer read; the range handed to the reader
+    * then prunes every earlier row group's IO.
+    */
+  private[exec] def lastRowGroupsStart(path: String, n: Long, conf: Configuration): Long = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val blocks = r.getFooter.getBlocks
+      var need = n
+      var i = blocks.size - 1
+      var start = 0L
+      while (i >= 0 && need > 0) {
+        start = blocks.get(i).getStartingPos
+        need -= blocks.get(i).getRowCount
+        i -= 1
+      }
+      if (need > 0) 0L else start
+    } finally r.close()
+  }
+
   private def parquetFilter(region: Region,
       fields: Seq[GraftField]): Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
     import org.apache.parquet.filter2.predicate.FilterApi
@@ -768,14 +810,15 @@ private[graft] sealed trait RowSource extends Iterator[InternalRow] with AutoClo
   */
 private[graft] final class VectorizedRowIterator(path: String, fields: Seq[GraftField],
     filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
-    conf: Configuration = graft.meta.GraftFS.conf)
+    conf: Configuration = graft.meta.GraftFS.conf,
+    fileRange: Option[(Long, Long)] = None)
   extends RowSource {
 
   private val (reader, perm) = org.apache.spark.sql.execution.datasources.parquet
     .GraftVectorizedBridge.open(path,
       org.apache.spark.sql.types.StructType(fields.map(f =>
         org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable))),
-      filter, capacity = 4096, conf)
+      filter, capacity = 4096, conf, fileRange)
   private var batchRows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
   private var done = false
 
@@ -804,7 +847,8 @@ private[graft] final class VectorizedRowIterator(path: String, fields: Seq[Graft
 
 private[graft] final class GroupRowIterator(path: String, fields: Seq[GraftField],
     filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
-    conf: Configuration = graft.meta.GraftFS.conf)
+    conf: Configuration = graft.meta.GraftFS.conf,
+    fileRange: Option[(Long, Long)] = None)
   extends RowSource {
 
   private val reader: ParquetReader[InternalRow] = {
@@ -812,6 +856,7 @@ private[graft] final class GroupRowIterator(path: String, fields: Seq[GraftField
       .withConf(conf)
     filter.foreach(f =>
       b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(f)))
+    fileRange.foreach { case (s, e) => b.withFileRange(s, e) }
     b.build()
   }
 

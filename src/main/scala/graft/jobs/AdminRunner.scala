@@ -214,21 +214,29 @@ object AdminRunner {
         s""""error":${error.map(graft.Verify.jsonEscape).getOrElse("null")}}""", state)
   }
 
+  /** `clone <tableDir> <destDir> <version> [statusDir] [--shallow]` —
+    * deep copy by default; `--shallow` branches zero-copy (the dest
+    * references the source's files by absolute path; O(metadata)).
+    */
   private def runClone(args: Array[String]): Int = {
     val (tableDir, destDir, versionS) = (args(1), args(2), args(3))
-    val statusDir = if (args.length > 4) Some(args(4)) else None
+    val shallow = args.contains("--shallow")
+    val statusDir = args.drop(4).filterNot(_.startsWith("--")).headOption
     val spark = SparkSession.builder().appName("graft-admin-runner").getOrCreate()
     var state = "FAILED"
     var error: Option[String] = None
     try {
-      GraftTable.load(spark, tableDir).cloneAt(destDir, versionS.toLong)
+      val t = GraftTable.load(spark, tableDir)
+      if (shallow) t.shallowCloneAt(destDir, versionS.toLong)
+      else t.cloneAt(destDir, versionS.toLong)
       state = "OK"
     } catch {
       case scala.util.control.NonFatal(e) => error = Some(String.valueOf(e.getMessage))
     }
     finish(statusDir, "clone",
       s"""{"op":"clone","id":"clone","state":"$state","dest":${graft.Verify.jsonEscape(destDir)},""" +
-        s""""version":$versionS,"error":${error.map(graft.Verify.jsonEscape).getOrElse("null")}}""",
+        s""""version":$versionS,"shallow":$shallow,""" +
+        s""""error":${error.map(graft.Verify.jsonEscape).getOrElse("null")}}""",
       state)
   }
 

@@ -22,10 +22,14 @@ final class GarbageCollector(table: GraftTable) {
       // migration fallback for entries queued before homeId existed
       // (mirrors GraftTable.pathOf) — never O(files × partitions) for new
       // entries.
-      val p = entry.homeId
-        .map(h => s"${table.dataDir}/$h/${entry.filename}")
-        .filter(GraftFS.exists)
-        .orElse(locate(entry.filename))
+      val p =
+        if (GraftFS.isExternalName(entry.filename)) None
+        // ^ a shallow clone's inherited file: the SOURCE table owns it —
+        //   the clone clears its queue entry but must never delete it
+        else entry.homeId
+          .map(h => s"${table.dataDir}/$h/${entry.filename}")
+          .filter(GraftFS.exists)
+          .orElse(locate(entry.filename))
       p.foreach { path =>
         GraftFS.delete(path)
         GraftFS.delete(path + ".sketches")

@@ -65,6 +65,22 @@ object GraftFS {
     fs.exists(p)
   }
 
+  /** True when a state-store filename is a full path rather than a plain
+    * name — the shallow-clone representation: a clone's inherited
+    * references carry the OWNING table's qualified file path verbatim
+    * (Delta's shallow-clone absolute-path contract), while files the
+    * clone writes itself are plain names under its own data dir. A plain
+    * name never contains a separator, so the test is exact.
+    */
+  def isExternalName(name: String): Boolean = name.contains("/")
+
+  /** Resolve a file reference's physical location: external (absolute)
+    * names stand alone; plain names live under the table's own
+    * `<dir>/data/<home>/` layout.
+    */
+  def dataPath(tableDir: String, home: String, filename: String): String =
+    if (isExternalName(filename)) filename else s"$tableDir/data/$home/$filename"
+
   /** Byte copy src → dst (overwrite), each path's filesystem resolved
     * from `c` — executor-safe when the driver conf ships via
     * [[SerializableHadoopConf]]. Used by the deep-clone data copy.

@@ -62,6 +62,10 @@ object LifecycleQueries {
 
   private val metricsExportDirs = new ConcurrentHashMap[String, String]()
 
+  private val sqlCtasRoots = new ConcurrentHashMap[String, String]()
+
+  private val sqlCloneRoots = new ConcurrentHashMap[String, String]()
+
   /** A6 fixture: one ingest into a 2-leaf table (no agg config), so every
     * state-store number the metrics read is exactly derivable from the
     * source rows.
@@ -1746,6 +1750,126 @@ object LifecycleQueries {
         root
       })
       s.sql(s"SELECT l_orderkey, qty FROM $cat.t ORDER BY l_orderkey")
+    },
+
+    // X21 — atomic CTAS / RTAS / RENAME (StagingTableCatalog): the table
+    // is built whole in a hidden .staging home and renamed into the
+    // catalog namespace at commit, so a failed SELECT publishes nothing
+    // (checked mid-fixture with a throwing UDF) and REPLACE TABLE AS
+    // SELECT swaps old-for-new with readers never seeing a partial
+    // table. The final read goes through ALTER TABLE RENAME, proving
+    // the table-relative metadata moves with the directory.
+    "x21_sql_ctas" -> withOracle(
+      """WITH b AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |           FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey, qty * 2 AS qty FROM b
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val cat = s"graft_ctas_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
+      sqlCtasRoots.computeIfAbsent(dir, { _ =>
+        val root = java.nio.file.Files.createTempDirectory("graft-ctas-root").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .createOrReplaceTempView("ctas_src_x21")
+        s.sql(
+          s"""CREATE TABLE $cat.ct USING graft
+             |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000')
+             |AS SELECT l_orderkey, qty FROM ctas_src_x21""".stripMargin)
+        val created = s.sql(s"SELECT count(*) FROM $cat.ct")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        // a failing RTAS must leave the old table byte-identical
+        s.udf.register("x21_boom", (x: Long) =>
+          if (x >= 0) throw new RuntimeException("boom") else x)
+        val failed = try {
+          s.sql(s"REPLACE TABLE $cat.ct USING graft " +
+            "TBLPROPERTIES('rowKeys'='l_orderkey') " +
+            "AS SELECT l_orderkey, x21_boom(qty) AS qty FROM ctas_src_x21")
+          false
+        } catch { case _: Exception => true }
+        require(failed, "the throwing RTAS must fail")
+        val survived = s.sql(s"SELECT count(*) FROM $cat.ct")
+          .as[Long](org.apache.spark.sql.Encoders.scalaLong).head()
+        require(survived == created,
+          s"failed RTAS must keep the old table ($survived/$created rows)")
+        require(graft.meta.GraftFS.list(s"$root/.staging").isEmpty,
+          "aborted RTAS must delete its scratch home")
+        s.sql(
+          s"""REPLACE TABLE $cat.ct USING graft
+             |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000')
+             |AS SELECT l_orderkey, qty * 2 AS qty FROM ctas_src_x21""".stripMargin)
+        // the RENAME TO target is an identifier INSIDE the same catalog
+        s.sql(s"ALTER TABLE $cat.ct RENAME TO ct2")
+        root
+      })
+      s.sql(s"SELECT l_orderkey, qty FROM $cat.ct2 ORDER BY l_orderkey")
+    },
+
+    // X22 — zero-copy branch (CALL clone, shallow=true by default):
+    // branching a table is ONE state-store write — the branch's refs
+    // point at the source's files by absolute path (Delta SHALLOW CLONE
+    // contract; at 100 TB this is the difference between an instant
+    // branch and a day of copy). The fixture proves the three contract
+    // edges: no data bytes copied at clone time, branch DML/compaction/
+    // GC never touch a source byte, and the source reads unchanged
+    // after the branch diverged. The oracle replays the branch edits.
+    "x22_shallow_clone" -> withOracle(
+      """WITH b AS (SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS qty
+        |           FROM lineitem WHERE l_orderkey < 12000 GROUP BY 1)
+        |SELECT l_orderkey,
+        |       CASE WHEN l_orderkey % 3 = 0 THEN qty + 100 ELSE qty END AS qty
+        |FROM b WHERE l_orderkey % 7 <> 0
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val cat = s"graft_clone_${(dir.hashCode.toLong & 0xffffffffL).toHexString}"
+      sqlCloneRoots.computeIfAbsent(dir, { _ =>
+        val root = java.nio.file.Files.createTempDirectory("graft-clone-root").toString
+        s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+        s.conf.set(s"spark.sql.catalog.$cat.root", root)
+        s.sql(
+          s"""CREATE TABLE $cat.src (l_orderkey BIGINT, qty BIGINT NOT NULL)
+             |USING graft
+             |TBLPROPERTIES('rowKeys'='l_orderkey', 'splitPoints'='4000,8000',
+             |              'aggregation'='last(qty)')""".stripMargin)
+        Tables(s, dir, "lineitem").filter(col("l_orderkey") < 12000)
+          .groupBy("l_orderkey").agg(sum(col("l_quantity").cast("long")).as("qty"))
+          .createOrReplaceTempView("clone_src_x22")
+        s.sql(s"INSERT INTO $cat.src SELECT * FROM clone_src_x22")
+        def fingerprint(t: String): (Long, Long) =
+          s.sql(s"SELECT count(*), sum(qty) FROM $cat.$t")
+            .as[(Long, Long)](org.apache.spark.sql.Encoders.tuple(
+              org.apache.spark.sql.Encoders.scalaLong,
+              org.apache.spark.sql.Encoders.scalaLong)).head()
+        val srcBefore = fingerprint("src")
+        def parquetsUnder(d: String): Seq[java.nio.file.Path] = {
+          val p = java.nio.file.Paths.get(d)
+          if (!java.nio.file.Files.exists(p)) Nil
+          else {
+            val st = java.nio.file.Files.walk(p)
+            try {
+              val it = st.iterator(); val b = Seq.newBuilder[java.nio.file.Path]
+              while (it.hasNext) { val x = it.next()
+                if (x.toString.endsWith(".parquet")) b += x }
+              b.result()
+            } finally st.close()
+          }
+        }
+        val srcFiles = parquetsUnder(s"$root/src/data")
+        val r = s.sql(s"CALL $cat.system.clone('src', 'branch')").collect().head
+        require(r.getBoolean(3) && r.getInt(2) > 0, s"expected a shallow clone, got $r")
+        require(parquetsUnder(s"$root/branch/data").isEmpty,
+          "shallow clone must copy ZERO data files")
+        // branch diverges through normal SQL DML + maintenance
+        s.sql(s"UPDATE $cat.branch SET qty = qty + 100 WHERE l_orderkey % 3 = 0")
+        s.sql(s"DELETE FROM $cat.branch WHERE l_orderkey % 7 = 0")
+        s.sql(s"CALL $cat.system.compact('branch')").collect()
+        s.sql(s"CALL $cat.system.gc('branch')").collect()
+        require(srcFiles.forall(java.nio.file.Files.exists(_)),
+          "branch lifecycle must never delete a source file")
+        require(fingerprint("src") == srcBefore,
+          "source reads must be unchanged after the branch diverged")
+        root
+      })
+      s.sql(s"SELECT l_orderkey, qty FROM $cat.branch ORDER BY l_orderkey")
     },
 
     // T47 — streaming change-data-feed (readChangeFeed): puts AND

@@ -238,8 +238,13 @@ final class QueryExecutor(table: GraftTable) {
     val base = {
       if (pendingTombs.isEmpty) scanned
       else {
+        // key on the BASENAME: a shallow clone's inherited tombstone
+        // carries the source's absolute path, while input_file_name()
+        // below yields basenames (UUID-unique across homes)
         val tseqDf = spark.createDataFrame(
-          pendingTombs.map(t => (t.filename, t.seq)).distinct).toDF("__tfile", "__tseq")
+          pendingTombs.map(t =>
+            (t.filename.substring(t.filename.lastIndexOf('/') + 1), t.seq)).distinct)
+          .toDF("__tfile", "__tseq")
         val tdf = spark.read
           .schema(org.apache.spark.sql.types.StructType(
             schema.rowKeys.map(f => org.apache.spark.sql.types.StructField(

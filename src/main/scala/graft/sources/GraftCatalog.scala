@@ -3,7 +3,7 @@ package graft.sources
 import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.catalyst.analysis.{NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, ProcedureCatalog, StagedTable, StagingTableCatalog, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
@@ -32,7 +32,8 @@ import graft.meta.{GraftFS, JsonStateStore}
   * (typed by the first row key); 'aggregation'/'filter'/'transform' set
   * the persistent table config.
   */
-final class GraftCatalog extends TableCatalog with ProcedureCatalog {
+final class GraftCatalog extends TableCatalog with ProcedureCatalog
+    with StagingTableCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -116,9 +117,21 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    createAt(dirFor(ident), schema, partitions, properties)
+    new GraftBatchTable(dirFor(ident))
+  }
+
+  /** Shared CREATE body: validate the DDL (keys, column order, persistent
+    * configs) and materialize a table at `dir` — used by both the direct
+    * CREATE TABLE path (dir = the table's final home) and the staged
+    * CTAS/RTAS path (dir = a `.staging` scratch home that is renamed into
+    * place only at commit).
+    */
+  private def createAt(dir: String, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Unit = {
     require(partitions.isEmpty,
       "graft manages partitioning internally — use the 'splitPoints' table property")
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val props = properties.asScala
     def names(k: String): Seq[String] =
       props.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -165,14 +178,50 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     graft.transforms.TransformFactory.parse(tf, gschema)
     graft.meta.BloomIndex.validate(gschema, idx)
 
-    val dir = dirFor(ident)
     GraftFS.mkdirs(dir)
     JsonStateStore.create(s"$dir/meta", gschema,
       PartitionTree.fromSplitPoints(gschema, splitPoints),
       aggregationConfig = agg, filterConfig = filt, transformConfig = tf,
       indexConfig = idx)
     GraftFS.mkdirs(s"$dir/data")
-    new GraftBatchTable(dir)
+  }
+
+  // ---- Atomic CTAS / RTAS (StagingTableCatalog) --------------------------
+  //
+  // CREATE TABLE ... AS SELECT and REPLACE TABLE ... AS SELECT build the
+  // whole table — metadata log AND data files — in a hidden
+  // `<root>/.staging/<uuid>` home; the SELECT's write runs against that
+  // staged table through the normal ingest dataflow, and only
+  // commitStagedChanges() moves the finished directory into the catalog
+  // namespace (one rename on local/HDFS; see GraftFS.rename for the
+  // object-store caveat). A failed or cancelled SELECT therefore leaves NO
+  // half-written table (abortStagedChanges deletes the scratch home), and
+  // for RTAS readers of the old table are unaffected until the swap.
+
+  private def stagingDir(ident: Identifier): String =
+    s"$root/.staging/${(ident.namespace :+ ident.name).mkString("_")}-${java.util.UUID.randomUUID()}"
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val staged = stagingDir(ident)
+    createAt(staged, schema, partitions, properties)
+    new GraftStagedTable(staged, dirFor(ident), root, replaceExisting = false)
+  }
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val staged = stagingDir(ident)
+    createAt(staged, schema, partitions, properties)
+    new GraftStagedTable(staged, dirFor(ident), root, replaceExisting = true)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): StagedTable = {
+    val staged = stagingDir(ident)
+    createAt(staged, schema, partitions, properties)
+    new GraftStagedTable(staged, dirFor(ident), root, replaceExisting = true)
   }
 
   /** ALTER TABLE over the engine's versioned metadata transactions:
@@ -248,6 +297,21 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog {
     true
   }
 
-  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException("RENAME TABLE is not supported")
+  /** ALTER TABLE ... RENAME TO — one directory move. All paths inside the
+    * state store (file references, tombstones, delta manifests) are
+    * RELATIVE to the table home, so the move carries the full history:
+    * time travel, `$history`, and the change feed keep working under the
+    * new name. Atomic on local/HDFS; on object stores it is the
+    * connector's copy+delete (same caveat as DROP).
+    */
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val src = dirFor(oldIdent)
+    val dst = dirFor(newIdent)
+    val (fs, srcPath) = GraftFS.resolve(src)
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    if (dstPath.getParent != null) fs.mkdirs(dstPath.getParent)
+    GraftFS.rename(srcPath, dstPath, fs)
+  }
 }

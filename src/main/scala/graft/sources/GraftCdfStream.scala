@@ -81,10 +81,10 @@ final class GraftCdfMicroBatchStream(dir: String, tableFields: Seq[GraftField],
       // table's own read (re-ingests above their markers survive).
       val st = JsonStateStore.loadAt(meta, ev)
       val puts = st.fileReferences.map(r =>
-        (s"$dir/data/${r.physicalPartitionId}/${r.filename}", false, r.seq))
+        (graft.meta.GraftFS.dataPath(dir, r.physicalPartitionId, r.filename), false, r.seq))
         .distinct
       val dels = st.tombstones.map(t =>
-        (s"$dir/data/${t.physicalPartitionId}/${t.filename}", true, t.seq))
+        (graft.meta.GraftFS.dataPath(dir, t.physicalPartitionId, t.filename), true, t.seq))
         .distinct
       return (puts ++ dels).map { case (p, del, seq) =>
         GraftCdfFilePartition(p, del, ev, seq): InputPartition
@@ -94,7 +94,7 @@ final class GraftCdfMicroBatchStream(dir: String, tableFields: Seq[GraftField],
     // feeds (snapshot-diff fallback included) — compaction outputs never
     // appear (dataChange=false), tombstones appear exactly once.
     ChangeFeed.walk(meta, sv, ev).map { e =>
-      GraftCdfFilePartition(s"$dir/data/${e.home}/${e.filename}",
+      GraftCdfFilePartition(graft.meta.GraftFS.dataPath(dir, e.home, e.filename),
         e.isTombstone, e.version, e.seq): InputPartition
     }.toArray
   }

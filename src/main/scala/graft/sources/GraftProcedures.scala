@@ -34,7 +34,8 @@ object GraftProcedures {
 
   /** All procedures live in the `system` namespace (or unqualified). */
   val Names: Seq[String] =
-    Seq("compact", "split_partitions", "gc", "snapshot_metrics", "restore")
+    Seq("compact", "split_partitions", "gc", "snapshot_metrics", "restore",
+      "clone")
 
   def load(root: String, ident: Identifier): UnboundProcedure = {
     val ns = ident.namespace.toSeq
@@ -46,6 +47,7 @@ object GraftProcedures {
       case "gc"               => new GcProc(root)
       case "snapshot_metrics" => new SnapshotMetricsProc(root)
       case "restore"          => new RestoreProc(root)
+      case "clone"            => new CloneProc(root)
       case other => throw new IllegalArgumentException(s"no such procedure: $other")
     }
   }
@@ -151,6 +153,42 @@ object GraftProcedures {
         StructField("row_count", LongType), StructField("file_count", LongType),
         StructField("leaf_partition_count", LongType))),
         Seq(Seq(name, m.rowCount, m.fileCount.toLong, m.leafPartitionCount.toLong)))
+    }
+  }
+
+  /** clone(source, dest, version=-1, shallow=true): branch `source` at a
+    * state version (-1 = current) into the new catalog table `dest`.
+    * Shallow = zero-copy (O(metadata): the clone references the source's
+    * files by absolute path — branching 100 TB is one state-store
+    * write); shallow=false byte-copies data+sidecars for full lifecycle
+    * independence. Returns (dest, version, files, shallow).
+    */
+  private final class CloneProc(root: String) extends Proc("clone") {
+    override def description: String = "branch a table at a version (zero-copy by default)"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("source", StringType), in("dest", StringType),
+      inDefault("version", LongType, "-1"),
+      inDefault("shallow", BooleanType, "true"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val src = open(root, input.getUTF8String(0).toString)
+      val destName = input.getUTF8String(1).toString
+      val destDir = (root +: destName.split('.').toSeq).mkString("/")
+      if (graft.meta.GraftFS.exists(s"$destDir/meta"))
+        throw new IllegalArgumentException(s"table already exists: $destName")
+      val v = input.getLong(2) match {
+        case -1L => src.store match {
+          case s: graft.meta.JsonStateStore => s.currentVersion
+          case _ => throw new IllegalArgumentException("pass an explicit version")
+        }
+        case other => other
+      }
+      val cloned =
+        if (input.getBoolean(3)) src.shallowCloneAt(destDir, v)
+        else src.cloneAt(destDir, v)
+      result(StructType(Seq(StructField("dest", StringType),
+        StructField("version", LongType), StructField("files", IntegerType),
+        StructField("shallow", BooleanType))),
+        Seq(Seq(destName, v, cloned.store.fileReferences.size, input.getBoolean(3))))
     }
   }
 

@@ -125,7 +125,7 @@ final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField],
     // below then diff forward from exactly that file set.
     if (sv == 0L) {
       return filesAt(ev, (sv, ev)).map { case (name, (home, _)) =>
-        GraftStreamFilePartition(s"$dir/data/$home/$name"): InputPartition
+        GraftStreamFilePartition(graft.meta.GraftFS.dataPath(dir, home, name)): InputPartition
       }.toArray
     }
     val parts = Array.newBuilder[InputPartition]
@@ -143,7 +143,7 @@ final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField],
           added.foreach { e =>
             // tombstone entries carry dataChange=false, so delete files
             // never enter the stream
-            if (e.dataChange) parts += GraftStreamFilePartition(s"$dir/data/${e.home}/${e.filename}")
+            if (e.dataChange) parts += GraftStreamFilePartition(graft.meta.GraftFS.dataPath(dir, e.home, e.filename))
           }
         case None =>
           val prev = snapshotAt(v - 1)
@@ -151,7 +151,7 @@ final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField],
           cached = (v, cur)
           cur.foreach { case (name, (home, dataChange)) =>
             if (dataChange && !prev.contains(name))
-              parts += GraftStreamFilePartition(s"$dir/data/$home/$name")
+              parts += GraftStreamFilePartition(graft.meta.GraftFS.dataPath(dir, home, name))
           }
       }
       v += 1

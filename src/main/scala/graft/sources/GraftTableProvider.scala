@@ -507,7 +507,7 @@ final class GraftScanBuilder(dir: String, store: graft.meta.ConfiguredState)
       }
 
     val dataFiles = refs.filter(_.rowCount > 0)
-      .map(r => s"$dir/data/${r.physicalPartitionId}/${r.filename}")
+      .map(r => graft.meta.GraftFS.dataPath(dir, r.physicalPartitionId, r.filename))
     // (min, max) per row-key field from the unioned sidecar sketches —
     // exact items, not estimates (quantile sketches track min/max
     // exactly). None = a sidecar is missing; empty table = Some((null, null)).
@@ -900,7 +900,7 @@ final class GraftScan(dir: String, store: graft.meta.ConfiguredState,
       // seq-ascending: the merge's key-tie order makes `last` (LWW) keep
       // the newest generation's row
       val pathsWithSeq = refs.sortBy(r => (r.seq, r.filename))
-        .map(r => (s"$dir/data/${r.physicalPartitionId}/${r.filename}", r.seq))
+        .map(r => (graft.meta.GraftFS.dataPath(dir, r.physicalPartitionId, r.filename), r.seq))
         .distinctBy(_._1).filter(p => fileMaySatisfy(p._1))
       val paths = pathsWithSeq.map(_._1)
       // pending row-key deletes for this leaf (and any split ancestor);
@@ -908,7 +908,7 @@ final class GraftScan(dir: String, store: graft.meta.ConfiguredState,
       // generations <= its own (LSM delete-marker semantics)
       val tombsWithSeq = (tombsByPartition.getOrElse(leaf.id, Nil) ++
         tree.ancestors(leaf.id).flatMap(a => tombsByPartition.getOrElse(a.id, Nil)))
-        .map(t => (s"$dir/data/${t.physicalPartitionId}/${t.filename}", t.seq))
+        .map(t => (graft.meta.GraftFS.dataPath(dir, t.physicalPartitionId, t.filename), t.seq))
         .distinctBy(_._1)
       val tombPaths = tombsWithSeq.map(_._1)
       if (paths.isEmpty) None
@@ -923,7 +923,11 @@ final class GraftScan(dir: String, store: graft.meta.ConfiguredState,
           tombstonePaths = tombPaths,
           pathSeqs = pathsWithSeq.map(_._2),
           tombstoneSeqs = tombsWithSeq.map(_._2),
-          mixedDirs = mixedDirs)
+          mixedDirs = mixedDirs,
+          // every selected file physically lives in this leaf → the
+          // leaf-region clip cannot drop a row, which unlocks the
+          // last-n trailing-row-group prune on compacted leaves
+          clipNoop = refs.forall(_.physicalPartitionId == leaf.id))
         // a DESC TopN needs the merge reader's last-n ring buffer; the
         // native batch reader can only truncate from the FRONT. Pending
         // tombstones are fine — the columnar reader applies the sorted

@@ -55,7 +55,7 @@ final class GraftTable(
   def dataDir: String = s"$dir/data"
 
   def filePath(partitionId: String, filename: String): String =
-    s"$dataDir/$partitionId/$filename"
+    GraftFS.dataPath(dir, partitionId, filename)
 
   def pathOf(ref: FileReference): String = {
     val direct = filePath(ref.physicalPartitionId, ref.filename)
@@ -429,6 +429,11 @@ final class GraftTable(
     */
   def cloneAt(destDir: String, version: Long): GraftTable = {
     val snap = graft.meta.JsonStateStore.loadAt(s"$dir/meta", version)
+    // Deep-cloning a SHALLOW clone localizes its inherited external
+    // (absolute-path) references: copy from the owner's absolute path,
+    // land under the clone's own home as a plain name — the result is
+    // fully independent either way.
+    def localName(fn: String): String = fn.substring(fn.lastIndexOf('/') + 1)
     val files = (snap.fileReferences ++ snap.tombstones)
       .map(r => (r.physicalPartitionId, r.filename)).distinct
     GraftFS.mkdirs(s"$destDir/data")
@@ -439,22 +444,62 @@ final class GraftTable(
         .parallelize(files, math.min(files.size, 64))
         .foreach { case (pid, fn) =>
           val c = sconf.value
-          GraftFS.copyFile(s"$srcData/$pid/$fn", s"$dstData/$pid/$fn", c)
-          val sk = s"$srcData/$pid/$fn.sketches"
+          val from = if (GraftFS.isExternalName(fn)) fn else s"$srcData/$pid/$fn"
+          GraftFS.copyFile(from, s"$dstData/$pid/${localName(fn)}", c)
+          val sk = s"$from.sketches"
           if (new org.apache.hadoop.fs.Path(sk).getFileSystem(c)
               .exists(new org.apache.hadoop.fs.Path(sk)))
-            GraftFS.copyFile(sk, s"$dstData/$pid/$fn.sketches", c)
+            GraftFS.copyFile(sk, s"$dstData/$pid/${localName(fn)}.sketches", c)
         }
     }
     // clone refs point at their own copies: the physical home IS the
     // (possibly pre-split) partition id, preserved verbatim above
     val store = graft.meta.JsonStateStore.createFrom(s"$destDir/meta",
       snap.schema, snap.partitionTree,
-      snap.fileReferences.toVector, snap.tombstones.toVector,
+      snap.fileReferences.toVector.map(r => r.copy(filename = localName(r.filename))),
+      snap.tombstones.toVector.map(r => r.copy(filename = localName(r.filename))),
       snap.txnWatermarks,
       aggregationConfig = snap.aggregationConfig, filterConfig = snap.filterConfig,
       transformConfig = snap.transformConfig, indexConfig = snap.indexConfig)
     new GraftTable(spark, destDir, store, TableConfig(
+      aggregationConfig = snap.aggregationConfig, filterConfig = snap.filterConfig,
+      transformConfig = snap.transformConfig, indexConfig = snap.indexConfig))
+  }
+
+  /** Shallow (zero-copy) clone AS OF a state version: a new table whose
+    * initial snapshot carries the source's partition tree, config, and
+    * file references — but the references point at the SOURCE's data
+    * files by absolute path instead of copying them (Delta SHALLOW
+    * CLONE's absolute-path contract; the reference has no clone at all —
+    * its nearest shape is re-ingesting an export). O(metadata) regardless
+    * of data size: branching a 100 TB table is one state-store write.
+    *
+    * The clone's own lifecycle never touches the source's bytes: new
+    * ingests land as plain-named files under the clone's data dir,
+    * compaction REWRITES inherited data locally (the external refs just
+    * fall out of reference), and the clone's GC recognizes external
+    * names and clears queue entries without deleting the source's files.
+    * The inverse hazard is inherited from the Delta contract and must be
+    * operated around, not coded around: the SOURCE's GC does not know
+    * about clones, so aging the source past its retention can strand a
+    * clone's inherited references — pin source retention while shallow
+    * clones live, or deep-clone ([[cloneAt]]) for independence.
+    */
+  def shallowCloneAt(destDir: String, version: Long): GraftTable = {
+    val snap = graft.meta.JsonStateStore.loadAt(s"$dir/meta", version)
+    val (fs0, rootP) = GraftFS.resolve(dir)
+    val srcRoot = if (rootP.isAbsolute) dir else fs0.makeQualified(rootP).toString
+    def ext(r: FileReference): FileReference =
+      if (GraftFS.isExternalName(r.filename)) r // clone-of-clone: keep the ORIGINAL owner's path
+      else r.copy(filename = s"$srcRoot/data/${r.physicalPartitionId}/${r.filename}")
+    GraftFS.mkdirs(s"$destDir/data")
+    val store2 = graft.meta.JsonStateStore.createFrom(s"$destDir/meta",
+      snap.schema, snap.partitionTree,
+      snap.fileReferences.toVector.map(ext), snap.tombstones.toVector.map(ext),
+      snap.txnWatermarks,
+      aggregationConfig = snap.aggregationConfig, filterConfig = snap.filterConfig,
+      transformConfig = snap.transformConfig, indexConfig = snap.indexConfig)
+    new GraftTable(spark, destDir, store2, TableConfig(
       aggregationConfig = snap.aggregationConfig, filterConfig = snap.filterConfig,
       transformConfig = snap.transformConfig, indexConfig = snap.indexConfig))
   }

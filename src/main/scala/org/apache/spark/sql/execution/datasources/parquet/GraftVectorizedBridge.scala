@@ -88,11 +88,13 @@ object GraftVectorizedBridge {
     * caller's order; None when the batch order already matches.
     */
   def open(path: String, columns: StructType, rowGroupFilter: Option[FilterPredicate],
-      capacity: Int, conf: Configuration = new Configuration())
+      capacity: Int, conf: Configuration = new Configuration(),
+      fileRange: Option[(Long, Long)] = None)
       : (VectorizedParquetRecordReader, Option[Array[Int]]) = {
     val hPath = new Path(path)
     val optsB = HadoopReadOptions.builder(conf, hPath)
     rowGroupFilter.foreach(p => optsB.withRecordFilter(FilterCompat.get(p)))
+    fileRange.foreach { case (s, e) => optsB.withRange(s, e) }
     optsB.useColumnIndexFilter(false)
     val fileReader = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf), optsB.build())
     try {

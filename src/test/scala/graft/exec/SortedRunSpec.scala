@@ -161,4 +161,42 @@ class SortedRunSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq
     assert(got == Seq(1L, 2L, 3L))
   }
+
+  test("last-n scans prune to the trailing row groups and stay exact") {
+    val s2 = GraftSchema(
+      rowKeys = Seq(GraftField("k", StringType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("n", LongType)))
+    // tiny row groups so a few thousand rows span many of them
+    def writeTiny(rows: Seq[Row]): String = {
+      val dir = Files.createTempDirectory("graft-lastn").toString
+      spark.createDataFrame(rows.asJava, s2.toStructType).coalesce(1)
+        .write.mode("overwrite")
+        .option("parquet.block.size", "4096").option("parquet.page.size", "1024")
+        .parquet(dir)
+      Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get.toString
+    }
+    val rowsA = (0 until 6000 by 2).map(i => Row(f"k$i%05d", i.toLong))
+    val rowsB = (1 until 6000 by 2).map(i => Row(f"k$i%05d", i.toLong))
+    val (fa, fb) = (writeTiny(rowsA), writeTiny(rowsB))
+
+    val conf = graft.meta.GraftFS.conf
+    // the helper finds a real (multi-row-group) suffix start...
+    val start = SortedRun.lastRowGroupsStart(fa, 10L, conf)
+    assert(start > 0L, "expected multiple row groups in the fixture file")
+    // ...and asks for the whole file when n covers it
+    assert(SortedRun.lastRowGroupsStart(fa, 10000L, conf) == 0L)
+
+    // pruned last-n over a 2-file merge equals the unpruned answer
+    def lastN(n: Int): Seq[Long] =
+      SortedRun.iterator(RunSpec(Seq(fa, fb), s2, Seq("n"), None, "", "", 0L,
+        limit = Some(n), limitLast = true)).map(_.getLong(0)).toSeq
+    assert(lastN(5) == (5995L until 6000L).toSeq)
+    // n spanning several row groups, odd boundary
+    assert(lastN(137) == (5863L until 6000L).toSeq)
+    // n larger than either file's row count degrades to the full merge
+    assert(lastN(7000).size == 6000)
+    assert(lastN(7000).take(3) == Seq(0L, 1L, 2L))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.sources
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Pure-SQL lifecycle through the TableCatalog: CREATE TABLE with key
@@ -112,5 +113,104 @@ class GraftCatalogSpec extends AnyFunSuite {
         !Files.exists(java.nio.file.Paths.get(root, n, "meta")),
         s"failed CREATE must not leave table $n behind")
     }
+  }
+
+  private def stagingLeftovers(): Seq[String] = {
+    val p = java.nio.file.Paths.get(root, ".staging")
+    if (!Files.exists(p)) Nil
+    else {
+      val s = Files.list(p)
+      try s.iterator().asScala.map(_.getFileName.toString).toList finally s.close()
+    }
+  }
+
+  test("CTAS is atomic: success publishes, failure leaves nothing") {
+    root
+    Seq(("a", 1L), ("m", 2L), ("z", 3L)).toDF("key", "v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(
+      """CREATE TABLE gcat.ctas USING graft
+        |TBLPROPERTIES('rowKeys'='key', 'splitPoints'='m')
+        |AS SELECT key, v FROM ctas_src""".stripMargin)
+    assert(spark.sql("SELECT key, v FROM gcat.ctas ORDER BY key")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("m", 2L), ("z", 3L)))
+    assert(stagingLeftovers().isEmpty, "committed CTAS must clean .staging")
+
+    // a SELECT that fails mid-write must leave no table AND no scratch dir
+    spark.udf.register("ctas_boom", (x: Long) =>
+      if (x >= 0) throw new RuntimeException("boom") else x)
+    intercept[Exception](spark.sql(
+      """CREATE TABLE gcat.ctas_fail USING graft
+        |TBLPROPERTIES('rowKeys'='key')
+        |AS SELECT key, ctas_boom(v) AS v FROM ctas_src""".stripMargin))
+    assert(!Files.exists(java.nio.file.Paths.get(root, "ctas_fail")),
+      "failed CTAS must not publish a table")
+    assert(stagingLeftovers().isEmpty, "failed CTAS must delete its scratch home")
+    // the name stays fully usable afterwards
+    spark.sql(
+      """CREATE TABLE gcat.ctas_fail USING graft TBLPROPERTIES('rowKeys'='key')
+        |AS SELECT key, v FROM ctas_src WHERE key = 'a'""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gcat.ctas_fail").as[Long].head() == 1L)
+    spark.sql("DROP TABLE gcat.ctas_fail")
+  }
+
+  test("RTAS swaps atomically and a failed RTAS keeps the old table") {
+    root
+    Seq(("a", 1L), ("b", 2L)).toDF("key", "v").createOrReplaceTempView("rtas_src")
+    spark.sql(
+      """CREATE TABLE gcat.rtas USING graft TBLPROPERTIES('rowKeys'='key')
+        |AS SELECT key, v FROM rtas_src""".stripMargin)
+    spark.sql(
+      """REPLACE TABLE gcat.rtas USING graft TBLPROPERTIES('rowKeys'='key')
+        |AS SELECT key, v * 10 AS v FROM rtas_src""".stripMargin)
+    assert(spark.sql("SELECT key, v FROM gcat.rtas ORDER BY key")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 10L), ("b", 20L)))
+
+    spark.udf.register("rtas_boom", (x: Long) =>
+      if (x >= 0) throw new RuntimeException("boom") else x)
+    intercept[Exception](spark.sql(
+      """REPLACE TABLE gcat.rtas USING graft TBLPROPERTIES('rowKeys'='key')
+        |AS SELECT key, rtas_boom(v) AS v FROM rtas_src""".stripMargin))
+    // old contents untouched by the failed replace
+    assert(spark.sql("SELECT key, v FROM gcat.rtas ORDER BY key")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 10L), ("b", 20L)))
+    assert(stagingLeftovers().isEmpty)
+
+    // REPLACE refuses a missing table; CREATE OR REPLACE accepts it
+    intercept[Exception](spark.sql(
+      """REPLACE TABLE gcat.rtas_missing USING graft TBLPROPERTIES('rowKeys'='key')
+        |AS SELECT key, v FROM rtas_src""".stripMargin))
+    spark.sql(
+      """CREATE OR REPLACE TABLE gcat.rtas_missing USING graft
+        |TBLPROPERTIES('rowKeys'='key')
+        |AS SELECT key, v FROM rtas_src""".stripMargin)
+    assert(spark.sql("SELECT count(*) FROM gcat.rtas_missing").as[Long].head() == 2L)
+    spark.sql("DROP TABLE gcat.rtas")
+    spark.sql("DROP TABLE gcat.rtas_missing")
+  }
+
+  test("ALTER TABLE RENAME moves the table with its full history") {
+    root
+    spark.sql(
+      """CREATE TABLE gcat.ren_a (key STRING, v BIGINT) USING graft
+        |TBLPROPERTIES('rowKeys'='key')""".stripMargin)
+    spark.sql("INSERT INTO gcat.ren_a VALUES ('a', 1)")
+    // capture the state version after the first insert (versions are
+    // state-store versions, not 0/1/2 statement ordinals)
+    val v1 = graft.meta.JsonStateStore.load(s"$root/ren_a/meta").currentVersion
+    spark.sql("INSERT INTO gcat.ren_a VALUES ('b', 2)")
+    val versions = spark.sql("SELECT count(*) FROM gcat.`ren_a$history`").as[Long].head()
+    // the RENAME TO target is resolved inside the same catalog
+    spark.sql("ALTER TABLE gcat.ren_a RENAME TO ren_b")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "ren_a")))
+    assert(spark.sql("SELECT key, v FROM gcat.ren_b ORDER BY key")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 1L), ("b", 2L)))
+    // history (and so time travel) rides along: paths are table-relative
+    assert(spark.sql("SELECT count(*) FROM gcat.`ren_b$history`").as[Long].head()
+      == versions)
+    assert(spark.sql(s"SELECT count(*) FROM gcat.ren_b VERSION AS OF $v1").as[Long].head() == 1L)
+    intercept[Exception](spark.sql("ALTER TABLE gcat.ren_missing RENAME TO x"))
+    spark.sql("DROP TABLE gcat.ren_b")
   }
 }
