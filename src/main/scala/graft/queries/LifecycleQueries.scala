@@ -1378,7 +1378,7 @@ object LifecycleQueries {
     // one ingest writes one sorted file per touched leaf, one exact-key
     // DELETE lands one tombstone file per affected leaf).
     "x16_sql_metadata" -> withOracle(
-      """SELECT CAST(3 AS BIGINT) AS data_files,
+      """SELECT CAST(3 AS BIGINT) AS file_leaves,
         |       (SELECT count(DISTINCT l_orderkey) FROM lineitem
         |        WHERE l_orderkey < 12000) AS total_rows,
         |       CAST(3 AS BIGINT) AS leaves,
@@ -1403,8 +1403,12 @@ object LifecycleQueries {
         root
       })
       s.sql(
+        // leaves-holding-files, not raw file count: how many files the
+        // ingest writes per leaf scales with the batch size (salted
+        // multi-file writes above the small-batch gate), so a raw count
+        // is not scale-independent ground truth
         s"""SELECT
-           |  (SELECT count(*) FROM $cat.`t$$files`) AS data_files,
+           |  (SELECT count(DISTINCT partition_id) FROM $cat.`t$$files`) AS file_leaves,
            |  (SELECT CAST(sum(row_count) AS BIGINT) FROM $cat.`t$$files`) AS total_rows,
            |  (SELECT count(*) FROM $cat.`t$$partitions` WHERE is_leaf) AS leaves,
            |  (SELECT count(*) FROM $cat.`t$$tombstones`) AS tomb_files,
