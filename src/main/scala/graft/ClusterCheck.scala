@@ -64,7 +64,13 @@ object ClusterCheck {
     // ships historical RunSpecs the same way the live scan does; the
     // streaming SINK's writer factory ships the partition tree + key
     // ordering into executor DataWriters (leaf counting, sorted writes)
-    "t47_stream_cdf", "x15_sql_time_travel", "t48_stream_sink")
+    "t47_stream_cdf", "x15_sql_time_travel", "t48_stream_sink",
+    // round 14: a shallow clone's scan ships EXTERNAL (absolute-path)
+    // file references inside executor RunSpecs, and the tombstone
+    // anti-join's basename keying must match executor-side
+    // input_file_name(); CTAS writes through the staged table's normal
+    // ingest dataflow before the publish rename
+    "x22_shallow_clone", "x21_sql_ctas")
 
   /** Canonical content hash: columns sorted by name, every cell cast to
     * string (nulls as NUL), cells joined with SOH, row strings sorted —
