@@ -40,7 +40,8 @@ import graft.table.ChangeFeed
   * GC has not deleted files committed since.
   */
 final class GraftCdfMicroBatchStream(dir: String, tableFields: Seq[GraftField],
-    keyFields: Seq[GraftField]) extends MicroBatchStream
+    keyFields: Seq[GraftField],
+    maxVersionsPerTrigger: Option[Long] = None) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def meta = s"$dir/meta"
@@ -56,11 +57,19 @@ final class GraftCdfMicroBatchStream(dir: String, tableFields: Seq[GraftField],
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget match {
-      case Some(v) => GraftStreamOffset(v)
-      case None => latestOffset()
+  /** Same catch-up cap as the table-changes stream (see
+    * GraftMicroBatchStream.latestOffset): bounded batches when resuming
+    * far behind, never applied to the initial snapshot batch.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startV = start.asInstanceOf[GraftStreamOffset].version
+    val end = availableNowTarget.getOrElse(currentVersion)
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) if startV > 0L => math.min(end, startV + m)
+      case _ => end
     }
+    GraftStreamOffset(math.max(capped, startV))
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(currentVersion)

@@ -40,7 +40,8 @@ case class GraftStreamOffset(version: Long) extends Offset {
   * skipping data.
   */
 final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField],
-    fallbackKeyField: GraftField) extends MicroBatchStream
+    fallbackKeyField: GraftField,
+    maxVersionsPerTrigger: Option[Long] = None) extends MicroBatchStream
     with SupportsAdmissionControl with SupportsTriggerAvailableNow {
 
   private def meta = s"$dir/meta"
@@ -59,11 +60,24 @@ final class GraftMicroBatchStream(dir: String, readFields: Seq[GraftField],
   // -- admission control / AvailableNow ---------------------------------
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    availableNowTarget match {
-      case Some(v) => GraftStreamOffset(v)
-      case None => latestOffset()
+  /** Catch-up rate limit: a stream resuming far behind the table head
+    * otherwise walks EVERY pending version in one micro-batch —
+    * `maxVersionsPerTrigger` caps each batch's window so a month-behind
+    * checkpoint on a busy table drains as bounded batches (exactly-once
+    * either way; AvailableNow keeps triggering until the prepared target
+    * is reached). The cap never applies to the INITIAL batch: version 0
+    * plans snapshot semantics from the END version's file set, and an
+    * artificial early endpoint could fall outside snapshot retention.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val startV = start.asInstanceOf[GraftStreamOffset].version
+    val end = availableNowTarget.getOrElse(currentVersion)
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) if startV > 0L => math.min(end, startV + m)
+      case _ => end
     }
+    GraftStreamOffset(math.max(capped, startV))
+  }
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowTarget = Some(currentVersion)

@@ -130,7 +130,13 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
   // per query rather than per table resolution. A pinned (time-travel)
   // table never refreshes: its version IS the contract.
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    if (cdf) return cdfScanBuilder()
+    // streaming catch-up rate limit (see GraftMicroBatchStream.latestOffset)
+    val maxVpt = Option(options.get("maxVersionsPerTrigger")).map { s =>
+      val v = s.toLong
+      require(v > 0, s"maxVersionsPerTrigger must be positive, got $v")
+      v
+    }
+    if (cdf) return cdfScanBuilder(maxVpt)
     val fresh = if (asOf.isDefined) store else JsonStateStore.load(s"$dir/meta")
     // A table-level transform is a DataFrame-level hook the row reader
     // cannot run; silently skipping it would change read semantics (for
@@ -139,7 +145,7 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
       s"table at $dir has a custom transform (${fresh.transformConfig}); " +
         "read it through GraftTable.query/toDF — the DSv2 reader cannot apply " +
         "DataFrame-level transforms")
-    new GraftScanBuilder(dir, fresh)
+    new GraftScanBuilder(dir, fresh, maxVpt)
   }
 
   /** Appends run the normal bulk-ingest dataflow (partition-tag →
@@ -159,7 +165,7 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
     * fixed schema (table columns + _op/_commit_version/_commit_seq), no
     * pushdown, stream-only (batch consumers use `changesBetween`).
     */
-  private def cdfScanBuilder(): ScanBuilder = () => new Scan {
+  private def cdfScanBuilder(maxVpt: Option[Long]): ScanBuilder = () => new Scan {
     override def readSchema(): StructType = schema()
     override def description(): String = s"graft CDF $dir"
     override def toMicroBatchStream(checkpointLocation: String)
@@ -173,7 +179,7 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
         s"table at $dir has a persistent filter/transform; the change feed " +
           "delivers raw committed changes and cannot apply them")
       val fields = fresh.schema.allFields
-      new GraftCdfMicroBatchStream(dir, fields, fresh.schema.rowKeys)
+      new GraftCdfMicroBatchStream(dir, fields, fresh.schema.rowKeys, maxVpt)
     }
   }
 
@@ -391,7 +397,8 @@ object StatsPred {
   }
 }
 
-final class GraftScanBuilder(dir: String, store: graft.meta.ConfiguredState)
+final class GraftScanBuilder(dir: String, store: graft.meta.ConfiguredState,
+    maxVersionsPerTrigger: Option[Long] = None)
   extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit with SupportsPushDownTopN {
 
@@ -646,7 +653,7 @@ final class GraftScanBuilder(dir: String, store: graft.meta.ConfiguredState)
     case Some(values) => new GraftMetaAggScan(dir, values)
     case None =>
       new GraftScan(dir, store, regions, required, pushedLimit, statsPreds, pushedLimitLast,
-        bloomPreds, pushedMixedDirs)
+        bloomPreds, pushedMixedDirs, maxVersionsPerTrigger)
   }
 }
 
@@ -683,7 +690,8 @@ final class GraftScan(dir: String, store: graft.meta.ConfiguredState,
     initialRegions: Seq[Region], required: StructType, limit: Option[Int] = None,
     statsPreds: Seq[StatsPred] = Nil, limitLast: Boolean = false,
     bloomPreds: Seq[(String, Seq[Long])] = Nil,
-    mixedDirs: Seq[Boolean] = Nil)
+    mixedDirs: Seq[Boolean] = Nil,
+    maxVersionsPerTrigger: Option[Long] = None)
   extends Scan with Batch with SupportsReportOrdering with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -764,7 +772,7 @@ final class GraftScan(dir: String, store: graft.meta.ConfiguredState,
         "(deleteKeys(purge = true) or compactAll)")
     new GraftMicroBatchStream(dir,
       required.fields.map(f => graft.core.GraftField(f.name, f.dataType, f.nullable)).toSeq,
-      schema.rowKeys.head)
+      schema.rowKeys.head, maxVersionsPerTrigger)
   }
 
   override def description(): String = {

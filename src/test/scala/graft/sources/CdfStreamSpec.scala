@@ -170,4 +170,33 @@ class CdfStreamSpec extends AnyFunSuite {
     }
     assert(e.getMessage != null)
   }
+
+  test("maxVersionsPerTrigger caps CDF catch-up; resolution unchanged") {
+    val dir = Files.createTempDirectory("graft-cdf-vpt").toString
+    val cp = Files.createTempDirectory("graft-cdf-vpt-cp").toString
+    val out = Files.createTempDirectory("graft-cdf-vpt-out").toString
+    val table = GraftTable.create(spark, dir, schema,
+      config = TableConfig(aggregationConfig = "last(v)"))
+    table.ingest((1L to 10L).map(i => (i, i)).toDF("k", "v"))
+
+    def drainCapped(): Long = {
+      val q = spark.readStream.format("graft").option("readChangeFeed", "true")
+        .option("maxVersionsPerTrigger", "1").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.lastProgress.batchId
+    }
+    drainCapped()
+    // fall behind by 3 versions (upsert, delete, upsert) then catch up
+    // one version per batch — the resolved feed must equal the table
+    table.ingest(Seq((2L, 222L)).toDF("k", "v"))
+    table.deleteKeys(Seq(5L).toDF("k"))
+    table.ingest(Seq((5L, 555L)).toDF("k", "v"))
+    val lastBatch = drainCapped()
+    assert(lastBatch >= 3, s"expected >=3 capped batches, last id $lastBatch")
+    val expect = table.toDF.select("k", "v").as[(Long, Long)].collect().toMap
+    assert(resolve(spark.read.parquet(out)) == expect)
+  }
 }

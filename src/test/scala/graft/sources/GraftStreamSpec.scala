@@ -197,4 +197,36 @@ class GraftStreamSpec extends AnyFunSuite {
     q.awaitTermination()
     assert(spark.table(mem).as[Long].collect().toSet == (26L to 30L).map(_ * 10).toSet)
   }
+
+  test("maxVersionsPerTrigger bounds catch-up batches, exactly once") {
+    val dir = Files.createTempDirectory("graft-stream-vpt").toString
+    val cp = Files.createTempDirectory("graft-stream-vpt-cp").toString
+    val out = Files.createTempDirectory("graft-stream-vpt-out").toString
+    val table = GraftTable.create(spark, dir, schema)
+    table.ingest((1L to 10L).map(i => (i, i)).toDF("k", "v"))
+
+    def drainCapped(): Long = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", "1").load(dir)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.lastProgress.batchId
+    }
+    drainCapped()
+    assert(spark.read.parquet(out).select("k").as[Long].collect().toSet == (1L to 10L).toSet)
+
+    // fall 5 ingest versions behind, then resume: the cap must split the
+    // catch-up into one-version batches (>= 5 batch ids consumed) while
+    // still delivering every row exactly once
+    (1 to 5).foreach(g => table.ingest(
+      (1L to 10L).map(i => (g * 10L + i, i)).toDF("k", "v")))
+    val lastBatch = drainCapped()
+    val all = spark.read.parquet(out).select("k").as[Long].collect()
+    assert(all.length == 60, s"exactly once: got ${all.length}")
+    assert(all.toSet == (1L to 10L).toSet ++
+      (1 to 5).flatMap(g => (1L to 10L).map(i => g * 10L + i)))
+    assert(lastBatch >= 5, s"expected >=5 capped catch-up batches, last id $lastBatch")
+  }
 }
