@@ -33,7 +33,8 @@ import graft.meta.{GraftFS, JsonStateStore}
   * the persistent table config.
   */
 final class GraftCatalog extends TableCatalog with ProcedureCatalog
-    with StagingTableCatalog {
+    with StagingTableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var root: String = _
@@ -56,6 +57,26 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (namespace.isEmpty || namespace.toSeq == Seq("system"))
       GraftProcedures.Names.map(Identifier.of(Array("system"), _)).toArray
     else Array.empty
+
+  /** FunctionCatalog: serves the storage-partitioned-join transform
+    * functions `graft_leaf_<fingerprint>` that [[GraftScan]] reports in
+    * its `KeyGroupedPartitioning` (see [[GraftPartitioning]]). Spark's
+    * `V2ScanPartitioningAndOrdering` rule resolves the transform through
+    * the relation's catalog right after the scan registers the
+    * fingerprint, so lookups hit the same-JVM registry.
+    */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction = {
+    val n = ident.name
+    if (ident.namespace.isEmpty && n.startsWith(GraftPartitioning.FunctionPrefix))
+      GraftPartitioning.lookup(n.substring(GraftPartitioning.FunctionPrefix.length))
+        .map(loc => new GraftLeafUnbound(n, loc))
+        .getOrElse(throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+  }
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array.empty
 
   private def dirFor(ident: Identifier): String =
     (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
@@ -83,8 +104,45 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
       if (!tableExists(base)) throw new NoSuchTableException(base)
       return new GraftMetadataTable(dirFor(base), name.substring(dollar + 1))
     }
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    if (!tableExists(ident) && !recoverPublish(ident))
+      throw new NoSuchTableException(ident)
     new GraftBatchTable(dirFor(ident))
+  }
+
+  /** Crash recovery for an interrupted RTAS publish (see
+    * [[GraftStagedTable.commitStagedChanges]]): if the name is unbound
+    * but a `.staging/publish-*.marker` names it as its final path,
+    * finish the publish — prefer the STAGED directory (the RTAS had
+    * fully written it before publication began), falling back to the
+    * trashed old directory. Rename atomicity makes concurrent
+    * recoverers safe: one wins, the others' renames fail and re-check.
+    * Returns true when the table exists afterwards.
+    */
+  private def recoverPublish(ident: Identifier): Boolean = {
+    val dir = dirFor(ident)
+    val markers = GraftFS.list(s"$root/.staging")
+      .filter(s => s.getPath.getName.startsWith("publish-") &&
+        s.getPath.getName.endsWith(".marker"))
+    markers.exists { m =>
+      val lines =
+        try GraftFS.readString(m.getPath.toString).split("\n").toSeq
+        catch { case scala.util.control.NonFatal(_) => Nil }
+      (lines.lift(0), lines.lift(1), lines.lift(2)) match {
+        case (Some(staged), Some(fin), Some(trash))
+            if fin == dir && !tableExists(ident) =>
+          val (fs, dst) = GraftFS.resolve(fin)
+          if (dst.getParent != null) fs.mkdirs(dst.getParent)
+          def tryPublish(from: String): Boolean =
+            GraftFS.exists(s"$from/meta") && {
+              try { GraftFS.rename(new org.apache.hadoop.fs.Path(from), dst, fs); true }
+              catch { case scala.util.control.NonFatal(_) => tableExists(ident) }
+            }
+          val recovered = tryPublish(staged) || tryPublish(trash)
+          if (recovered) fs.delete(m.getPath, false)
+          recovered
+        case _ => false
+      }
+    }
   }
 
   /** SQL `VERSION AS OF <v>`: a read-only table pinned to state version
@@ -312,6 +370,28 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     val (fs, srcPath) = GraftFS.resolve(src)
     val dstPath = new org.apache.hadoop.fs.Path(dst)
     if (dstPath.getParent != null) fs.mkdirs(dstPath.getParent)
-    GraftFS.rename(srcPath, dstPath, fs)
+    // Atomic fail-if-exists where the FS supports it: FileContext.rename
+    // with Rename.NONE refuses an existing destination in the same
+    // operation, closing the check-then-act window above (a concurrent
+    // CREATE/RENAME landing between tableExists and the rename would
+    // otherwise be clobbered — or, on HDFS, silently NESTED, since
+    // FileSystem.rename into an existing directory moves the source
+    // inside it). Schemes without an AbstractFileSystem binding fall
+    // back to re-verifying immediately before the plain rename.
+    val qSrc = fs.makeQualified(srcPath)
+    val qDst = fs.makeQualified(dstPath)
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(qSrc.toUri, GraftFS.conf)
+      fc.rename(qSrc, qDst, org.apache.hadoop.fs.Options.Rename.NONE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        if (fs.exists(dstPath)) throw new TableAlreadyExistsException(newIdent)
+        GraftFS.rename(srcPath, dstPath, fs)
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new TableAlreadyExistsException(newIdent)
+      case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.contains("already exists") =>
+        throw new TableAlreadyExistsException(newIdent)
+    }
   }
 }

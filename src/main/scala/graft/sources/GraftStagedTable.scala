@@ -19,10 +19,16 @@ import graft.meta.GraftFS
   * layout is special-cased. Publication is the last step:
   *
   *  - commitStagedChanges(): move the finished directory to its catalog
-  *    home. For RTAS the previous table directory is moved aside first
-  *    and deleted only after the swap (a reader that already resolved the
-  *    old snapshot keeps reading its files until then; a new resolution
-  *    sees old-or-new, never a partial table).
+  *    home. Plain CTAS is ONE rename — fully atomic. RTAS needs two
+  *    (old aside, then staged in), so a crash between them can leave the
+  *    name briefly unbound; a durable publish MARKER written before the
+  *    first rename makes that window recoverable: the next catalog
+  *    resolution of the name ([[GraftCatalog.loadTable]]) finds the
+  *    marker and completes the publish (staged had all its data) or
+  *    restores the old directory from `.staging/trash-*`. A reader that
+  *    already resolved the old snapshot keeps reading its files until
+  *    the trash is deleted; a new resolution sees old-or-new (after at
+  *    most one recovery step), never a partial table.
   *  - abortStagedChanges(): delete the scratch home; the catalog
   *    namespace never saw the name.
   */
@@ -48,17 +54,31 @@ final class GraftStagedTable(stagedDir: String, finalDir: String,
     if (priorExists && !replaceExisting)
       throw new IllegalStateException(
         s"table appeared at $finalDir while the CTAS was running")
-    val trash = new org.apache.hadoop.fs.Path(
-      s"$root/.staging/trash-${java.util.UUID.randomUUID()}")
-    if (priorExists) GraftFS.rename(dst, trash, fs)
+    if (!priorExists) {
+      // CTAS: publication is one rename — atomic, no marker needed
+      if (dst.getParent != null) fs.mkdirs(dst.getParent)
+      GraftFS.rename(src, dst, fs)
+      return
+    }
+    // RTAS: two renames. The marker (written BEFORE touching the old
+    // directory) records the three paths so a crash anywhere in the
+    // sequence is recoverable by GraftCatalog.recoverPublish.
+    val uuid = java.util.UUID.randomUUID().toString
+    val trash = new org.apache.hadoop.fs.Path(s"$root/.staging/trash-$uuid")
+    val marker = s"$root/.staging/publish-$uuid.marker"
+    GraftFS.writeBytes(marker,
+      s"$stagedDir\n$finalDir\n$trash\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    GraftFS.rename(dst, trash, fs)
     if (dst.getParent != null) fs.mkdirs(dst.getParent)
     try GraftFS.rename(src, dst, fs)
     catch { case e: Throwable =>
       // put the old table back before surfacing the failure
-      if (priorExists) GraftFS.rename(trash, dst, fs)
+      GraftFS.rename(trash, dst, fs)
+      fs.delete(new org.apache.hadoop.fs.Path(marker), false)
       throw e
     }
-    if (priorExists) fs.delete(trash, true)
+    fs.delete(trash, true)
+    fs.delete(new org.apache.hadoop.fs.Path(marker), false)
   }
 
   override def abortStagedChanges(): Unit =

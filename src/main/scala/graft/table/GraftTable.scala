@@ -487,8 +487,13 @@ final class GraftTable(
     */
   def shallowCloneAt(destDir: String, version: Long): GraftTable = {
     val snap = graft.meta.JsonStateStore.loadAt(s"$dir/meta", version)
+    // Always fully qualify (scheme + authority, Delta's absolute-path
+    // shallow-clone contract): a schemeless absolute path embedded
+    // verbatim re-resolves against whatever default FS the READER has,
+    // so a clone created under file:// and read under hdfs:// (or vice
+    // versa) would chase its external refs on the wrong filesystem.
     val (fs0, rootP) = GraftFS.resolve(dir)
-    val srcRoot = if (rootP.isAbsolute) dir else fs0.makeQualified(rootP).toString
+    val srcRoot = fs0.makeQualified(rootP).toString
     def ext(r: FileReference): FileReference =
       if (GraftFS.isExternalName(r.filename)) r // clone-of-clone: keep the ORIGINAL owner's path
       else r.copy(filename = s"$srcRoot/data/${r.physicalPartitionId}/${r.filename}")

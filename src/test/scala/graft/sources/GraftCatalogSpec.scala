@@ -190,6 +190,41 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.rtas_missing")
   }
 
+  test("an interrupted RTAS publish recovers on the next resolution") {
+    root
+    Seq(("a", 1L)).toDF("key", "v").createOrReplaceTempView("rec_src")
+    def mkTable(dir: String, v: Long): Unit = {
+      val t = graft.table.GraftTable.create(spark, dir,
+        graft.core.GraftSchema(
+          rowKeys = Seq(graft.core.GraftField("key", org.apache.spark.sql.types.StringType)),
+          sortKeys = Nil,
+          values = Seq(graft.core.GraftField("v", org.apache.spark.sql.types.LongType))))
+      t.ingest(Seq(("a", v)).toDF("key", "v"))
+    }
+    def simulateCrash(name: String, withStaged: Boolean): Unit = {
+      mkTable(s"$root/$name", 1L) // the "old" table
+      val staged = s"$root/.staging/stage-$name"
+      if (withStaged) mkTable(staged, 2L) // the fully-written replacement
+      val trash = s"$root/.staging/trash-$name"
+      graft.meta.GraftFS.writeBytes(s"$root/.staging/publish-$name.marker",
+        s"$staged\n$root/$name\n$trash\n".getBytes("UTF-8"))
+      // crash point: old moved aside, staged (maybe) never moved in
+      val (fs, p) = graft.meta.GraftFS.resolve(s"$root/$name")
+      graft.meta.GraftFS.rename(p, new org.apache.hadoop.fs.Path(trash), fs)
+      assert(!Files.exists(java.nio.file.Paths.get(root, name)))
+    }
+    // staged survived the crash → recovery completes the publish (new data)
+    simulateCrash("rec_fwd", withStaged = true)
+    assert(spark.sql("SELECT v FROM gcat.rec_fwd").as[Long].collect().toSeq == Seq(2L))
+    // staged lost → recovery restores the old directory (old data)
+    simulateCrash("rec_back", withStaged = false)
+    assert(spark.sql("SELECT v FROM gcat.rec_back").as[Long].collect().toSeq == Seq(1L))
+    // markers consumed; a fresh resolution needs no recovery pass
+    assert(!stagingLeftovers().exists(_.endsWith(".marker")))
+    spark.sql("DROP TABLE gcat.rec_fwd")
+    spark.sql("DROP TABLE gcat.rec_back")
+  }
+
   test("ALTER TABLE RENAME moves the table with its full history") {
     root
     spark.sql(
