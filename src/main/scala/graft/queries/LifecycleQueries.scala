@@ -339,6 +339,39 @@ object LifecycleQueries {
     (GraftTable.load(s, s"$base/left"), GraftTable.load(s, s"$base/right"))
   }
 
+  /** J8/J9 fixture: the j7 co-partitioned pair exposed through a
+    * TableCatalog with storage-partitioned joins enabled, so PLAIN
+    * `spark.sql` gets the shuffle-free leaf-aligned plan CoJoin proves
+    * possible (VERDICT r14 #1). Returns the catalog name.
+    */
+  private def spjCatalog(s: SparkSession, dir: String): String = {
+    coJoinTables(s, dir) // ensure the fixture tables exist
+    val base = coJoinDirs.get(dir)
+    val cat = s"spj_cat_${(base.hashCode.toLong & 0xffffffffL).toHexString}"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", base)
+    }
+    s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    cat
+  }
+
+  /** Prove `sql` executes exchange-free (no shuffle, no broadcast) with
+    * the planner's broadcast escape hatch closed, then return it for the
+    * oracle compare — the driver row carries its own plan assertion.
+    */
+  private def provenExchangeFree(s: SparkSession, sql: String, what: String): Unit = {
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold").map(k => k -> s.conf.getOption(k))
+    saved.foreach { case (k, _) => s.conf.set(k, "-1") }
+    try graft.query.Plans.requireExchangeFree(s.sql(sql), what)
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // J7 — SHUFFLE-FREE CO-PARTITIONED MERGE JOIN: two graft tables
@@ -369,6 +402,43 @@ object LifecycleQueries {
         |ORDER BY l.l_orderkey""".stripMargin) { (s, dir) =>
       val (lt, rt) = coJoinTables(s, dir)
       lt.coJoin(rt, "left").orderBy("l_orderkey")
+    },
+
+    // J8 — STORAGE-PARTITIONED JOIN through PLAIN spark.sql: the same
+    // co-partitioned pair as j7, but joined declaratively — the DSv2
+    // scan reports KeyGroupedPartitioning over leaf ordinals via the
+    // fingerprinted graft_leaf transform (GraftPartitioning), and
+    // Spark's SPJ machinery plans a SortMergeJoin with ZERO exchanges
+    // (asserted in-row with broadcast disabled: at 100 TB "it would
+    // have broadcast" is not an excuse). Same oracle as j7.
+    "j8_spj" -> withOracle(
+      """SELECT l.l_orderkey, l.qty, o.o_custkey
+        |FROM (SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |      FROM lineitem GROUP BY l_orderkey) l
+        |JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderstatus = 'F') o
+        |  ON o.o_orderkey = l.l_orderkey
+        |ORDER BY l.l_orderkey""".stripMargin) { (s, dir) =>
+      val cat = spjCatalog(s, dir)
+      val join = s"""SELECT l.l_orderkey, l.qty, o.o_custkey
+                    |FROM $cat.left l JOIN $cat.right o ON l.l_orderkey = o.o_orderkey"""
+        .stripMargin
+      provenExchangeFree(s, join, "j8_spj")
+      s.sql(s"$join ORDER BY l.l_orderkey")
+    },
+
+    // J9 — shuffle-free GROUP BY on the row key through plain SQL: the
+    // scan's KeyGroupedPartitioning satisfies the aggregation's
+    // ClusteredDistribution, so partial and final aggregate collapse
+    // into the scan stage — no exchange (asserted in-row).
+    "j9_spj_agg" -> withOracle(
+      """SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM lineitem GROUP BY l_orderkey
+        |ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
+      val cat = spjCatalog(s, dir)
+      val agg = s"""SELECT l_orderkey, CAST(SUM(qty) AS BIGINT) AS total_qty
+                   |FROM $cat.left GROUP BY l_orderkey""".stripMargin
+      provenExchangeFree(s, agg, "j9_spj_agg")
+      s.sql(s"$agg ORDER BY l_orderkey")
     },
 
     // X5 — pure-SQL table lifecycle through the TableCatalog: DDL with

@@ -693,7 +693,8 @@ final class GraftScan(dir: String, store: graft.meta.ConfiguredState,
     mixedDirs: Seq[Boolean] = Nil,
     maxVersionsPerTrigger: Option[Long] = None)
   extends Scan with Batch with SupportsReportOrdering with SupportsRuntimeFiltering
-    with SupportsReportStatistics {
+    with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private val schema = store.schema
   private var regions: Seq[Region] = initialRegions
@@ -819,12 +820,52 @@ final class GraftScan(dir: String, store: graft.meta.ConfiguredState,
     }
   }
 
+  /** Storage-partitioned-join surface (VERDICT r14 #1): report the scan
+    * as KeyGroupedPartitioning over the leaf ordinals via the
+    * catalog-resolved `graft_leaf_<fingerprint>` transform — see
+    * [[GraftPartitioning]] for why the fingerprinted function (not an
+    * identity transform) is the sound encoding of RANGE co-partitioning.
+    * Reported only when the tree actually splits and the projection
+    * keeps every split-dim key column (otherwise the rule could not
+    * resolve the transform's references and would log a warning per
+    * query). Gated behind spark.sql.sources.v2.bucketing.enabled by
+    * Spark itself.
+    */
+  private lazy val spjTransform
+      : Option[org.apache.spark.sql.connector.expressions.Transform] = {
+    val tree = store.partitionTree
+    val dims = GraftPartitioning.splitDims(tree)
+    val names = dims.map(schema.rowKeys(_).name)
+    val outNames = required.fields.map(_.name).toSet
+    if (dims.isEmpty || !names.forall(outNames)) None
+    else {
+      val fp = GraftPartitioning.register(tree)
+      Some(Expressions.apply(s"${GraftPartitioning.FunctionPrefix}$fp",
+        names.map(Expressions.column): _*))
+    }
+  }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjTransform match {
+      case Some(t) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(t), planSpecs.length)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(
+          planSpecs.length)
+    }
+
+  private lazy val leafOrdinals: Map[String, Int] =
+    GraftPartitioning.leafOrdinals(store.partitionTree)
+
   /** One leaf's scan work + whether it qualifies for the vectorized fast
     * path: exactly one file, physically written for this very leaf (so
     * every row in the file belongs to the leaf — no region clip needed),
     * and small enough for one batch-reader task.
     */
-  private final case class LeafScan(spec: RunSpec, singleLocalFile: Boolean)
+  private final case class LeafScan(spec: RunSpec, singleLocalFile: Boolean,
+      leafId: String)
 
   // memoized against the regions value (runtime filtering mutates it)
   private var cachedSpecs: (Seq[Region], Array[LeafScan]) = null
@@ -947,7 +988,7 @@ final class GraftScan(dir: String, store: graft.meta.ConfiguredState,
           (tombPaths.isEmpty || schema.rowKeyNames.forall(outputNames.contains)) &&
           refs.size == 1 && refs.head.partitionId == leaf.id &&
           refs.head.physicalPartitionId == leaf.id && refs.head.rowCount <= Int.MaxValue
-        Some(LeafScan(spec, singleLocal))
+        Some(LeafScan(spec, singleLocal, leaf.id))
       }
     }.toArray
     statsSkippedFiles = skipped.size
@@ -979,7 +1020,8 @@ final class GraftScan(dir: String, store: graft.meta.ConfiguredState,
     val parts = planSpecs
     val columnar = scanColumnar(parts)
     parts.map(p =>
-      GraftInputPartition(p.spec, columnar, p.singleLocalFile): InputPartition)
+      GraftInputPartition(p.spec, columnar, p.singleLocalFile,
+        leafOrdinals(p.leafId)): InputPartition)
   }
 
   /** Rows come out of each partition merged in (row keys, sort keys)
@@ -1007,10 +1049,18 @@ final class GraftScan(dir: String, store: graft.meta.ConfiguredState,
 /** `columnar` = the whole scan serves ColumnarBatches (uniform across
   * partitions, as Spark requires); `nativeFile` = THIS leaf is a single
   * local file servable by the native vectorized parquet reader (others
-  * wrap the row merge into batches).
+  * wrap the row merge into batches). `leafOrdinal` is the leaf's index
+  * in the tree's canonical leaf order — the partition key Spark's SPJ
+  * machinery matches across co-partitioned scans (ignored unless the
+  * scan reported KeyGroupedPartitioning).
   */
 final case class GraftInputPartition(spec: RunSpec, columnar: Boolean = false,
-    nativeFile: Boolean = false) extends InputPartition
+    nativeFile: Boolean = false, leafOrdinal: Int = -1)
+    extends InputPartition with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](leafOrdinal))
+}
 
 final class GraftReaderFactory(confW: graft.meta.SerializableHadoopConf)
     extends PartitionReaderFactory {
