@@ -359,25 +359,49 @@ object SortedRun {
     * docs/design.md:73-82). The row-level clip below still applies —
     * this is purely an IO eliminator.
     */
+  /** Counts footer-read FALLBACKS taken by lastRowGroupsStart (files
+    * written before the `__rowgroups` sidecar entry existed). Tests
+    * assert this stays flat on new-format tables; at scale the fallback
+    * is the O(selected files) round-trip pattern the sidecar eliminates.
+    */
+  private[graft] val footerFallbackReads = new java.util.concurrent.atomic.AtomicLong()
+
   /** Byte offset of the first row group in the minimal trailing suffix
     * of `path`'s row groups that holds at least n rows (0 = the whole
-    * file is needed). One footer read; the range handed to the reader
-    * then prunes every earlier row group's IO.
+    * file is needed). METADATA-ONLY on current-format files: the
+    * (startingPos, rowCount) layout is persisted in the sketch sidecar
+    * at write time (`SketchSidecar.rowGroupsEntry`) and served from the
+    * process-wide sidecar cache — usually already loaded by the
+    * planner's stats/bloom skipping, so a last-page query costs ZERO
+    * extra round-trips per file. Pre-field files fall back to one
+    * footer read (counted in [[footerFallbackReads]]).
     */
   private[exec] def lastRowGroupsStart(path: String, n: Long, conf: Configuration): Long = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
-    try {
-      val blocks = r.getFooter.getBlocks
+    def fromGroups(blocks: Seq[(Long, Long)]): Long = {
       var need = n
       var i = blocks.size - 1
       var start = 0L
       while (i >= 0 && need > 0) {
-        start = blocks.get(i).getStartingPos
-        need -= blocks.get(i).getRowCount
+        start = blocks(i)._1
+        need -= blocks(i)._2
         i -= 1
       }
       if (need > 0) 0L else start
-    } finally r.close()
+    }
+    val sidecar = graft.meta.SketchSidecar.readCachedOpt(path)
+      .flatMap(_.get(graft.meta.SketchSidecar.rowGroupsEntryName))
+    sidecar match {
+      case Some(bytes) =>
+        fromGroups(graft.meta.SketchSidecar.decodeRowGroups(bytes))
+      case None =>
+        footerFallbackReads.incrementAndGet()
+        val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          fromGroups(r.getFooter.getBlocks.asScala.toSeq
+            .map(b => (b.getStartingPos, b.getRowCount)))
+        } finally r.close()
+    }
   }
 
   private def parquetFilter(region: Region,

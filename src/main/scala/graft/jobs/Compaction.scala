@@ -524,7 +524,8 @@ final class Compaction(table: GraftTable,
             SketchSidecar.bloomEntryName(name) -> bytes
           }
         }
-      SketchSidecar.write(path, sketches ++ sums ++ strs ++ blooms)
+      SketchSidecar.write(path,
+        sketches ++ sums ++ strs ++ blooms :+ SketchSidecar.rowGroupsEntry(path))
     }
     GraftFS.deleteRecursive(sketchDir)
   }
@@ -621,7 +622,8 @@ final class Compaction(table: GraftTable,
             if (cnt == 0) "" else r.getString(r.fieldIndex(s"__tmx_$v"))))
       }
       SketchSidecar.write(file,
-        keyNames.map(k => k -> r.getAs[Array[Byte]](k)) ++ sums ++ strs)
+        keyNames.map(k => k -> r.getAs[Array[Byte]](k)) ++ sums ++ strs
+          :+ SketchSidecar.rowGroupsEntry(file))
     }
   }
 

@@ -291,7 +291,8 @@ final class Ingest(table: GraftTable) {
         SketchSidecar.bloomEntryName(b.field) ->
           r.getAs[Array[Byte]](r.fieldIndex(s"__bl_${b.field}"))
       }
-      SketchSidecar.write(file, sketches ++ sums ++ strs ++ blooms)
+      SketchSidecar.write(file,
+        sketches ++ sums ++ strs ++ blooms :+ SketchSidecar.rowGroupsEntry(file))
     }
   }
 

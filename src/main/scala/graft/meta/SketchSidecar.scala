@@ -123,6 +123,46 @@ object SketchSidecar {
     */
   def bloomEntryName(field: String): String = "__bloom:" + field
 
+  /** Per-file row-group layout entry: (startingPos, rowCount) per row
+    * group, captured from the footer ONCE at write time. Lets the
+    * last-n trailing-row-group prune (SortedRun.lastRowGroupsStart)
+    * run metadata-only — at a 10k-file leaf set the alternative is 10k
+    * sequential footer round-trips per last-page query before the
+    * first task launches (~minutes on an object store). Pre-field
+    * files simply lack the entry and fall back to the footer.
+    */
+  val rowGroupsEntryName: String = "__rowgroups"
+
+  def encodeRowGroups(groups: Seq[(Long, Long)]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4 + 16 * groups.size)
+    b.putInt(groups.size)
+    groups.foreach { case (start, rows) => b.putLong(start); b.putLong(rows) }
+    b.array()
+  }
+
+  def decodeRowGroups(bytes: Array[Byte]): Seq[(Long, Long)] = {
+    val b = java.nio.ByteBuffer.wrap(bytes)
+    val n = b.getInt()
+    (0 until n).map(_ => (b.getLong(), b.getLong()))
+  }
+
+  /** Build the row-group layout entry for a just-written data file (one
+    * footer read, paid once per file lifetime instead of once per
+    * last-page query).
+    */
+  def rowGroupsEntry(dataFile: String): (String, Array[Byte]) = {
+    val conf = GraftFS.conf
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dataFile), conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val groups = r.getFooter.getBlocks.asScala.toSeq
+        .map(b => (b.getStartingPos, b.getRowCount))
+      rowGroupsEntryName -> encodeRowGroups(groups)
+    } finally r.close()
+  }
+
   final case class StringStats(nonNullCount: Long, min: String, max: String)
 
   def encodeStr(stats: StringStats): Array[Byte] = {

@@ -198,5 +198,27 @@ class SortedRunSpec extends AnyFunSuite {
     // n larger than either file's row count degrades to the full merge
     assert(lastN(7000).size == 6000)
     assert(lastN(7000).take(3) == Seq(0L, 1L, 2L))
+
+    // METADATA-ONLY PRUNE (VERDICT r14 #3): once the row-group layout
+    // sidecar entry exists, the suffix computation reads ZERO footers —
+    // same answers, no per-file round-trip on the last-page path.
+    // Fresh copies: the sidecar cache memoizes ABSENCE (sound in
+    // production, where sidecars are written before the commit that
+    // exposes the data file — these test files were read bare above).
+    def withSidecar(f: String): String = {
+      val dst = f.stripSuffix(".parquet") + "-sc.parquet"
+      Files.copy(java.nio.file.Paths.get(f), java.nio.file.Paths.get(dst))
+      graft.meta.SketchSidecar.write(dst, Seq(graft.meta.SketchSidecar.rowGroupsEntry(dst)))
+      dst
+    }
+    val (fa2, fb2) = (withSidecar(fa), withSidecar(fb))
+    val before = SortedRun.footerFallbackReads.get()
+    assert(SortedRun.lastRowGroupsStart(fa2, 10L, conf) == start)
+    assert(SortedRun.lastRowGroupsStart(fa2, 10000L, conf) == 0L)
+    val got137 = SortedRun.iterator(RunSpec(Seq(fa2, fb2), s2, Seq("n"), None, "", "", 0L,
+      limit = Some(137), limitLast = true)).map(_.getLong(0)).toSeq
+    assert(got137 == (5863L until 6000L).toSeq)
+    assert(SortedRun.footerFallbackReads.get() == before,
+      "sidecar-backed last-n must not open parquet footers")
   }
 }
