@@ -63,6 +63,67 @@ object Bench {
     (share, waited, share > threshold)
   }
 
+  /** Calibration control (VERDICT r14 #2): a fixed, engine-independent
+    * workload timed immediately before each measured section, so
+    * round-over-round comparisons have a machine-day denominator.
+    * Three components cover the three ambient axes that have moved
+    * past rounds' numbers: shuffle+CPU (sort_agg), disk/parquet IO
+    * (parquet_io), and micro-batch scheduler drain (stream_drain — the
+    * axis behind t34/t40's 2-3x identical-binary swings, DRIFT_r14).
+    * Each runs twice and reports the min: a slow DAY stays slow across
+    * both runs, one-off JIT/page-cache noise doesn't. Compare sections
+    * ACROSS rounds by dividing per-query seconds by the matching
+    * calibration total.
+    */
+  def calibrate(spark: SparkSession): (Double, String) = {
+    import org.apache.spark.sql.functions._
+    def sortAgg(): Unit = {
+      spark.range(0, 20000000L, 1, 32)
+        .select((col("id") * 2654435761L % 1000003L).as("k"), (col("id") % 97).as("v"))
+        .groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("c"))
+        .orderBy(desc("s")).limit(5).collect()
+      ()
+    }
+    def parquetIo(): Unit = {
+      val dir = s"/tmp/graft-calib-${java.util.UUID.randomUUID()}"
+      try {
+        spark.range(0, 2000000L, 1, 8)
+          .select(col("id"), (col("id") * 31 % 1000).as("v"),
+            concat(lit("row-"), col("id")).as("s"))
+          .write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir).filter(col("v") < 500)
+          .agg(sum("id")).collect()
+        ()
+      } finally graft.meta.GraftFS.deleteRecursive(dir)
+    }
+    def streamDrain(): Unit = {
+      val dir = s"/tmp/graft-calib-st-${java.util.UUID.randomUUID()}"
+      try {
+        spark.range(0, 5000L).select(col("id"), (col("id") % 7).as("g"))
+          .write.mode("overwrite").parquet(s"$dir/in")
+        val q = spark.readStream.schema("id LONG, g LONG")
+          .option("maxFilesPerTrigger", "1").parquet(s"$dir/in")
+          .groupBy("g").count()
+          .writeStream.format("memory").queryName(
+            s"calib_${math.abs(dir.hashCode)}")
+          .outputMode("complete")
+          .option("checkpointLocation", s"$dir/ck").start()
+        try { q.processAllAvailable() } finally q.stop()
+      } finally graft.meta.GraftFS.deleteRecursive(dir)
+    }
+    def time(f: () => Unit): Double = {
+      val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+    }
+    def best(f: () => Unit): Double = math.min(time(f), time(f))
+    val sa = best(sortAgg _)
+    val pio = best(parquetIo _)
+    val sd = best(streamDrain _)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val total = r3(sa + pio + sd)
+    (total,
+      s"""{"sort_agg":${r3(sa)},"parquet_io":${r3(pio)},"stream_drain":${r3(sd)},"total":$total}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -113,6 +174,7 @@ object Bench {
       s""""$tag":{"foreign_cpu":${math.rint(share * 1000) / 1000},"waited_sec":$waited,"busy":$busy}"""
     }
     val loadQ = loadJson("queries")
+    val (calibQ, calibQJson) = calibrate(spark)
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val first = timeOnce(name, fn)
@@ -137,10 +199,14 @@ object Bench {
     // Scale-stress section (x10 engine dataflows, x3 dedup corpora) in
     // rows/s — BASELINE-comparable numbers where fixed overhead doesn't
     // dominate. SPARK_GRAFT_SCALE=0 skips it.
-    val (loadS, scale) =
+    val (loadS, calibSJson, scale) =
       if (sys.env.getOrElse("SPARK_GRAFT_SCALE", "1") == "0")
-        ("\"scale\":{\"skipped\":true}", "{}")
-      else (loadJson("scale"), BenchScale.run(spark, sfDir, timeoutSec))
+        ("\"scale\":{\"skipped\":true}", "{}", "{}")
+      else {
+        val l = loadJson("scale")
+        val (_, cj) = calibrate(spark)
+        (l, cj, BenchScale.run(spark, sfDir, timeoutSec))
+      }
     // Real-executor check: the headline queries re-run in a fresh JVM
     // under local-cluster[2,2,2048] (separate executor processes, real
     // serialization + shuffle service) — the per-query secs/hashes land
@@ -153,7 +219,9 @@ object Bench {
         else s"""{"error":"exit $code"}"""
       } catch { case e: Throwable => s"""{"error":"${String.valueOf(e).replaceAll("[\"\\\\]", " ").take(120)}"}""" }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","load":{$loadQ,$loadS},"queries":$qs,"queries_cold":$qsCold,"scale":$scale,"cluster":$cluster,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","load":{$loadQ,$loadS},""" +
+      s""""calibration":{"queries":$calibQJson,"scale":$calibSJson},""" +
+      s""""queries":$qs,"queries_cold":$qsCold,"scale":$scale,"cluster":$cluster,"sf":"$sfDir"}"""
     // Durable full record first; then a COMPACT JSON line as the very
     // LAST stdout line (after spark.stop(), whose shutdown logging goes
     // to stderr). The round driver keeps only the final ~2000 chars of
@@ -176,6 +244,7 @@ object Bench {
     val anyBusy = (loadQ + loadS).contains("\"busy\":true")
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"busy":$anyBusy,""" +
+      s""""calibration_sec":$calibQ,""" +
       s""""failed":${failed.mkString("[\"", "\",\"", "\"]").replace("[\"\"]", "[]")},""" +
       s""""queries":${picked.mkString("{", ",", "}")},""" +
       s""""full":"bench_out.json","sf":"$sfDir"}"""
