@@ -325,12 +325,15 @@ object VectorQueries {
         |  FROM embeddings
         |),
         |pl AS (SELECT t.range AS t, p.range AS p FROM range(12) t, range(8) p),
+        |hp AS (
+        |  SELECT t, p,
+        |         list_transform(range(64), d ->
+        |           CAST((((t*1000003 + p*7919 + d)*2654435761 + 1013904223) % 2001 - 1000) AS DOUBLE)) AS w
+        |  FROM pl
+        |),
         |proj AS (
-        |  SELECT v.vec_id, pl.t, pl.p,
-        |         sum(v.ev[d.range + 1] *
-        |             (((pl.t*1000003 + pl.p*7919 + d.range)*2654435761 + 1013904223) % 2001 - 1000)) AS proj
-        |  FROM v, pl, range(64) d
-        |  GROUP BY 1, 2, 3
+        |  SELECT v.vec_id, hp.t, hp.p, list_dot_product(v.ev, hp.w) AS proj
+        |  FROM v, hp
         |),
         |sig AS (
         |  SELECT vec_id, t*256 + sum(CASE WHEN proj > 0 THEN 1<<p ELSE 0 END) AS s
@@ -377,7 +380,7 @@ object VectorQueries {
     // an ulp — vanishingly unlikely and accepted.
     "v9_semantic_dedup" -> withOracle(
       """WITH v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |  SELECT vec_id, CAST(list_transform(embedding, x -> CAST(x AS DOUBLE)) AS DOUBLE[64]) AS ev
         |  FROM embeddings
         |), c AS (
         |  SELECT vec_id AS cid, ev AS cv FROM v WHERE vec_id < 16
@@ -385,14 +388,14 @@ object VectorQueries {
         |  SELECT vec_id, cluster FROM (
         |    SELECT v.vec_id, c.cid AS cluster,
         |           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-        |             ORDER BY list_cosine_similarity(v.ev, c.cv) DESC, c.cid) AS rn
+        |             ORDER BY array_cosine_similarity(v.ev, c.cv) DESC, c.cid) AS rn
         |    FROM v, c) WHERE rn = 1
         |), pruned AS (
         |  SELECT DISTINCT b.vec_id
         |  FROM assign a JOIN assign b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
         |  JOIN v va ON va.vec_id = a.vec_id
         |  JOIN v vb ON vb.vec_id = b.vec_id
-        |  WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.3
+        |  WHERE array_cosine_similarity(va.ev, vb.ev) >= 0.3
         |)
         |SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster
         |FROM assign a
