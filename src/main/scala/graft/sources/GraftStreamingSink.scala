@@ -33,7 +33,7 @@ import graft.meta.{FileReference, GraftFS, SerializableHadoopConf}
   */
 final class GraftStreamingWrite(dir: String, queryId: String,
     tableFields: Seq[GraftField], keyNames: Seq[String], rowKeyNames: Seq[String],
-    tree: PartitionTree) extends StreamingWrite {
+    tree: PartitionTree, autoCompactEvery: Option[Int] = None) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -60,6 +60,20 @@ final class GraftStreamingWrite(dir: String, queryId: String,
         GraftFS.delete(table.filePath(f.home, f.name))
         GraftFS.delete(table.filePath(f.home, f.name) + ".sketches")
       }
+    } else autoCompactEvery.foreach { n =>
+      // Streaming MAINTENANCE loop (VERDICT r14 #8): a week-long stream
+      // otherwise accumulates one sorted run per leaf per micro-batch
+      // until a human runs compaction. Opt-in writeStream option
+      // `autoCompactEvery=N`: every N landed epochs (keyed on the
+      // monotonic epochId — Spark builds a FRESH StreamingWrite per
+      // micro-batch, so instance state would never accumulate), run the
+      // basic strategy synchronously between micro-batches — the commit
+      // callback runs on the stream's driver thread, so compaction
+      // never races the next epoch's file additions, and a compaction
+      // failure fails the query loudly rather than silently degrading
+      // into an ever-deeper merge fan-in.
+      if ((epochId + 1) % n == 0)
+        table.compact(graft.jobs.BasicCompactionStrategy())
     }
   }
 

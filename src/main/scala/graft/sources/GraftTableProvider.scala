@@ -62,7 +62,15 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
     new GraftBatchTable(properties.get("path"),
-      cdf = "true".equalsIgnoreCase(properties.get("readChangeFeed")))
+      cdf = "true".equalsIgnoreCase(properties.get("readChangeFeed")),
+      writeOptions = {
+        // path-based writeStream options arrive HERE, not in
+        // LogicalWriteInfo.options — keep the ones the sink honors
+        val m = new java.util.HashMap[String, String]()
+        val ac = properties.get("autoCompactEvery")
+        if (ac != null) m.put("autoCompactEvery", ac)
+        m
+      })
 
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -81,7 +89,8 @@ object GraftBatchTable {
 }
 
 final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
-    cdf: Boolean = false)
+    cdf: Boolean = false,
+    writeOptions: JMap[String, String] = java.util.Collections.emptyMap())
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -219,8 +228,18 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
           require(info.schema().fieldNames.toSeq == sch.allFields.map(_.name),
             s"streaming sink input must carry every table column in order " +
               s"(${info.schema().fieldNames.mkString(",")} vs ${sch.allFields.map(_.name).mkString(",")})")
+          // opt-in post-commit maintenance: .option("autoCompactEvery", N)
+          // (catalog writes deliver options via LogicalWriteInfo; the
+          // path-based writeStream surface via getTable properties)
+          val autoCompact = Option(info.options().get("autoCompactEvery"))
+            .orElse(Option(writeOptions.get("autoCompactEvery"))).map { s =>
+              val n = s.toInt
+              require(n > 0, s"autoCompactEvery must be positive, got $n")
+              n
+            }
           new GraftStreamingWrite(dir, info.queryId(),
-            sch.allFields, sch.keyNames, sch.rowKeyNames, fresh.partitionTree)
+            sch.allFields, sch.keyNames, sch.rowKeyNames, fresh.partitionTree,
+            autoCompact)
         }
       }
     }

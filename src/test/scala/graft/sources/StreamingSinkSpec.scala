@@ -113,6 +113,40 @@ class StreamingSinkSpec extends AnyFunSuite {
       "spill runs must be deleted after commit")
   }
 
+  test("autoCompactEvery keeps a long-running stream's file count bounded") {
+    val dir = Files.createTempDirectory("graft-sink-ac").toString
+    val cp = Files.createTempDirectory("graft-sink-ac-cp").toString
+    GraftTable.create(spark, dir, schema, splitPoints = Seq(50L),
+      config = TableConfig(aggregationConfig = "sum(v)"))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("k", "v")
+      .writeStream.format("graft")
+      .option("path", dir)
+      .option("checkpointLocation", cp)
+      .option("autoCompactEvery", "5")
+      .outputMode("append")
+      .start()
+    try {
+      // 20 micro-batches; every key lands once per batch
+      (1 to 20).foreach { b =>
+        mem.addData((1L to 100L).map(i => (i, b.toLong)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val table = GraftTable.load(spark, dir)
+    // maintenance ran: uncompacted runs per leaf stay within one
+    // auto-compact window (N epochs) + the strategy batch size slack,
+    // nowhere near the 20 files/leaf an unmaintained stream accumulates
+    val perLeaf = table.store.fileReferences.groupBy(_.partitionId)
+      .values.map(_.size)
+    assert(perLeaf.max <= 6,
+      s"auto-compaction must bound files per leaf, got ${perLeaf.toSeq.sorted.reverse}")
+    // GC is the operator's explicit step; data correctness is untouched
+    val got = table.toDF.select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got.size == 100 && got(1L) == (1 to 20).sum.toLong)
+  }
+
   test("schema mismatch is refused at stream start") {
     val dir = Files.createTempDirectory("graft-sink2").toString
     val cp = Files.createTempDirectory("graft-sink2-cp").toString
