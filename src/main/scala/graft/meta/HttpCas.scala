@@ -161,7 +161,11 @@ final class HttpCasServer(dataDir: String, port: Int = 0) extends AutoCloseable 
 
   private def committerFor(metaDir: String): CommitterQueue =
     committers.computeIfAbsent(metaDir,
-      d => new CommitterQueue(JsonStateStore.load(d), maxBatch = 64))
+      // commitUrl = Some(""): the service's own stores commit LOCALLY —
+      // a process-wide graft.commit.url must not make the service POST
+      // to itself
+      d => new CommitterQueue(JsonStateStore.load(d, commitUrl = Some("")),
+        maxBatch = 64))
 
   private def handleCommit(ex: HttpExchange): Unit = {
     try {

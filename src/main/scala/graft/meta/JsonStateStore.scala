@@ -41,7 +41,9 @@ class JsonStateStore private (
     aggregationConfig0: String = "",
     filterConfig0: String = "",
     transformConfig0: String = "",
-    indexConfig0: String = "")
+    indexConfig0: String = "",
+    /** committer-service URL — see [[remoteClient]]. */
+    commitUrl: Option[String] = None)
     extends InMemoryStateStore(schema0, initialTree) with ConfiguredState {
 
   props = TableProps(aggregationConfig0, filterConfig0, transformConfig0, indexConfig0)
@@ -53,7 +55,44 @@ class JsonStateStore private (
 
   import JsonStateStore._
 
+  /** Remote-commit route (VERDICT r14 #6): when the store is configured
+    * with a committer-service URL (explicitly or via the
+    * `graft.commit.url` system property), EVERY mutation — ingest,
+    * compaction, DML, GC, properties — funnels through the service's
+    * batched committer instead of doing its own CAS round-trip, so
+    * N processes' commits fold into shared composite log versions.
+    * Lazily constructed; one HTTP client per store instance.
+    */
+  private lazy val remoteClient: Option[HttpCommitterClient] =
+    commitUrl.map(new HttpCommitterClient(_))
+
   override protected def commit(txn: StateTransaction, next: TableState): Unit = {
+    remoteClient match {
+      case Some(cli) =>
+        cli.commit(dir.toString, txn) match {
+          case CommitOutcome.Committed =>
+            // the service validated against FRESH state and may have
+            // folded us into a batch with siblings — disk is the truth
+            reloadLatest()
+          case CommitOutcome.Duplicate =>
+            // idempotent watermark already recorded by another process:
+            // the local watermark check raced a stale snapshot. Reload
+            // and rethrow as a CAS conflict — withRetry re-runs the
+            // mutator, whose watermark check now short-circuits (e.g.
+            // addFilesIfAbsent returns false, exactly the replay
+            // contract).
+            reloadLatest()
+            throw new ConcurrentStateException(
+              "idempotent transaction already recorded via commit service", null)
+          case CommitOutcome.Failed(e) =>
+            // the service validated against current state; surface the
+            // transaction's own error exactly as a serial commit would
+            reloadLatest()
+            throw e
+        }
+        return
+      case None => ()
+    }
     val nextV = version + 1
     // tmp name must be writer-unique: with a shared name, a concurrent
     // writer could overwrite this writer's staged content before the
@@ -394,11 +433,21 @@ object JsonStateStore {
     store
   }
 
-  def load(dirStr: String, cas: Option[StateStoreCAS] = None): JsonStateStore = {
+  /** `commitUrl = None` consults the `graft.commit.url` system property
+    * (the process-wide deployment switch: set it and EVERY table handle
+    * in the process routes commits through the service); pass
+    * `Some("")` to force local commits (the service's own stores must
+    * not recurse into themselves).
+    */
+  def load(dirStr: String, cas: Option[StateStoreCAS] = None,
+      commitUrl: Option[String] = None): JsonStateStore = {
     val (fs, dir) = GraftFS.resolve(dirStr)
     val l = loadCurrent(fs, dir)
+    val effectiveUrl = commitUrl.orElse(sys.props.get("graft.commit.url"))
+      .filter(_.nonEmpty)
     val store = new JsonStateStore(fs, dir, cas.getOrElse(GraftFS.casFor(fs)),
-      l.schema, l.state.tree, l.version, l.agg, l.filt, l.tf, l.idx)
+      l.schema, l.state.tree, l.version, l.agg, l.filt, l.tf, l.idx,
+      commitUrl = effectiveUrl)
     store.setState(l.state.tree, l.state.refs, l.state.gc, l.state.txns,
       l.state.tombstones)
     store

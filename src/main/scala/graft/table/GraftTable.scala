@@ -604,8 +604,15 @@ object GraftTable {
   /** Load from disk; the persisted aggregation/filter config is applied
     * unless the caller overrides it.
     */
-  def load(spark: SparkSession, dir: String, config: Option[TableConfig] = None): GraftTable = {
-    val store = JsonStateStore.load(s"$dir/meta")
+  /** `commitUrl`: route this handle's state-store commits through a
+    * committer service ([[graft.meta.HttpCasServer]] `/commit`) so
+    * concurrent processes' commits fold into shared batched log
+    * versions. None = the `graft.commit.url` system property decides
+    * (set it once per process to route every table handle).
+    */
+  def load(spark: SparkSession, dir: String, config: Option[TableConfig] = None,
+      commitUrl: Option[String] = None): GraftTable = {
+    val store = JsonStateStore.load(s"$dir/meta", commitUrl = commitUrl)
     val cfg = config.getOrElse(TableConfig(
       aggregationConfig = store.aggregationConfig, filterConfig = store.filterConfig,
       transformConfig = store.transformConfig, indexConfig = store.indexConfig))

@@ -159,6 +159,51 @@ class HttpCasSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("commitUrl routes ALL table commits through the service and folds them") {
+    // VERDICT r14 #6: a handle configured with a commitUrl must funnel
+    // EVERY state-store mutation (not just explicit CommitterQueue
+    // callers) through the service's batched committer.
+    val data = Files.createTempDirectory("graft-httpcas-url").toString
+    val server = new HttpCasServer(data)
+    try {
+      val dir = Files.createTempDirectory("graft-httpcas-urldir").toString
+      JsonStateStore.create(dir, schema, PartitionTree.fromSplitPoints(schema, Seq("m")))
+      val s1 = JsonStateStore.load(dir, commitUrl = Some(server.commitAddress))
+      val s2 = JsonStateStore.load(dir, commitUrl = Some(server.commitAddress))
+      val leaf = s1.partitionTree.leaves.map(_.id).min
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futures = (0 until 8).map { t =>
+          val store = if (t % 2 == 0) s1 else s2
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = (0 until 10).foreach { i =>
+              store.addFiles(Seq(FileReference(s"u$t-f$i", leaf, 1)))
+            }
+          })
+        }
+        futures.foreach(_.get())
+      } finally pool.shutdown()
+      val fin = JsonStateStore.load(dir)
+      assert(fin.fileReferences.map(_.filename).toSet ==
+        (for (t <- 0 until 8; i <- 0 until 10) yield s"u$t-f$i").toSet,
+        "every commit must land exactly once")
+      assert(fin.currentVersion < 81,
+        s"80 commits through the service must fold into fewer log versions, " +
+          s"got ${fin.currentVersion}")
+
+      // idempotent replay across PROCESS-shaped handles: s2's local
+      // snapshot is stale, its watermark check passes, the service
+      // reports Duplicate, and the retry loop lands on false — the
+      // exactly-once contract survives the remote route
+      assert(s1.addFilesIfAbsent("app", 7L, Seq(FileReference("wm-a", leaf, 1))))
+      assert(!s2.addFilesIfAbsent("app", 7L, Seq(FileReference("wm-b", leaf, 1))),
+        "a replayed idempotent txn must report false through the service")
+      val fin2 = JsonStateStore.load(dir)
+      assert(fin2.fileReferences.exists(_.filename == "wm-a"))
+      assert(!fin2.fileReferences.exists(_.filename == "wm-b"))
+    } finally server.close()
+  }
+
   test("batched committer arbitrating through the HTTP CAS: folded versions, no losses") {
     // The production shape: commit latency is a REMOTE conditional put,
     // so batching is what keeps commit throughput off the round-trip
