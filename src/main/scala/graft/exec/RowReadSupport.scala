@@ -28,14 +28,20 @@ private[exec] final class RowReadSupport(fields: Seq[GraftField])
 
   override def init(context: InitContext): ReadContext = {
     val full = context.getFileSchema
-    val wanted = fields.map(_.name).toSet
-    val kept = full.getFields.stream().filter(f => wanted.contains(f.getName))
+    val inFile = full.getFields.stream().map[String](_.getName)
+      .toArray(n => new Array[String](n)).toSet
+    // Column mapping: a field is served by the first of (name, aliases…)
+    // the file carries — files written before a RENAME COLUMN still
+    // store the old physical name (GraftField.aliases scaladoc).
+    val resolved: Map[String, GraftField] = fields.flatMap(f =>
+      f.readNames.find(inFile).map(_ -> f)).toMap
+    val kept = full.getFields.stream().filter(f => resolved.contains(f.getName))
       .toArray(n => new Array[org.apache.parquet.schema.Type](n))
     // Schema evolution: columns appended after this file was written are
     // absent from it — they must be nullable (AddColumn enforces that)
     // and their slots stay null (start() pre-nulls every slot).
-    val present = kept.map(_.getName).toSet
-    val missing = fields.filterNot(f => present(f.name))
+    val served = resolved.values.toSet
+    val missing = fields.filterNot(served)
     require(missing.forall(_.nullable),
       s"parquet file missing non-nullable fields: ${missing.filterNot(_.nullable).map(_.name).mkString(",")}")
     new ReadContext(new MessageType(full.getName, kept: _*))
@@ -49,7 +55,9 @@ private[exec] final class RowReadSupport(fields: Seq[GraftField])
 private final class RowMaterializer(requested: MessageType, fields: Seq[GraftField])
   extends RecordMaterializer[InternalRow] {
 
-  private val byName = fields.map(f => f.name -> f).toMap
+  // physical (file) column name → field: each of a field's readNames
+  // may appear in a file, but never two of them (schema invariant)
+  private val byName = fields.flatMap(f => f.readNames.map(_ -> f)).toMap
   private val outPos = fields.map(_.name).zipWithIndex.toMap
 
   private val values = new Array[Any](fields.size)

@@ -840,8 +840,7 @@ private[graft] final class VectorizedRowIterator(path: String, fields: Seq[Graft
 
   private val (reader, perm) = org.apache.spark.sql.execution.datasources.parquet
     .GraftVectorizedBridge.open(path,
-      org.apache.spark.sql.types.StructType(fields.map(f =>
-        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable))),
+      org.apache.spark.sql.types.StructType(fields.map(_.toStructField)),
       filter, capacity = 4096, conf, fileRange)
   private var batchRows: java.util.Iterator[InternalRow] = java.util.Collections.emptyIterator()
   private var done = false

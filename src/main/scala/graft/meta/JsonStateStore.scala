@@ -849,6 +849,12 @@ object JsonStateStore {
     case StateTransaction.AddColumn(field) => JObject(
       "txn" -> JString("addColumn"),
       "field" -> fieldToJson(field))
+    case StateTransaction.RenameColumn(from, to) => JObject(
+      "txn" -> JString("renameColumn"),
+      "from" -> JString(from), "to" -> JString(to))
+    case StateTransaction.DropColumn(name) => JObject(
+      "txn" -> JString("dropColumn"),
+      "name" -> JString(name))
     case StateTransaction.AddTombstones(refs) => JObject(
       "txn" -> JString("addTombstones"),
       "refs" -> JArray(refs.map(refToJson).toList))
@@ -914,6 +920,8 @@ object JsonStateStore {
         StateTransaction.AssignJob(str("jobId"), str("partitionId"), strs("filenames"))
       case "removeGC" => StateTransaction.RemoveGCFiles(strs("filenames"))
       case "addColumn" => StateTransaction.AddColumn(fieldFromJson(m("field")))
+      case "renameColumn" => StateTransaction.RenameColumn(str("from"), str("to"))
+      case "dropColumn" => StateTransaction.DropColumn(str("name"))
       case "addTombstones" =>
         StateTransaction.AddTombstones(
           m("refs").asInstanceOf[JArray].arr.map(refFromJson).toVector)
@@ -1013,14 +1021,20 @@ object JsonStateStore {
   }
 
   private def fieldToJson(f: GraftField): JValue = JObject(
-    "name" -> JString(f.name), "type" -> JString(f.dataType.json), "nullable" -> JBool(f.nullable))
+    "name" -> JString(f.name), "type" -> JString(f.dataType.json), "nullable" -> JBool(f.nullable),
+    "aliases" -> (if (f.aliases.isEmpty) JNothing
+      else JArray(f.aliases.map(JString(_)).toList)))
 
   private def fieldFromJson(j: JValue): GraftField = {
     val m = j.asInstanceOf[JObject].obj.toMap
     val JString(n) = m("name"): @unchecked
     val JString(t) = m("type"): @unchecked
     val JBool(nl) = m("nullable"): @unchecked
-    GraftField(n, DataType.fromJson(t), nl)
+    // absent in pre-round-15 snapshots (no column mapping then)
+    val al = m.get("aliases").collect {
+      case JArray(xs) => xs.collect { case JString(a) => a }
+    }.getOrElse(Nil)
+    GraftField(n, DataType.fromJson(t), nl, al)
   }
 
   private def refToJson(r: FileReference): JValue = JObject(
@@ -1067,7 +1081,9 @@ object JsonStateStore {
     "schema" -> JObject(
       "rowKeys" -> JArray(schema.rowKeys.map(fieldToJson).toList),
       "sortKeys" -> JArray(schema.sortKeys.map(fieldToJson).toList),
-      "values" -> JArray(schema.values.map(fieldToJson).toList)),
+      "values" -> JArray(schema.values.map(fieldToJson).toList),
+      "retired" -> (if (schema.retired.isEmpty) JNothing
+        else JArray(schema.retired.map(JString(_)).toList))),
     "partitions" -> JArray(tree.partitions.map(partitionToJson).toList),
     "files" -> JArray(refs.map(refToJson).toList),
     "tombstones" ->
@@ -1086,7 +1102,10 @@ object JsonStateStore {
     val sm = m("schema").asInstanceOf[JObject].obj.toMap
     def fields(k: String): Seq[GraftField] =
       sm(k).asInstanceOf[JArray].arr.map(fieldFromJson)
-    val schema = GraftSchema(fields("rowKeys"), fields("sortKeys"), fields("values"))
+    val retired = sm.get("retired").collect {
+      case JArray(xs) => xs.collect { case JString(r) => r }
+    }.getOrElse(Nil)
+    val schema = GraftSchema(fields("rowKeys"), fields("sortKeys"), fields("values"), retired)
     val JArray(ps) = m("partitions"): @unchecked
     val tree = PartitionTree(schema, ps.map(partitionFromJson))
     val JArray(fs) = m("files"): @unchecked

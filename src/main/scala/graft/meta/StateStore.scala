@@ -138,6 +138,23 @@ trait StateStore {
     */
   def addColumn(field: graft.core.GraftField): Unit
 
+  /** RenameColumnTransaction — metadata-only rename of a value column;
+    * the old name becomes a read-boundary alias (column mapping).
+    */
+  def renameColumn(from: String, to: String): Unit
+
+  /** DropColumnTransaction — metadata-only drop of a value column; its
+    * names retire so they can never be reused against old files.
+    */
+  def dropColumn(name: String): Unit
+
+  /** Dry-run a transaction sequence against the current state — every
+    * precondition fires, nothing commits. Returns the resulting schema
+    * (for validating dependent edits in the same statement). The
+    * all-or-nothing seam for mixed ALTER TABLE statements.
+    */
+  def preflight(txns: Seq[StateTransaction]): graft.core.GraftSchema
+
   /** Pending row-key tombstones (see [[StateTransaction.AddTombstones]]). */
   def tombstones: Seq[FileReference]
 
@@ -387,6 +404,19 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
   override def addColumn(field: graft.core.GraftField): Unit = withRetry { synchronized {
     runTxn(StateTransaction.AddColumn(field))
   }}
+
+  override def renameColumn(from: String, to: String): Unit = withRetry { synchronized {
+    runTxn(StateTransaction.RenameColumn(from, to))
+  }}
+
+  override def dropColumn(name: String): Unit = withRetry { synchronized {
+    runTxn(StateTransaction.DropColumn(name))
+  }}
+
+  override def preflight(txns: Seq[StateTransaction]): graft.core.GraftSchema =
+    synchronized {
+      txns.foldLeft(currentState)((s, t) => t.applyTo(s)).tree.schema
+    }
 
   override def addTombstones(refs: Seq[FileReference]): Unit = withRetry { synchronized {
     runTxn(StateTransaction.AddTombstones(refs.toVector))

@@ -412,9 +412,77 @@ object StateTransaction {
       val sch = s.tree.schema
       require(!sch.allFields.exists(_.name == field.name),
         s"column ${field.name} already exists")
+      // an alias or retired name is a PHYSICAL column still present in
+      // old files — a new logical column under it would read their
+      // stale bytes as its own values
+      require(!(sch.allFields.flatMap(_.aliases) ++ sch.retired).contains(field.name),
+        s"column name ${field.name} was previously used (renamed or dropped); " +
+          "old data files still carry it — pick a fresh name")
       require(field.nullable,
         s"added column ${field.name} must be nullable (existing files have no values for it)")
       s.copy(tree = s.tree.copy(schema = sch.copy(values = sch.values :+ field)))
+    }
+  }
+
+  /** Guard shared by rename/drop: the table's persistent configs
+    * (aggregation/filter/transform/index) address columns by name; a
+    * mapping-only rename/drop under them would silently change read
+    * semantics. Word-boundary match keeps the check config-syntax-
+    * agnostic (configs are comma/paren-separated identifier lists).
+    */
+  private def requireUnreferenced(s: TableState, col: String, op: String): Unit = {
+    val p = s.props
+    val re = ("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(col) +
+      "(?![A-Za-z0-9_])").r
+    Seq("aggregation" -> p.aggregation, "filter" -> p.filter,
+      "transform" -> p.transform, "index" -> p.index).foreach { case (k, cfg) =>
+      require(re.findFirstIn(cfg).isEmpty,
+        s"cannot $op column $col: referenced by the table's $k config ($cfg)")
+    }
+  }
+
+  /** RENAME COLUMN (value fields only) — pure metadata, no data rewrite:
+    * the old name becomes an ALIAS resolved at the parquet read boundary
+    * ([[graft.core.GraftField.aliases]]). Keys are immutable (sort
+    * order, split points and sketches depend on them).
+    */
+  final case class RenameColumn(from: String, to: String) extends StateTransaction {
+    override def applyTo(s: TableState): TableState = {
+      val sch = s.tree.schema
+      val i = sch.values.indexWhere(_.name == from)
+      require(i >= 0,
+        if (sch.keyFields.exists(_.name == from))
+          s"cannot rename key column $from (sort order, split points and sketches depend on it)"
+        else s"no such value column: $from")
+      require(!(sch.allFields.flatMap(_.readNames) ++ sch.retired).contains(to),
+        s"column name $to is already in use (as a name, alias, or retired name)")
+      requireUnreferenced(s, from, "rename")
+      val f = sch.values(i)
+      val renamed = f.copy(name = to, aliases = from +: f.aliases)
+      s.copy(tree = s.tree.copy(schema =
+        sch.copy(values = sch.values.updated(i, renamed))))
+    }
+  }
+
+  /** DROP COLUMN (value fields only) — pure metadata: the field leaves
+    * the live schema; old files keep its bytes, readable via time
+    * travel (historical snapshots carry the historical schema). Its
+    * name and aliases are RETIRED so AddColumn can never resurrect
+    * stale bytes under a reused name.
+    */
+  final case class DropColumn(name: String) extends StateTransaction {
+    override def applyTo(s: TableState): TableState = {
+      val sch = s.tree.schema
+      val i = sch.values.indexWhere(_.name == name)
+      require(i >= 0,
+        if (sch.keyFields.exists(_.name == name))
+          s"cannot drop key column $name"
+        else s"no such value column: $name")
+      requireUnreferenced(s, name, "drop")
+      val f = sch.values(i)
+      s.copy(tree = s.tree.copy(schema = sch.copy(
+        values = sch.values.patch(i, Nil, 1),
+        retired = sch.retired ++ f.readNames)))
     }
   }
 }

@@ -357,6 +357,51 @@ object LifecycleQueries {
     cat
   }
 
+  private val columnMapDirs = new ConcurrentHashMap[String, String]()
+
+  /** X23 fixture: qty ingested under its ORIGINAL name, renamed to
+    * `quantity` (old files now served via alias), more data ingested
+    * under the new name, then the scratch column dropped — with
+    * in-fixture assertions that time travel still reads the historical
+    * schemas and that retired names are rejected.
+    */
+  private def columnMapCatalog(s: SparkSession, dir: String): String = {
+    val base = columnMapDirs.computeIfAbsent(dir, { _ =>
+      val b = java.nio.file.Files.createTempDirectory("graft-colmap").toString
+      val cat = s"cm_cat_${(b.hashCode.toLong & 0xffffffffL).toHexString}"
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.root", b)
+      s.sql(
+        s"""CREATE TABLE $cat.cm (l_orderkey BIGINT, l_linenumber BIGINT,
+           |  qty BIGINT, note STRING) USING graft
+           |TBLPROPERTIES('rowKeys'='l_orderkey', 'sortKeys'='l_linenumber',
+           |              'splitPoints'='1000,3000')""".stripMargin)
+      Tables(s, dir, "lineitem").filter(col("l_orderkey") < 5000)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity").cast("long").as("qty"), lit("scratch").as("note"))
+        .createOrReplaceTempView("cm_src_x23")
+      s.sql(s"INSERT INTO $cat.cm SELECT * FROM cm_src_x23 WHERE l_linenumber <= 2")
+      val preRename = graft.meta.JsonStateStore.load(s"$b/cm/meta").currentVersion
+      s.sql(s"ALTER TABLE $cat.cm RENAME COLUMN qty TO quantity")
+      s.sql(s"""INSERT INTO $cat.cm SELECT l_orderkey, l_linenumber, qty, note
+               |FROM cm_src_x23 WHERE l_linenumber >= 3""".stripMargin)
+      val preDrop = graft.meta.JsonStateStore.load(s"$b/cm/meta").currentVersion
+      s.sql(s"ALTER TABLE $cat.cm DROP COLUMN note")
+      // historical versions keep their historical schemas and data
+      require(s.sql(s"SELECT count(qty) FROM $cat.cm VERSION AS OF $preRename")
+        .head().getLong(0) > 0, "pre-rename version must still serve 'qty'")
+      require(s.sql(
+        s"SELECT count(*) FROM $cat.cm VERSION AS OF $preDrop WHERE note = 'scratch'")
+        .head().getLong(0) > 0, "pre-drop version must still serve 'note'")
+      // a dropped/renamed physical name can never be resurrected
+      require(scala.util.Try(
+        s.sql(s"ALTER TABLE $cat.cm ADD COLUMN note STRING")).isFailure,
+        "retired column name must be rejected")
+      b
+    })
+    s"cm_cat_${(base.hashCode.toLong & 0xffffffffL).toHexString}"
+  }
+
   /** Prove `sql` executes exchange-free (no shuffle, no broadcast) with
     * the planner's broadcast escape hatch closed, then return it for the
     * oracle compare — the driver row carries its own plan assertion.
@@ -439,6 +484,24 @@ object LifecycleQueries {
                    |FROM $cat.left GROUP BY l_orderkey""".stripMargin
       provenExchangeFree(s, agg, "j9_spj_agg")
       s.sql(s"$agg ORDER BY l_orderkey")
+    },
+
+    // X23 — COLUMN MAPPING (VERDICT r14 #5): RENAME COLUMN and DROP
+    // COLUMN as pure-metadata operations on a table holding data across
+    // the change — files written before the rename serve the column
+    // under its old physical name through the alias seam, the dropped
+    // column vanishes from the live schema without any rewrite, and the
+    // in-row assertions prove the historical versions still read with
+    // their historical schemas (time travel). Oracle: the same rows
+    // reconstructed from lineitem under the FINAL schema.
+    "x23_sql_drop_column" -> withOracle(
+      """SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS quantity
+        |FROM lineitem
+        |WHERE l_orderkey < 5000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val cat = columnMapCatalog(s, dir)
+      s.sql(s"""SELECT l_orderkey, l_linenumber, quantity FROM $cat.cm
+               |ORDER BY l_orderkey, l_linenumber""".stripMargin)
     },
 
     // X5 — pure-SQL table lifecycle through the TableCatalog: DDL with

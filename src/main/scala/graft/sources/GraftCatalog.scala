@@ -300,6 +300,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     // change must fail as a whole, never leave an earlier AddColumn
     // committed while the rest of the statement is refused.
     val adds = scala.collection.mutable.ArrayBuffer[GraftField]()
+    val renames = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val drops = scala.collection.mutable.ArrayBuffer[String]()
     val propUpdates = scala.collection.mutable.LinkedHashMap[String, String]()
     changes.foreach {
       case add: TableChange.AddColumn =>
@@ -309,25 +311,41 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"added column ${add.fieldNames.head} must be nullable " +
             "(existing files have no values for it)")
         adds += GraftField(add.fieldNames.head, add.dataType, nullable = true)
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames.length == 1,
+          s"nested columns are not supported: ${ren.fieldNames.mkString(".")}")
+        renames += ren.fieldNames.head -> ren.newName
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames.length == 1,
+          s"nested columns are not supported: ${del.fieldNames.mkString(".")}")
+        drops += del.fieldNames.head
       case set: TableChange.SetProperty =>
         propUpdates += set.property -> set.value
       case unset: TableChange.RemoveProperty =>
         propUpdates += unset.property -> ""
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $other — graft supports ADD COLUMN " +
-          "(nullable value columns) and SET/UNSET TBLPROPERTIES " +
-          "(aggregation/filter/transform/index); keys, sort order and " +
-          "existing columns are fixed")
+          "(nullable value columns), RENAME/DROP COLUMN (value columns, " +
+          "metadata-only via column mapping), and SET/UNSET TBLPROPERTIES " +
+          "(aggregation/filter/transform/index); keys and sort order are fixed")
     }
     val store = JsonStateStore.load(s"$dir/meta")
     if (adds.nonEmpty) require(store.aggregationConfig.trim.isEmpty,
       "cannot add a column to an aggregation-configured table " +
         s"(agg config '${store.aggregationConfig}' must cover every value column)")
-    // Pre-validate property edits against the POST-add schema with the
+    // Dry-run the column changes in statement order: every precondition
+    // (key-column guards, name/alias/retired collisions, config
+    // references) fires before anything mutates.
+    val colTxns: Seq[graft.meta.StateTransaction] =
+      adds.toSeq.map(graft.meta.StateTransaction.AddColumn(_)) ++
+        renames.toSeq.map { case (f, t) => graft.meta.StateTransaction.RenameColumn(f, t) } ++
+        drops.toSeq.map(graft.meta.StateTransaction.DropColumn(_))
+    val postColSchema = store.preflight(colTxns)
+    // Pre-validate property edits against the POST-change schema with the
     // same parsers the SetProperties transaction runs, so an invalid
     // property cannot fail the statement after the columns landed.
     if (propUpdates.nonEmpty) {
-      val futureSchema = store.schema.copy(values = store.schema.values ++ adds)
+      val futureSchema = postColSchema
       propUpdates.foreach {
         case ("aggregation", v) =>
           require(store.fileReferences.isEmpty && store.tombstones.isEmpty,
@@ -342,6 +360,8 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     }
     // Phase 2 — the whole statement is known good: apply.
     adds.foreach(store.addColumn)
+    renames.foreach { case (f, t) => store.renameColumn(f, t) }
+    drops.foreach(store.dropColumn)
     if (propUpdates.nonEmpty) {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.table.GraftTable.load(spark, dir).setProperties(propUpdates.toMap)

@@ -1117,10 +1117,7 @@ final class GraftReaderFactory(confW: graft.meta.SerializableHadoopConf)
     val pred = SortedRun.queryPredicate(spec.queryRegions, spec.schema.keyFields)
     val (vec, perm) = org.apache.spark.sql.execution.datasources.parquet.GraftVectorizedBridge
       .open(spec.paths.head,
-        StructType(spec.output.map { n =>
-          val f = spec.schema.field(n)
-          org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)
-        }),
+        StructType(spec.output.map(n => spec.schema.field(n).toStructField)),
         pred, capacity = 4096, conf = confW.value)
     val fileSeq =
       if (spec.pathSeqs.size == spec.paths.size) spec.pathSeqs.head else 0L

@@ -101,13 +101,25 @@ object GraftVectorizedBridge {
       val fileSchema = fileReader.getFooter.getFileMetaData.getSchema
       val inFile = (0 until fileSchema.getFieldCount)
         .map(i => fileSchema.getFields.get(i).getName).toSet
-      val present = columns.fields.filter(f => inFile(f.name))
-      val missing = columns.fields.filterNot(f => inFile(f.name))
+      // Column mapping (RENAME COLUMN): a field's former names ride in
+      // its metadata under "graftAliases"; the file serves the field
+      // under the first of (name, aliases…) it carries.
+      def physicalIn(f: org.apache.spark.sql.types.StructField): Option[String] = {
+        val names =
+          if (f.metadata.contains("graftAliases"))
+            f.name +: f.metadata.getStringArray("graftAliases").toSeq
+          else Seq(f.name)
+        names.find(inFile)
+      }
+      val resolvedNames = columns.fields.map(f => f -> physicalIn(f)).toMap
+      val present = columns.fields.filter(f => resolvedNames(f).isDefined)
+      val missing = columns.fields.filter(f => resolvedNames(f).isEmpty)
       require(missing.forall(_.nullable),
         s"parquet file missing non-nullable columns: " +
           missing.filterNot(_.nullable).map(_.name).mkString(","))
       val requested = new MessageType(fileSchema.getName,
-        present.map(f => fileSchema.getFields.get(fileSchema.getFieldIndex(f.name))): _*)
+        present.map(f => fileSchema.getFields.get(
+          fileSchema.getFieldIndex(resolvedNames(f).get))): _*)
       fileReader.setRequestedSchema(requested)
       val rows = fileReader.getRecordCount // sums only blocks surviving the filter
       require(rows <= Int.MaxValue, s"file too large for one vectorized task: $rows rows")

@@ -62,11 +62,12 @@ class GraftCatalogSpec extends AnyFunSuite {
     def schemaNow(): Seq[String] =
       graft.meta.JsonStateStore.load(s"$root/alt/meta").schema.allFields.map(_.name)
 
-    // AddColumn followed by an UNSUPPORTED change: nothing may land
+    // AddColumn followed by an INVALID change (dropping a KEY column):
+    // nothing may land
     intercept[Exception] {
       cat.alterTable(ident,
         TableChange.addColumn(Array("extra"), org.apache.spark.sql.types.LongType),
-        TableChange.deleteColumn(Array("v"), false))
+        TableChange.deleteColumn(Array("key"), false))
     }
     assert(schemaNow() == Seq("key", "v"), "partial ALTER must not commit the add")
 
@@ -223,6 +224,53 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!stagingLeftovers().exists(_.endsWith(".marker")))
     spark.sql("DROP TABLE gcat.rec_fwd")
     spark.sql("DROP TABLE gcat.rec_back")
+  }
+
+  test("RENAME/DROP COLUMN are metadata-only and time-travel-safe") {
+    root
+    spark.sql(
+      """CREATE TABLE gcat.cm (k STRING, a BIGINT, b BIGINT) USING graft
+        |TBLPROPERTIES('rowKeys'='k')""".stripMargin)
+    spark.sql("INSERT INTO gcat.cm VALUES ('x', 1, 10), ('y', 2, 20)")
+    val preRename = graft.meta.JsonStateStore.load(s"$root/cm/meta").currentVersion
+
+    // rename a -> a2: NO data rewrite; old files still serve the column
+    spark.sql("ALTER TABLE gcat.cm RENAME COLUMN a TO a2")
+    spark.sql("INSERT INTO gcat.cm VALUES ('z', 3, 30)") // new file carries 'a2'
+    assert(spark.sql("SELECT k, a2, b FROM gcat.cm ORDER BY k")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("x", 1L, 10L), ("y", 2L, 20L), ("z", 3L, 30L)))
+    val preDrop = graft.meta.JsonStateStore.load(s"$root/cm/meta").currentVersion
+
+    // drop b: metadata-only; live schema loses it
+    spark.sql("ALTER TABLE gcat.cm DROP COLUMN b")
+    assert(spark.table("gcat.cm").schema.fieldNames.toSeq == Seq("k", "a2"))
+    assert(spark.sql("SELECT * FROM gcat.cm ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("x", 1L), ("y", 2L), ("z", 3L)))
+
+    // time travel reads the HISTORICAL schema: pre-rename sees 'a',
+    // pre-drop still sees 'b' with its data
+    assert(spark.sql(s"SELECT k, a, b FROM gcat.cm VERSION AS OF $preRename ORDER BY k")
+      .as[(String, Long, Long)].collect().toSeq ==
+      Seq(("x", 1L, 10L), ("y", 2L, 20L)))
+    assert(spark.sql(s"SELECT sum(b) FROM gcat.cm VERSION AS OF $preDrop").as[Long].head() == 60L)
+
+    // stale physical names can never be resurrected: old files still
+    // carry 'a' and 'b' bytes that a new column would misread
+    intercept[Exception](spark.sql("ALTER TABLE gcat.cm ADD COLUMN a BIGINT"))
+    intercept[Exception](spark.sql("ALTER TABLE gcat.cm ADD COLUMN b BIGINT"))
+    // keys are immutable
+    intercept[Exception](spark.sql("ALTER TABLE gcat.cm RENAME COLUMN k TO kk"))
+    intercept[Exception](spark.sql("ALTER TABLE gcat.cm DROP COLUMN k"))
+
+    // compaction rewrites files under the CURRENT names and stays correct
+    val t = graft.table.GraftTable.load(spark, s"$root/cm")
+    t.compactAll()
+    assert(spark.sql("SELECT k, a2 FROM gcat.cm ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("x", 1L), ("y", 2L), ("z", 3L)))
+    spark.sql("DROP TABLE gcat.cm")
   }
 
   test("ALTER TABLE RENAME moves the table with its full history") {

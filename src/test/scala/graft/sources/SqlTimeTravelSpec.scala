@@ -168,7 +168,10 @@ class SqlTimeTravelSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql(s"ALTER TABLE gt.$t ADD COLUMN bad BIGINT NOT NULL")
     }
-    intercept[Exception] { spark.sql(s"ALTER TABLE gt.$t DROP COLUMN v") }
+    // value columns DROP via column mapping (metadata-only); keys never
+    intercept[Exception] { spark.sql(s"ALTER TABLE gt.$t DROP COLUMN id") }
+    spark.sql(s"ALTER TABLE gt.$t DROP COLUMN v")
+    assert(!spark.table(s"gt.$t").columns.contains("v"))
     // aggregation-configured tables refuse (config must cover all values)
     val ta = mk("sum(v)")
     spark.sql(s"INSERT INTO gt.$ta SELECT id, id FROM range(0, 5)")
