@@ -289,12 +289,15 @@ object VectorQueries {
         |  FROM embeddings
         |),
         |pl AS (SELECT t.range AS t, p.range AS p FROM range(12) t, range(8) p),
+        |hp AS (
+        |  SELECT t, p,
+        |         list_transform(range(64), d ->
+        |           CAST((((t*1000003 + p*7919 + d)*2654435761 + 1013904223) % 2001 - 1000) AS DOUBLE)) AS w
+        |  FROM pl
+        |),
         |proj AS (
-        |  SELECT v.vec_id, pl.t, pl.p,
-        |         sum(v.ev[d.range + 1] *
-        |             (((pl.t*1000003 + pl.p*7919 + d.range)*2654435761 + 1013904223) % 2001 - 1000)) AS proj
-        |  FROM v, pl, range(64) d
-        |  GROUP BY 1, 2, 3
+        |  SELECT v.vec_id, hp.t, hp.p, list_dot_product(v.ev, hp.w) AS proj
+        |  FROM v, hp
         |),
         |sig AS (
         |  SELECT vec_id, t*256 + sum(CASE WHEN proj > 0 THEN 1<<p ELSE 0 END) AS s
@@ -303,10 +306,11 @@ object VectorQueries {
         |cand AS (
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
-        |)
+        |),
+        |av AS (SELECT vec_id, CAST(ev AS DOUBLE[64]) AS arr FROM v)
         |SELECT c.id_a, c.id_b
-        |FROM cand c JOIN v va ON c.id_a = va.vec_id JOIN v vb ON c.id_b = vb.vec_id
-        |WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.3
+        |FROM cand c JOIN av va ON c.id_a = va.vec_id JOIN av vb ON c.id_b = vb.vec_id
+        |WHERE array_cosine_similarity(va.arr, vb.arr) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
       VectorFunctions.nearDupPairsLsh(t(s, dir, "embeddings"), "vec_id", "embedding",
           threshold = 0.3, bits = 8, tables = 12)
@@ -343,10 +347,11 @@ object VectorQueries {
         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM sig a JOIN sig b ON a.s = b.s AND a.vec_id < b.vec_id
         |),
+        |av AS (SELECT vec_id, CAST(ev AS DOUBLE[64]) AS arr FROM v),
         |pairs AS (
         |  SELECT c.id_a, c.id_b
-        |  FROM cand c JOIN v va ON c.id_a = va.vec_id JOIN v vb ON c.id_b = vb.vec_id
-        |  WHERE list_cosine_similarity(va.ev, vb.ev) >= 0.3
+        |  FROM cand c JOIN av va ON c.id_a = va.vec_id JOIN av vb ON c.id_b = vb.vec_id
+        |  WHERE array_cosine_similarity(va.arr, vb.arr) >= 0.3
         |),
         |edges AS (
         |  SELECT id_a AS a, id_b AS b FROM pairs
