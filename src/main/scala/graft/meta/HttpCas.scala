@@ -101,12 +101,43 @@ final class HttpCommitterClient(commitUrl: String) {
     * `tableMetaDir` (a path the SERVICE can reach — shared fs/object
     * store). Returns the transaction's individual outcome, exactly as a
     * local [[CommitterQueue.submit]] would.
+    *
+    * AMBIGUOUS-OUTCOME safety: a connect failure, lost response, or
+    * request timeout leaves the client unsure whether the service
+    * landed the transaction — retrying a non-idempotent txn (AddFiles
+    * from ingest/compaction) blindly could commit the same files twice.
+    * Every logical commit therefore carries ONE client-generated
+    * transaction id; transport-level retries replay the SAME id, and
+    * the service answers a replay with the original attempt's recorded
+    * outcome instead of re-executing it (the per-request analog of the
+    * addFilesIfAbsent watermark contract).
     */
   def commit(tableMetaDir: String, txn: StateTransaction): CommitOutcome = {
-    val uri = URI.create(s"$base?dir=${URLEncoder.encode(tableMetaDir, UTF_8)}")
+    val txnId = java.util.UUID.randomUUID().toString
+    val uri = URI.create(
+      s"$base?dir=${URLEncoder.encode(tableMetaDir, UTF_8)}&txn=$txnId")
+    val body = JsonStateStore.txnToJsonString(txn)
+    val maxAttempts = 4
+    var attempt = 1
+    while (true) {
+      try return commitOnce(uri, body)
+      catch {
+        case _: java.io.IOException if attempt < maxAttempts =>
+          // ambiguous — the service may have landed it; replay the SAME
+          // txn id so the dedupe answers instead of double-committing
+          Thread.sleep(200L * attempt)
+          attempt += 1
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw new java.io.IOException("interrupted during commit POST", e)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def commitOnce(uri: URI, body: String): CommitOutcome = {
     val r = client.send(HttpRequest.newBuilder(uri)
-      .POST(HttpRequest.BodyPublishers.ofString(
-        JsonStateStore.txnToJsonString(txn), UTF_8))
+      .POST(HttpRequest.BodyPublishers.ofString(body, UTF_8))
       // the submit blocks server-side until its batch lands
       .timeout(java.time.Duration.ofMinutes(2)).build(),
       HttpResponse.BodyHandlers.ofString())
@@ -167,20 +198,61 @@ final class HttpCasServer(dataDir: String, port: Int = 0) extends AutoCloseable 
       d => new CommitterQueue(JsonStateStore.load(d, commitUrl = Some("")),
         maxBatch = 64))
 
+  // Replay dedupe for the /commit endpoint: txn id → the first
+  // attempt's response, so a client retrying after an ambiguous failure
+  // (lost response, timeout) gets the RECORDED outcome instead of
+  // re-executing a non-idempotent transaction. A replay arriving while
+  // the first attempt is still in flight blocks on its future. Bounded
+  // access-order LRU — an entry only matters for the client's short
+  // retry window.
+  private val txnOutcomes = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, java.util.concurrent.CompletableFuture[(Int, String)]](
+        64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, java.util.concurrent.CompletableFuture[(Int, String)]])
+          : Boolean = size() > 8192
+    })
+
   private def handleCommit(ex: HttpExchange): Unit = {
     try {
       if (ex.getRequestMethod != "POST") { respond(ex, 405, "method not allowed"); return }
-      val dir = Option(ex.getRequestURI.getRawQuery).getOrElse("")
-        .split("&").collectFirst {
+      val params = Option(ex.getRequestURI.getRawQuery).getOrElse("").split("&")
+      val dir = params.collectFirst {
           case p if p.startsWith("dir=") => URLDecoder.decode(p.drop(4), UTF_8)
         }.getOrElse { respond(ex, 400, "missing dir parameter"); return }
+      val txnId = params.collectFirst { case p if p.startsWith("txn=") => p.drop(4) }
+      val pending = txnId.map { id =>
+        val fresh = new java.util.concurrent.CompletableFuture[(Int, String)]()
+        val prior = txnOutcomes.putIfAbsent(id, fresh)
+        if (prior != null) {
+          // replay: answer with the original attempt's outcome
+          val (code, msg) = prior.join()
+          respond(ex, code, msg)
+          return
+        }
+        fresh
+      }
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      val txn = JsonStateStore.txnFromJson(body)
-      committerFor(dir).submit(txn) match {
-        case CommitOutcome.Committed => respond(ex, 200, "committed")
-        case CommitOutcome.Duplicate => respond(ex, 200, "duplicate")
-        case CommitOutcome.Failed(e) =>
-          respond(ex, 409, s"failed:${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
+      try {
+        val txn = JsonStateStore.txnFromJson(body)
+        val (code, msg) = committerFor(dir).submit(txn) match {
+          case CommitOutcome.Committed => (200, "committed")
+          case CommitOutcome.Duplicate => (200, "duplicate")
+          case CommitOutcome.Failed(e) =>
+            (409, s"failed:${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
+        }
+        pending.foreach(_.complete((code, msg)))
+        respond(ex, code, msg)
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          // the txn did NOT reach submit (parse failure) or submit threw
+          // before producing an outcome — nothing landed; drop the entry
+          // so a retry re-executes instead of replaying a dead future
+          pending.foreach { f =>
+            txnId.foreach(txnOutcomes.remove(_, f))
+            f.complete((500, String.valueOf(e.getMessage)))
+          }
+          throw e
       }
     } catch {
       case scala.util.control.NonFatal(e) =>

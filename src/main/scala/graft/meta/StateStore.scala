@@ -155,6 +155,16 @@ trait StateStore {
     */
   def preflight(txns: Seq[StateTransaction]): graft.core.GraftSchema
 
+  /** Commit a validated ALTER TABLE statement's column transactions as
+    * ONE atomic log version ([[StateTransaction.Batch]]): either every
+    * change's precondition passes against the same state or nothing
+    * lands. Closes the preflight→apply race — a concurrent writer
+    * landing between a caller's [[preflight]] and this commit fails the
+    * whole statement (the batch re-validates inside the commit retry),
+    * never leaves it partially applied.
+    */
+  def alterColumns(colTxns: Seq[StateTransaction]): Unit
+
   /** Pending row-key tombstones (see [[StateTransaction.AddTombstones]]). */
   def tombstones: Seq[FileReference]
 
@@ -412,6 +422,16 @@ class InMemoryStateStore(schema0: GraftSchema, initialTree: PartitionTree)
   override def dropColumn(name: String): Unit = withRetry { synchronized {
     runTxn(StateTransaction.DropColumn(name))
   }}
+
+  override def alterColumns(colTxns: Seq[StateTransaction]): Unit =
+    if (colTxns.nonEmpty) withRetry { synchronized {
+      // one composite version, all-or-nothing by Batch.applyTo: a child
+      // precondition failure (including one caused by a rival landing
+      // between a caller's preflight and this commit) aborts the WHOLE
+      // statement — never a partially-applied ALTER TABLE
+      if (colTxns.size == 1) runTxn(colTxns.head)
+      else runTxn(StateTransaction.Batch(colTxns.toVector))
+    }}
 
   override def preflight(txns: Seq[StateTransaction]): graft.core.GraftSchema =
     synchronized {

@@ -358,10 +358,14 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
           s"unknown table property '$other' (expected aggregation/filter/transform/index)")
       }
     }
-    // Phase 2 — the whole statement is known good: apply.
-    adds.foreach(store.addColumn)
-    renames.foreach { case (f, t) => store.renameColumn(f, t) }
-    drops.foreach(store.dropColumn)
+    // Phase 2 — the whole statement is known good: commit every column
+    // change as ONE atomic Batch version. The preflight above produces
+    // the error messages; the batch commit re-validates against the
+    // state it actually lands on, so a concurrent writer slipping in
+    // between the two (e.g. another ALTER adding a colliding name)
+    // fails the statement AS A WHOLE instead of leaving an earlier
+    // AddColumn committed with the rest refused.
+    store.alterColumns(colTxns)
     if (propUpdates.nonEmpty) {
       val spark = org.apache.spark.sql.SparkSession.active
       graft.table.GraftTable.load(spark, dir).setProperties(propUpdates.toMap)
@@ -369,8 +373,40 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     new GraftBatchTable(dir)
   }
 
+  /** Delete any interrupted-publish markers whose FINAL path is `dir`,
+    * together with their staged and trashed directories. Without this,
+    * a marker left by a crash inside an RTAS publish window sits inert
+    * while the table exists — and then a later legitimate DROP TABLE is
+    * silently undone when the next loadTable "recovers" the aborted
+    * RTAS's staged directory into the dropped name. Markers are removed
+    * LAST: a crash mid-cleanup leaves the marker pointing at sources
+    * that no longer hold a `meta` dir, which recoverPublish skips.
+    */
+  private def dropPublishMarkers(dir: String): Unit = {
+    val staging = s"$root/.staging"
+    GraftFS.list(staging)
+      .filter(s => s.getPath.getName.startsWith("publish-") &&
+        s.getPath.getName.endsWith(".marker"))
+      .foreach { m =>
+        val lines =
+          try GraftFS.readString(m.getPath.toString).split("\n").toSeq
+          catch { case scala.util.control.NonFatal(_) => Nil }
+        (lines.lift(0), lines.lift(1), lines.lift(2)) match {
+          case (Some(staged), Some(fin), Some(trash)) if fin == dir =>
+            // staged/trash homes live under .staging — never a live table
+            if (staged.startsWith(staging)) GraftFS.deleteRecursive(staged)
+            if (trash.startsWith(staging)) GraftFS.deleteRecursive(trash)
+            GraftFS.delete(m.getPath.toString)
+          case _ => ()
+        }
+      }
+  }
+
   override def dropTable(ident: Identifier): Boolean = {
     if (!tableExists(ident)) return false
+    // pending-publish markers naming this table die WITH it, or the next
+    // loadTable of the dropped name would resurrect an aborted RTAS
+    dropPublishMarkers(dirFor(ident))
     GraftFS.deleteRecursive(dirFor(ident))
     true
   }
@@ -387,6 +423,10 @@ final class GraftCatalog extends TableCatalog with ProcedureCatalog
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
     val src = dirFor(oldIdent)
     val dst = dirFor(newIdent)
+    // a stale publish marker naming the OLD path would "recover" an
+    // aborted RTAS into the vacated name after the rename — clean it up
+    // exactly like DROP TABLE does
+    dropPublishMarkers(src)
     val (fs, srcPath) = GraftFS.resolve(src)
     val dstPath = new org.apache.hadoop.fs.Path(dst)
     if (dstPath.getParent != null) fs.mkdirs(dstPath.getParent)

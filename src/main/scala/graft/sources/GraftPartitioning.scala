@@ -1,7 +1,6 @@
 package graft.sources
 
 import java.nio.charset.StandardCharsets.UTF_8
-import java.util.concurrent.ConcurrentHashMap
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType, StructType}
@@ -114,8 +113,24 @@ object GraftPartitioning {
     * [[GraftCatalog.loadFunction]] moments later in the same analysis
     * pass (`V2ScanPartitioningAndOrdering` resolves the transform
     * through the relation's FunctionCatalog).
+    *
+    * BOUNDED (access-order LRU): an entry is only needed between a scan
+    * reporting its partitioning and that query's function resolution,
+    * but each one pins a full PartitionTree — a long-lived session over
+    * tables whose trees keep splitting (every split changes the
+    * fingerprint) would otherwise grow driver memory without limit. The
+    * cap is generous versus the per-query lifetime; eviction of a
+    * STILL-RESOLVING entry (>128 distinct tilings inside one analysis
+    * pass) would surface as NoSuchFunctionException, i.e. loudly, and
+    * the query re-plans — never a wrong result.
     */
-  private val registry = new ConcurrentHashMap[String, LeafLocator]()
+  private val MaxRegistered = 128
+  private val registry = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, LeafLocator](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, LeafLocator]): Boolean =
+        size() > MaxRegistered
+    })
 
   def register(tree: PartitionTree): String = {
     val fp = fingerprint(tree)

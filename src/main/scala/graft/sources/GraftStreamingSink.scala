@@ -64,16 +64,23 @@ final class GraftStreamingWrite(dir: String, queryId: String,
       // Streaming MAINTENANCE loop (VERDICT r14 #8): a week-long stream
       // otherwise accumulates one sorted run per leaf per micro-batch
       // until a human runs compaction. Opt-in writeStream option
-      // `autoCompactEvery=N`: every N landed epochs (keyed on the
-      // monotonic epochId — Spark builds a FRESH StreamingWrite per
-      // micro-batch, so instance state would never accumulate), run the
-      // basic strategy synchronously between micro-batches — the commit
+      // `autoCompactEvery=N`: every N epochs THAT LANDED FILES (empty
+      // micro-batches return above and never count), run the basic
+      // strategy synchronously between micro-batches — the commit
       // callback runs on the stream's driver thread, so compaction
       // never races the next epoch's file additions, and a compaction
       // failure fails the query loudly rather than silently degrading
-      // into an ever-deeper merge fan-in.
-      if ((epochId + 1) % n == 0)
+      // into an ever-deeper merge fan-in. N is counted in a driver-side
+      // per-(table,query) counter, NOT on the raw epochId modulus —
+      // with empty batches interleaved, data could otherwise keep
+      // missing the modulus and defer compaction without bound. (Spark
+      // builds a FRESH StreamingWrite per micro-batch, so the counter
+      // cannot live in this instance; a driver restart resets it, which
+      // only delays the next compaction by < N landed epochs.)
+      if (GraftStreamingWrite.landedSinceCompact(dir, queryId) >= n) {
         table.compact(graft.jobs.BasicCompactionStrategy())
+        GraftStreamingWrite.resetLanded(dir, queryId)
+      }
     }
   }
 
@@ -86,6 +93,22 @@ final class GraftStreamingWrite(dir: String, queryId: String,
         GraftFS.delete(s"$dir/data/${m.home}/${m.name}.sketches")
       case _ => ()
     }
+}
+
+object GraftStreamingWrite {
+  /** Landed-epoch counters for the auto-compaction trigger, keyed
+    * (table dir, query id): Spark constructs a fresh [[GraftStreamingWrite]]
+    * per micro-batch, so the count of epochs-with-data must live
+    * driver-wide. Entries are O(active streams) and reset on each
+    * compaction.
+    */
+  private val landed = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def key(dir: String, queryId: String): String = dir + "\u0000" + queryId
+  private[sources] def landedSinceCompact(dir: String, queryId: String): Long =
+    landed.merge(key(dir, queryId), java.lang.Long.valueOf(1L),
+      (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue)).longValue
+  private[sources] def resetLanded(dir: String, queryId: String): Unit =
+    landed.remove(key(dir, queryId))
 }
 
 final case class GraftSinkFile(name: String, home: String,

@@ -171,25 +171,38 @@ class HttpCasSpec extends AnyFunSuite {
       val s1 = JsonStateStore.load(dir, commitUrl = Some(server.commitAddress))
       val s2 = JsonStateStore.load(dir, commitUrl = Some(server.commitAddress))
       val leaf = s1.partitionTree.leaves.map(_.id).min
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
-      try {
-        val futures = (0 until 8).map { t =>
-          val store = if (t % 2 == 0) s1 else s2
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = (0 until 10).foreach { i =>
-              store.addFiles(Seq(FileReference(s"u$t-f$i", leaf, 1)))
-            }
-          })
-        }
-        futures.foreach(_.get())
-      } finally pool.shutdown()
-      val fin = JsonStateStore.load(dir)
-      assert(fin.fileReferences.map(_.filename).toSet ==
-        (for (t <- 0 until 8; i <- 0 until 10) yield s"u$t-f$i").toSet,
-        "every commit must land exactly once")
-      assert(fin.currentVersion < 81,
-        s"80 commits through the service must fold into fewer log versions, " +
-          s"got ${fin.currentVersion}")
+      // Folding is OPPORTUNISTIC (commits arriving while the drain is
+      // busy share a batch) — under a loaded machine one round of 80
+      // commits can serialize into 80 single-commit batches without any
+      // bug. Run rounds until one observably folds; the routing
+      // property (every commit lands exactly once, via the service) is
+      // asserted on every round regardless.
+      var round = 0
+      var folded = false
+      while (round < 5 && !folded) {
+        val before = JsonStateStore.load(dir).currentVersion
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+        try {
+          val futures = (0 until 8).map { t =>
+            val store = if (t % 2 == 0) s1 else s2
+            pool.submit(new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = (0 until 10).foreach { i =>
+                store.addFiles(Seq(FileReference(s"r$round-u$t-f$i", leaf, 1)))
+              }
+            })
+          }
+          futures.foreach(_.get())
+        } finally pool.shutdown()
+        val fin = JsonStateStore.load(dir)
+        assert(fin.fileReferences.map(_.filename).toSet.intersect(
+          (for (t <- 0 until 8; i <- 0 until 10) yield s"r$round-u$t-f$i").toSet).size == 80,
+          "every commit must land exactly once")
+        folded = fin.currentVersion - before < 80
+        round += 1
+      }
+      assert(folded,
+        s"80 concurrent commits through the service never folded into fewer " +
+          s"log versions across $round rounds")
 
       // idempotent replay across PROCESS-shaped handles: s2's local
       // snapshot is stale, its watermark check passes, the service
@@ -201,6 +214,46 @@ class HttpCasSpec extends AnyFunSuite {
       val fin2 = JsonStateStore.load(dir)
       assert(fin2.fileReferences.exists(_.filename == "wm-a"))
       assert(!fin2.fileReferences.exists(_.filename == "wm-b"))
+    } finally server.close()
+  }
+
+  test("commit service dedupes replayed transaction ids (ambiguous retries are safe)") {
+    // An HttpCommitterClient retry after a lost response replays the
+    // SAME client-generated txn id; the service must answer with the
+    // recorded outcome instead of committing the files twice.
+    val data = Files.createTempDirectory("graft-httpcas-dedupe").toString
+    val server = new HttpCasServer(data)
+    try {
+      val dir = Files.createTempDirectory("graft-httpcas-dedupedir").toString
+      val st = JsonStateStore.create(dir, schema,
+        PartitionTree.fromSplitPoints(schema, Seq("m")))
+      val leaf = st.partitionTree.leaves.map(_.id).min
+      val body = JsonStateStore.txnToJsonString(
+        StateTransaction.AddFiles(Vector(FileReference("dup-f0", leaf, 1))))
+      val client = java.net.http.HttpClient.newHttpClient()
+      def post(txnId: String): (Int, String) = {
+        val uri = java.net.URI.create(s"${server.commitAddress}?dir=" +
+          java.net.URLEncoder.encode(dir, java.nio.charset.StandardCharsets.UTF_8) +
+          s"&txn=$txnId")
+        val r = client.send(
+          java.net.http.HttpRequest.newBuilder(uri)
+            .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+          java.net.http.HttpResponse.BodyHandlers.ofString())
+        (r.statusCode(), r.body())
+      }
+      assert(post("replay-1") == ((200, "committed")))
+      // the replay must NOT re-execute the transaction
+      assert(post("replay-1") == ((200, "committed")),
+        "a replayed txn id must return the recorded outcome")
+      val fin = JsonStateStore.load(dir)
+      assert(fin.fileReferences.count(_.filename == "dup-f0") == 1,
+        "the replay must not land the files twice")
+      assert(fin.currentVersion == 2,
+        s"create + exactly ONE commit expected, got version ${fin.currentVersion}")
+      // a DIFFERENT txn id is a new logical commit and executes normally
+      val (c2, m2) = post("replay-2")
+      assert(c2 == 409 && m2.startsWith("failed:"),
+        "a fresh id re-executes (and here fails the duplicate-filename precondition)")
     } finally server.close()
   }
 

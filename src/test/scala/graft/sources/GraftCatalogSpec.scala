@@ -226,6 +226,52 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE gcat.rec_back")
   }
 
+  test("DROP/RENAME TABLE consume stale publish markers — no resurrection") {
+    // A crash INSIDE the RTAS publish window (after the marker write,
+    // before the post-publish marker delete) leaves a marker + trash dir
+    // behind while the table exists and works. A later DROP TABLE must
+    // kill the marker too, or the next resolution of the dropped name
+    // "recovers" the trashed pre-RTAS directory into it.
+    root
+    def mkAt(dir: String, v: Long): Unit = {
+      val t = graft.table.GraftTable.create(spark, dir,
+        graft.core.GraftSchema(
+          rowKeys = Seq(graft.core.GraftField("key", org.apache.spark.sql.types.StringType)),
+          sortKeys = Nil,
+          values = Seq(graft.core.GraftField("v", org.apache.spark.sql.types.LongType))))
+      t.ingest(Seq(("a", v)).toDF("key", "v"))
+    }
+    def plantStaleMarker(name: String): Unit = {
+      mkAt(s"$root/$name", 2L) // the published (post-RTAS) table
+      val trash = s"$root/.staging/trash-$name"
+      mkAt(trash, 1L) // the pre-RTAS table, moved aside, never deleted
+      graft.meta.GraftFS.writeBytes(s"$root/.staging/publish-$name.marker",
+        s"$root/.staging/stage-$name\n$root/$name\n$trash\n".getBytes("UTF-8"))
+    }
+
+    plantStaleMarker("mkdrop")
+    assert(spark.sql("SELECT v FROM gcat.mkdrop").as[Long].collect().toSeq == Seq(2L),
+      "the marker is inert while the table exists")
+    spark.sql("DROP TABLE gcat.mkdrop")
+    intercept[Exception](spark.sql("SELECT v FROM gcat.mkdrop").collect())
+    assert(!Files.exists(java.nio.file.Paths.get(root, "mkdrop")),
+      "a dropped table must STAY dropped — no recovery from the stale trash")
+    assert(!stagingLeftovers().exists(_.contains("mkdrop")),
+      "DROP TABLE must consume the marker and its trash dir")
+
+    // RENAME vacates the old name — a stale marker naming it must not
+    // refill it with the pre-RTAS data
+    plantStaleMarker("mkren")
+    spark.sql("ALTER TABLE gcat.mkren RENAME TO mkren2")
+    intercept[Exception](spark.sql("SELECT v FROM gcat.mkren").collect())
+    assert(!Files.exists(java.nio.file.Paths.get(root, "mkren")),
+      "the vacated name must stay unbound after RENAME")
+    assert(!stagingLeftovers().exists(_.contains("mkren")),
+      "RENAME must consume markers naming the old path")
+    assert(spark.sql("SELECT v FROM gcat.mkren2").as[Long].collect().toSeq == Seq(2L))
+    spark.sql("DROP TABLE gcat.mkren2")
+  }
+
   test("RENAME/DROP COLUMN are metadata-only and time-travel-safe") {
     root
     spark.sql(

@@ -147,6 +147,43 @@ class StreamingSinkSpec extends AnyFunSuite {
     assert(got.size == 100 && got(1L) == (1 to 20).sum.toLong)
   }
 
+  test("auto-compaction counts LANDED epochs, not raw epoch numbers") {
+    // With empty micro-batches interleaved so that every epoch carrying
+    // data has an EVEN epochId, an (epochId+1)%2 trigger would never
+    // fire — landed-epoch counting compacts after every 2 data batches
+    // regardless of how the epoch numbers fall.
+    val dir = Files.createTempDirectory("graft-sink-ac2").toString
+    val cp = Files.createTempDirectory("graft-sink-ac2-cp").toString
+    GraftTable.create(spark, dir, schema, splitPoints = Seq(50L),
+      config = TableConfig(aggregationConfig = "sum(v)"))
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    val q = mem.toDF().toDF("k", "v")
+      .writeStream.format("graft")
+      .option("path", dir)
+      .option("checkpointLocation", cp)
+      .option("autoCompactEvery", "2")
+      .outputMode("append")
+      .start()
+    try {
+      (1 to 8).foreach { b =>
+        // data batch (even epochId: 0, 2, 4, ...)
+        mem.addData((1L to 100L).map(i => (i, b.toLong)): _*)
+        q.processAllAvailable()
+        // empty batch (odd epochId) — advances the offset, lands nothing
+        mem.addData(Seq.empty[(Long, Long)]: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val table = GraftTable.load(spark, dir)
+    val perLeaf = table.store.fileReferences.groupBy(_.partitionId).values.map(_.size)
+    assert(perLeaf.max <= 3,
+      s"compaction must trigger on landed epochs despite empty batches, " +
+        s"got ${perLeaf.toSeq.sorted.reverse} files per leaf")
+    val got = table.toDF.select("k", "v").as[(Long, Long)].collect().toMap
+    assert(got.size == 100 && got(1L) == (1 to 8).sum.toLong)
+  }
+
   test("schema mismatch is refused at stream start") {
     val dir = Files.createTempDirectory("graft-sink2").toString
     val cp = Files.createTempDirectory("graft-sink2-cp").toString
