@@ -102,9 +102,19 @@ object GraftSchema {
 
   def isKeyType(t: DataType): Boolean = keyTypes.contains(t)
 
+  /** Float/double (and their arrays) are an ENGINE EXTENSION past the
+    * reference's value types (reference SchemaSerDe.java knows only
+    * int/long/string/bytes + lists/maps): an ML-data table holds
+    * embedding (`ARRAY<FLOAT>`) and score columns as first-class
+    * values. They ride the ingest/merge/query paths opaquely (never as
+    * keys, never under the concat/map aggregation ops, which stay
+    * key-typed).
+    */
+  private val valueOnlyTypes: Set[DataType] = Set(FloatType, DoubleType)
+
   def isValueType(t: DataType): Boolean = t match {
-    case t if keyTypes.contains(t) => true
-    case ArrayType(e, _) => keyTypes.contains(e)
+    case t if keyTypes.contains(t) || valueOnlyTypes.contains(t) => true
+    case ArrayType(e, _) => keyTypes.contains(e) || valueOnlyTypes.contains(e)
     case MapType(k, v, _) => keyTypes.contains(k) && keyTypes.contains(v)
     case _ => false
   }

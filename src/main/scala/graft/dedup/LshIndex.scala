@@ -40,7 +40,9 @@ object LshIndex {
   private val DocsSchema = GraftSchema(
     rowKeys = Seq(GraftField("doc_id", LongType)),
     sortKeys = Nil,
-    values = Seq(GraftField("text", StringType)))
+    // last-write-wins: re-appending a doc_id UPSERTS its text, so the
+    // exact-Jaccard verify always runs against the current content
+    values = Seq(GraftField("text", StringType, nullable = false)))
 
   final case class Config(n: Int, numHashes: Int, bands: Int) {
     def rows: Int = numHashes / bands
@@ -80,7 +82,8 @@ object LshIndex {
     // lookups at test scale; production sizes splits to the corpus
     GraftTable.create(spark, s"$dir/bands", BandsSchema,
       splitPoints = Seq(16, 32, 48))
-    GraftTable.create(spark, s"$dir/docs", DocsSchema)
+    GraftTable.create(spark, s"$dir/docs", DocsSchema,
+      config = graft.table.TableConfig(aggregationConfig = "last(text)"))
     writeConfig(dir, cfg)
     append(spark, dir, docs, idCol, textCol)
   }
@@ -94,6 +97,35 @@ object LshIndex {
     GraftTable.load(spark, s"$dir/docs")
       .ingest(docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
         .filter(col("text").isNotNull))
+  }
+
+  /** DELETE documents from the index: one row-key tombstone write on
+    * the docs table — O(deleted ids), no band rewrite. Correctness is
+    * immediate: [[findNearDups]] verifies candidates against the
+    * point-fetched CURRENT texts, and a tombstoned doc_id fetches
+    * nothing, so stale band rows can only cost a wasted candidate
+    * lookup, never a stale match. Upsert needs no separate call —
+    * [[append]] on an existing doc_id last-write-wins the text and adds
+    * the new content's buckets. Reclaim dead band rows with
+    * [[vacuumBands]] when the stale fraction warrants.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame, idCol: String): Unit = {
+    GraftTable.load(spark, s"$dir/docs")
+      .deleteKeys(ids.select(col(idCol).cast("long").as("doc_id")))
+    ()
+  }
+
+  /** Physically drop band rows whose doc is deleted or whose buckets
+    * belong to an overwritten text — rewrite the bands table from the
+    * CURRENT docs (an O(corpus) maintenance pass, the index-level
+    * analog of [[graft.vectors.VectorFunctions.vacuumIndex]]; run it
+    * when the stale-candidate fraction grows, not per delete).
+    */
+  def vacuumBands(spark: SparkSession, dir: String): Unit = {
+    val cfg = readConfig(dir)
+    val docs = GraftTable.load(spark, s"$dir/docs").toDF
+    GraftTable.load(spark, s"$dir/bands")
+      .overwrite(bucketRows(docs, "doc_id", "text", cfg))
   }
 
   /** Near-dups of `batch` against the indexed corpus: (qid, doc_id,

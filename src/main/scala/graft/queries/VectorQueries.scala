@@ -27,6 +27,10 @@ object VectorQueries {
   private val builtIvfPqIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Per-JVM memo of the table-synced IVF index (v16), keyed by sf dir. */
+  private val syncedIvfIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   val defs: Map[String, QueryDef] = Map(
 
     // V8 — FILTERED kNN (metadata predicate + top-k, the RAG
@@ -273,6 +277,58 @@ object VectorQueries {
       })
       VectorFunctions.knnIvfPqIndex(s, idx,
           e.filter(col("vec_id") === 13), "embedding", k = 5, nprobe = 12, rerank = 64)
+        .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
+    },
+
+    // V16 — MUTABLE persisted-index consistency (the serve-from-index
+    // DELETE/UPSERT loop a production ANN deployment runs): an IVF
+    // index is built FROM a graft table, the table then absorbs
+    // appends, redundant re-ingests (upserts), and row-key DELETEs, and
+    // syncIndexWithTable reconciles the index from the table's batch
+    // CDC feeds — logical tombstones shadow every touched id, winners
+    // re-append at a higher maintenance seq. The serve probes ALL
+    // nCentroids cells (nprobe = 16 = nCentroids ⇒ the scan is
+    // exhaustive over LIVE entries, so the result is EXACT and the
+    // oracle is plain brute force over the table's final state: all
+    // ids except the deleted ones). A broken delete (stale id served),
+    // broken upsert shadow (duplicate rows), or missed append all
+    // hash-mismatch.
+    "v16_index_sync" -> withOracle(
+      """WITH q AS (
+        |  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |  FROM embeddings WHERE vec_id = 7
+        |), scored AS (
+        |  SELECT vec_id,
+        |         list_cosine_similarity(list_transform(embedding, x -> CAST(x AS DOUBLE)), q.qv) AS sim
+        |  FROM embeddings, q WHERE vec_id <> 7 AND vec_id % 10 <> 3
+        |)
+        |SELECT vec_id, ROUND(sim, 6) AS sim_r
+        |FROM scored
+        |ORDER BY sim DESC, vec_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = syncedIvfIndexes.computeIfAbsent(dir, { _ =>
+        import org.apache.spark.sql.types.{ArrayType, FloatType, LongType}
+        val base = java.nio.file.Files.createTempDirectory("graft-ivf-sync").toString
+        val schema = graft.core.GraftSchema(
+          rowKeys = Seq(graft.core.GraftField("vec_id", LongType)),
+          sortKeys = Nil,
+          values = Seq(graft.core.GraftField("embedding", ArrayType(FloatType))))
+        val corpus = e.filter(col("vec_id") =!= 7).select("vec_id", "embedding")
+        val table = graft.table.GraftTable.create(s, s"$base/table", schema)
+        table.ingest(corpus.filter(col("vec_id") % 5 =!= 4))
+        VectorFunctions.buildIvfIndexFromTable(table, "vec_id", "embedding",
+          s"$base/index", nCentroids = 16)
+        // post-build mutations: append the held-out ids, re-ingest
+        // (upsert) every ≡0 (mod 7) id, delete every ≡3 (mod 10) id
+        table.ingest(corpus.filter(col("vec_id") % 5 === 4))
+        table.ingest(corpus.filter(col("vec_id") % 7 === 0))
+        table.deleteKeys(corpus.filter(col("vec_id") % 10 === 3).select("vec_id"))
+        VectorFunctions.syncIndexWithTable(table, "vec_id", "embedding", s"$base/index")
+        s"$base/index"
+      })
+      VectorFunctions.knnIvfIndex(s, idx, e.filter(col("vec_id") === 7), "embedding",
+          k = 10, nprobe = 16)
         .select(col("id").as("vec_id"), round(col("sim"), 6).as("sim_r"))
     },
 

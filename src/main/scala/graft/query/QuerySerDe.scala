@@ -45,6 +45,10 @@ object SchemaSerDe {
     case "LongType" => LongType
     case "StringType" => StringType
     case "ByteArrayType" => BinaryType
+    // engine extension past the reference's interchange: float/double
+    // VALUE columns (embeddings, scores) — see GraftSchema.isValueType
+    case "FloatType" => FloatType
+    case "DoubleType" => DoubleType
     case other => throw new IllegalArgumentException(s"unknown primitive type: $other")
   }
 
@@ -53,6 +57,8 @@ object SchemaSerDe {
     case LongType => "LongType"
     case StringType => "StringType"
     case BinaryType => "ByteArrayType"
+    case FloatType => "FloatType"
+    case DoubleType => "DoubleType"
     case other => throw new IllegalArgumentException(s"not a primitive key type: ${other.sql}")
   }
 

@@ -207,7 +207,7 @@ object VectorFunctions {
       .limit(nprobe)
       .select("cell").collect().map(_.getInt(0)).toSeq
     val allowed = allowedIds.select(col(allowedIds.columns.head).as("id"))
-    spark.read.parquet(s"$indexDir/lists")
+    liveIndexLists(spark, indexDir)
       .filter(col("cell").isin(qCells: _*))
       .join(broadcast(allowed), Seq("id"), "left_semi")
       .crossJoin(broadcast(query.select(col(queryVecCol).as("q"))))
@@ -469,7 +469,9 @@ object VectorFunctions {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", nearest_centroid(col("vec"), m))
+      .withColumn("seq", lit(0L))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/lists")
+    writeIndexMeta(indexDir, IndexMeta(nextSeq = 1L, lastSyncedVersion = 0L))
   }
 
   /** Incrementally maintain a persisted [[buildIvfIndex]] index: assign
@@ -482,6 +484,9 @@ object VectorFunctions {
     * [[ivfIndexStats]] watches — when cell-size skew crosses its bound,
     * rebuild with [[buildIvfIndex]] (the reference pattern: FAISS-style
     * IVF serves from a trained quantizer and re-trains out-of-band).
+    * Appends stamp a fresh maintenance seq, so an append AFTER a
+    * [[deleteFromIndex]] of the same ids is an UPSERT: the tombstone
+    * shadows only the older entries.
     */
   def appendToIvfIndex(newVectors: DataFrame, idCol: String, vecCol: String,
       indexDir: String): Unit = {
@@ -492,7 +497,171 @@ object VectorFunctions {
     val m = CentroidMatrix.normalized(cents)
     newVectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", nearest_centroid(col("vec"), m))
+      .withColumn("seq", lit(allocSeq(indexDir)))
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/lists")
+  }
+
+  // ---- Index mutation: logical deletes, upserts, base-table sync --------
+  //
+  // A persisted IVF / IVF-PQ index is a build-once artifact, but the
+  // table it serves keeps moving: rows get DELETED and UPSERTED, and an
+  // index that ignores that serves stale ids. Physical list rewrites per
+  // delete would be O(corpus); deletes are instead LOGICAL — an
+  // (id, dseq) tombstone sidecar under <indexDir>/deletes — and every
+  // serve path reads only LIVE entries through [[liveIndexLists]]: a
+  // list row dies when a tombstone for its id carries a HIGHER
+  // maintenance seq. Appends stamp a fresh seq, so upsert =
+  // delete (shadow everything older) + append (the replacement, higher
+  // seq) — the generation-shadowing contract the engine's own row-key
+  // tombstones use (StateTransaction.Merge). [[vacuumIndex]] physically
+  // rewrites the lists when the tombstone fraction warrants, like the
+  // table-level GC; [[syncIndexWithTable]] drives the whole loop from
+  // the base table's change feed. Maintenance ops are single-writer
+  // (one maintenance job per index — the FAISS operational shape);
+  // serving stays concurrent (parquet immutability: a serve sees files
+  // from before or after a maintenance commit, both consistent).
+
+  /** Maintenance state of a mutable persisted index: the next
+    * maintenance seq to stamp, and the base-table state version the
+    * index has absorbed (0 = never synced / not table-fed).
+    */
+  final case class IndexMeta(nextSeq: Long, lastSyncedVersion: Long)
+
+  private def metaPath(indexDir: String) = s"$indexDir/_index_meta.json"
+
+  def readIndexMeta(indexDir: String): IndexMeta =
+    if (!graft.meta.GraftFS.exists(metaPath(indexDir))) IndexMeta(1L, 0L)
+    else {
+      val s = graft.meta.GraftFS.readString(metaPath(indexDir))
+      def f(k: String): Long =
+        s"""\"$k\":(-?\\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+      IndexMeta(f("nextSeq"), f("lastSyncedVersion"))
+    }
+
+  private def writeIndexMeta(indexDir: String, m: IndexMeta): Unit =
+    graft.meta.GraftFS.writeString(metaPath(indexDir),
+      s"""{"nextSeq":${m.nextSeq},"lastSyncedVersion":${m.lastSyncedVersion}}""")
+
+  private def allocSeq(indexDir: String): Long = {
+    val m = readIndexMeta(indexDir)
+    writeIndexMeta(indexDir, m.copy(nextSeq = m.nextSeq + 1))
+    m.nextSeq
+  }
+
+  /** The index's LIVE inverted-list rows: lists minus tombstone-shadowed
+    * entries. The tombstone set is bounded by [[vacuumIndex]], so the
+    * anti-join broadcasts; the cell-pruned scan shape of the serve paths
+    * is unchanged (the filter composes with partition pruning).
+    */
+  def liveIndexLists(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$indexDir/lists")
+    val lists =
+      if (raw.columns.contains("seq"))
+        raw.withColumn("seq", coalesce(col("seq"), lit(0L)))
+      else raw.withColumn("seq", lit(0L)) // pre-field index: all build-gen
+    val delDir = s"$indexDir/deletes"
+    if (!graft.meta.GraftFS.exists(delDir)) lists
+    else {
+      val dels = spark.read.parquet(delDir)
+        .groupBy(col("id").as("did")).agg(max("dseq").as("dseq"))
+      lists.join(broadcast(dels),
+        lists("id") === col("did") && lists("seq") < col("dseq"), "left_anti")
+    }
+  }
+
+  /** LOGICAL delete of ids from a persisted [[buildIvfIndex]] /
+    * [[buildIvfPqIndex]] index: O(deleted ids) tombstone append, no list
+    * rewrite. Serve paths stop returning them immediately.
+    */
+  def deleteFromIndex(ids: DataFrame, idCol: String, indexDir: String): Unit = {
+    val s = allocSeq(indexDir)
+    ids.select(col(idCol).as("id")).distinct()
+      .withColumn("dseq", lit(s))
+      .coalesce(1)
+      .write.mode("append").parquet(s"$indexDir/deletes")
+  }
+
+  /** Physically rewrite the inverted lists to live-only rows and clear
+    * the tombstone sidecar — run when the tombstone fraction makes the
+    * serve-time anti-join or the dead-row IO worth reclaiming. Returns
+    * the live row count. Crash-safe: a leftover tombstone re-applied
+    * over vacuumed lists shadows nothing (every surviving row's seq
+    * already exceeds it).
+    */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Long = {
+    val tmp = s"$indexDir/lists.vacuum"
+    liveIndexLists(spark, indexDir)
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    val (fs, listsPath) = graft.meta.GraftFS.resolve(s"$indexDir/lists")
+    graft.meta.GraftFS.deleteRecursive(s"$indexDir/lists")
+    graft.meta.GraftFS.rename(new org.apache.hadoop.fs.Path(tmp), listsPath, fs)
+    graft.meta.GraftFS.deleteRecursive(s"$indexDir/deletes")
+    spark.read.parquet(s"$indexDir/lists").count()
+  }
+
+  /** Build a persisted IVF index FROM a graft table and record the
+    * table version it reflects, so [[syncIndexWithTable]] can keep it
+    * consistent incrementally.
+    */
+  def buildIvfIndexFromTable(table: graft.table.GraftTable, idCol: String,
+      vecCol: String, indexDir: String, nCentroids: Int = 16,
+      lloydIters: Int = 8, seed: Long = 42L): Unit = {
+    val v = tableVersion(table)
+    buildIvfIndex(table.toDF.select(col(idCol), col(vecCol)), idCol, vecCol,
+      indexDir, nCentroids, lloydIters, seed)
+    writeIndexMeta(indexDir, IndexMeta(nextSeq = 1L, lastSyncedVersion = v))
+  }
+
+  private def tableVersion(table: graft.table.GraftTable): Long =
+    table.store match {
+      case c: graft.meta.ConfiguredState => c.currentVersion
+      case other => throw new IllegalArgumentException(
+        s"index sync needs a versioned state store, got ${other.getClass.getSimpleName}")
+    }
+
+  /** Reconcile a persisted index with its base table's mutations since
+    * the last sync — the DELETE/UPSERT consistency loop: reads the
+    * table's batch CDC feeds ([[graft.table.GraftTable.changesBetween]] /
+    * `deletedKeysBetween`) over the unsynced version window, shadows
+    * every touched id, re-appends the ids whose latest event is an
+    * insert (with their CURRENT vector), and records the new synced
+    * version. Cost is O(changed rows) — never a base-table or index
+    * scan. Insert-vs-delete races inside the window resolve by
+    * (commit version, commit seq), put winning ties (the engine's
+    * merge-tombstone convention). Crash-safe at every step: a re-run
+    * re-shadows and re-appends at higher seqs, leaving one live copy.
+    * Returns the synced version.
+    */
+  def syncIndexWithTable(table: graft.table.GraftTable, idCol: String,
+      vecCol: String, indexDir: String, pq: Boolean = false): Long = {
+    import org.apache.spark.sql.expressions.Window
+    val cur = tableVersion(table)
+    val last = readIndexMeta(indexDir).lastSyncedVersion
+    if (cur <= last) return last
+    val ins = table.changesBetween(last, cur)
+    val dels = table.deletedKeysBetween(last, cur)
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("_commit_version").desc, col("_commit_seq").desc)
+    val latestIns = ins.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    val delStamp = dels.groupBy(col(idCol))
+      .agg(max(struct(col("_commit_version"), col("_commit_seq"))).as("_d"))
+    val winners = latestIns.join(delStamp, Seq(idCol), "left")
+      .filter(col("_d").isNull ||
+        struct(col("_commit_version"), col("_commit_seq")) >= col("_d"))
+      .select(col(idCol), col(vecCol))
+    val touched = ins.select(col(idCol)).union(dels.select(col(idCol))).distinct()
+    if (!touched.isEmpty) {
+      deleteFromIndex(touched, idCol, indexDir)
+      if (!winners.isEmpty) {
+        if (pq) appendToIvfPqIndex(winners, idCol, vecCol, indexDir)
+        else appendToIvfIndex(winners, idCol, vecCol, indexDir)
+      }
+    }
+    writeIndexMeta(indexDir,
+      readIndexMeta(indexDir).copy(lastSyncedVersion = cur))
+    cur
   }
 
   /** Index health for the re-train trigger: per-cell occupancy of the
@@ -536,7 +705,7 @@ object VectorFunctions {
       .orderBy(col("sim").desc, col("cell"))
       .limit(nprobe)
       .select("cell").collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(s"$indexDir/lists")
+    liveIndexLists(spark, indexDir)
       .filter(col("cell").isin(qCells: _*))
       .crossJoin(broadcast(query.select(col(queryVecCol).as("q"))))
       .select(col("id"), cosine_sim(col("vec"), col("q")).as("sim"))
@@ -950,7 +1119,9 @@ object VectorFunctions {
       .withColumn("cell", nearest_centroid(col("vec"), cm))
       .withColumn("codes", graft.functions.PqExpressions.pq_encode_residual(
         col("vec"), col("cell"), cm, cb))
+      .withColumn("seq", lit(0L))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/lists")
+    writeIndexMeta(indexDir, IndexMeta(nextSeq = 1L, lastSyncedVersion = 0L))
   }
 
   /** Incrementally maintain a persisted [[buildIvfPqIndex]] index — the
@@ -979,6 +1150,7 @@ object VectorFunctions {
       .withColumn("cell", nearest_centroid(col("vec"), cm))
       .withColumn("codes", graft.functions.PqExpressions.pq_encode_residual(
         col("vec"), col("cell"), cm, cb))
+      .withColumn("seq", lit(allocSeq(indexDir)))
       .write.mode("append").partitionBy("cell").parquet(s"$indexDir/lists")
   }
 
@@ -1032,7 +1204,7 @@ object VectorFunctions {
       .sortBy { case (c, d) => (-d, c) }.take(nprobe).toSeq
     val table = adcTable(qVec, cb)
     val constDf = probed.toDF("cell", "cconst")
-    val pruned = spark.read.parquet(s"$indexDir/lists")
+    val pruned = liveIndexLists(spark, indexDir)
       .filter(col("cell").isin(probed.map(_._1): _*))
     val lists = allowed match {
       case Some(ids) => pruned.join(broadcast(ids), Seq("id"), "left_semi")

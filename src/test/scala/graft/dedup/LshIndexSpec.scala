@@ -47,6 +47,38 @@ class LshIndexSpec extends AnyFunSuite {
     assert(j1 == 1.0)
   }
 
+  test("delete and upsert keep serving consistent; vacuumBands reclaims stale buckets") {
+    val dir = Files.createTempDirectory("graft-lshidx-mut").toString
+    LshIndex.build(spark, corpus(), "doc_id", "text", s"$dir/i")
+    val batch = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    def hits(): Set[Long] =
+      LshIndex.findNearDups(spark, s"$dir/i", batch, "doc_id", "text", 0.5)
+        .select("doc_id").as[Long].collect().toSet
+    assert(hits() == Set(1L, 2L, 5L))
+
+    // DELETE doc 1: it must stop matching immediately (stale band rows
+    // may still nominate it, but the point-fetch finds no text)
+    LshIndex.delete(spark, s"$dir/i", Seq(1L).toDF("doc_id"), "doc_id")
+    assert(hits() == Set(2L, 5L), "a deleted doc must not serve as a near-dup")
+
+    // UPSERT doc 2 with unrelated text: last-write-wins — the old
+    // near-dup content must no longer match, under EITHER its old or
+    // new buckets
+    LshIndex.append(spark, s"$dir/i",
+      Seq((2L, "totally new content about databases and storage engines xyz"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(hits() == Set(5L), "an upserted doc must match only via its CURRENT text")
+
+    // vacuum: bands rebuilt from current docs — same serve results, and
+    // the deleted doc's rows are physically gone from the bands table
+    LshIndex.vacuumBands(spark, s"$dir/i")
+    assert(hits() == Set(5L))
+    val bandDocs = graft.table.GraftTable.load(spark, s"$dir/i/bands")
+      .toDF.select("doc_id").as[Long].collect().toSet
+    assert(!bandDocs.contains(1L), "vacuum must drop the deleted doc's band rows")
+  }
+
   test("many-point region lookup (InSet fast path) equals the scan-and-filter result") {
     val dir = Files.createTempDirectory("graft-points").toString
     val schema = GraftSchema(

@@ -1,0 +1,146 @@
+package graft.vectors
+
+import java.nio.file.Files
+import scala.util.Random
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.core.{GraftField, GraftSchema}
+import graft.table.GraftTable
+
+/** DELETE/UPSERT consistency of the persisted ANN indexes: logical
+  * tombstones shadow served entries immediately, appends after deletes
+  * are upserts, vacuum preserves serve results while reclaiming dead
+  * rows, and syncIndexWithTable keeps an index consistent with its base
+  * table through the CDC feeds — the gap where a deleted base row kept
+  * serving from a stale index.
+  */
+class IndexMutationSpec extends AnyFunSuite {
+
+  private lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int, seed: Long): Seq[(Long, Array[Float])] = {
+    val rnd = new Random(seed)
+    (0L until n).map(id => id -> Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+  }
+
+  /** Exact brute-force ids for a query over a corpus DataFrame. */
+  private def bruteIds(corpus: org.apache.spark.sql.DataFrame,
+      query: org.apache.spark.sql.DataFrame, k: Int): Seq[Long] =
+    VectorFunctions.knnBrute(corpus, "vec_id", "embedding", query, "embedding", k)
+      .select("id").as[Long].collect().toSeq
+
+  test("deleteFromIndex shadows served ids; append-after-delete is an upsert; vacuum preserves") {
+    val dim = 16
+    val all = vecs(200, dim, seed = 11)
+    val df = all.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft-ivf-del").toString
+    VectorFunctions.buildIvfIndex(df, "vec_id", "embedding", idx, nCentroids = 4)
+    val query = Seq(9999L -> all(5)._2).toDF("vec_id", "embedding")
+
+    // nprobe = nCentroids → exhaustive → results are EXACT, so equality
+    // with brute force over the live set is deterministic
+    def served(): Seq[Long] =
+      VectorFunctions.knnIvfIndex(spark, idx, query, "embedding", k = 10, nprobe = 4)
+        .select("id").as[Long].collect().toSeq
+
+    val full = bruteIds(df, query, 10)
+    assert(served() == full)
+
+    // delete the top-3 served ids: they must vanish IMMEDIATELY
+    val dead = full.take(3)
+    VectorFunctions.deleteFromIndex(dead.toDF("vec_id"), "vec_id", idx)
+    val live = df.filter(!$"vec_id".isin(dead: _*))
+    assert(served() == bruteIds(live, query, 10),
+      "deleted ids must stop serving without a rewrite")
+
+    // upsert: re-add one dead id with a DIFFERENT vector (the query's
+    // own vector → it becomes the top hit); exactly one copy serves
+    val back = dead.head
+    VectorFunctions.appendToIvfIndex(
+      Seq(back -> all(5)._2).toDF("vec_id", "embedding"), "vec_id", "embedding", idx)
+    val after = served()
+    assert(after.head == back, s"upserted id must serve its NEW vector, got $after")
+    assert(after.count(_ == back) == 1, "an upsert must serve exactly one copy")
+
+    // vacuum: physical rewrite changes nothing observable, dead rows gone
+    val liveCount = VectorFunctions.vacuumIndex(spark, idx)
+    assert(liveCount == 200 - 3 + 1)
+    assert(served() == after, "vacuum must not change serve results")
+    assert(!graft.meta.GraftFS.exists(s"$idx/deletes"),
+      "vacuum must clear the tombstone sidecar")
+  }
+
+  test("IVF-PQ serve excludes deleted ids too") {
+    val dim = 16
+    val all = vecs(150, dim, seed = 23)
+    val df = all.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft-ivfpq-del").toString
+    VectorFunctions.buildIvfPqIndex(df, "vec_id", "embedding", idx,
+      nCentroids = 4, m = 8, ksub = 16)
+    val query = Seq(9999L -> all(7)._2).toDF("vec_id", "embedding")
+    def served(): Seq[Long] =
+      VectorFunctions.knnIvfPqIndex(spark, idx, query, "embedding",
+        k = 5, nprobe = 4, rerank = 150).select("id").as[Long].collect().toSeq
+    // rerank = corpus → the exact-rescore phase sees every candidate,
+    // so top-5 equals brute force and the delete check is deterministic
+    val full = bruteIds(df, query, 5)
+    assert(served() == full)
+    VectorFunctions.deleteFromIndex(full.take(2).toDF("vec_id"), "vec_id", idx)
+    val live = df.filter(!$"vec_id".isin(full.take(2): _*))
+    assert(served() == bruteIds(live, query, 5))
+  }
+
+  test("syncIndexWithTable reconciles appends, upserts, and deletes via the CDC feeds") {
+    val dim = 16
+    val all = vecs(240, dim, seed = 37)
+    val dir = Files.createTempDirectory("graft-ivf-sync-tbl").toString
+    val idx = Files.createTempDirectory("graft-ivf-sync-idx").toString
+    val schema = GraftSchema(
+      rowKeys = Seq(GraftField("vec_id", org.apache.spark.sql.types.LongType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val table = GraftTable.create(spark, dir, schema, splitPoints = Seq(120L))
+
+    // initial corpus: ids not ≡ 4 (mod 5); index built FROM the table
+    val initial = all.filter(_._1 % 5 != 4)
+    table.ingest(initial.toDF("vec_id", "embedding"))
+    VectorFunctions.buildIvfIndexFromTable(table, "vec_id", "embedding", idx,
+      nCentroids = 4)
+
+    // mutations AFTER the build: append the held-out ids, UPSERT every
+    // id ≡ 0 (mod 7) with a shifted vector, DELETE every id ≡ 3 (mod 10)
+    table.ingest(all.filter(_._1 % 5 == 4).toDF("vec_id", "embedding"))
+    val upserts = all.filter(t => t._1 % 7 == 0 && t._1 % 5 != 4)
+      .map { case (id, v) => id -> v.map(x => -x) }
+    table.ingest(upserts.toDF("vec_id", "embedding"))
+    val deadIds = all.map(_._1).filter(_ % 10 == 3)
+    table.deleteKeys(deadIds.toDF("vec_id"))
+
+    val synced = VectorFunctions.syncIndexWithTable(table, "vec_id", "embedding", idx)
+    assert(VectorFunctions.readIndexMeta(idx).lastSyncedVersion == synced)
+
+    // expected live state: everything except deleted; upserted ids carry
+    // the NEW (negated) vector
+    val expected = all.filterNot(t => t._1 % 10 == 3).map {
+      case (id, v) if id % 7 == 0 && id % 5 != 4 => id -> v.map(x => -x)
+      case other => other
+    }
+    val expectedDf = expected.toDF("vec_id", "embedding")
+    val query = Seq(9999L -> all(9)._2).toDF("vec_id", "embedding")
+    val served = VectorFunctions.knnIvfIndex(spark, idx, query, "embedding",
+      k = 12, nprobe = 4).select("id").as[Long].collect().toSeq
+    assert(served == bruteIds(expectedDf, query, 12),
+      "the synced index must serve exactly the table's current state")
+
+    // a second sync with no new table versions is a no-op
+    assert(VectorFunctions.syncIndexWithTable(table, "vec_id", "embedding", idx) == synced)
+
+    // vacuum then serve again — still the table's current state
+    VectorFunctions.vacuumIndex(spark, idx)
+    val served2 = VectorFunctions.knnIvfIndex(spark, idx, query, "embedding",
+      k = 12, nprobe = 4).select("id").as[Long].collect().toSeq
+    assert(served2 == served)
+  }
+}
