@@ -31,9 +31,20 @@ import graft.meta.{FileReference, GraftFS, SerializableHadoopConf}
   * streaming regime); bulk history loads should use `GraftTable.ingest`
   * (spill-safe sort, per-leaf parallel layout).
   */
+/** Opt-in post-commit ANN-index maintenance for a streamed table: every
+  * `every` landed epochs, reconcile the persisted IVF(-PQ) index at
+  * `indexDir` from the table's change feed
+  * ([[graft.vectors.VectorFunctions.syncIndexWithTable]]) — the
+  * "streaming ingest keeps the index fresh" loop, driven by the sink
+  * instead of a human.
+  */
+final case class IndexSyncSpec(indexDir: String, idCol: String,
+    vecCol: String, every: Int, pq: Boolean)
+
 final class GraftStreamingWrite(dir: String, queryId: String,
     tableFields: Seq[GraftField], keyNames: Seq[String], rowKeyNames: Seq[String],
-    tree: PartitionTree, autoCompactEvery: Option[Int] = None) extends StreamingWrite {
+    tree: PartitionTree, autoCompactEvery: Option[Int] = None,
+    indexSync: Option[IndexSyncSpec] = None) extends StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -82,6 +93,20 @@ final class GraftStreamingWrite(dir: String, queryId: String,
         GraftStreamingWrite.resetLanded(dir, queryId)
       }
     }
+    indexSync.foreach { spec =>
+      // same landed-epoch discipline as auto-compaction (empty batches
+      // never count), separate counter; the sync itself is incremental —
+      // O(this window's changed rows) via the table's CDC feeds — and
+      // runs on the stream's driver thread between micro-batches, so it
+      // never races the next epoch's commit
+      if (GraftStreamingWrite.landedSinceSync(dir, queryId) >= spec.every) {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val table = graft.table.GraftTable.load(spark, dir)
+        graft.vectors.VectorFunctions.syncIndexWithTable(
+          table, spec.idCol, spec.vecCol, spec.indexDir, pq = spec.pq)
+        GraftStreamingWrite.resetSync(dir, queryId)
+      }
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
@@ -104,11 +129,17 @@ object GraftStreamingWrite {
     */
   private val landed = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def key(dir: String, queryId: String): String = dir + "\u0000" + queryId
-  private[sources] def landedSinceCompact(dir: String, queryId: String): Long =
-    landed.merge(key(dir, queryId), java.lang.Long.valueOf(1L),
+  private def bump(k: String): Long =
+    landed.merge(k, java.lang.Long.valueOf(1L),
       (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue)).longValue
+  private[sources] def landedSinceCompact(dir: String, queryId: String): Long =
+    bump("compact:" + key(dir, queryId))
   private[sources] def resetLanded(dir: String, queryId: String): Unit =
-    landed.remove(key(dir, queryId))
+    landed.remove("compact:" + key(dir, queryId))
+  private[sources] def landedSinceSync(dir: String, queryId: String): Long =
+    bump("sync:" + key(dir, queryId))
+  private[sources] def resetSync(dir: String, queryId: String): Unit =
+    landed.remove("sync:" + key(dir, queryId))
 }
 
 final case class GraftSinkFile(name: String, home: String,

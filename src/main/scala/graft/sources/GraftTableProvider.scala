@@ -67,8 +67,11 @@ final class GraftTableProvider extends TableProvider with DataSourceRegister {
         // path-based writeStream options arrive HERE, not in
         // LogicalWriteInfo.options — keep the ones the sink honors
         val m = new java.util.HashMap[String, String]()
-        val ac = properties.get("autoCompactEvery")
-        if (ac != null) m.put("autoCompactEvery", ac)
+        Seq("autoCompactEvery", "syncIndex", "syncIndexIdCol",
+            "syncIndexVecCol", "syncIndexEvery", "syncIndexPq").foreach { k =>
+          val v = properties.get(k)
+          if (v != null) m.put(k, v)
+        }
         m
       })
 
@@ -231,15 +234,35 @@ final class GraftBatchTable(dir: String, asOf: Option[Long] = None,
           // opt-in post-commit maintenance: .option("autoCompactEvery", N)
           // (catalog writes deliver options via LogicalWriteInfo; the
           // path-based writeStream surface via getTable properties)
-          val autoCompact = Option(info.options().get("autoCompactEvery"))
-            .orElse(Option(writeOptions.get("autoCompactEvery"))).map { s =>
-              val n = s.toInt
-              require(n > 0, s"autoCompactEvery must be positive, got $n")
-              n
+          def opt(k: String): Option[String] =
+            Option(info.options().get(k)).orElse(Option(writeOptions.get(k)))
+          val autoCompact = opt("autoCompactEvery").map { s =>
+            val n = s.toInt
+            require(n > 0, s"autoCompactEvery must be positive, got $n")
+            n
+          }
+          // opt-in ANN-index maintenance: .option("syncIndex", <indexDir>)
+          // [+ syncIndexIdCol/syncIndexVecCol/syncIndexEvery/syncIndexPq] —
+          // every N landed epochs the sink reconciles the persisted index
+          // from the table's change feed (VectorFunctions.syncIndexWithTable)
+          val indexSync = opt("syncIndex").map { idxDir =>
+            val idCol = opt("syncIndexIdCol").getOrElse(sch.rowKeyNames.head)
+            val vecCol = opt("syncIndexVecCol").getOrElse {
+              val arrays = sch.values.collect {
+                case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] => f.name
+              }
+              require(arrays.size == 1,
+                s"syncIndexVecCol is required (candidate array columns: ${arrays.mkString(", ")})")
+              arrays.head
             }
+            val every = opt("syncIndexEvery").map(_.toInt).getOrElse(1)
+            require(every > 0, s"syncIndexEvery must be positive, got $every")
+            IndexSyncSpec(idxDir, idCol, vecCol, every,
+              pq = opt("syncIndexPq").exists(_.equalsIgnoreCase("true")))
+          }
           new GraftStreamingWrite(dir, info.queryId(),
             sch.allFields, sch.keyNames, sch.rowKeyNames, fresh.partitionTree,
-            autoCompact)
+            autoCompact, indexSync)
         }
       }
     }

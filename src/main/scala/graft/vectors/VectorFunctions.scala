@@ -674,22 +674,37 @@ object VectorFunctions {
     * hot cell pay for it — rebuild when `needsRetrain` fires.
     */
   final case class IvfIndexStats(cells: Int, totalVectors: Long,
-      maxCell: Long, minCell: Long, skew: Double) {
+      maxCell: Long, minCell: Long, skew: Double,
+      /** Physical list rows shadowed by delete/upsert tombstones —
+        * dead IO every probe of their cell still pays until
+        * [[vacuumIndex]] reclaims them.
+        */
+      deadRows: Long = 0L) {
     def needsRetrain(maxSkew: Double = 4.0): Boolean = skew > maxSkew
+    def deadFraction: Double =
+      if (totalVectors + deadRows == 0) 0.0
+      else deadRows.toDouble / (totalVectors + deadRows)
+    def needsVacuum(maxDeadFraction: Double = 0.2): Boolean =
+      deadFraction > maxDeadFraction
   }
 
   def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): IvfIndexStats = {
     import spark.implicits._
     val k = spark.read.parquet(s"$indexDir/centroids").count().toInt
-    val sizes = spark.read.parquet(s"$indexDir/lists")
+    val physical = spark.read.parquet(s"$indexDir/lists").count()
+    // occupancy over LIVE rows: a cell full of tombstoned entries is an
+    // empty list for probe-recall purposes (the dead IO is reported
+    // separately as deadRows → needsVacuum)
+    val sizes = liveIndexLists(spark, indexDir)
       .groupBy("cell").count().select("count").as[Long].collect()
     val total = sizes.sum
     val maxC = if (sizes.isEmpty) 0L else sizes.max
     // cells with no resident vectors count as empty lists
     val minC = if (sizes.length < k) 0L else sizes.min
     val mean = if (k == 0) 0.0 else total.toDouble / k
-    IvfIndexStats(k, total, maxC, minC, if (mean == 0) 0.0 else maxC / mean)
+    IvfIndexStats(k, total, maxC, minC, if (mean == 0) 0.0 else maxC / mean,
+      deadRows = physical - total)
   }
 
   /** Serve kNN from a persisted [[buildIvfIndex]] index: rank cells

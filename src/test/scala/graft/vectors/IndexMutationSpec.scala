@@ -91,6 +91,56 @@ class IndexMutationSpec extends AnyFunSuite {
     assert(served() == bruteIds(live, query, 5))
   }
 
+  test("streaming sink keeps a persisted index fresh via the syncIndex option") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val dim = 16
+    val all = vecs(120, dim, seed = 51)
+    val dir = Files.createTempDirectory("graft-ivf-stream-tbl").toString
+    val idx = Files.createTempDirectory("graft-ivf-stream-idx").toString
+    val cp = Files.createTempDirectory("graft-ivf-stream-cp").toString
+    val schema = GraftSchema(
+      rowKeys = Seq(GraftField("vec_id", org.apache.spark.sql.types.LongType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val table = GraftTable.create(spark, dir, schema)
+    table.ingest(all.take(60).toDF("vec_id", "embedding"))
+    VectorFunctions.buildIvfIndexFromTable(table, "vec_id", "embedding", idx,
+      nCentroids = 4)
+
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = mem.toDF().toDF("vec_id", "embedding")
+      .writeStream.format("graft")
+      .option("path", dir)
+      .option("checkpointLocation", cp)
+      .option("syncIndex", idx)
+      .option("syncIndexEvery", "1")
+      .outputMode("append")
+      .start()
+    val query = Seq(9999L -> all(3)._2).toDF("vec_id", "embedding")
+    def served(k: Int): Seq[Long] =
+      VectorFunctions.knnIvfIndex(spark, idx, query, "embedding", k, nprobe = 4)
+        .select("id").as[Long].collect().toSeq
+    try {
+      // first micro-batch: the sink's post-commit sync absorbs it
+      mem.addData(all.slice(60, 90): _*)
+      q.processAllAvailable()
+      assert(served(8) == bruteIds(all.take(90).toDF("vec_id", "embedding"), query, 8),
+        "streamed rows must serve from the index after the epoch's sync")
+      // an out-of-band DELETE lands between epochs; the next epoch's
+      // sync reads the whole unsynced version window, so it carries
+      // BOTH the delete and the new rows
+      val dead = served(3)
+      GraftTable.load(spark, dir).deleteKeys(dead.toDF("vec_id"))
+      mem.addData(all.slice(90, 120): _*)
+      q.processAllAvailable()
+      val expect = all.take(120).filterNot(t => dead.contains(t._1))
+      assert(served(8) == bruteIds(expect.toDF("vec_id", "embedding"), query, 8),
+        "the epoch sync must absorb interleaved deletes and the new rows")
+    } finally q.stop()
+  }
+
   test("syncIndexWithTable reconciles appends, upserts, and deletes via the CDC feeds") {
     val dim = 16
     val all = vecs(240, dim, seed = 37)
