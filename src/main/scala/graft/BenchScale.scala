@@ -367,6 +367,44 @@ object BenchScale {
       graft.meta.GraftFS.deleteRecursive(idxDir)
     }
 
+    // -- mutable index: table-fed build, 10% delete, CDC sync, vacuum --
+    // The DELETE/UPSERT consistency loop priced at corpus scale: sync
+    // cost must track CHANGED rows (never the corpus), the tombstone
+    // anti-join must not move the serve time, and vacuum is the
+    // once-in-a-while physical rewrite.
+    if (pass == 1) {
+      val emb = Tables(spark, sfDir, "embeddings")
+      val embRows = emb.count()
+      val base = java.nio.file.Files.createTempDirectory("graft-bench-ivfsync").toString
+      val vSchema = GraftSchema(
+        rowKeys = Seq(GraftField("vec_id", LongType)),
+        sortKeys = Nil,
+        values = Seq(GraftField("embedding", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType))))
+      val vt = GraftTable.create(spark, s"$base/t", vSchema,
+        config = TableConfig(gcDelayMinutes = 0))
+      vt.ingest(emb.select(col("vec_id"), col("embedding")))
+      timed("ivf_table_build", embRows) {
+        graft.vectors.VectorFunctions.buildIvfIndexFromTable(
+          vt, "vec_id", "embedding", s"$base/i", nCentroids = 16)
+      }
+      vt.deleteKeys(emb.filter(pmod(col("vec_id"), lit(10)) === 3).select("vec_id"))
+      val changed = embRows / 10
+      timed("ivf_sync_delta", changed) {
+        graft.vectors.VectorFunctions.syncIndexWithTable(
+          vt, "vec_id", "embedding", s"$base/i")
+      }
+      val qdf = emb.filter(col("vec_id") === 13)
+      timed("ivf_tombstone_serve", embRows, innerRepeats = 3) {
+        graft.vectors.VectorFunctions.knnIvfIndex(spark, s"$base/i", qdf,
+          "embedding", k = 10, nprobe = 4).collect()
+      }
+      timed("ivf_vacuum", embRows) {
+        graft.vectors.VectorFunctions.vacuumIndex(spark, s"$base/i")
+      }
+      graft.meta.GraftFS.deleteRecursive(base)
+    }
+
     // -- quadratic dedup operators on a x3 corpus ----------------------
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val docs3 = (0 until CorpusFactor).map(i =>

@@ -1404,12 +1404,18 @@ object TextQueries {
         |         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY f.c, s.h) AS rnk
         |  FROM shh s JOIN freq f ON f.h = s.h JOIN sets z ON z.doc_id = s.doc_id
         |), pfx AS (
-        |  SELECT doc_id, h, n FROM ordered
+        |  SELECT doc_id, h, n, rnk FROM ordered
         |  WHERE rnk <= n - CAST(ceil(0.5 * n) AS BIGINT) + 1
         |), cand AS (
+        |  -- PPJoin positional filter: at a matching prefix token, the
+        |  -- achievable overlap is bounded by the shorter remaining
+        |  -- suffix; J>=0.5 needs overlap >= ceil((na+nb)/3), so pairs
+        |  -- whose BEST position pair cannot reach it are pruned before
+        |  -- the exact intersect (never drops a true pair)
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
         |    AND b.n * 2 >= a.n AND a.n * 2 >= b.n
+        |    AND least(a.n - a.rnk, b.n - b.rnk) + 1 >= ceil((a.n + b.n) / 3.0)
         |), inter AS (
         |  SELECT id_a, id_b, len(list_intersect(hsa, hsb)) AS i, na, nb FROM (
         |    SELECT c.id_a, c.id_b, sa.hs AS hsa, sb.hs AS hsb, sa.n AS na, sb.n AS nb

@@ -593,9 +593,16 @@ object VectorFunctions {
     val tmp = s"$indexDir/lists.vacuum"
     liveIndexLists(spark, indexDir)
       .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+    // swap by two renames (old aside, new in) — `lists` never vanishes
+    // for longer than the gap between them, and a crash in the gap
+    // leaves `lists.old` + `lists.vacuum` for manual recovery instead
+    // of a deleted index
     val (fs, listsPath) = graft.meta.GraftFS.resolve(s"$indexDir/lists")
-    graft.meta.GraftFS.deleteRecursive(s"$indexDir/lists")
+    val old = new org.apache.hadoop.fs.Path(s"$indexDir/lists.old")
+    graft.meta.GraftFS.deleteRecursive(old.toString)
+    graft.meta.GraftFS.rename(listsPath, old, fs)
     graft.meta.GraftFS.rename(new org.apache.hadoop.fs.Path(tmp), listsPath, fs)
+    graft.meta.GraftFS.deleteRecursive(old.toString)
     graft.meta.GraftFS.deleteRecursive(s"$indexDir/deletes")
     spark.read.parquet(s"$indexDir/lists").count()
   }

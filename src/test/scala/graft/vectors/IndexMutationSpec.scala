@@ -91,6 +91,39 @@ class IndexMutationSpec extends AnyFunSuite {
     assert(served() == bruteIds(live, query, 5))
   }
 
+  test("a sync interrupted between shadow and append converges on re-run") {
+    val dim = 16
+    val all = vecs(100, dim, seed = 43)
+    val dir = Files.createTempDirectory("graft-ivf-crash-tbl").toString
+    val idx = Files.createTempDirectory("graft-ivf-crash-idx").toString
+    val schema = GraftSchema(
+      rowKeys = Seq(GraftField("vec_id", org.apache.spark.sql.types.LongType)),
+      sortKeys = Nil,
+      values = Seq(GraftField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val table = GraftTable.create(spark, dir, schema)
+    table.ingest(all.toDF("vec_id", "embedding"))
+    VectorFunctions.buildIvfIndexFromTable(table, "vec_id", "embedding", idx,
+      nCentroids = 4)
+    // upsert ids 0..9 in the TABLE (negated vectors)
+    val upserts = all.take(10).map { case (id, v) => id -> v.map(x => -x) }
+    table.ingest(upserts.toDF("vec_id", "embedding"))
+    // a crashed first sync: the shadow landed, the append (and the
+    // meta update) did not — the worst-case window, where the index
+    // serves NEITHER copy of the touched ids
+    VectorFunctions.deleteFromIndex(
+      upserts.map(_._1).toDF("vec_id"), "vec_id", idx)
+    // re-run from the stale synced version: re-shadows and appends at
+    // higher seqs — exactly one live copy, the table's current state
+    VectorFunctions.syncIndexWithTable(table, "vec_id", "embedding", idx)
+    val expect = (upserts ++ all.drop(10)).toDF("vec_id", "embedding")
+    val query = Seq(9999L -> all(1)._2).toDF("vec_id", "embedding")
+    val served = VectorFunctions.knnIvfIndex(spark, idx, query, "embedding",
+      k = 10, nprobe = 4).select("id").as[Long].collect().toSeq
+    assert(served == bruteIds(expect, query, 10),
+      "re-run after a partial sync must converge to the table state")
+  }
+
   test("streaming sink keeps a persisted index fresh via the syncIndex option") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dim = 16
