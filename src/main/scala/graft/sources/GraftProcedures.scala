@@ -35,7 +35,7 @@ object GraftProcedures {
   /** All procedures live in the `system` namespace (or unqualified). */
   val Names: Seq[String] =
     Seq("compact", "split_partitions", "gc", "snapshot_metrics", "restore",
-      "clone")
+      "clone", "sync_index", "vacuum_index", "index_stats")
 
   def load(root: String, ident: Identifier): UnboundProcedure = {
     val ns = ident.namespace.toSeq
@@ -48,6 +48,9 @@ object GraftProcedures {
       case "snapshot_metrics" => new SnapshotMetricsProc(root)
       case "restore"          => new RestoreProc(root)
       case "clone"            => new CloneProc(root)
+      case "sync_index"       => new SyncIndexProc(root)
+      case "vacuum_index"     => new VacuumIndexProc
+      case "index_stats"      => new IndexStatsProc
       case other => throw new IllegalArgumentException(s"no such procedure: $other")
     }
   }
@@ -153,6 +156,65 @@ object GraftProcedures {
         StructField("row_count", LongType), StructField("file_count", LongType),
         StructField("leaf_partition_count", LongType))),
         Seq(Seq(name, m.rowCount, m.fileCount.toLong, m.leafPartitionCount.toLong)))
+    }
+  }
+
+  /** sync_index(table, index_dir, id_col, vec_col, pq=false): reconcile
+    * a persisted IVF(-PQ) index with its base table's DELETEs/UPSERTs
+    * via the CDC feeds ([[graft.vectors.VectorFunctions.syncIndexWithTable]]).
+    * `index_dir` is a filesystem path (indexes are build artifacts, not
+    * catalog objects). Returns (synced_version,).
+    */
+  private final class SyncIndexProc(root: String) extends Proc("sync_index") {
+    override def description: String =
+      "reconcile a persisted ANN index with its base table's change feed"
+    override def parameters: Array[ProcedureParameter] = Array(
+      in("table", StringType), in("index_dir", StringType),
+      in("id_col", StringType), in("vec_col", StringType),
+      inDefault("pq", BooleanType, "false"))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val t = open(root, input.getUTF8String(0).toString)
+      val v = graft.vectors.VectorFunctions.syncIndexWithTable(
+        t, input.getUTF8String(2).toString, input.getUTF8String(3).toString,
+        input.getUTF8String(1).toString, pq = input.getBoolean(4))
+      result(StructType(Seq(StructField("synced_version", LongType))), Seq(Seq(v)))
+    }
+  }
+
+  /** vacuum_index(index_dir): physically rewrite a persisted index's
+    * inverted lists to live-only rows and clear its tombstone sidecar.
+    * Returns (live_rows,).
+    */
+  private final class VacuumIndexProc extends Proc("vacuum_index") {
+    override def description: String =
+      "rewrite a persisted ANN index live-only, clearing tombstones"
+    override def parameters: Array[ProcedureParameter] =
+      Array(in("index_dir", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val live = graft.vectors.VectorFunctions.vacuumIndex(
+        SparkSession.active, input.getUTF8String(0).toString)
+      result(StructType(Seq(StructField("live_rows", LongType))), Seq(Seq(live)))
+    }
+  }
+
+  /** index_stats(index_dir): occupancy/health of a persisted index —
+    * the numbers the maintenance loop triggers on (needsRetrain on
+    * skew, needsVacuum on dead fraction).
+    */
+  private final class IndexStatsProc extends Proc("index_stats") {
+    override def description: String =
+      "occupancy and tombstone health of a persisted ANN index"
+    override def parameters: Array[ProcedureParameter] =
+      Array(in("index_dir", StringType))
+    override def call(input: InternalRow): JIterator[Scan] = {
+      val s = graft.vectors.VectorFunctions.ivfIndexStats(
+        SparkSession.active, input.getUTF8String(0).toString)
+      result(StructType(Seq(StructField("cells", IntegerType),
+        StructField("live_rows", LongType), StructField("dead_rows", LongType),
+        StructField("skew", DoubleType), StructField("needs_retrain", BooleanType),
+        StructField("needs_vacuum", BooleanType))),
+        Seq(Seq(s.cells, s.totalVectors, s.deadRows, s.skew,
+          s.needsRetrain(), s.needsVacuum())))
     }
   }
 

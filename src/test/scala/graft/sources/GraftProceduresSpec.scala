@@ -79,6 +79,43 @@ class GraftProceduresSpec extends AnyFunSuite {
     assert(spark.sql("CALL gproc.system.split_partitions('t2')").collect().isEmpty)
   }
 
+  test("CALL sync_index / index_stats / vacuum_index drive the ANN maintenance loop") {
+    root
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 80L).map(id => id -> Array.fill(8)((rnd.nextDouble() * 2 - 1).toFloat))
+    spark.sql(
+      """CREATE TABLE gproc.emb (vec_id BIGINT, embedding ARRAY<FLOAT>)
+        |USING graft
+        |TBLPROPERTIES('rowKeys'='vec_id', 'aggregation'='last(embedding)')""".stripMargin)
+    val table = graft.table.GraftTable.load(spark, s"$root/emb")
+    table.ingest(vecs.toDF("vec_id", "embedding"))
+    val idx = Files.createTempDirectory("graft-proc-idx").toString
+    graft.vectors.VectorFunctions.buildIvfIndexFromTable(
+      table, "vec_id", "embedding", idx, nCentroids = 4)
+    // mutate: delete a quarter of the ids
+    spark.sql("DELETE FROM gproc.emb WHERE vec_id % 4 = 1")
+    val v = spark.sql(
+      s"CALL gproc.system.sync_index('emb', '$idx', 'vec_id', 'embedding')")
+      .as[Long].head()
+    assert(v > 0)
+    val stats = spark.sql(s"CALL gproc.system.index_stats('$idx')")
+      .as[(Int, Long, Long, Double, Boolean, Boolean)].head()
+    assert(stats._2 == 60 && stats._3 == 20,
+      s"60 live / 20 dead expected after the sync, got $stats")
+    assert(stats._6, "a quarter dead must trip needsVacuum")
+    val live = spark.sql(s"CALL gproc.system.vacuum_index('$idx')").as[Long].head()
+    assert(live == 60)
+    val stats2 = spark.sql(s"CALL gproc.system.index_stats('$idx')")
+      .as[(Int, Long, Long, Double, Boolean, Boolean)].head()
+    assert(stats2._3 == 0 && !stats2._6, "vacuum must clear the dead rows")
+    // the served set matches the table: no deleted id appears
+    val served = graft.vectors.VectorFunctions.knnIvfIndex(spark, idx,
+        vecs.take(1).toDF("vec_id", "embedding"), "embedding", k = 20, nprobe = 4)
+      .select(col("id")).as[Long].collect()
+    assert(served.forall(_ % 4 != 1))
+  }
+
   test("SHOW PROCEDURES lists the set; unknown name is a clean error") {
     root
     val names = spark.sql("SHOW PROCEDURES IN gproc.system")
