@@ -99,6 +99,10 @@ object Bench {
     def streamDrain(): Unit = {
       val dir = s"/tmp/graft-calib-st-${java.util.UUID.randomUUID()}"
       try {
+        // match the engine's drain checkpoint settings (StreamTuning):
+        // the control measures the ambient micro-batch axis as the
+        // engine's own drains experience it
+        graft.streaming.StreamTuning.tune(spark, Some(s"$dir/ck"))
         spark.range(0, 5000L).select(col("id"), (col("id") % 7).as("g"))
           .write.mode("overwrite").parquet(s"$dir/in")
         val q = spark.readStream.schema("id LONG, g LONG")

@@ -753,6 +753,7 @@ object LifecycleQueries {
         val td = java.nio.file.Files.createTempDirectory("graft-changes").toString
         val cp = java.nio.file.Files.createTempDirectory("graft-changes-cp").toString
         val o = java.nio.file.Files.createTempDirectory("graft-changes-out").toString
+        graft.streaming.StreamTuning.tune(s, Some(cp))
         val table = GraftTable.create(s, td, schema, splitPoints = Seq(7000L))
         val src = Tables(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
@@ -799,6 +800,7 @@ object LifecycleQueries {
         val td = java.nio.file.Files.createTempDirectory("graft-iv-src").toString
         val dd = java.nio.file.Files.createTempDirectory("graft-iv-view").toString
         val cp = java.nio.file.Files.createTempDirectory("graft-iv-cp").toString
+        graft.streaming.StreamTuning.tune(s, Some(cp))
         val src = GraftTable.create(s, td, schema, splitPoints = Seq(7000L))
         GraftTable.create(s, dd, schema, splitPoints = Seq(7000L),
           config = TableConfig(aggregationConfig = "sum(qty)"))
@@ -1708,6 +1710,7 @@ object LifecycleQueries {
         |FROM b ORDER BY l_orderkey""".stripMargin) { (s, dir) =>
       val base = sinkDirs.computeIfAbsent(dir, { _ =>
         val b = java.nio.file.Files.createTempDirectory("graft-sink-q").toString
+        graft.streaming.StreamTuning.tune(s, Some(s"$b/cp"))
         GraftTable.create(s, s"$b/table", schema,
           splitPoints = Seq(3000L, 6000L, 9000L),
           config = TableConfig(aggregationConfig = "last(qty)"))
@@ -2031,6 +2034,7 @@ object LifecycleQueries {
         |ORDER BY 1""".stripMargin) { (s, dir) =>
       val base = cdfFeedDirs.computeIfAbsent(dir, { _ =>
         val b = java.nio.file.Files.createTempDirectory("graft-cdf-q").toString
+        graft.streaming.StreamTuning.tune(s, Some(s"$b/cp"))
         val table = GraftTable.create(s, s"$b/table", schema,
           splitPoints = Seq(3000L, 6000L, 9000L),
           config = TableConfig(aggregationConfig = "last(qty)"))

@@ -54,6 +54,9 @@ object StreamAnalytics {
     val bytes = new java.io.File(s"$sfDir/$file").length()
     scoped.conf.set("spark.sql.shuffle.partitions",
       statePartitionsFor(spark, bytes).toString)
+    // per-commit checkpoint costs (checksum sidecars, FileContext
+    // rename forks) dominate small micro-batches — see StreamTuning
+    StreamTuning.tune(scoped)
     scoped
   }
 
@@ -466,9 +469,16 @@ object StreamAnalytics {
       if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
         timestamp_micros(expr("ts DIV 1000"))
       else col("ts").cast("timestamp")
+    // No maxFilesPerTrigger: both files (data + flush sentinel) land in
+    // ONE data batch. The watermark is computed from the batch's max
+    // event time AFTER it runs — the sentinel rows push it past every
+    // real view's window either way — and the unmatched nulls flush in
+    // AvailableNow's closing no-data batch exactly as they did when the
+    // sentinel arrived as its own batch. Drained output is identical
+    // (oracle-checked); one stream-stream-join micro-batch of state
+    // commits is saved.
     def side(types: Seq[String], prefix: String) = s.readStream
       .schema(schema)
-      .option("maxFilesPerTrigger", "1") // data batch, then the flush batch
       .parquet(srcDir)
       .where(col("event_type").isin(types: _*))
       .select(col("user_id").as(s"${prefix}_user"),

@@ -57,6 +57,7 @@ object StreamRunner {
     var endVersion = 0L
     var error: Option[String] = None
     try {
+      StreamTuning.tune(spark, Some(checkpointDir))
       val q = spark.readStream.format("graft")
         .option("readChangeFeed", "true").load(tableDir)
         .writeStream.format("parquet")
@@ -89,6 +90,7 @@ object StreamRunner {
       val st = org.apache.spark.sql.types.StructType(schema.allFields.map(f =>
         org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable)))
       graft.meta.GraftFS.mkdirs(inboxDir)
+      StreamTuning.tune(spark, Some(checkpointDir))
       val q = spark.readStream.schema(st).parquet(inboxDir)
         .writeStream.format("graft")
         .option("path", tableDir)

@@ -178,6 +178,7 @@ abstract class InboxMicroBatcher(
 
     val appId = s"stream:${streamId()}"
     val spark = table.spark
+    StreamTuning.tune(spark, Some(checkpointDir))
     val stream = spark.readStream
       .schema(sourceSchema)
       .parquet(inboxDir)
