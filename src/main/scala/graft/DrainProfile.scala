@@ -55,7 +55,14 @@ object DrainProfile {
                n.contains("stream execution thread") || n == "main") && frames.nonEmpty) {
             val tag = if (n.startsWith("Executor")) "EXEC"
               else if (n == "main") "DRIVER" else "STREAM"
-            val key = tag + " " + frames.take(18).map(f => s"${f.getClassName}.${f.getMethodName}")
+            // driver stacks: skip the park/await prefix so the histogram
+            // keys on WHAT is being awaited, not how parking is spelled
+            val useful =
+              if (tag == "DRIVER")
+                frames.dropWhile(f => !f.getClassName.startsWith("org.apache.spark") &&
+                  !f.getClassName.startsWith("graft"))
+              else frames
+            val key = tag + " " + useful.take(18).map(f => s"${f.getClassName}.${f.getMethodName}")
               .mkString(" <- ")
             hist.computeIfAbsent(key, _ => new java.util.concurrent.atomic.AtomicLong())
               .incrementAndGet()
@@ -109,12 +116,46 @@ object DrainProfile {
       case "query" =>
         val name = args(1)
         val reps = if (args.length > 2) args(2).toInt else 3
+        val jobs = new java.util.concurrent.atomic.AtomicInteger()
+        val stages = new java.util.concurrent.atomic.AtomicInteger()
+        val tasks = new java.util.concurrent.atomic.AtomicInteger()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobs.incrementAndGet(); ()
+          }
+          override def onStageCompleted(s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(s.stageInfo.numTasks); ()
+          }
+        })
         val fn = SparkEntry.queries(name)
         (1 to reps).foreach { i =>
+          jobs.set(0); stages.set(0); tasks.set(0)
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
-          println(f"$name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          val dt = (System.nanoTime() - t0) / 1e9
+          Thread.sleep(200) // let listener events drain
+          println(f"$name run$i $dt%.2f s jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
         }
+        printHist()
+      // write explain("formatted") for named queries:
+      //   explain <outDir> <suffix> <q1,q2,...>
+      case "explain" =>
+        val outDir = args(1)
+        val suffix = args(2)
+        new java.io.File(outDir).mkdirs()
+        args(3).split(",").foreach { name =>
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val plan = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$outDir/${name}_$suffix.txt"), plan)
+          println(s"EXPLAIN $name -> $outDir/${name}_$suffix.txt")
+        }
+      // profile the BenchScale section (env SPARK_GRAFT_SF1/ENDURE gate rows)
+      case "scale" =>
+        val out = BenchScale.run(spark, sfDir, timeoutSec = 600)
+        println("SCALE " + out)
         printHist()
     }
     spark.stop()

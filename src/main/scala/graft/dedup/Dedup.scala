@@ -173,9 +173,31 @@ object Dedup {
     lshPairs(docs, idCol, textCol, n, threshold, numHashes, bands, maxBucket,
       starLimit = starCandidateLimit)
 
+  /** [[minhashLshEdges]] plus the relations it persisted, for callers
+    * that consume the edges EAGERLY (components): once the edge set is
+    * materialized the caches are dead weight, and a session that runs
+    * many dedup pipelines otherwise accumulates orphaned cached blocks
+    * until storage-memory eviction churn taxes every later query (the
+    * clearCache lesson documented in BenchScale).
+    */
+  private[graft] def minhashLshEdgesCached(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, threshold: Double,
+      starCandidateLimit: Long = StarCandidateLimit): (DataFrame, Seq[DataFrame]) = {
+    val cleanup = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val pairs = lshPairs(docs, idCol, textCol, n, threshold, numHashes = 128,
+      bands = 64, maxBucket = 10000, starLimit = starCandidateLimit,
+      cleanup = cleanup)
+    (pairs, cleanup.toSeq)
+  }
+
   private def lshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int, bands: Int,
-      maxBucket: Int, starLimit: Long): DataFrame = {
+      maxBucket: Int, starLimit: Long,
+      cleanup: scala.collection.mutable.Buffer[DataFrame] = null): DataFrame = {
+    def tracked(df: DataFrame): DataFrame = {
+      if (cleanup != null) cleanup += df
+      df
+    }
     val rows = numHashes / bands
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
     // Duplication gate FIRST, over raw text hashes — no shingle work:
@@ -189,9 +211,14 @@ object Dedup {
 
     val rawSets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
-    // under collapse the shingle subplan feeds the group/expand machinery
-    // on top of its usual consumers — cache it for the run there
-    val allSets = if (collapse) rawSets.persist() else rawSets
+    // ALWAYS persist the shingle sets: even without collapse the subplan
+    // is consumed three more times after the bucket build — both sides
+    // of the verification join and the density stats — and shingle
+    // derivation is the map-heavy step of the whole pipeline; spilling
+    // one materialization beats recomputing it per consumer (guide §2.4:
+    // shared subplans should pay their pass once).
+    val allSets = tracked(rawSets.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
     // EXACT-DUPLICATE COLLAPSE (result-identical): docs with the same
     // shingle set are jaccard-1 with each other and share every minhash,
@@ -207,9 +234,9 @@ object Dedup {
     // clones are actually there to collapse.
     val groups =
       if (!collapse) null
-      else allSets.groupBy(col("sh")).agg(collect_list(col("id")).as("ids"))
+      else tracked(allSets.groupBy(col("sh")).agg(collect_list(col("id")).as("ids"))
         .select(array_min(col("ids")).as("rep"), col("ids"), col("sh"))
-        .persist()
+        .persist())
     val withSets =
       if (collapse) groups.select(col("rep").as("id"), col("sh")) else allSets
 
@@ -230,13 +257,17 @@ object Dedup {
 
     val candidates =
       if (!edgesMode) {
-        // PAIR-LISTING MODE (minhashLshPairs): unchanged classic plan —
-        // oversize buckets dropped, all-pairs enumeration over the rest.
-        val smallBuckets = buckets.groupBy("band", "h")
+        // PAIR-LISTING MODE (minhashLshPairs): oversize buckets dropped,
+        // all-pairs enumeration over the rest. The bucket relation is
+        // persisted like edges mode's — its cap aggregation and both
+        // self-join sides would otherwise re-evaluate the minhash
+        // signatures (the expensive map) once each.
+        val bk = tracked(buckets.persist())
+        val smallBuckets = bk.groupBy("band", "h")
           .agg(count(lit(1)).as("__bc"))
           .filter(col("__bc") <= maxBucket)
           .select("band", "h")
-        val capped = buckets.join(smallBuckets, Seq("band", "h"))
+        val capped = bk.join(smallBuckets, Seq("band", "h"))
         capped.as("a").join(capped.as("b"),
             col("a.band") === col("b.band") && col("a.h") === col("b.h") &&
               col("a.id") < col("b.id"))
@@ -250,7 +281,7 @@ object Dedup {
         // gate, the cap filter, and both candidate-join sides read the
         // persisted rows instead of re-evaluating the shingle+minhash
         // lineage (the expensive subplan) once per consumer.
-        val bk = buckets.persist()
+        val bk = tracked(buckets.persist())
         val bucketCounts = bk.groupBy("band", "h").agg(count(lit(1)).as("__bc"))
         val volume = Option(
             bucketCounts.filter(col("__bc") <= maxBucket)
@@ -368,19 +399,22 @@ object Dedup {
   private def bitsetMasks(sh: DataFrame): DataFrame = {
     import graft.functions.BitsetExpressions._
     val spark = sh.sparkSession
-    // dictionary ids via orderBy + zipWithIndex: the range sort stays
-    // PARALLEL (an unpartitioned window would funnel the whole vocab
-    // through one task) and the assignment is deterministic — sorted
-    // distinct values index identically on every evaluation
-    val base = sh.select("shingle").distinct().orderBy("shingle")
+    // The dense gate (isDense) already bounds the vocabulary at ~16k
+    // values, so the dictionary is collected and sorted DRIVER-side —
+    // one bounded action instead of the previous three (distinct sort,
+    // rdd.zipWithIndex's extra job, dict count); assignment stays
+    // deterministic (sorted distinct values index identically on every
+    // evaluation) and the dict broadcasts into the same join as before.
+    val base = sh.select("shingle").distinct()
+    val vals = base.collect().map(_.get(0))
+    val ord = vals.sortBy(v => String.valueOf(v))
     val dict = spark.createDataFrame(
-      base.rdd.zipWithIndex.map { case (r, i) =>
-        org.apache.spark.sql.Row(r.get(0), i.toInt)
-      },
+      spark.sparkContext.parallelize(
+        ord.zipWithIndex.map { case (v, i) => org.apache.spark.sql.Row(v, i) }.toSeq, 1),
       org.apache.spark.sql.types.StructType(base.schema.fields :+
         org.apache.spark.sql.types.StructField("sid",
           org.apache.spark.sql.types.IntegerType, nullable = false)))
-    val vocab = dict.count().toInt
+    val vocab = ord.length
     val numWords = math.max((vocab + 63) / 64, 1)
     sh.join(broadcast(dict), "shingle")
       .groupBy("id").agg(collect_list(col("sid")).as("sids"))
@@ -478,13 +512,9 @@ object Dedup {
     * exactly. Only nodes appearing in the pair list are labeled (same
     * contract as the distributed path).
     */
-  private def driverComponents(p: DataFrame): DataFrame = {
-    val spark = p.sparkSession
+  private def driverComponents(spark: org.apache.spark.sql.SparkSession,
+      edges: Array[(Long, Long)], intOut: Boolean): DataFrame = {
     import spark.implicits._
-    val intOut = p.schema.fields.forall(_.dataType ==
-      org.apache.spark.sql.types.IntegerType)
-    val edges = p.select(col("s").cast("long"), col("d").cast("long"))
-      .as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long](edges.length * 2)
     def find(x: Long): Long = {
       var r = x
@@ -519,18 +549,31 @@ object Dedup {
     val integralIds = p.schema.fields.forall(f =>
       f.dataType == org.apache.spark.sql.types.LongType ||
         f.dataType == org.apache.spark.sql.types.IntegerType)
-    val edgeCount = p.count()
-    if (integralIds && driverLimit > 0 && edgeCount <= driverLimit) {
-      // path marker for bench logs: which components engine ran is a
-      // scale question (driver union-find vs distributed jumping)
-      System.err.println(s"[graft] components: DRIVER union-find " +
-        s"($edgeCount edges <= limit $driverLimit)")
-      val out = driverComponents(p)
-      p.unpersist()
-      return out
+    // ONE bounded action decides the strategy AND fetches the edges:
+    // take(limit+1) is driver-safe by construction (≤ limit+1 rows ever
+    // reach the driver) and replaces the previous count()+collect()
+    // pair — two full passes over the pair pipeline, the most expensive
+    // lineage in the dedup family, folded into one that stops early on
+    // huge graphs (take materializes partitions incrementally).
+    if (integralIds && driverLimit > 0) {
+      val intOut = p.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.IntegerType)
+      val cap = math.min(driverLimit, Int.MaxValue - 2L).toInt
+      val head = p.select(col("s").cast("long"), col("d").cast("long"))
+        .take(cap + 1)
+      if (head.length <= driverLimit) {
+        // path marker for bench logs: which components engine ran is a
+        // scale question (driver union-find vs distributed jumping)
+        System.err.println(s"[graft] components: DRIVER union-find " +
+          s"(${head.length} edges <= limit $driverLimit)")
+        val out = driverComponents(p.sparkSession,
+          head.map(r => (r.getLong(0), r.getLong(1))), intOut)
+        p.unpersist()
+        return out
+      }
     }
     System.err.println(s"[graft] components: DISTRIBUTED pointer-jumping " +
-      s"($edgeCount edges, limit $driverLimit)")
+      s"(edges > limit $driverLimit or non-integral ids)")
     // Eager localCheckpoint, NOT persist: labels feed the next round in
     // several places (neighbor join + pointer jump), so a cached-but-
     // lineage-carrying frame doubles the LOGICAL plan every round —
@@ -598,8 +641,11 @@ object Dedup {
   def neardupDedup(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
       driverLimit: Long = DriverGraphLimit): DataFrame = {
-    val pairs = minhashLshEdges(docs, idCol, textCol, n, threshold)
+    val (pairs, cached) = minhashLshEdgesCached(docs, idCol, textCol, n, threshold)
+    // components() consumes the edge set eagerly (take / checkpointed
+    // fixpoint), after which the pipeline's caches are dead weight
     val comp = components(pairs, "id_a", "id_b", driverLimit = driverLimit)
+    cached.foreach(_.unpersist())
     val losers = comp.filter(col("component") =!= col("id")).select(col("id").as(idCol))
     docs.join(losers, Seq(idCol), "left_anti")
   }
@@ -616,8 +662,9 @@ object Dedup {
   def neardupDedupBest(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, quality: Column,
       driverLimit: Long = DriverGraphLimit): DataFrame = {
-    val pairs = minhashLshEdges(docs, idCol, textCol, n, threshold)
+    val (pairs, cached) = minhashLshEdgesCached(docs, idCol, textCol, n, threshold)
     val comp = components(pairs, "id_a", "id_b", driverLimit = driverLimit)
+    cached.foreach(_.unpersist())
     val withComp = docs
       .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .withColumn("__comp", coalesce(col("component"), col(idCol)))
@@ -707,8 +754,13 @@ object Dedup {
       bands: Int = 64, maxBucket: Int = 10000): DataFrame = {
     val rows = numHashes / bands
     require(numHashes % bands == 0, s"numHashes=$numHashes not divisible by bands=$bands")
+    // persisted for the same reason as lshPairs' allSets: the train-side
+    // sets feed the banded candidate join AND the verify join — one
+    // materialization instead of two shingle derivations over the side
+    // that is big by definition
     val docSets = docs.select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val refSets = ref.select(col(idCol).as("rid"), shingleSet(col(textCol), n).as("rsh"))
       .filter(size(col("rsh")) > 0)
     def banded(df: DataFrame, idName: String, shName: String) = df.select(col(idName),

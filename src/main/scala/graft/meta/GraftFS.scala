@@ -10,19 +10,57 @@ import org.apache.spark.sql.SparkSession
   * (merge tasks, scan readers) resolves filesystems with the DRIVER's
   * configuration — credentials, fs.defaultFS, connector tuning — instead
   * of an empty default. (Spark ships its own equivalent to every built-in
-  * source; it is `private[spark]`, hence this 12-line twin.)
+  * source; it is `private[spark]`, hence this twin.)
+  *
+  * Wire format is a flat sorted (key, value) string array, NOT
+  * `Configuration.write`: Hadoop's Writable form gzip-compresses every
+  * entry separately, so `readFields` allocates ~1k `Inflater`s and
+  * throws ~1k internal `EOFException`s PER TASK — profiled at ~100
+  * thread-seconds over one bench scale pass. Deserialized instances are
+  * also cached per JVM by a SHA-256 of the payload: every task of a
+  * stage carries the same conf, so after the first task the cost is one
+  * digest over the string array. The cached instance is shared
+  * READ-ONLY (no graft executor path mutates its conf — DeltaSpool
+  * copies first), exactly like Spark's own broadcast hadoopConf.
   */
 final class SerializableHadoopConf(@transient var value: Configuration)
     extends Serializable {
   private def writeObject(out: ObjectOutputStream): Unit = {
     out.defaultWriteObject()
-    value.write(out)
+    val it = value.iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val e = it.next()
+      buf += e.getKey
+      buf += e.getValue
+    }
+    out.writeObject(buf.toArray)
   }
   private def readObject(in: ObjectInputStream): Unit = {
     in.defaultReadObject()
-    value = new Configuration(false)
-    value.readFields(in)
+    val flat = in.readObject().asInstanceOf[Array[String]]
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    flat.foreach { s =>
+      md.update(s.getBytes(UTF_8))
+      md.update(0.toByte)
+    }
+    val key = java.util.Base64.getEncoder.encodeToString(md.digest())
+    value = SerializableHadoopConf.cache.computeIfAbsent(key, { _ =>
+      val c = new Configuration(false)
+      var i = 0
+      while (i < flat.length - 1) {
+        c.set(flat(i), flat(i + 1))
+        i += 2
+      }
+      c
+    })
   }
+}
+
+object SerializableHadoopConf {
+  // deserialized-conf dedupe; a JVM sees a handful of distinct confs
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Configuration]()
 }
 
 /** Every table-side file operation (state snapshots, data-file moves, GC

@@ -34,9 +34,10 @@ object DatasetSplit {
       driverLimit: Long = Dedup.DriverGraphLimit): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split percentages: train=$trainPct val=$valPct")
-    val pairs = Dedup.minhashLshEdges(docs, idCol, textCol, n, threshold)
+    val (pairs, cached) = Dedup.minhashLshEdgesCached(docs, idCol, textCol, n, threshold)
     val comp = Dedup.components(pairs, "id_a", "id_b", driverLimit = driverLimit)
       .withColumnRenamed("id", idCol).withColumnRenamed("component", "__comp")
+    cached.foreach(_.unpersist())
     val bucket = pmod(
       col("cluster_id") * lit(2654435761L) % lit(1000000007L), lit(100L))
     docs.join(comp, Seq(idCol), "left")

@@ -548,10 +548,33 @@ object VectorFunctions {
     m.nextSeq
   }
 
+  /** Tombstone rows above which [[liveIndexLists]] stops broadcasting
+    * the delete set and lets the anti-join shuffle instead: a broadcast
+    * costs driver collect + per-executor copies, so an unbounded one is
+    * a scale-killer once deletes accumulate (20% dead on a 10B-row index
+    * is a 2B-row "broadcast"). Counted from the delete files' parquet
+    * FOOTERS — metadata already on disk, no data pass. Overridable via
+    * `graft.index.tombstoneBroadcastLimit` (session conf).
+    */
+  val TombstoneBroadcastLimit: Long = 1000000L
+
+  private def parquetRowCount(dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Long =
+    graft.meta.GraftFS.list(dir)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRecordCount finally r.close()
+      }.sum
+
   /** The index's LIVE inverted-list rows: lists minus tombstone-shadowed
-    * entries. The tombstone set is bounded by [[vacuumIndex]], so the
-    * anti-join broadcasts; the cell-pruned scan shape of the serve paths
-    * is unchanged (the filter composes with partition pruning).
+    * entries. The anti-join BROADCASTS the delete set only while its
+    * footer-counted row total is under [[TombstoneBroadcastLimit]];
+    * past that it runs as a plain (shuffled) anti-join, so serve cost
+    * degrades to one extra shuffle instead of an unbounded driver
+    * collect. The cell-pruned scan shape of the serve paths is unchanged
+    * (the filter composes with partition pruning).
     */
   def liveIndexLists(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
@@ -563,9 +586,14 @@ object VectorFunctions {
     val delDir = s"$indexDir/deletes"
     if (!graft.meta.GraftFS.exists(delDir)) lists
     else {
-      val dels = spark.read.parquet(delDir)
+      val limit = spark.conf.getOption("graft.index.tombstoneBroadcastLimit")
+        .map(_.toLong).getOrElse(TombstoneBroadcastLimit)
+      val small = parquetRowCount(delDir,
+        spark.sparkContext.hadoopConfiguration) <= limit
+      val dels0 = spark.read.parquet(delDir)
         .groupBy(col("id").as("did")).agg(max("dseq").as("dseq"))
-      lists.join(broadcast(dels),
+      val dels = if (small) broadcast(dels0) else dels0
+      lists.join(dels,
         lists("id") === col("did") && lists("seq") < col("dseq"), "left_anti")
     }
   }
@@ -691,8 +719,16 @@ object VectorFunctions {
     def deadFraction: Double =
       if (totalVectors + deadRows == 0) 0.0
       else deadRows.toDouble / (totalVectors + deadRows)
-    def needsVacuum(maxDeadFraction: Double = 0.2): Boolean =
-      deadFraction > maxDeadFraction
+    /** Vacuum when dead rows dominate as a FRACTION (dead IO per probe)
+      * OR in ABSOLUTE terms (`maxDeadRows`, default = the
+      * [[TombstoneBroadcastLimit]]): on a 10B-row index 20% dead is 2B
+      * tombstones — far past where the serve anti-join stopped
+      * broadcasting — so the absolute arm triggers reclamation long
+      * before the fraction does.
+      */
+    def needsVacuum(maxDeadFraction: Double = 0.2,
+        maxDeadRows: Long = TombstoneBroadcastLimit): Boolean =
+      deadFraction > maxDeadFraction || deadRows > maxDeadRows
   }
 
   def ivfIndexStats(spark: org.apache.spark.sql.SparkSession,

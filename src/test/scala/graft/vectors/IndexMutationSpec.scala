@@ -226,4 +226,44 @@ class IndexMutationSpec extends AnyFunSuite {
       k = 12, nprobe = 4).select("id").as[Long].collect().toSeq
     assert(served2 == served)
   }
+
+  test("tombstone anti-join broadcasts only under the row-count limit") {
+    val dim = 8
+    val all = vecs(300, dim, seed = 23)
+    val df = all.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft-ivf-bcast").toString
+    VectorFunctions.buildIvfIndex(df, "vec_id", "embedding", idx, nCentroids = 4)
+    VectorFunctions.deleteFromIndex(
+      (0L until 50L).toDF("vec_id"), "vec_id", idx)
+
+    def broadcasts(): Int = {
+      val live = VectorFunctions.liveIndexLists(spark, idx)
+      live.collect() // force AQE to finalize the executed plan
+      graft.query.Plans.exchanges(live)._2
+    }
+
+    // 50 tombstones, limit default 1M → broadcast anti-join
+    assert(broadcasts() >= 1, "under the limit the delete set must broadcast")
+
+    // force the limit below the tombstone count → NO BroadcastExchange
+    spark.conf.set("graft.index.tombstoneBroadcastLimit", "10")
+    try {
+      assert(broadcasts() == 0,
+        "over the limit the anti-join must not broadcast the delete set")
+      // and the served rows are identical either way
+      val query = Seq(9999L -> all(60)._2).toDF("vec_id", "embedding")
+      val served = VectorFunctions.knnIvfIndex(spark, idx, query, "embedding",
+        k = 10, nprobe = 4).select("id").as[Long].collect().toSeq
+      val live = df.filter($"vec_id" >= 50L)
+      assert(served == bruteIds(live, query, 10))
+    } finally spark.conf.unset("graft.index.tombstoneBroadcastLimit")
+  }
+
+  test("needsVacuum fires on absolute dead rows, not only the fraction") {
+    val s = VectorFunctions.IvfIndexStats(cells = 16, totalVectors = 100L,
+      maxCell = 10L, minCell = 1L, skew = 1.0, deadRows = 15L)
+    assert(!s.needsVacuum()) // 13% dead, under both default arms
+    assert(s.needsVacuum(maxDeadRows = 10L), "absolute arm must trigger")
+    assert(s.needsVacuum(maxDeadFraction = 0.1), "fraction arm unchanged")
+  }
 }
