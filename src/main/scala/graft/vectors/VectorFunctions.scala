@@ -530,17 +530,43 @@ object VectorFunctions {
   private def metaPath(indexDir: String) = s"$indexDir/_index_meta.json"
 
   def readIndexMeta(indexDir: String): IndexMeta =
-    if (!graft.meta.GraftFS.exists(metaPath(indexDir))) IndexMeta(1L, 0L)
-    else {
+    if (!graft.meta.GraftFS.exists(metaPath(indexDir))) {
+      // meta missing but lists carrying maintenance seqs exist (deleted
+      // sidecar, partial restore): restarting nextSeq at 1 would mint
+      // tombstones that shadow NOTHING (dseq <= every existing seq) —
+      // deletes would silently stop working. Derive from the lists.
+      def maxSeqIn(dir: String, field: String): Long =
+        if (!graft.meta.GraftFS.exists(dir)) 0L
+        else {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val df = spark.read.parquet(dir)
+          if (!df.columns.contains(field)) 0L
+          else Option(df.agg(max(coalesce(col(field), lit(0L)))).head().get(0))
+            .map(_.asInstanceOf[Long]).getOrElse(0L)
+        }
+      val next = math.max(maxSeqIn(s"$indexDir/lists", "seq"),
+        maxSeqIn(s"$indexDir/deletes", "dseq")) + 1L
+      IndexMeta(next, 0L)
+    } else {
       val s = graft.meta.GraftFS.readString(metaPath(indexDir))
       def f(k: String): Long =
-        s"""\"$k\":(-?\\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+        s"""\"$k\":(-?\\d+)""".r.findFirstMatchIn(s).getOrElse(
+          throw new IllegalStateException(
+            s"corrupt ${metaPath(indexDir)}: missing '$k' in: ${s.take(200)}")
+        ).group(1).toLong
       IndexMeta(f("nextSeq"), f("lastSyncedVersion"))
     }
 
-  private def writeIndexMeta(indexDir: String, m: IndexMeta): Unit =
-    graft.meta.GraftFS.writeString(metaPath(indexDir),
+  private def writeIndexMeta(indexDir: String, m: IndexMeta): Unit = {
+    // tmp-file + rename: GraftFS.writeBytes truncates in place, so a
+    // crash mid-write would leave a corrupt meta and brick maintenance
+    val tmp = s"${metaPath(indexDir)}.tmp"
+    graft.meta.GraftFS.writeString(tmp,
       s"""{"nextSeq":${m.nextSeq},"lastSyncedVersion":${m.lastSyncedVersion}}""")
+    val (fs, dst) = graft.meta.GraftFS.resolve(metaPath(indexDir))
+    fs.delete(dst, false)
+    graft.meta.GraftFS.rename(new org.apache.hadoop.fs.Path(tmp), dst, fs)
+  }
 
   private def allocSeq(indexDir: String): Long = {
     val m = readIndexMeta(indexDir)
