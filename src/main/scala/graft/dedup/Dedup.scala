@@ -94,7 +94,10 @@ object Dedup {
     // inverted index degenerates to Σ df² join rows; a bitset mask per
     // doc beats it by orders of magnitude there. Large vocabularies take
     // the classic inverted-index path below.
-    if (isDense(sh)) return bitsetJaccardPairs(sh, threshold)
+    denseDict(sh, docCount = sh.select("id").distinct().count()) match {
+      case Some(dict) => return bitsetJaccardPairs(sh, threshold, dict)
+      case None =>
+    }
 
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val index =
@@ -357,9 +360,12 @@ object Dedup {
   private def verifyJaccard(candidates: DataFrame, withSets: DataFrame,
       threshold: Double): DataFrame = {
     val sh = withSets.select(col("id"), explode(col("sh")).as("shingle"))
-    if (isDense(sh)) {
+    // withSets is cached by the caller, so the doc count is a cheap
+    // cache scan (ids are distinct per row by construction)
+    val dictOpt = denseDict(sh, docCount = withSets.count())
+    if (dictOpt.isDefined) {
       import graft.functions.BitsetExpressions._
-      val masks = bitsetMasks(sh)
+      val masks = bitsetMasks(sh, dictOpt.get)
       candidates
         .join(masks.select(col("id").as("id_a"), col("sz").as("sz_a"), col("mask").as("m_a")), "id_a")
         .join(masks.select(col("id").as("id_b"), col("sz").as("sz_b"), col("mask").as("m_b")), "id_b")
@@ -378,42 +384,49 @@ object Dedup {
     }
   }
 
-  private def isDense(sh: DataFrame): Boolean = {
-    // EXACT distinct counts, not approx_count_distinct: the sketch's ±2%
-    // wobble at exactly the doc limit silently flipped a 50k-doc corpus
-    // onto the UNCAPPED inverted-index path, whose Σdf² join rows on a
-    // dense vocabulary are ~10¹¹ — a timeout, not a slowdown. The exact
-    // agg is one pass over the (id, shingle) pairs with map-side
-    // partial aggregation; the strategy choice deserves it.
-    val stats = sh.agg(countDistinct(col("shingle")).as("v"),
-      countDistinct(col("id")).as("d")).head()
-    val (v, d) = (stats.getLong(0), stats.getLong(1))
-    val maskBytes = ((v + 63) / 64) * 8
-    v <= BitsetVocabLimit * 9L / 10 && d <= BitsetDocLimit &&
-      d * maskBytes <= BitsetBroadcastBytesLimit
+  /** Dense-corpus gate + dictionary in ONE bounded probe. The gate must
+    * stay EXACT (the r14 approx-wobble incident: ±2% at the limit
+    * flipped a 50k-doc corpus onto the uncapped inverted-index path —
+    * a timeout, not a slowdown), but exactness does not require a full
+    * distinct COUNT: collecting `distinct().limit(gate+1)` decides the
+    * gate with the same precision — > gate rows means not dense, ≤ gate
+    * rows IS the complete vocabulary — while the limit stops the reduce
+    * after gate+1 rows instead of aggregating the whole corpus's
+    * vocabulary (the difference between a bounded probe and a full
+    * exact aggregation at 100 TB). When dense, the probe doubles as the
+    * bitset dictionary, so the old separate dictionary job disappears.
+    * `docCount` is only forced when the vocabulary fits.
+    */
+  private def denseDict(sh: DataFrame, docCount: => Long): Option[Array[Any]] = {
+    val vocabGate = BitsetVocabLimit * 9 / 10
+    val probe = sh.select("shingle").distinct()
+      .limit(vocabGate + 1).collect().map(_.get(0))
+    if (probe.length > vocabGate) return None
+    val d = docCount
+    val maskBytes = ((probe.length + 63) / 64) * 8
+    if (d <= BitsetDocLimit && d * maskBytes <= BitsetBroadcastBytesLimit)
+      // deterministic dictionary order (masks reproduce run-to-run);
+      // bit positions don't affect results — popcounts are
+      // order-invariant
+      Some(probe.sortBy(v => String.valueOf(v)))
+    else None
   }
 
   /** Per-doc (id, set size, bitset mask) over dictionary-encoded
     * shingles; shared by the dense-corpus strategies.
     */
-  private def bitsetMasks(sh: DataFrame): DataFrame = {
+  private def bitsetMasks(sh: DataFrame, ord: Array[Any]): DataFrame = {
     import graft.functions.BitsetExpressions._
     val spark = sh.sparkSession
-    // The dense gate (isDense) already bounds the vocabulary at ~16k
-    // values, so the dictionary is collected and sorted DRIVER-side —
-    // one bounded action instead of the previous three (distinct sort,
-    // rdd.zipWithIndex's extra job, dict count); assignment stays
-    // deterministic (sorted distinct values index identically on every
-    // evaluation) and the dict broadcasts into the same join as before.
-    val base = sh.select("shingle").distinct()
-    val vals = base.collect().map(_.get(0))
-    val ord = vals.sortBy(v => String.valueOf(v))
+    // the dictionary arrives pre-collected from the dense-gate probe
+    // ([[denseDict]]) — no extra job; it broadcasts into the same join
+    val shingleField = sh.schema("shingle")
     val dict = spark.createDataFrame(
       spark.sparkContext.parallelize(
         ord.zipWithIndex.map { case (v, i) => org.apache.spark.sql.Row(v, i) }.toSeq, 1),
-      org.apache.spark.sql.types.StructType(base.schema.fields :+
+      org.apache.spark.sql.types.StructType(Seq(shingleField,
         org.apache.spark.sql.types.StructField("sid",
-          org.apache.spark.sql.types.IntegerType, nullable = false)))
+          org.apache.spark.sql.types.IntegerType, nullable = false))))
     val vocab = ord.length
     val numWords = math.max((vocab + 63) / 64, 1)
     sh.join(broadcast(dict), "shingle")
@@ -436,10 +449,11 @@ object Dedup {
     * repartitioned because row i's work is proportional to docs − i —
     * contiguous ranges would skew the triangle onto one task.
     */
-  private def bitsetJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  private def bitsetJaccardPairs(sh: DataFrame, threshold: Double,
+      dict: Array[Any]): DataFrame = {
     val spark = sh.sparkSession
     import spark.implicits._
-    val rows = bitsetMasks(sh).select("id", "sz", "mask").collect()
+    val rows = bitsetMasks(sh, dict).select("id", "sz", "mask").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getAs[scala.collection.Seq[Long]](2).toArray))
       .sortBy(_._1)
     // parallel primitive arrays, not an Array[Tuple3]: the inner loop

@@ -204,7 +204,15 @@ final class HttpCasServer(dataDir: String, port: Int = 0) extends AutoCloseable 
   // re-executing a non-idempotent transaction. A replay arriving while
   // the first attempt is still in flight blocks on its future. Bounded
   // access-order LRU — an entry only matters for the client's short
-  // retry window.
+  // retry window. KNOWN WINDOW: the map is in-memory, so a server
+  // restart (or eviction past 8192 in-flight-retry txns) inside a
+  // client's retry window makes the retried txn re-execute; for
+  // AddFiles the duplicate-filename precondition then answers 409 to a
+  // client whose commit actually landed — a client retrying an
+  // ambiguous failure should treat a duplicate-filename 409 as
+  // possibly-committed and reconcile via the table version, not
+  // re-ingest. Persisting txn ids alongside the log would close the
+  // restart case at one extra write per commit.
   private val txnOutcomes = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, java.util.concurrent.CompletableFuture[(Int, String)]](
         64, 0.75f, true) {

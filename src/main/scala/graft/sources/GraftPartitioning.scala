@@ -121,8 +121,10 @@ object GraftPartitioning {
     * fingerprint) would otherwise grow driver memory without limit. The
     * cap is generous versus the per-query lifetime; eviction of a
     * STILL-RESOLVING entry (>128 distinct tilings inside one analysis
-    * pass) would surface as NoSuchFunctionException, i.e. loudly, and
-    * the query re-plans — never a wrong result.
+    * pass) would surface as NoSuchFunctionException, i.e. loudly and
+    * FATALLY to that query (Spark does not re-plan on it) — never a
+    * wrong result. The failure mode needs >128 distinct partition trees
+    * in concurrent analysis, far past any real catalog session.
     */
   private val MaxRegistered = 128
   private val registry = java.util.Collections.synchronizedMap(

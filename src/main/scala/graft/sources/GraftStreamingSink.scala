@@ -71,7 +71,8 @@ final class GraftStreamingWrite(dir: String, queryId: String,
         GraftFS.delete(table.filePath(f.home, f.name))
         GraftFS.delete(table.filePath(f.home, f.name) + ".sketches")
       }
-    } else autoCompactEvery.foreach { n =>
+    } else {
+      autoCompactEvery.foreach { n =>
       // Streaming MAINTENANCE loop (VERDICT r14 #8): a week-long stream
       // otherwise accumulates one sorted run per leaf per micro-batch
       // until a human runs compaction. Opt-in writeStream option
@@ -92,19 +93,21 @@ final class GraftStreamingWrite(dir: String, queryId: String,
         table.compact(graft.jobs.BasicCompactionStrategy())
         GraftStreamingWrite.resetLanded(dir, queryId)
       }
-    }
-    indexSync.foreach { spec =>
-      // same landed-epoch discipline as auto-compaction (empty batches
-      // never count), separate counter; the sync itself is incremental —
+      }
+      // same landed-epoch discipline as auto-compaction — inside the
+      // LANDED branch, so a REPLAYED epoch (files dropped as orphans
+      // above) bumps neither counter; the sync itself is incremental —
       // O(this window's changed rows) via the table's CDC feeds — and
       // runs on the stream's driver thread between micro-batches, so it
       // never races the next epoch's commit
-      if (GraftStreamingWrite.landedSinceSync(dir, queryId) >= spec.every) {
-        val spark = org.apache.spark.sql.SparkSession.active
-        val table = graft.table.GraftTable.load(spark, dir)
-        graft.vectors.VectorFunctions.syncIndexWithTable(
-          table, spec.idCol, spec.vecCol, spec.indexDir, pq = spec.pq)
-        GraftStreamingWrite.resetSync(dir, queryId)
+      indexSync.foreach { spec =>
+        if (GraftStreamingWrite.landedSinceSync(dir, queryId) >= spec.every) {
+          val spark = org.apache.spark.sql.SparkSession.active
+          val t = graft.table.GraftTable.load(spark, dir)
+          graft.vectors.VectorFunctions.syncIndexWithTable(
+            t, spec.idCol, spec.vecCol, spec.indexDir, pq = spec.pq)
+          GraftStreamingWrite.resetSync(dir, queryId)
+        }
       }
     }
   }

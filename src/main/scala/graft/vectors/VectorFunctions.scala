@@ -519,7 +519,11 @@ object VectorFunctions {
   // the base table's change feed. Maintenance ops are single-writer
   // (one maintenance job per index — the FAISS operational shape);
   // serving stays concurrent (parquet immutability: a serve sees files
-  // from before or after a maintenance commit, both consistent).
+  // from before or after a maintenance commit, both consistent) —
+  // EXCEPT across vacuumIndex's two-rename swap: a serve whose
+  // `lists` read lands inside the rename gap fails loudly
+  // (FileNotFoundException) and must retry; versioned list directories
+  // with a pointer in the meta would close that window.
 
   /** Maintenance state of a mutable persisted index: the next
     * maintenance seq to stamp, and the base-table state version the
