@@ -14,8 +14,9 @@ object DrainProfile {
     val mode = if (args.nonEmpty) args(0) else "calib"
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .master("local[" + sys.env.getOrElse("DRAIN_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("DRAIN_SHUFFLE", "32"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled",
         sys.env.getOrElse("DRAIN_CHECKSUM", "true"))
@@ -24,6 +25,12 @@ object DrainProfile {
           "org.apache.spark.sql.execution.streaming.checkpointing.FileContextBasedCheckpointFileManager"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc session conf overrides for experiments: DRAIN_CONF="k=v;k=v"
+    sys.env.get("DRAIN_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     spark.range(1000000).selectExpr("sum(id)").count()
 
     def dump(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -112,9 +119,9 @@ object DrainProfile {
           graft.streaming.StreamAnalytics.viewConversionJoin(spark, sfDir).count()
           println(f"t34 total ${(System.nanoTime() - t0) / 1e9}%.2f s")
         }
-      // profile any SparkEntry query: args = query <name> [reps]
+      // profile any SparkEntry query: args = query <name[,name2,...]> [reps]
       case "query" =>
-        val name = args(1)
+        val names = args(1).split(",")
         val reps = if (args.length > 2) args(2).toInt else 3
         val jobs = new java.util.concurrent.atomic.AtomicInteger()
         val stages = new java.util.concurrent.atomic.AtomicInteger()
@@ -128,14 +135,16 @@ object DrainProfile {
             tasks.addAndGet(s.stageInfo.numTasks); ()
           }
         })
-        val fn = SparkEntry.queries(name)
-        (1 to reps).foreach { i =>
-          jobs.set(0); stages.set(0); tasks.set(0)
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          val dt = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(200) // let listener events drain
-          println(f"$name run$i $dt%.2f s jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+        names.foreach { name =>
+          val fn = SparkEntry.queries(name)
+          (1 to reps).foreach { i =>
+            jobs.set(0); stages.set(0); tasks.set(0)
+            val t0 = System.nanoTime()
+            fn(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            Thread.sleep(200) // let listener events drain
+            println(f"$name run$i $dt%.2f s jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+          }
         }
         printHist()
       // write explain("formatted") for named queries:

@@ -15,9 +15,18 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     allDefs("j1_join_agg").build(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each build
+    * runs on a query-scoped session whose shuffle parallelism is
+    * derived from the dataset's input bytes (BatchTuning) — the batch
+    * counterpart of the streaming drains' statePartitionsFor; the
+    * caller's session keeps its own conf untouched and stays the cap.
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    allDefs.map { case (name, d) => name -> d.build }
+    allDefs.map { case (name, d) =>
+      name -> { (s: SparkSession, dir: String) =>
+        d.build(BatchTuning.scaledSession(s, dir), dir)
+      }
+    }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.

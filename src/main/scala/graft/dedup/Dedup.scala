@@ -134,9 +134,12 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 64,
-      maxBucket: Int = 10000): DataFrame =
-    lshPairs(docs, idCol, textCol, n, threshold, numHashes, bands, maxBucket,
-      starLimit = Long.MaxValue)
+      maxBucket: Int = 10000): DataFrame = {
+    val cleanup = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val pairs = lshPairs(docs, idCol, textCol, n, threshold, numHashes, bands,
+      maxBucket, starLimit = Long.MaxValue, cleanup = cleanup)
+    unpersistAfterAction(pairs, cleanup.toSeq)
+  }
 
   /** Candidate-volume bound above which [[minhashLshEdges]] switches from
     * all-pairs bucket enumeration to per-bucket star edges. 50M candidate
@@ -172,9 +175,42 @@ object Dedup {
   def minhashLshEdges(docs: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, numHashes: Int = 128, bands: Int = 64,
       maxBucket: Int = 10000,
-      starCandidateLimit: Long = StarCandidateLimit): DataFrame =
-    lshPairs(docs, idCol, textCol, n, threshold, numHashes, bands, maxBucket,
-      starLimit = starCandidateLimit)
+      starCandidateLimit: Long = StarCandidateLimit): DataFrame = {
+    val cleanup = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    val pairs = lshPairs(docs, idCol, textCol, n, threshold, numHashes, bands,
+      maxBucket, starLimit = starCandidateLimit, cleanup = cleanup)
+    unpersistAfterAction(pairs, cleanup.toSeq)
+  }
+
+  /** Unpersist `caches` once the next terminal action on `df`'s session
+    * completes (success or failure). The public lazy entry points persist
+    * internal relations so ONE terminal action pays each shared subplan
+    * once; after that action the caches are dead CacheManager entries —
+    * the orphaned-block scale tax minhashLshEdgesCached exists to avoid,
+    * now closed for callers that can't receive cleanup handles. A second
+    * action on the same result recomputes without the caches (identical
+    * rows, just no sharing); unpersisting mid-plan is safe because cache
+    * substitution happens per-execution.
+    */
+  private def unpersistAfterAction(df: DataFrame, caches: Seq[DataFrame]): DataFrame = {
+    if (caches.isEmpty) return df
+    val mgr = df.sparkSession.listenerManager
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      private def done(): Unit = {
+        caches.foreach(c => try c.unpersist()
+          catch { case scala.util.control.NonFatal(_) => () })
+        mgr.unregister(this)
+      }
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = done()
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = done()
+    }
+    mgr.register(listener)
+    df
+  }
 
   /** [[minhashLshEdges]] plus the relations it persisted, for callers
     * that consume the edges EAGERLY (components): once the edge set is
@@ -575,7 +611,12 @@ object Dedup {
       val cap = math.min(driverLimit, Int.MaxValue - 2L).toInt
       val head = p.select(col("s").cast("long"), col("d").cast("long"))
         .take(cap + 1)
-      if (head.length <= driverLimit) {
+      // compare against CAP, not driverLimit: with driverLimit >
+      // Int.MaxValue-2 the take() is truncated at cap+1 rows, and a
+      // driverLimit comparison would accept that silently-incomplete
+      // edge set (wrong components); head.length == cap+1 must always
+      // mean "too big, go distributed"
+      if (head.length <= cap) {
         // path marker for bench logs: which components engine ran is a
         // scale question (driver union-find vs distributed jumping)
         System.err.println(s"[graft] components: DRIVER union-find " +
@@ -796,11 +837,12 @@ object Dedup {
       .select("id", "rid").distinct()
     val inter = size(array_intersect(col("sh"), col("rsh"))).cast("double")
     val union = (size(col("sh")) + size(col("rsh"))).cast("double") - inter
-    candidates
+    val out = candidates
       .join(docSets, "id")
       .join(broadcast(refSets), "rid")
       .filter(inter / union >= threshold)
       .groupBy("id").agg(count(lit(1)).as("n_matches"))
+    unpersistAfterAction(out, Seq(docSets))
   }
 
   /** Sub-document (paragraph/unit) exact dedup — the RefinedWeb/FineWeb

@@ -19,9 +19,11 @@ import org.apache.spark.sql.SparkSession
   * thread-seconds over one bench scale pass. Deserialized instances are
   * also cached per JVM by a SHA-256 of the payload: every task of a
   * stage carries the same conf, so after the first task the cost is one
-  * digest over the string array. The cached instance is shared
-  * READ-ONLY (no graft executor path mutates its conf — DeltaSpool
-  * copies first), exactly like Spark's own broadcast hadoopConf.
+  * digest plus a cheap copy-constructor call. Each deserialization gets
+  * its own COPY of the cached master, so a library that sets a key on
+  * the conf it was handed cannot contaminate other tasks; the cache is
+  * bounded so long sessions with churning confs cannot grow it without
+  * limit.
   */
 final class SerializableHadoopConf(@transient var value: Configuration)
     extends Serializable {
@@ -45,7 +47,9 @@ final class SerializableHadoopConf(@transient var value: Configuration)
       md.update(0.toByte)
     }
     val key = java.util.Base64.getEncoder.encodeToString(md.digest())
-    value = SerializableHadoopConf.cache.computeIfAbsent(key, { _ =>
+    val master = SerializableHadoopConf.cache.computeIfAbsent(key, { _ =>
+      if (SerializableHadoopConf.cache.size() >= 64)
+        SerializableHadoopConf.cache.clear() // bound growth across long sessions
       val c = new Configuration(false)
       var i = 0
       while (i < flat.length - 1) {
@@ -54,6 +58,10 @@ final class SerializableHadoopConf(@transient var value: Configuration)
       }
       c
     })
+    // defensive copy per deserialization: the parse (the expensive part)
+    // is amortized by the cache, while any library that sets a key on
+    // the handed-out conf mutates a private copy, not a JVM-shared one
+    value = new Configuration(master)
   }
 }
 

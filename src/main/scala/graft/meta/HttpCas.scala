@@ -204,15 +204,15 @@ final class HttpCasServer(dataDir: String, port: Int = 0) extends AutoCloseable 
   // re-executing a non-idempotent transaction. A replay arriving while
   // the first attempt is still in flight blocks on its future. Bounded
   // access-order LRU — an entry only matters for the client's short
-  // retry window. KNOWN WINDOW: the map is in-memory, so a server
-  // restart (or eviction past 8192 in-flight-retry txns) inside a
-  // client's retry window makes the retried txn re-execute; for
-  // AddFiles the duplicate-filename precondition then answers 409 to a
-  // client whose commit actually landed — a client retrying an
-  // ambiguous failure should treat a duplicate-filename 409 as
-  // possibly-committed and reconcile via the table version, not
-  // re-ingest. Persisting txn ids alongside the log would close the
-  // restart case at one extra write per commit.
+  // retry window. Outcomes are ALSO persisted (one small hard-linked
+  // file per committed txn, written BEFORE the response goes out), so a
+  // server restart — or LRU eviction — inside a client's retry window
+  // replays the recorded outcome from disk instead of re-executing.
+  // Remaining window: a crash BETWEEN the commit landing and the
+  // outcome file appearing makes the retry re-execute; for AddFiles the
+  // duplicate-filename precondition then answers 409, which a client
+  // retrying an ambiguous failure should treat as possibly-committed
+  // and reconcile via the table version.
   private val txnOutcomes = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[String, java.util.concurrent.CompletableFuture[(Int, String)]](
         64, 0.75f, true) {
@@ -238,6 +238,16 @@ final class HttpCasServer(dataDir: String, port: Int = 0) extends AutoCloseable 
           respond(ex, code, msg)
           return
         }
+        // restart / eviction replay: the outcome may be on disk from a
+        // previous server life; complete the fresh future with it so
+        // concurrent replays blocked on it get the same answer
+        recordedOutcome(id) match {
+          case Some((code, msg)) =>
+            fresh.complete((code, msg))
+            respond(ex, code, msg)
+            return
+          case None => ()
+        }
         fresh
       }
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
@@ -249,6 +259,9 @@ final class HttpCasServer(dataDir: String, port: Int = 0) extends AutoCloseable 
           case CommitOutcome.Failed(e) =>
             (409, s"failed:${e.getClass.getName}: ${String.valueOf(e.getMessage)}")
         }
+        // durable BEFORE the response: a client that saw an answer can
+        // always replay it across a server restart
+        txnId.foreach(persistOutcome(_, code, msg))
         pending.foreach(_.complete((code, msg)))
         respond(ex, code, msg)
       } catch {
@@ -267,6 +280,33 @@ final class HttpCasServer(dataDir: String, port: Int = 0) extends AutoCloseable 
         try respond(ex, 500, String.valueOf(e.getMessage))
         catch { case scala.util.control.NonFatal(_) => () }
     } finally ex.close()
+  }
+
+  // durable txn-outcome sidecars (same hard-link publication as claims)
+  private val txnDir = root.resolve(".txns")
+  Files.createDirectories(txnDir)
+
+  private def txnFile(id: String): java.nio.file.Path = {
+    require(!id.contains("/") && !id.startsWith("."), s"bad txn id $id")
+    txnDir.resolve(id)
+  }
+
+  private def persistOutcome(id: String, code: Int, msg: String): Unit = {
+    val tmp = txnDir.resolve(s".txn-${java.util.UUID.randomUUID()}.tmp")
+    Files.write(tmp, s"$code\n$msg".getBytes(UTF_8))
+    try Files.createLink(txnFile(id), tmp)
+    catch { case _: FileAlreadyExistsException => () } // first write wins
+    Files.deleteIfExists(tmp)
+  }
+
+  private def recordedOutcome(id: String): Option[(Int, String)] = {
+    val f = txnFile(id)
+    if (!Files.exists(f)) None
+    else {
+      val s = new String(Files.readAllBytes(f), UTF_8)
+      val i = s.indexOf('\n')
+      if (i < 0) None else Some((s.take(i).toInt, s.drop(i + 1)))
+    }
   }
 
   private def fileFor(encName: String) = {

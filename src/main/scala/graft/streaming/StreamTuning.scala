@@ -58,5 +58,11 @@ object StreamTuning {
       .getOrElse(if (checkpointPath.forall(isLocal)) FsBasedManager else "")
     if (manager.nonEmpty)
       spark.conf.set("spark.sql.streaming.checkpointFileManagerClass", manager)
+    else
+      // non-local checkpoint: RESET rather than leave a FileSystem-based
+      // manager from an earlier local-checkpoint tune on this shared
+      // session — HDFS/object-store streams must keep the FileContext
+      // default and its atomic-rename rationale
+      spark.conf.unset("spark.sql.streaming.checkpointFileManagerClass")
   }
 }

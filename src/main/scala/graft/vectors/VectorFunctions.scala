@@ -467,11 +467,19 @@ object VectorFunctions {
     val m = CentroidMatrix.normalized(cents)
     cents.indices.map(c => (c, m.row(c))).toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    // a REBUILD over a vacuumed index keeps its generation pointer: the
+    // overwrite lands in the currently-pointed directory. Stale
+    // tombstones must go with it — the meta resets nextSeq to 1, so a
+    // leftover dseq>=1 tombstone would shadow every fresh seq-0 row.
+    val v = currentListsVersion(indexDir)
     vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", nearest_centroid(col("vec"), m))
       .withColumn("seq", lit(0L))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/lists")
-    writeIndexMeta(indexDir, IndexMeta(nextSeq = 1L, lastSyncedVersion = 0L))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/${listsDirName(v)}")
+    graft.meta.GraftFS.deleteRecursive(s"$indexDir/${deletesDirName(v)}")
+    writeIndexMeta(indexDir, IndexMeta(nextSeq = 1L, lastSyncedVersion = 0L,
+      tombstoneRows = 0L, listsVersion = v))
   }
 
   /** Incrementally maintain a persisted [[buildIvfIndex]] index: assign
@@ -498,7 +506,7 @@ object VectorFunctions {
     newVectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", nearest_centroid(col("vec"), m))
       .withColumn("seq", lit(allocSeq(indexDir)))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/lists")
+      .write.mode("append").partitionBy("cell").parquet(listsDir(indexDir))
   }
 
   // ---- Index mutation: logical deletes, upserts, base-table sync --------
@@ -520,18 +528,67 @@ object VectorFunctions {
   // (one maintenance job per index — the FAISS operational shape);
   // serving stays concurrent (parquet immutability: a serve sees files
   // from before or after a maintenance commit, both consistent) —
-  // EXCEPT across vacuumIndex's two-rename swap: a serve whose
-  // `lists` read lands inside the rename gap fails loudly
-  // (FileNotFoundException) and must retry; versioned list directories
-  // with a pointer in the meta would close that window.
+  // INCLUDING across [[vacuumIndex]]: generations are versioned
+  // directories behind a meta pointer, the vacuum writes the next
+  // generation and flips the pointer, and the pre-flip generation
+  // survives as a grace copy until the following vacuum, so an
+  // in-flight serve never loses its files mid-read.
 
   /** Maintenance state of a mutable persisted index: the next
-    * maintenance seq to stamp, and the base-table state version the
-    * index has absorbed (0 = never synced / not table-fed).
+    * maintenance seq to stamp, the base-table state version the
+    * index has absorbed (0 = never synced / not table-fed), and the
+    * live tombstone row count (-1 = unknown → serve paths fall back to
+    * counting delete-file footers). The count is maintained at
+    * delete/vacuum time — which are single-writer — so the serve path's
+    * broadcast-vs-shuffle decision ([[liveIndexLists]]) reads one meta
+    * field instead of opening every delete file's footer per plan
+    * build (a per-query driver stall once deletes accumulate between
+    * vacuums). A crash between the tombstone append and the meta
+    * update leaves the count stale-low until the next delete — that
+    * only skews the broadcast-size heuristic, never the served rows.
     */
-  final case class IndexMeta(nextSeq: Long, lastSyncedVersion: Long)
+  final case class IndexMeta(nextSeq: Long, lastSyncedVersion: Long,
+      tombstoneRows: Long = -1L, listsVersion: Long = 0L)
 
   private def metaPath(indexDir: String) = s"$indexDir/_index_meta.json"
+
+  // ---- Versioned list/delete directories ------------------------------
+  //
+  // Generation v of an index lives in listsDirName(v)/deletesDirName(v);
+  // v=0 keeps the legacy plain names so pre-versioning indexes read
+  // unchanged. The CURRENT generation is the meta's `listsVersion`
+  // pointer; [[vacuumIndex]] writes generation v+1 and FLIPS THE POINTER
+  // instead of renaming the live directory — the swap a reader could
+  // previously land inside (FileNotFoundException) no longer exists.
+  // The PREVIOUS generation is kept as a grace copy for serves that
+  // resolved the pointer before the flip (generation v-1 is deleted at
+  // the flip to v+1), so only a serve that stalls across TWO vacuums can
+  // lose its files.
+  private def listsDirName(v: Long): String =
+    if (v == 0L) "lists" else s"lists.v$v"
+  private def deletesDirName(v: Long): String =
+    if (v == 0L) "deletes" else s"deletes.v$v"
+
+  /** The index's current generation: the meta pointer, or — when the
+    * meta is missing (partial restore) — the highest versioned lists
+    * dir present on disk.
+    */
+  private[vectors] def currentListsVersion(indexDir: String): Long =
+    if (graft.meta.GraftFS.exists(metaPath(indexDir)))
+      readIndexMeta(indexDir).listsVersion
+    else {
+      val vs = graft.meta.GraftFS.list(indexDir).map(_.getPath.getName)
+        .collect {
+          case n if n.startsWith("lists.v") && n.length > 7 &&
+            n.drop(7).forall(_.isDigit) => n.drop(7).toLong
+        }
+      if (vs.isEmpty) 0L else vs.max
+    }
+
+  private[vectors] def listsDir(indexDir: String): String =
+    s"$indexDir/${listsDirName(currentListsVersion(indexDir))}"
+  private[vectors] def deletesDir(indexDir: String): String =
+    s"$indexDir/${deletesDirName(currentListsVersion(indexDir))}"
 
   def readIndexMeta(indexDir: String): IndexMeta =
     if (!graft.meta.GraftFS.exists(metaPath(indexDir))) {
@@ -541,16 +598,21 @@ object VectorFunctions {
       // deletes would silently stop working. Derive from the lists.
       def maxSeqIn(dir: String, field: String): Long =
         if (!graft.meta.GraftFS.exists(dir)) 0L
-        else {
+        else try {
           val spark = org.apache.spark.sql.SparkSession.active
           val df = spark.read.parquet(dir)
           if (!df.columns.contains(field)) 0L
           else Option(df.agg(max(coalesce(col(field), lit(0L)))).head().get(0))
             .map(_.asInstanceOf[Long]).getOrElse(0L)
+        } catch {
+          // dir exists but holds no parquet files (partial restore):
+          // schema inference throws — treat as "no seqs recorded"
+          case _: org.apache.spark.sql.AnalysisException => 0L
         }
-      val next = math.max(maxSeqIn(s"$indexDir/lists", "seq"),
-        maxSeqIn(s"$indexDir/deletes", "dseq")) + 1L
-      IndexMeta(next, 0L)
+      val v = currentListsVersion(indexDir)
+      val next = math.max(maxSeqIn(s"$indexDir/${listsDirName(v)}", "seq"),
+        maxSeqIn(s"$indexDir/${deletesDirName(v)}", "dseq")) + 1L
+      IndexMeta(next, 0L, tombstoneRows = -1L, listsVersion = v)
     } else {
       val s = graft.meta.GraftFS.readString(metaPath(indexDir))
       def f(k: String): Long =
@@ -558,7 +620,12 @@ object VectorFunctions {
           throw new IllegalStateException(
             s"corrupt ${metaPath(indexDir)}: missing '$k' in: ${s.take(200)}")
         ).group(1).toLong
-      IndexMeta(f("nextSeq"), f("lastSyncedVersion"))
+      // optional fields (metas written before them get the defaults)
+      def opt(k: String, dflt: Long): Long =
+        s"""\"$k\":(-?\\d+)""".r.findFirstMatchIn(s)
+          .map(_.group(1).toLong).getOrElse(dflt)
+      IndexMeta(f("nextSeq"), f("lastSyncedVersion"),
+        opt("tombstoneRows", -1L), opt("listsVersion", 0L))
     }
 
   private def writeIndexMeta(indexDir: String, m: IndexMeta): Unit = {
@@ -566,7 +633,8 @@ object VectorFunctions {
     // crash mid-write would leave a corrupt meta and brick maintenance
     val tmp = s"${metaPath(indexDir)}.tmp"
     graft.meta.GraftFS.writeString(tmp,
-      s"""{"nextSeq":${m.nextSeq},"lastSyncedVersion":${m.lastSyncedVersion}}""")
+      s"""{"nextSeq":${m.nextSeq},"lastSyncedVersion":${m.lastSyncedVersion},""" +
+        s""""tombstoneRows":${m.tombstoneRows},"listsVersion":${m.listsVersion}}""")
     val (fs, dst) = graft.meta.GraftFS.resolve(metaPath(indexDir))
     fs.delete(dst, false)
     graft.meta.GraftFS.rename(new org.apache.hadoop.fs.Path(tmp), dst, fs)
@@ -588,6 +656,12 @@ object VectorFunctions {
     */
   val TombstoneBroadcastLimit: Long = 1000000L
 
+  /** Test hook: serve-plan builds that fell back to footer-counting the
+    * delete files because no meta-tracked count was available.
+    */
+  private[vectors] val serveFooterScans =
+    new java.util.concurrent.atomic.AtomicLong()
+
   private def parquetRowCount(dir: String,
       conf: org.apache.hadoop.conf.Configuration): Long =
     graft.meta.GraftFS.list(dir)
@@ -608,18 +682,35 @@ object VectorFunctions {
     */
   def liveIndexLists(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
-    val raw = spark.read.parquet(s"$indexDir/lists")
+    // ONE meta read pins the generation AND carries the tombstone count:
+    // the (lists, deletes) pair of a single generation is always
+    // mutually consistent, even while a vacuum is flipping the pointer
+    val meta =
+      if (graft.meta.GraftFS.exists(metaPath(indexDir)))
+        Some(readIndexMeta(indexDir))
+      else None
+    val v = meta.map(_.listsVersion).getOrElse(currentListsVersion(indexDir))
+    val raw = spark.read.parquet(s"$indexDir/${listsDirName(v)}")
     val lists =
       if (raw.columns.contains("seq"))
         raw.withColumn("seq", coalesce(col("seq"), lit(0L)))
       else raw.withColumn("seq", lit(0L)) // pre-field index: all build-gen
-    val delDir = s"$indexDir/deletes"
+    val delDir = s"$indexDir/${deletesDirName(v)}"
     if (!graft.meta.GraftFS.exists(delDir)) lists
     else {
       val limit = spark.conf.getOption("graft.index.tombstoneBroadcastLimit")
         .map(_.toLong).getOrElse(TombstoneBroadcastLimit)
-      val small = parquetRowCount(delDir,
-        spark.sparkContext.hadoopConfiguration) <= limit
+      // broadcast-vs-shuffle sizing: prefer the meta-tracked count
+      // (one small-file read) over opening every delete file's footer
+      // per plan build — the footer scan is the fallback for indexes
+      // whose meta predates the field (or was never written)
+      val tombRows = meta.map(_.tombstoneRows).getOrElse(-1L) match {
+        case n if n >= 0L => n
+        case _ =>
+          serveFooterScans.incrementAndGet()
+          parquetRowCount(delDir, spark.sparkContext.hadoopConfiguration)
+      }
+      val small = tombRows <= limit
       val dels0 = spark.read.parquet(delDir)
         .groupBy(col("id").as("did")).agg(max("dseq").as("dseq"))
       val dels = if (small) broadcast(dels0) else dels0
@@ -634,35 +725,50 @@ object VectorFunctions {
     */
   def deleteFromIndex(ids: DataFrame, idCol: String, indexDir: String): Unit = {
     val s = allocSeq(indexDir)
+    val delDir = deletesDir(indexDir)
     ids.select(col(idCol).as("id")).distinct()
       .withColumn("dseq", lit(s))
       .coalesce(1)
-      .write.mode("append").parquet(s"$indexDir/deletes")
+      .write.mode("append").parquet(delDir)
+    // maintain the serve path's tombstone count: one footer pass here
+    // (maintenance is single-writer and O(delete files)) replaces one
+    // per SERVE-plan build in liveIndexLists
+    val total = parquetRowCount(delDir,
+      ids.sparkSession.sparkContext.hadoopConfiguration)
+    writeIndexMeta(indexDir, readIndexMeta(indexDir).copy(tombstoneRows = total))
   }
 
-  /** Physically rewrite the inverted lists to live-only rows and clear
+  /** Physically rewrite the inverted lists to live-only rows and retire
     * the tombstone sidecar — run when the tombstone fraction makes the
     * serve-time anti-join or the dead-row IO worth reclaiming. Returns
-    * the live row count. Crash-safe: a leftover tombstone re-applied
-    * over vacuumed lists shadows nothing (every surviving row's seq
-    * already exceeds it).
+    * the live row count.
+    *
+    * Generation flip, not a rename swap: the live rows are written to
+    * the NEXT generation's directory, then the meta pointer flips —
+    * the previously-served directory is never renamed or removed by
+    * this call, so a serve that resolved the pointer before the flip
+    * keeps reading a complete (lists, deletes) generation. Only the
+    * generation BEFORE that one is reclaimed here (the grace
+    * discipline documented at [[listsDirName]]). Crash-safe at every
+    * step: a crash before the pointer flip leaves an orphan next-gen
+    * directory that the next vacuum simply overwrites; the pointer
+    * flip itself is the tmp-file+rename meta write.
     */
   def vacuumIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String): Long = {
-    val tmp = s"$indexDir/lists.vacuum"
+    val m = readIndexMeta(indexDir) // derives (and pins) the generation if meta is missing
+    val cur = m.listsVersion
+    val nextDir = s"$indexDir/${listsDirName(cur + 1)}"
     liveIndexLists(spark, indexDir)
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp)
-    // swap by two renames (old aside, new in) — `lists` never vanishes
-    // for longer than the gap between them, and a crash in the gap
-    // leaves `lists.old` + `lists.vacuum` for manual recovery instead
-    // of a deleted index
-    val (fs, listsPath) = graft.meta.GraftFS.resolve(s"$indexDir/lists")
-    val old = new org.apache.hadoop.fs.Path(s"$indexDir/lists.old")
-    graft.meta.GraftFS.deleteRecursive(old.toString)
-    graft.meta.GraftFS.rename(listsPath, old, fs)
-    graft.meta.GraftFS.rename(new org.apache.hadoop.fs.Path(tmp), listsPath, fs)
-    graft.meta.GraftFS.deleteRecursive(old.toString)
-    graft.meta.GraftFS.deleteRecursive(s"$indexDir/deletes")
-    spark.read.parquet(s"$indexDir/lists").count()
+      .write.mode("overwrite").partitionBy("cell").parquet(nextDir)
+    writeIndexMeta(indexDir,
+      m.copy(listsVersion = cur + 1, tombstoneRows = 0L))
+    // reclaim the generation BEHIND the grace copy (gen `cur` stays for
+    // in-flight serves pinned to the pre-flip pointer)
+    if (cur >= 1) {
+      graft.meta.GraftFS.deleteRecursive(s"$indexDir/${listsDirName(cur - 1)}")
+      graft.meta.GraftFS.deleteRecursive(s"$indexDir/${deletesDirName(cur - 1)}")
+    }
+    spark.read.parquet(nextDir).count()
   }
 
   /** Build a persisted IVF index FROM a graft table and record the
@@ -675,7 +781,10 @@ object VectorFunctions {
     val v = tableVersion(table)
     buildIvfIndex(table.toDF.select(col(idCol), col(vecCol)), idCol, vecCol,
       indexDir, nCentroids, lloydIters, seed)
-    writeIndexMeta(indexDir, IndexMeta(nextSeq = 1L, lastSyncedVersion = v))
+    // keep the build's meta (nextSeq/tombstones/generation pointer) and
+    // stamp only the synced table version on top
+    writeIndexMeta(indexDir,
+      readIndexMeta(indexDir).copy(lastSyncedVersion = v))
   }
 
   private def tableVersion(table: graft.table.GraftTable): Long =
@@ -765,7 +874,7 @@ object VectorFunctions {
       indexDir: String): IvfIndexStats = {
     import spark.implicits._
     val k = spark.read.parquet(s"$indexDir/centroids").count().toInt
-    val physical = spark.read.parquet(s"$indexDir/lists").count()
+    val physical = spark.read.parquet(listsDir(indexDir)).count()
     // occupancy over LIVE rows: a cell full of tombstoned entries is an
     // empty list for probe-recall purposes (the dead IO is reported
     // separately as deadRows → needsVacuum)
@@ -1203,13 +1312,19 @@ object VectorFunctions {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     Seq((cb.flat.toSeq, cb.m, cb.ksub)).toDF("flat", "m", "ksub")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    // rebuild semantics as in buildIvfIndex: keep the generation
+    // pointer, clear stale tombstones (nextSeq resets to 1)
+    val v = currentListsVersion(indexDir)
     vectors.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("cell", nearest_centroid(col("vec"), cm))
       .withColumn("codes", graft.functions.PqExpressions.pq_encode_residual(
         col("vec"), col("cell"), cm, cb))
       .withColumn("seq", lit(0L))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/lists")
-    writeIndexMeta(indexDir, IndexMeta(nextSeq = 1L, lastSyncedVersion = 0L))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/${listsDirName(v)}")
+    graft.meta.GraftFS.deleteRecursive(s"$indexDir/${deletesDirName(v)}")
+    writeIndexMeta(indexDir, IndexMeta(nextSeq = 1L, lastSyncedVersion = 0L,
+      tombstoneRows = 0L, listsVersion = v))
   }
 
   /** Incrementally maintain a persisted [[buildIvfPqIndex]] index — the
@@ -1239,7 +1354,7 @@ object VectorFunctions {
       .withColumn("codes", graft.functions.PqExpressions.pq_encode_residual(
         col("vec"), col("cell"), cm, cb))
       .withColumn("seq", lit(allocSeq(indexDir)))
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/lists")
+      .write.mode("append").partitionBy("cell").parquet(listsDir(indexDir))
   }
 
   /** Serve kNN from a persisted [[buildIvfPqIndex]] index — the IVFADC
@@ -1319,14 +1434,15 @@ object VectorFunctions {
     */
   def ivfPqIndexBytes(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): (Long, Long) = {
-    val (fs, p) = graft.meta.GraftFS.resolve(s"$indexDir/lists")
+    val lists = listsDir(indexDir)
+    val (fs, p) = graft.meta.GraftFS.resolve(lists)
     def walk(dir: org.apache.hadoop.fs.Path): Long =
       fs.listStatus(dir).map { st =>
         if (st.isDirectory) walk(st.getPath)
         else if (st.getPath.getName.endsWith(".parquet")) st.getLen else 0L
       }.sum
     val bytes = walk(p)
-    val n = spark.read.parquet(s"$indexDir/lists").count()
+    val n = spark.read.parquet(lists).count()
     (bytes, n)
   }
 

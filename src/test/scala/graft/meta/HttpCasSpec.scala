@@ -257,6 +257,45 @@ class HttpCasSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("txn outcomes survive a server RESTART: retried txns replay, never re-execute") {
+    // The window the in-memory LRU left open: a server restart inside a
+    // client's retry window. Outcomes are persisted under the data dir
+    // before the response goes out, so a successor server over the same
+    // dir answers the recorded outcome.
+    val data = Files.createTempDirectory("graft-httpcas-restart").toString
+    val dir = Files.createTempDirectory("graft-httpcas-restartdir").toString
+    val st = JsonStateStore.create(dir, schema,
+      PartitionTree.fromSplitPoints(schema, Seq("m")))
+    val leaf = st.partitionTree.leaves.map(_.id).min
+    val body = JsonStateStore.txnToJsonString(
+      StateTransaction.AddFiles(Vector(FileReference("restart-f0", leaf, 1))))
+    val client = java.net.http.HttpClient.newHttpClient()
+    def post(addr: String, txnId: String): (Int, String) = {
+      val uri = java.net.URI.create(s"$addr?dir=" +
+        java.net.URLEncoder.encode(dir, java.nio.charset.StandardCharsets.UTF_8) +
+        s"&txn=$txnId")
+      val r = client.send(
+        java.net.http.HttpRequest.newBuilder(uri)
+          .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    val first = new HttpCasServer(data)
+    try assert(post(first.commitAddress, "restart-txn") == ((200, "committed")))
+    finally first.close()
+    // successor over the SAME data dir — the in-memory LRU is gone
+    val second = new HttpCasServer(data)
+    try {
+      assert(post(second.commitAddress, "restart-txn") == ((200, "committed")),
+        "a retried txn after a restart must replay the recorded outcome")
+      val fin = JsonStateStore.load(dir)
+      assert(fin.fileReferences.count(_.filename == "restart-f0") == 1,
+        "the restart replay must not land the files twice")
+      assert(fin.currentVersion == 2,
+        s"create + exactly ONE commit expected, got ${fin.currentVersion}")
+    } finally second.close()
+  }
+
   test("batched committer arbitrating through the HTTP CAS: folded versions, no losses") {
     // The production shape: commit latency is a REMOTE conditional put,
     // so batching is what keeps commit throughput off the round-trip

@@ -67,8 +67,15 @@ class IndexMutationSpec extends AnyFunSuite {
     val liveCount = VectorFunctions.vacuumIndex(spark, idx)
     assert(liveCount == 200 - 3 + 1)
     assert(served() == after, "vacuum must not change serve results")
-    assert(!graft.meta.GraftFS.exists(s"$idx/deletes"),
-      "vacuum must clear the tombstone sidecar")
+    // the tombstones are RETIRED from the served generation (the meta
+    // records zero and the new generation has no deletes sidecar); the
+    // old generation's sidecar may remain on disk as the grace copy for
+    // in-flight serves until the next vacuum reclaims it
+    val meta = VectorFunctions.readIndexMeta(idx)
+    assert(meta.tombstoneRows == 0L, "vacuum must record zero tombstones")
+    assert(meta.listsVersion == 1L, "vacuum must flip the generation pointer")
+    assert(!graft.meta.GraftFS.exists(s"$idx/deletes.v1"),
+      "the served generation must carry no tombstone sidecar")
   }
 
   test("IVF-PQ serve excludes deleted ids too") {
@@ -268,6 +275,72 @@ class IndexMutationSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("serve-plan builds read the tombstone count from meta, not delete footers") {
+    val dim = 8
+    val all = vecs(150, dim, seed = 31)
+    val df = all.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft-ivf-metacnt").toString
+    VectorFunctions.buildIvfIndex(df, "vec_id", "embedding", idx, nCentroids = 4)
+    VectorFunctions.deleteFromIndex((0L until 40L).toDF("vec_id"), "vec_id", idx)
+
+    // delete maintained the count in the meta
+    assert(VectorFunctions.readIndexMeta(idx).tombstoneRows == 40L)
+
+    // repeat serves: zero footer-scan fallbacks
+    VectorFunctions.serveFooterScans.set(0L)
+    VectorFunctions.liveIndexLists(spark, idx).collect()
+    VectorFunctions.liveIndexLists(spark, idx).collect()
+    assert(VectorFunctions.serveFooterScans.get() == 0L,
+      "with a meta-tracked count the serve path must not open delete footers")
+
+    // a pre-field index (no meta) still works via the footer fallback
+    val metaBak = graft.meta.GraftFS.readString(s"$idx/_index_meta.json")
+    graft.meta.GraftFS.deleteRecursive(s"$idx/_index_meta.json")
+    val live = VectorFunctions.liveIndexLists(spark, idx).collect()
+    assert(VectorFunctions.serveFooterScans.get() >= 1L, "fallback must engage")
+    assert(live.length == 110, "fallback serves the same live rows")
+    graft.meta.GraftFS.writeString(s"$idx/_index_meta.json", metaBak)
+
+    // vacuum clears the tombstones and records zero
+    VectorFunctions.vacuumIndex(spark, idx)
+    assert(VectorFunctions.readIndexMeta(idx).tombstoneRows == 0L)
+    VectorFunctions.serveFooterScans.set(0L)
+    assert(VectorFunctions.liveIndexLists(spark, idx).count() == 110)
+    assert(VectorFunctions.serveFooterScans.get() == 0L)
+  }
+
+  test("a serve planned before a vacuum survives the generation flip") {
+    val dim = 8
+    val all = vecs(200, dim, seed = 41)
+    val df = all.toDF("vec_id", "embedding")
+    val idx = Files.createTempDirectory("graft-ivf-vacrace").toString
+    VectorFunctions.buildIvfIndex(df, "vec_id", "embedding", idx, nCentroids = 4)
+    VectorFunctions.deleteFromIndex((0L until 30L).toDF("vec_id"), "vec_id", idx)
+
+    // plan (and file-list) a serve against the pre-vacuum generation
+    val pinned = VectorFunctions.liveIndexLists(spark, idx)
+    // the vacuum flips the pointer to generation 1; generation 0 stays
+    assert(VectorFunctions.vacuumIndex(spark, idx) == 170L)
+    assert(VectorFunctions.readIndexMeta(idx).listsVersion == 1L)
+    // the pre-flip serve still executes over a complete generation —
+    // the old rename swap made exactly this fail with FileNotFound
+    assert(pinned.count() == 170L)
+
+    // second round: gen 0 is reclaimed, gen 1 becomes the grace copy
+    VectorFunctions.deleteFromIndex((30L until 40L).toDF("vec_id"), "vec_id", idx)
+    val pinned2 = VectorFunctions.liveIndexLists(spark, idx)
+    assert(VectorFunctions.vacuumIndex(spark, idx) == 160L)
+    assert(pinned2.count() == 160L)
+    assert(!new java.io.File(s"$idx/lists").exists(),
+      "generation 0 reclaimed after the second flip")
+    assert(new java.io.File(s"$idx/lists.v1").exists(), "grace generation kept")
+    assert(VectorFunctions.liveIndexLists(spark, idx).count() == 160L)
+    // upserts and serves keep working against the new generation
+    VectorFunctions.appendToIvfIndex(
+      Seq(500L -> all(7)._2).toDF("vec_id", "embedding"), "vec_id", "embedding", idx)
+    assert(VectorFunctions.liveIndexLists(spark, idx).count() == 161L)
   }
 
   test("needsVacuum fires on absolute dead rows, not only the fraction") {
